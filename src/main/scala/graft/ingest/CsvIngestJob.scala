@@ -1,0 +1,94 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import scala.util.control.NonFatal
+
+/** Batch ingest pipeline — the reference's `handleRequest` flow
+  * (`CSVIngest.java:211-278`) as a Spark job:
+  *
+  *   raw zone (text) → [validate header vs manifest] → line massage
+  *   (O3-O5) → processed zone (text), plus a *promoted* path the
+  *   reference only gestures at (its manifest carries `type` and
+  *   `partition_key` it never uses): proper CSV parse → typed cast per
+  *   manifest → partitioned Parquet.
+  *
+  * Error channel (O11): exceptions are caught into [[IngestResult]], the
+  * analog of the reference returning the failure message as its Lambda
+  * result (`CSVIngest.java:270-277`) — except validation failures are
+  * fatal here by default, where the reference computed the boolean and
+  * ignored it (`CSVIngest.java:237`).
+  *
+  * Scale posture: the massage stage is a narrow (shuffle-free) pipeline of
+  * codegen'd string expressions — at 100 TB it parallelizes by input
+  * split with zero exchanges. Only the header peek (`limit(1)`) and the
+  * final text/parquet write touch the driver, both O(1) in data size.
+  */
+object CsvIngestJob {
+
+  sealed trait IngestResult
+  final case class Ok(outputPath: String, rows: Long) extends IngestResult
+  final case class Failed(error: String) extends IngestResult
+
+  /** Faithful line-level ingest: text in → massaged text out.
+    *
+    * @param singleFile coalesce output to one part, preserving the
+    *   reference's one-object-in/one-object-out shape
+    *   (`CSVIngest.java:265-269`). Leave false at scale — order of the
+    *   processed zone is not semantically meaningful to the engine.
+    */
+  def massageFile(spark: SparkSession, inPath: String, outPath: String,
+                  mode: IngestMode = IngestMode.Actual,
+                  manifest: Option[SchemaManifest] = None,
+                  strictValidation: Boolean = true,
+                  singleFile: Boolean = false): IngestResult =
+    try {
+      val raw: Dataset[String] = spark.read.textFile(inPath)
+      manifest.foreach { m =>
+        val header = raw.limit(1).collect().headOption.getOrElse(
+          throw new SchemaValidationException(s"empty input: $inPath"))
+        val fields = SchemaValidator.headerFields(header)
+        if (strictValidation) SchemaValidator.assertValid(fields, m)
+        else if (!SchemaValidator.isValid(fields, m))
+          spark.log.warn(s"advisory schema validation failed for $inPath")
+      }
+      val massaged = raw.select(LineMassager.massage(col("value"), mode).as("value"))
+      val out = if (singleFile) massaged.coalesce(1) else massaged
+      out.write.mode(SaveMode.Overwrite).text(outPath)
+      Ok(outPath, massaged.count())
+    } catch {
+      case e: SchemaValidationException => Failed(s"schema: ${e.getMessage}")
+      case NonFatal(e)                  => Failed(e.toString)
+    }
+
+  /** Promoted ingest: parse the massaged (or raw) CSV with a real CSV
+    * parser, cast every column to its manifest type, write Parquet
+    * partitioned by the manifest's `partition_key` columns — the lake
+    * layout the reference's schema format exists to feed (SURVEY §1.3). */
+  def promote(spark: SparkSession, inPath: String, outPath: String,
+              manifest: SchemaManifest): IngestResult =
+    try {
+      val rawSchema = StructType(manifest.keys.map(StructField(_, StringType, nullable = true)))
+      val parsed: DataFrame = spark.read
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(rawSchema)
+        .csv(inPath)
+      val typed = parsed.select(manifest.fields.map { f =>
+        col(f.key).cast(f.dataType).as(f.key)
+      }: _*)
+      val writer = typed.write.mode(SaveMode.Overwrite)
+      val pk = manifest.partitionColumns
+      (if (pk.nonEmpty) writer.partitionBy(pk: _*) else writer).parquet(outPath)
+      Ok(outPath, typed.count())
+    } catch {
+      case e: SchemaValidationException => Failed(s"schema: ${e.getMessage}")
+      case NonFatal(e)                  => Failed(e.toString)
+    }
+
+  private implicit class SparkLog(private val spark: SparkSession) extends AnyVal {
+    def log = org.apache.logging.log4j.LogManager.getLogger("graft.ingest")
+  }
+}

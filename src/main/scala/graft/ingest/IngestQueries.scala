@@ -1,0 +1,75 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Driver-registered queries exercising the reference-faithful ingest
+  * kernel (O3-O5) on lake data. The driver lake has no raw CSV zone, so
+  * each query *synthesizes* reference-shaped CSV lines from the `nation`
+  * table (integer-derived coordinates — no float formatting, so the
+  * DuckDB oracle renders byte-identical strings), massages them, and
+  * returns the result.
+  */
+object IngestQueries {
+
+  /** A reference-shaped raw CSV line: `key,"MULTIPOLYGON (((x y, x y)))",name`.
+    * Coordinates derive from n_nationkey via lpad'd integer strings. */
+  private def rawLine(s: SparkSession): org.apache.spark.sql.Column = {
+    val k2 = lpad(col("n_nationkey").cast("string"), 2, "0")
+    concat(
+      col("n_nationkey").cast("string"), lit(",\"MULTIPOLYGON (((-73."), k2,
+      lit(" 40."), k2, lit(", -73.50 40.50)))\","), col("n_name"))
+  }
+
+  /** iq01 — actual reference behavior: quotes stripped, geometry block
+    * deleted (`CSVIngest.java:64-68` golden semantics, SURVEY §3.2). */
+  private def iq01(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .select(col("n_nationkey"), rawLine(s).as("raw_line"))
+      .select(col("n_nationkey"),
+        LineMassager.massage(col("raw_line"), IngestMode.Actual).as("massaged"))
+      .orderBy(col("n_nationkey"))
+
+  private val iq01Sql =
+    """SELECT n_nationkey,
+      |  regexp_replace(
+      |    trim(replace(
+      |      replace(concat(CAST(n_nationkey AS VARCHAR), ',"MULTIPOLYGON (((-73.',
+      |                     lpad(CAST(n_nationkey AS VARCHAR), 2, '0'), ' 40.',
+      |                     lpad(CAST(n_nationkey AS VARCHAR), 2, '0'),
+      |                     ', -73.50 40.50)))",', n_name),
+      |              '"', ''),
+      |      'MULTIPOLYGON ', '')),
+      |    '\(\(\([0-9.,() -]+\)\)\)', '', 'g') AS massaged
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** iq02 — intended reference behavior (the dead code at
+    * `CSVIngest.java:71-81`): WKT block normalized to `x:y::x:y`. The
+    * oracle constructs the expected output directly from the same integer
+    * arithmetic — an independent derivation, not a transform mirror. */
+  private def iq02(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .select(col("n_nationkey"), rawLine(s).as("raw_line"))
+      .select(col("n_nationkey"),
+        LineMassager.massage(col("raw_line"), IngestMode.NormalizeWkt).as("normalized"))
+      .orderBy(col("n_nationkey"))
+
+  private val iq02Sql =
+    """SELECT n_nationkey,
+      |  concat(CAST(n_nationkey AS VARCHAR), ',-73.',
+      |         lpad(CAST(n_nationkey AS VARCHAR), 2, '0'), ':40.',
+      |         lpad(CAST(n_nationkey AS VARCHAR), 2, '0'),
+      |         '::-73.50:40.50,', n_name) AS normalized
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "iq01_ingest_massage" -> (iq01 _),
+    "iq02_wkt_normalize" -> (iq02 _))
+
+  val oracle: Map[String, String] = Map(
+    "iq01_ingest_massage" -> iq01Sql,
+    "iq02_wkt_normalize" -> iq02Sql)
+}
