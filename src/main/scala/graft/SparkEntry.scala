@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.CoreQueries.defs ++
+      analytics.ExtendedQueries.defs ++
       ingest.IngestQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracle ++
+      analytics.ExtendedQueries.oracle ++
       ingest.IngestQueries.oracle
 }

@@ -1,0 +1,338 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Second operator batch (SURVEY.md §2.2): window functions (rank /
+  * running / lag / ntile / percent_rank), set operations, string / regex /
+  * date / JSON scalar functions, cross + range joins, math builtins.
+  *
+  * Same oracle-parity discipline as [[CoreQueries]]; additionally every
+  * window rank-like value is cast to INTEGER in the oracle (DuckDB ranks
+  * are BIGINT, Spark's are int) and every window frame is written
+  * explicitly so both engines compute the same frame.
+  */
+object ExtendedQueries {
+
+  /** q16 — rank() with real ties within partitions. */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    part(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("rnk"))
+      .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_partkey, p_retailprice, rnk
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS rnk
+      |      FROM part)
+      |WHERE rnk <= 5
+      |ORDER BY p_brand, rnk, p_partkey""".stripMargin
+
+  /** q17 — running sum over an explicit ROWS frame (deterministic
+    * accumulation order in both engines). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 6))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q17Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q18 — lag(): days between consecutive orders per customer. */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).as("gap_days"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q18Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day',
+      |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS INTEGER) AS gap_days
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q19 — per-group top-k via row_number (the scalable top-k idiom: no
+    * global sort, one shuffle on the partition key). */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private val q19Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** q20 — ntile + percent_rank distribution stats over customer balances. */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_custkey"),
+        ntile(4).over(w).as("balance_quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q20Sql =
+    """SELECT c_custkey,
+      |  CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile,
+      |  round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  private def orderYearKeys(s: SparkSession, d: String, year: Int): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit(f"$year-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01 00:00:00")))
+      .select(col("o_custkey"))
+
+  /** q21 — INTERSECT (set semantics, dedup). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    orderYearKeys(s, d, 1995).intersect(orderYearKeys(s, d, 1996))
+      .orderBy(col("o_custkey"))
+
+  private val q21Sql =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q22 — EXCEPT. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    orderYearKeys(s, d, 1995).except(orderYearKeys(s, d, 1996))
+      .orderBy(col("o_custkey"))
+
+  private val q22Sql =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q23 — UNION with dedup across two predicates. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    o.filter(col("o_totalprice") > 450000).select(col("o_orderkey"))
+      .union(o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey")))
+      .distinct()
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q23Sql =
+    """SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+      |UNION
+      |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q24 — string builtins: substring/upper/length + LIKE-class filter. */
+  private def q24(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_name").like("%e%"))
+      .groupBy(upper(substring(col("p_name"), 1, 1)).as("letter"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(length(col("p_name"))), 6).as("avg_name_len"))
+      .orderBy(col("letter"))
+
+  private val q24Sql =
+    """SELECT upper(substring(p_name, 1, 1)) AS letter,
+      |  CAST(count(*) AS BIGINT) AS n_parts,
+      |  round(avg(length(p_name)), 6) AS avg_name_len
+      |FROM part
+      |WHERE p_name LIKE '%e%'
+      |GROUP BY upper(substring(p_name, 1, 1))
+      |ORDER BY letter""".stripMargin
+
+  /** q25 — regexp_extract: trailing word of the part name. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("last_word"))
+
+  private val q25Sql =
+    """SELECT regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM part
+      |GROUP BY regexp_extract(p_name, '([a-z]+)$', 1)
+      |ORDER BY last_word""".stripMargin
+
+  /** q26 — date part extraction (year/quarter/month). */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 6).as("total"))
+      .orderBy(col("yr"), col("qtr"))
+
+  private val q26Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(sum(o_totalprice), 6) AS total
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY yr, qtr""".stripMargin
+
+  /** q27 — date_trunc to month boundaries. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 6).as("qty"))
+      .orderBy(col("ship_month"))
+
+  private val q27Sql =
+    """SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(sum(l_quantity), 6) AS qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY ship_month""".stripMargin
+
+  /** q28 — JSON extraction from the events.props payload column. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val q28Sql =
+    """SELECT event_type,
+      |  CAST(count(k) AS BIGINT) AS n_with_k,
+      |  round(avg(k), 6) AS avg_k,
+      |  max(k) AS max_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q29 — cross join (explicit cartesian on bounded inputs). */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val r1 = region(s, d).select(col("r_name").as("name_a"))
+    val r2 = region(s, d).select(col("r_name").as("name_b"))
+    r1.crossJoin(r2).orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val q29Sql =
+    """SELECT r1.r_name AS name_a, r2.r_name AS name_b
+      |FROM region r1 CROSS JOIN region r2
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** q30 — range (interval) self-join: same-user event pairs within 60s.
+    * The equi key (user_id) carries the shuffle; the range predicate is a
+    * post-join filter, so this scales as a partitioned sort-merge join,
+    * not a cartesian. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val e1 = events(s, d).select(col("user_id").as("u"), col("event_id").as("id1"),
+      col("ts").as("ts1"), col("event_type").as("first_type"))
+    val e2 = events(s, d).select(col("user_id").as("u2"), col("event_id").as("id2"),
+      col("ts").as("ts2"))
+    e1.join(e2, col("u") === col("u2") && col("id1") < col("id2") &&
+        col("ts2") >= col("ts1") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL 60 SECONDS"))
+      .groupBy(col("first_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("first_type"))
+  }
+
+  private val q30Sql =
+    """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events)
+      |SELECT e1.event_type AS first_type, CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM ev e1 JOIN ev e2
+      |  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+      | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 60 SECONDS
+      |GROUP BY e1.event_type
+      |ORDER BY first_type""".stripMargin
+
+  /** q31 — math builtins (sqrt/ln/ceil) under aggregation. sqrt/ln sums
+    * are not on a decimal grid, so they round at 4 (error ~1e-11 ≪ 5e-5
+    * boundary margin). */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(sqrt(col("l_quantity"))), 4).as("sqrt_qty_sum"),
+        round(avg(log(col("l_extendedprice"))), 6).as("avg_ln_price"),
+        sum(ceil(col("l_discount") * 10)).as("ceil_disc_sum"))
+      .orderBy(col("l_returnflag"))
+
+  private val q31Sql =
+    """SELECT l_returnflag,
+      |  round(sum(sqrt(l_quantity)), 4) AS sqrt_qty_sum,
+      |  round(avg(ln(l_extendedprice)), 6) AS avg_ln_price,
+      |  CAST(sum(CAST(ceil(l_discount * 10) AS BIGINT)) AS BIGINT) AS ceil_disc_sum
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q16_window_rank" -> (q16 _),
+    "q17_window_running_sum" -> (q17 _),
+    "q18_window_lag" -> (q18 _),
+    "q19_topk_per_group" -> (q19 _),
+    "q20_ntile_percent_rank" -> (q20 _),
+    "q21_set_intersect" -> (q21 _),
+    "q22_set_except" -> (q22 _),
+    "q23_set_union" -> (q23 _),
+    "q24_string_funcs" -> (q24 _),
+    "q25_regexp_extract" -> (q25 _),
+    "q26_date_parts" -> (q26 _),
+    "q27_date_trunc" -> (q27 _),
+    "q28_json_extract" -> (q28 _),
+    "q29_cross_join" -> (q29 _),
+    "q30_range_join" -> (q30 _),
+    "q31_math_funcs" -> (q31 _))
+
+  val oracle: Map[String, String] = Map(
+    "q16_window_rank" -> q16Sql,
+    "q17_window_running_sum" -> q17Sql,
+    "q18_window_lag" -> q18Sql,
+    "q19_topk_per_group" -> q19Sql,
+    "q20_ntile_percent_rank" -> q20Sql,
+    "q21_set_intersect" -> q21Sql,
+    "q22_set_except" -> q22Sql,
+    "q23_set_union" -> q23Sql,
+    "q24_string_funcs" -> q24Sql,
+    "q25_regexp_extract" -> q25Sql,
+    "q26_date_parts" -> q26Sql,
+    "q27_date_trunc" -> q27Sql,
+    "q28_json_extract" -> q28Sql,
+    "q29_cross_join" -> q29Sql,
+    "q30_range_join" -> q30Sql,
+    "q31_math_funcs" -> q31Sql)
+}

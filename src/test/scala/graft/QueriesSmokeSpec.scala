@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must run at sf0.001 and produce rows, and every
+  * oracle key must reference a registered query. Value-level correctness
+  * is checked by the DuckDB oracle (driver + scripts/check_parity.py);
+  * this spec guards the registry itself. */
+class QueriesSmokeSpec extends AnyFunSuite with SparkTestSession {
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows — vacuous oracle check")
+    }
+  }
+}
