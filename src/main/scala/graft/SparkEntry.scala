@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.CoreQueries.defs ++
       analytics.ExtendedQueries.defs ++
+      analytics.ExtensionQueries.defs ++
       ingest.IngestQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracle ++
       analytics.ExtendedQueries.oracle ++
+      analytics.ExtensionQueries.oracle ++
       ingest.IngestQueries.oracle
 }

@@ -1,0 +1,234 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star training-data-pipeline operators (builder prompt +
+  * SURVEY §2.3): text analysis (tx*), deduplication (dd*), similarity
+  * search (ss*), multimodal (mm*).
+  *
+  * Oracle coverage: everything expressible in DuckDB SQL carries an
+  * oracle (tx01-03, tx05, dd01, dd05, ss01, mm01). The hash-based LSH
+  * pipelines (minhash/simhash/hyperplane) depend on xxhash64, which
+  * DuckDB lacks — those register rows-only and are value-tested in
+  * ScalaTest against planted near-duplicates instead
+  * ([[Dedup.augmentWithNearDups]] plants pair (i, i+1000000)).
+  */
+object ExtensionQueries {
+
+  // ---------------- text analysis ----------------
+
+  private def tx01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(TF.tokenCount(col("text")).cast("double")), 6).as("avg_tokens"),
+        max(TF.tokenCount(col("text"))).as("max_tokens"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  private val tx01Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+      |  CAST(max(len(string_split(text, ' '))) AS INTEGER) AS max_tokens,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  private def tx02(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        round(TF.avgTokenLen(col("text")), 6).as("avg_token_len"),
+        round(TF.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TF.qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val tx02Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |  round((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
+      |  round(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
+      |  round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+      |      + (len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+      |      + least(((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.2, 6) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private def tx03(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"), TF.langId(col("text")).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+
+  private val tx03Sql =
+    """WITH scored AS (
+      |  SELECT lang,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) AS s_en,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'data' OR x = 'table' OR x = 'row' OR x = 'column')) AS s_db,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'query' OR x = 'join' OR x = 'filter' OR x = 'sort')) AS s_qy
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN s_en >= s_db AND s_en >= s_qy THEN 'en'
+      |       WHEN s_db >= s_qy THEN 'db' ELSE 'qy' END AS predicted,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM scored
+      |GROUP BY 1, 2
+      |ORDER BY lang, predicted""".stripMargin
+
+  /** Rows-only (xxhash64 has no DuckDB twin); determinism is value-tested
+    * in TextFunctionsSpec. */
+  private def tx04(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  private def tx05(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  private val tx05Sql =
+    """SELECT token, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 20""".stripMargin
+
+  // ---------------- deduplication ----------------
+
+  private def dd01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .orderBy(col("source"))
+
+  private val dd01Sql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  private def dd02(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDups(Dedup.augmentWithNearDups(documents(s, d)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def dd03(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDups(Dedup.augmentWithNearDups(documents(s, d)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def dd04(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardDups(Dedup.augmentWithNearDups(documents(s, d)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    e.select(col("vec_id"), col("embedding"))
+      .union(e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+  }
+
+  /** Exact embedding dedup: group by the full vector value. */
+  private def dd05(s: SparkSession, d: String): DataFrame =
+    augmentedEmbeddings(s, d)
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("min_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("min_id"), col("n"))
+      .orderBy(col("min_id"))
+
+  private val dd05Sql =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50)
+      |SELECT min_id, n FROM (
+      |  SELECT min(vec_id) AS min_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM aug GROUP BY embedding)
+      |WHERE n > 1
+      |ORDER BY min_id""".stripMargin
+
+  private def dd06(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDups(augmentedEmbeddings(s, d))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  // ---------------- similarity search ----------------
+
+  private def ss01(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  private val ss01Sql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      |  round(
+      |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+      |             s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      |FROM embeddings e, q
+      |ORDER BY cos DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  private def ss02(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  // ---------------- multimodal ----------------
+
+  private def mm01(s: SparkSession, d: String): DataFrame =
+    Multimodal.mediaCorpus(documents(s, d))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        round(avg(length(col("payload")).cast("double")), 6).as("avg_bytes"))
+      .orderBy(col("format"))
+
+  private val mm01Sql =
+    """SELECT CASE (ascii(substring(text, 1, 1)) % 3)
+      |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |  CAST(count(*) AS BIGINT) AS n_media,
+      |  round(avg(CAST(octet_length(encode(text)) AS DOUBLE)), 6) AS avg_bytes
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY format""".stripMargin
+
+  /** Rows-only: stubbed codec features (see Multimodal.decodeStub). */
+  private def mm02(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaCorpus(documents(s, d)))
+      .orderBy(col("media_id"))
+
+  val defs: Map[String, Q] = Map(
+    "tx01_token_stats" -> (tx01 _),
+    "tx02_quality_scores" -> (tx02 _),
+    "tx03_langid" -> (tx03 _),
+    "tx04_fingerprint" -> (tx04 _),
+    "tx05_term_freq" -> (tx05 _),
+    "dd01_exact_dedup" -> (dd01 _),
+    "dd02_minhash_lsh" -> (dd02 _),
+    "dd03_simhash" -> (dd03 _),
+    "dd04_ngram_jaccard" -> (dd04 _),
+    "dd05_embedding_exact_dedup" -> (dd05 _),
+    "dd06_embedding_cosine_dedup" -> (dd06 _),
+    "ss01_cosine_topk" -> (ss01 _),
+    "ss02_lsh_ann" -> (ss02 _),
+    "mm01_media_stats" -> (mm01 _),
+    "mm02_media_features" -> (mm02 _))
+
+  val oracle: Map[String, String] = Map(
+    "tx01_token_stats" -> tx01Sql,
+    "tx02_quality_scores" -> tx02Sql,
+    "tx03_langid" -> tx03Sql,
+    "tx05_term_freq" -> tx05Sql,
+    "dd01_exact_dedup" -> dd01Sql,
+    "dd05_embedding_exact_dedup" -> dd05Sql,
+    "ss01_cosine_topk" -> ss01Sql,
+    "mm01_media_stats" -> mm01Sql)
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, marker-based language ID, document
+  * fingerprinting, and n-gram shingling.
+  *
+  * Everything is built from Catalyst higher-order / string functions —
+  * codegen'd, shuffle-free, and embarrassingly parallel, so the same
+  * column expressions run unchanged over 100 TB of documents. No UDFs.
+  *
+  * ANSI-safety: Spark 4 runs with ANSI mode on; all arithmetic here is
+  * overflow-free (rolling hash works mod 1e9+7, divisions are guarded by
+  * construction: token count >= 1 for non-empty text).
+  */
+object TextFunctions {
+
+  /** Stopword markers present in the synthetic corpus vocabulary; real
+    * deployments swap in per-language lists. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** Documents are single-space token streams (FIXTURES.md B); a general
+    * corpus would split on `\\s+`. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def hits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Mean token length without exploding: (chars - separators) / tokens. */
+  def avgTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - lit(1))).cast("double") /
+      tokenCount(text).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    hits(text, Stopwords).cast("double") / tokenCount(text).cast("double")
+
+  /** Heuristic quality score in [0,1]: length prior + stopword prior +
+    * token-shape prior. The exact weights matter less than the shape —
+    * monotone, bounded, cheap, reproducible in any SQL engine. */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+      stopwordRatio(text) * lit(0.3) +
+      least(avgTokenLen(text) / lit(10.0), lit(1.0)) * lit(0.2)
+
+  /** Marker vocabularies for n-gram-style language ID. On the synthetic
+    * corpus these are topic markers; on real text they'd be per-language
+    * character n-grams / function words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "db" -> Seq("data", "table", "row", "column"),
+    "qy" -> Seq("query", "join", "filter", "sort"))
+
+  /** Argmax over marker-hit scores, first-wins on ties (deterministic and
+    * expressible identically in the DuckDB oracle). */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ms) => l -> hits(text, ms) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((label, score), i), els) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.foldLeft(lit(true))((acc, s2) => acc && score >= s2), label)
+          .otherwise(els)
+    }
+  }
+
+  private val FpPrime = 1000000007L
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * per-token xxhash64, mod 1e9+7 (keeps every intermediate < 2^40 —
+    * no ANSI overflow). Same text => same fingerprint on any cluster. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(131L) + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime)))
+
+  /** n-token shingles as `array<string>` (space-joined). Documents
+    * shorter than n shingle to empty. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - lit(n)),
+        i => array_join(slice(ts, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+}

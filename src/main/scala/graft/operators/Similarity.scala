@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over `array<float>` embedding
+  * columns.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine against every row — the baseline,
+  *    and the correct choice when the query side is tiny (broadcast) and
+  *    the corpus scan is already required.
+  *  - [[lshTopK]]: random-hyperplane LSH — deterministic seeded planes,
+  *    n-bit signatures, banded buckets; only bucket-colliding rows get a
+  *    cosine. This is the 100 TB path: the signature is one narrow map,
+  *    candidates come from an equi-join on (band, band-bits), and the
+  *    expensive exact scoring touches a tiny candidate set.
+  *
+  * Near-duplicate detection over embeddings ([[cosineNearDups]]) reuses
+  * the same bucketing: near-identical vectors collide on every band.
+  */
+object Similarity {
+
+  /** Deterministic Gaussian hyperplanes (seeded), as literal columns —
+    * broadcast by constant-folding, no side table needed. */
+  def planes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** n-bit signature of a vector: bit p = sign(v · plane_p). */
+  def signature(vec: Column, ps: Seq[Seq[Double]]): Column = {
+    val bits = ps.zipWithIndex.map { case (p, i) =>
+      val dotP = aggregate(
+        zip_with(vec.cast("array<double>"), typedLit(p), _ * _), lit(0.0), _ + _)
+      when(dotP >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k of `corpus` rows against one query vector
+    * (selected by `queryId`). Output: (vec_id, cos) sorted desc. */
+  def bruteForceTopK(corpus: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = corpus.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("query_embedding"))
+    corpus.join(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineFast(col("embedding"), col("query_embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Banded LSH candidates + exact cosine re-rank. `nBits` must be a
+    * multiple of `bands`; rows sharing any band with the query are
+    * candidates. Recall grows with bands; cost grows with bucket size. */
+  def lshTopK(corpus: DataFrame, queryId: Long, k: Int,
+              nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "nBits must divide into bands")
+    val dim = 64
+    val ps = planes(nBits, dim, seed)
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+
+    val signed = corpus.select(col("vec_id"), col("embedding"),
+      signature(col("embedding"), ps).as("sig"))
+    val banded = signed.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
+          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+
+    val qBanded = banded.filter(col("vec_id") === queryId)
+      .select(col("band").as("q_band"), col("band_bits").as("q_bits"),
+        col("embedding").as("query_embedding"))
+
+    banded.join(broadcast(qBanded),
+        col("band") === col("q_band") && col("band_bits") === col("q_bits"))
+      .select(col("vec_id"), col("embedding"), col("query_embedding"))
+      .distinct()
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineFast(col("embedding"), col("query_embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: bucket on the full n-bit signature
+    * (near-identical vectors agree on every hyperplane side), confirm
+    * with exact cosine >= threshold. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double = 0.99,
+                     nBits: Int = 16, seed: Long = 42L): DataFrame = {
+    val ps = planes(nBits, 64, seed)
+    val signed = corpus.select(col("vec_id"), col("embedding"),
+      signature(col("embedding"), ps).as("sig"))
+    signed.as("x").join(signed.as("y"),
+        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(VectorFunctions.cosineFast(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestSession
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Value-level checks for the hash-based dedup pipelines that have no
+  * DuckDB oracle: plant near-duplicates (pair (i, i+1000000), ` dup`
+  * suffix) and require each method to recover them. */
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val aug = Dedup.augmentWithNearDups(docs)
+  private val Offset = 1000000L
+
+  private def plantedFound(pairs: DataFrame): Long =
+    pairs.filter(pairs("doc_b") === pairs("doc_a") + Offset).count()
+
+  test("minhash LSH recovers planted near-dups; every reported pair is a true near-dup") {
+    val pairs = Dedup.minhashNearDups(aug).cache()
+    val planted = plantedFound(pairs)
+    assert(planted >= 40, s"only $planted/50 planted near-dup pairs found")
+    val bad = pairs.filter(pairs("est_jaccard") < 0 || pairs("est_jaccard") > 1).count()
+    assert(bad === 0)
+    // precision against ground truth: the synthetic corpus contains
+    // NATURAL near-dup pairs (exact 3-gram jaccard up to 0.99), so
+    // validate reported pairs by exact jaccard, not by planted-ness.
+    val exact = Dedup.ngramJaccardDups(aug, threshold = 0.0)
+    val checked = pairs.join(exact, Seq("doc_a", "doc_b"), "left")
+    val falsePos = checked.filter(checked("jaccard").isNull || checked("jaccard") < 0.2).count()
+    assert(falsePos === 0, s"$falsePos reported pairs have exact jaccard < 0.2")
+  }
+
+  test("simhash recovers planted near-dups within Hamming 8") {
+    val pairs = Dedup.simhashNearDups(aug).cache()
+    val planted = plantedFound(pairs)
+    assert(planted >= 40, s"only $planted/50 planted pairs found")
+    assert(pairs.filter(pairs("hamming") > 8).count() === 0)
+  }
+
+  test("exact n-gram Jaccard recovers planted near-dups with high scores") {
+    val pairs = Dedup.ngramJaccardDups(aug).cache()
+    val planted = pairs.filter(pairs("doc_b") === pairs("doc_a") + Offset)
+    assert(planted.count() >= 40)
+    // a one-token suffix on an n-token doc keeps jaccard ~ (n-3)/(n+1)
+    assert(planted.filter(planted("jaccard") < 0.6).count() === 0)
+  }
+
+  test("simhash of identical text is identical; near text is near") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the fast key order sort table scan merge part window"),
+      (2L, "the fast key order sort table scan merge part window"),
+      (3L, "the fast key order sort table scan merge part window extra"),
+      (4L, "completely different tokens entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 8)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 8)
+  }
+}

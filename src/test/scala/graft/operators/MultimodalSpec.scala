@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val media = Multimodal.mediaCorpus(Tables.documents(spark, sf))
+
+  test("media corpus: binary payload, typed metadata, formats from fixed set") {
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val formats = media.select("format").distinct().collect().map(_.getString(0)).toSet
+    assert(formats.subsetOf(Set("jpeg", "png", "wav")))
+    assert(media.count() > 0)
+  }
+
+  test("extractFeatures: fixed-width vectors, byte_len matches payload, joinable on media_id") {
+    val feats = Multimodal.extractFeatures(media, dim = 8).cache()
+    assert(feats.count() === media.count())
+    assert(feats.filter(size(col("features")) =!= 8).count() === 0)
+    val joined = feats.join(media, "media_id")
+      .filter(length(col("payload")) =!= col("byte_len"))
+    assert(joined.count() === 0)
+  }
+
+  test("stub codec is deterministic and matches a hand computation") {
+    val payload = "abcd".getBytes("UTF-8") // 97 98 99 100
+    val f = Multimodal.decodeStub(payload, 2)
+    // bins: (97+99)/4, (98+100)/4
+    assert(f.toSeq === Seq(49.0f, 49.5f))
+    assert(Multimodal.decodeStub(payload, 2).toSeq === f.toSeq)
+  }
+}

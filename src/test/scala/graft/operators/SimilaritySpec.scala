@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.{SparkTestSession, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("bruteForceTopK: self is rank 1 with cosine 1.0, descending order") {
+    val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    assert(top.head.getLong(0) === 0L)
+    assert(top.head.getDouble(1) === 1.0)
+    val coss = top.map(_.getDouble(1)).toSeq
+    assert(coss === coss.sorted.reverse)
+  }
+
+  test("lshTopK: finds self, candidates overlap brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L))
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@10 = $recall — LSH candidates lost the neighborhood entirely")
+  }
+
+  test("cosineNearDups finds every planted exact duplicate at cosine 1.0") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val aug = e.union(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val dups = Similarity.cosineNearDups(aug).cache()
+    val planted = dups.filter(col("vec_b") === col("vec_a") + 1000000L)
+    assert(planted.count() === 50)
+    assert(planted.filter(col("cos") < 0.999999).count() === 0)
+  }
+
+  test("cosineFast (codegen expression) agrees with the HOF cosine") {
+    val pairs = emb.as("x").crossJoin(emb.as("y"))
+      .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
+      .select(
+        VectorFunctions.cosineFast(col("x.embedding"), col("y.embedding")).as("fast"),
+        VectorFunctions.cosine(col("x.embedding"), col("y.embedding")).as("hof"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+        s"fast=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+}
