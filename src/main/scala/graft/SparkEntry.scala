@@ -20,6 +20,7 @@ object SparkEntry {
     analytics.CoreQueries.defs ++
       analytics.ExtendedQueries.defs ++
       analytics.ExtensionQueries.defs ++
+      analytics.StreamingQueries.defs ++
       ingest.IngestQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
     analytics.CoreQueries.oracle ++
       analytics.ExtendedQueries.oracle ++
       analytics.ExtensionQueries.oracle ++
+      analytics.StreamingQueries.oracle ++
       ingest.IngestQueries.oracle
 }

@@ -1,0 +1,89 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the streaming operators (SURVEY §2.2
+  * streaming row), oracle-checked against DuckDB: tumbling windows
+  * (time_bucket), lag/cumsum sessionization, and stream dedup as
+  * distinct-first. The streaming executions of the same transforms are
+  * asserted equal to these in StreamingSpec.
+  *
+  * Window-start strings: Spark's `window()` and DuckDB's `time_bucket`
+  * both align 5-minute buckets to :00/:05 (epoch-aligned vs 2000-01-03
+  * origin — both multiples of 5 min apart), rendered via
+  * date_format/strftime to avoid timestamp-type hashing differences.
+  */
+object StreamingQueries {
+
+  /** st01 — tumbling 5-minute windows (batch form of
+    * EventStreams.tumblingCounts, same column expressions). */
+  private def st01(s: SparkSession, d: String): DataFrame =
+    EventStreams.tumblingCounts(events(s, d))
+      .orderBy(col("wstart"), col("event_type"))
+
+  private val st01Sql =
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+      |SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(value), 6) AS total_value
+      |FROM ev
+      |GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin
+
+  /** st02 — sessionization via lag + cumulative sum (gap > 10 minutes
+    * starts a new session). Expressible identically in both engines down
+    * to microsecond arithmetic. */
+  private def st02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 600000000L, 1).otherwise(0))
+    flagged
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  private val st02Sql =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM ev)
+      |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM flagged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** st03 — stream-dedup cardinality: first event per (user, type). */
+  private def st03(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val st03Sql =
+    """SELECT user_id, event_type, min(event_id) AS first_event_id
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "st01_tumbling_window" -> (st01 _),
+    "st02_sessionization" -> (st02 _),
+    "st03_stream_dedup" -> (st03 _))
+
+  val oracle: Map[String, String] = Map(
+    "st01_tumbling_window" -> st01Sql,
+    "st02_sessionization" -> st02Sql,
+    "st03_stream_dedup" -> st03Sql)
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming transforms over the `events` table shape
+  * (FIXTURES.md B): watermarked tumbling/sliding windows, session
+  * windows, and in-stream deduplication.
+  *
+  * Each transform takes a DataFrame so it runs identically on a
+  * `readStream` source (streaming) and a `read` source (batch) — the
+  * batch-equivalent queries in `StreamingQueries` use the exact same
+  * functions, and `StreamingSpec` asserts stream-vs-batch agreement.
+  *
+  * Scale posture: all stateful operators key their state by (window ×
+  * group) or (user), bounded by the watermark — state store size is
+  * O(active keys), not O(stream length); late data past 10 minutes is
+  * dropped deterministically.
+  */
+object EventStreams {
+
+  /** Parquet schema of the events table as read with
+    * spark.sql.legacy.parquet.nanosAsLong=true (ts arrives as ns longs). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over an events parquet directory; ts normalized
+    * ns→µs exactly like Tables.events. */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 5-minute counts per event type, 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows: 10-minute window every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user with a 10-minute inactivity gap. */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  /** In-stream dedup on (user_id, event_type) within the watermark —
+    * the streaming analog of dropDuplicates. */
+  def dedupFirstPerUserType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+}

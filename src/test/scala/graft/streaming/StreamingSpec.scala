@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.{SparkTestSession, Tables}
+import graft.ingest.IngestMode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Real streaming execution: file sources + AvailableNow triggers +
+  * memory/parquet sinks, asserted equal to the batch forms of the same
+  * transforms (the oracle-checked StreamingQueries). */
+class StreamingSpec extends AnyFunSuite with SparkTestSession {
+
+  private def tmp(): Path = Files.createTempDirectory("graft_stream")
+
+  /** The file stream source requires a directory; stage the single-file
+    * events table into one. */
+  private lazy val eventsDir: String = {
+    val dir = tmp().resolve("events_src")
+    Files.createDirectories(dir)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("ingest stream: arriving raw files are massaged exactly once, with lineage") {
+    val dir = tmp()
+    val raw = dir.resolve("raw"); Files.createDirectories(raw)
+    Files.writeString(raw.resolve("a.csv"),
+      "1,\"MULTIPOLYGON (((-73.1 40.1, -73.2 40.2)))\",QN\n2,\"plain, quoted\",BK\n")
+    Files.writeString(raw.resolve("b.csv"), "3,nogeom,SI\n")
+    val q = IngestStream.start(spark, raw.toString, dir.resolve("out").toString,
+      dir.resolve("ckpt").toString, IngestMode.Actual)
+    q.awaitTermination()
+    val out = spark.read.parquet(dir.resolve("out").toString)
+    assert(rows(out.select("value")) ===
+      Set("1,,QN", "2,plain, quoted,BK", "3,nogeom,SI"))
+    assert(out.filter(col("source_file").contains("a.csv")).count() === 2)
+    // restart with same checkpoint: no reprocessing (exactly-once discovery)
+    val q2 = IngestStream.start(spark, raw.toString, dir.resolve("out").toString,
+      dir.resolve("ckpt").toString, IngestMode.Actual)
+    q2.awaitTermination()
+    assert(spark.read.parquet(dir.resolve("out").toString).count() === 3)
+  }
+
+  test("streaming tumbling window == batch tumbling window") {
+    val stream = EventStreams.source(spark, eventsDir)
+    val got = runToMemory(EventStreams.tumblingCounts(stream), "t_tumbling", "complete")
+    val want = EventStreams.tumblingCounts(Tables.events(spark, sf))
+    assert(rows(got) === rows(want))
+    assert(got.count() > 0)
+  }
+
+  test("streaming session windows match lag/cumsum sessionization per user") {
+    val stream = EventStreams.source(spark, eventsDir)
+    val got = runToMemory(EventStreams.sessionStats(stream), "t_sessions", "complete")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+    val want = graft.SparkEntry.queries("st02_sessionization")(spark, sf)
+      .select(col("user_id"), col("n_sessions"))
+    assert(rows(got) === rows(want))
+  }
+
+  test("streaming dedup keeps one row per (user_id, event_type)") {
+    val stream = EventStreams.source(spark, eventsDir)
+    val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
+    val batchKeys = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(got.count() === batchKeys.count())
+    assert(rows(got.select("user_id", "event_type")) === rows(batchKeys))
+  }
+}
