@@ -34,73 +34,112 @@ object Dedup {
   private def shingleHash(shingle: Column, seed: Column): Column =
     pmod(xxhash64(concat(seed.cast("string"), lit(":"), shingle)), lit(Long.MaxValue))
 
-  /** MinHash signatures: one row per (doc_id, seed) with the min hash
-    * over the doc's distinct shingles. Layout is tall (not an array
-    * column) so banding and estimation are plain aggregations. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int, shingleWidth: Int): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.shingles(col("text"), shingleWidth))).as("shingle"))
-    // per shingle: array of numHashes hashes, exploded to (doc, seed, h)
-    val seeded = sh.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-        s => shingleHash(col("shingle"), s))).as(Seq("seed", "h")))
-    seeded.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("minhash"))
+  /** MinHash signature as an `array<bigint>` column — computed entirely
+    * row-local with higher-order functions (numHashes × shingles hash
+    * evaluations per doc, zero shuffle, zero explosion). At 100 TB this
+    * is a narrow map stage; the old explode-to-(doc,seed,h) formulation
+    * shuffled numHashes×shingles rows per document. */
+  /** Row-local minhash signature (API form). NOTE: inside one projection
+    * Catalyst may inline the shingle expression into the per-seed lambda
+    * (CollapseProject can't see lambda evaluation counts), recomputing
+    * shingling numHashes×. For corpus-scale signing use [[signatures]],
+    * which explodes shingles once and min-aggregates columnar. */
+  def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
+    val sh = array_distinct(TextFunctions.shingles(text, shingleWidth))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(sh, x => shingleHash(x, s))))
   }
 
-  /** LSH banding: (doc_id, band, band_key) where band_key fingerprints
-    * the band's minhashes in seed order. */
-  def lshBands(signatures: DataFrame, seedsPerBand: Int): DataFrame =
-    signatures
-      .groupBy(col("doc_id"), (col("seed") / lit(seedsPerBand)).cast("int").as("band"))
-      .agg(xxhash64(concat_ws(":",
-        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          s => s.getField("minhash").cast("string")))).as("band_key"))
+  /** Corpus minhash signatures: (doc_id, sig array<bigint>). One explode
+    * of distinct shingles (shingling evaluated exactly once per doc), one
+    * shuffle on doc_id, numHashes codegen'd min-aggregate columns — the
+    * shape that survives 100 TB (hash work is numHashes × shingle rows,
+    * state is numHashes longs per doc). */
+  def signatures(docs: DataFrame, numHashes: Int, shingleWidth: Int): DataFrame = {
+    val exploded = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), shingleWidth))).as("shingle"))
+    val mins = (0 until numHashes).map(s =>
+      min(shingleHash(col("shingle"), lit(s))).as(s"m$s"))
+    exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
+  }
+
+  /** LSH band keys for an array signature: one xxhash64 per
+    * `seedsPerBand`-wide slice. */
+  def bandKeys(sig: Column, numHashes: Int, seedsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numHashes / seedsPerBand - 1)),
+      b => xxhash64(concat_ws(":",
+        transform(slice(sig, b * lit(seedsPerBand) + lit(1), lit(seedsPerBand)),
+          h => h.cast("string")))))
 
   /** Candidate pairs = docs sharing any LSH band bucket; estimated
-    * Jaccard = fraction of matching minhash components. Returns
-    * (doc_a, doc_b, est_jaccard) with doc_a < doc_b, filtered to
-    * `threshold`. */
+    * Jaccard = fraction of matching signature components (computed by a
+    * row-local zip_with on the two arrays — no signature re-shuffle).
+    * Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b, est >= threshold. */
   def minhashNearDups(docs: DataFrame, numHashes: Int = 8, shingleWidth: Int = 3,
                       seedsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, numHashes, shingleWidth)
-    val bands = lshBands(sigs, seedsPerBand)
-    val candidates = bands.as("x").join(bands.as("y"),
+    val sigs = signatures(docs, numHashes, shingleWidth)
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandKeys(col("sig"), numHashes, seedsPerBand)).as(Seq("band", "band_key")))
+    val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val est = candidates
-      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id") && col("sa.seed") === col("sb.seed"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg((sum(when(col("sa.minhash") === col("sb.minhash"), 1).otherwise(0)).cast("double") /
-        count(lit(1)).cast("double")).as("est_jaccard"))
-    est.filter(col("est_jaccard") >= threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _).cast("double") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
   /** 64-bit SimHash of the token stream, one HOF pass: per-token hash
-    * votes ±1 on each bit, sign of the tally sets the bit. */
+    * votes ±1 on each bit, sign of the tally sets the bit. Tokens are
+    * pre-hashed ONCE (`transform(tokens, xxhash64)`) so the 64-bit
+    * unpacking lambda sees a bound variable — inlining xxhash64 into the
+    * per-bit lambda would recompute the hash 64× per token. */
   def simhash(text: Column): Column = {
-    val bitsOf: Column => Column = t =>
+    val bitsOf: Column => Column = h =>
       transform(sequence(lit(0), lit(63)),
-        k => when(call_function("shiftright", xxhash64(t), k).bitwiseAND(lit(1L)) === 1L, 1)
+        k => when(call_function("shiftright", h, k).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1))
     val counters = aggregate(
-      TextFunctions.tokens(text),
+      transform(TextFunctions.tokens(text), t => xxhash64(t)),
       transform(sequence(lit(0), lit(63)), _ => lit(0)),
-      (acc, t) => zip_with(acc, bitsOf(t), _ + _))
+      (acc, h) => zip_with(acc, bitsOf(h), _ + _))
     aggregate(
       zip_with(counters, sequence(lit(0), lit(63)),
         (c, k) => when(c > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
       lit(0L), _ + _)
   }
 
+  /** SimHash of a whole corpus via explode + columnar aggregation: 64
+    * conditional-sum columns instead of per-token 64-element array
+    * allocations (the HOF form allocates ~2 arrays per token; this form
+    * is pure codegen'd column math over (doc, tokenhash) rows). Same
+    * result as [[simhash]]; preferred at scale. */
+  def simhashAll(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$k")
+    }
+    val counters = hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    counters.select(col("doc_id"),
+      (0 until 64).map(k => when(col(s"c$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+  }
+
   /** SimHash near-dup pairs: candidates must share at least one of four
     * 16-bit signature chunks (Hamming-LSH), then exact Hamming distance
     * <= maxDistance confirms. */
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 8): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val sigs = simhashAll(docs)
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * lit(16)).bitwiseAND(lit(0xFFFFL))))
@@ -114,26 +153,40 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
-  /** Exact n-gram Jaccard on LSH-free candidates: pairs sharing at least
-    * one shingle (inverted-index join on the shingle key), exact
-    * |A∩B| / |A∪B| >= threshold. The shingle join IS the blocking — at
-    * scale you'd MinHash first and use this as the confirm stage. */
+  /** Exact n-gram Jaccard as a two-phase block-then-verify pipeline:
+    * MinHash-LSH banding generates candidate pairs (16 hashes, 8 bands →
+    * P[candidate | J=0.6] ≈ 0.97, ≈1.0 for true near-dups), then the
+    * exact |A∩B| / |A∪B| on the full distinct-shingle sets confirms —
+    * computed row-locally with array_intersect once the pair row holds
+    * both shingle arrays.
+    *
+    * The naive alternative (inverted-index self-join on every shingle)
+    * is exact-complete but materializes O(docs-per-shingle²) pair rows
+    * per shingle — ~64M rows on this corpus at sf0.1 and unboundedly
+    * skewed at 100 TB. Block-then-verify is the scalable shape; the
+    * probabilistic blocking miss-rate at exactly-threshold pairs is the
+    * documented trade. */
   def ngramJaccardDups(docs: DataFrame, shingleWidth: Int = 3,
-                       threshold: Double = 0.6): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(col("text"), shingleWidth))).as("shingle"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+                       threshold: Double = 0.6, numHashes: Int = 16,
+                       seedsPerBand: Int = 2): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), shingleWidth)).as("sh"))
+    val sigs = signatures(docs, numHashes, shingleWidth)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), numHashes, seedsPerBand)).as(Seq("band", "band_key")))
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val withSets = candidates
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    withSets
       .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("za.n_shingles") + col("zb.n_shingles") - col("n_common")).cast("double"))
-          .as("jaccard"))
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
