@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.CoreQueries.defs ++
       analytics.ExtendedQueries.defs ++
+      analytics.AdvancedQueries.defs ++
       analytics.ExtensionQueries.defs ++
       analytics.StreamingQueries.defs ++
       ingest.IngestQueries.defs
@@ -28,6 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     analytics.CoreQueries.oracle ++
       analytics.ExtendedQueries.oracle ++
+      analytics.AdvancedQueries.oracle ++
       analytics.ExtensionQueries.oracle ++
       analytics.StreamingQueries.oracle ++
       ingest.IngestQueries.oracle

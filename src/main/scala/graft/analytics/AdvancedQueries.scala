@@ -1,0 +1,126 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Third operator batch: subqueries (scalar + correlated), exact
+  * percentiles, approximate distinct (HLL sketch), pivot, and array
+  * aggregation — rounding out the SURVEY §2.2 aggregation/function rows.
+  */
+object AdvancedQueries {
+
+  /** q32 — scalar subquery: parts above the global average price. The
+    * single-row aggregate is broadcast (a 1-row cross join), never
+    * recomputed per row. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("global_avg"))
+    p.join(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("global_avg"))
+      .select(col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q32Sql =
+    """SELECT p_partkey, p_retailprice
+      |FROM part
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q33 — correlated aggregate subquery (TPC-H Q17 shape): revenue of
+    * small-quantity orders vs the part's own average, decorrelated into
+    * a per-key aggregate join (what Catalyst does to the subquery form). */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val perPart = l.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+    l.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+  }
+
+  private val q33Sql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS qty_limit
+      |      FROM lineitem GROUP BY l_partkey) p
+      |  ON l.l_partkey = p.pk
+      |WHERE l.l_quantity < p.qty_limit""".stripMargin
+
+  /** q34 — exact interpolated percentiles (median / p90). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+      .orderBy(col("l_returnflag"))
+
+  private val q34Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q35 — HLL approximate distinct next to the exact count. Rows-only
+    * (each engine's sketch differs); QueriesSmokeSpec bounds the error. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_linestatus"))
+
+  /** q36 — pivot: order status columns per year. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 6))
+      .orderBy(col("yr"))
+
+  private val q36Sql =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS F,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 6) AS O,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 6) AS P
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY yr""".stripMargin
+
+  /** q37 — array aggregation: sorted distinct type list per brand. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(sort_array(collect_set(col("p_type"))).as("types"),
+        count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+
+  private val q37Sql =
+    """SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types,
+      |  CAST(count(*) AS BIGINT) AS n_parts
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q32_scalar_subquery" -> (q32 _),
+    "q33_correlated_subquery" -> (q33 _),
+    "q34_percentiles" -> (q34 _),
+    "q35_approx_distinct" -> (q35 _),
+    "q36_pivot" -> (q36 _),
+    "q37_array_agg" -> (q37 _))
+
+  val oracle: Map[String, String] = Map(
+    "q32_scalar_subquery" -> q32Sql,
+    "q33_correlated_subquery" -> q33Sql,
+    "q34_percentiles" -> q34Sql,
+    "q36_pivot" -> q36Sql,
+    "q37_array_agg" -> q37Sql)
+}

@@ -1,0 +1,40 @@
+package graft.lake
+
+import graft.Tables
+import graft.operators.SkewJoin
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev driver: bucketed co-located join + salted skew join, end to end.
+  * Run: sbt "Test/runMain graft.lake.LakeDemo <sfDir> <warehouseDir>" */
+object LakeDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, wh) = args
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", wh)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    BucketedLake.writeBucketed(Tables.lineitem(spark, sfDir), "li_b", "l_orderkey", 8, Some("l_orderkey"))
+    BucketedLake.writeBucketed(Tables.orders(spark, sfDir), "o_b", "o_orderkey", 8, Some("o_orderkey"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val j = BucketedLake.cocolocatedJoin(spark, "li_b", "o_b", "l_orderkey", "o_orderkey")
+    val plan = j.queryExecution.executedPlan.toString
+    println("PLAN| exchanges=" + plan.linesIterator.count(_.contains("Exchange")) +
+      " sortMerge=" + plan.contains("SortMergeJoin") +
+      " bucketedScan=" + plan.contains("Bucketed: true"))
+    println("JOIN| rows=" + j.count())
+
+    val big = spark.range(0, 100000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"), col("id").as("v"))
+    val small = spark.range(0, 50).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val plainCount = big.join(small, "k").count()
+    val saltedCount = SkewJoin.saltedJoin(big, small, "k", 16).count()
+    println(s"SKEW| plain=$plainCount salted=$saltedCount equal=${plainCount == saltedCount}")
+    spark.stop()
+  }
+}
