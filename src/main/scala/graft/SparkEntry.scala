@@ -20,6 +20,7 @@ object SparkEntry {
     analytics.CoreQueries.defs ++
       analytics.ExtendedQueries.defs ++
       analytics.AdvancedQueries.defs ++
+      analytics.TpchShapeQueries.defs ++
       analytics.ExtensionQueries.defs ++
       analytics.StreamingQueries.defs ++
       ingest.IngestQueries.defs
@@ -30,6 +31,7 @@ object SparkEntry {
     analytics.CoreQueries.oracle ++
       analytics.ExtendedQueries.oracle ++
       analytics.AdvancedQueries.oracle ++
+      analytics.TpchShapeQueries.oracle ++
       analytics.ExtensionQueries.oracle ++
       analytics.StreamingQueries.oracle ++
       ingest.IngestQueries.oracle

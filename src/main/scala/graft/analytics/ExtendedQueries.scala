@@ -253,19 +253,17 @@ object ExtendedQueries {
       |FROM region r1 CROSS JOIN region r2
       |ORDER BY name_a, name_b""".stripMargin
 
-  /** q30 — range (interval) self-join: same-user event pairs within 60s.
-    * The equi key (user_id) carries the shuffle; the range predicate is a
-    * post-join filter, so this scales as a partitioned sort-merge join,
-    * not a cartesian. */
+  /** q30 — range (interval) self-join: same-user event pairs within 60s,
+    * via the binned interval join ([[graft.operators.RangeJoin]]) — the
+    * join key is (user_id, 60s-bin), so bucket sizes stay bounded at any
+    * scale instead of quadratic-per-user. */
   private def q30(s: SparkSession, d: String): DataFrame = {
-    val e1 = events(s, d).select(col("user_id").as("u"), col("event_id").as("id1"),
-      col("ts").as("ts1"), col("event_type").as("first_type"))
-    val e2 = events(s, d).select(col("user_id").as("u2"), col("event_id").as("id2"),
-      col("ts").as("ts2"))
-    e1.join(e2, col("u") === col("u2") && col("id1") < col("id2") &&
-        col("ts2") >= col("ts1") &&
-        col("ts2") <= col("ts1") + expr("INTERVAL 60 SECONDS"))
-      .groupBy(col("first_type"))
+    val e = events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"))
+    graft.operators.RangeJoin
+      .pairsWithin(e, key = "user_id", idCol = "event_id", tsCol = "ts", seconds = 60,
+        carryLeft = Seq("event_type"))
+      .groupBy(col("event_type_a").as("first_type"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("first_type"))
   }

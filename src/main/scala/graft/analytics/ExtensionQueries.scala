@@ -182,6 +182,11 @@ object ExtensionQueries {
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
+  /** Rows-only: IVF-lite cell-probed ANN (recall vs brute force pinned
+    * in SimilaritySpec). */
+  private def ss03(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10)
+
   // ---------------- multimodal ----------------
 
   private def mm01(s: SparkSession, d: String): DataFrame =
@@ -219,6 +224,7 @@ object ExtensionQueries {
     "dd06_embedding_cosine_dedup" -> (dd06 _),
     "ss01_cosine_topk" -> (ss01 _),
     "ss02_lsh_ann" -> (ss02 _),
+    "ss03_ivf_ann" -> (ss03 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _))
 

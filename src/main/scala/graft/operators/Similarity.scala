@@ -85,6 +85,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: partition the corpus into `nCells` inverted lists by
+    * nearest centroid, probe only the `nProbe` cells nearest the query,
+    * exact-score within them.
+    *
+    * Centroids here are a deterministic hash-ordered sample of the
+    * corpus (IVF-lite); a production build would k-means-iterate them —
+    * the partition/probe mechanics (the part that matters at 100 TB:
+    * each query touches nProbe/nCells of the data) are identical, and
+    * the cell assignment is a narrow broadcast-join stage.
+    */
+  def ivfTopK(corpus: DataFrame, queryId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = corpus
+      .orderBy(pmod(xxhash64(col("vec_id").cast("string")), lit(1000000007L)), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+
+    def nearestCells(df: DataFrame, n: Int, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__ccos").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .withColumn("__ccos", VectorFunctions.cosineFast(col("embedding"), col("centroid")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("__ccos", "__rk", "centroid")
+    }
+
+    val assigned = nearestCells(corpus, 1, "vec_id") // each vector in 1 cell
+    val qCells = nearestCells(corpus.filter(col("vec_id") === queryId), nProbe, "vec_id")
+      .select(col("centroid_id"), col("embedding").as("query_embedding"))
+
+    assigned.join(broadcast(qCells), Seq("centroid_id"))
+      .select(col("vec_id"),
+        round(VectorFunctions.cosineFast(col("embedding"), col("query_embedding")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: bucket on the full n-bit signature
     * (near-identical vectors agree on every hyperplane side), confirm
     * with exact cosine >= threshold. */

@@ -35,6 +35,25 @@ object LakeDemo {
     val plainCount = big.join(small, "k").count()
     val saltedCount = SkewJoin.saltedJoin(big, small, "k", 16).count()
     println(s"SKEW| plain=$plainCount salted=$saltedCount equal=${plainCount == saltedCount}")
+
+    // MERGE upsert round trip on a throwaway parquet table
+    import spark.implicits._
+    val tdir = s"$wh/merge_t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(tdir)
+    MergeInto.upsert(spark, tdir, Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), "id")
+    println("MERGE| after upsert: " + spark.read.parquet(tdir).orderBy("id")
+      .collect().map(r => s"${r.getLong(0)}=${r.getString(1)}").mkString(","))
+    MergeInto.deleteWhere(spark, tdir, "id = 1")
+    println("MERGE| after delete: " + spark.read.parquet(tdir).orderBy("id")
+      .collect().map(r => s"${r.getLong(0)}=${r.getString(1)}").mkString(","))
+
+    // IVF ANN vs brute force through the public API
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = graft.operators.Similarity.bruteForceTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(emb, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    println(s"IVF| recall@10=${(brute & ivf).size / 10.0} hasSelf=${ivf.contains(0L)}")
     spark.stop()
   }
 }

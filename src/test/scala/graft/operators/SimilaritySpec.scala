@@ -36,6 +36,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(planted.filter(col("cos") < 0.999999).count() === 0)
   }
 
+  test("ivfTopK: finds self, overlaps brute-force top-k") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L))
+    assert(ivf.size === 10)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"IVF recall@10 = $recall")
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
