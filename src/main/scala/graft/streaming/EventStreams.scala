@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -71,4 +71,30 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicates(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
+
+  /** Custom arbitrary state (flatMapGroupsWithState): per-user running
+    * totals emitted on every update — the operator family for state that
+    * windowed aggregation can't express (counters, ML feature state,
+    * fraud scores). State is one small case class per user; at scale the
+    * state store shards by the group key like any keyed state. */
+  def runningUserTotals(events: DataFrame): Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("value")).as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) => {
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { case (_, v) => n += 1; total += v }
+          val next = UserTotal(userId, n, total)
+          state.update(next)
+          Iterator(next)
+        })
+  }
 }
+
+/** Per-user running aggregate state for [[EventStreams.runningUserTotals]]. */
+final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: headline queries must keep their
+  * pushed filters, pruned scans, and broadcast choices — the properties
+  * that make them survive a 100× scale-up. Complements the value-level
+  * oracle checks (which can't see a plan regress from broadcast to
+  * cartesian). */
+class PlanLintSpec extends AnyFunSuite with SparkTestSession {
+
+  // FormattedMode: executedPlan.toString truncates long attribute lists,
+  // which silently breaks substring assertions on PushedFilters.
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("q01: shipdate filter reaches the parquet scan; schema pruned to 7 columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double," +
+      "l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate:timestamp"), p)
+  }
+
+  test("q02: both predicates pushed, projection pruned") {
+    val p = plan("q02_scan_filter_project")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(!p.contains("l_returnflag"), s"pruning lost: scan reads unused columns\n$p")
+  }
+
+  test("q05: region/nation dims broadcast, no cartesian products") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q06: fully-pushed filter-only aggregate stays a two-phase agg") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("partial_sum"), p)
+    // formatted mode lists each node twice (tree + detail) — count node headers
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges === 1, s"scalar aggregate needs exactly one exchange\n$p")
+  }
+
+  test("q30: range join runs on the (user, bin) equi key, not a cartesian") {
+    val p = plan("q30_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}

@@ -52,6 +52,16 @@ object StreamDemo {
     println(s"== windows: ${wins.count()} rows")
     wins.orderBy(col("wstart"), col("event_type")).limit(4).collect()
       .foreach(r => println(s"WIN| $r"))
+
+    // arbitrary stateful op: per-user running totals via flatMapGroupsWithState
+    val sq = EventStreams.runningUserTotals(EventStreams.source(spark, evDir.toString))
+      .toDF()
+      .writeStream.format("memory").queryName("demo_state").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val st = spark.table("demo_state")
+    println(s"== state rows emitted: ${st.count()}")
+    st.orderBy(col("user_id")).limit(3).collect().foreach(r => println(s"STATE| $r"))
     spark.stop()
   }
 }

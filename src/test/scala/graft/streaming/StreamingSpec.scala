@@ -74,6 +74,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got) === rows(want))
   }
 
+  test("flatMapGroupsWithState running totals: final state equals batch per-user aggregates") {
+    val stream = EventStreams.source(spark, eventsDir)
+    val got = runToMemory(EventStreams.runningUserTotals(stream).toDF(), "t_state", "append")
+    // the LAST emitted row per user is the final running total
+    val finals = got.groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+    val want = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(rows(finals) === rows(want))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val stream = EventStreams.source(spark, eventsDir)
     val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
