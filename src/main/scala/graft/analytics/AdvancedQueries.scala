@@ -109,7 +109,27 @@ object AdvancedQueries {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** q42 — custom bounded-heap top-k aggregate
+    * ([[graft.functions.TopKAggregate]]): per-priority top-3 order keys
+    * by total price, computed with partial aggregation instead of a
+    * window sort. Oracle = DuckDB's ordered-list slice; q19 is the
+    * window-idiom control. */
+  private def q42(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAggregate
+        .topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q42Sql =
+    """SELECT o_orderpriority,
+      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q42_topk_aggregate" -> (q42 _),
     "q32_scalar_subquery" -> (q32 _),
     "q33_correlated_subquery" -> (q33 _),
     "q34_percentiles" -> (q34 _),
@@ -118,6 +138,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q42_topk_aggregate" -> q42Sql,
     "q32_scalar_subquery" -> q32Sql,
     "q33_correlated_subquery" -> q33Sql,
     "q34_percentiles" -> q34Sql,
