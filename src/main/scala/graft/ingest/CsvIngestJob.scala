@@ -66,9 +66,15 @@ object CsvIngestJob {
   /** Promoted ingest: parse the massaged (or raw) CSV with a real CSV
     * parser, cast every column to its manifest type, write Parquet
     * partitioned by the manifest's `partition_key` columns — the lake
-    * layout the reference's schema format exists to feed (SURVEY §1.3). */
+    * layout the reference's schema format exists to feed (SURVEY §1.3).
+    *
+    * With `quarantineDir` set, rows whose non-string values fail their
+    * typed cast are diverted there in raw string form (the
+    * badRecordsPath-style error channel of SURVEY O11) instead of
+    * silently landing as nulls. */
   def promote(spark: SparkSession, inPath: String, outPath: String,
-              manifest: SchemaManifest): IngestResult =
+              manifest: SchemaManifest,
+              quarantineDir: Option[String] = None): IngestResult =
     try {
       val rawSchema = StructType(manifest.keys.map(StructField(_, StringType, nullable = true)))
       val parsed: DataFrame = spark.read
@@ -76,13 +82,27 @@ object CsvIngestJob {
         .option("mode", "PERMISSIVE")
         .schema(rawSchema)
         .csv(inPath)
-      val typed = parsed.select(manifest.fields.map { f =>
-        col(f.key).cast(f.dataType).as(f.key)
-      }: _*)
-      val writer = typed.write.mode(SaveMode.Overwrite)
+      val good = quarantineDir match {
+        // strict path: under ANSI a malformed value fails the job (-> Failed),
+        // which is the right default when no quarantine is provided
+        case None => parsed.select(manifest.fields.map(f =>
+          col(f.key).cast(f.dataType).as(f.key)): _*)
+        case Some(qd) =>
+          val casts = manifest.fields.map(f => col(f.key).try_cast(f.dataType).as(f.key))
+          // a row is bad iff some present value dies in its typed cast
+          val badCond = manifest.fields
+            .filter(_.dataType != StringType)
+            .map(f => col(f.key).isNotNull && col(f.key).try_cast(f.dataType).isNull)
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val flagged = parsed.withColumn("__bad", badCond)
+          flagged.filter(col("__bad")).drop("__bad")
+            .write.mode(SaveMode.Overwrite).parquet(qd)
+          flagged.filter(!col("__bad")).drop("__bad").select(casts: _*)
+      }
+      val writer = good.write.mode(SaveMode.Overwrite)
       val pk = manifest.partitionColumns
       (if (pk.nonEmpty) writer.partitionBy(pk: _*) else writer).parquet(outPath)
-      Ok(outPath, typed.count())
+      Ok(outPath, good.count())
     } catch {
       case e: SchemaValidationException => Failed(s"schema: ${e.getMessage}")
       case NonFatal(e)                  => Failed(e.toString)

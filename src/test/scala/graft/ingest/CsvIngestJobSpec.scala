@@ -65,6 +65,25 @@ class CsvIngestJobSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("promote with quarantine: rows failing typed casts are diverted, not nulled") {
+    val dir = tmpDir()
+    val raw = dir.resolve("landmarks.csv")
+    Files.writeString(raw,
+      """OBJECTID,the_geom,BOROUGH,Shape_area
+        |1,geom,QN,101.5
+        |oops,geom,BK,202.5
+        |3,geom,QN,not_a_number""".stripMargin)
+    val lake = dir.resolve("lake").toString
+    val quarantine = dir.resolve("bad").toString
+    val res = CsvIngestJob.promote(spark, raw.toString, lake, manifest, Some(quarantine))
+    assert(res === CsvIngestJob.Ok(lake, 1))
+    val bad = spark.read.parquet(quarantine)
+    assert(bad.count() === 2)
+    // quarantined rows keep their original string form for reprocessing
+    assert(bad.schema.fields.forall(_.dataType.typeName === "string"))
+    assert(bad.select("OBJECTID").collect().map(_.getString(0)).toSet === Set("oops", "3"))
+  }
+
   test("promote: typed, partitioned parquet honoring manifest partition_key") {
     val dir = tmpDir()
     val raw = writeRaw(dir)

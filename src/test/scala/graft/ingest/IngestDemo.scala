@@ -32,6 +32,25 @@ object IngestDemo {
     println("== emptyfile: " + CsvIngestJob.massageFile(spark, s"$work/empty.csv", s"$work/y",
       manifest = Some(m)))
     println("== nomanifest: " + CsvIngestJob.massageFile(spark, raw, s"$work/z"))
+
+    // quarantine channel: malformed typed values diverted, not nulled
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$work/dirty.csv"),
+      "OBJECTID,the_geom,BOROUGH,Shape_area\n1,g,QN,1.5\nbad_id,g,BK,2.5\n3,g,SI,bad_area\n")
+    println("== quarantine: " + CsvIngestJob.promote(spark, s"$work/dirty.csv",
+      s"$work/lake2", m, Some(s"$work/bad")))
+    println("QUAR| diverted=" + spark.read.parquet(s"$work/bad").count() +
+      " clean=" + spark.read.parquet(s"$work/lake2").count())
+
+    // schema registry: prefix-resolved manifests (the S3-tag analog)
+    val reg = new SchemaRegistry
+    reg.register(s"$work/", m)
+    println("REG| resolved=" + reg.lookup(s"$work/dirty.csv").map(_.keys.mkString(",")))
+
+    // observability: spans around executed queries
+    val listener = graft.observability.QueryMetricsListener.attach(spark)
+    spark.read.parquet(s"$work/lake2").count()
+    Thread.sleep(500)
+    println("SPANS| " + listener.snapshot().map(s => s"${s.name}:${s.succeeded}").mkString(" "))
     spark.stop()
   }
 }
