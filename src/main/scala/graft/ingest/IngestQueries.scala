@@ -65,11 +65,24 @@ object IngestQueries {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** iq03 — the custom single-pass [[WktNormalizeExpr]] applied directly
+    * (iq02 exercises it via the massage pipeline; this exercises the raw
+    * expression). Oracle: same independent string construction. */
+  private def iq03(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .select(col("n_nationkey"), rawLine(s).as("raw_line"))
+      .select(col("n_nationkey"),
+        WktNormalizeExpr.wktNormalize(
+          graft.ingest.LineMassager.stripQuotes(col("raw_line"))).as("normalized"))
+      .orderBy(col("n_nationkey"))
+
   val defs: Map[String, Q] = Map(
     "iq01_ingest_massage" -> (iq01 _),
-    "iq02_wkt_normalize" -> (iq02 _))
+    "iq02_wkt_normalize" -> (iq02 _),
+    "iq03_wkt_normalize_expr" -> (iq03 _))
 
   val oracle: Map[String, String] = Map(
     "iq01_ingest_massage" -> iq01Sql,
-    "iq02_wkt_normalize" -> iq02Sql)
+    "iq02_wkt_normalize" -> iq02Sql,
+    "iq03_wkt_normalize_expr" -> iq02Sql)
 }

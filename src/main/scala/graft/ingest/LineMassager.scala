@@ -63,9 +63,10 @@ object LineMassager {
   def massage(line: Column, mode: IngestMode = IngestMode.Actual): Column = mode match {
     case IngestMode.Actual       => deleteGeometry(stripQuotes(line))
     case IngestMode.NormalizeWkt =>
-      // intended path: normalize the block, then drop the bare token like
-      // the reference's final splice does (CSVIngest.java:79-80)
-      trim(regexp_replace(normalizeWkt(stripQuotes(line)), "MULTIPOLYGON ", ""))
+      // intended path via the single-pass custom expression (bit-equal to
+      // the regexp chain, WktNormalizeExprSpec), then drop any bare token
+      // like the reference's final splice does (CSVIngest.java:79-80)
+      trim(regexp_replace(WktNormalizeExpr.wktNormalize(stripQuotes(line)), "MULTIPOLYGON ", ""))
   }
 }
 
