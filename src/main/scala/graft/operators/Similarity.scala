@@ -124,18 +124,35 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-duplicate pairs: bucket on the full n-bit signature
-    * (near-identical vectors agree on every hyperplane side), confirm
-    * with exact cosine >= threshold. */
+  /** Embedding near-duplicate pairs: banded hyperplane-LSH candidates +
+    * exact cosine confirm.
+    *
+    * Exact-signature bucketing would miss true near-dups: a pair at
+    * cosine 0.99 (~8°) flips at least one of 16 hyperplanes with
+    * probability ≈ 1-(1-8/180)^16 ≈ 0.52. Banding into 4-bit bands needs
+    * agreement on only one band: miss probability ≈ (1-(1-θ/π)^4)^4 ≈
+    * 0.03 at θ=8° — candidates stay cheap (bands are selective for
+    * unrelated vectors) while near-dups almost always collide somewhere. */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.99,
-                     nBits: Int = 16, seed: Long = 42L): DataFrame = {
+                     nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0, "nBits must divide into bands")
     val ps = planes(nBits, 64, seed)
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
     val signed = corpus.select(col("vec_id"), col("embedding"),
       signature(col("embedding"), ps).as("sig"))
-    signed.as("x").join(signed.as("y"),
-        col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+    val banded = signed.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
+          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
+          col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(VectorFunctions.cosineFast(col("x.embedding"), col("y.embedding")), 6).as("cos"))
+        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -1,0 +1,29 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev driver: near-dup recall of banded cosineNearDups on perturbed
+  * (not identical) planted duplicates.
+  * Run: sbt "Test/runMain graft.operators.SimilarityDemo <sfDir>" */
+object SimilarityDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, args(0))
+    val perturbed = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.05 AS FLOAT), x))").as("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).union(perturbed)
+    val dups = Similarity.cosineNearDups(aug, threshold = 0.98)
+    val planted = dups.filter(col("vec_b") === col("vec_a") + 2000000L)
+    println(s"NEARDUP| recalled=${planted.count()}/50 totalPairs=${dups.count()}")
+    planted.orderBy(col("vec_a")).limit(3).collect()
+      .foreach(r => println(s"NEARDUP| ${r.getLong(0)} ~ ${r.getLong(1)} cos=${r.getDouble(2)}"))
+    spark.stop()
+  }
+}

@@ -36,6 +36,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(planted.filter(col("cos") < 0.999999).count() === 0)
   }
 
+  test("cosineNearDups recalls NEAR (perturbed, not identical) duplicates via banding") {
+    // plant near-dups: deterministic small perturbation of one component
+    val perturbed = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i = 0, CAST(x + 0.05 AS FLOAT), x))")
+          .as("embedding"))
+    val aug = emb.select(col("vec_id"), col("embedding")).union(perturbed)
+    val dups = Similarity.cosineNearDups(aug, threshold = 0.98).cache()
+    val planted = dups.filter(col("vec_b") === col("vec_a") + 2000000L)
+    // banded LSH miss probability ~3% per pair at this angle; require >=45/50
+    assert(planted.count() >= 45, s"only ${planted.count()}/50 perturbed near-dups recalled")
+    assert(planted.filter(col("cos") < 0.98).count() === 0)
+  }
+
   test("ivfTopK: finds self, overlaps brute-force top-k") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
     val ivf = Similarity.ivfTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
