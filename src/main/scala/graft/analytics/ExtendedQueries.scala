@@ -277,6 +277,30 @@ object ExtendedQueries {
       |GROUP BY e1.event_type
       |ORDER BY first_type""".stripMargin
 
+  /** q43 — RANGE window frame: per-customer rolling 30-day order total.
+    * Both engines order by epoch seconds with a numeric RANGE frame so
+    * the frame semantics are identical. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-2592000L, Window.currentRow)
+    orders(s, d)
+      .withColumn("epoch_s",
+        // o_orderdate is TIMESTAMP_NTZ; cast is identity under the UTC session TZ
+        unix_micros(col("o_orderdate").cast("timestamp")) / lit(1000000L))
+      .withColumn("rolling_30d", round(sum(col("o_totalprice")).over(w), 6))
+      .select(col("o_custkey"), col("o_orderkey"), col("rolling_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q43Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
+      |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 6) AS rolling_30d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** q31 — math builtins (sqrt/ln/ceil) under aggregation. sqrt/ln sums
     * are not on a decimal grid, so they round at 4 (error ~1e-11 ≪ 5e-5
     * boundary margin). */
@@ -314,7 +338,8 @@ object ExtendedQueries {
     "q28_json_extract" -> (q28 _),
     "q29_cross_join" -> (q29 _),
     "q30_range_join" -> (q30 _),
-    "q31_math_funcs" -> (q31 _))
+    "q31_math_funcs" -> (q31 _),
+    "q43_range_frame_window" -> (q43 _))
 
   val oracle: Map[String, String] = Map(
     "q16_window_rank" -> q16Sql,
@@ -332,5 +357,6 @@ object ExtendedQueries {
     "q28_json_extract" -> q28Sql,
     "q29_cross_join" -> q29Sql,
     "q30_range_join" -> q30Sql,
-    "q31_math_funcs" -> q31Sql)
+    "q31_math_funcs" -> q31Sql,
+    "q43_range_frame_window" -> q43Sql)
 }

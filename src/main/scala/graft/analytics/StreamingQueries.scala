@@ -77,13 +77,74 @@ object StreamingQueries {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** st04 — sliding windows (10 min window, 5 min slide): every event
+    * lands in two windows. Oracle reconstructs the same assignment as a
+    * UNION ALL of the two candidate window starts. */
+  private def st04(s: SparkSession, d: String): DataFrame =
+    EventStreams.slidingCounts(events(s, d))
+      .orderBy(col("wstart"), col("event_type"))
+
+  private val st04Sql =
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |assigned AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type FROM ev
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type FROM ev)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM assigned
+      |GROUP BY 1, 2
+      |ORDER BY wstart, event_type""".stripMargin
+
+  /** st05 — session_window in BATCH mode (same operator the stream
+    * uses): one row per (user, session), rolled up to per-user session
+    * stats. Oracle: lag/cumsum with `>= gap` boundary (Spark session
+    * windows are [start, last+gap) — an event exactly `gap` after the
+    * last one starts a NEW session). */
+  private def st05(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
+  private val st05Sql =
+    """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 600000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM ev),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM sessions GROUP BY user_id, sid)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(max(n_events) AS BIGINT) AS max_session_events
+      |FROM per_session
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "st01_tumbling_window" -> (st01 _),
     "st02_sessionization" -> (st02 _),
-    "st03_stream_dedup" -> (st03 _))
+    "st03_stream_dedup" -> (st03 _),
+    "st04_sliding_window" -> (st04 _),
+    "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
     "st02_sessionization" -> st02Sql,
-    "st03_stream_dedup" -> st03Sql)
+    "st03_stream_dedup" -> st03Sql,
+    "st04_sliding_window" -> st04Sql,
+    "st05_session_window_batch" -> st05Sql)
 }
