@@ -210,6 +210,26 @@ object ExtensionQueries {
     Multimodal.extractFeatures(Multimodal.mediaCorpus(documents(s, d)))
       .orderBy(col("media_id"))
 
+  /** mm03 — frame sampling summary. The chunk arithmetic (ceil splits,
+    * every-4th kept) is reproducible in SQL, so this one IS oracled. */
+  private def mm03(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.mediaCorpus(documents(s, d)))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        sum(col("sampled_frames").cast("long")).as("total_sampled"))
+      .orderBy(col("format"))
+
+  private val mm03Sql =
+    """SELECT CASE (ascii(substring(text, 1, 1)) % 3)
+      |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |  CAST(count(*) AS BIGINT) AS n_media,
+      |  CAST(sum(CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)) AS BIGINT) AS total_frames,
+      |  CAST(sum(CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT)) AS BIGINT) AS total_sampled
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY format""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "tx01_token_stats" -> (tx01 _),
     "tx02_quality_scores" -> (tx02 _),
@@ -226,7 +246,8 @@ object ExtensionQueries {
     "ss02_lsh_ann" -> (ss02 _),
     "ss03_ivf_ann" -> (ss03 _),
     "mm01_media_stats" -> (mm01 _),
-    "mm02_media_features" -> (mm02 _))
+    "mm02_media_features" -> (mm02 _),
+    "mm03_frame_sample" -> (mm03 _))
 
   val oracle: Map[String, String] = Map(
     "tx01_token_stats" -> tx01Sql,
@@ -236,5 +257,6 @@ object ExtensionQueries {
     "dd01_exact_dedup" -> dd01Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
     "ss01_cosine_topk" -> ss01Sql,
-    "mm01_media_stats" -> mm01Sql)
+    "mm01_media_stats" -> mm01Sql,
+    "mm03_frame_sample" -> mm03Sql)
 }

@@ -10,6 +10,14 @@ final case class MediaRecord(media_id: Long, payload: Array[Byte], format: Strin
 final case class MediaFeatures(media_id: Long, format: String, byte_len: Int,
                                features: Array[Float])
 
+/** Frame-sampling output: chunk counts + a checksum of the first kept
+  * frame (stands in for a thumbnail/keyframe artifact). */
+final case class MediaFrames(media_id: Long, format: String, n_frames: Int,
+                             sampled_frames: Int, first_frame_crc: Long)
+
+/** Resize output: payload downsampled to a bounded size. */
+final case class MediaResized(media_id: Long, format: String, resized: Array[Byte])
+
 /** Multimodal column plumbing: image/audio/video travel the lake as
   * opaque `binary` columns with typed metadata; decode / feature-extract
   * runs as a batched per-partition stage.
@@ -58,6 +66,47 @@ object Multimodal {
     var j = 0
     while (j < dim) { out(j) /= n; j += 1 }
     out
+  }
+
+  /** Frame sampling (video analog): split the payload into fixed-size
+    * chunks ("frames"), keep every k-th, emit counts + a CRC32 of the
+    * first kept frame. A real pipeline swaps chunking for container
+    * demux; the batching/schema/summary shape is the contract. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 32, everyK: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("format"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val frames = r.payload.grouped(frameSize).toArray
+          val sampled = frames.indices.collect { case i if i % everyK == 0 => frames(i) }
+          val crc = new java.util.zip.CRC32()
+          sampled.headOption.foreach(crc.update)
+          MediaFrames(r.media_id, r.format, frames.length, sampled.length, crc.getValue)
+        }
+      }
+      .toDF()
+  }
+
+  /** Resize (image analog): deterministic stride downsample of the
+    * payload to at most `targetBytes`. Real pipelines decode + rescale;
+    * the bounded-output contract is what downstream storage relies on. */
+  def resize(media: DataFrame, targetBytes: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("format"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val n = r.payload.length
+          val out =
+            if (n <= targetBytes) r.payload
+            else Array.tabulate(targetBytes)(i => r.payload((i.toLong * n / targetBytes).toInt))
+          MediaResized(r.media_id, r.format, out)
+        }
+      }
+      .toDF()
   }
 
   /** Batched decode/feature-extract over the binary column. */

@@ -24,6 +24,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(joined.count() === 0)
   }
 
+  test("frame sampling: chunk math and determinism") {
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, everyK = 4).cache()
+    val bad = frames.join(media, "media_id")
+      .filter(col("n_frames") =!= ceil(length(col("payload")) / 32.0).cast("int") ||
+        col("sampled_frames") =!= ceil(col("n_frames") / 4.0).cast("int"))
+    assert(bad.count() === 0)
+    // deterministic CRC across runs
+    val a = frames.orderBy("media_id").collect().map(_.getLong(4)).toSeq
+    val b = Multimodal.sampleFrames(media, 32, 4).orderBy("media_id").collect().map(_.getLong(4)).toSeq
+    assert(a === b)
+  }
+
+  test("resize: output bounded, short payloads untouched") {
+    val resized = Multimodal.resize(media, targetBytes = 16).cache()
+    assert(resized.filter(length(col("resized")) > 16).count() === 0)
+    val joined = resized.join(media, "media_id")
+      .filter(length(col("payload")) <= 16 && col("resized") =!= col("payload"))
+    assert(joined.count() === 0)
+  }
+
   test("stub codec is deterministic and matches a hand computation") {
     val payload = "abcd".getBytes("UTF-8") // 97 98 99 100
     val f = Multimodal.decodeStub(payload, 2)

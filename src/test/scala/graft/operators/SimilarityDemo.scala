@@ -24,6 +24,16 @@ object SimilarityDemo {
     println(s"NEARDUP| recalled=${planted.count()}/50 totalPairs=${dups.count()}")
     planted.orderBy(col("vec_a")).limit(3).collect()
       .foreach(r => println(s"NEARDUP| ${r.getLong(0)} ~ ${r.getLong(1)} cos=${r.getDouble(2)}"))
+
+    // multimodal resize + frame sampling through the public API
+    val media = Multimodal.mediaCorpus(Tables.documents(spark, args(0)))
+    val frames = Multimodal.sampleFrames(media)
+    frames.orderBy("media_id").limit(2).collect().foreach(r =>
+      println(s"FRAMES| id=${r.getLong(0)} fmt=${r.getString(1)} " +
+        s"n=${r.getInt(2)} sampled=${r.getInt(3)} crc=${r.getLong(4)}"))
+    val resized = Multimodal.resize(media, targetBytes = 16)
+    val over = resized.filter(length(col("resized")) > 16).count()
+    println(s"RESIZE| rows=${resized.count()} over_budget=$over")
     spark.stop()
   }
 }
