@@ -103,6 +103,35 @@ object ExtensionQueries {
       |ORDER BY n DESC, token
       |LIMIT 20""".stripMargin
 
+  /** tx06 — BPE-ish tokenization next to whitespace tokens: letter runs,
+    * digit runs, and single non-alnum marks (the character-class shape of
+    * subword pre-tokenizers), counted with a regex both engines share.
+    * The synthetic corpus is pure letter words, so a doc-id suffix with
+    * punctuation/digits is appended to exercise the split classes
+    * (`... rev-<id>.` → 1 whitespace token but 4 BPE-ish tokens). */
+  private def tx06(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        concat(col("text"), lit(" rev-"), col("doc_id").cast("string"), lit(".")).as("t2"))
+      .select(col("lang"),
+        TF.tokenCount(col("t2")).cast("long").as("ws_tokens"),
+        size(expr("regexp_extract_all(t2, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("bpe_tokens"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+
+  private val tx06Sql =
+    """WITH t AS (SELECT lang,
+      |  concat(text, ' rev-', CAST(doc_id AS VARCHAR), '.') AS t2 FROM documents)
+      |SELECT lang,
+      |  CAST(sum(len(string_split(t2, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(t2, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
+      |FROM t
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   // ---------------- deduplication ----------------
 
   private def dd01(s: SparkSession, d: String): DataFrame =
@@ -236,6 +265,7 @@ object ExtensionQueries {
     "tx03_langid" -> (tx03 _),
     "tx04_fingerprint" -> (tx04 _),
     "tx05_term_freq" -> (tx05 _),
+    "tx06_bpe_tokens" -> (tx06 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
     "dd03_simhash" -> (dd03 _),
@@ -254,6 +284,7 @@ object ExtensionQueries {
     "tx02_quality_scores" -> tx02Sql,
     "tx03_langid" -> tx03Sql,
     "tx05_term_freq" -> tx05Sql,
+    "tx06_bpe_tokens" -> tx06Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
     "ss01_cosine_topk" -> ss01Sql,
