@@ -134,7 +134,24 @@ object StreamingQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** st06 — stream-stream join shape in batch form (same transform the
+    * stream runs, StreamingSpec pins stream==batch). */
+  private def st06(s: SparkSession, d: String): DataFrame =
+    EventStreams.purchasesWithRecentClicks(events(s, d))
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+
+  private val st06Sql =
+    """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id, p.value AS value
+      |FROM ev p JOIN ev c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
+      |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st06_stream_stream_join" -> (st06 _),
     "st01_tumbling_window" -> (st01 _),
     "st02_sessionization" -> (st02 _),
     "st03_stream_dedup" -> (st03 _),
@@ -142,6 +159,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st06_stream_stream_join" -> st06Sql,
     "st01_tumbling_window" -> st01Sql,
     "st02_sessionization" -> st02Sql,
     "st03_stream_dedup" -> st03Sql,

@@ -72,6 +72,30 @@ object EventStreams {
       .dropDuplicates(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** Stream-stream inner join: purchases joined to the same user's
+    * clicks within the preceding 10 minutes. Both sides watermarked so
+    * the join state is bounded (clicks kept only until the purchase-side
+    * watermark passes their window — the state-retention contract that
+    * makes stream-stream joins feasible at scale). Works identically on
+    * batch inputs (time-bound becomes a plain filter), which is what the
+    * batch-equality spec asserts. */
+  def purchasesWithRecentClicks(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("value"))
+  }
+
   /** Custom arbitrary state (flatMapGroupsWithState): per-user running
     * totals emitted on every update — the operator family for state that
     * windowed aggregation can't express (counters, ML feature state,

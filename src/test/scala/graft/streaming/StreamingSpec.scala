@@ -85,6 +85,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(finals) === rows(want))
   }
 
+  test("stream-stream join (purchases x recent clicks) equals the batch join") {
+    val stream = EventStreams.source(spark, eventsDir)
+    val got = runToMemory(EventStreams.purchasesWithRecentClicks(stream),
+      "t_ssjoin", "append")
+    val want = EventStreams.purchasesWithRecentClicks(Tables.events(spark, sf))
+    assert(got.count() > 0)
+    assert(rows(got) === rows(want))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val stream = EventStreams.source(spark, eventsDir)
     val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
