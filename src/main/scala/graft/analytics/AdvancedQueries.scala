@@ -37,11 +37,14 @@ object AdvancedQueries {
       .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
     l.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("qty_limit"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 6).as("avg_yearly"))
+      // exact decimal sum, then one double division: both engines divide
+      // the identical double, so round-2 is stable (see q01 note)
+      .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0, 2)
+        .as("avg_yearly"))
   }
 
   private val q33Sql =
-    """SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
       |FROM lineitem l
       |JOIN (SELECT l_partkey AS pk, avg(l_quantity) * 0.2 AS qty_limit
       |      FROM lineitem GROUP BY l_partkey) p
@@ -77,19 +80,19 @@ object AdvancedQueries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_linestatus"))
 
-  /** q36 — pivot: order status columns per year. */
+  /** q36 — pivot: order status columns per year (decimal sums, q01 note). */
   private def q36(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum(col("o_totalprice")), 6))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")))
       .orderBy(col("yr"))
 
   private val q36Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6) AS F,
-      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 6) AS O,
-      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 6) AS P
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS F,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS O,
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS P
       |FROM orders
       |GROUP BY 1
       |ORDER BY yr""".stripMargin

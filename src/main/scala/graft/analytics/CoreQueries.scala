@@ -32,16 +32,27 @@ object CoreQueries {
 
   /** q01 — TPC-H Q1-shaped pricing summary: scan+filter+hash agg+sort.
     * Reference analog: the full-file pass of CSVIngest.java:60-86 promoted
-    * to a real aggregation pipeline. */
+    * to a real aggregation pipeline.
+    *
+    * Money SUMS run in DECIMAL: at sf0.1 the sums reach ~3e9 where the
+    * cross-engine float-summation-order difference (~1e-6) exceeds the
+    * round-6 half-grid (5e-7) and rounding flips. Inputs are on exact
+    * decimal grids (prices 2dp, discount/tax 2dp), so casting to DECIMAL
+    * before summing makes both engines compute the IDENTICAL exact
+    * value at any scale. Averages stay double (error shrinks by 1/n). */
   private def q01(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
+    val qty = col("l_quantity").cast("decimal(12,2)")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val oneMinusDisc = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")
+    val onePlusTax = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")
     li.filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 6).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 6).as("sum_charge"),
+        sum(qty).as("sum_qty"),
+        sum(price).as("sum_base_price"),
+        sum(price * oneMinusDisc).as("sum_disc_price"),
+        sum(price * oneMinusDisc * onePlusTax).as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -51,10 +62,10 @@ object CoreQueries {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 6) AS sum_qty,
-      |  round(sum(l_extendedprice), 6) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
       |  round(avg(l_quantity), 6) AS avg_qty,
       |  round(avg(l_extendedprice), 6) AS avg_price,
       |  round(avg(l_discount), 6) AS avg_disc,
@@ -147,13 +158,14 @@ object CoreQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"))
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q05Sql =
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -318,17 +330,18 @@ object CoreQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
-  /** q14 — CUBE over two dimensions. */
+  /** q14 — CUBE over two dimensions (decimal total: see q01 note). */
   private def q14(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 6).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private val q14Sql =
     """SELECT o_orderstatus, o_orderpriority,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  round(sum(o_totalprice), 6) AS total_price
+      |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin

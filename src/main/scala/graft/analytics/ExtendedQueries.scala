@@ -193,14 +193,15 @@ object ExtendedQueries {
   private def q26(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 6).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).as("total"))
       .orderBy(col("yr"), col("qtr"))
 
   private val q26Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  round(sum(o_totalprice), 6) AS total
+      |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY yr, qtr""".stripMargin

@@ -40,23 +40,32 @@ object ExtensionQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Stable cross-engine rounding for values whose doubles are IDENTICAL
+    * in both engines but can land exactly on a .5e-7 rounding boundary
+    * (ratios with power-of-two denominators, e.g. 3/64): floor(x*1e6+.5)
+    * is pure double arithmetic, so both engines floor the same double —
+    * unlike round(), whose decimal-string (Spark) vs numeric (DuckDB)
+    * half-handling can disagree at exact boundaries. */
+  private def stableRound6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
   private def tx02(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         TF.tokenCount(col("text")).as("n_tokens"),
-        round(TF.avgTokenLen(col("text")), 6).as("avg_token_len"),
-        round(TF.stopwordRatio(col("text")), 6).as("stop_ratio"),
-        round(TF.qualityScore(col("text")), 6).as("quality"))
+        stableRound6(TF.avgTokenLen(col("text"))).as("avg_token_len"),
+        stableRound6(TF.stopwordRatio(col("text"))).as("stop_ratio"),
+        stableRound6(TF.qualityScore(col("text"))).as("quality"))
       .orderBy(col("doc_id"))
 
   private val tx02Sql =
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-      |  round((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len,
-      |  round(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio,
-      |  round(least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
+      |  floor(((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len,
+      |  floor((len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+      |  floor((least(len(string_split(text, ' ')) / 100.0, 1.0) * 0.5
       |      + (len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
-      |      + least(((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.2, 6) AS quality
+      |      + least(((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
