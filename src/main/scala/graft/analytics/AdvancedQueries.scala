@@ -71,7 +71,8 @@ object AdvancedQueries {
       |ORDER BY l_returnflag""".stripMargin
 
   /** q35 — HLL approximate distinct next to the exact count. Rows-only
-    * (each engine's sketch differs); QueriesSmokeSpec bounds the error. */
+    * (each engine's sketch differs); QueriesSmokeSpec's dedicated test
+    * bounds |approx-exact|/exact at 10%. */
   private def q35(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_linestatus"))

@@ -39,6 +39,24 @@ object CsvIngestJob {
     *   (`CSVIngest.java:265-269`). Leave false at scale — order of the
     *   processed zone is not semantically meaningful to the engine.
     */
+  /** List the concrete files behind an input path (driver-side, metadata
+    * scale) and read each one's first line — header validation must check
+    * EVERY arriving file like the reference's per-object invocation did;
+    * a distributed limit(1) would check one arbitrary split. */
+  private def fileHeaders(spark: SparkSession, inPath: String): Seq[(String, Option[String])] = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath).toSeq
+      else Seq(p)
+    files.map { f =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(f), "UTF-8"))
+      try f.toString -> Option(in.readLine())
+      finally in.close()
+    }
+  }
+
   def massageFile(spark: SparkSession, inPath: String, outPath: String,
                   mode: IngestMode = IngestMode.Actual,
                   manifest: Option[SchemaManifest] = None,
@@ -47,17 +65,24 @@ object CsvIngestJob {
     try {
       val raw: Dataset[String] = spark.read.textFile(inPath)
       manifest.foreach { m =>
-        val header = raw.limit(1).collect().headOption.getOrElse(
-          throw new SchemaValidationException(s"empty input: $inPath"))
-        val fields = SchemaValidator.headerFields(header)
-        if (strictValidation) SchemaValidator.assertValid(fields, m)
-        else if (!SchemaValidator.isValid(fields, m))
-          spark.log.warn(s"advisory schema validation failed for $inPath")
+        val headers = fileHeaders(spark, inPath)
+        if (headers.isEmpty || headers.forall(_._2.isEmpty))
+          throw new SchemaValidationException(s"empty input: $inPath")
+        headers.foreach { case (file, headerOpt) =>
+          val header = headerOpt.getOrElse(
+            throw new SchemaValidationException(s"empty file: $file"))
+          val fields = SchemaValidator.headerFields(header)
+          if (strictValidation) SchemaValidator.assertValid(fields, m)
+          else if (!SchemaValidator.isValid(fields, m))
+            spark.log.warn(s"advisory schema validation failed for $file")
+        }
       }
       val massaged = raw.select(LineMassager.massage(col("value"), mode).as("value"))
       val out = if (singleFile) massaged.coalesce(1) else massaged
       out.write.mode(SaveMode.Overwrite).text(outPath)
-      Ok(outPath, massaged.count())
+      // count the WRITTEN output (one scan of the result) rather than
+      // re-running the whole read+massage pipeline a second time
+      Ok(outPath, spark.read.textFile(outPath).count())
     } catch {
       case e: SchemaValidationException => Failed(s"schema: ${e.getMessage}")
       case NonFatal(e)                  => Failed(e.toString)
@@ -102,7 +127,8 @@ object CsvIngestJob {
       val writer = good.write.mode(SaveMode.Overwrite)
       val pk = manifest.partitionColumns
       (if (pk.nonEmpty) writer.partitionBy(pk: _*) else writer).parquet(outPath)
-      Ok(outPath, good.count())
+      // parquet count is row-group-metadata only — no recompute, no scan
+      Ok(outPath, spark.read.parquet(outPath).count())
     } catch {
       case e: SchemaValidationException => Failed(s"schema: ${e.getMessage}")
       case NonFatal(e)                  => Failed(e.toString)

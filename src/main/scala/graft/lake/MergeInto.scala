@@ -28,6 +28,10 @@ object MergeInto {
     val cols = target.columns
     require(updates.columns.sameElements(cols),
       s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    // a NULL merge key can neither match nor insert — the outer-join
+    // selector would emit an all-NULL row and silently drop the payload
+    require(updates.filter(col(key).isNull).isEmpty,
+      s"updates contain NULL values in merge key '$key'")
     val u = updates.select(cols.map(c => col(c).as(s"u_$c")).toIndexedSeq: _*)
     val merged = target
       .join(u, col(key) === col(s"u_$key"), "full_outer")

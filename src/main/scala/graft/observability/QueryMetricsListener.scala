@@ -21,10 +21,15 @@ final case class QuerySpan(name: String, durationNs: Long,
 
 final class QueryMetricsListener(maxSpans: Int = 1024) extends QueryExecutionListener {
   private val spans = new ConcurrentLinkedQueue[QuerySpan]()
+  // ConcurrentLinkedQueue.size() is O(n); track it in O(1)
+  private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def record(span: QuerySpan): Unit = {
     spans.add(span)
-    while (spans.size > maxSpans) spans.poll()
+    if (count.incrementAndGet() > maxSpans) {
+      spans.poll()
+      count.decrementAndGet()
+    }
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

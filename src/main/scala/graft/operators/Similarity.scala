@@ -56,10 +56,19 @@ object Similarity {
   /** Banded LSH candidates + exact cosine re-rank. `nBits` must be a
     * multiple of `bands`; rows sharing any band with the query are
     * candidates. Recall grows with bands; cost grows with bucket size. */
+  /** Embedding width probed from the data (one metadata-scale action);
+    * hardcoding would null-poison zip_with on other widths and collapse
+    * every signature to 0. */
+  private def embeddingDim(corpus: DataFrame): Int = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d > 0, "empty embedding vector")
+    d
+  }
+
   def lshTopK(corpus: DataFrame, queryId: Long, k: Int,
               nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "nBits must divide into bands")
-    val dim = 64
+    val dim = embeddingDim(corpus)
     val ps = planes(nBits, dim, seed)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
@@ -136,7 +145,7 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.99,
                      nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
     require(nBits % bands == 0, "nBits must divide into bands")
-    val ps = planes(nBits, 64, seed)
+    val ps = planes(nBits, embeddingDim(corpus), seed)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
     val signed = corpus.select(col("vec_id"), col("embedding"),

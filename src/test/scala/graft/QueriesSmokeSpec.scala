@@ -17,6 +17,17 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestSession {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q35: HLL approx distinct stays within 10% of exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q35_approx_distinct")(spark, sf)
+      .select(col("exact_orders"), col("approx_orders")).collect()
+    rows.foreach { r =>
+      val exact = r.getLong(0).toDouble
+      val err = math.abs(r.getLong(1) - exact) / exact
+      assert(err <= 0.10, s"HLL error $err for exact=$exact")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows — vacuous oracle check")

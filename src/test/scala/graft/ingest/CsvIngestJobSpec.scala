@@ -54,6 +54,21 @@ class CsvIngestJobSpec extends AnyFunSuite with SparkTestSession {
     assert(lines.contains("1,-73.80:40.79::-73.81:40.80,QN,101.5"))
   }
 
+  test("massageFile validates EVERY file's header in a directory, not one arbitrary split") {
+    val dir = tmpDir()
+    val raw = dir.resolve("raw")
+    Files.createDirectories(raw)
+    Files.writeString(raw.resolve("good.csv"), rawCsv)
+    Files.writeString(raw.resolve("drifted.csv"),
+      "OBJECTID,WRONG_COLUMN,BOROUGH,Shape_area\n9,x,SI,1.0\n")
+    val res = CsvIngestJob.massageFile(spark, raw.toString, dir.resolve("out").toString,
+      manifest = Some(manifest))
+    res match {
+      case CsvIngestJob.Failed(msg) => assert(msg.contains("WRONG_COLUMN") || msg.contains("field 1"))
+      case other                    => fail(s"drifted file must fail validation, got $other")
+    }
+  }
+
   test("massageFile: mismatched manifest fails as Failed(schema ...), like the reference's abort path") {
     val dir = tmpDir()
     val bad = SchemaManifest(manifest.fields.reverse)

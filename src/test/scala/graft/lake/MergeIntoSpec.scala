@@ -42,6 +42,16 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestSession {
     assert(got.length === 1 && got(0).getLong(0) === 1L)
   }
 
+  test("NULL merge keys are rejected instead of corrupting the table") {
+    import spark.implicits._
+    val dir = freshTable()
+    val bad = Seq((Some(2L), "x", 1.0), (None, "lost", 2.0))
+      .toDF("id", "name", "amount")
+    assertThrows[IllegalArgumentException](MergeInto.upsert(spark, dir, bad, "id"))
+    // table untouched
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("schema mismatch is rejected") {
     import spark.implicits._
     val dir = freshTable()
