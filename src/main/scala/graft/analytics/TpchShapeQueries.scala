@@ -123,13 +123,37 @@ object TpchShapeQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q44 — NOT IN subquery (null-aware anti join; keys are non-null here
+    * so the semantics match a plain anti join, but Catalyst must still
+    * plan the null-aware variant): orders from customers outside the
+    * BUILDING segment. */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_q44")
+    customer(s, d).createOrReplaceTempView("customer_q44")
+    s.sql(
+      """SELECT o_orderpriority, count(1) AS n
+        |FROM orders_q44
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_q44 WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q44Sql =
+    """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n
+      |FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q44_not_in_subquery" -> (q44 _),
     "q38_top_supplier" -> (q38 _),
     "q39_market_share" -> (q39 _),
     "q40_rich_idle_customers" -> (q40 _),
     "q41_from_json_struct" -> (q41 _))
 
   val oracle: Map[String, String] = Map(
+    "q44_not_in_subquery" -> q44Sql,
     "q38_top_supplier" -> q38Sql,
     "q39_market_share" -> q39Sql,
     "q40_rich_idle_customers" -> q40Sql,

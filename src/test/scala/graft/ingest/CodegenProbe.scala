@@ -25,6 +25,17 @@ object CodegenProbe {
       .select(graft.functions.VectorFunctions.cosineFast(col("a"), col("b")).as("c"))
       .collect()(0).getDouble(0)
     println(s"CODEGEN| cosine_similarity => $cos")
+
+    // SQL registration surface (still codegen-only mode)
+    graft.functions.GraftFunctions.register(spark)
+    val sqlWkt = spark.sql(
+      "SELECT wkt_normalize('9,MULTIPOLYGON (((-73.5 40.5))),z') AS v").collect()(0).getString(0)
+    println(s"SQL| wkt_normalize => $sqlWkt")
+    Seq((1L, 5.0, 10L), (1L, 9.0, 3L), (1L, 1.0, 99L)).toDF("g", "s", "p")
+      .createOrReplaceTempView("probe_t")
+    val sqlTopK = spark.sql("SELECT top_k_by(s, p, 2) AS t FROM probe_t GROUP BY g")
+      .collect()(0).getSeq[Long](0)
+    println(s"SQL| top_k_by => $sqlTopK")
     spark.stop()
   }
 }
