@@ -150,7 +150,32 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
       |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
 
+  /** st07 — as-of join: each purchase matched to the user's most recent
+    * prior-or-equal click ([[graft.operators.AsOfJoin]], union+window
+    * composition). Oracle: DuckDB's NATIVE ASOF JOIN — two structurally
+    * different algorithms, one answer. */
+  private def st07(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "ts",
+        leftPayload = Seq("purchase_id"), rightPayload = Seq("click_id"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+      .orderBy(col("user_id"), col("purchase_id"))
+  }
+
+  private val st07Sql =
+    """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |p AS (SELECT user_id, ts, event_id AS purchase_id FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts, event_id AS click_id FROM ev WHERE event_type = 'click')
+      |SELECT p.user_id AS user_id, p.purchase_id, c.click_id
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st07_asof_join" -> (st07 _),
     "st06_stream_stream_join" -> (st06 _),
     "st01_tumbling_window" -> (st01 _),
     "st02_sessionization" -> (st02 _),
@@ -159,6 +184,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st07_asof_join" -> st07Sql,
     "st06_stream_stream_join" -> st06Sql,
     "st01_tumbling_window" -> st01Sql,
     "st02_sessionization" -> st02Sql,

@@ -48,7 +48,7 @@ object MergeInto {
 
   /** Materialize `df` into a staging dir, then swap it into place.
     * (Directory rename = the poor man's manifest commit.) */
-  private def swapWrite(spark: SparkSession, df: DataFrame, targetDir: String): Unit = {
+  private[lake] def swapWrite(spark: SparkSession, df: DataFrame, targetDir: String): Unit = {
     val staging = targetDir + ".staging"
     val old = targetDir + ".old"
     df.write.mode(SaveMode.Overwrite).parquet(staging)

@@ -47,6 +47,14 @@ object LakeDemo {
     println("MERGE| after delete: " + spark.read.parquet(tdir).orderBy("id")
       .collect().map(r => s"${r.getLong(0)}=${r.getString(1)}").mkString(","))
 
+    // small-file compaction
+    val cdir = s"$wh/compact_t"
+    Tables.lineitem(spark, sfDir).repartition(48).write.mode("overwrite").parquet(cdir)
+    val preCount = spark.read.parquet(cdir).count()
+    val stats = Compaction.compact(spark, cdir, targetFileBytes = 8L * 1024 * 1024)
+    println(s"COMPACT| files ${stats.filesBefore} -> ${stats.filesAfter} " +
+      s"(${stats.bytes / 1024}KiB), rows preserved=${spark.read.parquet(cdir).count() == preCount}")
+
     // IVF ANN vs brute force through the public API
     val emb = Tables.embeddings(spark, sfDir)
     val brute = graft.operators.Similarity.bruteForceTopK(emb, 0L, 10)
