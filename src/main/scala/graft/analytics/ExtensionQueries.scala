@@ -141,6 +141,49 @@ object ExtensionQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** tx07 — bigram language-model scoring: train bigram/unigram counts
+    * on the corpus itself, score each document by its average bigram
+    * log-probability ln P(w2|w1) = ln C(w1 w2) - ln C(w1). The standard
+    * LM-quality filter for training-data pipelines, as two aggregations
+    * + two broadcast-ish joins — no state beyond the model tables. */
+  private def tx07(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val bigrams = docs.select(col("doc_id"),
+      explode(TF.shingles(col("text"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val bigramCounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+    val unigramCounts = docs
+      .select(explode(TF.tokens(col("text"))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bigrams
+      .join(bigramCounts, "bigram")
+      .join(unigramCounts, "w1")
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("cb").cast("double")) - log(col("cu").cast("double"))), 6)
+        .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx07Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    list_transform(list_zip(t, t[2:]),
+      |      s -> CASE WHEN s[2] IS NULL THEN NULL ELSE s[1] || ' ' || s[2] END),
+      |    x -> x IS NOT NULL)) AS bigram
+      |  FROM toks),
+      |bg2 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+      |bc AS (SELECT bigram, count(*) AS cb FROM bg2 GROUP BY bigram),
+      |uc AS (SELECT unnest(string_split(text, ' ')) AS w1 FROM documents),
+      |ucc AS (SELECT w1, count(*) AS cu FROM uc GROUP BY w1)
+      |SELECT doc_id,
+      |  round(avg(ln(CAST(cb AS DOUBLE)) - ln(CAST(cu AS DOUBLE))), 6) AS avg_logprob,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams
+      |FROM bg2 JOIN bc USING (bigram) JOIN ucc USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------- deduplication ----------------
 
   private def dd01(s: SparkSession, d: String): DataFrame =
@@ -275,6 +318,7 @@ object ExtensionQueries {
     "tx04_fingerprint" -> (tx04 _),
     "tx05_term_freq" -> (tx05 _),
     "tx06_bpe_tokens" -> (tx06 _),
+    "tx07_bigram_logprob" -> (tx07 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
     "dd03_simhash" -> (dd03 _),
@@ -294,6 +338,7 @@ object ExtensionQueries {
     "tx03_langid" -> tx03Sql,
     "tx05_term_freq" -> tx05Sql,
     "tx06_bpe_tokens" -> tx06Sql,
+    "tx07_bigram_logprob" -> tx07Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
     "ss01_cosine_topk" -> ss01Sql,
