@@ -132,7 +132,40 @@ object AdvancedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q45 — theta (non-equi inner) join: suppliers paired with customers
+    * holding a strictly larger balance in the same nation. The nation
+    * equi-key carries the shuffle; the inequality is the theta part. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d)
+    val c = customer(s, d)
+    sup.join(c, col("s_nationkey") === col("c_nationkey") &&
+        col("c_acctbal") > col("s_acctbal"))
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_richer_customers"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q45Sql =
+    """SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_richer_customers
+      |FROM supplier JOIN customer
+      |  ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q46 — approximate quantile sketch (percentile_approx) next to the
+    * exact percentile; rows-only (sketches differ per engine),
+    * error-bounded in QueriesSmokeSpec. */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_median"),
+        round(expr("percentile_approx(l_extendedprice, 0.5, 1000)"), 6).as("approx_median"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Q] = Map(
+    "q45_theta_join" -> (q45 _),
+    "q46_approx_quantile" -> (q46 _),
     "q42_topk_aggregate" -> (q42 _),
     "q32_scalar_subquery" -> (q32 _),
     "q33_correlated_subquery" -> (q33 _),
@@ -142,6 +175,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q45_theta_join" -> q45Sql,
     "q42_topk_aggregate" -> q42Sql,
     "q32_scalar_subquery" -> q32Sql,
     "q33_correlated_subquery" -> q33Sql,

@@ -28,6 +28,15 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q46: approx quantile within 5% of exact") {
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("q46_approx_quantile")(spark, sf)
+      .select(col("exact_median"), col("approx_median")).collect().foreach { r =>
+        val err = math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0)
+        assert(err <= 0.05, s"approx median error $err")
+      }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows — vacuous oracle check")
