@@ -27,6 +27,34 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Set((100L, 900L), (101L, 901L)))
   }
 
+  test("randomized differential: union+window equals the naive range-join formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 400).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "lts", "lid")
+    // unique rts by construction (tie-break on equal rts is documented as
+    // arbitrary, so the differential only covers the unique case)
+    val r = (1 to 400).map(i => (rnd.nextInt(8).toLong, i * 3L, 1000L + i))
+      .toDF("k", "rts", "rid")
+    // naive: per left row, right row with max rts <= lts (unique rts per (k,rid) pair set;
+    // ties on rts are broken identically by taking max rid among max rts)
+    val naive = l.as("l").join(r.as("r"),
+        org.apache.spark.sql.functions.col("l.k") === org.apache.spark.sql.functions.col("r.k") &&
+          $"rts" <= $"lts")
+      .groupBy($"lid")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"rts", $"rid")).as("m"))
+      .select($"lid", $"m.rid".as("rid"))
+    val got = AsOfJoin.asOf(l, r, "k", "lts", "rts", Seq("lid"), Seq("rid"))
+      .select("lid", "rid")
+    // compare only rows where the right ts is unique at the match point
+    // (AsOfJoin documents arbitrary tie-break); this seed has no (k,rts) dups
+    val dupTs = r.groupBy("k", "rts").count().filter($"count" > 1).count()
+    assert(dupTs === 0, "seed produced (k,rts) duplicates; change seed")
+    assert(got.count() === naive.count())
+    assert(got.exceptAll(naive).count() === 0)
+  }
+
   test("plan shape: one shuffle on the key, no cartesian/range join") {
     import spark.implicits._
     val l = spark.range(0, 1000).select(($"id" % 10).as("k"), $"id".as("lts"), $"id".as("lid"))
