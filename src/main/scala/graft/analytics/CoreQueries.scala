@@ -10,10 +10,12 @@ import graft.Tables._
   * rollup / cube / grouping sets, and top-k.
   *
   * Oracle-parity rules used throughout this package:
-  *   - every double aggregate is `round(x, 6)` in BOTH engines — money-like
-  *     inputs have >=1e-4 decimal granularity, so true values sit exactly ON
-  *     the 1e-6 grid and cross-engine float-summation-order noise (~1e-9)
-  *     can never flip a rounding boundary;
+  *   - LARGE money sums (>= ~1e8) run in exact DECIMAL with small-precision
+  *     input casts (see q01's note) — identical values in both engines at
+  *     any scale; SMALL-group double aggregates use `round(x, 6)` in BOTH
+  *     engines (cross-engine float noise stays far below the 5e-7
+  *     half-grid); identical-double boundary cases use the floor-based
+  *     stableRound6 (package object);
   *   - DuckDB sums of integers return HUGEINT → oracle casts to BIGINT to
   *     match Spark's LongType;
   *   - every query ends in a total order (unique tiebreak key), with
@@ -27,8 +29,6 @@ import graft.Tables._
   * driver.
   */
 object CoreQueries {
-
-  private def tsLit(sv: String) = to_timestamp(lit(sv))
 
   /** q01 — TPC-H Q1-shaped pricing summary: scan+filter+hash agg+sort.
     * Reference analog: the full-file pass of CSVIngest.java:60-86 promoted

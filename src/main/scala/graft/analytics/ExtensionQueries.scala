@@ -40,15 +40,6 @@ object ExtensionQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Stable cross-engine rounding for values whose doubles are IDENTICAL
-    * in both engines but can land exactly on a .5e-7 rounding boundary
-    * (ratios with power-of-two denominators, e.g. 3/64): floor(x*1e6+.5)
-    * is pure double arithmetic, so both engines floor the same double —
-    * unlike round(), whose decimal-string (Spark) vs numeric (DuckDB)
-    * half-handling can disagree at exact boundaries. */
-  private def stableRound6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-
   private def tx02(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),

@@ -11,8 +11,6 @@ import graft.Tables._
   * path extraction). */
 object TpchShapeQueries {
 
-  private def tsLit(sv: String) = to_timestamp(lit(sv))
-
   /** q38 — Q15 shape: supplier(s) achieving the maximum revenue.
     * The max is itself an aggregate over an aggregate. */
   private def q38(s: SparkSession, d: String): DataFrame = {

@@ -15,7 +15,7 @@ object IngestQueries {
 
   /** A reference-shaped raw CSV line: `key,"MULTIPOLYGON (((x y, x y)))",name`.
     * Coordinates derive from n_nationkey via lpad'd integer strings. */
-  private def rawLine(s: SparkSession): org.apache.spark.sql.Column = {
+  private def rawLine: org.apache.spark.sql.Column = {
     val k2 = lpad(col("n_nationkey").cast("string"), 2, "0")
     concat(
       col("n_nationkey").cast("string"), lit(",\"MULTIPOLYGON (((-73."), k2,
@@ -26,7 +26,7 @@ object IngestQueries {
     * deleted (`CSVIngest.java:64-68` golden semantics, SURVEY §3.2). */
   private def iq01(s: SparkSession, d: String): DataFrame =
     nation(s, d)
-      .select(col("n_nationkey"), rawLine(s).as("raw_line"))
+      .select(col("n_nationkey"), rawLine.as("raw_line"))
       .select(col("n_nationkey"),
         LineMassager.massage(col("raw_line"), IngestMode.Actual).as("massaged"))
       .orderBy(col("n_nationkey"))
@@ -51,7 +51,7 @@ object IngestQueries {
     * arithmetic — an independent derivation, not a transform mirror. */
   private def iq02(s: SparkSession, d: String): DataFrame =
     nation(s, d)
-      .select(col("n_nationkey"), rawLine(s).as("raw_line"))
+      .select(col("n_nationkey"), rawLine.as("raw_line"))
       .select(col("n_nationkey"),
         LineMassager.massage(col("raw_line"), IngestMode.NormalizeWkt).as("normalized"))
       .orderBy(col("n_nationkey"))
@@ -70,7 +70,7 @@ object IngestQueries {
     * expression). Oracle: same independent string construction. */
   private def iq03(s: SparkSession, d: String): DataFrame =
     nation(s, d)
-      .select(col("n_nationkey"), rawLine(s).as("raw_line"))
+      .select(col("n_nationkey"), rawLine.as("raw_line"))
       .select(col("n_nationkey"),
         WktNormalizeExpr.wktNormalize(
           graft.ingest.LineMassager.stripQuotes(col("raw_line"))).as("normalized"))

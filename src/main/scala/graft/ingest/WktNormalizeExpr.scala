@@ -105,7 +105,6 @@ object WktNormalizeExpr {
       } else {
         sb.append(c); i += 1
       }
-      ()
     }
     // post-transform empty-ring marker, all occurrences
     sb.toString.replace("(:)", ":::")

@@ -65,20 +65,26 @@ object Similarity {
     d
   }
 
-  def lshTopK(corpus: DataFrame, queryId: Long, k: Int,
-              nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+  /** (vec_id, embedding, band, band_bits): per-vector hyperplane
+    * signature exploded into `bands` bucket keys — the shared candidate-
+    * generation layout for [[lshTopK]] and [[cosineNearDups]]. */
+  private def bandedSignatures(corpus: DataFrame, nBits: Int, bands: Int,
+                               seed: Long): DataFrame = {
     require(nBits % bands == 0, "nBits must divide into bands")
-    val dim = embeddingDim(corpus)
-    val ps = planes(nBits, dim, seed)
+    val ps = planes(nBits, embeddingDim(corpus), seed)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
+    corpus.select(col("vec_id"), col("embedding"),
+        signature(col("embedding"), ps).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
+            .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+  }
 
-    val signed = corpus.select(col("vec_id"), col("embedding"),
-      signature(col("embedding"), ps).as("sig"))
-    val banded = signed.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
-          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+  def lshTopK(corpus: DataFrame, queryId: Long, k: Int,
+              nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val banded = bandedSignatures(corpus, nBits, bands, seed)
 
     val qBanded = banded.filter(col("vec_id") === queryId)
       .select(col("band").as("q_band"), col("band_bits").as("q_bits"),
@@ -144,16 +150,7 @@ object Similarity {
     * unrelated vectors) while near-dups almost always collide somewhere. */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.99,
                      nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    require(nBits % bands == 0, "nBits must divide into bands")
-    val ps = planes(nBits, embeddingDim(corpus), seed)
-    val bitsPerBand = nBits / bands
-    val mask = (1L << bitsPerBand) - 1
-    val signed = corpus.select(col("vec_id"), col("embedding"),
-      signature(col("embedding"), ps).as("sig"))
-    val banded = signed.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
-          .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
+    val banded = bandedSignatures(corpus, nBits, bands, seed)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
           col("x.vec_id") < col("y.vec_id"))
