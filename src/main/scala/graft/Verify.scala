@@ -16,13 +16,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -37,7 +30,28 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // oracle manifest FIRST: if a timeout kills this process mid-run the
+    // driver still has the manifest + completed query dumps (partial
+    // credit) instead of nothing
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // run queries on a small pool — the Spark scheduler interleaves
+    // concurrent jobs, hiding per-query planning/IO latency (queries are
+    // independent; the only session-shared state is uniquely-named temp
+    // views)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
+    }
+    tasks.foreach(_.get())
+    pool.shutdown()
     spark.stop()
   }
 }
