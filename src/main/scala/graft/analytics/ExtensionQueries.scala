@@ -146,9 +146,11 @@ object ExtensionQueries {
     val unigramCounts = docs
       .select(explode(TF.tokens(col("text"))).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // model tables are vocab-sized (tiny even at corpus scale) → broadcast,
+    // so scoring stays a narrow pass over the exploded bigrams
     bigrams
-      .join(bigramCounts, "bigram")
-      .join(unigramCounts, "w1")
+      .join(broadcast(bigramCounts), "bigram")
+      .join(broadcast(unigramCounts), "w1")
       .groupBy(col("doc_id"))
       .agg(round(avg(log(col("cb").cast("double")) - log(col("cu").cast("double"))), 6)
         .as("avg_logprob"),
