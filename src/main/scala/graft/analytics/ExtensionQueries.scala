@@ -236,6 +236,20 @@ object ExtensionQueries {
     Similarity.cosineNearDups(augmentedEmbeddings(s, d))
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Rows-only: the end-to-end dedup pipeline — LSH pairs → connected-
+    * component clusters → representative-only corpus. Output is the
+    * per-doc cluster assignment for every doc in a multi-member cluster. */
+  private def dd07(s: SparkSession, d: String): DataFrame = {
+    val aug = Dedup.augmentWithNearDups(documents(s, d))
+    val pairs = Dedup.minhashNearDups(aug)
+    val cl = Dedup.clusters(aug.select(col("doc_id")), pairs)
+    val multi = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("cluster_id"))
+    cl.join(multi, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   // ---------------- similarity search ----------------
 
   private def ss01(s: SparkSession, d: String): DataFrame =
@@ -318,6 +332,7 @@ object ExtensionQueries {
     "dd04_ngram_jaccard" -> (dd04 _),
     "dd05_embedding_exact_dedup" -> (dd05 _),
     "dd06_embedding_cosine_dedup" -> (dd06 _),
+    "dd07_dedup_clusters" -> (dd07 _),
     "ss01_cosine_topk" -> (ss01 _),
     "ss02_lsh_ann" -> (ss02 _),
     "ss03_ivf_ann" -> (ss03 _),

@@ -153,6 +153,44 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Connected components over near-dup pairs via min-label propagation:
+    * every document ends up labeled with the smallest doc_id reachable
+    * through the pair graph. Near-dup clusters are shallow (stars/short
+    * chains), so this converges in a handful of rounds; each round is one
+    * join + one aggregation (at extreme diameters you'd switch to the
+    * large-star/small-star algorithm, same primitive ops). Returns
+    * (doc_id, cluster_id). Docs not in any pair are their own cluster. */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** The end-user dedup operation: drop every document that is a
+    * non-representative member of a near-dup cluster (representative =
+    * smallest doc_id), keeping unpaired documents untouched. */
+  def dedupCorpus(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.join(clusters(docs, pairs).filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id")), "doc_id")
+
   /** Exact n-gram Jaccard as a two-phase block-then-verify pipeline:
     * MinHash-LSH banding generates candidate pairs (16 hashes, 8 bands →
     * P[candidate | J=0.6] ≈ 0.97, ≈1.0 for true near-dups), then the

@@ -47,6 +47,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(planted.filter(planted("jaccard") < 0.6).count() === 0)
   }
 
+  test("clusters: chains merge into one component labeled by the min id") {
+    import spark.implicits._
+    val d = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 4L))
+  }
+
+  test("dedupCorpus keeps one representative per near-dup cluster") {
+    val pairs = Dedup.minhashNearDups(aug)
+    val deduped = Dedup.dedupCorpus(aug.select("doc_id"), pairs).cache()
+    val total = aug.count()
+    val clusters = Dedup.clusters(aug.select(org.apache.spark.sql.functions.col("doc_id")), pairs)
+    val expectedKept = clusters.select("cluster_id").distinct().count()
+    assert(deduped.count() === expectedKept)
+    // every planted copy (i+1000000) whose original was paired must be gone
+    val planted = pairs.filter(pairs("doc_b") >= Offset).select(pairs("doc_b").as("doc_id"))
+    assert(deduped.join(planted, "doc_id").count() === 0)
+    assert(deduped.count() < total)
+  }
+
   test("simhash of identical text is identical; near text is near") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
