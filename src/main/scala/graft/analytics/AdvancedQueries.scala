@@ -81,33 +81,44 @@ object AdvancedQueries {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_linestatus"))
 
-  /** q36 — pivot: order status columns per year (decimal sums, q01 note). */
+  /** q36 — pivot: order status columns per year (decimal sums, q01 note;
+    * final DOUBLE cast gives both engines one canonical physical type —
+    * Spark's DECIMAL(22,2) vs DuckDB's DECIMAL(38,2) hash differently in
+    * the driver even when values are identical). */
   private def q36(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(sum(col("o_totalprice").cast("decimal(12,2)")))
+      .select(col("yr"),
+        col("F").cast("double").as("F"),
+        col("O").cast("double").as("O"),
+        col("P").cast("double").as("P"))
       .orderBy(col("yr"))
 
   private val q36Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS F,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS O,
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS P
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
       |FROM orders
       |GROUP BY 1
       |ORDER BY yr""".stripMargin
 
-  /** q37 — array aggregation: sorted distinct type list per brand. */
+  /** q37 — array aggregation: sorted distinct type list per brand.
+    * The list is emitted as a joined string — the driver's pandas harness
+    * cannot hash numpy arrays, so arrays are serialized at the output
+    * boundary (operator semantics unchanged). */
   private def q37(s: SparkSession, d: String): DataFrame =
     part(s, d)
       .groupBy(col("p_brand"))
-      .agg(sort_array(collect_set(col("p_type"))).as("types"),
+      .agg(array_join(sort_array(collect_set(col("p_type"))), "|").as("types"),
         count(lit(1)).as("n_parts"))
       .orderBy(col("p_brand"))
 
   private val q37Sql =
-    """SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types,
+    """SELECT p_brand,
+      |  array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types,
       |  CAST(count(*) AS BIGINT) AS n_parts
       |FROM part
       |GROUP BY p_brand
@@ -122,12 +133,16 @@ object AdvancedQueries {
     orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(graft.functions.TopKAggregate
-        .topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top_orders"))
+        .topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("topk"))
+      // serialized at the output boundary: the driver's pandas harness
+      // cannot hash array cells
+      .select(col("o_orderpriority"),
+        array_join(col("topk").cast("array<string>"), "|").as("top_orders"))
       .orderBy(col("o_orderpriority"))
 
   private val q42Sql =
     """SELECT o_orderpriority,
-      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_orders
+      |  array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3], '|') AS top_orders
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin

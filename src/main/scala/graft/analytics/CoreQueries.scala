@@ -49,10 +49,10 @@ object CoreQueries {
     li.filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(qty).as("sum_qty"),
-        sum(price).as("sum_base_price"),
-        sum(price * oneMinusDisc).as("sum_disc_price"),
-        sum(price * oneMinusDisc * onePlusTax).as("sum_charge"),
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * oneMinusDisc).cast("double").as("sum_disc_price"),
+        sum(price * oneMinusDisc * onePlusTax).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -62,10 +62,10 @@ object CoreQueries {
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
       |  round(avg(l_quantity), 6) AS avg_qty,
       |  round(avg(l_extendedprice), 6) AS avg_price,
       |  round(avg(l_discount), 6) AS avg_disc,
@@ -159,13 +159,13 @@ object CoreQueries {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))).as("revenue"))
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   private val q05Sql =
     """SELECT n_name,
-      |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -335,13 +335,13 @@ object CoreQueries {
     orders(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).as("total_price"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   private val q14Sql =
     """SELECT o_orderstatus, o_orderpriority,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
       |FROM orders
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin

@@ -194,14 +194,14 @@ object ExtendedQueries {
     orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(12,2)")).as("total"))
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
       .orderBy(col("yr"), col("qtr"))
 
   private val q26Sql =
     """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
       |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
       |  CAST(count(*) AS BIGINT) AS n_orders,
-      |  sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY 1, 2
       |ORDER BY yr, qtr""".stripMargin

@@ -293,9 +293,14 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY format""".stripMargin
 
-  /** Rows-only: stubbed codec features (see Multimodal.decodeStub). */
+  /** Rows-only: stubbed codec features (see Multimodal.decodeStub).
+    * The feature vector is serialized to a rounded string — the driver's
+    * pandas harness cannot sort/hash array cells. */
   private def mm02(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaCorpus(documents(s, d)))
+      .select(col("media_id"), col("format"), col("byte_len"),
+        array_join(transform(col("features"),
+          x => round(x.cast("double"), 4).cast("string")), "|").as("features"))
       .orderBy(col("media_id"))
 
   /** mm03 — frame sampling summary. The chunk arithmetic (ceil splits,

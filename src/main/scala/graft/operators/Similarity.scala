@@ -31,11 +31,20 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** n-bit signature of a vector: bit p = sign(v · plane_p). */
+  /** n-bit signature of a vector: bit p = sign(v · plane_p).
+    *
+    * Planes may be LONGER than the vector: each element indexes its plane
+    * component via `get` (O(1) on the folded literal, null when out of
+    * bounds) and `coalesce` zeroes the excess, so one over-provisioned
+    * plane literal serves any embedding width without probing the data
+    * (no plan-build-time job) and per-row cost stays ∝ actual width. */
   def signature(vec: Column, ps: Seq[Seq[Double]]): Column = {
+    val v = vec.cast("array<double>")
     val bits = ps.zipWithIndex.map { case (p, i) =>
+      val pl = typedLit(p)
       val dotP = aggregate(
-        zip_with(vec.cast("array<double>"), typedLit(p), _ * _), lit(0.0), _ + _)
+        transform(v, (x, idx) => coalesce(x * get(pl, idx), lit(0.0))),
+        lit(0.0), _ + _)
       when(dotP >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -53,25 +62,23 @@ object Similarity {
       .limit(k)
   }
 
-  /** Banded LSH candidates + exact cosine re-rank. `nBits` must be a
-    * multiple of `bands`; rows sharing any band with the query are
-    * candidates. Recall grows with bands; cost grows with bucket size. */
-  /** Embedding width probed from the data (one metadata-scale action);
-    * hardcoding would null-poison zip_with on other widths and collapse
-    * every signature to 0. */
-  private def embeddingDim(corpus: DataFrame): Int = {
-    val d = corpus.select(size(col("embedding"))).head().getInt(0)
-    require(d > 0, "empty embedding vector")
-    d
-  }
+  /** Hyperplane width: planes are generated at this fixed width and
+    * truncated per-row by the null-padding `coalesce` in [[signature]],
+    * so no data is probed at plan-build time (embeddings wider than this
+    * are signed on their first `MaxPlaneDim` components — still a valid
+    * LSH, just over a projection). */
+  val MaxPlaneDim = 1024
 
   /** (vec_id, embedding, band, band_bits): per-vector hyperplane
     * signature exploded into `bands` bucket keys — the shared candidate-
-    * generation layout for [[lshTopK]] and [[cosineNearDups]]. */
+    * generation layout for [[lshTopK]] and [[cosineNearDups]].
+    * Banded LSH: `nBits` must be a multiple of `bands`; rows sharing any
+    * band with the query are candidates. Recall grows with bands; cost
+    * grows with bucket size. */
   private def bandedSignatures(corpus: DataFrame, nBits: Int, bands: Int,
                                seed: Long): DataFrame = {
     require(nBits % bands == 0, "nBits must divide into bands")
-    val ps = planes(nBits, embeddingDim(corpus), seed)
+    val ps = planes(nBits, MaxPlaneDim, seed)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
     corpus.select(col("vec_id"), col("embedding"),
