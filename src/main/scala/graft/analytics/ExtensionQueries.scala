@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * search (ss*), multimodal (mm*).
   *
   * Oracle coverage: everything expressible in DuckDB SQL carries an
-  * oracle (tx01-03, tx05, dd01, dd05, ss01, mm01). The hash-based LSH
-  * pipelines (minhash/simhash/hyperplane) depend on xxhash64, which
-  * DuckDB lacks — those register rows-only and are value-tested in
-  * ScalaTest against planted near-duplicates instead
+  * oracle. The verify-stage pipelines (dd04 Jaccard, dd06 cosine, dd07
+  * clusters) carry DIFFERENTIAL oracles — DuckDB computes the exact
+  * all-pairs answer, Spark the scalable LSH block-then-verify; a hash
+  * match proves the blocking lost nothing on this corpus. Only the raw
+  * xxhash64-signature outputs (dd02 minhash estimates, dd03 simhash) and
+  * the ANN candidate lists (ss02/ss03 — pinned via ss04 instead) stay
+  * rows-only, value-tested in ScalaTest against planted near-duplicates
   * ([[Dedup.augmentWithNearDups]] plants pair (i, i+1000000)).
   */
 object ExtensionQueries {
@@ -81,12 +84,25 @@ object ExtensionQueries {
       |GROUP BY 1, 2
       |ORDER BY lang, predicted""".stripMargin
 
-  /** Rows-only (xxhash64 has no DuckDB twin); determinism is value-tested
-    * in TextFunctionsSpec. */
+  /** tx04 — portable document fingerprint: fully-specified polynomial
+    * arithmetic (TextFunctions.fingerprint), so the oracle reproduces it
+    * bit-for-bit in SQL — the point of a fingerprint is cross-system
+    * identity. */
   private def tx04(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  private val tx04Sql =
+    """SELECT doc_id, CAST(
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(text, ' '),
+      |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |           (a, c) -> (a*31 + c) % 1000000007))),
+      |    (acc, h) -> (acc*131 + h) % 1000000007) AS BIGINT) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 
   private def tx05(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -201,9 +217,31 @@ object ExtensionQueries {
     Dedup.simhashNearDups(Dedup.augmentWithNearDups(documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** dd04 — differential oracle: Spark runs the scalable block-then-
+    * verify pipeline (LSH candidates → exact Jaccard confirm); the oracle
+    * computes the exact ALL-PAIRS Jaccard in DuckDB. A hash match proves
+    * the probabilistic blocking lost nothing on this corpus AND the
+    * verify arithmetic agrees to 6dp. */
   private def dd04(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardDups(Dedup.augmentWithNearDups(documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dd04Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM aug)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private def augmentedEmbeddings(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
@@ -232,16 +270,37 @@ object ExtensionQueries {
       |WHERE n > 1
       |ORDER BY min_id""".stripMargin
 
+  /** dd06 — differential oracle, same structure as dd04: Spark runs
+    * hyperplane-LSH bands + exact-cosine confirm; the oracle is DuckDB's
+    * exact all-pairs cosine at the same threshold. */
   private def dd06(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDups(augmentedEmbeddings(s, d))
       .orderBy(col("vec_a"), col("vec_b"))
 
-  /** Rows-only: the end-to-end dedup pipeline — LSH pairs → connected-
-    * component clusters → representative-only corpus. Output is the
-    * per-doc cluster assignment for every doc in a multi-member cluster. */
+  private val dd06Sql =
+    """WITH aug AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50),
+      |n AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm FROM aug)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) / (a.nrm*b.nrm), 6) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    s -> CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE))) / (a.nrm*b.nrm) >= 0.99
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** dd07 — the end-to-end dedup pipeline: verified near-dup pairs →
+    * connected-component clusters; output is the per-doc cluster
+    * assignment for every doc in a multi-member cluster. Pairs come from
+    * the EXACT-verified Jaccard pipeline (dd04) so the oracle can rebuild
+    * the same graph: DuckDB computes exact all-pairs edges and closes
+    * them with a recursive CTE (min-label connected components). */
   private def dd07(s: SparkSession, d: String): DataFrame = {
     val aug = Dedup.augmentWithNearDups(documents(s, d))
-    val pairs = Dedup.minhashNearDups(aug)
+    val pairs = Dedup.ngramJaccardDups(aug)
     val cl = Dedup.clusters(aug.select(col("doc_id")), pairs)
     val multi = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).select(col("cluster_id"))
@@ -249,6 +308,33 @@ object ExtensionQueries {
       .select(col("doc_id"), col("cluster_id"))
       .orderBy(col("cluster_id"), col("doc_id"))
   }
+
+  private val dd07Sql =
+    """WITH RECURSIVE
+      |aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM aug),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM aug
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |multi AS (SELECT cluster_id FROM labels GROUP BY cluster_id HAVING count(*) > 1)
+      |SELECT doc_id, cluster_id FROM labels JOIN multi USING (cluster_id)
+      |ORDER BY cluster_id, doc_id""".stripMargin
 
   // ---------------- similarity search ----------------
 
@@ -274,6 +360,33 @@ object ExtensionQueries {
     * in SimilaritySpec). */
   private def ss03(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  /** ss04 — ANN recall@10 vs the exact scan, as driver-checkable rows:
+    * |ANN top-10 ∩ brute-force top-10| per method. The whole pipeline is
+    * seeded and the embeddings table is fixed-size at every sf, so the
+    * overlap is a deterministic regression pin (oracle = pinned values).
+    * Absolute recall is LOW on this corpus by nature, not by bug: the
+    * synthetic embeddings are uniform random (query's best cosine ≈ 0.37,
+    * barely above the noise floor), which is the hardest possible case
+    * for bucketing ANN — documented so the pin isn't mistaken for a
+    * quality claim. */
+  private def ss04(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val brute = Similarity.bruteForceTopK(e, queryId = 0L, k = 10).select(col("vec_id"))
+    def overlap(ann: DataFrame, method: String) =
+      ann.select(col("vec_id")).join(brute, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(method).as("method"), lit(10).as("k"), col("n_overlap"))
+    overlap(Similarity.ivfTopK(e, 0L, 10), "ivf")
+      .union(overlap(Similarity.lshTopK(e, 0L, 10), "lsh"))
+      .orderBy(col("method"))
+  }
+
+  private val ss04Sql =
+    """SELECT 'ivf' AS method, 10 AS k, CAST(3 AS BIGINT) AS n_overlap
+      |UNION ALL
+      |SELECT 'lsh' AS method, 10 AS k, CAST(4 AS BIGINT) AS n_overlap
+      |ORDER BY method""".stripMargin
 
   // ---------------- multimodal ----------------
 
@@ -341,6 +454,7 @@ object ExtensionQueries {
     "ss01_cosine_topk" -> (ss01 _),
     "ss02_lsh_ann" -> (ss02 _),
     "ss03_ivf_ann" -> (ss03 _),
+    "ss04_ann_recall" -> (ss04 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _))
@@ -349,12 +463,17 @@ object ExtensionQueries {
     "tx01_token_stats" -> tx01Sql,
     "tx02_quality_scores" -> tx02Sql,
     "tx03_langid" -> tx03Sql,
+    "tx04_fingerprint" -> tx04Sql,
     "tx05_term_freq" -> tx05Sql,
     "tx06_bpe_tokens" -> tx06Sql,
     "tx07_bigram_logprob" -> tx07Sql,
     "dd01_exact_dedup" -> dd01Sql,
+    "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
+    "dd06_embedding_cosine_dedup" -> dd06Sql,
+    "dd07_dedup_clusters" -> dd07Sql,
     "ss01_cosine_topk" -> ss01Sql,
+    "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,
     "mm03_frame_sample" -> mm03Sql)
 }

@@ -69,12 +69,23 @@ object TextFunctions {
 
   private val FpPrime = 1000000007L
 
-  /** Order-sensitive document fingerprint: polynomial rolling hash over
-    * per-token xxhash64, mod 1e9+7 (keeps every intermediate < 2^40 —
-    * no ANSI overflow). Same text => same fingerprint on any cluster. */
+  /** Order-sensitive document fingerprint: polynomial rolling hash mod
+    * 1e9+7, with each token hashed by the classic base-31 polynomial over
+    * its code points. Fully specified arithmetic (no engine-private hash
+    * function), so ANY engine can reproduce it — which is what a
+    * fingerprint is for: cross-system identity checks. Every intermediate
+    * stays < 2^40 (acc < 1e9+7, ×131 + char < 2^40) — no ANSI overflow. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(131L) + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime)))
+      (acc, t) => pmod(acc * lit(131L) + tokenHash(t), lit(FpPrime)))
+
+  /** Base-31 polynomial over a token's code points, mod 1e9+7 (the
+    * `java.lang.String.hashCode` recurrence on a prime field). */
+  private def tokenHash(t: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
+      lit(0L),
+      (a, c) => pmod(a * lit(31L) + c.cast("long"), lit(FpPrime)))
 
   /** n-token shingles as `array<string>` (space-joined). Documents
     * shorter than n shingle to empty. */
