@@ -21,6 +21,7 @@ object SparkEntry {
       analytics.ExtendedQueries.defs ++
       analytics.AdvancedQueries.defs ++
       analytics.TpchShapeQueries.defs ++
+      analytics.ScaleQueries.defs ++
       analytics.ExtensionQueries.defs ++
       analytics.StreamingQueries.defs ++
       ingest.IngestQueries.defs
@@ -32,6 +33,7 @@ object SparkEntry {
       analytics.ExtendedQueries.oracle ++
       analytics.AdvancedQueries.oracle ++
       analytics.TpchShapeQueries.oracle ++
+      analytics.ScaleQueries.oracle ++
       analytics.ExtensionQueries.oracle ++
       analytics.StreamingQueries.oracle ++
       ingest.IngestQueries.oracle

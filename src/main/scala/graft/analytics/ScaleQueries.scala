@@ -1,0 +1,139 @@
+package graft.analytics
+
+import graft.Tables._
+import graft.operators.GlobalRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fifth batch (round 3): scale-safe re-expressions and deeper TPC-H
+  * shapes.
+  *
+  * q47 is the headline: q20's global ntile/percent_rank computed with the
+  * range-partitioned two-pass rank ([[GlobalRank]]) instead of the
+  * single-task `Window.orderBy` — identical output, but the plan
+  * parallelizes at 100 TB (q20 stays registered as the idiom-contrast
+  * control, same as q19-vs-q42).
+  */
+object ScaleQueries {
+
+  /** q47 — distributed global rank / quartile / percent_rank over
+    * customer balances ([[GlobalRank]]); oracle = the window-function
+    * form. Must produce byte-identical results to the one-task window. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val keys = Seq(col("c_acctbal"), col("c_custkey"))
+    val ranked = GlobalRank.withGlobalNtile(c, keys, 4, "rnk", "balance_quartile")
+    val total = c.agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(total))
+      .select(col("c_custkey"), col("rnk"), col("balance_quartile"),
+        round((col("rnk") - 1).cast("double") / (col("__n") - 1), 6).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q47Sql =
+    """SELECT c_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS balance_quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q48 — TPC-H Q18 shape (large-volume orders): IN-subquery over a
+    * grouped HAVING, decorrelated into a semi-join on the aggregated
+    * keys; the heavy lineitem aggregation is partial+final hash agg. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 6).as("sum_qty"))
+      .filter(col("sum_qty") > 220)
+    orders(s, d)
+      .join(big, col("o_orderkey") === big("l_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val q48Sql =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+      |  round(sum_qty, 6) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING round(sum(l_quantity), 6) > 220) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** q49 — TPC-H Q2 shape (min-cost supplier): correlated equality
+    * against a per-group MIN, decorrelated into an aggregate + equi-join
+    * on (key, min) — no partsupp table in this lake, so lineitem plays
+    * the part-supplier price list. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).filter(col("l_partkey") <= 200)
+    val minPrice = l.groupBy(col("l_partkey").as("mp_key"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    l.join(minPrice, col("l_partkey") === col("mp_key") &&
+        col("l_extendedprice") === col("min_price"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_suppkey"), col("s_name"), col("min_price"))
+      .distinct()
+      .orderBy(col("l_partkey"), col("s_suppkey"))
+  }
+
+  private val q49Sql =
+    """SELECT DISTINCT l_partkey, s_suppkey, s_name, min_price
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey AS mp_key, min(l_extendedprice) AS min_price
+      |      FROM lineitem WHERE l_partkey <= 200 GROUP BY l_partkey) m
+      |  ON l.l_partkey = m.mp_key AND l.l_extendedprice = m.min_price
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE l_partkey <= 200
+      |ORDER BY l_partkey, s_suppkey""".stripMargin
+
+  /** q50 — event funnel: per-user first-touch times per stage, counted
+    * into strictly-ordered view → click → purchase conversions. One hash
+    * agg per user then a metadata-scale rollup — the standard funnel
+    * shape over an event stream. */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_clicked_after_view"),
+        sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+
+  private val q50Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+      |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+      |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM (SELECT user_id,
+      |        min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+      |        min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+      |        min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      |      FROM events
+      |      GROUP BY user_id)""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q47_distributed_rank" -> (q47 _),
+    "q48_large_orders" -> (q48 _),
+    "q49_min_cost_supplier" -> (q49 _),
+    "q50_event_funnel" -> (q50 _))
+
+  val oracle: Map[String, String] = Map(
+    "q47_distributed_rank" -> q47Sql,
+    "q48_large_orders" -> q48Sql,
+    "q49_min_cost_supplier" -> q49Sql,
+    "q50_event_funnel" -> q50Sql)
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential test: the range-partitioned two-pass rank must equal the
+  * single-task `Window.orderBy` form bit-for-bit, for row_number and for
+  * every ntile bucket shape (exact-divisor, remainder, n > rows). */
+class GlobalRankSpec extends AnyFunSuite with SparkTestSession {
+
+  private def sample = {
+    import spark.implicits._
+    // deterministic, shuffled keys with duplicates on `v` (tiebreak on id)
+    (0 until 5000).map(i => ((i * 2654435761L) % 997, i.toLong)).toDF("v", "id")
+  }
+
+  test("withGlobalRank == global window row_number, across partition counts") {
+    val keys = Seq(col("v"), col("id"))
+    val expected = sample.withColumn("expect",
+      row_number().over(Window.orderBy(keys: _*)).cast("long"))
+    for (parts <- Seq(1, 4, 13)) {
+      val got = GlobalRank.withGlobalRank(sample, keys, "rnk", parts)
+      val joined = got.join(expected, Seq("v", "id"))
+      assert(joined.filter(col("rnk") =!= col("expect")).count() === 0,
+        s"rank mismatch at numPartitions=$parts")
+      assert(joined.count() === 5000)
+    }
+  }
+
+  test("withGlobalNtile matches window ntile for even, ragged, and tiny buckets") {
+    val keys = Seq(col("v"), col("id"))
+    for (n <- Seq(4, 7, 5000, 6000)) {
+      val expected = sample.withColumn("expect",
+        ntile(n).over(Window.orderBy(keys: _*)))
+      val got = GlobalRank.withGlobalNtile(sample, keys, n, "rnk", "tile")
+      val joined = got.join(expected, Seq("v", "id"))
+      assert(joined.filter(col("tile") =!= col("expect")).count() === 0,
+        s"ntile mismatch at n=$n")
+    }
+  }
+
+  test("two-pass plan has no single-partition exchange over the data") {
+    val plan = GlobalRank
+      .withGlobalRank(sample, Seq(col("v"), col("id")), "rnk", 8)
+      .queryExecution.executedPlan.toString()
+    // the data-path exchanges are range + hash; SinglePartition may only
+    // appear for the metadata-scale offsets aggregation
+    val dataExchanges = plan.linesIterator.filter(_.contains("Exchange")).toList
+    assert(dataExchanges.exists(_.contains("rangepartitioning")),
+      s"expected a range exchange in:\n$plan")
+  }
+}
