@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * Implementation is a full-outer-join copy-on-write: read target, join
   * on key, prefer the update side, write to a staging directory, then
   * atomically swap directories. The swap is rename-based — the same
-  * pattern object stores implement with a manifest commit; at 100 TB
-  * you'd partition the target and rewrite ONLY partitions containing
-  * matched keys (partition pruning on the join keys makes the read side
-  * cheap; the write side is bounded by touched partitions).
+  * pattern object stores implement with a manifest commit.
+  *
+  * [[upsertPartitioned]] is the 100 TB path: hive-partitioned target,
+  * reads and rewrites ONLY partitions containing touched keys.
   */
 object MergeInto {
 
@@ -38,6 +38,61 @@ object MergeInto {
       .select(cols.map(c =>
         when(col(s"u_$key").isNotNull, col(s"u_$c")).otherwise(col(c)).as(c)).toIndexedSeq: _*)
     swapWrite(spark, merged, targetDir)
+  }
+
+  /** Partition-pruned upsert for a hive-partitioned parquet target
+    * (`targetDir/<partCol>=<value>/...`): only partitions that contain an
+    * updated key are read, merged, and rewritten — the scale path the
+    * full-table [[upsert]] documents. Untouched partition directories are
+    * not read and not written (bytes moved are bounded by touched
+    * partitions, not table size).
+    *
+    * The distinct touched-partition list is collected to the driver —
+    * metadata-scale (bounded by partition count, not rows), the same
+    * commit-planning step a Delta/Iceberg writer performs. Updates must
+    * carry the partition column; rows may move BETWEEN partitions (the
+    * old copy is dropped via key anti-join, the new one lands in its new
+    * partition's rewrite).
+    */
+  def upsertPartitioned(spark: SparkSession, targetDir: String, updates: DataFrame,
+                        key: String, partCol: String): Unit = {
+    val target = spark.read.parquet(targetDir)
+    val cols = target.columns
+    require(updates.columns.sorted.sameElements(cols.sorted),
+      s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    require(updates.filter(col(key).isNull || col(partCol).isNull).isEmpty,
+      s"updates contain NULL merge key '$key' or partition value '$partCol'")
+
+    // commit planning: which partitions does this merge touch? The NEW
+    // partition of every update row, plus any OLD partition still holding
+    // a matched key (cross-partition moves).
+    val newParts = updates.select(col(partCol)).distinct()
+    val oldParts = target.join(updates.select(col(key).as(s"u_$key")),
+        col(key) === col(s"u_$key"), "left_semi")
+      .select(col(partCol)).distinct()
+    val touched = newParts.union(oldParts).distinct().collect().map(_.get(0))
+    if (touched.isEmpty) return
+
+    // partition-pruned read: the filter prunes directories at planning
+    // time, so unread partitions cost nothing
+    val pruned = target.filter(col(partCol).isin(touched.toIndexedSeq: _*))
+    val merged = pruned
+      .join(updates.select(col(key).as(s"u_$key")), col(key) === col(s"u_$key"), "left_anti")
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(updates.select(cols.map(col).toIndexedSeq: _*))
+
+    // rewrite ONLY the touched partition directories, swap each into place
+    val staging = targetDir + ".staging"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { v =>
+      val sub = s"$partCol=$v"
+      val sp = new Path(staging, sub)
+      val tp = new Path(targetDir, sub)
+      if (fs.exists(tp)) fs.delete(tp, true)
+      if (fs.exists(sp)) fs.rename(sp, tp)
+    }
+    fs.delete(new Path(staging), true)
   }
 
   /** Copy-on-write delete of rows matching `predicate`. */

@@ -161,8 +161,12 @@ object Dedup {
     * large-star/small-star algorithm, same primitive ops). Returns
     * (doc_id, cluster_id). Docs not in any pair are their own cluster. */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // cache the edge list: every propagation round joins against it, and
+    // without the cache each round would re-run the whole upstream pair
+    // pipeline (LSH banding + verify) from scratch
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var iter = 0
     var converged = false
@@ -181,6 +185,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 

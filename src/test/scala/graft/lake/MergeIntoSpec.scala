@@ -58,4 +58,61 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestSession {
     val bad = Seq((1L, "x")).toDF("id", "name")
     assertThrows[IllegalArgumentException](MergeInto.upsert(spark, dir, bad, "id"))
   }
+
+  // ---- partition-pruned upsert ----
+
+  private def freshPartitionedTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge_part").resolve("t").toString
+    Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+      .toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(dir)
+    dir
+  }
+
+  private def listFiles(dir: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+  }
+
+  test("upsertPartitioned merges matched and inserted rows correctly") {
+    import spark.implicits._
+    val dir = freshPartitionedTable()
+    val updates = Seq((2L, "b2", "p1"), (5L, "e", "p2")).toDF("id", "name", "part")
+    MergeInto.upsertPartitioned(spark, dir, updates, "id", "part")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
+    assert(got === Seq((1L, "a", "p1"), (2L, "b2", "p1"), (3L, "c", "p2"),
+      (4L, "d", "p3"), (5L, "e", "p2")))
+  }
+
+  test("upsertPartitioned leaves untouched partitions' files physically intact") {
+    import spark.implicits._
+    val dir = freshPartitionedTable()
+    val before = listFiles(dir).filter(_._1.startsWith("part=p3"))
+    assert(before.nonEmpty)
+    val updates = Seq((2L, "b2", "p1")).toDF("id", "name", "part")
+    MergeInto.upsertPartitioned(spark, dir, updates, "id", "part")
+    val after = listFiles(dir).filter(_._1.startsWith("part=p3"))
+    assert(after === before, "p3 was rewritten despite containing no touched keys")
+    // and p2 untouched as well
+    assert(listFiles(dir).keySet.exists(_.startsWith("part=p2")))
+  }
+
+  test("upsertPartitioned handles a row moving between partitions") {
+    import spark.implicits._
+    val dir = freshPartitionedTable()
+    // key 3 moves p2 -> p1; p2 becomes empty and must disappear
+    val updates = Seq((3L, "c2", "p1")).toDF("id", "name", "part")
+    MergeInto.upsertPartitioned(spark, dir, updates, "id", "part")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
+    assert(got === Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c2", "p1"), (4L, "d", "p3")))
+    assert(!listFiles(dir).keySet.exists(_.startsWith("part=p2")),
+      "emptied partition directory should be removed")
+  }
 }
