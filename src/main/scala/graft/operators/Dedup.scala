@@ -167,7 +167,13 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // propagate ONLY over vertices that appear in some pair: unpaired
+    // documents never change label, so dragging the whole corpus through
+    // every round would shuffle |corpus| rows per iteration for nothing —
+    // at scale the near-dup subgraph is a tiny fraction of the corpus
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -186,7 +192,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // unpaired documents are their own cluster
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
   }
 
   /** The end-user dedup operation: drop every document that is a
