@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.{CosineSimilarity, TopKOrderedAgg}
+import graft.ingest.WktNormalizeExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session-extension entry point: installs the engine's custom Catalyst
+  * expressions as PERMANENT functions at session build time —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *
+  * This is the deployment-grade registration path: every session on the
+  * cluster gets `wkt_normalize` / `cosine_similarity` / `top_k_by` in
+  * SQL with no per-session setup. [[graft.functions.GraftFunctions]]
+  * remains the per-session (temp-function) alternative for notebooks
+  * attached to an already-running session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("wkt_normalize"),
+      new ExpressionInfo(WktNormalizeExpr.getClass.getName, "wkt_normalize"),
+      (exprs: Seq[Expression]) => WktNormalizeExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(CosineSimilarity.getClass.getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(TopKOrderedAgg.getClass.getName, "top_k_by"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_by k must be an integer literal, got $other")
+        }
+        TopKOrderedAgg(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
+  }
+}

@@ -193,6 +193,47 @@ object ExtensionQueries {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** tx08 — TF-IDF: highest-scoring term per document. Term frequency is
+    * a hash agg over one token explode; document frequency and the corpus
+    * size are vocab-/scalar-sized side tables → broadcast, so scoring
+    * stays a narrow pass. Ranking orders by the ROUNDED score (6dp) so
+    * the cross-engine tie-break is deterministic (raw ln() ulps must not
+    * decide ranks). */
+  private def tx08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+    val dfreq = tok.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(dfreq), "token")
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        round(col("c") * log(col("nn").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx08Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token,
+      |    round(c * ln(CAST(nn AS DOUBLE) / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n)
+      |SELECT doc_id, token AS top_term, tfidf
+      |FROM (SELECT doc_id, token, tfidf,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      |      FROM scored)
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------- deduplication ----------------
 
   private def dd01(s: SparkSession, d: String): DataFrame =
@@ -444,6 +485,7 @@ object ExtensionQueries {
     "tx05_term_freq" -> (tx05 _),
     "tx06_bpe_tokens" -> (tx06 _),
     "tx07_bigram_logprob" -> (tx07 _),
+    "tx08_tfidf" -> (tx08 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
     "dd03_simhash" -> (dd03 _),
@@ -467,6 +509,7 @@ object ExtensionQueries {
     "tx05_term_freq" -> tx05Sql,
     "tx06_bpe_tokens" -> tx06Sql,
     "tx07_bigram_logprob" -> tx07Sql,
+    "tx08_tfidf" -> tx08Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
