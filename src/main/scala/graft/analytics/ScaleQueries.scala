@@ -125,13 +125,38 @@ object ScaleQueries {
       |      FROM events
       |      GROUP BY user_id)""".stripMargin
 
+  /** q51 — salted skew join ([[graft.operators.SkewJoin]]): lineitem
+    * joined to supplier over (key, salt) so a hot supplier key would
+    * spread across `salts` tasks; the oracle is the PLAIN join — salting
+    * must be invisible in the result. Money sum follows the q01/q05
+    * decimal-then-double rule. */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice"))
+    val sup = supplier(s, d)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin.saltedJoin(l, sup, "l_suppkey")
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total_price"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q51Sql =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q51_salted_join" -> (q51 _),
     "q47_distributed_rank" -> (q47 _),
     "q48_large_orders" -> (q48 _),
     "q49_min_cost_supplier" -> (q49 _),
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "q51_salted_join" -> q51Sql,
     "q47_distributed_rank" -> q47Sql,
     "q48_large_orders" -> q48Sql,
     "q49_min_cost_supplier" -> q49Sql,

@@ -174,7 +174,26 @@ object StreamingQueries {
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY user_id, purchase_id""".stripMargin
 
+  /** st08 — arbitrary-state operator (flatMapGroupsWithState) in BATCH
+    * mode: the same per-user running-total transform the stream runs
+    * (StreamingSpec pins stream==batch); in batch each group arrives in
+    * one call, so the emitted row is the final state. Oracle: the plain
+    * aggregate the state machine must converge to. */
+  private def st08(s: SparkSession, d: String): DataFrame =
+    EventStreams.runningUserTotals(events(s, d)).toDF()
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy(col("user_id"))
+
+  private val st08Sql =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round(sum(value), 6) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st08_arbitrary_state" -> (st08 _),
     "st07_asof_join" -> (st07 _),
     "st06_stream_stream_join" -> (st06 _),
     "st01_tumbling_window" -> (st01 _),
@@ -184,6 +203,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st08_arbitrary_state" -> st08Sql,
     "st07_asof_join" -> st07Sql,
     "st06_stream_stream_join" -> st06Sql,
     "st01_tumbling_window" -> st01Sql,
