@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.{GraftExtensions, SparkTestSession}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential test for the global-row_number rewrite: the SAME SQL in
+  * an extension-built session must return exactly what the stock plan
+  * returns, while the optimized plan swaps the single-task window for
+  * the range-partitioned two-pass shape. */
+class GlobalRankRewriteRuleSpec extends AnyFunSuite with SparkTestSession {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(extended)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private val sql =
+    s"""SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+       |FROM parquet.`$sf/customer.parquet`
+       |ORDER BY c_custkey""".stripMargin
+
+  test("rewritten plan returns exactly the stock result") {
+    val expected = spark.sql(sql).collect().map(r => (r.getLong(0), r.getInt(1)))
+    val (got, optimized) = withExtendedSession { s =>
+      val df = s.sql(sql)
+      (df.collect().map(r => (r.getLong(0), r.getInt(1))),
+        df.queryExecution.optimizedPlan.toString())
+    }
+    assert(got.length === expected.length)
+    assert(got.sameElements(expected))
+    assert(optimized.contains("RepartitionByExpression"),
+      s"expected the two-pass range shuffle in:\n$optimized")
+    assert(optimized.contains("__grr_pid"),
+      "expected the rewrite's partition-id column in the optimized plan")
+  }
+
+  test("partitioned and non-row_number windows are left untouched") {
+    withExtendedSession { s =>
+      val partitioned = s.sql(
+        s"""SELECT c_custkey,
+           |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
+           |FROM parquet.`$sf/customer.parquet`""".stripMargin)
+      assert(!partitioned.queryExecution.optimizedPlan.toString().contains("__grr_pid"))
+
+      val ntile = s.sql(
+        s"""SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+           |FROM parquet.`$sf/customer.parquet`""".stripMargin)
+      assert(!ntile.queryExecution.optimizedPlan.toString().contains("__grr_pid"))
+      // and they still execute correctly
+      assert(partitioned.count() > 0 && ntile.count() > 0)
+    }
+  }
+
+  test("rewrite composes under further operators (filter + join downstream)") {
+    withExtendedSession { s =>
+      val df = s.sql(
+        s"""WITH ranked AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+           |  FROM parquet.`$sf/customer.parquet`)
+           |SELECT n.n_name, count(*) AS n_top
+           |FROM ranked r JOIN parquet.`$sf/nation.parquet` n
+           |  ON r.c_nationkey = n.n_nationkey
+           |WHERE r.rn <= 50
+           |GROUP BY n.n_name
+           |ORDER BY n.n_name""".stripMargin)
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.map(_._2).sum === 50L)
+      assert(df.queryExecution.optimizedPlan.toString().contains("__grr_pid"))
+    }
+  }
+}
