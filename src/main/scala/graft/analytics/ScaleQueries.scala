@@ -148,7 +148,47 @@ object ScaleQueries {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** q52 — TPC-H Q21 shape (sole late supplier): one correlated EXISTS
+    * plus one correlated NOT EXISTS against the same fact table,
+    * decorrelated into a semi-join on (order, other-supplier) and an
+    * anti-join on (order, other-late-supplier) — the plan Catalyst
+    * produces for the subquery form, built explicitly. Lateness is
+    * ship > order date + 1000 days (this lake has no receipt/commit
+    * dates). */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lateRows = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 1000 DAY"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val allKeys = l.select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk")).distinct()
+    val lateKeys = lateRows.select(col("l_orderkey").as("k_ok"), col("l_suppkey").as("k_sk")).distinct()
+    val withOther = lateRows.join(allKeys,
+      col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"), "left_semi")
+    val sole = withOther.join(lateKeys,
+      col("l_orderkey") === col("k_ok") && col("l_suppkey") =!= col("k_sk"), "left_anti")
+    sole.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  private val q52Sql =
+    """SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 1000 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 1000 DAY)
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q52_sole_late_supplier" -> (q52 _),
     "q51_salted_join" -> (q51 _),
     "q47_distributed_rank" -> (q47 _),
     "q48_large_orders" -> (q48 _),
@@ -156,6 +196,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "q52_sole_late_supplier" -> q52Sql,
     "q51_salted_join" -> q51Sql,
     "q47_distributed_rank" -> q47Sql,
     "q48_large_orders" -> q48Sql,
