@@ -47,4 +47,28 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("q30_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q47: distributed rank keeps the range exchange; offsets joined by broadcast") {
+    val p = plan("q47_distributed_rank")
+    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q48: grouped-HAVING aggregation is partial+final before the joins") {
+    val p = plan("q48_large_orders")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q51: salted join still plans on equi keys, no cartesian") {
+    val p = plan("q51_salted_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q52: decorrelated EXISTS/NOT EXISTS plan as semi/anti joins, no nested loops over data") {
+    val p = plan("q52_sole_late_supplier")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
