@@ -397,10 +397,10 @@ object ExtensionQueries {
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
-  /** Rows-only: IVF-lite cell-probed ANN (recall vs brute force pinned
-    * in SimilaritySpec). */
+  /** Rows-only: IVF cell-probed ANN with a one-round spherical-k-means
+    * codebook (recall vs brute force pinned in SimilaritySpec). */
   private def ss03(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10)
+    Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10, kmeansIters = 1)
 
   /** ss04 — ANN-vs-exact overlap as driver-checkable rows. The checkable
     * invariant must hold for ANY corpus (embedding values differ per sf

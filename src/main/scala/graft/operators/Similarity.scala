@@ -107,36 +107,64 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: partition the corpus into `nCells` inverted lists by
-    * nearest centroid, probe only the `nProbe` cells nearest the query,
-    * exact-score within them.
-    *
-    * Centroids here are a deterministic hash-ordered sample of the
-    * corpus (IVF-lite); a production build would k-means-iterate them —
-    * the partition/probe mechanics (the part that matters at 100 TB:
-    * each query touches nProbe/nCells of the data) are identical, and
-    * the cell assignment is a narrow broadcast-join stage.
-    */
-  def ivfTopK(corpus: DataFrame, queryId: Long, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centroids = corpus
+  /** Deterministic hash-ordered sample of the corpus — the k-means seed
+    * (and the whole codebook when `kmeansIters` = 0). */
+  private def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus
       .orderBy(pmod(xxhash64(col("vec_id").cast("string")), lit(1000000007L)), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
-    def nearestCells(df: DataFrame, n: Int, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__ccos").desc, col("centroid_id"))
-      df.join(broadcast(centroids))
-        .withColumn("__ccos", VectorFunctions.cosineFast(col("embedding"), col("centroid")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .drop("__ccos", "__rk", "centroid")
-    }
+  /** Nearest `n` centroids per row of `df` under the given codebook. */
+  private def nearestCells(df: DataFrame, centroids: DataFrame, n: Int,
+                           idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__ccos").desc, col("centroid_id"))
+    df.join(broadcast(centroids))
+      .withColumn("__ccos", VectorFunctions.cosineFast(col("embedding"), col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__ccos", "__rk", "centroid")
+  }
 
-    val assigned = nearestCells(corpus, 1, "vec_id") // each vector in 1 cell
-    val qCells = nearestCells(corpus.filter(col("vec_id") === queryId), nProbe, "vec_id")
+  /** Spherical k-means codebook: start from the hash sample, then
+    * `iters` Lloyd rounds of assign-to-nearest-by-cosine + per-cell mean.
+    * Cosine is scale-invariant, so the plain (unnormalized) mean IS the
+    * spherical-k-means update — the average assigned cosine is
+    * non-decreasing per round (pinned in SimilaritySpec). Each round is
+    * one broadcast-join assignment pass plus two keyed aggregations over
+    * (cell, position) — no driver-side vectors, codebook stays
+    * `nCells` rows. Cells that end a round empty drop out (standard
+    * k-means dropout; the probe logic is count-agnostic). */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 0): DataFrame = {
+    var cent = seedCentroids(corpus, nCells)
+    for (_ <- 1 to iters) {
+      val assigned = nearestCells(corpus, cent, 1, "vec_id")
+        .select(col("centroid_id"), col("embedding"))
+      cent = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), s => s.getField("m").cast("float")).as("centroid"))
+    }
+    cent
+  }
+
+  /** IVF ANN: partition the corpus into `nCells` inverted lists by
+    * nearest centroid, probe only the `nProbe` cells nearest the query,
+    * exact-score within them. The part that matters at 100 TB — each
+    * query touches nProbe/nCells of the data, cell assignment is a
+    * narrow broadcast-join stage — is independent of codebook quality;
+    * `kmeansIters` > 0 buys tighter cells via [[kmeansCentroids]]. */
+  def ivfTopK(corpus: DataFrame, queryId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
+    val centroids = kmeansCentroids(corpus, nCells, kmeansIters)
+    val assigned = nearestCells(corpus, centroids, 1, "vec_id") // each vector in 1 cell
+    val qCells = nearestCells(corpus.filter(col("vec_id") === queryId), centroids, nProbe, "vec_id")
       .select(col("centroid_id"), col("embedding").as("query_embedding"))
 
     assigned.join(broadcast(qCells), Seq("centroid_id"))

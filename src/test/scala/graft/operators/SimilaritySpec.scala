@@ -59,6 +59,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.2, s"IVF recall@10 = $recall")
   }
 
+  test("kmeansCentroids: average assigned cosine is non-decreasing per Lloyd round") {
+    // spherical k-means objective: cosine is scale-invariant, so the
+    // plain-mean update cannot decrease the average assigned cosine
+    def avgAssignedCos(iters: Int): Double = {
+      val cent = Similarity.kmeansCentroids(emb, nCells = 8, iters = iters)
+      emb.join(broadcast(cent))
+        .select(col("vec_id"),
+          VectorFunctions.cosineFast(col("embedding"), col("centroid")).as("c"))
+        .groupBy(col("vec_id")).agg(max(col("c")).as("best"))
+        .agg(avg(col("best"))).collect()(0).getDouble(0)
+    }
+    val objective = (0 to 2).map(avgAssignedCos)
+    objective.sliding(2).foreach { case Seq(prev, next) =>
+      assert(next >= prev - 1e-9, s"objective regressed: $objective")
+    }
+    assert(objective.last > objective.head, s"two rounds should tighten cells: $objective")
+  }
+
+  test("ivfTopK with k-means codebook still finds self and keeps k results") {
+    val ivf = Similarity.ivfTopK(emb, 0L, 10, kmeansIters = 2).collect().map(_.getLong(0)).toSet
+    assert(ivf.contains(0L))
+    assert(ivf.size === 10)
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
