@@ -311,6 +311,39 @@ object ExtensionQueries {
       |WHERE n > 1
       |ORDER BY min_id""".stripMargin
 
+  /** dd08 — winnowing fingerprints (MOSS): identical portable hash
+    * arithmetic in both engines, so the oracle reproduces the winnowed
+    * sets and the shared-fingerprint pair counts exactly. */
+  private def dd08(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowingDups(Dedup.augmentWithNearDups(documents(s, d)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val dd08Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+      |sh AS (SELECT doc_id,
+      |  list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
+      |  FROM tok),
+      |h AS (SELECT doc_id,
+      |  list_transform(s, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(x)+1), i -> CAST(ascii(x[i]) AS BIGINT))),
+      |    (a, c) -> (a*31 + c) % 1000000007)) AS hs
+      |  FROM sh),
+      |fp AS (SELECT DISTINCT doc_id,
+      |  unnest(list_distinct(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
+      |    i -> list_aggregate(hs[i:i+3], 'min')))) AS f
+      |  FROM h WHERE len(hs) >= 1)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS shared_fps
+      |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** dd06 — differential oracle, same structure as dd04: Spark runs
     * hyperplane-LSH bands + exact-cosine confirm; the oracle is DuckDB's
     * exact all-pairs cosine at the same threshold. */
@@ -494,6 +527,7 @@ object ExtensionQueries {
     "dd05_embedding_exact_dedup" -> (dd05 _),
     "dd06_embedding_cosine_dedup" -> (dd06 _),
     "dd07_dedup_clusters" -> (dd07 _),
+    "dd08_winnowing" -> (dd08 _),
     "ss01_cosine_topk" -> (ss01 _),
     "ss02_lsh_ann" -> (ss02 _),
     "ss03_ivf_ann" -> (ss03 _),
@@ -516,6 +550,7 @@ object ExtensionQueries {
     "dd05_embedding_exact_dedup" -> dd05Sql,
     "dd06_embedding_cosine_dedup" -> dd06Sql,
     "dd07_dedup_clusters" -> dd07Sql,
+    "dd08_winnowing" -> dd08Sql,
     "ss01_cosine_topk" -> ss01Sql,
     "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,

@@ -77,11 +77,13 @@ object TextFunctions {
     * stays < 2^40 (acc < 1e9+7, ×131 + char < 2^40) — no ANSI overflow. */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(131L) + tokenHash(t), lit(FpPrime)))
+      (acc, t) => pmod(acc * lit(131L) + stringHash(t), lit(FpPrime)))
 
-  /** Base-31 polynomial over a token's code points, mod 1e9+7 (the
-    * `java.lang.String.hashCode` recurrence on a prime field). */
-  private def tokenHash(t: Column): Column =
+  /** Base-31 polynomial over a string's code points, mod 1e9+7 (the
+    * `java.lang.String.hashCode` recurrence on a prime field) — the
+    * fully-specified portable hash shared by [[fingerprint]] and the
+    * winnowing fingerprints ([[graft.operators.Dedup.winnowedFingerprints]]). */
+  def stringHash(t: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
       lit(0L),

@@ -153,6 +153,43 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): hash every k-gram shingle, slide a window of `w`
+    * consecutive hashes, keep each window's minimum. Guarantees every
+    * shared substring of length ≥ w+k-1 tokens contributes at least one
+    * SHARED fingerprint, while storing only ~2/(w+1) of the hashes —
+    * the document-fingerprinting primitive for plagiarism/near-dup
+    * detection over code and text.
+    *
+    * Hashes use the fully-specified portable polynomial
+    * ([[TextFunctions.stringHash]]), so the result is engine-reproducible
+    * (DuckDB oracle on dd08). One row-local HOF chain per document →
+    * narrow map stage; output is (doc_id, fp) ready for an inverted-
+    * index join, where bucket sizes stay small because fingerprints are
+    * uniform hashes. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val hashes = transform(
+      TextFunctions.shingles(col("text"), k), s => TextFunctions.stringHash(s))
+    val mins = transform(
+      sequence(lit(0), greatest(size(hashes) - w, lit(0))),
+      i => array_min(slice(hashes, i + 1, lit(w))))
+    docs.select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Near-dup pairs by shared winnowed fingerprints: inverted-index
+    * equi-join on the fingerprint value, pairs kept at ≥ `minShared`
+    * common fingerprints. */
+  def winnowingDups(docs: DataFrame, k: Int = 3, w: Int = 4,
+                    minShared: Int = 5): DataFrame = {
+    val fps = winnowedFingerprints(docs, k, w)
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Connected components over near-dup pairs via min-label propagation:
     * every document ends up labeled with the smallest doc_id reachable
     * through the pair graph. Near-dup clusters are shallow (stars/short

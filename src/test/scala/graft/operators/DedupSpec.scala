@@ -84,4 +84,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 8)
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 8)
   }
+
+  test("winnowing finds every planted near-dup; disjoint docs share nothing") {
+    import spark.implicits._
+    // the ` dup` suffix leaves every original window intact → every planted
+    // pair shares at least one fingerprint; very short docs (one window)
+    // can't clear the default minShared=5, so the thresholded count may
+    // drop a couple
+    assert(plantedFound(Dedup.winnowingDups(aug, minShared = 1)) === 50)
+    assert(plantedFound(Dedup.winnowingDups(aug)) >= 45)
+
+    // winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared
+    // fingerprint; fully-disjoint token streams must share none
+    val disjoint = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    assert(Dedup.winnowingDups(disjoint, minShared = 1).count() === 0)
+
+    val overlapping = Seq(
+      (1L, "xx yy alpha beta gamma delta epsilon zeta zz ww"),
+      (2L, "qq rr alpha beta gamma delta epsilon zeta ss tt")).toDF("doc_id", "text")
+    // shared run of 6 tokens = w+k-1 → at least one shared fingerprint
+    assert(Dedup.winnowingDups(overlapping, minShared = 1).count() === 1)
+  }
 }
