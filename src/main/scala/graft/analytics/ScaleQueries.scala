@@ -187,7 +187,32 @@ object ScaleQueries {
       |GROUP BY s_suppkey, s_name
       |ORDER BY numwait DESC, s_suppkey""".stripMargin
 
+  /** q53 — blocked fuzzy match: candidate pairs share a blocking key
+    * (the name's final token), then exact Levenshtein confirms — the
+    * entity-resolution flavor of block-then-verify (same scale shape as
+    * the LSH dedups: no all-pairs distance matrix, candidates only from
+    * block collisions). */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val names = part(s, d).select(col("p_name")).distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    names.as("x").join(names.as("y"),
+        col("x.noun") === col("y.noun") && col("x.p_name") < col("y.p_name"))
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+        levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  private val q53Sql =
+    """WITH n AS (SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS noun FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      |FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q53_fuzzy_match" -> (q53 _),
     "q52_sole_late_supplier" -> (q52 _),
     "q51_salted_join" -> (q51 _),
     "q47_distributed_rank" -> (q47 _),
@@ -196,6 +221,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "q53_fuzzy_match" -> q53Sql,
     "q52_sole_late_supplier" -> q52Sql,
     "q51_salted_join" -> q51Sql,
     "q47_distributed_rank" -> q47Sql,
