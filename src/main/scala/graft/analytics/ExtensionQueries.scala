@@ -336,10 +336,12 @@ object ExtensionQueries {
       |fp AS (SELECT DISTINCT doc_id,
       |  unnest(list_distinct(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
       |    i -> list_aggregate(hs[i:i+3], 'min')))) AS f
-      |  FROM h WHERE len(hs) >= 1)
+      |  FROM h WHERE len(hs) >= 1),
+      |rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 10),
+      |fpr AS (SELECT doc_id, f FROM fp JOIN rare USING (f))
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(count(*) AS BIGINT) AS shared_fps
-      |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      |FROM fpr a JOIN fpr b ON a.f = b.f AND a.doc_id < b.doc_id
       |GROUP BY 1, 2
       |HAVING count(*) >= 5
       |ORDER BY doc_a, doc_b""".stripMargin
