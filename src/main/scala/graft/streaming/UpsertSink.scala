@@ -32,8 +32,18 @@ object UpsertSink {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        // at-least-once within the batch too: keep one row per key
-        val deduped = batch.dropDuplicates(key)
+        import org.apache.spark.sql.functions.{col, max, struct}
+        // keep ONE row per key, deterministically: max over the payload
+        // struct (lexicographic by column). dropDuplicates would pick an
+        // arbitrary row, so a replayed batch could commit a DIFFERENT
+        // winner than the original attempt — idempotence needs the
+        // reduction itself to be order-independent.
+        val cols = batch.columns
+        val others = cols.filter(_ != key)
+        val deduped = batch.groupBy(col(key))
+          .agg(max(struct(others.map(col).toIndexedSeq: _*)).as("__payload"))
+          .select(col(key) +: others.map(c => col(s"__payload.$c").as(c)): _*)
+          .select(cols.map(col).toIndexedSeq: _*)
         val target = new Path(targetDir)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(target)) MergeInto.upsert(spark, targetDir, deduped, key)

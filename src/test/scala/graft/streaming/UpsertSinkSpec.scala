@@ -44,5 +44,13 @@ class UpsertSinkSpec extends AnyFunSuite with SparkTestSession {
     drain()
     val after3 = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1)
     assert(after3.toSeq === after2.toSeq)
+
+    // duplicate key WITHIN one batch: deterministic winner (max payload),
+    // not an arbitrary dropDuplicates pick
+    Seq((4L, "d1"), (4L, "d9"), (4L, "d5")).toDF("id", "payload")
+      .write.mode("append").parquet(in)
+    drain()
+    val after4 = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toMap
+    assert(after4(4L) === "d9")
   }
 }
