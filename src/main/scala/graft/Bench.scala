@@ -2,7 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the f-interpolator is locale-sensitive — a comma-decimal
+  // default locale would print 1,234 and break the JSON contract
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -22,9 +22,10 @@ object ScaleQueries {
   private def q47(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
     val keys = Seq(col("c_acctbal"), col("c_custkey"))
-    val ranked = GlobalRank.withGlobalNtile(c, keys, 4, "rnk", "balance_quartile")
-    val total = c.agg(count(lit(1)).as("__n"))
-    ranked.join(broadcast(total))
+    // keepTotalAs: percent_rank needs the row count, which already rides
+    // the ntile computation — no extra scan of the input
+    GlobalRank.withGlobalNtile(c, keys, 4, "rnk", "balance_quartile",
+        keepTotalAs = Some("__n"))
       .select(col("c_custkey"), col("rnk"), col("balance_quartile"),
         round((col("rnk") - 1).cast("double") / (col("__n") - 1), 6).as("pct_rank"))
       .orderBy(col("c_custkey"))

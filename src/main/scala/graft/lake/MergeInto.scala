@@ -72,6 +72,19 @@ object MergeInto {
       .select(col(partCol)).distinct()
     val touched = newParts.union(oldParts).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
+    // the directory swap below rebuilds partition paths as "$partCol=$v":
+    // a NULL old partition (__HIVE_DEFAULT_PARTITION__) or a value that
+    // Hive path-escapes ( : = % # / \ control chars) or that does not
+    // round-trip partition inference would name a DIFFERENT directory
+    // than the writer produced, silently dropping the merge — refuse
+    // instead of losing data
+    require(!touched.contains(null),
+      s"target holds matched keys in a NULL '$partCol' partition — not supported by the directory swap")
+    val safe = "[A-Za-z0-9_.-]+".r
+    touched.foreach { v =>
+      require(safe.matches(v.toString),
+        s"partition value '$v' needs Hive path escaping; the rename-based swap does not support it")
+    }
 
     // partition-pruned read: the filter prunes directories at planning
     // time, so unread partitions cost nothing
@@ -103,7 +116,7 @@ object MergeInto {
 
   /** Materialize `df` into a staging dir, then swap it into place.
     * (Directory rename = the poor man's manifest commit.) */
-  private[lake] def swapWrite(spark: SparkSession, df: DataFrame, targetDir: String): Unit = {
+  private[graft] def swapWrite(spark: SparkSession, df: DataFrame, targetDir: String): Unit = {
     val staging = targetDir + ".staging"
     val old = targetDir + ".old"
     df.write.mode(SaveMode.Overwrite).parquet(staging)

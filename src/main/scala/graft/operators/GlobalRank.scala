@@ -53,10 +53,13 @@ object GlobalRank {
 
   /** Appends global rank plus its n-quantile bucket (ntile semantics:
     * first `total mod n` buckets get the extra row). Total count rides
-    * the broadcast offsets table — no extra pass over the data. */
+    * the broadcast offsets table — no extra pass over the data.
+    * `keepTotalAs` optionally retains the row count as a column so
+    * callers deriving percent_rank don't re-scan the input. */
   def withGlobalNtile(df: DataFrame, sortCols: Seq[Column], n: Int,
                       rankCol: String = "global_rank",
-                      tileCol: String = "tile"): DataFrame = {
+                      tileCol: String = "tile",
+                      keepTotalAs: Option[String] = None): DataFrame = {
     val ranked = withGlobalRank(df, sortCols, rankCol)
     val total = ranked.agg(count(lit(1)).as("__total"))
     // ntile(n): bucket sizes differ by at most 1, larger buckets first —
@@ -64,11 +67,14 @@ object GlobalRank {
     val q = floor(col("__total") / n)
     val r = col("__total") % n
     val cut = (q + 1) * r // ranks <= cut sit in the (q+1)-sized buckets
-    ranked.join(broadcast(total))
+    val tiled = ranked.join(broadcast(total))
       .withColumn(tileCol,
         when(col(rankCol) <= cut, ceil(col(rankCol) / (q + 1)))
           .otherwise(r + ceil((col(rankCol) - cut) / greatest(q, lit(1))))
           .cast("int"))
-      .drop("__total")
+    keepTotalAs match {
+      case Some(name) => tiled.withColumnRenamed("__total", name)
+      case None => tiled.drop("__total")
+    }
   }
 }

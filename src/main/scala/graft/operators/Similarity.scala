@@ -192,8 +192,13 @@ object Similarity {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         col("x.embedding").as("ea"), col("y.embedding").as("eb"))
       .dropDuplicates("vec_a", "vec_b")
+      // filter on the RAW cosine, round only for display — the DuckDB
+      // differential oracle (dd06) filters raw too; filtering the rounded
+      // value would keep boundary pairs (cos in [threshold-5e-7,
+      // threshold)) that the oracle rejects
       .select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+        VectorFunctions.cosineFast(col("ea"), col("eb")).as("__raw"))
+      .filter(col("__raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("__raw"), 6).as("cos"))
   }
 }

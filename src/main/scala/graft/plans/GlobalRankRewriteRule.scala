@@ -38,9 +38,20 @@ class GlobalRankRewriteRule extends Rule[LogicalPlan] {
     case w @ Window(Seq(alias @ Alias(
           WindowExpression(RowNumber(), WindowSpecDefinition(Nil, _, _)), _)),
         Nil, orderSpec, child, _)
-        if w.resolved && orderSpec.nonEmpty =>
+        if w.resolved && orderSpec.nonEmpty && safeToDuplicate(child) =>
       rewrite(alias, orderSpec, child)
   }
+
+  /** The rewrite instantiates `child` under BOTH join branches; they must
+    * materialize identically. Exchange reuse (default on) collapses the
+    * two identical range exchanges into one, and a deterministic child
+    * guarantees identical content even if reuse is missed — a
+    * nondeterministic source (sample/rand) could otherwise feed the two
+    * branches different rows and silently corrupt the ranks, so those
+    * plans keep the stock single-task window. */
+  private def safeToDuplicate(child: LogicalPlan): Boolean =
+    conf.exchangeReuseEnabled &&
+      child.find(p => p.expressions.exists(e => !e.deterministic)).isEmpty
 
   private def rewrite(orig: Alias, orderSpec: Seq[SortOrder],
                       child: LogicalPlan): LogicalPlan = {

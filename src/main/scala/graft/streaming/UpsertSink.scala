@@ -47,7 +47,11 @@ object UpsertSink {
         val target = new Path(targetDir)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(target)) MergeInto.upsert(spark, targetDir, deduped, key)
-        else deduped.write.parquet(targetDir)
+        // first batch goes through the same staging+rename commit as the
+        // merge path: a direct write could die half-done, and the replay
+        // would then see a partial targetDir and take the upsert branch
+        // against unreadable data
+        else MergeInto.swapWrite(spark, deduped, targetDir)
         ()
       }
     (if (oneShot) writer.trigger(Trigger.AvailableNow()) else writer).start()
