@@ -29,14 +29,38 @@ object GlobalRank {
   /** Appends `rankCol` (1-based global row_number by `sortCols`). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String = "global_rank",
-                     numPartitions: Int = 0): DataFrame = {
+                     numPartitions: Int = 0): DataFrame =
+    twoPass(df, sortCols, rankCol, numPartitions, row_number())
+
+  /** Appends `rankCol` with `rank()` (ties share a rank, gaps follow)
+    * semantics. Correct under the same two-pass scheme because the range
+    * partitioner places EQUAL sort keys in one partition — a tie group
+    * can never straddle a boundary, so local rank + row-count offset is
+    * the global rank. */
+  def withGlobalRankTies(df: DataFrame, sortCols: Seq[Column],
+                         rankCol: String = "global_rank",
+                         numPartitions: Int = 0): DataFrame =
+    twoPass(df, sortCols, rankCol, numPartitions, rank())
+
+  private def twoPass(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                      numPartitions: Int, localRank: => Column): DataFrame = {
     require(sortCols.nonEmpty, "need at least one sort column")
-    val parted =
-      (if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
-       else df.repartitionByRange(sortCols: _*))
-        .withColumn("__pid", spark_partition_id())
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+    // PIN one materialization of the range shuffle: the ranked branch and
+    // the offsets branch below both consume it, and as two separate
+    // DataFrame subtrees they would re-plan into two exchanges whose
+    // SAMPLED range bounds can differ — offsets would then describe
+    // different partitions than the ranks were computed in (observed:
+    // silently wrong ranks). Round-tripping through the RDD makes both
+    // branches scan the SAME shuffle output (stages dedup by RDD
+    // identity), which is also how MPP engines run distributed rank:
+    // pass 1 materializes, pass 2 reads.
+    val frozen = ranged.sparkSession.createDataFrame(ranged.rdd, ranged.schema)
+    val parted = frozen.withColumn("__pid", spark_partition_id())
     val local = parted.withColumn("__lrn",
-      row_number().over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+      localRank.over(Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
     // offsets: #partitions rows — the single-partition prefix-sum window
     // below runs over metadata, not data
     val offsets = local.groupBy(col("__pid"))

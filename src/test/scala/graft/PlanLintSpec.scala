@@ -48,9 +48,11 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q47: distributed rank keeps the range exchange; offsets joined by broadcast") {
+  test("q47: distributed rank reads the pinned range shuffle; offsets joined by broadcast") {
     val p = plan("q47_distributed_rank")
-    assert(p.contains("rangepartitioning"), p)
+    // the range exchange is materialized once behind an RDD scan so both
+    // consuming branches see identical partitioning
+    assert(p.contains("ExistingRDD"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
 

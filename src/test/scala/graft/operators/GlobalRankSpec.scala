@@ -41,14 +41,29 @@ class GlobalRankSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("two-pass plan has no single-partition exchange over the data") {
-    val plan = GlobalRank
-      .withGlobalRank(sample, Seq(col("v"), col("id")), "rnk", 8)
-      .queryExecution.executedPlan.toString()
-    // the data-path exchanges are range + hash; SinglePartition may only
-    // appear for the metadata-scale offsets aggregation
-    val dataExchanges = plan.linesIterator.filter(_.contains("Exchange")).toList
-    assert(dataExchanges.exists(_.contains("rangepartitioning")),
-      s"expected a range exchange in:\n$plan")
+  test("withGlobalRankTies == global window rank(), tie groups intact across partitions") {
+    // sort by v ONLY — heavy ties (5000 rows over 997 values) that must
+    // never straddle a range-partition boundary
+    val keys = Seq(col("v"))
+    val expected = sample.withColumn("expect",
+      rank().over(Window.orderBy(keys: _*)).cast("long"))
+    for (parts <- Seq(4, 13)) {
+      val got = GlobalRank.withGlobalRankTies(sample, keys, "rnk", parts)
+      val joined = got.join(expected, Seq("v", "id"))
+      assert(joined.filter(col("rnk") =!= col("expect")).count() === 0,
+        s"rank-with-ties mismatch at numPartitions=$parts")
+    }
+  }
+
+  test("two-pass plan reads the pinned range shuffle; no single-partition exchange over data") {
+    val df = GlobalRank.withGlobalRank(sample, Seq(col("v"), col("id")), "rnk", 8)
+    val plan = df.queryExecution.executedPlan.toString()
+    // the range shuffle is materialized ONCE behind an RDD scan (so the
+    // ranked and offsets branches cannot see different partitionings);
+    // downstream only hash exchanges on __pid remain
+    assert(plan.contains("ExistingRDD"),
+      s"expected the pinned range-shuffle scan in:\n$plan")
+    // (a SinglePartition exchange still appears for the metadata-scale
+    // offsets prefix-sum — #partitions rows, not data)
   }
 }
