@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which prefixes every stdout line
+// with "[info] " — that prefix is what kept the driver from parsing
+// Bench's final JSON line (BENCH_r01..r03 all parsed=null). StdoutOutput
+// pipes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
