@@ -22,7 +22,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // scale-safety rewrite: global row_number() → two-pass ranged rank
+    // scale-safety rewrite: global row_number() → sorted distributed sequence
     ext.injectOptimizerRule(_ => new graft.plans.GlobalRankRewriteRule)
     ext.injectFunction((
       FunctionIdentifier("wkt_normalize"),

@@ -28,11 +28,12 @@ object MergeInto {
     val cols = target.columns
     require(updates.columns.sameElements(cols),
       s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    val aligned = castToTarget(updates, target)
     // a NULL merge key can neither match nor insert — the outer-join
     // selector would emit an all-NULL row and silently drop the payload
-    require(updates.filter(col(key).isNull).isEmpty,
+    require(aligned.filter(col(key).isNull).isEmpty,
       s"updates contain NULL values in merge key '$key'")
-    val u = updates.select(cols.map(c => col(c).as(s"u_$c")).toIndexedSeq: _*)
+    val u = aligned.select(cols.map(c => col(c).as(s"u_$c")).toIndexedSeq: _*)
     val merged = target
       .join(u, col(key) === col(s"u_$key"), "full_outer")
       .select(cols.map(c =>
@@ -60,14 +61,19 @@ object MergeInto {
     val cols = target.columns
     require(updates.columns.sorted.sameElements(cols.sorted),
       s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
-    require(updates.filter(col(key).isNull || col(partCol).isNull).isEmpty,
+    // align update types to the target's (the partition column's type is
+    // INFERRED from directory names on read — e.g. part=1 reads as int —
+    // so updates carrying it as string would otherwise join/isin against
+    // a differently-typed column and build mismatched directory names)
+    val aligned = castToTarget(updates, target)
+    require(aligned.filter(col(key).isNull || col(partCol).isNull).isEmpty,
       s"updates contain NULL merge key '$key' or partition value '$partCol'")
 
     // commit planning: which partitions does this merge touch? The NEW
     // partition of every update row, plus any OLD partition still holding
     // a matched key (cross-partition moves).
-    val newParts = updates.select(col(partCol)).distinct()
-    val oldParts = target.join(updates.select(col(key).as(s"u_$key")),
+    val newParts = aligned.select(col(partCol)).distinct()
+    val oldParts = target.join(aligned.select(col(key).as(s"u_$key")),
         col(key) === col(s"u_$key"), "left_semi")
       .select(col(partCol)).distinct()
     val touched = newParts.union(oldParts).distinct().collect().map(_.get(0))
@@ -90,23 +96,62 @@ object MergeInto {
     // time, so unread partitions cost nothing
     val pruned = target.filter(col(partCol).isin(touched.toIndexedSeq: _*))
     val merged = pruned
-      .join(updates.select(col(key).as(s"u_$key")), col(key) === col(s"u_$key"), "left_anti")
+      .join(aligned.select(col(key).as(s"u_$key")), col(key) === col(s"u_$key"), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*)
-      .unionByName(updates.select(cols.map(col).toIndexedSeq: _*))
+      .unionByName(aligned.select(cols.map(col).toIndexedSeq: _*))
 
-    // rewrite ONLY the touched partition directories, swap each into place
-    val staging = targetDir + ".staging"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging)
-    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach { v =>
-      val sub = s"$partCol=$v"
-      val sp = new Path(staging, sub)
-      val tp = new Path(targetDir, sub)
-      if (fs.exists(tp)) fs.delete(tp, true)
-      if (fs.exists(sp)) fs.rename(sp, tp)
+    // Rewrite ONLY the touched partition directories, then swap each
+    // into place with backup-then-rename so a crash can never lose
+    // committed data (mirrors swapWrite's .old protection):
+    //   1. write every new partition dir into .staging (target untouched)
+    //   2. MOVE each live touched partition into .backup — no deletes
+    //   3. move staged partitions into place
+    //   4. only after ALL partitions swapped, drop .backup + .staging
+    // An exception before 4 restores the moved-out partitions from
+    // .backup; a hard crash leaves .backup intact for recovery. In no
+    // interleaving is a row removed before its replacement is written.
+    val staging = new Path(targetDir + ".staging")
+    val backup = new Path(targetDir + ".backup")
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging.toString)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    fs.mkdirs(backup)
+    val movedOut = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      touched.foreach { v =>
+        val sub = s"$partCol=$v"
+        val tp = new Path(targetDir, sub)
+        if (fs.exists(tp)) { fs.rename(tp, new Path(backup, sub)); movedOut += sub }
+      }
+      touched.foreach { v =>
+        val sub = s"$partCol=$v"
+        val sp = new Path(staging, sub)
+        if (fs.exists(sp)) fs.rename(sp, new Path(targetDir, sub))
+      }
+    } catch {
+      case e: Throwable =>
+        movedOut.foreach { sub =>
+          val tp = new Path(targetDir, sub)
+          if (fs.exists(tp)) fs.delete(tp, true) // half-swapped staged copy
+          fs.rename(new Path(backup, sub), tp)
+        }
+        fs.delete(staging, true)
+        fs.delete(backup, true)
+        throw e
     }
-    fs.delete(new Path(staging), true)
+    fs.delete(backup, true)
+    fs.delete(staging, true)
   }
+
+  /** Casts every column of `updates` to the target's column type —
+    * update frames routinely carry wider/narrower literals (and the
+    * partition column's type is read-side inferred), so the merge joins
+    * and the rewritten files must use the TARGET's types. ANSI mode (on
+    * by default) turns an unconvertible value into a loud error instead
+    * of a silent NULL. */
+  private def castToTarget(updates: DataFrame, target: DataFrame): DataFrame =
+    updates.select(target.schema.fields.filter(f => updates.columns.contains(f.name))
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
   /** Copy-on-write delete of rows matching `predicate`. */
   def deleteWhere(spark: SparkSession, targetDir: String, predicate: String): Unit = {

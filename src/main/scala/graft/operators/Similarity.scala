@@ -64,9 +64,11 @@ object Similarity {
 
   /** Hyperplane width: planes are generated at this fixed width and
     * truncated per-row by the null-padding `coalesce` in [[signature]],
-    * so no data is probed at plan-build time (embeddings wider than this
-    * are signed on their first `MaxPlaneDim` components — still a valid
-    * LSH, just over a projection). */
+    * so no data is probed at plan-build time. Embeddings wider than this
+    * are REJECTED (per-row `raise_error` guard in `bandedSignatures`) —
+    * silently signing only the first `MaxPlaneDim` components would
+    * degrade LSH recall with no signal. Callers with wider vectors
+    * should truncate/project explicitly before hashing. */
   val MaxPlaneDim = 1024
 
   /** (vec_id, embedding, band, band_bits): per-vector hyperplane
@@ -81,7 +83,15 @@ object Similarity {
     val ps = planes(nBits, MaxPlaneDim, seed)
     val bitsPerBand = nBits / bands
     val mask = (1L << bitsPerBand) - 1
-    corpus.select(col("vec_id"), col("embedding"),
+    // dimension guard: the plane width is fixed, so an over-wide vector
+    // would be hashed on a truncated projection — fail loudly per row
+    // instead (the size() compare is noise next to the dot products)
+    val guarded = corpus.filter(
+      when(size(col("embedding")) <= MaxPlaneDim, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"embedding dim "), size(col("embedding")),
+          lit(s" exceeds MaxPlaneDim=$MaxPlaneDim — truncate or project before LSH")))))
+    guarded.select(col("vec_id"), col("embedding"),
         signature(col("embedding"), ps).as("sig"))
       .select(col("vec_id"), col("embedding"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -103,6 +103,30 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestSession {
     assert(listFiles(dir).keySet.exists(_.startsWith("part=p2")))
   }
 
+  test("upsertPartitioned aligns update types to the inferred partition type") {
+    import spark.implicits._
+    // int-valued partition dirs: a read infers part as INT, while update
+    // frames often carry it as STRING — the merge must still land rows
+    // in the directories the writer names (part=1, not part='1')
+    val dir = Files.createTempDirectory("graft_merge_int").resolve("t").toString
+    Seq((1L, "a", 1), (2L, "b", 1), (3L, "c", 2))
+      .toDF("id", "name", "part").write.partitionBy("part").parquet(dir)
+    val updates = Seq((2L, "b2", "1"), (4L, "d", "2")).toDF("id", "name", "part")
+    MergeInto.upsertPartitioned(spark, dir, updates, "id", "part")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Int]("part"))).toSeq
+    assert(got === Seq((1L, "a", 1), (2L, "b2", 1), (3L, "c", 2), (4L, "d", 2)))
+  }
+
+  test("upsertPartitioned cleans up its staging and backup directories") {
+    import spark.implicits._
+    val dir = freshPartitionedTable()
+    val updates = Seq((2L, "b2", "p1")).toDF("id", "name", "part")
+    MergeInto.upsertPartitioned(spark, dir, updates, "id", "part")
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".staging")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + ".backup")))
+  }
+
   test("upsertPartitioned handles a row moving between partitions") {
     import spark.implicits._
     val dir = freshPartitionedTable()

@@ -83,6 +83,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(ivf.size === 10)
   }
 
+  test("lshTopK rejects embeddings wider than the plane width instead of truncating") {
+    import spark.implicits._
+    val wide = Seq((0L, Array.fill(Similarity.MaxPlaneDim + 1)(0.5f)),
+                   (1L, Array.fill(Similarity.MaxPlaneDim + 1)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](Similarity.lshTopK(wide, 0L, 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("MaxPlaneDim")),
+      s"expected a MaxPlaneDim guard error, got: $e")
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Differential test for the global-row_number rewrite: the SAME SQL in
   * an extension-built session must return exactly what the stock plan
   * returns, while the optimized plan swaps the single-task window for
-  * the range-partitioned two-pass shape. */
+  * the sorted distributed-sequence shape. */
 class GlobalRankRewriteRuleSpec extends AnyFunSuite with SparkTestSession {
 
   private def withExtendedSession[A](f: SparkSession => A): A = {
@@ -42,10 +42,10 @@ class GlobalRankRewriteRuleSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(got.length === expected.length)
     assert(got.sameElements(expected))
-    assert(optimized.contains("RepartitionByExpression"),
-      s"expected the two-pass range shuffle in:\n$optimized")
-    assert(optimized.contains("__grr_pid"),
-      "expected the rewrite's partition-id column in the optimized plan")
+    assert(optimized.contains("AttachDistributedSequence"),
+      s"expected the distributed-sequence rank in:\n$optimized")
+    assert(!optimized.contains("window"),
+      s"expected the single-task window to be gone from:\n$optimized")
   }
 
   test("partitioned and non-row_number windows are left untouched") {
@@ -54,12 +54,14 @@ class GlobalRankRewriteRuleSpec extends AnyFunSuite with SparkTestSession {
         s"""SELECT c_custkey,
            |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rn
            |FROM parquet.`$sf/customer.parquet`""".stripMargin)
-      assert(!partitioned.queryExecution.optimizedPlan.toString().contains("__grr_pid"))
+      assert(!partitioned.queryExecution.optimizedPlan.toString()
+        .contains("AttachDistributedSequence"))
 
       val ntile = s.sql(
         s"""SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
            |FROM parquet.`$sf/customer.parquet`""".stripMargin)
-      assert(!ntile.queryExecution.optimizedPlan.toString().contains("__grr_pid"))
+      assert(!ntile.queryExecution.optimizedPlan.toString()
+        .contains("AttachDistributedSequence"))
       // and they still execute correctly
       assert(partitioned.count() > 0 && ntile.count() > 0)
     }
@@ -80,7 +82,33 @@ class GlobalRankRewriteRuleSpec extends AnyFunSuite with SparkTestSession {
            |ORDER BY n.n_name""".stripMargin)
       val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
       assert(got.map(_._2).sum === 50L)
-      assert(df.queryExecution.optimizedPlan.toString().contains("__grr_pid"))
+      assert(df.queryExecution.optimizedPlan.toString()
+        .contains("AttachDistributedSequence"))
+    }
+  }
+
+  test("ranks stay sound with ties, pruned non-sort columns, and AQE coalescing") {
+    // The round-3 two-branch rewrite silently corrupted ranks exactly
+    // here: selecting a non-sort column let column pruning diverge the
+    // two range exchanges, AQE coalesced them differently, and offsets
+    // no longer described the partitions the ranks were computed in.
+    // The single-lineage rewrite must survive this shape: a heavily
+    // tied sort key, extra projected columns, multi-partition input.
+    withExtendedSession { s =>
+      s.read.parquet(s"$sf/customer.parquet").repartition(7)
+        .createOrReplaceTempView("cust7")
+      val df = s.sql(
+        """SELECT c_name, c_mktsegment,
+          |  row_number() OVER (ORDER BY c_mktsegment) AS rn
+          |FROM cust7""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString()
+        .contains("AttachDistributedSequence"))
+      val rows = df.collect().map(r => (r.getString(1), r.getInt(2))).sortBy(_._2)
+      // rn is a gapless permutation of 1..N…
+      assert(rows.map(_._2).toSeq === (1 to rows.length))
+      // …and never contradicts the sort key (segments non-decreasing)
+      assert(rows.map(_._1).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        "a row with a smaller rank carried a larger sort key")
     }
   }
 }
