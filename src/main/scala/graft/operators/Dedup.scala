@@ -235,20 +235,32 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .cache()
+    // the frame actually pinned in the cache manager: labels becomes a
+    // PROJECTION of each round's cached result, and unpersist() only
+    // evicts a plan that matches the cached one
+    var cachedRound = labels
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
+      // carry each vertex's OLD label through the same aggregation that
+      // computes the new one (own-label rows have old set, neighbor rows
+      // NULL; min() ignores the NULLs) — convergence then falls out of a
+      // filter over the cached round result instead of costing a second
+      // join+shuffle per round
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.union(viaNeighbors)
+        .select(col("dst").as("doc_id"), col("cluster_id"),
+          lit(null).cast("long").as("old"))
+      val own = labels.select(col("doc_id"), col("cluster_id"),
+        col("cluster_id").cast("long").as("old"))
+      val next = own.union(viaNeighbors)
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"), min(col("old")).as("old"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("old")).count()
+      cachedRound.unpersist()
+      cachedRound = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }

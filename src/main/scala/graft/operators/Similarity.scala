@@ -195,13 +195,22 @@ object Similarity {
     * unrelated vectors) while near-dups almost always collide somewhere. */
   def cosineNearDups(corpus: DataFrame, threshold: Double = 0.99,
                      nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    // candidate generation over NARROW rows: a pair colliding in several
+    // bands would otherwise drag its two embedding arrays through the
+    // dedup shuffle once per collision — dedup 16-byte id pairs instead,
+    // then join the embeddings back for the exact confirm (candidate
+    // volume × vector width is the term that explodes at 100 TB)
     val banded = bandedSignatures(corpus, nBits, bands, seed)
-    banded.as("x").join(banded.as("y"),
+      .select(col("vec_id"), col("band"), col("band_bits"))
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        col("x.embedding").as("ea"), col("y.embedding").as("eb"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
       // filter on the RAW cosine, round only for display — the DuckDB
       // differential oracle (dd06) filters raw too; filtering the rounded
       // value would keep boundary pairs (cos in [threshold-5e-7,
