@@ -234,6 +234,38 @@ object ExtensionQueries {
       |WHERE rn = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** tx09 — Gopher-style repetition signals: the fraction of bigram
+    * instances that are repeats and the share of the single most
+    * frequent bigram, per document. These are the within-document
+    * quality filters (Rae et al., Gopher §A1.1) that catch boilerplate
+    * and degenerate repetition which cross-document dedup cannot see.
+    * Shape: one bigram explode + two hash-aggs — partial aggregation
+    * does the heavy lifting map-side, nothing is per-document state. */
+  private def tx09(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_bigrams"),
+        stableRound6(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"))
+          .as("dup_frac"),
+        stableRound6(col("top_n").cast("double") / col("n_bigrams")).as("top_frac"))
+      .orderBy(col("doc_id"))
+
+  private val tx09Sql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |         i -> t[i] || ' ' || t[i+1])) AS b FROM toks),
+      |cnt AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |  floor((1.0 - count(*)/CAST(sum(n) AS DOUBLE)) * 1000000.0 + 0.5)/1000000.0 AS dup_frac,
+      |  floor((max(n)/CAST(sum(n) AS DOUBLE)) * 1000000.0 + 0.5)/1000000.0 AS top_frac
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------- deduplication ----------------
 
   private def dd01(s: SparkSession, d: String): DataFrame =
@@ -345,6 +377,35 @@ object ExtensionQueries {
       |GROUP BY 1, 2
       |HAVING count(*) >= 5
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dd09 — C4/RefinedWeb-style cross-document segment dedup: per-doc
+    * survival counts after keeping only the corpus-wide first occurrence
+    * of every 10-token window ([[Dedup.segmentDedupStats]]). Run over
+    * the augmented corpus so planted copies demonstrably lose their
+    * repeated spans; natural token-level repetition across documents
+    * contributes too. */
+  private def dd09(s: SparkSession, d: String): DataFrame =
+    Dedup.segmentDedupStats(Dedup.augmentWithNearDups(documents(s, d)))
+      .orderBy(col("doc_id"))
+
+  private val dd09Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+      |seg AS (SELECT doc_id,
+      |  unnest(list_transform(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1)),
+      |    i -> {'seg_idx': i, 's': array_to_string(t[(i*10+1):(i*10+10)], ' ')})) AS u
+      |  FROM toks),
+      |segs AS (SELECT doc_id, CAST(u.seg_idx AS BIGINT) AS seg_idx, u.s AS s FROM seg),
+      |firsts AS (SELECT s, min(doc_id*1000000 + seg_idx) AS fk FROM segs GROUP BY s)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(CASE WHEN g.doc_id*1000000 + g.seg_idx = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(CASE WHEN g.doc_id*1000000 + g.seg_idx = f.fk THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      |FROM segs g JOIN firsts f ON g.s = f.s
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
 
   /** dd06 — differential oracle, same structure as dd04: Spark runs
     * hyperplane-LSH bands + exact-cosine confirm; the oracle is DuckDB's
@@ -522,6 +583,7 @@ object ExtensionQueries {
     "tx06_bpe_tokens" -> (tx06 _),
     "tx07_bigram_logprob" -> (tx07 _),
     "tx08_tfidf" -> (tx08 _),
+    "tx09_repetition" -> (tx09 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
     "dd03_simhash" -> (dd03 _),
@@ -530,6 +592,7 @@ object ExtensionQueries {
     "dd06_embedding_cosine_dedup" -> (dd06 _),
     "dd07_dedup_clusters" -> (dd07 _),
     "dd08_winnowing" -> (dd08 _),
+    "dd09_segment_dedup" -> (dd09 _),
     "ss01_cosine_topk" -> (ss01 _),
     "ss02_lsh_ann" -> (ss02 _),
     "ss03_ivf_ann" -> (ss03 _),
@@ -547,12 +610,14 @@ object ExtensionQueries {
     "tx06_bpe_tokens" -> tx06Sql,
     "tx07_bigram_logprob" -> tx07Sql,
     "tx08_tfidf" -> tx08Sql,
+    "tx09_repetition" -> tx09Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
     "dd06_embedding_cosine_dedup" -> dd06Sql,
     "dd07_dedup_clusters" -> dd07Sql,
     "dd08_winnowing" -> dd08Sql,
+    "dd09_segment_dedup" -> dd09Sql,
     "ss01_cosine_topk" -> ss01Sql,
     "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,

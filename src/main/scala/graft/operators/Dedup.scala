@@ -271,6 +271,38 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
   }
 
+  /** C4/RefinedWeb-style cross-document SEGMENT dedup: split every
+    * document into fixed-width token windows, keep only the FIRST
+    * occurrence (smallest (doc_id, position)) of each distinct segment
+    * corpus-wide, and report per-document survival counts — the
+    * training-data op that strips boilerplate/copied spans WITHIN
+    * otherwise-distinct documents, which document-level dedup cannot
+    * see. One explode + one hash-agg + one equi-join on the segment
+    * value — no pairwise comparison anywhere, so cost is linear in
+    * corpus size and the heavy agg/join shuffles partition on uniform
+    * segment hashes (no hot keys beyond genuinely-common segments).
+    *
+    * First-wins is decided by the scalar key `doc_id * 1e6 + seg_idx`
+    * (== lexicographic (doc_id, seg_idx) while documents stay under
+    * 1e6 segments — `width` tokens × 1e6 ≫ any real document).
+    * Returns (doc_id, n_segments, n_kept, n_dropped). */
+  def segmentDedupStats(docs: DataFrame, width: Int = 10): DataFrame = {
+    val ts = TextFunctions.tokens(col("text"))
+    val nSegs = ceil(size(ts) / lit(width.toDouble)).cast("long")
+    val segs = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), greatest(nSegs - 1, lit(0L))),
+        i => array_join(slice(ts, (i * width).cast("int") + 1, lit(width)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val keyed = segs.select(col("doc_id"), col("seg"),
+      (col("doc_id") * 1000000L + col("seg_idx")).as("k"))
+    val firsts = keyed.groupBy(col("seg")).agg(min(col("k")).as("fk"))
+    keyed.join(firsts, "seg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("k") === col("fk"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", col("n_segments") - col("n_kept"))
+  }
+
   /** The end-user dedup operation: drop every document that is a
     * non-representative member of a near-dup cluster (representative =
     * smallest doc_id), keeping unpaired documents untouched. */

@@ -69,6 +69,21 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(deduped.count() < total)
   }
 
+  test("segmentDedupStats: planted copies lose their repeated spans, originals keep all") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"), // 2 full segments
+      (2L, "a b c d e f g h i j k l m n o p q r s t"), // exact copy: keeps 0
+      (3L, "z y x w v u")                               // unrelated: keeps all
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedupStats(docs, width = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((2L, 2L, 0L)), "first occurrence keeps every segment")
+    assert(got(2L) === ((2L, 0L, 2L)), "exact copy loses every segment")
+    assert(got(3L) === ((1L, 1L, 0L)), "unique doc keeps its partial segment")
+  }
+
   test("simhash of identical text is identical; near text is near") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
