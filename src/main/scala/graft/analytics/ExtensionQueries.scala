@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * oracle. The verify-stage pipelines (dd04 Jaccard, dd06 cosine, dd07
   * clusters) carry DIFFERENTIAL oracles — DuckDB computes the exact
   * all-pairs answer, Spark the scalable LSH block-then-verify; a hash
-  * match proves the blocking lost nothing on this corpus. Only the raw
-  * xxhash64-signature outputs (dd02 minhash estimates, dd03 simhash) and
-  * the ANN candidate lists (ss02/ss03 — pinned via ss04 instead) stay
+  * match proves the blocking lost nothing on this corpus. The sketch
+  * families themselves (dd02 minhash, dd03 simhash) use fully-portable
+  * polynomial/quadratic hash arithmetic, so their oracles are EXACT
+  * replicas — DuckDB rebuilds the identical signatures and candidate
+  * sets. Only the ANN candidate lists (ss02/ss03 — pinned via the ss04
+  * overlap invariant instead) and the stubbed media codec (mm02) stay
   * rows-only, value-tested in ScalaTest against planted near-duplicates
   * ([[Dedup.augmentWithNearDups]] plants pair (i, i+1000000)).
   */
@@ -286,9 +289,98 @@ object ExtensionQueries {
     Dedup.minhashNearDups(Dedup.augmentWithNearDups(documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** dd02 oracle — EXACT replica, not a differential: the minhash family
+    * is fully-specified portable arithmetic (quadratic transforms of the
+    * base-31 polynomial hash; constants interpolated from the same
+    * [[Dedup.seedConsts]] the Spark side uses), so DuckDB rebuilds the
+    * identical signatures, the identical band-collision candidate set
+    * (band equality on the raw component pairs == Spark's equality on
+    * their hashed key), and the identical estimates. */
+  private val dd02Sql: String = {
+    val P = 1000000007L
+    val sigExprs = (0 until 8).map { k =>
+      val (a, b, c) = Dedup.seedConsts(k)
+      s"list_min(list_transform(hs, h -> ($a*((h*h)%$P) + $b*h + $c) % $P))"
+    }.mkString(",\n    ")
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+       |th AS (SELECT doc_id,
+       |  list_transform(t, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(x)+1), i -> CAST(ascii(x[i]) AS BIGINT))),
+       |    (a, c) -> (a*31 + c) % $P)) AS ths
+       |  FROM tok),
+       |h AS (SELECT doc_id, list_transform(range(1, len(ths) - 1),
+       |    i -> ((((ths[i]*131 + ths[i+1]) % $P) * 131) + ths[i+2]) % $P) AS hs
+       |  FROM th WHERE len(ths) >= 3),
+       |sig AS (SELECT doc_id, [
+       |    $sigExprs
+       |  ] AS sig FROM h),
+       |bands AS (SELECT doc_id, sig,
+       |  unnest(list_transform(range(0, 4), b -> {'band': b,
+       |    'key': CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR)})) AS u
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.sig AS sa, y.sig AS sb
+       |  FROM bands x JOIN bands y
+       |    ON x.u.band = y.u.band AND x.u.key = y.u.key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(len(list_filter(range(1, 9), i -> sa[i] = sb[i])) / 8.0, 6) AS est_jaccard
+       |FROM cand
+       |WHERE len(list_filter(range(1, 9), i -> sa[i] = sb[i])) / 8.0 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def dd03(s: SparkSession, d: String): DataFrame =
     Dedup.simhashNearDups(Dedup.augmentWithNearDups(documents(s, d)))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** dd03 oracle — exact replica of the portable SimHash: per-bit ±1
+    * votes from independent quadratic hashes of each token's base-31
+    * polynomial hash (constants interpolated from the same
+    * [[Dedup.bitConsts]] the Spark side uses), the 16-bit chunk
+    * Hamming-LSH candidates, and the exact Hamming confirm. */
+  private val dd03Sql: String = {
+    val P = 1000000007L
+    val values = (0 until 60).map { k =>
+      val (a, b, c) = Dedup.bitConsts(k)
+      s"($k, $a, $b, $c)"
+    }.grouped(4).map(_.mkString(", ")).mkString(",\n  ")
+    s"""WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM aug),
+      |hashed AS (SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |    (a, c) -> (a*31 + c) % $P) AS h
+      |  FROM tok),
+      |hh AS (SELECT doc_id, h, (h*h) % $P AS h2 FROM hashed),
+      |consts(k, a, b, c) AS (VALUES
+      |  $values),
+      |votes AS (SELECT doc_id, k, sum(CASE WHEN (((a*h2 + b*h + c) % $P) & 1) = 1
+      |    THEN 1 ELSE -1 END) AS cnt
+      |  FROM hh CROSS JOIN consts
+      |  GROUP BY doc_id, k),
+      |sig AS (SELECT doc_id, sum(CASE WHEN cnt > 0
+      |    THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE CAST(0 AS BIGINT) END) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |chunks AS (SELECT doc_id, sig,
+      |  unnest(list_transform(range(0, 4), c -> {'chunk': c,
+      |    'val': ((sig >> CAST(c*16 AS INT)) & 65535)})) AS u
+      |  FROM sig),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    x.sig AS sa, y.sig AS sb
+      |  FROM chunks x JOIN chunks y
+      |    ON x.u.chunk = y.u.chunk AND x.u.val = y.u.val AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sa, sb)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** dd04 — differential oracle: Spark runs the scalable block-then-
     * verify pipeline (LSH candidates → exact Jaccard confirm); the oracle
@@ -612,6 +704,8 @@ object ExtensionQueries {
     "tx08_tfidf" -> tx08Sql,
     "tx09_repetition" -> tx09Sql,
     "dd01_exact_dedup" -> dd01Sql,
+    "dd02_minhash_lsh" -> dd02Sql,
+    "dd03_simhash" -> dd03Sql,
     "dd04_ngram_jaccard" -> dd04Sql,
     "dd05_embedding_exact_dedup" -> dd05Sql,
     "dd06_embedding_cosine_dedup" -> dd06Sql,

@@ -30,9 +30,38 @@ object Dedup {
           concat(col("text"), lit(" dup")).as("text")))
   }
 
-  /** Per-seed shingle hash, non-negative. */
-  private def shingleHash(shingle: Column, seed: Column): Column =
-    pmod(xxhash64(concat(seed.cast("string"), lit(":"), shingle)), lit(Long.MaxValue))
+  /** Portable MinHash family: per-seed QUADRATIC transforms
+    * `(A_s·H² + B_s·H + C_s) mod P` of the base-31 polynomial hash `H`
+    * (P = 1e9+7), with A/B/C drawn per seed from splitmix64 — fully
+    * specified constants, so a DuckDB oracle reproduces the exact
+    * signatures (dd02; the reason xxhash64 was dropped). The quadratic
+    * term matters: an AFFINE family with structured multipliers let one
+    * small-hash element win the min under EVERY seed (measured: est 0.875
+    * on pairs with true Jaccard 0.006); independent constants + degree-2
+    * mixing decorrelate the per-seed argmins. Every product keeps both
+    * factors < 2^30, so intermediates stay < 2^62 — no ANSI overflow in
+    * either engine. */
+  private val HashP = 1000000007L
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** (A, B, C) for seed s — A nonzero mod P. Exposed to the dd02 oracle
+    * builder so the SQL embeds the identical literals. */
+  private[graft] def seedConsts(s: Int): (Long, Long, Long) = (
+    java.lang.Long.remainderUnsigned(splitmix64(3L * s + 1), HashP - 1) + 1,
+    java.lang.Long.remainderUnsigned(splitmix64(3L * s + 2), HashP),
+    java.lang.Long.remainderUnsigned(splitmix64(3L * s + 3), HashP))
+
+  /** Per-seed hash of a pre-hashed shingle (h = stringHash(shingle)). */
+  private def seedHash(h: Column, seed: Int): Column = {
+    val (a, b, c) = seedConsts(seed)
+    pmod(lit(a) * pmod(h * h, lit(HashP)) + lit(b) * h + lit(c), lit(HashP))
+  }
 
   /** MinHash signature as an `array<bigint>` column — computed entirely
     * row-local with higher-order functions (numHashes × shingles hash
@@ -45,21 +74,47 @@ object Dedup {
     * shingling numHashes×. For corpus-scale signing use [[signatures]],
     * which explodes shingles once and min-aggregates columnar. */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
-    val sh = array_distinct(TextFunctions.shingles(text, shingleWidth))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, x => shingleHash(x, s))))
+    val hs = shingleHashes(transform(TextFunctions.tokens(text),
+      t => TextFunctions.stringHash(t)), shingleWidth)
+    array((0 until numHashes).map(s =>
+      array_min(transform(hs, h => seedHash(h, s)))): _*)
   }
 
-  /** Corpus minhash signatures: (doc_id, sig array<bigint>). One explode
-    * of distinct shingles (shingling evaluated exactly once per doc), one
-    * shuffle on doc_id, numHashes codegen'd min-aggregate columns — the
-    * shape that survives 100 TB (hash work is numHashes × shingle rows,
-    * state is numHashes longs per doc). */
+  /** Shingle hashes from an array of TOKEN hashes: rolling base-131
+    * combine `((th_i·131 + th_{i+1})·131 + …) mod P` per window — the
+    * char loop runs once per token, not once per shingle (3× less hash
+    * work at width 3, and the exact arithmetic the dd02 oracle mirrors).
+    * Duplicate shingles are kept: the per-seed min is
+    * duplicate-invariant, so dedup would only add work. */
+  private def shingleHashes(ths: Column, width: Int): Column =
+    when(size(ths) >= width,
+      transform(sequence(lit(0), size(ths) - width),
+        i => aggregate(slice(ths, i + 1, lit(width)), lit(0L),
+          (a, x) => pmod(a * lit(131L) + x, lit(HashP)))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Corpus minhash signatures: (doc_id, sig array<bigint>). Two narrow
+    * keyed shuffles (token-hash collect, per-doc min agg); the per-seed
+    * transforms are cheap quadratic column math over one 30-bit hash per
+    * shingle — the shape that survives 100 TB (char-loop work is one
+    * pass per token, per-doc state is numHashes longs). */
   def signatures(docs: DataFrame, numHashes: Int, shingleWidth: Int): DataFrame = {
-    val exploded = docs.select(col("doc_id"),
-      explode(array_distinct(TextFunctions.shingles(col("text"), shingleWidth))).as("shingle"))
-    val mins = (0 until numHashes).map(s =>
-      min(shingleHash(col("shingle"), lit(s))).as(s"m$s"))
+    // one portable char loop per TOKEN; shingle hashes are rolling
+    // combines of the token hashes. The token-hash array reaches the
+    // combine lambda through explode + ordered re-collect so the lambda
+    // consumes a BOUND column — inlined, the char-loop chain would
+    // re-evaluate once per window (the CollapseProject trap
+    // [[graft.functions.TextFunctions]] and dd08 document; measured 322 s
+    // on 5k docs there)
+    val tokHashed = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
+    val arrays = tokHashed.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
+      .select(col("doc_id"), transform(col("pt"), s => s.getField("th")).as("ths"))
+    val exploded = arrays.select(col("doc_id"),
+      explode(shingleHashes(col("ths"), shingleWidth)).as("h"))
+    val mins = (0 until numHashes).map(s => min(seedHash(col("h"), s)).as(s"m$s"))
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(s => col(s"m$s")): _*).as("sig"))
@@ -97,22 +152,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash of the token stream, one HOF pass: per-token hash
-    * votes ±1 on each bit, sign of the tally sets the bit. Tokens are
-    * pre-hashed ONCE (`transform(tokens, xxhash64)`) so the 64-bit
-    * unpacking lambda sees a bound variable — inlining xxhash64 into the
-    * per-bit lambda would recompute the hash 64× per token. */
+  /** SimHash bit functions: bit k of a token's vote pattern is the
+    * PARITY of an independent portable quadratic hash of the token's
+    * base-31 polynomial hash (seeds offset by 1000 so they share nothing
+    * with the minhash component seeds). Packing two polynomial hashes
+    * into one 60-bit word was tried first and measured badly — short
+    * words over a small vocabulary leave so much structure in raw
+    * polynomial bits that the Hamming-8 ball caught ~3% of all unrelated
+    * pairs; independent per-bit hashes restore textbook behavior, and
+    * stay exactly reproducible in the DuckDB oracle (dd03). */
+  private val SimhashBits = 60
+  private[graft] def bitConsts(k: Int): (Long, Long, Long) = seedConsts(1000 + k)
+
+  /** ±1 vote of pre-hashed token `h` (with `h2 = h² mod P`) on bit k. */
+  private def bitVote(h: Column, h2: Column, k: Int): Column = {
+    val (a, b, c) = bitConsts(k)
+    when(pmod(lit(a) * h2 + lit(b) * h + lit(c), lit(HashP))
+      .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)
+  }
+
+  /** SimHash of the token stream, one HOF pass: per-token hash votes ±1
+    * on each bit, sign of the tally sets the bit. Tokens are pre-hashed
+    * ONCE so the per-bit lambda sees a bound variable — inlining the
+    * char-loop hash into it would recompute the hash once per bit per
+    * token. (API form; [[simhashAll]] is the columnar corpus-scale
+    * shape.) */
   def simhash(text: Column): Column = {
+    val as = typedLit((0 until SimhashBits).map(k => bitConsts(k)._1))
+    val bs = typedLit((0 until SimhashBits).map(k => bitConsts(k)._2))
+    val cs = typedLit((0 until SimhashBits).map(k => bitConsts(k)._3))
     val bitsOf: Column => Column = h =>
-      transform(sequence(lit(0), lit(63)),
-        k => when(call_function("shiftright", h, k).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1))
+      transform(sequence(lit(0), lit(SimhashBits - 1)),
+        k => when(pmod(element_at(as, k + 1) * pmod(h * h, lit(HashP))
+            + element_at(bs, k + 1) * h + element_at(cs, k + 1), lit(HashP))
+          .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
     val counters = aggregate(
-      transform(TextFunctions.tokens(text), t => xxhash64(t)),
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      transform(TextFunctions.tokens(text), t => TextFunctions.stringHash(t)),
+      transform(sequence(lit(0), lit(SimhashBits - 1)), _ => lit(0)),
       (acc, h) => zip_with(acc, bitsOf(h), _ + _))
     aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
+      zip_with(counters, sequence(lit(0), lit(SimhashBits - 1)),
         (c, k) => when(c > 0, call_function("shiftleft", lit(1L), k)).otherwise(lit(0L))),
       lit(0L), _ + _)
   }
@@ -125,13 +204,13 @@ object Dedup {
   def simhashAll(docs: DataFrame): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { k =>
-      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"c$k")
-    }
+      .select(col("doc_id"), TextFunctions.stringHash(col("t")).as("h"))
+      .select(col("doc_id"), col("h"), pmod(col("h") * col("h"), lit(HashP)).as("h2"))
+    val votes = (0 until SimhashBits).map(k =>
+      sum(bitVote(col("h"), col("h2"), k)).as(s"c$k"))
     val counters = hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     counters.select(col("doc_id"),
-      (0 until 64).map(k => when(col(s"c$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      (0 until SimhashBits).map(k => when(col(s"c$k") > 0, lit(1L << k)).otherwise(lit(0L)))
         .reduce(_ + _).as("sig"))
   }
 
