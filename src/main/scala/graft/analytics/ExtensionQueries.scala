@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * families themselves (dd02 minhash, dd03 simhash) use fully-portable
   * polynomial/quadratic hash arithmetic, so their oracles are EXACT
   * replicas — DuckDB rebuilds the identical signatures and candidate
-  * sets. Only the ANN candidate lists (ss02/ss03 — pinned via the ss04
-  * overlap invariant instead) and the stubbed media codec (mm02) stay
-  * rows-only, value-tested in ScalaTest against planted near-duplicates
+  * sets; the stub media codec's IEEE-pinned arithmetic gives mm02 the
+  * same treatment. Only the ANN candidate lists (ss02/ss03 — pinned via
+  * the ss04 overlap invariant instead) stay rows-only, value-tested in
+  * ScalaTest against planted near-duplicates
   * ([[Dedup.augmentWithNearDups]] plants pair (i, i+1000000)).
   */
 object ExtensionQueries {
@@ -636,15 +637,38 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY format""".stripMargin
 
-  /** Rows-only: stubbed codec features (see Multimodal.decodeStub).
-    * The feature vector is serialized to a rounded string — the driver's
-    * pandas harness cannot sort/hash array cells. */
+  /** mm02 — stubbed codec features (see Multimodal.decodeStub), now
+    * ORACLED: the stub's byte-fold arithmetic is fully specified (exact
+    * integer bin sums, one double divide narrowed to float), so DuckDB
+    * reproduces the identical float features from the text's ASCII
+    * bytes. Features serialize as 1e4-scaled INTEGERS pipe-joined into
+    * one string — integer formatting is engine-identical, where double
+    * formatting is not (Java flips to scientific notation), and the
+    * driver's pandas harness cannot sort/hash array cells. */
   private def mm02(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.mediaCorpus(documents(s, d)))
       .select(col("media_id"), col("format"), col("byte_len"),
         array_join(transform(col("features"),
-          x => round(x.cast("double"), 4).cast("string")), "|").as("features"))
+          x => floor(x.cast("double") * 10000 + 0.5).cast("long").cast("string")),
+          "|").as("features"))
       .orderBy(col("media_id"))
+
+  private val mm02Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CASE (ascii(substring(text, 1, 1)) % 3)
+      |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |    octet_length(encode(text)) AS byte_len
+      |  FROM documents)
+      |SELECT media_id, format, CAST(byte_len AS INTEGER) AS byte_len,
+      |  array_to_string(list_transform(range(0, 8), j ->
+      |    CAST(CAST(floor(CAST(CAST(
+      |      coalesce(list_sum(list_transform(list_filter(range(1, byte_len + 1),
+      |        i -> ((i - 1) % 8) = j), i -> CAST(ascii(text[i]) AS DOUBLE))), 0.0)
+      |      / greatest(CAST(byte_len AS DOUBLE), 1.0) AS FLOAT) AS DOUBLE)
+      |      * 10000 + 0.5) AS BIGINT) AS VARCHAR)), '|') AS features
+      |FROM m
+      |ORDER BY media_id""".stripMargin
 
   /** mm03 — frame sampling summary. The chunk arithmetic (ceil splits,
     * every-4th kept) is reproducible in SQL, so this one IS oracled. */
@@ -715,5 +739,6 @@ object ExtensionQueries {
     "ss01_cosine_topk" -> ss01Sql,
     "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,
+    "mm02_media_features" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql)
 }

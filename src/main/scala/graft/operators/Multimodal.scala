@@ -54,7 +54,13 @@ object Multimodal {
     * this container). Deterministic: folds byte values into `dim` bins
     * and normalizes by payload length. Replace with a real decoder to
     * productionize; the signature (bytes -> fixed-width float features)
-    * is the contract the pipeline depends on. */
+    * is the contract the pipeline depends on.
+    *
+    * Arithmetic is IEEE-pinned for the mm02 oracle: bin sums are exact
+    * integers (< 2^24, exact in float), the divide runs in DOUBLE and
+    * narrows to float — both steps any engine reproduces bit-for-bit
+    * (a float÷float divide would instead depend on engine promotion
+    * rules). */
   private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
@@ -62,9 +68,9 @@ object Multimodal {
       out(i % dim) += (payload(i) & 0xFF).toFloat
       i += 1
     }
-    val n = math.max(1, payload.length).toFloat
+    val n = math.max(1, payload.length).toDouble
     var j = 0
-    while (j < dim) { out(j) /= n; j += 1 }
+    while (j < dim) { out(j) = (out(j).toDouble / n).toFloat; j += 1 }
     out
   }
 
