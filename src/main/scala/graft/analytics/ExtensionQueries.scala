@@ -449,15 +449,14 @@ object ExtensionQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
-      |sh AS (SELECT doc_id,
-      |  list_transform(range(1, len(t) - 1),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS s
-      |  FROM tok),
-      |h AS (SELECT doc_id,
-      |  list_transform(s, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |th AS (SELECT doc_id,
+      |  list_transform(t, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(range(1, length(x)+1), i -> CAST(ascii(x[i]) AS BIGINT))),
-      |    (a, c) -> (a*31 + c) % 1000000007)) AS hs
-      |  FROM sh),
+      |    (a, c) -> (a*31 + c) % 1000000007)) AS ths
+      |  FROM tok),
+      |h AS (SELECT doc_id, list_transform(range(1, len(ths) - 1),
+      |    i -> ((((ths[i]*131 + ths[i+1]) % 1000000007) * 131) + ths[i+2]) % 1000000007) AS hs
+      |  FROM th WHERE len(ths) >= 3),
       |fp AS (SELECT DISTINCT doc_id,
       |  unnest(list_distinct(list_transform(range(1, greatest(len(hs) - 4, 0) + 2),
       |    i -> list_aggregate(hs[i:i+3], 'min')))) AS f

@@ -97,12 +97,22 @@ object TextFunctions {
       (a, c) => pmod(a * lit(base) + c.cast("long"), lit(FpPrime)))
 
   /** n-token shingles as `array<string>` (space-joined). Documents
-    * shorter than n shingle to empty. */
+    * shorter than n shingle to empty.
+    *
+    * Built as n-1 `zip_with` passes against shifted copies of the token
+    * array, NOT a per-window lambda: any expression referenced inside a
+    * HOF lambda body re-evaluates once per element, so the obvious
+    * `transform(…, i => slice(tokens(text), i+1, n))` re-runs the
+    * `split` once per window. Here `tokens(text)` appears only as HOF
+    * *arguments* (evaluated once per row); `zip_with` extends to the
+    * longer input with nulls, and the final slice keeps exactly the
+    * full-width windows. */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(0), size(ts) - lit(n)),
-        i => array_join(slice(ts, i + lit(1), lit(n)), " ")))
+    val joined = (1 until n).foldLeft(ts) { (acc, k) =>
+      zip_with(acc, slice(ts, lit(k + 1), size(ts)), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(ts) >= n, slice(joined, lit(1), size(ts) - n + 1))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 }

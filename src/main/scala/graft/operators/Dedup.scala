@@ -240,29 +240,44 @@ object Dedup {
     * the document-fingerprinting primitive for plagiarism/near-dup
     * detection over code and text.
     *
-    * Hashes use the fully-specified portable polynomial
-    * ([[TextFunctions.stringHash]]), so the result is engine-reproducible
-    * (DuckDB oracle on dd08). One row-local HOF chain per document →
-    * narrow map stage; output is (doc_id, fp) ready for an inverted-
-    * index join, where bucket sizes stay small because fingerprints are
-    * uniform hashes. */
+    * Hashes are fully-specified portable arithmetic — the base-31
+    * polynomial per token ([[TextFunctions.stringHash]]) combined per
+    * shingle with the base-131 roll — so the result is
+    * engine-reproducible (DuckDB oracle on dd08). Output is (doc_id, fp)
+    * ready for an inverted-index join, where bucket sizes stay small
+    * because fingerprints are uniform hashes. */
   def winnowedFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    // materialize the per-shingle hashes through an explode + aggregate
-    // BEFORE the sliding-window lambda: a computed array consumed inside
-    // `transform` is re-evaluated once PER WINDOW by the inlined lambda
-    // (CollapseProject can't see lambda counts — the same trap
-    // [[signatures]] documents; measured 322 s vs seconds on 5k docs)
-    val hashed = docs.select(col("doc_id"),
-        posexplode(TextFunctions.shingles(col("text"), k)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("s")).as("h"))
-    val arrays = hashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("h")))).as("ph"))
-      .select(col("doc_id"), transform(col("ph"), s => s.getField("h")).as("hashes"))
-    val mins = transform(
-      sequence(lit(0), greatest(size(col("hashes")) - w, lit(0))),
-      i => array_min(slice(col("hashes"), i + 1, lit(w))))
-    arrays.select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
-      .filter(col("fp").isNotNull)
+    import org.apache.spark.sql.expressions.Window
+    // Row-stream formulation: one portable char loop per TOKEN, shingle
+    // hashes as lead()-combines, window mins over rows — no per-shingle
+    // string building, no collect_list round trip, and no HOF sliding
+    // lambda (whose inlined-array re-evaluation cost 322 s on 5k docs in
+    // an earlier form). Both window passes share one doc_id-partitioned
+    // sort, so the whole pipeline is two keyed shuffles (windows +
+    // distinct).
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val whole = Window.partitionBy(col("doc_id"))
+    val tokHashed = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
+    // shingle hash at pos = rolling base-131 combine of th .. th+k-1
+    val combined = (1 until k).foldLeft(col("th")) { (acc, j) =>
+      pmod(acc * lit(131L) + lead(col("th"), j).over(byDoc), lit(HashP))
+    }
+    val sh = tokHashed
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("h", combined)
+      .filter(col("pos") <= col("n") - k) // only full k-token windows
+    // winnow: min of each w-wide run of shingle hashes (shingle index ==
+    // pos — positions are 0-based contiguous after the filter); shorter
+    // trailing runs contribute only via the run starting at their head,
+    // matching the slice semantics of the array formulation
+    val minW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    sh.withColumn("nsh", count(lit(1)).over(whole))
+      .withColumn("fp", min(col("h")).over(minW))
+      .filter(col("pos") <= greatest(col("nsh") - w, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
   }
 
   /** Near-dup pairs by shared winnowed fingerprints: inverted-index
