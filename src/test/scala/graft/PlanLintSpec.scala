@@ -73,4 +73,29 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("tx09: repetition signals are two-phase hash aggs over a pruned scan") {
+    val p = plan("tx09_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"expected map-side partial aggregation\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan should read only doc_id+text\n$p")
+  }
+
+  test("dd09: segment dedup joins on the segment equi key, no cartesian") {
+    val p = plan("dd09_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan should read only doc_id+text\n$p")
+  }
+
+  test("dd06: near-dup confirm dedups narrow pairs before re-joining embeddings") {
+    val p = plan("dd06_embedding_cosine_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate dedup must run on (vec_a, vec_b) alone — an
+    // embedding column inside the dedup keys means the wide rows are
+    // being shuffled per band collision again
+    val dedupLine = p.linesIterator.find(l => l.contains("Keys") && l.contains("vec_a")).getOrElse("")
+    assert(!dedupLine.contains("embedding"), s"dedup keys carry embeddings\n$dedupLine")
+  }
 }
