@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * polynomial/quadratic hash arithmetic, so their oracles are EXACT
   * replicas — DuckDB rebuilds the identical signatures and candidate
   * sets; the stub media codec's IEEE-pinned arithmetic gives mm02 the
-  * same treatment. Only the ANN candidate lists (ss02/ss03 — pinned via
-  * the ss04 overlap invariant instead) stay rows-only, value-tested in
-  * ScalaTest against planted near-duplicates
-  * ([[Dedup.augmentWithNearDups]] plants pair (i, i+1000000)).
+  * same treatment, and ss02's seeded hyperplanes are interpolated into
+  * its oracle as roundtrip double literals. Only ss03 stays rows-only —
+  * its k-means codebook averages cell members in shuffle-partition
+  * order, which an oracle cannot replay bit-for-bit — pinned via the
+  * ss04 overlap invariant and value-tested in ScalaTest against planted
+  * near-duplicates ([[Dedup.augmentWithNearDups]] plants (i, i+1000000)).
   */
 object ExtensionQueries {
 
@@ -585,6 +587,49 @@ object ExtensionQueries {
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
+  /** ss02 oracle — exact replica of hyperplane-LSH top-k: the seeded
+    * Gaussian planes are INTERPOLATED into the SQL (first 64 components
+    * of each 1024-wide plane — the corpus dim; shortest-roundtrip
+    * double literals parse back bit-identically), signatures/bands are
+    * integer arithmetic, and the exact rescoring reuses the proven ss01
+    * dot-product pattern. Per-element `coalesce(x*p, 0)` mirrors the
+    * Spark signature's null-padding, so the oracle stays correct for
+    * any corpus dim <= 64 and would need wider literals only beyond
+    * that. */
+  private val ss02Sql: String = {
+    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+      .zipWithIndex.map { case (pl, p) =>
+        s"($p, [${pl.take(64).mkString(", ")}])"
+      }.mkString(",\n  ")
+    s"""WITH planes(p, pl) AS (VALUES
+       |  $planeRows),
+       |dots AS (SELECT e.vec_id, pls.p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
+       |  FROM embeddings e CROSS JOIN planes pls),
+       |sigs AS (SELECT vec_id,
+       |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM dots GROUP BY vec_id),
+       |bands AS (SELECT vec_id,
+       |    unnest(list_transform(range(0, 4), b -> {'band': b,
+       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |  FROM sigs),
+       |qb AS (SELECT u.band AS band, u.bits AS bits FROM bands WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT b.vec_id
+       |  FROM bands b JOIN qb ON b.u.band = qb.band AND b.u.bits = qb.bits),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  round(
+       |    list_sum(list_transform(list_zip(e.embedding, q.qe),
+       |             s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       |FROM embeddings e JOIN cand USING (vec_id), q
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** Rows-only: IVF cell-probed ANN with a one-round spherical-k-means
     * codebook (recall vs brute force pinned in SimilaritySpec). */
   private def ss03(s: SparkSession, d: String): DataFrame =
@@ -736,6 +781,7 @@ object ExtensionQueries {
     "dd08_winnowing" -> dd08Sql,
     "dd09_segment_dedup" -> dd09Sql,
     "ss01_cosine_topk" -> ss01Sql,
+    "ss02_lsh_ann" -> ss02Sql,
     "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
