@@ -69,6 +69,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(deduped.count() < total)
   }
 
+  test("minhashSignature (row-local API) matches the columnar signatures") {
+    import org.apache.spark.sql.functions.col
+    val docs = aug.limit(50)
+    val rowLocal = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 8, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val columnar = Dedup.signatures(docs, 8, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowLocal === columnar)
+  }
+
   test("segmentDedupStats: planted copies lose their repeated spans, originals keep all") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
