@@ -714,6 +714,34 @@ object ExtensionQueries {
       |FROM m
       |ORDER BY media_id""".stripMargin
 
+  /** mm04 — deterministic stride resize: payload downsampled to ≤16
+    * bytes via integer-division stride sampling, emitted as a string
+    * (payloads are the documents' ASCII bytes, so byte == char and the
+    * oracle rebuilds the same sample with substring arithmetic). Covers
+    * the bounded-output resize contract in CORRECTNESS, not just specs. */
+  private def mm04(s: SparkSession, d: String): DataFrame =
+    Multimodal.resize(Multimodal.mediaCorpus(documents(s, d)))
+      .select(col("media_id"), col("format"),
+        length(col("resized")).as("resized_len"),
+        col("resized").cast("string").as("resized_str"))
+      .orderBy(col("media_id"))
+
+  private val mm04Sql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CASE (ascii(substring(text, 1, 1)) % 3)
+      |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |    length(text) AS n
+      |  FROM documents)
+      |SELECT media_id, format,
+      |  CAST(CASE WHEN n <= 16 THEN n ELSE 16 END AS INTEGER) AS resized_len,
+      |  CASE WHEN n <= 16 THEN text
+      |       ELSE list_aggr(list_transform(range(0, 16),
+      |         i -> substring(text, CAST((i*n) // 16 AS INT) + 1, 1)), 'string_agg', '')
+      |  END AS resized_str
+      |FROM m
+      |ORDER BY media_id""".stripMargin
+
   /** mm03 — frame sampling summary. The chunk arithmetic (ceil splits,
     * every-4th kept) is reproducible in SQL, so this one IS oracled. */
   private def mm03(s: SparkSession, d: String): DataFrame =
@@ -759,7 +787,8 @@ object ExtensionQueries {
     "ss04_ann_recall" -> (ss04 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
-    "mm03_frame_sample" -> (mm03 _))
+    "mm03_frame_sample" -> (mm03 _),
+    "mm04_resize" -> (mm04 _))
 
   val oracle: Map[String, String] = Map(
     "tx01_token_stats" -> tx01Sql,
@@ -785,5 +814,6 @@ object ExtensionQueries {
     "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
-    "mm03_frame_sample" -> mm03Sql)
+    "mm03_frame_sample" -> mm03Sql,
+    "mm04_resize" -> mm04Sql)
 }
