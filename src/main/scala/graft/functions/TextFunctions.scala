@@ -85,16 +85,11 @@ object TextFunctions {
     * winnowing fingerprints ([[graft.operators.Dedup.winnowedFingerprints]]),
     * and the MinHash/SimHash families (which need a hash any engine can
     * reproduce — the point of making dedup oracle-checkable). */
-  def stringHash(t: Column): Column = stringHashBase(t, 31L)
-
-  /** [[stringHash]] with a caller-chosen polynomial base — two coprime
-    * bases give two independent-enough 30-bit hashes (SimHash packs
-    * them into one 60-bit pattern). */
-  def stringHashBase(t: Column, base: Long): Column =
+  def stringHash(t: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
       lit(0L),
-      (a, c) => pmod(a * lit(base) + c.cast("long"), lit(FpPrime)))
+      (a, c) => pmod(a * lit(31L) + c.cast("long"), lit(FpPrime)))
 
   /** n-token shingles as `array<string>` (space-joined). Documents
     * shorter than n shingle to empty.

@@ -57,6 +57,8 @@ object MergeInto {
     */
   def upsertPartitioned(spark: SparkSession, targetDir: String, updates: DataFrame,
                         key: String, partCol: String): Unit = {
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, targetDir)
     val target = spark.read.parquet(targetDir)
     val cols = target.columns
     require(updates.columns.sorted.sameElements(cols.sorted),
@@ -113,7 +115,6 @@ object MergeInto {
     val staging = new Path(targetDir + ".staging")
     val backup = new Path(targetDir + ".backup")
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(staging.toString)
-    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(backup)) fs.delete(backup, true)
     fs.mkdirs(backup)
     val movedOut = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -121,27 +122,59 @@ object MergeInto {
       touched.foreach { v =>
         val sub = s"$partCol=$v"
         val tp = new Path(targetDir, sub)
-        if (fs.exists(tp)) { fs.rename(tp, new Path(backup, sub)); movedOut += sub }
+        if (fs.exists(tp)) { mustRename(fs, tp, new Path(backup, sub)); movedOut += sub }
       }
       touched.foreach { v =>
         val sub = s"$partCol=$v"
         val sp = new Path(staging, sub)
-        if (fs.exists(sp)) fs.rename(sp, new Path(targetDir, sub))
+        if (fs.exists(sp)) mustRename(fs, sp, new Path(targetDir, sub))
       }
     } catch {
       case e: Throwable =>
-        movedOut.foreach { sub =>
-          val tp = new Path(targetDir, sub)
-          if (fs.exists(tp)) fs.delete(tp, true) // half-swapped staged copy
-          fs.rename(new Path(backup, sub), tp)
-        }
-        fs.delete(staging, true)
-        fs.delete(backup, true)
+        // best-effort rollback; if IT fails too, keep .backup on disk —
+        // the next upsertPartitioned's recovery pass restores from it
+        try {
+          movedOut.foreach { sub =>
+            val tp = new Path(targetDir, sub)
+            if (fs.exists(tp)) fs.delete(tp, true) // half-swapped staged copy
+            mustRename(fs, new Path(backup, sub), tp)
+          }
+          fs.delete(staging, true)
+          fs.delete(backup, true)
+        } catch { case r: Throwable => e.addSuppressed(r) }
         throw e
     }
     fs.delete(backup, true)
     fs.delete(staging, true)
   }
+
+  /** If a previous partitioned upsert died mid-swap, `<target>.backup`
+    * still holds partitions that were moved out of the target. Before
+    * reading the target, restore every backup partition whose target
+    * directory is missing (its staged replacement never landed) and
+    * discard the rest (their replacement DID land — the backup copy is
+    * the stale one), then clear the leftover swap dirs. Without this, a
+    * rerun would read an incomplete target AND delete the only copy of
+    * the moved-out rows when it cleared `.backup` for its own swap. */
+  private def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     targetDir: String): Unit = {
+    val backup = new Path(targetDir + ".backup")
+    if (fs.exists(backup)) {
+      fs.listStatus(backup).foreach { st =>
+        val tp = new Path(targetDir, st.getPath.getName)
+        if (!fs.exists(tp)) mustRename(fs, st.getPath, tp)
+      }
+      fs.delete(backup, true)
+    }
+    fs.delete(new Path(targetDir + ".staging"), true)
+  }
+
+  /** Hadoop `FileSystem.rename` reports most failures by returning
+    * false, not throwing — every swap step must check it or the
+    * exception-driven rollback silently never fires. */
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+                         src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst), s"filesystem rename failed: $src -> $dst")
 
   /** Casts every column of `updates` to the target's column type —
     * update frames routinely carry wider/narrower literals (and the
@@ -168,8 +201,8 @@ object MergeInto {
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tp = new Path(targetDir); val sp = new Path(staging); val op = new Path(old)
     if (fs.exists(op)) fs.delete(op, true)
-    if (fs.exists(tp)) fs.rename(tp, op)
-    fs.rename(sp, tp)
+    if (fs.exists(tp)) mustRename(fs, tp, op)
+    mustRename(fs, sp, tp)
     fs.delete(op, true)
   }
 }

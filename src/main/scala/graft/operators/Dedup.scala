@@ -381,12 +381,17 @@ object Dedup {
     * 1e6 segments — `width` tokens × 1e6 ≫ any real document).
     * Returns (doc_id, n_segments, n_kept, n_dropped). */
   def segmentDedupStats(docs: DataFrame, width: Int = 10): DataFrame = {
-    val ts = TextFunctions.tokens(col("text"))
-    val nSegs = ceil(size(ts) / lit(width.toDouble)).cast("long")
+    // assemble segments columnar — explode tokens once, group by
+    // (doc, pos div width), join in position order. A per-window
+    // `slice(tokens(text), …)` lambda would re-run the tokenizer once
+    // per segment (the documented HOF re-evaluation trap): harmless on
+    // 300-char fixtures, quadratic on real web documents
     val segs = docs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0L), greatest(nSegs - 1, lit(0L))),
-        i => array_join(slice(ts, (i * width).cast("int") + 1, lit(width)), " ")))
-        .as(Seq("seg_idx", "seg")))
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .groupBy(col("doc_id"), floor(col("pos") / width).cast("long").as("seg_idx"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        s => s.getField("t")), " ").as("seg"))
     val keyed = segs.select(col("doc_id"), col("seg"),
       (col("doc_id") * 1000000L + col("seg_idx")).as("k"))
     val firsts = keyed.groupBy(col("seg")).agg(min(col("k")).as("fk"))

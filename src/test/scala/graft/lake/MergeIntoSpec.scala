@@ -127,6 +127,28 @@ class MergeIntoSpec extends AnyFunSuite with SparkTestSession {
     assert(!Files.exists(java.nio.file.Paths.get(dir + ".backup")))
   }
 
+  test("upsertPartitioned recovers a crash-interrupted swap before merging") {
+    import spark.implicits._
+    val dir = freshPartitionedTable()
+    // simulate a crash between move-out and move-in: p1 lives only in
+    // .backup, p3's replacement already landed (backup copy is stale)
+    val root = java.nio.file.Paths.get(dir)
+    val backup = java.nio.file.Paths.get(dir + ".backup")
+    Files.createDirectories(backup)
+    Files.move(root.resolve("part=p1"), backup.resolve("part=p1"))
+    Files.createDirectories(backup.resolve("part=p3"))
+    Files.write(backup.resolve("part=p3").resolve("stale.parquet"), Array[Byte]())
+    val updates = Seq((3L, "c2", "p2")).toDF("id", "name", "part")
+    MergeInto.upsertPartitioned(spark, dir, updates, "id", "part")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
+    // p1's rows (ids 1, 2) came back from the backup before the merge ran
+    assert(got === Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c2", "p2"), (4L, "d", "p3")))
+    assert(!Files.exists(backup), "recovery must clear the backup dir")
+    // p3 kept its live copy, not the stale backup one
+    assert(!Files.exists(root.resolve("part=p3").resolve("stale.parquet")))
+  }
+
   test("upsertPartitioned handles a row moving between partitions") {
     import spark.implicits._
     val dir = freshPartitionedTable()

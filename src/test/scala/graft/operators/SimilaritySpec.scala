@@ -91,8 +91,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val e = intercept[Exception](Similarity.lshTopK(wide, 0L, 2).collect())
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("MaxPlaneDim")),
-      s"expected a MaxPlaneDim guard error, got: $e")
+    // match the guard's RUNTIME message, not just the token "MaxPlaneDim"
+    // (an AnalysisException quoting the guard expression would contain
+    // that token too, and would mean the guard itself is broken)
+    assert(msgs(e).exists(m => m != null && m.contains("exceeds MaxPlaneDim")),
+      s"expected the raise_error guard message, got: $e")
+    // and vectors at exactly the plane width still hash fine
+    import spark.implicits._
+    val ok = Seq((0L, Array.fill(Similarity.MaxPlaneDim)(0.5f)),
+                 (1L, Array.fill(Similarity.MaxPlaneDim)(0.25f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.lshTopK(ok, 0L, 2).collect().nonEmpty)
   }
 
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
