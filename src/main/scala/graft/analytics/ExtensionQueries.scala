@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -271,6 +271,61 @@ object ExtensionQueries {
       |  floor((max(n)/CAST(sum(n) AS DOUBLE)) * 1000000.0 + 0.5)/1000000.0 AS top_frac
       |FROM cnt GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** sp01 — deterministic stratified sampling toward a target language
+    * mix ([[Sampling.stratifiedSample]]): keep a per-lang hash-bucket
+    * fraction of documents. Membership is a pure function of doc_id
+    * (portable hash), so the oracle recomputes the EXACT sample — the
+    * reproducibility property `sample()`-style randomness cannot give a
+    * resumable training pipeline. */
+  private def sp01(s: SparkSession, d: String): DataFrame = {
+    val mix = Map("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.75, "zh" -> 0.1)
+    Sampling.stratifiedSample(documents(s, d), "doc_id", "lang", mix)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  /** Shared bucket CTE for the sp-family oracles: portable id-string
+    * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
+  private def spBucketCte: String = {
+    val (a, b, c) = Sampling.MixConsts
+    s"""b AS (SELECT doc_id, lang,
+       |  (($a*((h*h) % 1000000007) + $b*h + $c) % 1000000007) % 10000 AS bucket
+       |  FROM (SELECT doc_id, lang,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+       |        i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i]) AS BIGINT))),
+       |      (a, c) -> (a*31 + c) % 1000000007) AS h
+       |    FROM documents))""".stripMargin
+  }
+
+  private val sp01Sql =
+    s"""WITH $spBucketCte,
+      |kept AS (SELECT doc_id, lang FROM b
+      |  WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+      |    WHEN 'es' THEN 2500 WHEN 'fr' THEN 7500 WHEN 'zh' THEN 1000
+      |    ELSE 0 END)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM kept GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** sp02 — train/val/test assignment by hash range
+    * ([[Sampling.assignSplit]]): per-(split, lang) counts. Same
+    * portable-hash determinism as sp01. */
+  private def sp02(s: SparkSession, d: String): DataFrame =
+    Sampling.assignSplit(documents(s, d), "doc_id")
+      .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+
+  private val sp02Sql =
+    s"""WITH $spBucketCte
+      |SELECT CASE WHEN bucket < 500 THEN 'val'
+      |            WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split,
+      |  lang, CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
 
   // ---------------- deduplication ----------------
 
@@ -772,6 +827,8 @@ object ExtensionQueries {
     "tx07_bigram_logprob" -> (tx07 _),
     "tx08_tfidf" -> (tx08 _),
     "tx09_repetition" -> (tx09 _),
+    "sp01_stratified_sample" -> (sp01 _),
+    "sp02_split_assign" -> (sp02 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
     "dd03_simhash" -> (dd03 _),
@@ -800,6 +857,8 @@ object ExtensionQueries {
     "tx07_bigram_logprob" -> tx07Sql,
     "tx08_tfidf" -> tx08Sql,
     "tx09_repetition" -> tx09Sql,
+    "sp01_stratified_sample" -> sp01Sql,
+    "sp02_split_assign" -> sp02Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
     "dd03_simhash" -> dd03Sql,

@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * chunk-bucketed Hamming candidates, exact n-gram Jaccard.
   *
   * Scale design: every stage is a narrow map or a key-partitioned
-  * shuffle (doc_id, (band, key), shingle). Nothing ever materializes the
-  * O(n²) pair space — candidate pairs only surface through bucket
-  * collisions, which is the entire point of LSH at 100 TB. Signatures are
-  * built with higher-order functions (one pass per document, no
-  * cross-join against a seed table).
+  * shuffle (doc_id, (band, key), token hash). Nothing ever materializes
+  * the O(n²) pair space — candidate pairs only surface through bucket
+  * collisions, which is the entire point of LSH at 100 TB. Signatures
+  * hash each token exactly once (columnar explode + min-aggregate; the
+  * per-seed transforms are cheap quadratic column math, no cross-join
+  * against a seed table), and every hash is fully-specified portable
+  * arithmetic so the DuckDB oracles replay them exactly.
   */
 object Dedup {
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything keys off a portable content-independent hash of the
+  * document id ([[TextFunctions.stringHash]] of its decimal string, the
+  * same fully-specified arithmetic the dedup oracles replay), NOT a
+  * random generator: rates are exact filters over hash buckets, so
+  *  - the same row lands in the same sample/split on every run, every
+  *    engine, every cluster layout (Spark's `sample`/`sampleBy` are
+  *    partition-layout-dependent and unreproducible after a repartition);
+  *  - downstream joins against a sample are stable across reruns —
+  *    the property training pipelines need for resumable jobs;
+  *  - a DuckDB oracle recomputes membership exactly (sp01/sp02).
+  *
+  * Scale shape: one narrow hash + filter per row — no shuffle at all
+  * for sampling; splitting adds a metadata-scale aggregate only when
+  * counts are requested.
+  */
+object Sampling {
+
+  /** Number of hash buckets rates are quantized to (rate resolution
+    * 1/10000 = 0.01%). */
+  val Buckets = 10000
+
+  private val P = 1000000007L
+
+  /** Quadratic-mix constants (seed 2000 of the shared splitmix-derived
+    * family — disjoint from the minhash seeds 0..n and simhash seeds
+    * 1000+k). Exposed so the sp01/sp02 oracles interpolate the exact
+    * same literals. */
+  private[graft] val MixConsts: (Long, Long, Long) = Dedup.seedConsts(2000)
+
+  /** Uniform bucket in [0, Buckets) for a row id. The raw polynomial
+    * hash of a SHORT decimal string is badly non-uniform modulo the
+    * bucket count (3-digit ids land in one narrow hash range — measured
+    * 60% survival at rate 0.3), so it goes through the same quadratic
+    * mixing transform the minhash family uses before bucketing. */
+  def bucketOf(id: Column): Column = {
+    val (a, b, c) = MixConsts
+    val h = TextFunctions.stringHash(id.cast("string"))
+    pmod(pmod(lit(a) * pmod(h * h, lit(P)) + lit(b) * h + lit(c), lit(P)),
+      lit(Buckets.toLong))
+  }
+
+  /** Keep each row whose id-bucket falls under `rate` (quantized to
+    * 1/Buckets). Deterministic: the same ids survive every run. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(bucketOf(col(idCol)) < math.round(rate * Buckets))
+  }
+
+  /** Per-stratum rates (e.g. a target language mix): keep a row when
+    * its id-bucket falls under its stratum's rate; strata absent from
+    * `rates` are dropped. The rates map is tiny and becomes a literal
+    * CASE expression — no join, still a narrow map. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), s"rates must be in [0,1]: $rates")
+    val cut = rates.foldLeft(lit(0L)) { case (els, (stratum, rate)) =>
+      when(col(stratumCol) === stratum, lit(math.round(rate * Buckets))).otherwise(els)
+    }
+    df.filter(bucketOf(col(idCol)) < cut)
+  }
+
+  /** Train/val/test assignment by hash range: val gets the first
+    * `valPct` buckets, test the next `testPct`, train the rest. Adds a
+    * `split` column; membership is a pure function of the id. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  valPct: Double = 0.05, testPct: Double = 0.05): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 1,
+      s"invalid split percentages: val=$valPct test=$testPct")
+    val b = bucketOf(col(idCol))
+    val valCut = math.round(valPct * Buckets)
+    val testCut = valCut + math.round(testPct * Buckets)
+    df.withColumn("split",
+      when(b < valCut, lit("val"))
+        .when(b < testCut, lit("test"))
+        .otherwise(lit("train")))
+  }
+}
