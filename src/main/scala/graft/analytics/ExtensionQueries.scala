@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -326,6 +326,60 @@ object ExtensionQueries {
       |  lang, CAST(count(*) AS BIGINT) AS n
       |FROM b GROUP BY 1, 2
       |ORDER BY split, lang""".stripMargin
+
+  /** sp03 — sequence packing ([[Packing.assignBins]]): documents
+    * concatenated in id order per language and chopped into 2000-token
+    * bins; per-bin doc counts and token totals. Deterministic shard
+    * layout, exactly replayed by the oracle's window cumsum. */
+  private def sp03(s: SparkSession, d: String): DataFrame =
+    Packing.assignBins(documents(s, d), "doc_id", "text", "lang", 2000L)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_total"),
+        min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+      .orderBy(col("lang"), col("bin"))
+
+  private val sp03Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT lang, doc_id, n_tokens,
+      |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      |  FROM t)
+      |SELECT lang, CAST(floor(tok_start / 2000.0) AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM c GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
+  /** dc01 — benchmark decontamination ([[Decontaminate.overlaps]]): the
+    * deterministic 5% hash-bucket sample plays the held-out benchmark;
+    * every other document is scored by how many distinct 4-gram
+    * shingles it shares with that set. 4-grams (not 3) because the
+    * synthetic corpus's small vocabulary makes trigram collisions
+    * ubiquitous — the same reason real decontamination uses 8-13-grams. */
+  private def dc01(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalCut = lit(500L) // 5% of Sampling.Buckets
+    val bucket = Sampling.bucketOf(col("doc_id"))
+    Decontaminate.overlaps(
+      docs.filter(bucket >= evalCut), docs.filter(bucket < evalCut),
+      "doc_id", "text", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  private val dc01Sql =
+    s"""WITH $spBucketCte,
+      |sh AS (SELECT d.doc_id, b.bucket,
+      |  list_distinct(list_transform(range(1, len(string_split(text,' ')) - 2),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+      |         string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3])) AS s
+      |  FROM documents d JOIN b USING (doc_id)),
+      |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE bucket < 500),
+      |co AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE bucket >= 500)
+      |SELECT co.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM co JOIN ev USING (shingle)
+      |GROUP BY co.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   // ---------------- deduplication ----------------
 
@@ -829,6 +883,8 @@ object ExtensionQueries {
     "tx09_repetition" -> (tx09 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
+    "sp03_pack_sequences" -> (sp03 _),
+    "dc01_decontaminate" -> (dc01 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
     "dd03_simhash" -> (dd03 _),
@@ -859,6 +915,8 @@ object ExtensionQueries {
     "tx09_repetition" -> tx09Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,
+    "sp03_pack_sequences" -> sp03Sql,
+    "dc01_decontaminate" -> dc01Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
     "dd03_simhash" -> dd03Sql,
