@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   * replicas — DuckDB rebuilds the identical signatures and candidate
   * sets; the stub media codec's IEEE-pinned arithmetic gives mm02 the
   * same treatment, and ss02's seeded hyperplanes are interpolated into
-  * its oracle as roundtrip double literals. Only ss03 stays rows-only —
-  * its k-means codebook averages cell members in shuffle-partition
-  * order, which an oracle cannot replay bit-for-bit — pinned via the
-  * ss04 overlap invariant and value-tested in ScalaTest against planted
-  * near-duplicates ([[Dedup.augmentWithNearDups]] plants (i, i+1000000)).
+  * its oracle as roundtrip double literals. ss03's whole IVF pipeline —
+  * portable-hash seed selection, one Lloyd round with an order-
+  * deterministic sorted-fold mean, cell probe, exact rescore — is
+  * likewise replayed exactly in SQL (the codebook became oracle-able
+  * once the mean stopped depending on shuffle order).
   */
 object ExtensionQueries {
 
@@ -739,10 +739,76 @@ object ExtensionQueries {
        |LIMIT 10""".stripMargin
   }
 
-  /** Rows-only: IVF cell-probed ANN with a one-round spherical-k-means
-    * codebook (recall vs brute force pinned in SimilaritySpec). */
+  /** ss03 — IVF cell-probed ANN with a one-round spherical-k-means
+    * codebook (recall vs brute force pinned in SimilaritySpec). Oracled:
+    * every stage is portable arithmetic (see [[ss03Sql]]). */
   private def ss03(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10, kmeansIters = 1)
+
+  /** ss03 oracle — exact replica of the full IVF pipeline in DuckDB SQL:
+    *  1. seed selection: order by the interpolated portable quadratic
+    *     hash of vec_id (same splitmix-derived family as dd02), take 16;
+    *  2. one Lloyd round: assign every vector to its nearest seed by
+    *     cosine (`dot/sqrt(nx*ny)`, the exact [[graft.functions.CosineSimilarity]]
+    *     arithmetic — note sqrt of the PRODUCT, matching the fused loop),
+    *     then per-(cell, position) mean as `list_sum(list_sort(list(v)))
+    *     / count(*)` — the same ascending-order fold the Spark side now
+    *     uses, so the codebook is bit-identical; means narrow to FLOAT
+    *     exactly like the Spark `.cast("float")`;
+    *  3. probe: re-assign the corpus to the new codebook, take the
+    *     query's 4 nearest cells, exact-rescore members, top-10.
+    * Ties in assignment break on centroid_id in both engines. */
+  private val ss03Sql: String = {
+    val (sa, sb, sc) = Similarity.SeedSelConsts
+    val cos = (e: String, c: String) =>
+      s"""CASE WHEN list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
+         |      OR list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
+         |    THEN 0.0
+         |    ELSE list_sum(list_transform(list_zip($e, $c),
+         |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+         |      / sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+         |           * list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         |    END""".stripMargin
+    s"""WITH hp AS (
+       |  SELECT vec_id, embedding,
+       |    ($sa * (((vec_id % 1000000007) * (vec_id % 1000000007)) % 1000000007)
+       |     + $sb * (vec_id % 1000000007) + $sc) % 1000000007 AS h
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS centroid_id, embedding AS centroid
+       |  FROM hp ORDER BY h, vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT e.vec_id, e.embedding, s.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "s.centroid")} DESC, s.centroid_id) AS rk
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |asg0 AS (SELECT vec_id, embedding, centroid_id FROM a0 WHERE rk = 1),
+       |mexp AS (
+       |  SELECT centroid_id, unnest(range(0, len(embedding))) AS pos, embedding
+       |  FROM asg0),
+       |mv AS (
+       |  SELECT centroid_id, pos,
+       |    CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS v
+       |  FROM mexp),
+       |means AS (
+       |  SELECT centroid_id, pos, list_sum(list_sort(list(v))) / count(*) AS m
+       |  FROM mv GROUP BY centroid_id, pos),
+       |cents AS (
+       |  SELECT centroid_id, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid
+       |  FROM means GROUP BY centroid_id),
+       |a1 AS (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rk
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg1 AS (SELECT vec_id, embedding, centroid_id FROM a1 WHERE rk = 1),
+       |qprobe AS (SELECT centroid_id FROM a1 WHERE vec_id = 0 AND rk <= 4),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT a.vec_id, round(${cos("a.embedding", "q.qe")}, 6) AS cos
+       |FROM asg1 a JOIN qprobe USING (centroid_id), q
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
 
   /** ss04 — ANN-vs-exact overlap as driver-checkable rows. The checkable
     * invariant must hold for ANY corpus (embedding values differ per sf
@@ -928,6 +994,7 @@ object ExtensionQueries {
     "dd09_segment_dedup" -> dd09Sql,
     "ss01_cosine_topk" -> ss01Sql,
     "ss02_lsh_ann" -> ss02Sql,
+    "ss03_ivf_ann" -> ss03Sql,
     "ss04_ann_recall" -> ss04Sql,
     "mm01_media_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,

@@ -117,11 +117,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Seed-selection hash constants — the same splitmix-derived portable
+    * quadratic family as [[Dedup.seedConsts]] (seed 2000, disjoint from
+    * the minhash and simhash seed ranges), exposed so the ss03 oracle
+    * SQL embeds the identical literals. */
+  private[graft] val SeedP = 1000000007L
+  private[graft] val SeedSelConsts: (Long, Long, Long) = Dedup.seedConsts(2000)
+
+  /** Portable order hash of a numeric id: `(A·(x² mod P) + B·x + C) mod P`
+    * with x = id mod P — pure 62-bit-safe integer arithmetic a DuckDB
+    * oracle replays exactly (xxhash64 was dropped for the same reason as
+    * in dd02: not reproducible outside the JVM). */
+  private def seedOrderHash(id: Column): Column = {
+    val (a, b, c) = SeedSelConsts
+    val x = pmod(id, lit(SeedP))
+    pmod(lit(a) * pmod(x * x, lit(SeedP)) + lit(b) * x + lit(c), lit(SeedP))
+  }
+
   /** Deterministic hash-ordered sample of the corpus — the k-means seed
     * (and the whole codebook when `kmeansIters` = 0). */
   private def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame =
     corpus
-      .orderBy(pmod(xxhash64(col("vec_id").cast("string")), lit(1000000007L)), col("vec_id"))
+      .orderBy(seedOrderHash(col("vec_id")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
@@ -146,7 +163,14 @@ object Similarity {
     * one broadcast-join assignment pass plus two keyed aggregations over
     * (cell, position) — no driver-side vectors, codebook stays
     * `nCells` rows. Cells that end a round empty drop out (standard
-    * k-means dropout; the probe logic is count-agnostic). */
+    * k-means dropout; the probe logic is count-agnostic).
+    *
+    * The per-cell mean is an ORDER-DETERMINISTIC sorted fold (sum the
+    * values ascending, divide by the count) rather than `avg()`:
+    * floating-point addition isn't associative, so a shuffle-order `avg`
+    * gives a codebook that differs in the last ulp between runs/engines —
+    * the sorted fold makes the codebook bit-stable, which is what lets
+    * the ss03 DuckDB oracle replay the whole Lloyd round exactly. */
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 0): DataFrame = {
     var cent = seedCentroids(corpus, nCells)
     for (_ <- 1 to iters) {
@@ -155,7 +179,8 @@ object Similarity {
       cent = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
+          lit(0.0), _ + _) / count(lit(1)).cast("double")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
