@@ -751,10 +751,11 @@ object ExtensionQueries {
     *  2. one Lloyd round: assign every vector to its nearest seed by
     *     cosine (`dot/sqrt(nx*ny)`, the exact [[graft.functions.CosineSimilarity]]
     *     arithmetic — note sqrt of the PRODUCT, matching the fused loop),
-    *     then per-(cell, position) mean as `list_sum(list_sort(list(v)))
-    *     / count(*)` — the same ascending-order fold the Spark side now
-    *     uses, so the codebook is bit-identical; means narrow to FLOAT
-    *     exactly like the Spark `.cast("float")`;
+    *     then the per-(cell, position) FIXED-POINT mean: values scale by
+    *     2^24, round to integers, sum exactly (HUGEINT here,
+    *     decimal(38,0) in Spark — integer addition is associative, so
+    *     neither engine's aggregation order matters), divide back down;
+    *     means narrow to FLOAT exactly like the Spark `.cast("float")`;
     *  3. probe: re-assign the corpus to the new codebook, take the
     *     query's 4 nearest cells, exact-rescore members, top-10.
     * Ties in assignment break on centroid_id in both engines. */
@@ -769,10 +770,15 @@ object ExtensionQueries {
          |      / sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
          |           * list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
          |    END""".stripMargin
+    // NOTE the doubled modulo: Spark's pmod is always non-negative while
+    // DuckDB's % is sign-preserving, so the SQL mirrors pmod explicitly —
+    // seed selection stays aligned even for a fixture with negative ids
     s"""WITH hp AS (
        |  SELECT vec_id, embedding,
-       |    ($sa * (((vec_id % 1000000007) * (vec_id % 1000000007)) % 1000000007)
-       |     + $sb * (vec_id % 1000000007) + $sc) % 1000000007 AS h
+       |    ((($sa * (((((vec_id % 1000000007) + 1000000007) % 1000000007)
+       |              * (((vec_id % 1000000007) + 1000000007) % 1000000007)) % 1000000007)
+       |     + $sb * (((vec_id % 1000000007) + 1000000007) % 1000000007)
+       |     + $sc) % 1000000007) + 1000000007) % 1000000007 AS h
        |  FROM embeddings),
        |seeds AS (
        |  SELECT vec_id AS centroid_id, embedding AS centroid
@@ -791,7 +797,9 @@ object ExtensionQueries {
        |    CAST(embedding[CAST(pos AS INT) + 1] AS DOUBLE) AS v
        |  FROM mexp),
        |means AS (
-       |  SELECT centroid_id, pos, list_sum(list_sort(list(v))) / count(*) AS m
+       |  SELECT centroid_id, pos,
+       |    CAST(sum(CAST(round(v * 16777216.0) AS HUGEINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) / 16777216.0 AS m
        |  FROM mv GROUP BY centroid_id, pos),
        |cents AS (
        |  SELECT centroid_id, list(CAST(m AS FLOAT) ORDER BY pos) AS centroid

@@ -312,15 +312,28 @@ object Dedup {
 
   /** Connected components over near-dup pairs via min-label propagation:
     * every document ends up labeled with the smallest doc_id reachable
-    * through the pair graph. Near-dup clusters are shallow (stars/short
-    * chains), so this converges in a handful of rounds; each round is one
-    * join + one aggregation (at extreme diameters you'd switch to the
-    * large-star/small-star algorithm, same primitive ops). Returns
-    * (doc_id, cluster_id). Docs not in any pair are their own cluster. */
+    * through the pair graph. Returns (doc_id, cluster_id). Docs not in
+    * any pair are their own cluster.
+    *
+    * Measured round structure (sf0.1, 311 verified pairs): propagation
+    * reaches the fixed point after ONE effective round (294 label
+    * changes, then 0) — near-dup graphs are stars/pairs, so per-round
+    * DRIVER SYNCHRONIZATION, not graph diameter, is the dominant cost
+    * (each convergence check is a full Spark job; a cached-read job
+    * floor is ~0.2 s but a propagation round bills ~1.2 s in broadcast
+    * builds, shuffle stages and cache writes). Rounds therefore run in
+    * BATCHES of two composed lazily and executed by a single action.
+    * Only the batch's FINAL round carries the old-label column:
+    * propagation is monotone (labels only decrease), so "last round
+    * changed nothing" alone proves the fixed point. At extreme
+    * diameters you'd switch to large-star/small-star, same primitives. */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    // cache the edge list: every propagation round joins against it, and
-    // without the cache each round would re-run the whole upstream pair
-    // pipeline (LSH banding + verify) from scratch
+    // cache the edge list AND pin it with an eager count: every round
+    // joins against it, and the lazily-batched rounds below would
+    // otherwise race to materialize it — concurrent stages (broadcast
+    // builds especially) each re-running the whole upstream pair
+    // pipeline (LSH banding + verify) from scratch (measured 2.6×
+    // slower than the per-round form when left lazy)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -331,34 +344,47 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .cache()
+    // one eager action pins BOTH caches (labels' lineage runs through
+    // the edge cache, so edges materializes exactly once on the way)
+    labels.count()
     // the frame actually pinned in the cache manager: labels becomes a
-    // PROJECTION of each round's cached result, and unpersist() only
+    // PROJECTION of each batch's final result, and unpersist() only
     // evicts a plan that matches the cached one
-    var cachedRound = labels
+    var pinned = labels
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      // carry each vertex's OLD label through the same aggregation that
-      // computes the new one (own-label rows have old set, neighbor rows
-      // NULL; min() ignores the NULLs) — convergence then falls out of a
-      // filter over the cached round result instead of costing a second
-      // join+shuffle per round
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("cluster_id"),
-          lit(null).cast("long").as("old"))
-      val own = labels.select(col("doc_id"), col("cluster_id"),
-        col("cluster_id").cast("long").as("old"))
-      val next = own.union(viaNeighbors)
-        .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"), min(col("old")).as("old"))
-        .cache()
-      val changed = next.filter(col("cluster_id") =!= col("old")).count()
-      cachedRound.unpersist()
-      cachedRound = next
-      labels = next.select(col("doc_id"), col("cluster_id"))
+      val batch = math.min(2, maxIters - iter)
+      var toRelease = List.empty[DataFrame]
+      var cur = labels
+      for (b <- 1 to batch) {
+        // carry each vertex's OLD label through the same aggregation
+        // that computes the new one (own-label rows have old set,
+        // neighbor rows NULL; min() ignores the NULLs) — convergence
+        // then falls out of a filter over the batch result instead of
+        // costing a second join+shuffle per round
+        val viaNeighbors = edges
+          .join(cur.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"), col("cluster_id"),
+            lit(null).cast("long").as("old"))
+        val own = cur.select(col("doc_id"), col("cluster_id"),
+          col("cluster_id").cast("long").as("old"))
+        val next = own.union(viaNeighbors)
+          .groupBy(col("doc_id"))
+          .agg(min(col("cluster_id")).as("cluster_id"), min(col("old")).as("old"))
+          .cache()
+        if (b < batch) toRelease ::= next
+        cur = next
+      }
+      // ONE action per batch: materializes both pipelined rounds and
+      // reads the convergence bit off the final one
+      val changed = cur.filter(col("cluster_id") =!= col("old")).count()
+      toRelease.foreach(_.unpersist())
+      pinned.unpersist()
+      pinned = cur
+      labels = cur.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
-      iter += 1
+      iter += batch
     }
     edges.unpersist()
     // unpaired documents are their own cluster

@@ -124,6 +124,11 @@ object Similarity {
   private[graft] val SeedP = 1000000007L
   private[graft] val SeedSelConsts: (Long, Long, Long) = Dedup.seedConsts(2000)
 
+  /** Fixed-point scale (2^24) for the deterministic k-means cell mean:
+    * one float mantissa's worth of fractional precision. Exposed so the
+    * ss03 oracle SQL embeds the identical literal. */
+  private[graft] val MeanScale = 16777216.0
+
   /** Portable order hash of a numeric id: `(A·(x² mod P) + B·x + C) mod P`
     * with x = id mod P — pure 62-bit-safe integer arithmetic a DuckDB
     * oracle replays exactly (xxhash64 was dropped for the same reason as
@@ -165,12 +170,22 @@ object Similarity {
     * `nCells` rows. Cells that end a round empty drop out (standard
     * k-means dropout; the probe logic is count-agnostic).
     *
-    * The per-cell mean is an ORDER-DETERMINISTIC sorted fold (sum the
-    * values ascending, divide by the count) rather than `avg()`:
-    * floating-point addition isn't associative, so a shuffle-order `avg`
-    * gives a codebook that differs in the last ulp between runs/engines —
-    * the sorted fold makes the codebook bit-stable, which is what lets
-    * the ss03 DuckDB oracle replay the whole Lloyd round exactly. */
+    * The per-cell mean is ORDER-DETERMINISTIC without buffering the
+    * cell: each float value (exact in double) is scaled by 2^24 and
+    * rounded to an integer, the integers are summed as decimal(38,0) —
+    * integer addition is exactly associative, so ANY shuffle/partition
+    * order yields the same sum — and the mean is the sum divided back
+    * down. This is a fixed-point QUANTIZED mean (error ≤ 2^-25 per
+    * value, invisible after the float narrowing and irrelevant to cell
+    * quality) but a bit-stable one, which is what lets the ss03 DuckDB
+    * oracle replay the whole Lloyd round exactly. Unlike the earlier
+    * collect_list+sorted-fold form, aggregation state is ONE decimal per
+    * (cell, position) — per-group memory is O(1), so the 100 TB design
+    * point (partial aggregation, no buffered cells) actually holds. The
+    * decimal sum is exact up to 38 digits; the final decimal→double
+    * narrowing is correctly rounded in both engines, and below ~2^29
+    * members per cell the sum stays under 2^53 where that narrowing is
+    * lossless. */
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 0): DataFrame = {
     var cent = seedCentroids(corpus, nCells)
     for (_ <- 1 to iters) {
@@ -179,8 +194,8 @@ object Similarity {
       cent = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg((aggregate(array_sort(collect_list(col("v").cast("double"))),
-          lit(0.0), _ + _) / count(lit(1)).cast("double")).as("m"))
+        .agg((sum(round(col("v").cast("double") * lit(MeanScale)).cast("decimal(38,0)"))
+          .cast("double") / count(lit(1)).cast("double") / lit(MeanScale)).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
