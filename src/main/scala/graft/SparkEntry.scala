@@ -24,6 +24,7 @@ object SparkEntry {
       analytics.ScaleQueries.defs ++
       analytics.ExtensionQueries.defs ++
       analytics.StreamingQueries.defs ++
+      analytics.GeoQueries.defs ++
       ingest.IngestQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       analytics.ScaleQueries.oracle ++
       analytics.ExtensionQueries.oracle ++
       analytics.StreamingQueries.oracle ++
+      analytics.GeoQueries.oracle ++
       ingest.IngestQueries.oracle
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.operators.GlobalRank
 
 /** Second operator batch (SURVEY.md §2.2): window functions (rank /
   * running / lag / ntile / percent_rank), set operations, string / regex /
@@ -93,13 +94,25 @@ object ExtendedQueries {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
-  /** q20 — ntile + percent_rank distribution stats over customer balances. */
+  /** q20 — ntile + percent_rank distribution stats over customer
+    * balances, on the DISTRIBUTED rank path: the stock
+    * `Window.orderBy(...)` form funnels every row through a single task
+    * (the classic global-window scale-killer — kept as the
+    * idiom-contrast control in GlobalRankSpec), so the registered query
+    * derives both stats from [[graft.operators.GlobalRank]]'s
+    * range-partitioned two-pass rank instead. The sort key ends in the
+    * unique c_custkey, so the global row_number IS the SQL rank() and
+    * percent_rank = (rank-1)/(total-1) exactly; the row total rides the
+    * broadcast offsets table — no extra pass. */
   private def q20(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    customer(s, d)
-      .select(col("c_custkey"),
-        ntile(4).over(w).as("balance_quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+    val keys = Seq(col("c_acctbal"), col("c_custkey"))
+    GlobalRank.withGlobalNtile(customer(s, d), keys, 4,
+        rankCol = "__rk", tileCol = "balance_quartile",
+        keepTotalAs = Some("__total"))
+      .select(col("c_custkey"), col("balance_quartile"),
+        round(when(col("__total") === 1, lit(0.0))
+          .otherwise((col("__rk") - 1).cast("double") /
+            (col("__total") - 1).cast("double")), 6).as("pct_rank"))
       .orderBy(col("c_custkey"))
   }
 

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Planar geometry over WKT polygon text — the capability the landmark
+  * dataset itself calls for: the reference's fixture rows carry WKT
+  * `MULTIPOLYGON` geometry (reference: src/test/resources/testData.csv:2
+  * onward) that its ingest kernel only ever strips or string-normalizes
+  * (CSVIngest.java:64-81); these functions make the geometry QUERYABLE.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order array expressions — no UDFs, no driver round-trips, no
+  * shuffles: each operation is a narrow per-row map, so the scan→filter
+  * pipeline stays inside whole-stage codegen and the cost at 100 TB is
+  * one pass over the geometry column.
+  *
+  * Representation: `array<array<array<double>>>` — rings → points →
+  * (x, y). Polygon grouping inside a MULTIPOLYGON is flattened; by WKT
+  * convention ring 0 is an outer shell and later rings are holes
+  * (point-in-polygon uses the grouping-agnostic even-odd rule, so it is
+  * exact even for multi-shell geometries).
+  */
+object GeoFunctions {
+
+  /** Parse WKT `POLYGON`/`MULTIPOLYGON` text into rings: every innermost
+    * parenthesized group is one ring, each a `(x y, x y, …)` coordinate
+    * list (closed: first point == last point). One regexp pass + array
+    * splits, all row-local. */
+  def wktRings(wkt: Column): Column =
+    transform(regexp_extract_all(wkt, lit("\\(([^()]+)\\)"), lit(1)),
+      r => transform(split(r, ",\\s*"),
+        p => transform(split(trim(p), "\\s+"), c => c.cast("double"))))
+
+  /** Signed shoelace area of one closed ring: positive for
+    * counter-clockwise winding. `sum(x_i·y_{i+1} − x_{i+1}·y_i) / 2`
+    * over consecutive point pairs, folded in array order (deterministic —
+    * the ring is a row-local array, no shuffle-order dependence). */
+  def ringSignedArea(ring: Column): Column =
+    aggregate(
+      zip_with(slice(ring, lit(1), size(ring) - 1), slice(ring, lit(2), size(ring) - 1),
+        (a, b) => a.getItem(0) * b.getItem(1) - b.getItem(0) * a.getItem(1)),
+      lit(0.0), _ + _) / 2
+
+  /** Area of a polygon with holes: |ring 0| − Σ|ring i>0| (WKT order:
+    * shell first, holes after). */
+  def polygonArea(rings: Column): Column = {
+    val holes = slice(rings, lit(2), greatest(size(rings) - 1, lit(0)))
+    abs(ringSignedArea(element_at(rings, 1))) -
+      aggregate(holes, lit(0.0), (acc, r) => acc + abs(ringSignedArea(r)))
+  }
+
+  /** Centroid of one closed ring:
+    * `C = Σ(p_i + p_{i+1})·cross_i / (3·Σcross_i)` — the standard
+    * polygon-centroid formula; returns `array(cx, cy)`. */
+  def ringCentroid(ring: Column): Column = {
+    val a = slice(ring, lit(1), size(ring) - 1)
+    val b = slice(ring, lit(2), size(ring) - 1)
+    val crosses = zip_with(a, b,
+      (p, q) => p.getItem(0) * q.getItem(1) - q.getItem(0) * p.getItem(1))
+    val twiceArea = aggregate(crosses, lit(0.0), _ + _)
+    def axis(i: Int): Column =
+      aggregate(
+        zip_with(zip_with(a, b, (p, q) => p.getItem(i) + q.getItem(i)), crosses,
+          (s, c) => s * c),
+        lit(0.0), _ + _) / (lit(3.0) * twiceArea)
+    array(axis(0), axis(1))
+  }
+
+  /** Bounding box over every ring: `array(xmin, ymin, xmax, ymax)`. */
+  def bbox(rings: Column): Column = {
+    val pts = flatten(rings)
+    def ext(i: Int, f: Column => Column): Column =
+      f(transform(pts, p => p.getItem(i)))
+    array(ext(0, array_min), ext(1, array_min), ext(0, array_max), ext(1, array_max))
+  }
+
+  /** Ray-casting crossing count for the even-odd point-in-polygon test:
+    * edges whose y-span straddles `py` and whose x at `py` lies right of
+    * `px`, summed over every ring. Vertex/edge degeneracies follow the
+    * usual open-upper-bound convention (`ay > py` XOR `by > py`). */
+  def crossingCount(rings: Column, px: Column, py: Column): Column =
+    aggregate(rings, lit(0), (acc, ring) => acc + size(filter(
+      zip_with(slice(ring, lit(1), size(ring) - 1), slice(ring, lit(2), size(ring) - 1),
+        (a, b) => struct(a.as("a"), b.as("b"))),
+      e => {
+        val ax = e.getField("a").getItem(0); val ay = e.getField("a").getItem(1)
+        val bx = e.getField("b").getItem(0); val by = e.getField("b").getItem(1)
+        ((ay > py) =!= (by > py)) &&
+          (px < ax + (bx - ax) * (py - ay) / (by - ay))
+      })))
+
+  /** Even-odd point-in-polygon: odd crossing parity = inside. Holes and
+    * multiple shells need no special casing under this rule. */
+  def pointInPolygon(rings: Column, px: Column, py: Column): Column =
+    crossingCount(rings, px, py) % 2 === 1
+}

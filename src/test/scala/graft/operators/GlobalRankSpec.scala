@@ -66,4 +66,26 @@ class GlobalRankSpec extends AnyFunSuite with SparkTestSession {
     // (a SinglePartition exchange still appears for the metadata-scale
     // offsets prefix-sum — #partitions rows, not data)
   }
+
+  test("ntile + percent_rank derived from the two-pass rank == stock global window (q20 shape)") {
+    // the idiom-contrast control for the registered q20: the single-task
+    // Window.orderBy form is the semantics reference, the distributed
+    // form is what ships
+    val keys = Seq(col("v"), col("id"))
+    val w = Window.orderBy(keys: _*)
+    val expected = sample.select(col("id"),
+      ntile(4).over(w).as("e_tile"),
+      round(percent_rank().over(w), 6).as("e_pr"))
+    val total = sample.count()
+    val got = GlobalRank.withGlobalNtile(sample, keys, 4,
+        rankCol = "rnk", tileCol = "tile", keepTotalAs = Some("tot"))
+      .select(col("id"), col("tile"),
+        round(when(col("tot") === 1, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") /
+            (col("tot") - 1).cast("double")), 6).as("pr"))
+    val joined = got.join(expected, Seq("id"))
+    assert(joined.count() === total)
+    assert(joined.filter(col("tile") =!= col("e_tile") ||
+      col("pr") =!= col("e_pr")).count() === 0)
+  }
 }
