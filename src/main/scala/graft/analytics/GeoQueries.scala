@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.GeoFunctions
+import graft.operators.SpatialJoin
 
 /** Geospatial queries over WKT polygon text (gq01-gq03) — the geometry
   * consumption layer the reference's landmark data calls for but its
@@ -100,13 +101,45 @@ object GeoQueries {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** gq04 — grid-blocked spatial join (see
+    * [[graft.operators.SpatialJoin]]): customers become probe points at
+    * `x = 3·(c_custkey mod 40) + 0.25, y = 1`, nations become disjoint
+    * 2×2 squares at x-offset `3·n_nationkey` — so customer c lands
+    * inside nation n's square exactly when `c mod 40 = n` (offsets 25-39
+    * fall in the gap past the last square). The oracle is that closed
+    * form: a plain modular equi-join, containing no geometry at all —
+    * grid assignment, bbox cover, and the even-odd confirm must all be
+    * right for the row sets to agree. */
+  private def gq04(s: SparkSession, d: String): DataFrame = {
+    val sq = (col("n_nationkey") * 3).cast("string")
+    val sqEnd = (col("n_nationkey") * 3 + 2).cast("string")
+    val polys = nation(s, d).select(col("n_nationkey"),
+      GeoFunctions.wktRings(concat(
+        lit("POLYGON (("), sq, lit(" 0, "), sqEnd, lit(" 0, "), sqEnd,
+        lit(" 2, "), sq, lit(" 2, "), sq, lit(" 0))"))).as("rings"))
+    val points = customer(s, d).select(col("c_custkey"),
+      ((col("c_custkey") % 40).cast("double") * 3 + 0.25).as("px"),
+      lit(1.0).as("py"))
+    SpatialJoin.pointInPolygons(points, "c_custkey", "px", "py",
+        polys, "n_nationkey", "rings", cell = 4.0)
+      .select(col("c_custkey"), col("n_nationkey"))
+      .orderBy(col("c_custkey"), col("n_nationkey"))
+  }
+
+  private val gq04Sql =
+    """SELECT c_custkey, n_nationkey
+      |FROM customer JOIN nation ON n_nationkey = c_custkey % 40
+      |ORDER BY c_custkey, n_nationkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "gq01_wkt_parse" -> (gq01 _),
     "gq02_polygon_area" -> (gq02 _),
-    "gq03_point_in_polygon" -> (gq03 _))
+    "gq03_point_in_polygon" -> (gq03 _),
+    "gq04_spatial_join" -> (gq04 _))
 
   val oracle: Map[String, String] = Map(
     "gq01_wkt_parse" -> gq01Sql,
     "gq02_polygon_area" -> gq02Sql,
-    "gq03_point_in_polygon" -> gq03Sql)
+    "gq03_point_in_polygon" -> gq03Sql,
+    "gq04_spatial_join" -> gq04Sql)
 }

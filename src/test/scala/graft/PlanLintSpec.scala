@@ -98,4 +98,19 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     val dedupLine = p.linesIterator.find(l => l.contains("Keys") && l.contains("vec_a")).getOrElse("")
     assert(!dedupLine.contains("embedding"), s"dedup keys carry embeddings\n$dedupLine")
   }
+
+  test("gq02: geometry math stays a single codegen'd projection — no UDFs, no extra exchanges") {
+    val p = plan("gq02_polygon_area")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // parse + area + centroid are row-local: the only exchange is the
+    // final ORDER BY's range partitioning
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"row-local geometry introduced a shuffle\n$p")
+  }
+
+  test("gq04: spatial join plans on the grid-cell equi key, not a cartesian") {
+    val p = plan("gq04_spatial_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__cell"), s"expected the grid-cell join key in\n$p")
+  }
 }
