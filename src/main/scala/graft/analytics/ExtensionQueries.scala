@@ -286,6 +286,141 @@ object ExtensionQueries {
       .orderBy(col("lang"))
   }
 
+  /** tx10 — inverted-index postings build: per term, document frequency,
+    * total posting count, and the first 20 `(doc_id:pos)` postings in
+    * global (doc_id, pos) order — the retrieval-layer structure a corpus
+    * engine feeds to search/dedup tooling.
+    *
+    * Scale shape: stats come from two bounded hash-aggs (shuffle on
+    * (term, doc_id), then term — partial aggregation map-side, O(1)
+    * group state, no postings buffered). The head postings NEVER window
+    * over a term's full posting stream: the per-term window first ranks
+    * the NARROW (term, doc_id) rows to pick the first ≤20 documents, a
+    * semi-join shrinks the token stream to those documents, and only
+    * that bounded slice is sorted — so a stop-word's task carries df
+    * narrow rows plus ≤20 documents' tokens, not its full (potentially
+    * corpus-sized) posting list. Collected head arrays are capped at 20
+    * entries by construction. */
+  private def tx10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("pos", "term")))
+    val byDoc = toks.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = byDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("n_postings"))
+    val headDocs = byDoc
+      .withColumn("dr", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("dr") <= 20)
+      .select(col("term"), col("doc_id"))
+    val heads = toks.join(headDocs, Seq("term", "doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("rn") <= 20)
+      .groupBy(col("term"))
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("doc_id"), col("pos")))),
+        e => concat(e.getField("doc_id").cast("string"), lit(":"),
+          e.getField("pos").cast("string")))).as("head_postings"))
+    stats.join(heads, "term")
+      .select(col("term"), col("df"), col("n_postings"), col("head_postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+  }
+
+  private val tx10Sql =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(s) + 1), i -> i - 1)) AS pos,
+      |    unnest(s) AS term
+      |  FROM sp),
+      |bydoc AS (SELECT term, doc_id, count(*) AS cnt FROM toks GROUP BY term, doc_id),
+      |stats AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |    CAST(sum(cnt) AS BIGINT) AS n_postings
+      |  FROM bydoc GROUP BY term),
+      |ranked AS (
+      |  SELECT term, doc_id, pos,
+      |    row_number() OVER (PARTITION BY term ORDER BY doc_id, pos) AS rn
+      |  FROM toks),
+      |heads AS (
+      |  SELECT term,
+      |    string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos) AS head_postings
+      |  FROM ranked WHERE rn <= 20 GROUP BY term)
+      |SELECT term, df, n_postings, head_postings
+      |FROM stats JOIN heads USING (term)
+      |ORDER BY df DESC, term
+      |LIMIT 100""".stripMargin
+
+  /** tx11 — PII detection + redaction: per language, documents with
+    * planted contact strings, total email/phone hits, and a value-level
+    * fingerprint (md5) of every redacted text — the scrubbing pass a
+    * training corpus runs before anything else. The synthetic corpus
+    * carries no PII, so (tx06-style) each doc with `doc_id mod 3 = 0`
+    * plants a deterministic email and each with `doc_id mod 4 = 0` a
+    * phone number; patterns use RE2-safe character classes only (no
+    * lookarounds/backrefs), so Spark's Java regex and DuckDB's RE2
+    * match identically. Shape: narrow row-local regex map + one
+    * hash-agg. The redacted-output fingerprint is the exact SUM of each
+    * doc hash's 60-bit prefix (md5 → 15 hex digits → integer): integer
+    * addition is associative, so the check is order-insensitive with
+    * O(1) aggregation state — nothing is collected per group. */
+  private def tx11(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val phonePat = "\\+1-555-[0-9][0-9][0-9][0-9]"
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), planted.as("t2"))
+      .select(col("lang"),
+        regexp_count(col("t2"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("t2"), lit(phonePat)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t2"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).as("h"))
+      .groupBy(col("lang"))
+      .agg(sum((col("n_emails") > 0 || col("n_phones") > 0).cast("long")).as("docs_with_pii"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(conv(substring(col("h"), 1, 15), 16, 10).cast("decimal(38,0)"))
+          .cast("string").as("redacted_fingerprint"))
+      .orderBy(col("lang"))
+  }
+
+  private val tx11Sql =
+    """WITH t AS (SELECT lang,
+      |  concat(text,
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN concat(' contact u', CAST(doc_id AS VARCHAR), '@mail.example.com')
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+      |      ELSE '' END) AS t2
+      |  FROM documents),
+      |p AS (SELECT lang,
+      |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_emails,
+      |  len(regexp_extract_all(t2, '\+1-555-[0-9][0-9][0-9][0-9]')) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(t2,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+      |    '\+1-555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS h
+      |  FROM t)
+      |SELECT lang,
+      |  CAST(sum(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+      |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+      |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+      |  CAST(sum(list_sum(list_transform(range(1, 16), i ->
+      |    CAST(strpos('0123456789abcdef', substring(h, CAST(i AS INT), 1)) - 1 AS HUGEINT)
+      |    * CAST(power(16, 15 - CAST(i AS INT)) AS HUGEINT)))) AS VARCHAR) AS redacted_fingerprint
+      |FROM p
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** Shared bucket CTE for the sp-family oracles: portable id-string
     * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
   private def spBucketCte: String = {
@@ -955,6 +1090,8 @@ object ExtensionQueries {
     "tx07_bigram_logprob" -> (tx07 _),
     "tx08_tfidf" -> (tx08 _),
     "tx09_repetition" -> (tx09 _),
+    "tx10_inverted_index" -> (tx10 _),
+    "tx11_pii_redaction" -> (tx11 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
     "sp03_pack_sequences" -> (sp03 _),
@@ -987,6 +1124,8 @@ object ExtensionQueries {
     "tx07_bigram_logprob" -> tx07Sql,
     "tx08_tfidf" -> tx08Sql,
     "tx09_repetition" -> tx09Sql,
+    "tx10_inverted_index" -> tx10Sql,
+    "tx11_pii_redaction" -> tx11Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,
     "sp03_pack_sequences" -> sp03Sql,
