@@ -333,9 +333,16 @@ object Dedup {
     // otherwise race to materialize it — concurrent stages (broadcast
     // builds especially) each re-running the whole upstream pair
     // pipeline (LSH banding + verify) from scratch (measured 2.6×
-    // slower than the per-round form when left lazy)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // slower than the per-round form when left lazy).
+    // Both edge orientations come from ONE explode over each pair row,
+    // not union(pairs, pairs.swapped): Spark does not share common
+    // subplans across union branches, so the union form would run the
+    // whole upstream pair pipeline TWICE while filling this cache
+    // (measured: dd07 median 16.0 s → 10.4 s at sf0.1 from this change)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // propagate ONLY over vertices that appear in some pair: unpaired
     // documents never change label, so dragging the whole corpus through
