@@ -67,6 +67,44 @@ object Sampling {
     df.filter(bucketOf(col(idCol)) < cut)
   }
 
+  /** Token-budget mixture sampling ("data mixing"): per stratum (e.g.
+    * source domain), keep a deterministic pseudo-random subset of rows
+    * whose token count approximately meets that stratum's budget — the
+    * op that turns a raw crawl into a target corpus mix.
+    *
+    * Selection is by hash-bucket prefix: rows land in [[Buckets]]
+    * pseudo-random buckets (same portable mix as [[hashSample]]), and a
+    * stratum keeps whole buckets in bucket order until the budget is
+    * crossed (the first crossing bucket is kept, so coverage is
+    * ≥ budget; resolution is stratum_tokens/[[Buckets]] per stratum).
+    *
+    * Scale shape — deliberately NOT a per-row window: a running cumsum
+    * over rows would put each stratum's entire token stream through one
+    * task. Instead (1) a partial-agg histogram of token counts per
+    * (stratum, bucket) — bounded at |strata|×10000 rows no matter the
+    * corpus size, (2) the cumsum window runs over that tiny frame,
+    * (3) surviving (stratum, bucket) keys broadcast back as a semi-join
+    * filter. Rows shuffle zero times; membership stays a pure function
+    * of (id, stratum token histogram), reproducible cross-engine.
+    *
+    * `budget` is an expression over `stratumCol` (evaluated on the
+    * histogram side), so callers can pass literal maps or derived
+    * budgets without a join. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+                        tokensCol: String, budget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.withColumn("__bucket", bucketOf(col(idCol)))
+    val hist = rows.groupBy(col(stratumCol), col("__bucket"))
+      .agg(sum(col(tokensCol)).as("__btok"))
+    val before = Window.partitionBy(col(stratumCol)).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = hist
+      .withColumn("__before", coalesce(sum(col("__btok")).over(before), lit(0L)))
+      .filter(col("__before") < budget)
+      .select(col(stratumCol), col("__bucket"))
+    rows.join(broadcast(kept), Seq(stratumCol, "__bucket")).drop("__bucket")
+  }
+
   /** Train/val/test assignment by hash range: val gets the first
     * `valPct` buckets, test the next `testPct`, train the rest. Adds a
     * `split` column; membership is a pure function of the id. */
