@@ -486,6 +486,49 @@ object ExtensionQueries {
       |FROM c GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
 
+  /** sp04 — token-budget mixture sampling ("data mixing",
+    * [[Sampling.tokenBudgetSample]]): each language keeps whole hash
+    * buckets of documents in bucket order until its token budget is
+    * crossed (first crossing bucket kept, so coverage ≥ budget).
+    * Reports per-lang surviving doc/token counts and id extremes. The
+    * oracle replays the exact bucket mix, the per-(lang, bucket)
+    * histogram cumsum and the crossing rule — membership is a pure
+    * function of (doc_id, corpus histogram), reproducible cross-engine. */
+  private def sp04(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(TF.tokens(col("text"))).cast("long"))
+    val budget = when(col("lang") === "en", lit(30000L))
+      .when(col("lang") === "de", lit(12000L))
+      .when(col("lang") === "es", lit(6000L))
+      .otherwise(lit(2500L))
+    Sampling.tokenBudgetSample(docs, "doc_id", "lang", "n_tokens", budget)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
+  private val sp04Sql =
+    s"""WITH $spBucketCte,
+      |t AS (SELECT b.doc_id, b.lang, b.bucket,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM b JOIN documents d USING (doc_id)),
+      |hist AS (SELECT lang, bucket, sum(n_tokens) AS btok
+      |  FROM t GROUP BY lang, bucket),
+      |k AS (SELECT lang, bucket FROM (
+      |  SELECT lang, bucket,
+      |    COALESCE(SUM(btok) OVER (PARTITION BY lang ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      |  FROM hist)
+      |  WHERE tok_before < CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 12000
+      |    WHEN 'es' THEN 6000 ELSE 2500 END)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS tok_kept,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM t JOIN k USING (lang, bucket)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** dc01 — benchmark decontamination ([[Decontaminate.overlaps]]): the
     * deterministic 5% hash-bucket sample plays the held-out benchmark;
     * every other document is scored by how many distinct 4-gram
@@ -896,6 +939,19 @@ object ExtensionQueries {
     * Ties in assignment break on centroid_id in both engines. */
   private val ss03Sql: String = {
     val (sa, sb, sc) = Similarity.SeedSelConsts
+    // SUMMATION-ORDER ASSUMPTION, pinned: the double-precision cosine
+    // below relies on DuckDB's `list_sum` reducing the list SEQUENTIALLY
+    // left-to-right (element order), the same order Spark's fused
+    // CosineSimilarity loop walks the array — float addition is not
+    // associative, so a pairwise/SIMD-reordered sum could flip a
+    // nearest-centroid tie and change the codebook. This holds in the
+    // DuckDB the driver ships (verified: ss03 hash-matches at sf0.01,
+    // where reordering any of the 16M additions would surface); if a
+    // future DuckDB vectorizes list_sum into a tree reduction, the
+    // oracle (not the engine) must switch to an explicit ordered
+    // list_reduce. The fixed-point centroid MEAN is immune by design
+    // (integer addition IS associative — that's why 2^24 scaling
+    // exists); only the cosine rescoring carries this assumption.
     val cos = (e: String, c: String) =>
       s"""CASE WHEN list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
          |      OR list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
@@ -1095,6 +1151,7 @@ object ExtensionQueries {
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
     "sp03_pack_sequences" -> (sp03 _),
+    "sp04_token_budget" -> (sp04 _),
     "dc01_decontaminate" -> (dc01 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
@@ -1129,6 +1186,7 @@ object ExtensionQueries {
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,
     "sp03_pack_sequences" -> sp03Sql,
+    "sp04_token_budget" -> sp04Sql,
     "dc01_decontaminate" -> dc01Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,

@@ -89,20 +89,34 @@ object Sampling {
     *
     * `budget` is an expression over `stratumCol` (evaluated on the
     * histogram side), so callers can pass literal maps or derived
-    * budgets without a join. */
+    * budgets without a join.
+    *
+    * NULL strata are a stratum like any other (the filter-back join is
+    * null-safe `<=>`): they survive iff `budget` evaluates non-null
+    * over a null stratum and the bucket's running total is under it —
+    * a `when(...).otherwise(0)` budget therefore drops them, a
+    * `coalesce(stratumCol, ...)`-keyed budget keeps them. Oracled as
+    * sp04. */
   def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
                         tokensCol: String, budget: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = df.withColumn("__bucket", bucketOf(col(idCol)))
-    val hist = rows.groupBy(col(stratumCol), col("__bucket"))
-      .agg(sum(col(tokensCol)).as("__btok"))
-    val before = Window.partitionBy(col(stratumCol)).orderBy(col("__bucket"))
+    // namespaced temp columns; guard rather than silently clobber a
+    // caller column of the same name
+    require(!df.columns.exists(_.startsWith("__tbs_")),
+      s"tokenBudgetSample reserves the __tbs_ column prefix; input has ${df.columns.mkString(",")}")
+    val rows = df.withColumn("__tbs_bucket", bucketOf(col(idCol)))
+    val hist = rows.groupBy(col(stratumCol), col("__tbs_bucket"))
+      .agg(sum(col(tokensCol)).as("__tbs_btok"))
+    val before = Window.partitionBy(col(stratumCol)).orderBy(col("__tbs_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val kept = hist
-      .withColumn("__before", coalesce(sum(col("__btok")).over(before), lit(0L)))
-      .filter(col("__before") < budget)
-      .select(col(stratumCol), col("__bucket"))
-    rows.join(broadcast(kept), Seq(stratumCol, "__bucket")).drop("__bucket")
+      .withColumn("__tbs_before", coalesce(sum(col("__tbs_btok")).over(before), lit(0L)))
+      .filter(col("__tbs_before") < budget)
+      .select(col(stratumCol).as("__tbs_stratum"), col("__tbs_bucket").as("__tbs_kbucket"))
+    rows.join(broadcast(kept),
+        col(stratumCol) <=> col("__tbs_stratum")
+          && col("__tbs_bucket") === col("__tbs_kbucket"))
+      .drop("__tbs_stratum", "__tbs_kbucket", "__tbs_bucket")
   }
 
   /** Train/val/test assignment by hash range: val gets the first

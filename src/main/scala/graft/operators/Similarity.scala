@@ -132,7 +132,16 @@ object Similarity {
   /** Portable order hash of a numeric id: `(A·(x² mod P) + B·x + C) mod P`
     * with x = id mod P — pure 62-bit-safe integer arithmetic a DuckDB
     * oracle replays exactly (xxhash64 was dropped for the same reason as
-    * in dd02: not reproducible outside the JVM). */
+    * in dd02: not reproducible outside the JVM).
+    *
+    * Sign caveat: Spark's `pmod` is always non-negative while a plain
+    * SQL `%` is sign-preserving, so for ids < 0 the two diverge unless
+    * the oracle doubles the modulo (`((x % P) + P) % P`) — the ss03
+    * oracle SQL does exactly that (see the "doubled modulo" note in
+    * [[graft.analytics.ExtensionQueries]]). The shipped `embeddings`
+    * table only has vec_id >= 0, where `pmod` == `%` and the caveat is
+    * moot; any new fixture with negative ids must keep the doubled-mod
+    * form on the oracle side. */
   private def seedOrderHash(id: Column): Column = {
     val (a, b, c) = SeedSelConsts
     val x = pmod(id, lit(SeedP))

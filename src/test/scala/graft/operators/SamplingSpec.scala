@@ -37,6 +37,38 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(byLang.keySet === Set("en"), "unlisted strata are dropped")
   }
 
+  test("tokenBudgetSample meets budgets, keeps null strata, and rejects __tbs_ columns") {
+    import spark.implicits._
+    // small deterministic corpus: 40 rows/stratum × 10 tokens, one NULL stratum
+    val rows = (0L until 120L).map { i =>
+      val st = i % 3 match { case 0 => "a"; case 1 => "b"; case _ => null }
+      (i, st, 10L)
+    }.toDF("id", "st", "toks")
+    val budget = coalesce(
+      when(col("st") === "a", lit(100L)).when(col("st") === "b", lit(0L)),
+      lit(50L)) // null stratum budgeted via coalesce
+    val kept = Sampling.tokenBudgetSample(rows, "id", "st", "toks", budget)
+    val byStratum = kept.groupBy("st").agg(sum("toks").as("t")).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // coverage >= budget (first crossing bucket kept), bounded by one extra bucket
+    assert(byStratum(Some("a")) >= 100L && byStratum(Some("a")) <= 110L,
+      s"stratum a: ${byStratum.get(Some("a"))}")
+    assert(!byStratum.contains(Some("b")), "zero budget keeps nothing")
+    assert(byStratum(None) >= 50L && byStratum(None) <= 60L,
+      "null stratum must survive the null-safe filter-back join: " +
+        s"${byStratum.get(None)}")
+    // determinism: the same rows survive on re-evaluation
+    val again = Sampling.tokenBudgetSample(rows, "id", "st", "toks", budget)
+    assert(kept.select("id").except(again.select("id")).count() === 0)
+    // schema untouched, temp columns gone
+    assert(kept.columns.toSeq === Seq("id", "st", "toks"))
+    // reserved-prefix guard fires instead of silently clobbering
+    val clash = rows.withColumn("__tbs_bucket", lit(1))
+    assertThrows[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(clash, "id", "st", "toks", budget)
+    }
+  }
+
   test("assignSplit partitions every row exactly once with stable membership") {
     val split = Sampling.assignSplit(docs, "doc_id", valPct = 0.1, testPct = 0.1)
     assert(split.count() === docs.count())
