@@ -131,15 +131,122 @@ object GeoQueries {
       |FROM customer JOIN nation ON n_nationkey = c_custkey % 40
       |ORDER BY c_custkey, n_nationkey""".stripMargin
 
+  /** gq05 — polygon-polygon overlap join
+    * ([[graft.operators.SpatialJoin.polygonOverlapJoin]]): nations are
+    * the gq04 2×2 squares `[3n, 3n+2]×[0, 2]`; suppliers become 1×1
+    * squares `[u, u+1]×[0.5, 1.5]` at `u = 3·(s mod 40) + 0.1 +
+    * 0.6·(s mod 5)`. By construction (t = s mod 5):
+    *   t ∈ {0,1} → B wholly inside A_{s mod 40} (containment path, no
+    *               edge contact);  t ∈ {2,3} → B straddles A's right
+    *               edge (proper edge crossings);  t = 4 → B has left
+    *               A_{s mod 40} (gap 0.5) and straddles A_{s mod 40 + 1}'s
+    *               LEFT edge instead.
+    * No coordinate ever coincides with a polygon edge or vertex, so no
+    * collinear degeneracies. The oracle is the closed form — a modular
+    * equi-join plus two modular booleans, zero geometry — and the two
+    * extra columns pin each confirm path separately: `edge_x` (some
+    * edge pair intersects) must be t ≥ 2 and `b0_in_a` (B's first shell
+    * vertex inside A) must be t ≤ 3, so a bug in either the
+    * intersection test or the containment fallback flips a column even
+    * when the pair set happens to survive. */
+  private def gq05(s: SparkSession, d: String): DataFrame = {
+    val nk = col("n_nationkey")
+    def n(c: org.apache.spark.sql.Column) = c.cast("string")
+    val polysA = nation(s, d).select(col("n_nationkey"),
+      GeoFunctions.wktRings(concat(
+        lit("POLYGON (("), n(nk * 3), lit(" 0, "), n(nk * 3 + 2), lit(" 0, "),
+        n(nk * 3 + 2), lit(" 2, "), n(nk * 3), lit(" 2, "), n(nk * 3),
+        lit(" 0))"))).as("rings_a"))
+    val u = (col("s_suppkey") % 40).cast("double") * 3 + 0.1 +
+      (col("s_suppkey") % 5).cast("double") * 0.6
+    val polysB = supplier(s, d).select(col("s_suppkey"), u.as("__u"))
+      .select(col("s_suppkey"), GeoFunctions.wktRings(concat(
+        lit("POLYGON (("), n(col("__u")), lit(" 0.5, "), n(col("__u") + 1),
+        lit(" 0.5, "), n(col("__u") + 1), lit(" 1.5, "), n(col("__u")),
+        lit(" 1.5, "), n(col("__u")), lit(" 0.5))"))).as("rings_b"))
+    SpatialJoin.polygonOverlapJoin(polysA, "n_nationkey", "rings_a",
+        polysB, "s_suppkey", "rings_b", cell = 4.0)
+      .select(col("s_suppkey"), col("n_nationkey"),
+        GeoFunctions.polygonEdgesIntersect(col("rings_a"), col("rings_b")).as("edge_x"),
+        GeoFunctions.pointInPolygon(col("rings_a"),
+          element_at(element_at(element_at(col("rings_b"), 1), 1), 1),
+          element_at(element_at(element_at(col("rings_b"), 1), 1), 2)).as("b0_in_a"))
+      .orderBy(col("s_suppkey"), col("n_nationkey"))
+  }
+
+  private val gq05Sql =
+    """SELECT s_suppkey, n_nationkey,
+      |  s_suppkey % 5 >= 2 AS edge_x,
+      |  s_suppkey % 5 <= 3 AS b0_in_a
+      |FROM supplier JOIN nation
+      |  ON n_nationkey = (s_suppkey % 40)
+      |     + CASE WHEN s_suppkey % 5 = 4 THEN 1 ELSE 0 END
+      |ORDER BY s_suppkey, n_nationkey""".stripMargin
+
+  /** gq06 — spatial kNN ([[graft.operators.SpatialJoin.knnPolygons]]):
+    * 3 nearest nation squares per customer probe point, by shell
+    * centroid distance. Nation n's square centroid is EXACTLY
+    * (3n+1, 1) in IEEE double (integer cross sums; the centroid
+    * division (24n+24)/24 has a representable quotient), and probe
+    * points sit at `(0.66·(c mod 100) + 0.3, 1)` ∈ [0.3, 65.64] —
+    * inside the centroid span [1, 67], so every point's 3rd-nearest
+    * centroid is ≤ 6.7 away and the r=4, cell=3 probe window
+    * (guarantees (r−1)·cell = 9) is exhaustive. No distance ties:
+    * equidistance needs 33m ≡ 15(n+n')+35 ≡ 0 (mod contradictions in
+    * 5 then 3). The oracle recomputes distances from the (3n+1, 1)
+    * closed form with the same double ops (sqrt of the squared
+    * difference), so values — not just ranks — must match. */
+  private def gq06(s: SparkSession, d: String): DataFrame = {
+    val nk = col("n_nationkey")
+    def n(c: org.apache.spark.sql.Column) = c.cast("string")
+    val polys = nation(s, d).select(col("n_nationkey"),
+      GeoFunctions.wktRings(concat(
+        lit("POLYGON (("), n(nk * 3), lit(" 0, "), n(nk * 3 + 2), lit(" 0, "),
+        n(nk * 3 + 2), lit(" 2, "), n(nk * 3), lit(" 2, "), n(nk * 3),
+        lit(" 0))"))).as("rings"))
+    val points = customer(s, d).select(col("c_custkey"),
+      ((col("c_custkey") % 100).cast("double") * 0.66 + 0.3).as("px"),
+      lit(1.0).as("py"))
+    SpatialJoin.knnPolygons(points, "c_custkey", "px", "py",
+        polys, "n_nationkey", "rings", k = 3, cell = 3.0, probeCells = 4)
+      .select(col("c_custkey"), col("rank"), col("n_nationkey"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy(col("c_custkey"), col("rank"))
+  }
+
+  private val gq06Sql =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |    CAST(c_custkey % 100 AS DOUBLE) * 0.66 + 0.3 AS px,
+      |    CAST(1.0 AS DOUBLE) AS py
+      |  FROM customer),
+      |cand AS (
+      |  SELECT c_custkey, n_nationkey,
+      |    sqrt(power(px - CAST(3*n_nationkey + 1 AS DOUBLE), 2)
+      |       + power(py - CAST(1.0 AS DOUBLE), 2)) AS d
+      |  FROM pts CROSS JOIN nation),
+      |r AS (
+      |  SELECT c_custkey, n_nationkey, d,
+      |    row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY d, n_nationkey) AS rank
+      |  FROM cand)
+      |SELECT c_custkey, rank, n_nationkey, round(d, 6) AS dist
+      |FROM r WHERE rank <= 3
+      |ORDER BY c_custkey, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "gq01_wkt_parse" -> (gq01 _),
     "gq02_polygon_area" -> (gq02 _),
     "gq03_point_in_polygon" -> (gq03 _),
-    "gq04_spatial_join" -> (gq04 _))
+    "gq04_spatial_join" -> (gq04 _),
+    "gq05_polygon_overlap_join" -> (gq05 _),
+    "gq06_spatial_knn" -> (gq06 _))
 
   val oracle: Map[String, String] = Map(
     "gq01_wkt_parse" -> gq01Sql,
     "gq02_polygon_area" -> gq02Sql,
     "gq03_point_in_polygon" -> gq03Sql,
-    "gq04_spatial_join" -> gq04Sql)
+    "gq04_spatial_join" -> gq04Sql,
+    "gq05_polygon_overlap_join" -> gq05Sql,
+    "gq06_spatial_knn" -> gq06Sql)
 }

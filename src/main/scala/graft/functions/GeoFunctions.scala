@@ -94,4 +94,58 @@ object GeoFunctions {
     * multiple shells need no special casing under this rule. */
   def pointInPolygon(rings: Column, px: Column, py: Column): Column =
     crossingCount(rings, px, py) % 2 === 1
+
+  /** Consecutive-point edges of one closed ring:
+    * `array<struct(a: point, b: point)>`. */
+  def ringEdges(ring: Column): Column =
+    zip_with(slice(ring, lit(1), size(ring) - 1), slice(ring, lit(2), size(ring) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")))
+
+  /** Orientation sign of the turn a→b→c: +1 counter-clockwise, −1
+    * clockwise, 0 collinear. */
+  private def orient(a: Column, b: Column, c: Column): Column =
+    signum((b.getItem(0) - a.getItem(0)) * (c.getItem(1) - a.getItem(1)) -
+      (b.getItem(1) - a.getItem(1)) * (c.getItem(0) - a.getItem(0)))
+
+  /** Collinear point-on-segment check (assumes `p` is already known to
+    * be collinear with a→b): p inside the segment's bbox. */
+  private def onSegment(a: Column, b: Column, p: Column): Column =
+    p.getItem(0) >= least(a.getItem(0), b.getItem(0)) &&
+      p.getItem(0) <= greatest(a.getItem(0), b.getItem(0)) &&
+      p.getItem(1) >= least(a.getItem(1), b.getItem(1)) &&
+      p.getItem(1) <= greatest(a.getItem(1), b.getItem(1))
+
+  /** Exact segment-segment intersection (the standard orientation test
+    * plus the four collinear-touch cases). `e1`/`e2` are
+    * `struct(a, b)` edges from [[ringEdges]]. */
+  def segmentsIntersect(e1: Column, e2: Column): Column = {
+    val a = e1.getField("a"); val b = e1.getField("b")
+    val c = e2.getField("a"); val d = e2.getField("b")
+    val o1 = orient(a, b, c); val o2 = orient(a, b, d)
+    val o3 = orient(c, d, a); val o4 = orient(c, d, b)
+    (o1 =!= o2 && o3 =!= o4) ||
+      (o1 === 0 && onSegment(a, b, c)) || (o2 === 0 && onSegment(a, b, d)) ||
+      (o3 === 0 && onSegment(c, d, a)) || (o4 === 0 && onSegment(c, d, b))
+  }
+
+  /** True when any edge of polygon A intersects any edge of polygon B —
+    * a row-local |edges_A|·|edges_B| scan (bounded by vertex counts; at
+    * 100 TB this stays a narrow map because it only ever runs on
+    * grid-blocked CANDIDATE pairs, never all pairs). */
+  def polygonEdgesIntersect(ringsA: Column, ringsB: Column): Column = {
+    val ea = flatten(transform(ringsA, ringEdges _))
+    val eb = flatten(transform(ringsB, ringEdges _))
+    exists(ea, e1 => exists(eb, e2 => segmentsIntersect(e1, e2)))
+  }
+
+  /** Polygon-polygon overlap (shared interior or boundary): some edge
+    * pair intersects, or one polygon contains the other — containment
+    * without edge contact means EVERY vertex is inside, so testing one
+    * shell vertex per side is exact. */
+  def polygonsOverlap(ringsA: Column, ringsB: Column): Column = {
+    def v0(rings: Column): Column = element_at(element_at(rings, 1), 1)
+    polygonEdgesIntersect(ringsA, ringsB) ||
+      pointInPolygon(ringsB, v0(ringsA).getItem(0), v0(ringsA).getItem(1)) ||
+      pointInPolygon(ringsA, v0(ringsB).getItem(0), v0(ringsB).getItem(1))
+  }
 }

@@ -113,4 +113,21 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("__cell"), s"expected the grid-cell join key in\n$p")
   }
+
+  test("gq05: polygon-polygon join is cell-keyed and UDF-free, not a cartesian") {
+    val p = plan("gq05_polygon_overlap_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__cell"), s"expected the grid-cell join key in\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("gq06: kNN probes join on cells and rank per point — no cartesian, no global sort before the window") {
+    val p = plan("gq06_spatial_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("__cell"), s"expected the grid-cell join key in\n$p")
+    // the top-k window must hash-partition by point id (parallel), never
+    // collapse into an empty-partition-spec single-task window
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      s"single-partition window detected\n$p")
+  }
 }
