@@ -25,6 +25,7 @@ object SparkEntry {
       analytics.ExtensionQueries.defs ++
       analytics.StreamingQueries.defs ++
       analytics.GeoQueries.defs ++
+      analytics.GraphQueries.defs ++
       ingest.IngestQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       analytics.ExtensionQueries.oracle ++
       analytics.StreamingQueries.oracle ++
       analytics.GeoQueries.oracle ++
+      analytics.GraphQueries.oracle ++
       ingest.IngestQueries.oracle
 }

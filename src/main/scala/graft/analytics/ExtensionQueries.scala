@@ -421,6 +421,48 @@ object ExtensionQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** tx12 — feature-hashed bag-of-words (the "hashing trick"): each
+    * token lands in bucket `stringHash(t) mod 8` with sign ±1 from hash
+    * bit 4, and a document's embedding is the signed bucket-count
+    * vector — the classic fixed-width featurizer that needs NO
+    * vocabulary pass, which is what makes it usable on a 100 TB corpus
+    * (one explode + one partial-aggregated keyed shuffle; per-group
+    * state is 8 longs). Signs make collisions cancel in expectation
+    * (Weinberger et al., ICML'09). All-integer arithmetic on the
+    * portable base-31 hash, so the oracle replays it exactly; features
+    * emitted as one column per bucket — the narrow-relational form the
+    * driver hash understands, convertible to `array(f0..f7)` in one
+    * narrow map when a vector consumer (ss01's cosine) wants it. */
+  private def tx12(s: SparkSession, d: String): DataFrame = {
+    val dim = 8
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), TF.stringHash(col("t")).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim)).as("b"),
+        when(shiftright(col("h"), 4).bitwiseAND(lit(1L)) === 1, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+    val feats = (0 until dim).map(j =>
+      coalesce(sum(when(col("b") === j, col("s"))), lit(0L)).as(s"f$j"))
+    toks.groupBy(col("doc_id")).agg(feats.head, feats.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val tx12Sql: String = {
+    val feats = (0 until 8).map(j =>
+      s"  CAST(coalesce(sum(CASE WHEN b = $j THEN s END), 0) AS BIGINT) AS f$j")
+      .mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+       |    (a, c) -> (a*31 + c) % 1000000007) AS h FROM tok),
+       |bs AS (SELECT doc_id, h % 8 AS b,
+       |    CASE WHEN ((h >> 4) & 1) = 1 THEN 1 ELSE -1 END AS s FROM h)
+       |SELECT doc_id,
+       |$feats
+       |FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared bucket CTE for the sp-family oracles: portable id-string
     * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
   private def spBucketCte: String = {
@@ -1148,6 +1190,7 @@ object ExtensionQueries {
     "tx09_repetition" -> (tx09 _),
     "tx10_inverted_index" -> (tx10 _),
     "tx11_pii_redaction" -> (tx11 _),
+    "tx12_hashed_bow" -> (tx12 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
     "sp03_pack_sequences" -> (sp03 _),
@@ -1183,6 +1226,7 @@ object ExtensionQueries {
     "tx09_repetition" -> tx09Sql,
     "tx10_inverted_index" -> tx10Sql,
     "tx11_pii_redaction" -> tx11Sql,
+    "tx12_hashed_bow" -> tx12Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,
     "sp03_pack_sequences" -> sp03Sql,

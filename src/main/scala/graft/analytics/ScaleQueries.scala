@@ -212,7 +212,45 @@ object ScaleQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** zq01 — Z-order (Morton) layout key ([[graft.lake.ZOrder]]): interleave
+    * two synthetic 10-bit coordinates per customer, then aggregate per
+    * curve segment (zkey >> 12). The aggregate exercises every bit of the
+    * spread/interleave ladder (min/max/count per segment shift with any
+    * bit error), and the oracle replays the identical mask-and-shift
+    * arithmetic in SQL. The companion writer
+    * ([[graft.lake.ZOrder.writeZOrdered]], ZOrderSpec) range-partitions on
+    * this key so parquet files get disjoint zkey ranges — file-level
+    * skipping for 2-D predicates at 100 TB. */
+  private def zq01(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.ZOrder
+    val z = ZOrder.mortonCode(col("c_custkey") % 1024,
+      expr("(c_custkey div 3) % 1024"))
+    customer(s, d).select(z.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 12).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("zkey")).as("zmin"),
+        max(col("zkey")).as("zmax"))
+      .orderBy(col("bucket"))
+  }
+
+  private val zq01Sql =
+    """WITH pts AS (SELECT c_custkey % 1024 AS x, (c_custkey // 3) % 1024 AS y
+      |  FROM customer),
+      |a AS (SELECT (x & 65535) AS x0, (y & 65535) AS y0 FROM pts),
+      |b AS (SELECT ((x0 | (x0 << 8)) & 16711935) AS x1,
+      |             ((y0 | (y0 << 8)) & 16711935) AS y1 FROM a),
+      |c AS (SELECT ((x1 | (x1 << 4)) & 252645135) AS x2,
+      |             ((y1 | (y1 << 4)) & 252645135) AS y2 FROM b),
+      |d AS (SELECT ((x2 | (x2 << 2)) & 858993459) AS x3,
+      |             ((y2 | (y2 << 2)) & 858993459) AS y3 FROM c),
+      |e AS (SELECT ((x3 | (x3 << 1)) & 1431655765) AS x4,
+      |             ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM d),
+      |z AS (SELECT (x4 | (y4 << 1)) AS zkey FROM e)
+      |SELECT zkey >> 12 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(zkey) AS zmin, max(zkey) AS zmax
+      |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "zq01_zorder_layout" -> (zq01 _),
     "q53_fuzzy_match" -> (q53 _),
     "q52_sole_late_supplier" -> (q52 _),
     "q51_salted_join" -> (q51 _),
@@ -222,6 +260,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq01_zorder_layout" -> zq01Sql,
     "q53_fuzzy_match" -> q53Sql,
     "q52_sole_late_supplier" -> q52Sql,
     "q51_salted_join" -> q51Sql,
