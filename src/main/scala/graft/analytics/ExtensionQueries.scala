@@ -463,6 +463,59 @@ object ExtensionQueries {
        |FROM bs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** pl01 — the composed corpus-cleaning pipeline, end to end: language
+    * filter (drop docs language-ID'd as the 'en' marker class) → quality
+    * threshold → exact dedup (canonical min doc_id per content
+    * fingerprint) → deterministic 70% hash sample. Every stage is an
+    * operator oracled on its own elsewhere (tx03, tx02, tx04, sp01);
+    * this query pins that they COMPOSE — filters stay narrow maps, the
+    * dedup is one keyed shuffle on the fingerprint, the sample is a
+    * pure row-local predicate, and membership in the final corpus is a
+    * pure function of the document bytes, reproducible in any engine.
+    * That end-to-end determinism is the property a 100 TB cleaning run
+    * actually needs: re-running any shard yields the same kept set. */
+  private def pl01(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(col("doc_id"), col("lang"), col("text"),
+      TF.qualityScore(col("text")).as("q"),
+      TF.langId(col("text")).as("pred"),
+      TF.fingerprint(col("text")).as("fp"))
+    val kept = scored.filter(col("pred") =!= "en" && col("q") >= 0.35)
+    val canon = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = kept.join(canon, Seq("fp", "doc_id"))
+    Sampling.hashSample(deduped, "doc_id", 0.7)
+      .select(col("doc_id"), col("lang"), col("pred"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        stableRound6(col("q")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val pl01Sql =
+    s"""WITH $spBucketCte,
+       |sc AS (SELECT d.doc_id, d.lang, d.text, b.bucket,
+       |  least(len(string_split(d.text, ' ')) / 100.0, 1.0) * 0.5
+       |    + (len(list_filter(string_split(d.text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and')) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)) * 0.3
+       |    + least(((length(d.text) - (len(string_split(d.text, ' ')) - 1)) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.2 AS q,
+       |  CASE WHEN len(list_filter(string_split(d.text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) >= len(list_filter(string_split(d.text, ' '), x -> x = 'data' OR x = 'table' OR x = 'row' OR x = 'column'))
+       |        AND len(list_filter(string_split(d.text, ' '), x -> x = 'the' OR x = 'a' OR x = 'of')) >= len(list_filter(string_split(d.text, ' '), x -> x = 'query' OR x = 'join' OR x = 'filter' OR x = 'sort'))
+       |       THEN 'en'
+       |       WHEN len(list_filter(string_split(d.text, ' '), x -> x = 'data' OR x = 'table' OR x = 'row' OR x = 'column')) >= len(list_filter(string_split(d.text, ' '), x -> x = 'query' OR x = 'join' OR x = 'filter' OR x = 'sort'))
+       |       THEN 'db' ELSE 'qy' END AS pred,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split(d.text, ' '),
+       |      t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+       |           (a, c) -> (a*31 + c) % 1000000007))),
+       |    (acc, h) -> (acc*131 + h) % 1000000007) AS fp
+       |  FROM documents d JOIN b USING (doc_id)),
+       |kept AS (SELECT * FROM sc WHERE pred <> 'en' AND q >= 0.35),
+       |cn AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp),
+       |dd AS (SELECT k.* FROM kept k JOIN cn ON cn.fp = k.fp AND cn.doc_id = k.doc_id),
+       |samp AS (SELECT * FROM dd WHERE bucket < 7000)
+       |SELECT doc_id, lang, pred,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |  floor(q * 1000000.0 + 0.5) / 1000000.0 AS quality
+       |FROM samp ORDER BY doc_id""".stripMargin
+
   /** Shared bucket CTE for the sp-family oracles: portable id-string
     * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
   private def spBucketCte: String = {
@@ -1191,6 +1244,7 @@ object ExtensionQueries {
     "tx10_inverted_index" -> (tx10 _),
     "tx11_pii_redaction" -> (tx11 _),
     "tx12_hashed_bow" -> (tx12 _),
+    "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
     "sp03_pack_sequences" -> (sp03 _),
@@ -1227,6 +1281,7 @@ object ExtensionQueries {
     "tx10_inverted_index" -> tx10Sql,
     "tx11_pii_redaction" -> tx11Sql,
     "tx12_hashed_bow" -> tx12Sql,
+    "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,
     "sp03_pack_sequences" -> sp03Sql,

@@ -54,9 +54,46 @@ object GraphQueries {
        |SELECT node, rank FROM r$Iterations ORDER BY node""".stripMargin
   }
 
+  /** pr02 — triangle enumeration: each triangle u < v < w emitted once
+    * via the compact forward direction (edges stored canonically
+    * ordered, wedges closed by a second equi-join). Two keyed shuffles
+    * on vertex ids, no all-pairs anything — the join-based
+    * node-iterator that scales to large edge sets; at real scale the
+    * canonical order would be by DEGREE (low-degree vertex first),
+    * which bounds per-vertex wedge fan-out under power-law skew — on
+    * this dense modular graph id order is equivalent. Graph:
+    * `{c mod 31, (11c + 5) mod 29}` per customer — coprime moduli so
+    * src and dst vary independently (the gq04 closed-form trick),
+    * self-loops dropped, undirected edges deduplicated. */
+  private def pr02(s: SparkSession, d: String): DataFrame = {
+    val raw = customer(s, d).select((col("c_custkey") % 31).as("a"),
+      ((col("c_custkey") * 11 + 5) % 29).as("b"))
+    val e = raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    e.as("e1").join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("v"), col("e2.v").as("w"))
+      .orderBy(col("u"), col("v"), col("w"))
+  }
+
+  private val pr02Sql =
+    """WITH r AS (SELECT c_custkey % 31 AS a, (c_custkey*11 + 5) % 29 AS b
+      |  FROM customer),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM r WHERE a <> b)
+      |SELECT e1.u AS u, e1.v AS v, e2.v AS w
+      |FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      |ORDER BY u, v, w""".stripMargin
+
   val defs: Map[String, Q] = Map(
-    "pr01_pagerank" -> (pr01 _))
+    "pr01_pagerank" -> (pr01 _),
+    "pr02_triangles" -> (pr02 _))
 
   val oracle: Map[String, String] = Map(
-    "pr01_pagerank" -> pr01Sql)
+    "pr01_pagerank" -> pr01Sql,
+    "pr02_triangles" -> pr02Sql)
 }
