@@ -516,6 +516,121 @@ object ExtensionQueries {
        |  floor(q * 1000000.0 + 0.5) / 1000000.0 AS quality
        |FROM samp ORDER BY doc_id""".stripMargin
 
+  /** The portable document fingerprint as a DuckDB expression over an
+    * arbitrary text SQL expression (tx04's arithmetic, reused by the
+    * sketch oracles below). Single-line fragments so stripMargin on the
+    * enclosing query can't eat pieces of them. */
+  private def fpSqlOf(textExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($textExpr, ' '), " +
+      s"t -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))), " +
+      s"(a, c) -> (a*31 + c) % 1000000007))), " +
+      s"(acc, h) -> (acc*131 + h) % 1000000007)"
+
+  /** One [[Dedup.probePositions]] slot as a DuckDB expression:
+    * quadratic-mix hash of `e` under `seed`, reduced mod `bits`. */
+  private def probePosSqlOf(e: String, bits: Int, seed: Int): String = {
+    val (a, b, c) = Dedup.seedConsts(seed)
+    s"((($a*((($e)*($e)) % 1000000007) + $b*($e) + $c) % 1000000007) % $bits)"
+  }
+
+  /** dd10 — Bloom-filter corpus membership ([[Dedup.bloomMembership]]):
+    * the filter built from every corpus fingerprint, probed with a mix
+    * of true members (even doc_ids) and planted non-members (texts with
+    * a ` zz` suffix, offset ids). Output classifies probes by
+    * (bloom_pass, is_member) — the (false, true) class MUST be absent
+    * (no false negatives; BloomSpec pins it), the (true, false) row
+    * sizes the deterministic false-positive cost of 4096 bits. The
+    * oracle rebuilds filter and probes from the same interpolated
+    * constants, so both engines agree on every individual verdict. */
+  private def dd10(s: SparkSession, d: String): DataFrame = {
+    val fps = documents(s, d)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+    val probes = fps.filter(col("doc_id") % 2 === 0)
+      .union(documents(s, d).filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          TF.fingerprint(concat(col("text"), lit(" zz"))).as("fp")))
+    val member = fps.select(col("fp")).distinct().withColumn("__m", lit(1L))
+    Dedup.bloomMembership(fps.select(col("fp")), probes)
+      .join(member, Seq("fp"), "left")
+      .groupBy(col("bloom_pass"), col("__m").isNotNull.as("is_member"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("bloom_pass"), col("is_member"))
+  }
+
+  private val dd10Sql: String = {
+    val fPos = (0 until 3).map(s1 => probePosSqlOf("fp", 4096, 3000 + s1))
+    s"""WITH fps AS (SELECT doc_id, ${fpSqlOf("text")} AS fp FROM documents),
+       |probes AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS doc_id, ${fpSqlOf("text || ' zz'")} AS fp
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |fpos AS (SELECT DISTINCT pos FROM
+       |  (SELECT unnest([${fPos.mkString(", ")}]) AS pos FROM fps)),
+       |ppos AS (SELECT doc_id, unnest([${fPos.mkString(", ")}]) AS pos FROM probes),
+       |hits AS (SELECT p.doc_id,
+       |    sum(CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END) AS nhit
+       |  FROM ppos p LEFT JOIN fpos f ON f.pos = p.pos GROUP BY p.doc_id),
+       |mem AS (SELECT DISTINCT fp FROM fps),
+       |flags AS (SELECT pr.doc_id, (h.nhit = 3) AS bloom_pass,
+       |    (m.fp IS NOT NULL) AS is_member
+       |  FROM probes pr JOIN hits h ON h.doc_id = pr.doc_id
+       |  LEFT JOIN mem m ON m.fp = pr.fp)
+       |SELECT bloom_pass, is_member, CAST(count(*) AS BIGINT) AS n,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM flags GROUP BY 1, 2
+       |ORDER BY bloom_pass, is_member""".stripMargin
+  }
+
+  /** tx13 — count-min-sketch heavy hitters: a depth-3 × width-256 CMS
+    * over every corpus token (768 counter cells — O(1) sketch state no
+    * matter the corpus size), probed with the true top-20 tokens.
+    * Output carries BOTH the exact count and the CMS estimate, so the
+    * oracle pins the sketch's deterministic over-estimate cell by cell
+    * (est ≥ true always; equality whenever no collision lands in all
+    * three rows). Same quadratic probe family as dd10, seeds 4000+. */
+  private def tx13(s: SparkSession, d: String): DataFrame = {
+    val (width, depth) = (256, 3)
+    val toks = documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("t"))
+      .select(col("t"), TF.stringHash(col("t")).as("h"))
+    val cells = toks
+      .select(posexplode(Dedup.probePositions(col("h"), width, depth, 4000))
+        .as(Seq("r", "c")))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("t"), col("h")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("t")).limit(20)
+    top.select(col("t"), col("true_n"),
+        posexplode(Dedup.probePositions(col("h"), width, depth, 4000))
+          .as(Seq("r", "c")))
+      .join(cells, Seq("r", "c"))
+      .groupBy(col("t"), col("true_n")).agg(min(col("cnt")).as("cms_est"))
+      .select(col("t").as("token"), col("true_n"), col("cms_est"))
+      .orderBy(col("true_n").desc, col("token"))
+  }
+
+  private val tx13Sql: String = {
+    val pos = (0 until 3).map(r => probePosSqlOf("h", 256, 4000 + r))
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT t, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+       |    (a, c) -> (a*31 + c) % 1000000007) AS h FROM tok),
+       |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt FROM
+       |    (SELECT unnest([0, 1, 2]) AS r,
+       |            unnest([${pos.mkString(", ")}]) AS c FROM h)
+       |  GROUP BY r, c),
+       |top AS (SELECT t, h, CAST(count(*) AS BIGINT) AS true_n FROM h
+       |  GROUP BY t, h ORDER BY true_n DESC, t LIMIT 20),
+       |probe AS (SELECT t, true_n, unnest([0, 1, 2]) AS r,
+       |    unnest([${pos.mkString(", ")}]) AS c FROM top)
+       |SELECT t AS token, true_n, min(cnt) AS cms_est
+       |FROM probe JOIN cells USING (r, c)
+       |GROUP BY t, true_n
+       |ORDER BY true_n DESC, token""".stripMargin
+  }
+
   /** Shared bucket CTE for the sp-family oracles: portable id-string
     * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
   private def spBucketCte: String = {
@@ -1244,6 +1359,8 @@ object ExtensionQueries {
     "tx10_inverted_index" -> (tx10 _),
     "tx11_pii_redaction" -> (tx11 _),
     "tx12_hashed_bow" -> (tx12 _),
+    "tx13_cms_heavy_hitters" -> (tx13 _),
+    "dd10_bloom_membership" -> (dd10 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -1281,6 +1398,8 @@ object ExtensionQueries {
     "tx10_inverted_index" -> tx10Sql,
     "tx11_pii_redaction" -> tx11Sql,
     "tx12_hashed_bow" -> tx12Sql,
+    "tx13_cms_heavy_hitters" -> tx13Sql,
+    "dd10_bloom_membership" -> dd10Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,

@@ -192,7 +192,27 @@ object StreamingQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** st09 — stream-static enrichment ([[EventStreams.enrichWithSegment]]):
+    * events decorated with the customer's market segment via an
+    * explicitly broadcast static dim (stateless per micro-batch — no
+    * watermark, no state store), then aggregated per (segment, type).
+    * StreamingSpec pins the streaming execution of the same enrichment
+    * equal to this batch form, row for row. */
+  private def st09(s: SparkSession, d: String): DataFrame =
+    EventStreams.enrichWithSegment(events(s, d), customer(s, d))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .orderBy(col("segment"), col("event_type"))
+
+  private val st09Sql =
+    """SELECT c_mktsegment AS segment, event_type,
+      |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total_value
+      |FROM events JOIN customer ON c_custkey = user_id
+      |GROUP BY 1, 2
+      |ORDER BY segment, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st09_stream_static_join" -> (st09 _),
     "st08_arbitrary_state" -> (st08 _),
     "st07_asof_join" -> (st07 _),
     "st06_stream_stream_join" -> (st06 _),
@@ -203,6 +223,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st09_stream_static_join" -> st09Sql,
     "st08_arbitrary_state" -> st08Sql,
     "st07_asof_join" -> st07Sql,
     "st06_stream_stream_join" -> st06Sql,

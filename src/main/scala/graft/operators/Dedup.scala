@@ -444,6 +444,48 @@ object Dedup {
     docs.join(clusters(docs, pairs).filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id")), "doc_id")
 
+  /** Seed base for the Bloom-filter probe family (minhash uses 0..,
+    * simhash 1000.., the sampling mix 2000, count-min 4000). */
+  val BloomSeedBase = 3000
+
+  /** k portable probe positions in [0, bits) for a pre-hashed key — the
+    * shared primitive behind the Bloom filter (k positions per key) and
+    * the count-min sketch (one column per row seed). Same quadratic
+    * family as the minhash transforms, so the DuckDB oracles replay the
+    * positions from interpolated [[seedConsts]] literals. */
+  def probePositions(h: Column, bits: Int, k: Int,
+                     seedBase: Int = BloomSeedBase): Column =
+    array((0 until k).map(s =>
+      pmod(seedHash(h, seedBase + s), lit(bits.toLong))): _*)
+
+  /** Bloom-filter corpus membership: build the filter from the corpus
+    * key column, probe each (doc_id, fp) row, return
+    * (doc_id, fp, bloom_pass). False negatives are impossible by
+    * construction (BloomSpec pins it); false positives are the
+    * deterministic price of `bits`.
+    *
+    * Scale shape: the filter is represented as a TABLE of set bit
+    * positions — at most `bits` rows after distinct, so membership is
+    * one explode + one equi-join against a tiny (broadcastable) side;
+    * nothing ever compares probe keys against corpus keys pairwise. On
+    * a cluster the positions table would collapse into a bitmask
+    * broadcast (bits/64 longs); the relational form keeps every step
+    * replayable by the DuckDB oracle (dd10). */
+  def bloomMembership(corpusFps: DataFrame, probes: DataFrame,
+                      bits: Int = 4096, k: Int = 3): DataFrame = {
+    val filterPos = corpusFps
+      .select(explode(probePositions(col("fp"), bits, k)).as("pos"))
+      .distinct()
+    val probePos = probes.select(col("doc_id"),
+      explode(probePositions(col("fp"), bits, k)).as("pos"))
+    val hits = probePos
+      .join(filterPos.withColumn("__hit", lit(1L)), Seq("pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("__nhit"))
+    probes.join(hits, "doc_id")
+      .select(col("doc_id"), col("fp"), (col("__nhit") === k).as("bloom_pass"))
+  }
+
   /** Exact n-gram Jaccard as a two-phase block-then-verify pipeline:
     * MinHash-LSH banding generates candidate pairs (16 hashes, 8 bands →
     * P[candidate | J=0.6] ≈ 0.97, ≈1.0 for true near-dups), then the

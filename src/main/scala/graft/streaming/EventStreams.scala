@@ -96,6 +96,23 @@ object EventStreams {
         col("value"))
   }
 
+  /** Stream-static enrichment: events joined to a STATIC dimension
+    * (customer market segments) — the standard pattern for decorating a
+    * stream with slowly-changing reference data. The static side is
+    * explicitly broadcast, so the join is STATELESS per micro-batch
+    * (no watermark, no state store — contrast stream-stream joins):
+    * each batch re-reads the dim snapshot, which is also the semantics
+    * users want when the dim is updated between batches. Works
+    * identically on a batch `events` frame; StreamingQueries.st09
+    * aggregates the same enrichment for the DuckDB oracle. */
+  def enrichWithSegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))),
+      Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("segment"),
+        col("event_type"), col("value"))
+
   /** Custom arbitrary state (flatMapGroupsWithState): per-user running
     * totals emitted on every update — the operator family for state that
     * windowed aggregation can't express (counters, ML feature state,

@@ -130,4 +130,34 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
       s"single-partition window detected\n$p")
   }
+
+  test("pr01: five PageRank rounds stay keyed joins — no cartesian, no UDFs") {
+    val p = plan("pr01_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("pr02: triangle closure joins on vertex equi keys, not a cartesian") {
+    val p = plan("pr02_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("zq01: Morton bit math is one codegen'd projection feeding a two-phase agg") {
+    val p = plan("zq01_zorder_layout")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"expected map-side partial aggregation in\n$p")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"bit interleave must not add exchanges\n$p")
+  }
+
+  test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
+    val p = plan("pl01_clean_pipeline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    // the quality/langid gates are row-local predicates BELOW the dedup
+    // join: the Filter must appear under a scan-side subtree, so at
+    // 100 TB the shuffle only carries surviving documents
+    assert(p.contains("Filter"), p)
+  }
 }

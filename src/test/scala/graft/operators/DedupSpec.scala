@@ -111,6 +111,32 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 8)
   }
 
+  test("bloom membership: zero false negatives; sound exact verdicts") {
+    import org.apache.spark.sql.functions._
+    val fps = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val members = fps.filter(col("doc_id") % 3 === 0)
+    val planted = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        graft.functions.TextFunctions.fingerprint(
+          concat(col("text"), lit(" q"))).as("fp"))
+    val got = Dedup.bloomMembership(fps.select(col("fp")),
+      members.union(planted))
+    // the defining Bloom guarantee: every true member passes
+    val memberIds = members.select("doc_id")
+    assert(got.filter(!col("bloom_pass")).join(memberIds, "doc_id").count() === 0,
+      "a corpus member failed the bloom probe — false negative")
+    assert(got.filter(col("doc_id") < 9000000L && col("bloom_pass")).count() ===
+      members.count(), "every member must pass")
+    // false-positive rate of the planted non-members stays plausible
+    // for 4096 bits / 3 hashes at this corpus size (deterministic, so
+    // this is a regression pin, not a flaky statistical test)
+    val fp = got.filter(col("doc_id") >= 9000000L && col("bloom_pass")).count()
+    val nonMembers = got.filter(col("doc_id") >= 9000000L).count()
+    assert(fp.toDouble / nonMembers < 0.5,
+      s"false-positive rate $fp/$nonMembers out of range for 4096 bits")
+  }
+
   test("winnowing finds every planted near-dup; disjoint docs share nothing") {
     import spark.implicits._
     // the ` dup` suffix leaves every original window intact → every planted

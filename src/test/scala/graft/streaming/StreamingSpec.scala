@@ -102,4 +102,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count() === batchKeys.count())
     assert(rows(got.select("user_id", "event_type")) === rows(batchKeys))
   }
+
+  test("stream-static enrichment equals the batch join, with no streaming state") {
+    val stream = EventStreams.source(spark, eventsDir)
+    val dim = Tables.customer(spark, sf)
+    // stateless join => append mode with NO watermark must be accepted
+    val got = runToMemory(EventStreams.enrichWithSegment(stream, dim),
+      "t_enrich", "append")
+    val want = EventStreams.enrichWithSegment(Tables.events(spark, sf), dim)
+    assert(got.count() === Tables.events(spark, sf).count(),
+      "every event must find its static dim row")
+    assert(rows(got) === rows(want))
+  }
 }
