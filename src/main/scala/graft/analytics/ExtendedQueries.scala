@@ -336,7 +336,39 @@ object ExtendedQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q54 — IGNORE NULLS window navigation: per customer in order-date
+    * order, carry forward the most recent finished-order price
+    * (`last(..., ignoreNulls)` — the gap-filling idiom), plus the
+    * partition's 2nd-ever order price (`nth_value`). The nullable
+    * column is synthesized (price visible only on status 'F') so the
+    * skip-nulls path is actually exercised on every partition. Frames
+    * are bounded ROWS frames over a unique (date, key) order — fully
+    * deterministic in both engines; no arithmetic, so no rounding. */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .withColumn("f_price",
+        when(col("o_orderstatus") === "F", col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"),
+        last(col("f_price"), ignoreNulls = true).over(w).as("last_f_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q54Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+      |    OVER w AS last_f_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q54_ignore_nulls" -> (q54 _),
     "q16_window_rank" -> (q16 _),
     "q17_window_running_sum" -> (q17 _),
     "q18_window_lag" -> (q18 _),
@@ -356,6 +388,7 @@ object ExtendedQueries {
     "q43_range_frame_window" -> (q43 _))
 
   val oracle: Map[String, String] = Map(
+    "q54_ignore_nulls" -> q54Sql,
     "q16_window_rank" -> q16Sql,
     "q17_window_running_sum" -> q17Sql,
     "q18_window_lag" -> q18Sql,

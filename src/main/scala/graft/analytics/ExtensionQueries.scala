@@ -631,6 +631,56 @@ object ExtensionQueries {
        |ORDER BY true_n DESC, token""".stripMargin
   }
 
+  /** mm05 — perceptual-hash blocking over media features: aHash-style
+    * bits (feature bin above the feature mean → 1) over the codec's
+    * 8-bin output, bucketed by (format, phash). This is the standard
+    * image-near-dup BLOCKING key — identical payloads always collide,
+    * perceptually-close ones usually do, and candidate pairs come only
+    * from bucket membership (the dd02 scale shape applied to media).
+    * Works on the IEEE-pinned stub codec features ([[Multimodal]]): bin
+    * sums exact in float, double divide narrowed to float, mean summed
+    * in feature order — every comparison reproduces bit-for-bit in the
+    * oracle, which rebuilds features AND hash from the raw bytes. */
+  private def mm05(s: SparkSession, d: String): DataFrame = {
+    val f = Multimodal.extractFeatures(Multimodal.mediaCorpus(documents(s, d)))
+    val withMean = f.select(col("media_id"), col("format"),
+        transform(col("features"), x => x.cast("double")).as("fd"))
+      .select(col("media_id"), col("format"), col("fd"),
+        (aggregate(col("fd"), lit(0.0), (a, x) => a + x) / lit(8.0)).as("mean"))
+    val phash = (0 until 8).map(j =>
+      when(element_at(col("fd"), j + 1) > col("mean"), lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    withMean.select(col("media_id"), col("format"), phash.as("phash"))
+      .groupBy(col("format"), col("phash"))
+      .agg(count(lit(1)).as("n"), min(col("media_id")).as("min_id"),
+        max(col("media_id")).as("max_id"))
+      .orderBy(col("format"), col("phash"))
+  }
+
+  private val mm05Sql: String = {
+    val bits = (0 until 8).map(j =>
+      s"(CASE WHEN fd[${j + 1}] > mean THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text,
+       |    CASE (ascii(substring(text, 1, 1)) % 3)
+       |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+       |    octet_length(encode(text)) AS byte_len
+       |  FROM documents),
+       |f AS (SELECT media_id, format,
+       |  list_transform(range(0, 8), j -> CAST(CAST(
+       |    coalesce(list_sum(list_transform(list_filter(range(1, byte_len + 1),
+       |      i -> ((i - 1) % 8) = j), i -> CAST(ascii(text[i]) AS DOUBLE))), 0.0)
+       |    / greatest(CAST(byte_len AS DOUBLE), 1.0) AS FLOAT) AS DOUBLE)) AS fd
+       |  FROM m),
+       |p AS (SELECT media_id, format, fd, list_sum(fd) / 8.0 AS mean FROM f),
+       |h AS (SELECT media_id, format, CAST($bits AS BIGINT) AS phash FROM p)
+       |SELECT format, phash, CAST(count(*) AS BIGINT) AS n,
+       |  min(media_id) AS min_id, max(media_id) AS max_id
+       |FROM h GROUP BY 1, 2
+       |ORDER BY format, phash""".stripMargin
+  }
+
   /** Shared bucket CTE for the sp-family oracles: portable id-string
     * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
   private def spBucketCte: String = {
@@ -1383,7 +1433,8 @@ object ExtensionQueries {
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
-    "mm04_resize" -> (mm04 _))
+    "mm04_resize" -> (mm04 _),
+    "mm05_perceptual_hash" -> (mm05 _))
 
   val oracle: Map[String, String] = Map(
     "tx01_token_stats" -> tx01Sql,
@@ -1422,5 +1473,6 @@ object ExtensionQueries {
     "mm01_media_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,
-    "mm04_resize" -> mm04Sql)
+    "mm04_resize" -> mm04Sql,
+    "mm05_perceptual_hash" -> mm05Sql)
 }
