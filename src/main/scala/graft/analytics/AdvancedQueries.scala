@@ -203,7 +203,42 @@ object AdvancedQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q55 — the SQL entry point + LATERAL: every other query enters via
+    * the DataFrame API; this one registers temp views and runs
+    * `spark.sql` with a LATERAL correlated subquery (the per-row
+    * derived table Spark 3.2+ supports), pinning that a reference user
+    * who writes SQL, not Scala, gets the same engine: Catalyst
+    * decorrelates the lateral aggregate into the same left-outer
+    * agg-join a hand-written DataFrame plan would use. View names are
+    * namespaced (graft_q55_*) so the concurrent Verify pool can't
+    * collide on session temp-view state. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_q55_customer")
+    orders(s, d).createOrReplaceTempView("graft_q55_orders")
+    s.sql("""
+      SELECT c.c_custkey, c.c_mktsegment, l.n_orders, l.top_price
+      FROM graft_q55_customer c,
+      LATERAL (
+        SELECT count(o_orderkey) AS n_orders, max(o_totalprice) AS top_price
+        FROM graft_q55_orders o WHERE o.o_custkey = c.c_custkey
+      ) l
+      WHERE c.c_acctbal > 9000
+      ORDER BY c.c_custkey""")
+  }
+
+  private val q55Sql =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |  CAST(l.n_orders AS BIGINT) AS n_orders, l.top_price
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT count(o_orderkey) AS n_orders, max(o_totalprice) AS top_price
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |) l
+      |WHERE c.c_acctbal > 9000
+      |ORDER BY c.c_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q55_sql_lateral" -> (q55 _),
     "q45_theta_join" -> (q45 _),
     "q46_approx_quantile" -> (q46 _),
     "q42_topk_aggregate" -> (q42 _),
@@ -215,6 +250,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q55_sql_lateral" -> q55Sql,
     "q45_theta_join" -> q45Sql,
     "q46_approx_quantile" -> q46Sql,
     "q42_topk_aggregate" -> q42Sql,
