@@ -1134,6 +1134,56 @@ object ExtensionQueries {
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
+  /** ss05 — batch kNN JOIN ([[Similarity.lshKnnJoin]]): top-3 LSH
+    * neighbors for EVERY vector in one pass — the corpus-wide form
+    * (per-query probes don't amortize at 100 TB). Same interpolated
+    * planes and integer banding as ss02, generalized from one probe to
+    * a bucket self-join; the oracle replays candidates AND scores, so a
+    * ranking bug on any of the ~500 vectors flips the hash. */
+  private def ss05(s: SparkSession, d: String): DataFrame =
+    Similarity.lshKnnJoin(embeddings(s, d), k = 3)
+      .orderBy(col("vec_id"), col("rank"))
+
+  private val ss05Sql: String = {
+    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+      .zipWithIndex.map { case (pl, p) =>
+        s"($p, [${pl.take(64).mkString(", ")}])"
+      }.mkString(",\n  ")
+    s"""WITH planes(p, pl) AS (VALUES
+       |  $planeRows),
+       |dots AS (SELECT e.vec_id, pls.p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
+       |  FROM embeddings e CROSS JOIN planes pls),
+       |sigs AS (SELECT vec_id,
+       |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM dots GROUP BY vec_id),
+       |bands AS (SELECT vec_id,
+       |    unnest(list_transform(range(0, 4), b -> {'band': b,
+       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |  FROM sigs),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
+       |  FROM bands x JOIN bands y
+       |    ON x.u.band = y.u.band AND x.u.bits = y.u.bits
+       |   AND x.vec_id <> y.vec_id),
+       |scored AS (SELECT c.vec_id, c.nbr_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.vec_id
+       |  JOIN embeddings b ON b.vec_id = c.nbr_id),
+       |r AS (SELECT vec_id, nbr_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, nbr_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT vec_id, rank, nbr_id, cos FROM r WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** ss02 oracle — exact replica of hyperplane-LSH top-k: the seeded
     * Gaussian planes are INTERPOLATED into the SQL (first 64 components
     * of each 1024-wide plane — the corpus dim; shortest-roundtrip
@@ -1430,6 +1480,7 @@ object ExtensionQueries {
     "ss02_lsh_ann" -> (ss02 _),
     "ss03_ivf_ann" -> (ss03 _),
     "ss04_ann_recall" -> (ss04 _),
+    "ss05_knn_join" -> (ss05 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -1470,6 +1521,7 @@ object ExtensionQueries {
     "ss02_lsh_ann" -> ss02Sql,
     "ss03_ivf_ann" -> ss03Sql,
     "ss04_ann_recall" -> ss04Sql,
+    "ss05_knn_join" -> ss05Sql,
     "mm01_media_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,

@@ -117,6 +117,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN: top-k LSH neighbors for EVERY vector at once — the
+    * form a corpus-wide similarity pass actually needs (per-query probes
+    * like [[lshTopK]] don't amortize over 100 TB). Candidates come only
+    * from shared band buckets (never all-pairs), the candidate id-pairs
+    * are deduplicated NARROW — before embeddings re-join (the dd06
+    * lesson: shuffle 16-byte pairs, not vectors), and the per-vector
+    * top-k window hash-partitions by vec_id, so no stage concentrates
+    * on one task. Vectors whose buckets yield fewer than k candidates
+    * return fewer rows — the documented LSH recall trade ([[lshTopK]]),
+    * pinned against brute force in ss04. */
+  def lshKnnJoin(corpus: DataFrame, k: Int, nBits: Int = 16, bands: Int = 4,
+                 seed: Long = 42L): DataFrame = {
+    val banded = bandedSignatures(corpus, nBits, bands, seed)
+      .select(col("vec_id"), col("band"), col("band_bits"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val scored = pairs
+      .join(emb.select(col("vec_id").as("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb")), "nbr_id")
+      .select(col("vec_id"), col("nbr_id"),
+        round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
   /** Seed-selection hash constants — the same splitmix-derived portable
     * quadratic family as [[Dedup.seedConsts]] (seed 2000, disjoint from
     * the minhash and simhash seed ranges), exposed so the ss03 oracle

@@ -151,6 +151,36 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges <= 2, s"bit interleave must not add exchanges\n$p")
   }
 
+  test("ss05: kNN join dedups narrow id-pairs before embeddings re-join; per-vector window") {
+    val p = plan("ss05_knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the distinct must run over (vec_id, nbr_id) only — never with
+    // embedding payloads attached (the dd06 narrow-pair lesson)
+    assert(!p.contains("HashAggregate(keys=[vec_id") ||
+      !"HashAggregate\\(keys=\\[vec_id[^\\]]*embedding".r.findFirstIn(p).isDefined,
+      s"pair dedup carries embedding payloads\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"single-partition window detected\n$p")
+  }
+
+  test("dd10: bloom probe joins positions, never probe-keys-vs-corpus-keys") {
+    val p = plan("dd10_bloom_membership")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("tx13: CMS cells and probes stay partial-aggregated equi-joins") {
+    val p = plan("tx13_cms_heavy_hitters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+  }
+
+  test("q54: IGNORE NULLS windows hash-partition by customer, no single task") {
+    val p = plan("q54_ignore_nulls")
+    assert(!p.contains("windowspecdefinition()"),
+      s"single-partition window detected\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
