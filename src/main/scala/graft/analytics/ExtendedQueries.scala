@@ -129,6 +129,37 @@ object ExtendedQueries {
         col("o_orderdate") < to_timestamp(lit(f"${year + 1}-01-01 00:00:00")))
       .select(col("o_custkey"))
 
+  /** q56 — multiset set ops (INTERSECT ALL / EXCEPT ALL): per-key
+    * multiplicities must survive (min(countA, countB) and
+    * max(countA - countB, 0) respectively), which the q21/q22 set forms
+    * dedup away. Output aggregates the multisets back to (op, key, n)
+    * so the oracle pins every multiplicity, not just membership. */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val a = orderYearKeys(s, d, 1995)
+    val b = orderYearKeys(s, d, 1996)
+    val i = a.intersectAll(b).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val e = a.exceptAll(b).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    i.unionByName(e)
+      .select(col("op"), col("o_custkey"), col("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  private val q56Sql =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+      |b AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |i AS (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b),
+      |e AS (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+      |SELECT 'intersect_all' AS op, o_custkey, CAST(count(*) AS BIGINT) AS n
+      |FROM i GROUP BY o_custkey
+      |UNION ALL
+      |SELECT 'except_all' AS op, o_custkey, CAST(count(*) AS BIGINT) AS n
+      |FROM e GROUP BY o_custkey
+      |ORDER BY op, o_custkey""".stripMargin
+
   /** q21 — INTERSECT (set semantics, dedup). */
   private def q21(s: SparkSession, d: String): DataFrame =
     orderYearKeys(s, d, 1995).intersect(orderYearKeys(s, d, 1996))
@@ -368,6 +399,7 @@ object ExtendedQueries {
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q56_set_ops_all" -> (q56 _),
     "q54_ignore_nulls" -> (q54 _),
     "q16_window_rank" -> (q16 _),
     "q17_window_running_sum" -> (q17 _),
@@ -388,6 +420,7 @@ object ExtendedQueries {
     "q43_range_frame_window" -> (q43 _))
 
   val oracle: Map[String, String] = Map(
+    "q56_set_ops_all" -> q56Sql,
     "q54_ignore_nulls" -> q54Sql,
     "q16_window_rank" -> q16Sql,
     "q17_window_running_sum" -> q17Sql,
