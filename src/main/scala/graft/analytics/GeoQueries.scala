@@ -234,7 +234,60 @@ object GeoQueries {
       |FROM r WHERE rank <= 3
       |ORDER BY c_custkey, rank""".stripMargin
 
+  /** gq07 — nearest city by haversine distance: customers at modular
+    * (lat, lon) grid points, 25 nation "cities" broadcast, argmin per
+    * customer. Earth-coordinate distance — the geodesic counterpart of
+    * gq06's planar kNN. Cross-engine float caveat: libm sin/cos differ
+    * in the last ulp, so BOTH the ranking and the output round the
+    * distance to 1e-6 km (1 mm) first; city separations are whole
+    * degrees, so a rank flip would need a ~1e-12 km coincidence. The
+    * 25-row dim rides a broadcast — the one join shape where a
+    * nested-loop cross is the RIGHT plan at any scale. */
+  private def gq07(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = customer(s, d).select(col("c_custkey"),
+      ((col("c_custkey") % 140).cast("double") * 0.5 - 35.0).as("lat"),
+      ((col("c_custkey") % 360).cast("double") - 180.0).as("lon"))
+    val cities = nation(s, d).select(col("n_nationkey"),
+      (col("n_nationkey").cast("double") * 2.0 - 24.0).as("clat"),
+      (col("n_nationkey").cast("double") * 6.0 - 72.0).as("clon"))
+    val scored = pts.crossJoin(broadcast(cities))
+      .select(col("c_custkey"), col("n_nationkey"),
+        round(GeoFunctions.haversineKm(col("lat"), col("lon"),
+          col("clat"), col("clon")), 6).as("dist_km"))
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("dist_km"), col("n_nationkey"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("c_custkey"), col("n_nationkey").as("city"),
+        col("dist_km"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val gq07Sql =
+    """WITH pts AS (SELECT c_custkey,
+      |    CAST(c_custkey % 140 AS DOUBLE) * 0.5 - 35.0 AS lat,
+      |    CAST(c_custkey % 360 AS DOUBLE) - 180.0 AS lon
+      |  FROM customer),
+      |cities AS (SELECT n_nationkey,
+      |    CAST(n_nationkey AS DOUBLE) * 2.0 - 24.0 AS clat,
+      |    CAST(n_nationkey AS DOUBLE) * 6.0 - 72.0 AS clon
+      |  FROM nation),
+      |scored AS (SELECT c_custkey, n_nationkey,
+      |    round(2.0 * 6371.0088 * asin(sqrt(
+      |      sin(radians(clat - lat) / 2.0) * sin(radians(clat - lat) / 2.0)
+      |      + cos(radians(lat)) * cos(radians(clat))
+      |        * sin(radians(clon - lon) / 2.0) * sin(radians(clon - lon) / 2.0))), 6) AS dist_km
+      |  FROM pts CROSS JOIN cities),
+      |r AS (SELECT c_custkey, n_nationkey, dist_km,
+      |    row_number() OVER (PARTITION BY c_custkey
+      |      ORDER BY dist_km, n_nationkey) AS rn
+      |  FROM scored)
+      |SELECT c_custkey, n_nationkey AS city, dist_km
+      |FROM r WHERE rn = 1
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "gq07_haversine_nearest" -> (gq07 _),
     "gq01_wkt_parse" -> (gq01 _),
     "gq02_polygon_area" -> (gq02 _),
     "gq03_point_in_polygon" -> (gq03 _),
@@ -243,6 +296,7 @@ object GeoQueries {
     "gq06_spatial_knn" -> (gq06 _))
 
   val oracle: Map[String, String] = Map(
+    "gq07_haversine_nearest" -> gq07Sql,
     "gq01_wkt_parse" -> gq01Sql,
     "gq02_polygon_area" -> gq02Sql,
     "gq03_point_in_polygon" -> gq03Sql,

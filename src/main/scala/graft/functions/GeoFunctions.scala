@@ -142,6 +142,21 @@ object GeoFunctions {
     * pair intersects, or one polygon contains the other — containment
     * without edge contact means EVERY vertex is inside, so testing one
     * shell vertex per side is exact. */
+  /** Great-circle distance in km (haversine, R = 6371.0088 — the IUGG
+    * mean earth radius): `2R·asin(sqrt(sin²(Δφ/2) + cosφ1·cosφ2·
+    * sin²(Δλ/2)))`. Pure codegen'd double math; sin/cos differ between
+    * libm implementations only in the last ulp (~1e-13 km here), so
+    * consumers round at ≥1e-6 km before comparing across engines
+    * (gq07 does). */
+  def haversineKm(lat1: Column, lon1: Column,
+                  lat2: Column, lon2: Column): Column = {
+    val dphi = radians(lat2 - lat1) / 2.0
+    val dlam = radians(lon2 - lon1) / 2.0
+    val h = sin(dphi) * sin(dphi) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dlam) * sin(dlam)
+    lit(2.0 * 6371.0088) * asin(sqrt(h))
+  }
+
   def polygonsOverlap(ringsA: Column, ringsB: Column): Column = {
     def v0(rings: Column): Column = element_at(element_at(rings, 1), 1)
     polygonEdgesIntersect(ringsA, ringsB) ||

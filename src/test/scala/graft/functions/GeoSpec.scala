@@ -108,6 +108,21 @@ class GeoSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("haversine matches textbook values: degree of longitude, antipodes, zero") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def km(a: (Double, Double), b: (Double, Double)): Double =
+      spark.range(1).select(GeoFunctions.haversineKm(
+        lit(a._1), lit(a._2), lit(b._1), lit(b._2)).as("d"))
+        .head().getDouble(0)
+    // 1 degree of longitude at the equator: pi/180 * R = 111.195 km
+    assert(math.abs(km((0, 0), (0, 1)) - 111.1949) < 0.001)
+    // antipodal points: half the earth's circumference, pi * R
+    assert(math.abs(km((0, 0), (0, 180)) - math.Pi * 6371.0088) < 0.001)
+    assert(km((40.7, -74.0), (40.7, -74.0)) === 0.0)
+    // symmetry (the formula must not care about argument order)
+    assert(km((12.3, 45.6), (-7.8, 123.4)) === km((-7.8, 123.4), (12.3, 45.6)))
+  }
+
   test("wktRings needs no custom expressions: plan stays codegen-friendly") {
     val df = one(squareWithHole).select(polygonArea(col("r")).as("a"))
     val plan = df.queryExecution.executedPlan.toString()

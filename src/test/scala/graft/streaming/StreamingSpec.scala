@@ -103,6 +103,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got.select("user_id", "event_type")) === rows(batchKeys))
   }
 
+  test("RocksDB state store: watermarked aggregation runs and matches batch") {
+    // the large-state production backend (state spills to disk instead
+    // of executor heap — the difference between bounded and unbounded
+    // key cardinality at 100 TB). Run the same tumbling aggregation on
+    // an isolated session pinned to RocksDB and require batch equality.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = EventStreams.source(s2, eventsDir)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("t_rocksdb")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = s2.table("t_rocksdb")
+    val want = EventStreams.tumblingCounts(Tables.events(spark, sf))
+    assert(rows(got) === rows(want),
+      "RocksDB-backed state must produce the same windows as the default store")
+  }
+
   test("stream-static enrichment equals the batch join, with no streaming state") {
     val stream = EventStreams.source(spark, eventsDir)
     val dim = Tables.customer(spark, sf)
