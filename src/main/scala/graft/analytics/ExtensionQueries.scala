@@ -1247,48 +1247,72 @@ object ExtensionQueries {
     *  3. probe: re-assign the corpus to the new codebook, take the
     *     query's 4 nearest cells, exact-rescore members, top-10.
     * Ties in assignment break on centroid_id in both engines. */
-  private val ss03Sql: String = {
+  /** dd11 — SemDeDup ([[Similarity.semanticDedup]], Abbas et al. 2023):
+    * cluster the (augmented) embedding corpus with the oracled IVF
+    * codebook, drop every vector with a rounded-cosine ≥ 0.999 neighbor
+    * of smaller id inside its cell. The planted exact copies (dd05's
+    * augmentation) are the ground truth: a copy is bit-identical to its
+    * source, so it shares the source's cell and cosine 1.0 → every
+    * planted id must be dropped and nothing else reaches 0.999 on the
+    * uniform-random corpus. Output = kept (vec_id, centroid_id): the
+    * cell column makes the check sensitive to the entire codebook, not
+    * just the drop set. */
+  private def dd11(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(augmentedEmbeddings(s, d), threshold = 0.999)
+      .orderBy(col("vec_id"))
+
+  private val dd11Sql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50),
+       |${ivfAsg1Cte("aug")},
+       |dropped AS (SELECT DISTINCT y.vec_id
+       |  FROM asg1 x JOIN asg1 y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |  WHERE round(${cosSqlOf("x.embedding", "y.embedding")}, 6) >= 0.999),
+       |kept AS (SELECT a.vec_id, a.centroid_id FROM asg1 a
+       |  LEFT JOIN dropped d ON d.vec_id = a.vec_id WHERE d.vec_id IS NULL)
+       |SELECT vec_id, centroid_id FROM kept
+       |ORDER BY vec_id""".stripMargin
+
+  /** Guarded double-precision cosine as DuckDB SQL — the exact
+    * [[graft.functions.CosineSimilarity]] fused-loop arithmetic (sqrt of
+    * the norm PRODUCT). Shared by the ss03 and dd11 oracles. */
+  private def cosSqlOf(e: String, c: String): String =
+    s"""CASE WHEN list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
+       |      OR list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
+       |    THEN 0.0
+       |    ELSE list_sum(list_transform(list_zip($e, $c),
+       |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |      / sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
+       |           * list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |    END""".stripMargin
+
+  /** The IVF pipeline (portable seed hash -> 16 seeds -> one Lloyd
+    * round with the fixed-point mean -> final assignment `asg1`) as a
+    * WITH-body fragment over corpus relation `rel` — shared verbatim by
+    * the ss03 and dd11 oracles so the two queries can never drift.
+    * NOTE the doubled modulo: Spark's pmod is always non-negative while
+    * DuckDB's % is sign-preserving, so the SQL mirrors pmod explicitly —
+    * seed selection stays aligned even for a fixture with negative ids. */
+  private def ivfAsg1Cte(rel: String): String = {
     val (sa, sb, sc) = Similarity.SeedSelConsts
-    // SUMMATION-ORDER ASSUMPTION, pinned: the double-precision cosine
-    // below relies on DuckDB's `list_sum` reducing the list SEQUENTIALLY
-    // left-to-right (element order), the same order Spark's fused
-    // CosineSimilarity loop walks the array — float addition is not
-    // associative, so a pairwise/SIMD-reordered sum could flip a
-    // nearest-centroid tie and change the codebook. This holds in the
-    // DuckDB the driver ships (verified: ss03 hash-matches at sf0.01,
-    // where reordering any of the 16M additions would surface); if a
-    // future DuckDB vectorizes list_sum into a tree reduction, the
-    // oracle (not the engine) must switch to an explicit ordered
-    // list_reduce. The fixed-point centroid MEAN is immune by design
-    // (integer addition IS associative — that's why 2^24 scaling
-    // exists); only the cosine rescoring carries this assumption.
-    val cos = (e: String, c: String) =>
-      s"""CASE WHEN list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
-         |      OR list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) = 0.0
-         |    THEN 0.0
-         |    ELSE list_sum(list_transform(list_zip($e, $c),
-         |           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-         |      / sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))
-         |           * list_sum(list_transform($c, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-         |    END""".stripMargin
-    // NOTE the doubled modulo: Spark's pmod is always non-negative while
-    // DuckDB's % is sign-preserving, so the SQL mirrors pmod explicitly —
-    // seed selection stays aligned even for a fixture with negative ids
-    s"""WITH hp AS (
+    s"""hp AS (
        |  SELECT vec_id, embedding,
        |    ((($sa * (((((vec_id % 1000000007) + 1000000007) % 1000000007)
        |              * (((vec_id % 1000000007) + 1000000007) % 1000000007)) % 1000000007)
        |     + $sb * (((vec_id % 1000000007) + 1000000007) % 1000000007)
        |     + $sc) % 1000000007) + 1000000007) % 1000000007 AS h
-       |  FROM embeddings),
+       |  FROM $rel),
        |seeds AS (
        |  SELECT vec_id AS centroid_id, embedding AS centroid
        |  FROM hp ORDER BY h, vec_id LIMIT 16),
        |a0 AS (
        |  SELECT e.vec_id, e.embedding, s.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cos("e.embedding", "s.centroid")} DESC, s.centroid_id) AS rk
-       |  FROM embeddings e CROSS JOIN seeds s),
+       |      ORDER BY ${cosSqlOf("e.embedding", "s.centroid")} DESC, s.centroid_id) AS rk
+       |  FROM $rel e CROSS JOIN seeds s),
        |asg0 AS (SELECT vec_id, embedding, centroid_id FROM a0 WHERE rk = 1),
        |mexp AS (
        |  SELECT centroid_id, unnest(range(0, len(embedding))) AS pos, embedding
@@ -1308,12 +1332,29 @@ object ExtensionQueries {
        |a1 AS (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY ${cos("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rk
-       |  FROM embeddings e CROSS JOIN cents c),
-       |asg1 AS (SELECT vec_id, embedding, centroid_id FROM a1 WHERE rk = 1),
+       |      ORDER BY ${cosSqlOf("e.embedding", "c.centroid")} DESC, c.centroid_id) AS rk
+       |  FROM $rel e CROSS JOIN cents c),
+       |asg1 AS (SELECT vec_id, embedding, centroid_id FROM a1 WHERE rk = 1)"""
+  }
+
+  private val ss03Sql: String = {
+    // SUMMATION-ORDER ASSUMPTION, pinned: the double-precision cosine
+    // (cosSqlOf) relies on DuckDB's `list_sum` reducing the list
+    // SEQUENTIALLY left-to-right (element order), the same order Spark's
+    // fused CosineSimilarity loop walks the array — float addition is
+    // not associative, so a pairwise/SIMD-reordered sum could flip a
+    // nearest-centroid tie and change the codebook. This holds in the
+    // DuckDB the driver ships (verified: ss03 hash-matches at sf0.01,
+    // where reordering any of the 16M additions would surface); if a
+    // future DuckDB vectorizes list_sum into a tree reduction, the
+    // oracle (not the engine) must switch to an explicit ordered
+    // list_reduce. The fixed-point centroid MEAN is immune by design
+    // (integer addition IS associative — that's why 2^24 scaling
+    // exists); only the cosine rescoring carries this assumption.
+    s"""WITH ${ivfAsg1Cte("embeddings")},
        |qprobe AS (SELECT centroid_id FROM a1 WHERE vec_id = 0 AND rk <= 4),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-       |SELECT a.vec_id, round(${cos("a.embedding", "q.qe")}, 6) AS cos
+       |SELECT a.vec_id, round(${cosSqlOf("a.embedding", "q.qe")}, 6) AS cos
        |FROM asg1 a JOIN qprobe USING (centroid_id), q
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
@@ -1461,6 +1502,7 @@ object ExtensionQueries {
     "tx12_hashed_bow" -> (tx12 _),
     "tx13_cms_heavy_hitters" -> (tx13 _),
     "dd10_bloom_membership" -> (dd10 _),
+    "dd11_semantic_dedup" -> (dd11 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -1502,6 +1544,7 @@ object ExtensionQueries {
     "tx12_hashed_bow" -> tx12Sql,
     "tx13_cms_heavy_hitters" -> tx13Sql,
     "dd10_bloom_membership" -> dd10Sql,
+    "dd11_semantic_dedup" -> dd11Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,

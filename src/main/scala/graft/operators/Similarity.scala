@@ -246,6 +246,32 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
+    * cluster the embedding space, then WITHIN each cluster drop every
+    * vector that has a >= `threshold` cosine neighbor with a smaller id
+    * (greedy keep-lowest-id per ε-ball). The clusters bound the
+    * quadratic: pairs are only formed within a cell, so the cost is
+    * Σ cell² — at 100 TB you grow `nCells` with the corpus (the paper
+    * uses ~100k clusters for web scale) and the per-cell work stays
+    * constant; nothing here is ever all-pairs. Cosines are rounded to
+    * 1e-6 BEFORE the threshold compare so the drop set is reproducible
+    * cross-engine (the dd06 convention). Returns the KEPT vectors with
+    * their cell assignment — (vec_id, centroid_id). */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 16,
+                    kmeansIters: Int = 1): DataFrame = {
+    val cent = kmeansCentroids(corpus, nCells, kmeansIters)
+    val assigned = nearestCells(corpus, cent, 1, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val dropped = assigned.as("x").join(assigned.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(round(VectorFunctions.cosineFast(
+        col("x.embedding"), col("y.embedding")), 6) >= threshold)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** IVF ANN: partition the corpus into `nCells` inverted lists by
     * nearest centroid, probe only the `nProbe` cells nearest the query,
     * exact-score within them. The part that matters at 100 TB — each
