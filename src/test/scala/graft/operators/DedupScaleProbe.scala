@@ -32,6 +32,20 @@ object DedupScaleProbe {
     timed("minhash")(Dedup.minhashNearDups(big).count())
     timed("simhash")(Dedup.simhashNearDups(big).count())
     timed("ngram")(Dedup.ngramJaccardDups(big).count())
+    // the composed cleaning pipeline (pl01's stages) on the 16x corpus:
+    // all narrow maps + one fingerprint-keyed shuffle, so it must stay
+    // near-linear where the pair-based dedups above grow with collisions
+    timed("clean-pipeline") {
+      import graft.functions.{TextFunctions => TF}
+      val scored = big.select(col("doc_id"), col("text"),
+        TF.qualityScore(col("text")).as("q"),
+        TF.langId(col("text")).as("pred"),
+        TF.fingerprint(col("text")).as("fp"))
+      val kept = scored.filter(col("pred") =!= "en" && col("q") >= 0.35)
+      val canon = kept.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      Sampling.hashSample(kept.join(canon, Seq("fp", "doc_id")), "doc_id", 0.7)
+        .count()
+    }
     spark.stop()
   }
 }

@@ -103,6 +103,61 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got.select("user_id", "event_type")) === rows(batchKeys))
   }
 
+  test("watermark drops late data deterministically in append mode") {
+    // Watermark state persists in the CHECKPOINT across restarts, so two
+    // separate AvailableNow runs give a deterministic batch boundary
+    // without relying on file-listing order or per-trigger rate limits:
+    //   run 1: events at 12:00, 12:04       -> checkpointed watermark 11:54
+    //   run 2: a LATE row at 11:30 (< 11:54 -> MUST drop) plus on-time
+    //          rows at 12:06 and 12:30; end-of-run watermark 12:20 closes
+    //          the [12:00,12:05) and [12:05,12:10) windows.
+    // Expected sink: exactly those two windows. A leaked late row would
+    // emit [11:30,11:35) too — the drop is observed positively against a
+    // NON-empty expected output, not via an empty sink.
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val src = dir.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, ts) =>
+          org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(ts), id, "click", 1.0, "{}")
+        }), schema)
+      val stage = dir.resolve(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(s"$name.parquet"))
+    }
+    def run(): Unit = {
+      val agg = spark.readStream.schema(schema).parquet(src.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    write("f1", Seq((1L, "2026-01-01 12:00:00"), (2L, "2026-01-01 12:04:00")))
+    run()
+    write("f2", Seq((3L, "2026-01-01 11:30:00"), (4L, "2026-01-01 12:06:00"),
+      (5L, "2026-01-01 12:30:00")))
+    run()
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!got.contains("11:30"), s"late row leaked through the watermark: $got")
+    assert(got === Map("12:00" -> 2L, "12:05" -> 1L),
+      s"closed on-time windows must emit exactly once: $got")
+  }
+
   test("RocksDB state store: watermarked aggregation runs and matches batch") {
     // the large-state production backend (state spills to disk instead
     // of executor heap — the difference between bounded and unbounded
