@@ -135,7 +135,48 @@ object EventStreams {
           Iterator(next)
         })
   }
+
+  /** Per-user running totals on the Spark 4 arbitrary-state API
+    * (`transformWithState` + [[RunningTotalProcessor]]) — the successor
+    * to flatMapGroupsWithState: named typed state slots, optional
+    * timers and TTL, and a RocksDB-backed store (the API requires it),
+    * which is what unbounded-key state needs at 100 TB. Same semantics
+    * as [[runningUserTotals]]; StreamingSpec pins both equal to batch. */
+  def runningUserTotalsTws(events: DataFrame): Dataset[UserTotal] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }
 
 /** Per-user running aggregate state for [[EventStreams.runningUserTotals]]. */
 final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** [[org.apache.spark.sql.streaming.StatefulProcessor]] behind
+  * [[EventStreams.runningUserTotalsTws]]: one named ValueState slot per
+  * user, updated per input batch, emitted on every update. */
+class RunningTotalProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), UserTotal] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[UserTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotal]("totals",
+      org.apache.spark.sql.Encoders.product[UserTotal], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+    var n = prev.n_events
+    var total = prev.total_value
+    rows.foreach { case (_, v) => n += 1; total += v }
+    val next = UserTotal(key, n, total)
+    totals.update(next)
+    Iterator(next)
+  }
+}

@@ -158,6 +158,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       s"closed on-time windows must emit exactly once: $got")
   }
 
+  test("transformWithState running totals equal flatMapGroupsWithState and batch") {
+    // the Spark 4 arbitrary-state API requires the RocksDB provider
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = EventStreams.source(s2, eventsDir)
+    val q = EventStreams.runningUserTotalsTws(stream).toDF()
+      .writeStream.format("memory").queryName("t_tws")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finals = s2.table("t_tws").groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+    val want = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(rows(finals) === rows(want),
+      "new-API state machine must converge to the same totals")
+  }
+
   test("RocksDB state store: watermarked aggregation runs and matches batch") {
     // the large-state production backend (state spills to disk instead
     // of executor heap — the difference between bounded and unbounded
