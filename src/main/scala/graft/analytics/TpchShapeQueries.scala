@@ -11,6 +11,45 @@ import graft.Tables._
   * path extraction). */
 object TpchShapeQueries {
 
+  /** q57 — Q9 shape (product-line profit): five-way join filtered by a
+    * part-name pattern, profit = revenue − cost (retail price stands in
+    * for the absent partsupp supply cost), aggregated by supplier
+    * nation × order year. Money math follows the q01 decimal
+    * convention: exact DECIMAL products/sums, one DOUBLE cast at the
+    * output boundary — per-(nation, year) groups reach ~1e7, where a
+    * reordered double sum could flip the 6th decimal. */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val oneMinusDisc = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")
+    val cost = col("p_retailprice").cast("decimal(12,2)") *
+      col("l_quantity").cast("decimal(12,2)") * lit(0.05).cast("decimal(3,2)")
+    lineitem(s, d)
+      .join(part(s, d).filter(col("p_name").like("%a%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(price * oneMinusDisc - cost).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q57Sql =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |           - CAST(p_retailprice AS DECIMAL(12,2))
+      |             * CAST(l_quantity AS DECIMAL(12,2))
+      |             * CAST(0.05 AS DECIMAL(3,2))) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%a%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   /** q38 — Q15 shape: supplier(s) achieving the maximum revenue.
     * The max is itself an aggregate over an aggregate. */
   private def q38(s: SparkSession, d: String): DataFrame = {
@@ -148,12 +187,14 @@ object TpchShapeQueries {
     "q38_top_supplier" -> (q38 _),
     "q39_market_share" -> (q39 _),
     "q40_rich_idle_customers" -> (q40 _),
-    "q41_from_json_struct" -> (q41 _))
+    "q41_from_json_struct" -> (q41 _),
+    "q57_profit_by_nation_year" -> (q57 _))
 
   val oracle: Map[String, String] = Map(
     "q44_not_in_subquery" -> q44Sql,
     "q38_top_supplier" -> q38Sql,
     "q39_market_share" -> q39Sql,
     "q40_rich_idle_customers" -> q40Sql,
-    "q41_from_json_struct" -> q41Sql)
+    "q41_from_json_struct" -> q41Sql,
+    "q57_profit_by_nation_year" -> q57Sql)
 }
