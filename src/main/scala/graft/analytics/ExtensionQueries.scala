@@ -286,6 +286,39 @@ object ExtensionQueries {
       .orderBy(col("lang"))
   }
 
+  /** sp05 — temperature-scaled mixture sampling
+    * ([[Sampling.temperatureSample]], α = 0.5, target = half the
+    * corpus): per-language kept counts and id extremes plus the derived
+    * bucket cutoff — the threshold column pins the entire weight /
+    * budget / integer-division chain, not just the survivor set. The
+    * oracle replays the √n weighting (IEEE sqrt is correctly rounded in
+    * both engines — the reason α is fixed at 0.5) and the all-integer
+    * budget math over the same portable buckets. */
+  private def sp05(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(documents(s, d), "doc_id", "lang", targetFrac = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+
+  private val sp05Sql =
+    s"""WITH $spBucketCte,
+       |stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+       |  FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(n_l) AS BIGINT) AS total FROM stats),
+       |th AS (SELECT lang,
+       |    least((10000 * ((((total * 500000) // 1000000) * w) // sw)) // n_l,
+       |      10000) AS cut
+       |  FROM stats CROSS JOIN tot),
+       |kept AS (SELECT b.doc_id, b.lang FROM b JOIN th USING (lang)
+       |  WHERE b.bucket < th.cut)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM kept GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** tx10 — inverted-index postings build: per term, document frequency,
     * total posting count, and the first 20 `(doc_id:pos)` postings in
     * global (doc_id, pos) order — the retrieval-layer structure a corpus
@@ -1508,6 +1541,7 @@ object ExtensionQueries {
     "sp02_split_assign" -> (sp02 _),
     "sp03_pack_sequences" -> (sp03 _),
     "sp04_token_budget" -> (sp04 _),
+    "sp05_temperature_mix" -> (sp05 _),
     "dc01_decontaminate" -> (dc01 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
@@ -1550,6 +1584,7 @@ object ExtensionQueries {
     "sp02_split_assign" -> sp02Sql,
     "sp03_pack_sequences" -> sp03Sql,
     "sp04_token_budget" -> sp04Sql,
+    "sp05_temperature_mix" -> sp05Sql,
     "dc01_decontaminate" -> dc01Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,

@@ -119,6 +119,40 @@ object Sampling {
       .drop("__tbs_stratum", "__tbs_kbucket", "__tbs_bucket")
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual rebalancing
+    * trick from XLM-R / mC4): stratum l with n_l rows gets sampling
+    * weight ∝ n_l^0.5 instead of n_l, up-weighting small strata. Keeps
+    * `targetFrac` of the corpus overall. α is FIXED at 0.5 because
+    * IEEE `sqrt` is correctly rounded in every engine while `pow` is
+    * not — the one exponent where cross-engine bit-exactness is free.
+    * All downstream math is integer (weights floor-scaled by 2^20,
+    * budgets and per-stratum bucket thresholds via integer division),
+    * so membership is a pure function of (id, stratum histogram) and
+    * the sp05 oracle replays it exactly.
+    *
+    * Scale shape: the histogram is one partial-aggregated pass, the
+    * per-stratum thresholds are a handful of rows broadcast back, the
+    * filter is row-local — rows themselves never shuffle. */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+                        targetFrac: Double = 0.5): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, s"bad targetFrac $targetFrac")
+    val stats = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__ts_n"))
+      .withColumn("__ts_w",
+        floor(sqrt(col("__ts_n").cast("double")) * lit(1048576.0)).cast("long"))
+    val tot = stats.agg(sum(col("__ts_w")).as("__ts_sw"),
+      sum(col("__ts_n")).as("__ts_total"))
+    val th = stats.crossJoin(broadcast(tot))
+      .select(col(stratumCol).as("__ts_stratum"),
+        // budget_l = (T * w_l) div S with T = frac-scaled corpus size;
+        // threshold = buckets * budget_l / n_l, capped at every bucket
+        least(expr(s"(10000 * ((((__ts_total * ${math.round(targetFrac * 1000000L)}) div 1000000) * __ts_w) div __ts_sw)) div __ts_n"),
+          lit(10000L)).as("__ts_cut"))
+    df.join(broadcast(th), col(stratumCol) <=> col("__ts_stratum"))
+      .filter(bucketOf(col(idCol)) < col("__ts_cut"))
+      .drop("__ts_stratum", "__ts_cut")
+  }
+
   /** Train/val/test assignment by hash range: val gets the first
     * `valPct` buckets, test the next `testPct`, train the rest. Adds a
     * `split` column; membership is a pure function of the id. */

@@ -83,4 +83,25 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(split.select("doc_id", "split").except(
       again.select("doc_id", "split")).count() === 0)
   }
+
+  test("temperatureSample up-weights small strata and stays deterministic") {
+    val kept = Sampling.temperatureSample(docs, "doc_id", "lang", targetFrac = 0.5)
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalBy = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = totalBy.map { case (l, n) =>
+      l -> keptBy.getOrElse(l, 0L).toDouble / n }
+    val largest = totalBy.maxBy(_._2)._1
+    val smallest = totalBy.minBy(_._2)._1
+    assert(rates(smallest) > rates(largest),
+      s"α=0.5 must keep a larger FRACTION of the smallest stratum: $rates vs sizes $totalBy")
+    // overall take stays near the target (quantization + bucket grain)
+    val frac = kept.count().toDouble / docs.count()
+    assert(math.abs(frac - 0.5) < 0.15, s"overall kept fraction $frac far from target")
+    // same inputs, same survivors — the reproducibility contract
+    val again = Sampling.temperatureSample(docs, "doc_id", "lang", targetFrac = 0.5)
+    assert(kept.select("doc_id").except(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() === 0)
+  }
 }
