@@ -237,7 +237,40 @@ object AdvancedQueries {
       |WHERE c.c_acctbal > 9000
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** q58 — recursive CTE (new in Spark 4): each part key under 200
+    * walks its ancestor chain in the implicit tree `parent(n) = n/4`
+    * until the root, emitting per-node depth and a path checksum. The
+    * recursion is data-driven iteration INSIDE one SQL statement — the
+    * surface hierarchical queries (org charts, BOM explosions, graph
+    * reachability) need; both engines run the same recursive shape
+    * (only the integer-division operator differs: `div` vs `//`).
+    * Depth is bounded (log₄ 200 ≈ 4), far under either engine's
+    * recursion limit. */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    part(s, d).createOrReplaceTempView("graft_q58_part")
+    s.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+        FROM graft_q58_part WHERE p_partkey < 200
+        UNION ALL
+        SELECT node, cur div 4 AS cur, depth + 1 FROM anc WHERE cur > 0)
+      SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
+        CAST(sum(cur) AS BIGINT) AS path_sum
+      FROM anc GROUP BY node ORDER BY node""")
+  }
+
+  private val q58Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+      |  FROM part WHERE p_partkey < 200
+      |  UNION ALL
+      |  SELECT node, cur // 4 AS cur, depth + 1 FROM anc WHERE cur > 0)
+      |SELECT node, CAST(max(depth) AS INTEGER) AS depth_to_root,
+      |  CAST(sum(cur) AS BIGINT) AS path_sum
+      |FROM anc GROUP BY node ORDER BY node""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q58_recursive_cte" -> (q58 _),
     "q55_sql_lateral" -> (q55 _),
     "q45_theta_join" -> (q45 _),
     "q46_approx_quantile" -> (q46 _),
@@ -250,6 +283,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q58_recursive_cte" -> q58Sql,
     "q55_sql_lateral" -> q55Sql,
     "q45_theta_join" -> q45Sql,
     "q46_approx_quantile" -> q46Sql,
