@@ -1309,6 +1309,56 @@ object ExtensionQueries {
        |SELECT vec_id, centroid_id FROM kept
        |ORDER BY vec_id""".stripMargin
 
+  /** dd12 — content-defined chunking ([[Dedup.contentChunks]]): chunk
+    * the augmented corpus on rolling-hash boundaries and report every
+    * chunk fingerprint shared across documents — shareable storage, the
+    * rsync/backup-dedup angle the document-level dedups (dd01-dd09)
+    * don't cover. Planted near-copies share their source's prefix
+    * chunks by construction (content-defined boundaries don't shift),
+    * so the shared set is large and fully deterministic; the oracle
+    * replays the rolling hash, the boundary rule, the window cumsum
+    * chunk assignment, and the per-chunk fold exactly. */
+  private def dd12(s: SparkSession, d: String): DataFrame =
+    Dedup.contentChunks(Dedup.augmentWithNearDups(documents(s, d)))
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_fp"))
+
+  private val dd12Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |th AS (SELECT doc_id,
+      |  list_transform(string_split(text, ' '),
+      |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |      (a, c) -> (a*31 + c) % 1000000007)) AS ths
+      |  FROM aug),
+      |pos0 AS (SELECT doc_id, ths, unnest(range(1, len(ths)+1)) AS pos FROM th),
+      |rolled AS (SELECT doc_id, pos, ths[CAST(pos AS INT)] AS th,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      ths[CAST(greatest(1, pos - 3) AS INT):CAST(pos AS INT)]),
+      |      (a, c) -> (a*131 + c) % 1000000007) AS roll
+      |  FROM pos0),
+      |flagged AS (SELECT doc_id, pos, th,
+      |    CASE WHEN roll % 16 = 0 THEN 1 ELSE 0 END AS b
+      |  FROM rolled),
+      |chunked AS (SELECT doc_id, pos, th,
+      |    CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+      |  FROM flagged),
+      |fp AS (SELECT doc_id, chunk_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(th ORDER BY pos)),
+      |      (a, x) -> (a*131 + x) % 1000000007) AS chunk_fp
+      |  FROM chunked GROUP BY doc_id, chunk_id)
+      |SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY chunk_fp""".stripMargin
+
   /** Guarded double-precision cosine as DuckDB SQL — the exact
     * [[graft.functions.CosineSimilarity]] fused-loop arithmetic (sqrt of
     * the norm PRODUCT). Shared by the ss03 and dd11 oracles. */
@@ -1536,6 +1586,7 @@ object ExtensionQueries {
     "tx13_cms_heavy_hitters" -> (tx13 _),
     "dd10_bloom_membership" -> (dd10 _),
     "dd11_semantic_dedup" -> (dd11 _),
+    "dd12_content_chunks" -> (dd12 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -1579,6 +1630,7 @@ object ExtensionQueries {
     "tx13_cms_heavy_hitters" -> tx13Sql,
     "dd10_bloom_membership" -> dd10Sql,
     "dd11_semantic_dedup" -> dd11Sql,
+    "dd12_content_chunks" -> dd12Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,

@@ -486,6 +486,55 @@ object Dedup {
       .select(col("doc_id"), col("fp"), (col("__nhit") === k).as("bloom_pass"))
   }
 
+  /** Content-defined chunking (Rabin-style CDC, the storage-dedup
+    * technique behind rsync/LBFS/backup dedupe): a chunk boundary falls
+    * wherever the rolling hash of the last `window` tokens is divisible
+    * by `boundaryMask` — boundaries are a function of CONTENT, not
+    * position, so inserting one token early in a document only re-cuts
+    * the chunks that actually changed (fixed-size blocks would shift
+    * every subsequent block). Returns (doc_id, chunk_id, chunk_fp);
+    * duplicate chunk_fps across documents are shareable storage.
+    *
+    * Scale shape: one explode + two keyed shuffles (per-doc token
+    * re-collect, per-chunk fold); the rolling hash is a row-local slice
+    * fold over the doc's token-hash array; expected chunk length =
+    * `boundaryMask` tokens bounds per-group fold state. Portable
+    * base-131 arithmetic throughout, replayed exactly by dd12's oracle. */
+  def contentChunks(docs: DataFrame, window: Int = 4,
+                    boundaryMask: Long = 16L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token hashes via explode + ordered re-collect (the CollapseProject
+    // trap — see [[signatures]]); the bound `ths` array is then sliced
+    // row-locally for the rolling window
+    val tokHashed = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
+    val arrays = tokHashed.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
+      .select(col("doc_id"), transform(col("pt"), s => s.getField("th")).as("ths"))
+    val rolled = arrays
+      .select(col("doc_id"), col("ths"),
+        explode(sequence(lit(1), size(col("ths")))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("ths"), col("pos")).as("th"),
+        aggregate(
+          slice(col("ths"), greatest(lit(1), col("pos") - (window - 1)),
+            least(col("pos"), lit(window))),
+          lit(0L), (a, x) => pmod(a * lit(131L) + x, lit(HashP))).as("roll"))
+    val flagged = rolled.select(col("doc_id"), col("pos"), col("th"),
+      (pmod(col("roll"), lit(boundaryMask)) === 0).cast("int").as("b"))
+    val prior = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(prior), lit(0)).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
+      .select(col("doc_id"), col("chunk_id"),
+        aggregate(transform(col("pt"), s => s.getField("th")), lit(0L),
+          (a, x) => pmod(a * lit(131L) + x, lit(HashP))).as("chunk_fp"))
+  }
+
   /** Exact n-gram Jaccard as a two-phase block-then-verify pipeline:
     * MinHash-LSH banding generates candidate pairs (16 hashes, 8 bands →
     * P[candidate | J=0.6] ≈ 0.97, ≈1.0 for true near-dups), then the

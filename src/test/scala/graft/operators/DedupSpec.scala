@@ -137,6 +137,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       s"false-positive rate $fp/$nonMembers out of range for 4096 bits")
   }
 
+  test("content-defined chunks survive a prefix edit (the CDC property)") {
+    import org.apache.spark.sql.functions._
+    // prepend one token to every doc: fixed-size blocks would all shift
+    // and share ~nothing; content-defined boundaries must keep most
+    // chunks identical (only the first chunk's hash context changes)
+    val base = docs.limit(20).select(col("doc_id"), col("text"))
+    val edited = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("zzz "), col("text")).as("text"))
+    val a = Dedup.contentChunks(base)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+    val b = Dedup.contentChunks(edited)
+      .select((col("doc_id") - 1000L).as("doc_id"), col("chunk_fp")).distinct()
+    val shared = a.join(b, Seq("doc_id", "chunk_fp")).count()
+    val total = a.count()
+    assert(shared.toDouble / total > 0.5,
+      s"only $shared/$total chunks survived a one-token prefix edit — " +
+        "boundaries are behaving like fixed-size blocks")
+    // and identical inputs chunk identically (determinism)
+    val again = Dedup.contentChunks(base)
+      .select(col("doc_id"), col("chunk_fp")).distinct()
+    assert(a.except(again).count() === 0 && again.except(a).count() === 0)
+  }
+
   test("winnowing finds every planted near-dup; disjoint docs share nothing") {
     import spark.implicits._
     // the ` dup` suffix leaves every original window intact → every planted
