@@ -269,7 +269,39 @@ object AdvancedQueries {
       |  CAST(sum(cur) AS BIGINT) AS path_sum
       |FROM anc GROUP BY node ORDER BY node""".stripMargin
 
+  /** q59 — UNPIVOT/melt (the inverse of q36's pivot): per-flag metrics
+    * widened by aggregation, then melted to (flag, metric, value) rows —
+    * the wide→long reshape feeding metric stores and plotting layers.
+    * All three metrics cast to DOUBLE first (both engines require a
+    * common value type); metric NAMES come from the column names, so
+    * the two engines must agree on those too. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val agg = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 6).cast("double").as("sum_qty"),
+        round(avg(col("l_extendedprice")), 6).cast("double").as("avg_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    agg.unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("avg_price"), col("n_items")),
+        variableColumnName = "metric", valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  private val q59Sql =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(sum(l_quantity), 6) AS DOUBLE) AS sum_qty,
+      |    CAST(round(avg(l_extendedprice), 6) AS DOUBLE) AS avg_price,
+      |    CAST(count(*) AS DOUBLE) AS n_items
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value
+      |FROM agg UNPIVOT (value FOR metric IN (sum_qty, avg_price, n_items))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q59_unpivot" -> (q59 _),
     "q58_recursive_cte" -> (q58 _),
     "q55_sql_lateral" -> (q55 _),
     "q45_theta_join" -> (q45 _),
@@ -283,6 +315,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q59_unpivot" -> q59Sql,
     "q58_recursive_cte" -> q58Sql,
     "q55_sql_lateral" -> q55Sql,
     "q45_theta_join" -> q45Sql,
