@@ -1359,6 +1359,50 @@ object ExtensionQueries {
       |FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY chunk_fp""".stripMargin
 
+  /** ss06 — MMR diversified rerank ([[Similarity.mmrRerank]], λ = 0.7):
+    * exact top-10 retrieval for query vector 0, then 3 greedy MMR
+    * selections. The oracle unrolls the greedy rounds with the SAME
+    * doubles: cosines rounded to 1e-6 before scoring, and the (1−λ)
+    * weight interpolated as Scala's shortest-roundtrip `1.0 - 0.7`
+    * (0.30000000000000004) — writing `0.3` would be a DIFFERENT double
+    * and could flip an argmax. Ties break on vec_id everywhere. */
+  private def ss06(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrRerank(embeddings(s, d), queryId = 0L, poolK = 10, k = 3,
+        lambda = 0.7)
+      .orderBy(col("rank"))
+
+  private val ss06Sql: String = {
+    val lam = 0.7
+    val oneMinus = 1.0 - lam // interpolates as the exact double
+    def selectedUnion(r: Int) =
+      (1 until r).map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val rounds = (2 to 3).map { r =>
+      s"""c$r AS (SELECT p.vec_id, p.cos,
+         |    round(p.cos * $lam - (SELECT max(sim) FROM pw
+         |      WHERE pw.a = p.vec_id
+         |        AND pw.b IN (${selectedUnion(r)})) * $oneMinus, 6) AS mmr
+         |  FROM pool p WHERE p.vec_id NOT IN (${selectedUnion(r)})),
+         |s$r AS (SELECT $r AS rank, vec_id, cos, mmr FROM c$r
+         |  ORDER BY mmr DESC, vec_id LIMIT 1)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pool AS (SELECT e.vec_id,
+       |    round(${cosSqlOf("e.embedding", "q.qe")}, 6) AS cos
+       |  FROM embeddings e, q ORDER BY cos DESC, vec_id LIMIT 10),
+       |pe AS (SELECT p.vec_id, e.embedding
+       |  FROM pool p JOIN embeddings e USING (vec_id)),
+       |pw AS (SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(${cosSqlOf("x.embedding", "y.embedding")}, 6) AS sim
+       |  FROM pe x CROSS JOIN pe y),
+       |s1 AS (SELECT 1 AS rank, vec_id, cos, round(cos * $lam, 6) AS mmr
+       |  FROM pool ORDER BY cos DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rank, vec_id, cos, mmr FROM s1
+       |UNION ALL SELECT rank, vec_id, cos, mmr FROM s2
+       |UNION ALL SELECT rank, vec_id, cos, mmr FROM s3
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Guarded double-precision cosine as DuckDB SQL — the exact
     * [[graft.functions.CosineSimilarity]] fused-loop arithmetic (sqrt of
     * the norm PRODUCT). Shared by the ss03 and dd11 oracles. */
@@ -1608,6 +1652,7 @@ object ExtensionQueries {
     "ss03_ivf_ann" -> (ss03 _),
     "ss04_ann_recall" -> (ss04 _),
     "ss05_knn_join" -> (ss05 _),
+    "ss06_mmr_rerank" -> (ss06 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -1652,6 +1697,7 @@ object ExtensionQueries {
     "ss03_ivf_ann" -> ss03Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
+    "ss06_mmr_rerank" -> ss06Sql,
     "mm01_media_stats" -> mm01Sql,
     "mm02_media_features" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,

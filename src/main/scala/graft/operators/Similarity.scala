@@ -246,6 +246,46 @@ object Similarity {
     cent
   }
 
+  /** MMR rerank (Maximal Marginal Relevance, Carbonell & Goldstein
+    * 1998): two-stage retrieval — take the exact top-`poolK` for the
+    * query, then greedily select `k` results maximizing
+    * `λ·cos(q,d) − (1−λ)·max_{s∈selected} cos(d,s)` — relevance traded
+    * against redundancy, the reranker RAG pipelines bolt onto ANN.
+    * The greedy loop is k lazy DataFrame rounds over the ≤poolK-row
+    * pool (anti-join the selected set, penalize by max pairwise
+    * similarity, argmax) — no driver-side collect; at scale the pool
+    * is the output of the distributed retrieval stage and is small by
+    * construction. All cosines are rounded to 1e-6 BEFORE scoring and
+    * ties break on vec_id, so selection is bit-reproducible and the
+    * ss06 oracle unrolls the same rounds. */
+  def mmrRerank(corpus: DataFrame, queryId: Long, poolK: Int, k: Int,
+                lambda: Double): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: poolK=$poolK k=$k")
+    val pool = bruteForceTopK(corpus, queryId, poolK)
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val poolEmb = pool.join(emb, "vec_id")
+    val pw = poolEmb.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(poolEmb.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .select(col("a"), col("b"),
+        round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("sim"))
+    var selected = pool.orderBy(col("cos").desc, col("vec_id")).limit(1)
+      .select(lit(1).as("rank"), col("vec_id"), col("cos"),
+        round(col("cos") * lambda, 6).as("mmr"))
+    for (r <- 2 to k) {
+      val cand = pool.join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val penalty = pw
+        .join(selected.select(col("vec_id").as("b")), "b")
+        .groupBy(col("a").as("vec_id")).agg(max(col("sim")).as("max_sim"))
+      val scored = cand.join(penalty, "vec_id")
+        .select(col("vec_id"), col("cos"),
+          round(col("cos") * lambda - col("max_sim") * (1.0 - lambda), 6).as("mmr"))
+      selected = selected.unionByName(
+        scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+          .select(lit(r).as("rank"), col("vec_id"), col("cos"), col("mmr")))
+    }
+    selected
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup —
     * cluster the embedding space, then WITHIN each cluster drop every
     * vector that has a >= `threshold` cosine neighbor with a smaller id
