@@ -89,11 +89,51 @@ object GraphQueries {
       |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
       |ORDER BY u, v, w""".stripMargin
 
+  /** pr03 — personalized PageRank ([[PageRank.personalizedRanks]]):
+    * random-walk-with-restart from node 3 over the pr01 graph — ranks
+    * become proximity-to-source scores (the recommendation/relatedness
+    * primitive). Nodes unreachable from the source must sit at exactly
+    * 0, an in-output self-check; the oracle unrolls the same rounds
+    * with the source-conditional jump and seed. */
+  private def pr03(s: SparkSession, d: String): DataFrame = {
+    val edges = customer(s, d).select(
+      (col("c_custkey") % 53).as("src"),
+      ((col("c_custkey") * 7 + 3) % 50).as("dst"))
+    PageRank.personalizedRanks(edges, source = 3L, iterations = Iterations)
+      .orderBy(col("node"))
+  }
+
+  private val pr03Sql: String = {
+    val rounds = (1 to Iterations).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""r$i AS (SELECT n.node, CAST(
+         |    (CASE WHEN n.node = 3 THEN 150000 ELSE 0 END) +
+         |    (85 * coalesce(sum((r.rank * wd.cnt) // wd.outdeg), 0)) // 100
+         |    AS BIGINT) AS rank
+         |  FROM n LEFT JOIN wd ON wd.dst = n.node
+         |         LEFT JOIN $prev r ON r.node = wd.src
+         |  GROUP BY n.node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT c_custkey % 53 AS src, (c_custkey*7 + 3) % 50 AS dst
+       |  FROM customer),
+       |w AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+       |od AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS outdeg FROM w GROUP BY 1),
+       |wd AS (SELECT w.src, w.dst, w.cnt, od.outdeg FROM w JOIN od ON w.src = od.src),
+       |n AS (SELECT DISTINCT src AS node FROM e
+       |      UNION SELECT DISTINCT dst AS node FROM e),
+       |r0 AS (SELECT node, CAST(CASE WHEN node = 3 THEN 1000000 ELSE 0 END
+       |    AS BIGINT) AS rank FROM n),
+       |$rounds
+       |SELECT node, rank FROM r$Iterations ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "pr01_pagerank" -> (pr01 _),
-    "pr02_triangles" -> (pr02 _))
+    "pr02_triangles" -> (pr02 _),
+    "pr03_personalized_pagerank" -> (pr03 _))
 
   val oracle: Map[String, String] = Map(
     "pr01_pagerank" -> pr01Sql,
-    "pr02_triangles" -> pr02Sql)
+    "pr02_triangles" -> pr02Sql,
+    "pr03_personalized_pagerank" -> pr03Sql)
 }

@@ -35,7 +35,29 @@ object PageRank {
     * columns `src` and `dst`; duplicate (src, dst) rows are edge
     * weights. Returns (node, rank) with rank scaled by `scale`. */
   def ranks(edges: DataFrame, iterations: Int,
-            scale: Long = 1000000L): DataFrame = {
+            scale: Long = 1000000L): DataFrame =
+    run(edges, iterations, scale, jump = lit(scale * 15L / 100L),
+      init = lit(scale))
+
+  /** Personalized PageRank: the random surfer restarts AT `source`
+    * instead of uniformly — only the source carries initial mass and
+    * the per-round jump, so ranks measure proximity to the source
+    * (random-walk-with-restart relevance). Same fixed-point integer
+    * arithmetic and the same per-round shape as [[ranks]]. */
+  def personalizedRanks(edges: DataFrame, source: Long, iterations: Int,
+                        scale: Long = 1000000L): DataFrame = {
+    val atSource = col("node") === source
+    run(edges, iterations, scale,
+      jump = when(atSource, lit(scale * 15L / 100L)).otherwise(lit(0L)),
+      init = when(atSource, lit(scale)).otherwise(lit(0L)))
+  }
+
+  /** Shared fixed-point loop; `jump`/`init` are expressions over the
+    * `node` column so uniform and personalized variants differ only in
+    * where mass enters. */
+  private def run(edges: DataFrame, iterations: Int, scale: Long,
+                  jump: org.apache.spark.sql.Column,
+                  init: org.apache.spark.sql.Column): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     val e = edges.select(col("src").cast("bigint").as("src"),
       col("dst").cast("bigint").as("dst"))
@@ -49,8 +71,7 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
-    val jump = lit(scale * 15L / 100L)
-    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    var rank = nodes.select(col("node"), init.as("rank"))
     for (_ <- 1 to iterations) {
       // u's rank splits over out-edges by weight; integer div is exact
       // in both engines for the non-negative values that live here
