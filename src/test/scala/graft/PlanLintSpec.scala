@@ -181,6 +181,40 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"single-partition window detected\n$p")
   }
 
+  test("q57: profit joins broadcast the dims and keep partial aggregation") {
+    val p = plan("q57_profit_by_nation_year")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("dd12: CDC chunking is explode + keyed shuffles, no cartesian, no UDFs") {
+    val p = plan("dd12_content_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"chunk-id cumsum must partition by doc\n$p")
+  }
+
+  test("sp05: temperature thresholds broadcast back; rows never shuffle") {
+    val p = plan("sp05_temperature_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-stratum cutoffs must ride a broadcast\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("ss06: MMR rounds stay joins over the small pool — no UDFs, no single-task windows") {
+    val p = plan("ss06_mmr_rerank")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("BatchEvalPython"), p)
+  }
+
+  test("pr03: personalized rounds keep the keyed-join shape") {
+    val p = plan("pr03_personalized_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
