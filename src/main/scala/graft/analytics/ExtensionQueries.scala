@@ -309,7 +309,8 @@ object ExtensionQueries {
        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
        |    CAST(sum(n_l) AS BIGINT) AS total FROM stats),
        |th AS (SELECT lang,
-       |    least((10000 * ((((total * 500000) // 1000000) * w) // sw)) // n_l,
+       |    least((10000 * ((((CAST(total AS HUGEINT) * 500000) // 1000000)
+       |        * CAST(w AS HUGEINT)) // sw)) // n_l,
        |      10000) AS cut
        |  FROM stats CROSS JOIN tot),
        |kept AS (SELECT b.doc_id, b.lang FROM b JOIN th USING (lang)

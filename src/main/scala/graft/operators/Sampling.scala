@@ -138,19 +138,39 @@ object Sampling {
     require(targetFrac > 0 && targetFrac <= 1, s"bad targetFrac $targetFrac")
     val stats = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("__ts_n"))
-      .withColumn("__ts_w",
-        floor(sqrt(col("__ts_n").cast("double")) * lit(1048576.0)).cast("long"))
-    val tot = stats.agg(sum(col("__ts_w")).as("__ts_sw"),
-      sum(col("__ts_n")).as("__ts_total"))
-    val th = stats.crossJoin(broadcast(tot))
-      .select(col(stratumCol).as("__ts_stratum"),
-        // budget_l = (T * w_l) div S with T = frac-scaled corpus size;
-        // threshold = buckets * budget_l / n_l, capped at every bucket
-        least(expr(s"(10000 * ((((__ts_total * ${math.round(targetFrac * 1000000L)}) div 1000000) * __ts_w) div __ts_sw)) div __ts_n"),
-          lit(10000L)).as("__ts_cut"))
+    val th = temperatureCuts(stats, stratumCol, math.round(targetFrac * 1000000L))
     df.join(broadcast(th), col(stratumCol) <=> col("__ts_stratum"))
       .filter(bucketOf(col(idCol)) < col("__ts_cut"))
       .drop("__ts_stratum", "__ts_cut")
+  }
+
+  /** Per-stratum bucket cutoffs for [[temperatureSample]], from a
+    * `(stratumCol, __ts_n)` histogram. Factored out so the integer
+    * budget chain is testable against synthetic 100 TB-scale histograms
+    * without materializing the rows.
+    *
+    * The chain `T_scaled * w_l` is ~ n^1.5 * 2^20 and overflows BIGINT
+    * around 7e8 total rows with a dominant stratum, so every product
+    * runs in DECIMAL(38,0) (exact to 38 digits in Spark and DuckDB
+    * alike; `div` floors back to BIGINT). Worst realistic case —
+    * total = 1e15 rows, one stratum — peaks at T_scaled * w ≈ 3.3e28,
+    * 10 digits of headroom. */
+  private[graft] def temperatureCuts(stats: DataFrame, stratumCol: String,
+                                     scaledFrac: Long): DataFrame = {
+    val weighted = stats.withColumn("__ts_w",
+      floor(sqrt(col("__ts_n").cast("double")) * lit(1048576.0)).cast("long"))
+    val tot = weighted.agg(sum(col("__ts_w")).as("__ts_sw"),
+      sum(col("__ts_n")).as("__ts_total"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col(stratumCol).as("__ts_stratum"),
+        // budget_l = (T * w_l) div S with T = frac-scaled corpus size;
+        // threshold = buckets * budget_l / n_l, capped at every bucket
+        least(expr(
+          s"""(CAST(10000 AS DECIMAL(38,0)) *
+             |  ((((CAST(__ts_total AS DECIMAL(38,0)) * $scaledFrac) div 1000000)
+             |    * CAST(__ts_w AS DECIMAL(38,0))) div __ts_sw))
+             |div __ts_n""".stripMargin.replace('\n', ' ')),
+          lit(10000L)).as("__ts_cut"))
   }
 
   /** Train/val/test assignment by hash range: val gets the first

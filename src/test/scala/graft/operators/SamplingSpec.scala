@@ -104,4 +104,29 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.select("doc_id").except(again.select("doc_id")).count() === 0)
     assert(again.select("doc_id").except(kept.select("doc_id")).count() === 0)
   }
+
+  test("temperatureCuts stays exact on 100 TB-scale histograms (no BIGINT overflow)") {
+    import spark.implicits._
+    // T_scaled * w for the dominant stratum is ~4.5e23 — far past
+    // Long.MaxValue, the regime where the pre-fix chain wrapped negative
+    // and silently dropped the stratum (ADVICE r8). DECIMAL(38,0) keeps
+    // it exact; pin cell-by-cell against a BigInt replay of the chain.
+    val hist = Seq(("big", 900000000000L), ("mid", 90000000000L), ("small", 1000000L))
+    val cuts = Sampling.temperatureCuts(hist.toDF("lang", "__ts_n"), "lang", 500000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = hist.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong }.toMap
+    val sw = BigInt(w.values.sum)
+    val total = BigInt(hist.map(_._2).sum)
+    val expected = hist.map { case (l, n) =>
+      val tScaled = (total * 500000) / 1000000
+      val budget = (tScaled * BigInt(w(l))) / sw
+      l -> (BigInt(10000) * budget / n).min(10000).toLong
+    }.toMap
+    assert(cuts === expected, "decimal chain must equal the BigInt replay")
+    assert(cuts.values.forall(c => c >= 0 && c <= 10000),
+      s"cut out of bucket range (overflow wrap): $cuts")
+    assert(cuts("big") > 0L, "dominant stratum must not be dropped")
+    assert(cuts("small") === 10000L, "tiny stratum is fully kept under sqrt weighting")
+  }
 }
