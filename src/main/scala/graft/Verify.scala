@@ -43,8 +43,8 @@ object Verify {
 
     // run queries on a small pool — the Spark scheduler interleaves
     // concurrent jobs, hiding per-query planning/IO latency (queries are
-    // independent; the only session-shared state is uniquely-named temp
-    // views)
+    // pure builders: SqlEntry's per-invocation views are dropped before
+    // each builder returns, so no session state is shared at all)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val tasks = queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {

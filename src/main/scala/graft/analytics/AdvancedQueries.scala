@@ -209,13 +209,11 @@ object AdvancedQueries {
     * derived table Spark 3.2+ supports), pinning that a reference user
     * who writes SQL, not Scala, gets the same engine: Catalyst
     * decorrelates the lateral aggregate into the same left-outer
-    * agg-join a hand-written DataFrame plan would use. View names are
-    * namespaced (graft_q55_*) so the concurrent Verify pool can't
-    * collide on session temp-view state. */
-  private def q55(s: SparkSession, d: String): DataFrame = {
-    customer(s, d).createOrReplaceTempView("graft_q55_customer")
-    orders(s, d).createOrReplaceTempView("graft_q55_orders")
-    s.sql("""
+    * agg-join a hand-written DataFrame plan would use. Views go through
+    * [[SqlEntry]]: per-invocation unique names, dropped before the
+    * builder returns, so concurrent builds never race on catalog state. */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    SqlEntry.sql(s, """
       SELECT c.c_custkey, c.c_mktsegment, l.n_orders, l.top_price
       FROM graft_q55_customer c,
       LATERAL (
@@ -223,8 +221,9 @@ object AdvancedQueries {
         FROM graft_q55_orders o WHERE o.o_custkey = c.c_custkey
       ) l
       WHERE c.c_acctbal > 9000
-      ORDER BY c.c_custkey""")
-  }
+      ORDER BY c.c_custkey""",
+      "graft_q55_customer" -> customer(s, d),
+      "graft_q55_orders" -> orders(s, d))
 
   private val q55Sql =
     """SELECT c.c_custkey, c.c_mktsegment,
@@ -246,9 +245,8 @@ object AdvancedQueries {
     * (only the integer-division operator differs: `div` vs `//`).
     * Depth is bounded (log₄ 200 ≈ 4), far under either engine's
     * recursion limit. */
-  private def q58(s: SparkSession, d: String): DataFrame = {
-    part(s, d).createOrReplaceTempView("graft_q58_part")
-    s.sql("""
+  private def q58(s: SparkSession, d: String): DataFrame =
+    SqlEntry.sql(s, """
       WITH RECURSIVE anc AS (
         SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
         FROM graft_q58_part WHERE p_partkey < 200
@@ -256,8 +254,8 @@ object AdvancedQueries {
         SELECT node, cur div 4 AS cur, depth + 1 FROM anc WHERE cur > 0)
       SELECT node, CAST(max(depth) AS INT) AS depth_to_root,
         CAST(sum(cur) AS BIGINT) AS path_sum
-      FROM anc GROUP BY node ORDER BY node""")
-  }
+      FROM anc GROUP BY node ORDER BY node""",
+      "graft_q58_part" -> part(s, d))
 
   private val q58Sql =
     """WITH RECURSIVE anc AS (

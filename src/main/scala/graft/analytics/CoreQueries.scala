@@ -348,14 +348,13 @@ object CoreQueries {
 
   /** q15 — GROUPING SETS (SQL surface; Spark DataFrame API has no direct
     * grouping-sets builder, so this goes through spark.sql). */
-  private def q15(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("orders_q15")
-    s.sql(
+  private def q15(s: SparkSession, d: String): DataFrame =
+    SqlEntry.sql(s,
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n
         |FROM orders_q15
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
-  }
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+      "orders_q15" -> orders(s, d))
 
   private val q15Sql =
     """SELECT o_orderstatus, o_orderpriority, CAST(count(1) AS BIGINT) AS n

@@ -164,16 +164,15 @@ object TpchShapeQueries {
     * so the semantics match a plain anti join, but Catalyst must still
     * plan the null-aware variant): orders from customers outside the
     * BUILDING segment. */
-  private def q44(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("orders_q44")
-    customer(s, d).createOrReplaceTempView("customer_q44")
-    s.sql(
+  private def q44(s: SparkSession, d: String): DataFrame =
+    SqlEntry.sql(s,
       """SELECT o_orderpriority, count(1) AS n
         |FROM orders_q44
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_q44 WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
-  }
+        |ORDER BY o_orderpriority""".stripMargin,
+      "orders_q44" -> orders(s, d),
+      "customer_q44" -> customer(s, d))
 
   private val q44Sql =
     """SELECT o_orderpriority, CAST(count(1) AS BIGINT) AS n

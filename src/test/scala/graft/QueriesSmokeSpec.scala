@@ -33,7 +33,13 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestSession {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
+      val viewsBefore = spark.catalog.listTables().collect().map(_.name).toSet
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows — vacuous oracle check")
+      // pure-builder contract: building a query must not mutate session
+      // temp-view state (SqlEntry drops its uniquely-suffixed views)
+      val viewsAfter = spark.catalog.listTables().collect().map(_.name).toSet
+      assert(viewsAfter === viewsBefore,
+        s"$name leaked temp views: ${(viewsAfter -- viewsBefore).mkString(",")}")
     }
   }
 }
