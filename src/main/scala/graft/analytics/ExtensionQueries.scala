@@ -603,14 +603,15 @@ object ExtensionQueries {
        |  FROM documents WHERE doc_id % 5 = 0),
        |fpos AS (SELECT DISTINCT pos FROM
        |  (SELECT unnest([${fPos.mkString(", ")}]) AS pos FROM fps)),
-       |ppos AS (SELECT doc_id, unnest([${fPos.mkString(", ")}]) AS pos FROM probes),
-       |hits AS (SELECT p.doc_id,
+       |ppos AS (SELECT doc_id, fp, unnest([${fPos.mkString(", ")}]) AS pos
+       |  FROM (SELECT DISTINCT doc_id, fp FROM probes)),
+       |hits AS (SELECT p.doc_id, p.fp,
        |    sum(CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END) AS nhit
-       |  FROM ppos p LEFT JOIN fpos f ON f.pos = p.pos GROUP BY p.doc_id),
+       |  FROM ppos p LEFT JOIN fpos f ON f.pos = p.pos GROUP BY p.doc_id, p.fp),
        |mem AS (SELECT DISTINCT fp FROM fps),
        |flags AS (SELECT pr.doc_id, (h.nhit = 3) AS bloom_pass,
        |    (m.fp IS NOT NULL) AS is_member
-       |  FROM probes pr JOIN hits h ON h.doc_id = pr.doc_id
+       |  FROM probes pr JOIN hits h ON h.doc_id = pr.doc_id AND h.fp = pr.fp
        |  LEFT JOIN mem m ON m.fp = pr.fp)
        |SELECT bloom_pass, is_member, CAST(count(*) AS BIGINT) AS n,
        |  min(doc_id) AS min_id, max(doc_id) AS max_id

@@ -476,13 +476,18 @@ object Dedup {
     val filterPos = corpusFps
       .select(explode(probePositions(col("fp"), bits, k)).as("pos"))
       .distinct()
-    val probePos = probes.select(col("doc_id"),
+    // verdicts are computed per DISTINCT (doc_id, fp) key and joined
+    // back: a doc_id probed with two fps (or the same row twice) must
+    // not pool its 2k probe positions into one sum-vs-k comparison —
+    // that silently broke both verdicts (ADVICE r8)
+    val keys = probes.select(col("doc_id"), col("fp")).distinct()
+    val probePos = keys.select(col("doc_id"), col("fp"),
       explode(probePositions(col("fp"), bits, k)).as("pos"))
     val hits = probePos
       .join(filterPos.withColumn("__hit", lit(1L)), Seq("pos"), "left")
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("fp"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("__nhit"))
-    probes.join(hits, "doc_id")
+    probes.join(hits, Seq("doc_id", "fp"))
       .select(col("doc_id"), col("fp"), (col("__nhit") === k).as("bloom_pass"))
   }
 

@@ -137,6 +137,26 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       s"false-positive rate $fp/$nonMembers out of range for 4096 bits")
   }
 
+  test("bloom membership: duplicate probe ids and rows get independent verdicts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = Seq(100L, 200L).toDF("fp")
+    // doc 1 probed with a member AND a non-member fp; doc 2's member
+    // probe repeated verbatim — neither shape may pool probe positions
+    // into one sum-vs-k comparison (the pre-fix failure, ADVICE r8)
+    val probes = Seq((1L, 100L), (1L, 999L), (2L, 200L), (2L, 200L))
+      .toDF("doc_id", "fp")
+    val got = Dedup.bloomMembership(corpus, probes).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+    assert(got.length === 4, "row multiplicity must be preserved")
+    val verdicts = got.toMap
+    assert(verdicts((1L, 100L)), "member fp must pass despite sibling probe")
+    assert(verdicts((2L, 200L)), "repeated member probe must pass")
+    // 999 may collide into a false positive in principle, but must get
+    // ITS OWN verdict — with 4096 bits and 2 corpus keys it misses
+    assert(!verdicts((1L, 999L)), "non-member fp must fail independently")
+  }
+
   test("content-defined chunks survive a prefix edit (the CDC property)") {
     import org.apache.spark.sql.functions._
     // prepend one token to every doc: fixed-size blocks would all shift
