@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   * pattern object stores implement with a manifest commit.
   *
   * [[upsertPartitioned]] is the 100 TB path: hive-partitioned target,
-  * reads and rewrites ONLY partitions containing touched keys.
+  * reads and rewrites ONLY partitions containing touched keys. Targets
+  * already on the [[TxnLake]] commit-manifest protocol merge through it
+  * (atomic manifest publish, snapshot-isolated readers, OCC); a hive
+  * target whose merge touches a NULL or Hive-escaped partition value —
+  * which the directory swap cannot name safely — is migrated to
+  * [[TxnLake]] once and merged there instead of being refused.
   */
 object MergeInto {
 
@@ -57,6 +62,11 @@ object MergeInto {
     */
   def upsertPartitioned(spark: SparkSession, targetDir: String, updates: DataFrame,
                         key: String, partCol: String): Unit = {
+    // a table already on the commit-manifest protocol merges through it
+    if (TxnLake.isTxnTable(spark, targetDir)) {
+      TxnLake.upsert(spark, targetDir, updates, key)
+      return
+    }
     val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, targetDir)
     val target = spark.read.parquet(targetDir)
@@ -68,8 +78,8 @@ object MergeInto {
     // so updates carrying it as string would otherwise join/isin against
     // a differently-typed column and build mismatched directory names)
     val aligned = castToTarget(updates, target)
-    require(aligned.filter(col(key).isNull || col(partCol).isNull).isEmpty,
-      s"updates contain NULL merge key '$key' or partition value '$partCol'")
+    require(aligned.filter(col(key).isNull).isEmpty,
+      s"updates contain NULL values in merge key '$key'")
 
     // commit planning: which partitions does this merge touch? The NEW
     // partition of every update row, plus any OLD partition still holding
@@ -81,17 +91,16 @@ object MergeInto {
     val touched = newParts.union(oldParts).distinct().collect().map(_.get(0))
     if (touched.isEmpty) return
     // the directory swap below rebuilds partition paths as "$partCol=$v":
-    // a NULL old partition (__HIVE_DEFAULT_PARTITION__) or a value that
-    // Hive path-escapes ( : = % # / \ control chars) or that does not
-    // round-trip partition inference would name a DIFFERENT directory
-    // than the writer produced, silently dropping the merge — refuse
-    // instead of losing data
-    require(!touched.contains(null),
-      s"target holds matched keys in a NULL '$partCol' partition — not supported by the directory swap")
+    // a NULL partition (__HIVE_DEFAULT_PARTITION__) or a value that Hive
+    // path-escapes ( : = % # / \ control chars) would name a DIFFERENT
+    // directory than the writer produced, silently dropping the merge.
+    // Those merges migrate to the commit-manifest protocol, where
+    // partition values are manifest metadata and need no path encoding.
     val safe = "[A-Za-z0-9_.-]+".r
-    touched.foreach { v =>
-      require(safe.matches(v.toString),
-        s"partition value '$v' needs Hive path escaping; the rename-based swap does not support it")
+    if (touched.contains(null) || touched.exists(v => !safe.matches(v.toString))) {
+      TxnLake.convert(spark, targetDir, partCol)
+      TxnLake.upsert(spark, targetDir, updates, key)
+      return
     }
 
     // partition-pruned read: the filter prunes directories at planning

@@ -1,0 +1,392 @@
+package graft.lake
+
+import java.util.UUID
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Commit-manifest ("txn log") protocol for partitioned parquet lake
+  * tables — the transactional replacement for [[MergeInto]]'s
+  * rename-based directory swap (same snapshot/OCC mechanics Delta and
+  * Iceberg use, reduced to what plain parquet + an atomic file create
+  * can carry).
+  *
+  * Layout under the table root:
+  * {{{
+  *   _graft_log/v00000007.json     one manifest per committed version
+  *   _graft_data/c<commit>/...     immutable data files, never mutated
+  * }}}
+  *
+  * A manifest lists the data files that constitute its snapshot plus
+  * each file's partition values — partition values live in the MANIFEST
+  * (and in the data itself as a normal column), never in directory
+  * names, so values needing Hive path escaping (dates with colons,
+  * URL-ish strings) and NULL partitions are ordinary values here: the
+  * cases the directory-swap path had to `require`-refuse.
+  *
+  * Guarantees:
+  *  - '''Atomic commit''': a version publishes via an atomic
+  *    create-if-absent of its manifest file (hard link on local
+  *    filesystems, no-overwrite rename on HDFS-likes). Readers either
+  *    resolve it or don't — no torn state. A crash mid-write leaves
+  *    only unreferenced data files, invisible to every reader.
+  *  - '''Snapshot isolation''': [[read]] binds to one manifest's file
+  *    list; committed files are immutable and commits never delete
+  *    files (only [[vacuum]] does, and only unreferenced ones), so a
+  *    reader concurrent with any number of commits sees exactly the
+  *    state it resolved — never a mix.
+  *  - '''Optimistic concurrency''': a commit re-checks the log head
+  *    before publishing. A concurrent commit on DISJOINT partitions is
+  *    rebased onto (both land); overlapping partitions abort the later
+  *    writer with `ConcurrentModificationException` instead of silently
+  *    losing either commit.
+  *
+  * Scale shape: commits move bytes proportional to TOUCHED partitions
+  * only (manifest-side file pruning); the manifest itself is metadata —
+  * file count × partition values, the same thing a Delta log carries
+  * (log checkpointing/compaction is the known growth path at extreme
+  * file counts).
+  */
+object TxnLake {
+
+  /** One immutable data file and the (rendered) partition values it
+    * contains. `None` = a NULL partition value. */
+  case class FileEntry(path: String, parts: Set[Option[String]])
+
+  case class Manifest(version: Long, commitId: String, partCol: String,
+                      schemaDdl: String, touched: Set[Option[String]],
+                      files: Seq[FileEntry])
+
+  /** A staged-but-uncommitted merge: data files already written under
+    * `_graft_data`, invisible until [[commitStaged]] publishes a
+    * manifest referencing them. */
+  private[lake] case class Staged(baseVersion: Long, partCol: String,
+                                  schemaDdl: String, touched: Set[Option[String]],
+                                  prunedPaths: Set[String], newFiles: Seq[FileEntry])
+
+  private val DataDir = "_graft_data"
+  private val LogDir = "_graft_log"
+
+  def isTxnTable(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new Path(dir, LogDir))
+
+  /** Create a txn table at `dir` from `df`, partitioned (logically) on
+    * `partCol`. Publishes version 0. */
+  def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String): Unit = {
+    require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
+    val fs = fsOf(spark, dir)
+    val logDir = new Path(dir, LogDir)
+    require(!fs.exists(logDir), s"$dir is already a txn table")
+    fs.mkdirs(logDir)
+    val parts = df.select(col(partCol)).distinct().collect().map(r => render(r.get(0))).toSet
+    val files = stageFiles(spark, dir, df, partCol, math.max(parts.size, 1))
+    val m = Manifest(0L, newCommitId(), partCol, df.schema.toDDL, parts, files)
+    require(publish(fs, dir, m), s"concurrent create of txn table at $dir")
+  }
+
+  /** Convert an existing hive-partitioned parquet directory into a txn
+    * table (one-time full rewrite — the migration [[MergeInto]] takes
+    * when a merge hits partition values the directory swap cannot
+    * express). Spark's hive reader unescapes directory names and maps
+    * `__HIVE_DEFAULT_PARTITION__` to NULL, so escaped and NULL
+    * partitions round-trip into manifest values. The superseded hive
+    * directories are removed after version 0 publishes: a plain
+    * `spark.read.parquet(dir)` afterwards fails loudly (nothing
+    * non-hidden left to read) rather than silently serving stale data. */
+  def convert(spark: SparkSession, dir: String, partCol: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val snapshot = spark.read.parquet(dir)
+    create(spark, dir, snapshot, partCol) // materializes BEFORE the old layout goes
+    fs.listStatus(new Path(dir))
+      .filterNot(_.getPath.getName.startsWith("_graft"))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Snapshot read of the latest committed version. The returned
+    * DataFrame is bound to that version's exact file list — concurrent
+    * commits never change what it yields. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), m.files.map(_.path))
+  }
+
+  /** Transactional partition-pruned upsert: rows of `updates` replace
+    * target rows with the same `key`, unmatched rows insert; only files
+    * holding touched partitions are read and rewritten. The partition
+    * column comes from the table's manifest. */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame, key: String): Unit = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    stageMerge(spark, dir, base, updates, key)
+      .foreach(commitStaged(spark, dir, _))
+  }
+
+  /** Stage the merge against snapshot `base`: write the rewritten
+    * partitions' files (no manifest yet — invisible). Returns None for
+    * an empty update set (nothing to commit). */
+  private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
+                               updates: DataFrame, key: String): Option[Staged] = {
+    val partCol = base.partCol
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val target = readFiles(spark, dir, schema, base.files.map(_.path))
+    val cols = target.columns
+    require(updates.columns.sorted.sameElements(cols.sorted),
+      s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
+    val aligned = castToTarget(updates, target)
+    // a NULL merge key can neither match nor insert (NULL partitions are
+    // fine here — they are ordinary manifest values)
+    require(aligned.filter(col(key).isNull).isEmpty,
+      s"updates contain NULL values in merge key '$key'")
+    val newParts = aligned.select(col(partCol)).distinct().collect()
+      .map(r => render(r.get(0))).toSet
+    if (newParts.isEmpty) return None
+    val oldParts = target
+      .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_semi")
+      .select(col(partCol)).distinct().collect().map(r => render(r.get(0))).toSet
+    val touched = newParts ++ oldParts
+    val pruned = base.files.filter(_.parts.exists(touched.contains))
+    val prunedDf = readFiles(spark, dir, schema, pruned.map(_.path))
+    // pruned files may also hold rows of UNtouched partitions (a writer
+    // task can emit several partition values into one file) — those rows
+    // ride along into the rewrite unchanged, so no row is ever dropped
+    val merged = prunedDf
+      .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_anti")
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(aligned.select(cols.map(col).toIndexedSeq: _*))
+    val newFiles = stageFiles(spark, dir, merged, partCol, touched.size)
+    Some(Staged(base.version, partCol, base.schemaDdl, touched,
+      pruned.map(_.path).toSet, newFiles))
+  }
+
+  /** Publish a staged merge, with optimistic-concurrency retry: if the
+    * log advanced past the staged base, rebase when every intervening
+    * commit touched DISJOINT partitions and left our pruned files
+    * intact; otherwise delete the staged files and abort — neither
+    * writer's commit is silently lost. */
+  private[lake] def commitStaged(spark: SparkSession, dir: String, staged: Staged): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"txn commit retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalStateException(s"txn log vanished under $dir"))
+      if (head.version > staged.baseVersion) {
+        val othersTouched = (staged.baseVersion + 1 to head.version)
+          .flatMap(v => readManifest(fs, manifestPath(dir, v)).touched).toSet
+        val overlap = othersTouched.intersect(staged.touched)
+        val lostFiles = staged.prunedPaths -- head.files.map(_.path).toSet
+        if (overlap.nonEmpty || lostFiles.nonEmpty) {
+          dropStagedFiles(fs, dir, staged)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit conflicts with this merge at $dir " +
+              s"(overlapping partitions: ${overlap.map(_.getOrElse("NULL")).mkString(",")}; " +
+              s"rewritten base files: ${lostFiles.mkString(",")}) — re-run the upsert")
+        }
+      }
+      val m = Manifest(head.version + 1, newCommitId(), staged.partCol, staged.schemaDdl,
+        staged.touched,
+        head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles)
+      if (publish(fs, dir, m)) return
+      // lost the version-number race; loop re-resolves and re-checks
+    }
+  }
+
+  /** Delete data files no longer referenced by the newest
+    * `keepVersions` manifests (and drop the older manifests). Files
+    * younger than `graceMs` are kept — they may belong to an in-flight
+    * commit that has not published yet. Readers of retained versions
+    * are unaffected: vacuum only ever removes what those manifests do
+    * not reference. */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+             graceMs: Long = 60000L): Unit = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = fsOf(spark, dir)
+    val versions = listVersions(fs, dir)
+    if (versions.isEmpty) return
+    val (dropV, keepV) = versions.sorted.splitAt(math.max(0, versions.size - keepVersions))
+    val referenced = keepV.flatMap(v => readManifest(fs, manifestPath(dir, v)).files.map(_.path)).toSet
+    val dataRoot = new Path(dir, DataDir)
+    if (fs.exists(dataRoot)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      fs.listStatus(dataRoot).foreach { cdir =>
+        val it = fs.listFiles(cdir.getPath, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val p = f.getPath.toUri.getPath
+          val rel = p.substring(p.indexOf(DataDir))
+          if (!referenced.contains(rel) && f.getModificationTime < cutoff)
+            fs.delete(f.getPath, false)
+        }
+        if (!fs.listFiles(cdir.getPath, true).hasNext) fs.delete(cdir.getPath, true)
+      }
+    }
+    dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
+  }
+
+  // ---- internals ----
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def newCommitId(): String = UUID.randomUUID().toString.replace("-", "")
+
+  /** Partition values index as rendered strings; NULL stays None. The
+    * renderer is the single code path both writers and pruners use, so
+    * the index is self-consistent whatever the column type. */
+  private def render(v: Any): Option[String] = Option(v).map(String.valueOf)
+
+  private def manifestPath(dir: String, version: Long): Path =
+    new Path(dir, f"$LogDir/v$version%08d.json")
+
+  private def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
+    val logDir = new Path(dir, LogDir)
+    if (!fs.exists(logDir)) Seq.empty
+    else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{8}\\.json") => n.substring(1, 9).toLong }
+  }
+
+  private[lake] def resolve(fs: FileSystem, dir: String): Option[Manifest] = {
+    val vs = listVersions(fs, dir)
+    if (vs.isEmpty) None else Some(readManifest(fs, manifestPath(dir, vs.max)))
+  }
+
+  private[lake] def resolve(spark: SparkSession, dir: String): Option[Manifest] =
+    resolve(fsOf(spark, dir), dir)
+
+  private def readFiles(spark: SparkSession, dir: String, schema: StructType,
+                        paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(paths.map(p => s"$dir/$p"): _*)
+
+  /** Write `df` as immutable files under a fresh `_graft_data/c<id>/`
+    * dir and return their manifest entries. Files are SINGLE-partition
+    * (so manifest pruning and the OCC disjointness check stay sharp):
+    * `repartition(n, partCol)` clusters each value into one task, and
+    * `partitionBy` on a DUPLICATE of the column splits files per value
+    * — Spark's writer handles directory-name escaping, while the
+    * original column stays in the data files, which explicit-file-list
+    * snapshot reads require. The per-file partition values come from
+    * ONE metadata-scale job over `_metadata.file_path`. */
+  private def stageFiles(spark: SparkSession, dir: String, df: DataFrame,
+                         partCol: String, partHint: Int): Seq[FileEntry] = {
+    require(!df.columns.contains("__txn_pk"),
+      s"TxnLake reserves the __txn_pk column name; input has ${df.columns.mkString(",")}")
+    if (df.isEmpty) return Seq.empty
+    val rel = s"$DataDir/c${newCommitId()}"
+    val dataDir = s"$dir/$rel"
+    val n = math.max(1, math.min(partHint,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt))
+    // split on a path-safe HASH TOKEN of the value, not the value: raw
+    // values would need Hive escaping, and escaped names (%, =, :, glob
+    // metacharacters) do not survive the path-string round-trip through
+    // `_metadata.file_path` and back into an explicit-file-list read.
+    // The manifest records the ACTUAL values (read from the data), so a
+    // token collision merely widens one file's parts set — correctness
+    // is unaffected, only pruning sharpness, and only on a 64-bit
+    // collision
+    df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
+      .repartition(n, col(partCol))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("__txn_pk").parquet(dataDir)
+    spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) =>
+        val relPath = p.substring(p.indexOf(DataDir))
+        FileEntry(relPath, rows.map(r => render(r.get(1))).toSet)
+      }
+      .toSeq.sortBy(_.path)
+  }
+
+  private def dropStagedFiles(fs: FileSystem, dir: String, staged: Staged): Unit =
+    staged.newFiles.map(_.path.split("/")(1)).distinct
+      .foreach(c => fs.delete(new Path(dir, s"$DataDir/$c"), true))
+
+  private def castToTarget(updates: DataFrame, target: DataFrame): DataFrame =
+    updates.select(target.schema.fields.filter(f => updates.columns.contains(f.name))
+      .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+  // ---- manifest JSON (Jackson, bundled with Spark) ----
+
+  private val mapper = new ObjectMapper()
+
+  private def writeManifestBytes(m: Manifest): Array[Byte] = {
+    val nf = JsonNodeFactory.instance
+    val root = nf.objectNode()
+    root.put("version", m.version)
+    root.put("commitId", m.commitId)
+    root.put("partCol", m.partCol)
+    root.put("schemaDdl", m.schemaDdl)
+    val t = root.putArray("touched")
+    m.touched.toSeq.sortBy(_.getOrElse("")).foreach {
+      case Some(v) => t.add(v)
+      case None => t.addNull()
+    }
+    val fsArr = root.putArray("files")
+    m.files.foreach { f =>
+      val fn = fsArr.addObject()
+      fn.put("path", f.path)
+      val pn = fn.putArray("parts")
+      f.parts.toSeq.sortBy(_.getOrElse("")).foreach {
+        case Some(v) => pn.add(v)
+        case None => pn.addNull()
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+  }
+
+  private[lake] def readManifest(fs: FileSystem, p: Path): Manifest = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val root = mapper.readTree(bytes)
+    import scala.jdk.CollectionConverters._
+    def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (n.isNull) None else Some(n.asText())
+    Manifest(
+      root.get("version").asLong(),
+      root.get("commitId").asText(),
+      root.get("partCol").asText(),
+      root.get("schemaDdl").asText(),
+      root.get("touched").elements().asScala.map(optStr).toSet,
+      root.get("files").elements().asScala.map { fn =>
+        FileEntry(fn.get("path").asText(),
+          fn.get("parts").elements().asScala.map(optStr).toSet)
+      }.toSeq)
+  }
+
+  /** Atomically publish `m` as the manifest for its version. Returns
+    * false (leaving the log unchanged) if that version already exists —
+    * the caller lost the commit race. Local filesystems get a true
+    * atomic create-if-absent via hard link; HDFS-likes rely on rename
+    * refusing to overwrite an existing destination. */
+  private def publish(fs: FileSystem, dir: String, m: Manifest): Boolean = {
+    val dst = manifestPath(dir, m.version)
+    if (fs.getUri.getScheme == "file") {
+      // pure-nio on local filesystems: hard-link create is the atomic
+      // create-if-absent primitive, and bypassing fs.create avoids
+      // ChecksumFileSystem's .crc sidecars littering the log dir
+      val logNio = java.nio.file.Paths.get(new Path(dir, LogDir).toUri.getPath)
+      val t = logNio.resolve(s".tmp-${m.commitId}.json")
+      java.nio.file.Files.write(t, writeManifestBytes(m))
+      try { java.nio.file.Files.createLink(logNio.resolve(dst.getName), t); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally java.nio.file.Files.delete(t)
+    } else {
+      // HDFS-likes: rename refuses to overwrite an existing destination
+      val tmp = new Path(dir, s"$LogDir/.tmp-${m.commitId}.json")
+      val out = fs.create(tmp, true)
+      try out.write(writeManifestBytes(m)) finally out.close()
+      if (fs.exists(dst)) { fs.delete(tmp, false); false }
+      else if (fs.rename(tmp, dst)) true
+      else { fs.delete(tmp, false); false }
+    }
+  }
+}

@@ -1,0 +1,207 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_txn").resolve("t").toString
+
+  private def freshTxnTable(): String = {
+    import spark.implicits._
+    val dir = freshDir()
+    TxnLake.create(spark,
+      dir,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3"))
+        .toDF("id", "name", "part"),
+      "part")
+    dir
+  }
+
+  private def rows(dir: String): Seq[(Long, String, String)] =
+    TxnLake.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
+
+  test("create/read round-trip preserves rows and schema") {
+    val dir = freshTxnTable()
+    assert(rows(dir) === Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3")))
+    assert(TxnLake.read(spark, dir).schema.map(f => (f.name, f.dataType.simpleString)) ===
+      Seq("id" -> "bigint", "name" -> "string", "part" -> "string"))
+  }
+
+  test("upsert updates matched keys, inserts unmatched, moves rows between partitions") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir,
+      Seq((2L, "b2", "p1"), (5L, "e", "p2")).toDF("id", "name", "part"), "id")
+    assert(rows(dir) === Seq((1L, "a", "p1"), (2L, "b2", "p1"), (3L, "c", "p2"),
+      (4L, "d", "p3"), (5L, "e", "p2")))
+    // cross-partition move: key 3 p2 -> p3, old copy must disappear
+    TxnLake.upsert(spark, dir, Seq((3L, "c2", "p3")).toDF("id", "name", "part"), "id")
+    assert(rows(dir) === Seq((1L, "a", "p1"), (2L, "b2", "p1"), (3L, "c2", "p3"),
+      (4L, "d", "p3"), (5L, "e", "p2")))
+  }
+
+  test("a reader concurrent with a commit sees its snapshot — old state, never a mix") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    // binds to version 0's file list at construction
+    val snapshot = TxnLake.read(spark, dir)
+    TxnLake.upsert(spark, dir,
+      Seq((1L, "a9", "p1"), (9L, "i", "p9")).toDF("id", "name", "part"), "id")
+    val seen = snapshot.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq
+    assert(seen === Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "snapshot reader must see exactly the state it resolved")
+    assert(rows(dir).map(t => (t._1, t._2)) ===
+      Seq(1L -> "a9", 2L -> "b", 3L -> "c", 4L -> "d", 9L -> "i"),
+      "a fresh read resolves the new commit")
+  }
+
+  test("untouched partitions' files are not rewritten by a commit") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val before = TxnLake.resolve(spark, dir).get.files
+      .filter(_.parts.contains(Some("p3"))).map(_.path).toSet
+    assert(before.nonEmpty)
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "p1")).toDF("id", "name", "part"), "id")
+    val after = TxnLake.resolve(spark, dir).get.files
+      .filter(_.parts.contains(Some("p3"))).map(_.path).toSet
+    assert(after === before, "p3 held no touched keys — its files must carry over untouched")
+  }
+
+  test("NULL and Hive-escaped partition values are ordinary values") {
+    import spark.implicits._
+    val dir = freshDir()
+    val nasty = "2024/07:x=y %z" // every character class the hive swap refused
+    TxnLake.create(spark, dir,
+      Seq((1L, "a", nasty), (2L, "b", null)).toDF("id", "name", "part"), "part")
+    TxnLake.upsert(spark, dir,
+      Seq((2L, "b2", null), (3L, "c", nasty)).toDF("id", "name", "part"), "id")
+    val got = TxnLake.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
+    assert(got === Seq((1L, "a", nasty), (2L, "b2", null), (3L, "c", nasty)))
+  }
+
+  test("MergeInto migrates a hive table to the txn log when the swap can't name the partition") {
+    import spark.implicits._
+    val dir = freshDir()
+    // Spark's own writer Hive-escapes these directory names; the old
+    // rename swap require-refused them (VERDICT r8 #1)
+    Seq((1L, "a", "2024/07"), (2L, "b", "a:b"), (3L, "c", "plain"))
+      .toDF("id", "name", "part").write.partitionBy("part").parquet(dir)
+    MergeInto.upsertPartitioned(spark, dir,
+      Seq((2L, "b2", "a:b"), (4L, "d", "x=y")).toDF("id", "name", "part"), "id", "part")
+    assert(TxnLake.isTxnTable(spark, dir), "merge must have migrated to the commit log")
+    val got = TxnLake.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
+    assert(got === Seq((1L, "a", "2024/07"), (2L, "b2", "a:b"), (3L, "c", "plain"),
+      (4L, "d", "x=y")), "escaped partition values must round-trip through the merge")
+    // the superseded hive layout is gone: plain readers fail loudly
+    // instead of silently serving stale data
+    assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().hasNext ||
+      Files.list(java.nio.file.Paths.get(dir)).iterator().next() != null) // dir exists
+    assertThrows[Exception](spark.read.parquet(dir).collect())
+    // and further merges keep flowing through the same entry point
+    MergeInto.upsertPartitioned(spark, dir,
+      Seq((1L, "a2", "2024/07")).toDF("id", "name", "part"), "id", "part")
+    assert(TxnLake.read(spark, dir).filter(col("id") === 1L)
+      .collect().head.getAs[String]("name") === "a2")
+  }
+
+  test("MergeInto migrates on NULL partition values instead of refusing") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "part")
+      .write.partitionBy("part").parquet(dir)
+    MergeInto.upsertPartitioned(spark, dir,
+      Seq((3L, "c", null)).toDF("id", "name", "part"), "id", "part")
+    val got = TxnLake.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("part")))).toSeq
+    assert(got === Seq(1L -> Some("p1"), 2L -> Some("p2"), 3L -> None))
+  }
+
+  test("concurrent commits on disjoint partitions both land (rebase)") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val base = TxnLake.resolve(spark, dir).get
+    // stage a p1 merge against version 0, but let a p3 merge commit first
+    val staged = TxnLake.stageMerge(spark, dir, base,
+      Seq((2L, "b2", "p1")).toDF("id", "name", "part"), "id").get
+    TxnLake.upsert(spark, dir, Seq((4L, "d2", "p3")).toDF("id", "name", "part"), "id")
+    TxnLake.commitStaged(spark, dir, staged) // rebases onto the p3 commit
+    assert(rows(dir) === Seq((1L, "a", "p1"), (2L, "b2", "p1"), (3L, "c", "p2"),
+      (4L, "d2", "p3")), "both disjoint commits must land")
+    assert(TxnLake.resolve(spark, dir).get.version === 2L)
+  }
+
+  test("concurrent commits on the SAME partition: one wins, the other aborts loudly") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val base = TxnLake.resolve(spark, dir).get
+    val staged = TxnLake.stageMerge(spark, dir, base,
+      Seq((2L, "b2", "p1")).toDF("id", "name", "part"), "id").get
+    TxnLake.upsert(spark, dir, Seq((1L, "a9", "p1")).toDF("id", "name", "part"), "id")
+    assertThrows[java.util.ConcurrentModificationException] {
+      TxnLake.commitStaged(spark, dir, staged)
+    }
+    // the winner's commit stands untouched; the loser left no files behind
+    assert(rows(dir) === Seq((1L, "a9", "p1"), (2L, "b", "p1"), (3L, "c", "p2"),
+      (4L, "d", "p3")))
+  }
+
+  test("vacuum drops unreferenced files and old manifests, keeps the live snapshot") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "p1")).toDF("id", "name", "part"), "id")
+    TxnLake.upsert(spark, dir, Seq((2L, "b3", "p1")).toDF("id", "name", "part"), "id")
+    val live = TxnLake.resolve(spark, dir).get.files.map(_.path).toSet
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    import scala.jdk.CollectionConverters._
+    val onDisk = Files.walk(java.nio.file.Paths.get(dir, "_graft_data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Paths.get(dir).relativize(p).toString).toSet
+    assert(onDisk === live, s"vacuum must keep exactly the live snapshot's files: $onDisk vs $live")
+    assert(rows(dir).map(t => (t._1, t._2)) ===
+      Seq(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d"))
+    // only the latest manifest remains
+    assert(Files.list(java.nio.file.Paths.get(dir, "_graft_log")).iterator().asScala.size === 1)
+  }
+
+  test("empty updates commit nothing (version unchanged)") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir,
+      Seq.empty[(Long, String, String)].toDF("id", "name", "part"), "id")
+    assert(TxnLake.resolve(spark, dir).get.version === 0L)
+  }
+
+  test("NULL merge keys are still rejected") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val bad = Seq((Some(2L), "x", "p1"), (None, "lost", "p1")).toDF("id", "name", "part")
+    assertThrows[IllegalArgumentException](TxnLake.upsert(spark, dir, bad, "id"))
+    assert(TxnLake.resolve(spark, dir).get.version === 0L, "failed merge must not commit")
+  }
+
+  test("typed (non-string) partition columns render consistently") {
+    import spark.implicits._
+    val dir = freshDir()
+    TxnLake.create(spark, dir,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "name", "part"), "part")
+    // update carries the partition as a string literal — castToTarget
+    // aligns it to INT before the manifest index renders it
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "20"), (3L, "c", "10"))
+      .toDF("id", "name", "part"), "id")
+    val got = TxnLake.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Int]("part"))).toSeq
+    assert(got === Seq((1L, "a", 10), (2L, "b2", 20), (3L, "c", 10)))
+    // pruning actually keyed on the rendered int: only part=10's files rewritten
+    val m = TxnLake.resolve(spark, dir).get
+    assert(m.touched === Set(Some("20"), Some("10")))
+  }
+}
