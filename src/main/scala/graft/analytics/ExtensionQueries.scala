@@ -1268,6 +1268,27 @@ object ExtensionQueries {
   private def ss03(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(embeddings(s, d), queryId = 0L, k = 10, kmeansIters = 1)
 
+  /** ss07 — the same IVF probe served from a PERSISTED index
+    * ([[Similarity.buildIvfIndex]] / [[Similarity.probeIvfIndex]]): the
+    * codebook and cell-partitioned postings are written as lake tables
+    * and the probe runs purely against the re-read files — no k-means
+    * in the probe, the build-once/serve-many shape a 100 TB corpus
+    * requires. Parquet round-trips the codebook floats exactly, so the
+    * persisted probe is bit-equal to ss03's in-query pipeline and
+    * SHARES its exact-replay oracle — any drift between the persisted
+    * and in-memory paths is a correctness failure, not noise. */
+  private def ss07(s: SparkSession, d: String): DataFrame = {
+    val ix = java.nio.file.Files.createTempDirectory("graft_ss07")
+      .resolve("ivf").toString
+    Similarity.buildIvfIndex(embeddings(s, d), ix, nCells = 16, kmeansIters = 1)
+    Similarity.probeIvfIndex(s, ix,
+        embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        k = 10, nProbe = 4)
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
   /** ss03 oracle — exact replica of the full IVF pipeline in DuckDB SQL:
     *  1. seed selection: order by the interpolated portable quadratic
     *     hash of vec_id (same splitmix-derived family as dd02), take 16;
@@ -1655,6 +1676,7 @@ object ExtensionQueries {
     "ss04_ann_recall" -> (ss04 _),
     "ss05_knn_join" -> (ss05 _),
     "ss06_mmr_rerank" -> (ss06 _),
+    "ss07_ivf_persisted" -> (ss07 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -1697,6 +1719,7 @@ object ExtensionQueries {
     "ss01_cosine_topk" -> ss01Sql,
     "ss02_lsh_ann" -> ss02Sql,
     "ss03_ivf_ann" -> ss03Sql,
+    "ss07_ivf_persisted" -> ss03Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
     "ss06_mmr_rerank" -> ss06Sql,

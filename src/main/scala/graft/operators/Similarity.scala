@@ -332,6 +332,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index as two lake tables under `indexDir` — the
+    * build-once half of the 100 TB ANN story ([[ivfTopK]] rebuilds its
+    * codebook inside every query; a real corpus builds the index once
+    * and serves probes against it):
+    *  - `codebook/`: the `nCells`-row centroid table,
+    *  - `postings/`: the corpus partitioned BY CELL
+    *    (`centroid_id=<id>/` parquet dirs), so a probe's nProbe cells
+    *    prune to nProbe directories at planning time.
+    *
+    * Determinism: the codebook is written first and read BACK for the
+    * posting assignment, so postings are consistent with the persisted
+    * bytes by construction (parquet round-trips floats exactly, which
+    * also keeps [[probeIvfIndex]] bit-equal to the in-query [[ivfTopK]]
+    * — ss07 shares ss03's exact-replay oracle). */
+  def buildIvfIndex(corpus: DataFrame, indexDir: String, nCells: Int = 16,
+                    kmeansIters: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    kmeansCentroids(corpus, nCells, kmeansIters)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook")
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    nearestCells(corpus, codebook, 1, "vec_id")
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings")
+  }
+
+  /** Serve ANN probes against a persisted [[buildIvfIndex]] index — no
+    * k-means, no corpus scan. `queries` is a `(qid, embedding)` frame
+    * (any number of query vectors). The probed cell ids are collected
+    * (metadata-scale: queries × nProbe longs) and pushed as a static
+    * `isin` partition filter, so the scan touches only the probed
+    * cells' directories; the query embeddings themselves stay
+    * distributed and broadcast-join against the pruned postings.
+    * Output: (qid, vec_id, cos), top-k per query. */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                    queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val qCells = nearestCells(queries, codebook, nProbe, "qid")
+      .select(col("qid"), col("centroid_id"), col("embedding").as("query_embedding"))
+    val cellIds = qCells.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    postings.filter(col("centroid_id").isin(cellIds.toIndexedSeq: _*))
+      .join(broadcast(qCells), Seq("centroid_id"))
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosineFast(col("embedding"), col("query_embedding")), 6).as("cos"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Embedding near-duplicate pairs: banded hyperplane-LSH candidates +
     * exact cosine confirm.
     *

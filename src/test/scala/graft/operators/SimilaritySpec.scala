@@ -104,6 +104,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(Similarity.lshTopK(ok, 0L, 2).collect().nonEmpty)
   }
 
+  test("persisted IVF index: probe without rebuild equals the in-query pipeline") {
+    val ix = java.nio.file.Files.createTempDirectory("graft_ivf_spec")
+      .resolve("ivf").toString
+    Similarity.buildIvfIndex(emb, ix, nCells = 16, kmeansIters = 1)
+    val q0 = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val probe = Similarity.probeIvfIndex(spark, ix, q0, k = 10, nProbe = 4)
+    val got = probe.orderBy(col("cos").desc, col("vec_id")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    val inQuery = Similarity.ivfTopK(emb, 0L, 10, kmeansIters = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === inQuery,
+      "persisted probe must be bit-equal to the in-query IVF pipeline")
+    // the probe reads ONLY the index (plus the caller's own query-side
+    // source) — no corpus scan, no k-means
+    val inputs = probe.inputFiles.toSet -- q0.inputFiles.toSet
+    assert(inputs.nonEmpty && inputs.forall(_.contains("graft_ivf_spec")),
+      s"probe must serve from the persisted index alone: ${inputs.take(3).mkString(",")}")
+    // cell pruning reaches the scan as a static partition filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probed cells must prune postings partitions at planning time")
+    // a second, different query probes the same index without rebuilding
+    val q1 = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got1 = Similarity.probeIvfIndex(spark, ix, q1, k = 5, nProbe = 4).collect()
+    assert(got1.length === 5 && got1.exists(_.getAs[Long]("vec_id") === 1L),
+      "reused index must serve other queries (self found in its own cell)")
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
