@@ -49,8 +49,22 @@ object Bench {
     // crashing before any results print
     val passes = math.max(1, sys.env.get("SPARK_GRAFT_PASSES")
       .flatMap(_.toIntOption).getOrElse(3))
-    var passWalls = List.empty[Double]
-    val samples = (1 to passes).map { _ =>
+    def loadNow(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // load-robust grading (VERDICT r8 #8): a pass that STARTS under
+    // ambient load (this sandbox is shared — r7's suite inflated ~40%
+    // with byte-identical code) gets retried, up to 2 extra passes, so
+    // the graded median comes from quiet passes whenever the machine
+    // allows. All passes are still reported in the env line.
+    val loadCap = sys.env.get("SPARK_GRAFT_LOAD_CAP").flatMap(_.toDoubleOption)
+      .getOrElse(cpus.toDouble / 8.0)
+    val maxPasses = passes + 2
+    // (per-query times, wall, load_avg at pass start)
+    var samples = Vector.empty[(Map[String, Double], Double, Double)]
+    var quiet = 0
+    while (samples.size < passes ||
+           (samples.size < maxPasses && quiet < passes)) {
+      val l0 = loadNow()
       val p0 = System.nanoTime()
       val r = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -59,15 +73,21 @@ object Bench {
         // regressions are visible in the bench JSON
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      passWalls :+= (System.nanoTime() - p0) / 1e9
-      r
+      samples :+= ((r, (System.nanoTime() - p0) / 1e9, l0))
+      quiet = samples.count(_._3 <= loadCap)
     }
+    // grade on the quiet passes when there are enough; otherwise use all
+    // (an always-loaded machine should not silently grade on 1 pass)
+    val graded =
+      if (quiet >= passes) samples.filter(_._3 <= loadCap) else samples
     val results = selected.keys.map { name =>
-      val ts = samples.map(_(name))
+      val ts = graded.map(_._1(name))
       // a query that failed in ANY pass reports the -1 sentinel, not a
       // median of mixed samples — flaky failures must stay visible
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }.toMap
+    val passWalls = samples.map(_._2).toList
+    val passLoads = samples.map(_._3).toList
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -79,10 +99,9 @@ object Bench {
     // grader can separate machine drift from real regression (r7's
     // suite inflated ~40% under sustained external load with
     // byte-identical code — this line makes that case decidable)
-    val loadAvg = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val walls = passWalls.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"env","load_avg":${fmt(loadAvg)},"passes":$passes,"pass_wall_sec":$walls}""")
+    val loads = passLoads.map(fmt).mkString("[", ",", "]")
+    println(s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"load_cap":${fmt(loadCap)},"pass_wall_sec":$walls,"pass_load_avg":$loads}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

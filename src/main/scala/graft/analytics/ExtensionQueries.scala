@@ -1122,6 +1122,22 @@ object ExtensionQueries {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** dd13 — the SAME cluster semantics as dd07, computed by large-star/
+    * small-star contraction ([[Dedup.clustersStar]], O(log diameter)
+    * rounds) instead of label propagation. Oracled against the identical
+    * recursive-CTE closure, so a hash match proves the contraction
+    * algorithm reaches exactly the propagation fixed point. */
+  private def dd13(s: SparkSession, d: String): DataFrame = {
+    val aug = Dedup.augmentWithNearDups(documents(s, d))
+    val pairs = Dedup.ngramJaccardDups(aug)
+    val cl = Dedup.clustersStar(aug.select(col("doc_id")), pairs)
+    val multi = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("cluster_id"))
+    cl.join(multi, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   private val dd07Sql =
     """WITH RECURSIVE
       |aug AS (
@@ -1654,6 +1670,7 @@ object ExtensionQueries {
     "dd10_bloom_membership" -> (dd10 _),
     "dd11_semantic_dedup" -> (dd11 _),
     "dd12_content_chunks" -> (dd12 _),
+    "dd13_star_clusters" -> (dd13 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -1700,6 +1717,7 @@ object ExtensionQueries {
     "dd10_bloom_membership" -> dd10Sql,
     "dd11_semantic_dedup" -> dd11Sql,
     "dd12_content_chunks" -> dd12Sql,
+    "dd13_star_clusters" -> dd07Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,

@@ -249,7 +249,63 @@ object ScaleQueries {
       |  min(zkey) AS zmin, max(zkey) AS zmax
       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** lk01 — transactional lake TIME TRAVEL ([[graft.lake.TxnLake]]):
+    * create a txn table from an orders slice (version 0), run a
+    * partition-pruned transactional upsert (version 1 — doubled prices
+    * on matched keys, inserts on new keys), then read BOTH versions by
+    * pinned manifest and summarize per partition value. The oracle
+    * recomputes both snapshots relationally, so a hash match proves
+    * (a) version 0 still reads exactly the pre-merge state after the
+    * commit — snapshot immutability, not just isolation — and (b) the
+    * merge applied exactly the claimed row set. Everything stages into
+    * a per-invocation temp dir (same discipline as ss07). */
+  private def lk01(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk01")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    // doubling a double is exact (power of two), so the oracle replays it
+    val updates = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(base.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    TxnLake.upsert(s, dir, updates, "o_orderkey")
+    def summarize(df: DataFrame, sfx: String) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as(s"n_$sfx"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as(s"sum_$sfx"))
+    summarize(TxnLake.readVersion(s, dir, 0L), "v0")
+      .join(summarize(TxnLake.readVersion(s, dir, 1L), "v1"), Seq("o_orderstatus"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk01Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 100 = 0),
+      |v1 AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd),
+      |s0 AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v0,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v0
+      |  FROM base GROUP BY o_orderstatus),
+      |s1 AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_v1,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_v1
+      |  FROM v1 GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, n_v0, sum_v0, n_v1, sum_v1
+      |FROM s0 JOIN s1 USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk01_time_travel" -> (lk01 _),
     "zq01_zorder_layout" -> (zq01 _),
     "q53_fuzzy_match" -> (q53 _),
     "q52_sole_late_supplier" -> (q52 _),
@@ -260,6 +316,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk01_time_travel" -> lk01Sql,
     "zq01_zorder_layout" -> zq01Sql,
     "q53_fuzzy_match" -> q53Sql,
     "q52_sole_late_supplier" -> q52Sql,

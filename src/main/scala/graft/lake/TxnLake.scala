@@ -115,6 +115,35 @@ object TxnLake {
     readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), m.files.map(_.path))
   }
 
+  /** TIME TRAVEL: snapshot read of a specific committed version. Every
+    * manifest pins its exact file list and committed files are immutable,
+    * so any retained version re-reads bit-identically forever — the
+    * reproducibility primitive a training pipeline needs ("which corpus
+    * snapshot trained this model"). Versions dropped by [[vacuum]] fail
+    * loudly here rather than serving a partial file list. */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val p = manifestPath(dir, version)
+    require(fs.exists(p),
+      s"version $version of $dir does not exist (vacuumed or never committed); " +
+        s"available: ${listVersions(fs, dir).sorted.mkString(",")}")
+    val m = readManifest(fs, p)
+    readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), m.files.map(_.path))
+  }
+
+  /** Commit history of the table: one row per retained version with its
+    * commit id, touched partition values and file count — metadata only,
+    * no data files are opened. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    import spark.implicits._
+    listVersions(fs, dir).sorted
+      .map(v => readManifest(fs, manifestPath(dir, v)))
+      .map(m => (m.version, m.commitId,
+        m.touched.toSeq.map(_.getOrElse("NULL")).sorted, m.files.size))
+      .toDF("version", "commit_id", "touched_partitions", "n_files")
+  }
+
   /** Transactional partition-pruned upsert: rows of `updates` replace
     * target rows with the same `key`, unmatched rows insert; only files
     * holding touched partitions are read and rewritten. The partition

@@ -393,11 +393,106 @@ object Dedup {
       converged = changed == 0
       iter += batch
     }
+    // batch budget exhausted without a fixed point: the pair graph has a
+    // longer diameter than round-by-round propagation should chase
+    // (driver sync per batch × O(diameter) rounds). Switch to large-star/
+    // small-star contraction — O(log diameter) rounds on the SAME edge
+    // set — and take its labels instead of the half-propagated ones.
+    if (!converged) {
+      val canon = edges.filter(col("src") > col("dst"))
+        .select(col("src").as("u"), col("dst").as("v")).distinct()
+      pinned.unpersist()
+      labels = starRounds(canon, 32)._1
+    }
     edges.unpersist()
     // unpaired documents are their own cluster
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR contraction
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond", SOCC — public research). Same contract as [[clusters]]
+    * (doc_id -> min-id cluster label, unpaired docs self-labeled), but
+    * the round count is O(log diameter) instead of O(diameter): each
+    * round rewrites the EDGE SET toward disjoint stars centered at
+    * component minima rather than propagating labels one hop.
+    *
+    * This is the scale path [[clusters]] falls back to when its batch
+    * budget runs out: at 100 TB a long-diameter pair graph (chained
+    * near-dups) makes per-round driver synchronization the bottleneck,
+    * and log-rounds is the published fix. Every step is a keyed
+    * shuffle on vertex id over the (small) pair subgraph — no
+    * adjacency materialization, no driver-side graph. */
+  def clustersStar(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val canon = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val labels = starRounds(canon, maxRounds)._1
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("cluster_id", "__cl"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("__cl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Core star-contraction loop over canonical (u > v, distinct)
+    * undirected edges. Returns (labels for every vertex appearing in an
+    * edge, rounds executed) — the round count is exposed so specs can
+    * pin the O(log diameter) convergence guarantee. */
+  private[graft] def starRounds(canonEdges: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    // LINEAGE TRUNCATION, not just caching: in a fixed-point loop each
+    // round's logical plan nests the last round's, and Catalyst
+    // re-analyzes the whole nested tree per action even when the parent
+    // is cached — plan size (and analysis time) grows exponentially with
+    // rounds. localCheckpoint materializes the round AND cuts the plan
+    // back to a leaf, the standard treatment for iterative DataFrame
+    // algorithms; on a real cluster with executor loss to worry about,
+    // swap for reliable `checkpoint()` on the configured checkpoint dir.
+    var edges = canonEdges.localCheckpoint(true)
+    var cnt = edges.count()
+    var rounds = 0
+    var fixed = false
+    while (rounds < maxRounds && !fixed) {
+      // both orientations of the materialized edge set = full
+      // neighborhoods (two scans of a checkpoint leaf, no recompute)
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      // LARGE-STAR: every node points its LARGER neighbors at the min of
+      // its closed neighborhood — long chains halve in one pass
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      // consumed twice below (both orientations) → checkpoint leaf too
+      val large = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      // SMALL-STAR: every node with smaller neighbors points them (and
+      // itself) at the smallest of them
+      val lnbrs = large.select(col("u"), col("v"))
+        .union(large.select(col("v").as("u"), col("u").as("v")))
+      val snbrs = lnbrs.filter(col("v") < col("u"))
+      val smins = snbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = snbrs.join(smins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(smins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint(true)
+      // fixed point = identical edge set: both sides are DISTINCT
+      // canonical sets, so equal counts + one empty EXCEPT prove it
+      val nextCnt = next.count()
+      fixed = nextCnt == cnt && next.except(edges).isEmpty
+      edges = next
+      cnt = nextCnt
+      rounds += 1
+    }
+    // at the fixed point the graph is disjoint stars centered at each
+    // component's minimum id: labels read straight off the edge set
+    val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** C4/RefinedWeb-style cross-document SEGMENT dedup: split every

@@ -18,6 +18,41 @@ final case class MediaFrames(media_id: Long, format: String, n_frames: Int,
 /** Resize output: payload downsampled to a bounded size. */
 final case class MediaResized(media_id: Long, format: String, resized: Array[Byte])
 
+/** The codec seam: bytes -> fixed-width float features. Implementations
+  * are shipped to executors (one instance per partition-task via
+  * `mapPartitions`), so they must be [[Serializable]] and should do any
+  * heavyweight init lazily per-JVM (e.g. a JNI decoder behind a
+  * `@transient lazy val`). A real deployment drops a JPEG/audio decoder
+  * in here; NOTHING else in the pipeline changes — schema, batching,
+  * downstream joins all depend only on this signature. */
+trait MediaCodec extends Serializable {
+  def decode(payload: Array[Byte], dim: Int): Array[Float]
+}
+
+/** STUB CODEC — stands in for image/audio decode (no codec libraries in
+  * this container). Deterministic: folds byte values into `dim` bins and
+  * normalizes by payload length.
+  *
+  * Arithmetic is IEEE-pinned for the mm02 oracle: bin sums are exact
+  * integers (< 2^24, exact in float), the divide runs in DOUBLE and
+  * narrows to float — both steps any engine reproduces bit-for-bit
+  * (a float÷float divide would instead depend on engine promotion
+  * rules). It stays the default so oracled queries remain exact. */
+object StubCodec extends MediaCodec {
+  override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xFF).toFloat
+      i += 1
+    }
+    val n = math.max(1, payload.length).toDouble
+    var j = 0
+    while (j < dim) { out(j) = (out(j).toDouble / n).toFloat; j += 1 }
+    out
+  }
+}
+
 /** Multimodal column plumbing: image/audio/video travel the lake as
   * opaque `binary` columns with typed metadata; decode / feature-extract
   * runs as a batched per-partition stage.
@@ -50,29 +85,9 @@ object Multimodal {
         array(lit("jpeg"), lit("png"), lit("wav")),
         (ascii(substring(col("text"), 1, 1)) % 3) + 1).as("format"))
 
-  /** STUB CODEC — stands in for image/audio decode (no codec libraries in
-    * this container). Deterministic: folds byte values into `dim` bins
-    * and normalizes by payload length. Replace with a real decoder to
-    * productionize; the signature (bytes -> fixed-width float features)
-    * is the contract the pipeline depends on.
-    *
-    * Arithmetic is IEEE-pinned for the mm02 oracle: bin sums are exact
-    * integers (< 2^24, exact in float), the divide runs in DOUBLE and
-    * narrows to float — both steps any engine reproduces bit-for-bit
-    * (a float÷float divide would instead depend on engine promotion
-    * rules). */
-  private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xFF).toFloat
-      i += 1
-    }
-    val n = math.max(1, payload.length).toDouble
-    var j = 0
-    while (j < dim) { out(j) = (out(j).toDouble / n).toFloat; j += 1 }
-    out
-  }
+  /** Back-compat alias for the default codec ([[StubCodec]]). */
+  private[operators] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] =
+    StubCodec.decode(payload, dim)
 
   /** Frame sampling (video analog): split the payload into fixed-size
     * chunks ("frames"), keep every k-th, emit counts + a CRC32 of the
@@ -115,16 +130,20 @@ object Multimodal {
       .toDF()
   }
 
-  /** Batched decode/feature-extract over the binary column. */
-  def extractFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+  /** Batched decode/feature-extract over the binary column. Pass a real
+    * [[MediaCodec]] to productionize; the default stub keeps oracled
+    * queries exact. */
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+                      codec: MediaCodec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"), col("format"))
       .as[MediaRecord]
       .mapPartitions { it =>
-        // one "codec" per partition — where a real decoder would init once
+        // one codec instance per partition-task — where a real decoder
+        // amortizes its init
         it.map(r => MediaFeatures(r.media_id, r.format, r.payload.length,
-          decodeStub(r.payload, dim)))
+          codec.decode(r.payload, dim)))
       }
       .toDF()
   }

@@ -31,29 +31,37 @@ object UpsertSink {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.functions.{col, max, struct}
-        // keep ONE row per key, deterministically: max over the payload
-        // struct (lexicographic by column). dropDuplicates would pick an
-        // arbitrary row, so a replayed batch could commit a DIFFERENT
-        // winner than the original attempt — idempotence needs the
-        // reduction itself to be order-independent.
-        val cols = batch.columns
-        val others = cols.filter(_ != key)
-        val deduped = batch.groupBy(col(key))
-          .agg(max(struct(others.map(col).toIndexedSeq: _*)).as("__payload"))
-          .select(col(key) +: others.map(c => col(s"__payload.$c").as(c)): _*)
-          .select(cols.map(col).toIndexedSeq: _*)
-        val target = new Path(targetDir)
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(target)) MergeInto.upsert(spark, targetDir, deduped, key)
-        // first batch goes through the same staging+rename commit as the
-        // merge path: a direct write could die half-done, and the replay
-        // would then see a partial targetDir and take the upsert branch
-        // against unreadable data
-        else MergeInto.swapWrite(spark, deduped, targetDir)
-        ()
+        applyBatch(batch, targetDir, key)
       }
     (if (oneShot) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** The per-micro-batch body, factored out so the exactly-once claim is
+    * directly testable: Structured Streaming re-invokes this with the
+    * SAME batch rows after a failure, and applying it twice must leave
+    * the target byte-equal to applying it once. */
+  def applyBatch(batch: DataFrame, targetDir: String, key: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.{col, max, struct}
+    // keep ONE row per key, deterministically: max over the payload
+    // struct (lexicographic by column). dropDuplicates would pick an
+    // arbitrary row, so a replayed batch could commit a DIFFERENT
+    // winner than the original attempt — idempotence needs the
+    // reduction itself to be order-independent.
+    val cols = batch.columns
+    val others = cols.filter(_ != key)
+    val deduped = batch.groupBy(col(key))
+      .agg(max(struct(others.map(col).toIndexedSeq: _*)).as("__payload"))
+      .select(col(key) +: others.map(c => col(s"__payload.$c").as(c)): _*)
+      .select(cols.map(col).toIndexedSeq: _*)
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(target)) MergeInto.upsert(spark, targetDir, deduped, key)
+    // first batch goes through the same staging+rename commit as the
+    // merge path: a direct write could die half-done, and the replay
+    // would then see a partial targetDir and take the upsert branch
+    // against unreadable data
+    else MergeInto.swapWrite(spark, deduped, targetDir)
+    ()
   }
 }

@@ -204,4 +204,34 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     val m = TxnLake.resolve(spark, dir).get
     assert(m.touched === Set(Some("20"), Some("10")))
   }
+
+  test("time travel: every retained version re-reads its exact snapshot") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "p1"), (5L, "e", "p2")).toDF("id", "name", "part"), "id")
+    TxnLake.upsert(spark, dir, Seq((5L, "e2", "p3")).toDF("id", "name", "part"), "id")
+    def at(v: Long): Seq[(Long, String)] =
+      TxnLake.readVersion(spark, dir, v).orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"))).toSeq
+    assert(at(0L) === Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    assert(at(1L) === Seq(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    assert(at(2L) === Seq(1L -> "a", 2L -> "b2", 3L -> "c", 4L -> "d", 5L -> "e2"))
+    // latest == readVersion(head)
+    assert(rows(dir).map(t => (t._1, t._2)) === at(2L))
+  }
+
+  test("history lists every version with touched partitions; vacuumed versions fail loudly") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "p1")).toDF("id", "name", "part"), "id")
+    val h = TxnLake.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq === Seq(0L, 1L))
+    assert(h(1).getAs[Seq[String]]("touched_partitions") === Seq("p1"))
+    assert(h.forall(_.getAs[Int]("n_files") > 0))
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    // version 0 is gone: loud failure, not a partial read
+    assertThrows[IllegalArgumentException](TxnLake.readVersion(spark, dir, 0L))
+    assert(TxnLake.readVersion(spark, dir, 1L).count() === 4L)
+    assert(TxnLake.history(spark, dir).collect().map(_.getAs[Long]("version")).toSeq === Seq(1L))
+  }
 }

@@ -202,4 +202,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     // shared run of 6 tokens = w+k-1 → at least one shared fingerprint
     assert(Dedup.winnowingDups(overlapping, minShared = 1).count() === 1)
   }
+
+  test("star contraction: long chain converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // a 64-node chain (diameter 63) — the adversarial shape for
+    // round-per-hop label propagation
+    val n = 64L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val canon = pairs.select(
+      org.apache.spark.sql.functions.greatest($"doc_a", $"doc_b").as("u"),
+      org.apache.spark.sql.functions.least($"doc_a", $"doc_b").as("v"))
+    val (labels, rounds) = Dedup.starRounds(canon, maxRounds = 25)
+    // log2(63) ≈ 6; allow the alternation's constant factor
+    assert(rounds <= 10, s"took $rounds rounds for diameter 63")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("clustersStar matches clusters on chains, forests and unpaired docs") {
+    import spark.implicits._
+    val d = (1L to 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (7L, 8L), (9L, 10L), (10L, 9L), (8L, 7L)).toDF("doc_a", "doc_b")
+    val prop = Dedup.clusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.clustersStar(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(star(6L) === 1L && star(8L) === 7L && star(11L) === 11L)
+  }
+
+  test("clusters falls back to star contraction when the batch budget runs out") {
+    import spark.implicits._
+    // diameter 15 chain, but only 2 propagation rounds allowed: plain
+    // propagation cannot finish; the star fallback must
+    val d = (0L to 15L).toDF("doc_id")
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(d, pairs, maxIters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 15L).map(_ -> 0L).toMap)
+  }
 }

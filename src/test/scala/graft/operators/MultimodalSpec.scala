@@ -51,4 +51,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(f.toSeq === Seq(49.0f, 49.5f))
     assert(Multimodal.decodeStub(payload, 2).toSeq === f.toSeq)
   }
+
+  test("codec seam: a replacement codec drops in without touching the operators") {
+    // stands in for a real JPEG/audio decoder: constant-vector "decode"
+    object LenCodec extends MediaCodec {
+      override def decode(payload: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(payload.length.toFloat)
+    }
+    val feats = Multimodal.extractFeatures(media, dim = 3, codec = LenCodec)
+      .select(col("media_id"), col("byte_len"), col("features"))
+      .collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val len = r.getInt(1).toFloat
+      assert(r.getSeq[Float](2) === Seq(len, len, len))
+    }
+    // and the default path is still the IEEE-pinned stub (mm02's oracle)
+    val stub = Multimodal.extractFeatures(media, dim = 2)
+    val direct = media.collect().map(r =>
+      r.getLong(0) -> StubCodec.decode(r.getAs[Array[Byte]]("payload"), 2).toSeq).toMap
+    stub.select(col("media_id"), col("features")).collect().foreach { r =>
+      assert(r.getSeq[Float](1) === direct(r.getLong(0)))
+    }
+  }
 }

@@ -53,4 +53,32 @@ class UpsertSinkSpec extends AnyFunSuite with SparkTestSession {
     val after4 = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toMap
     assert(after4(4L) === "d9")
   }
+
+  test("replaying the SAME epoch twice leaves the target byte-equal (exactly-once)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_upsert_replay")
+    val out = root.resolve("out").toString
+
+    // epoch 0 commits, then the runtime dies before recording progress
+    // and re-runs the same batch — the at-least-once contract
+    // foreachBatch actually gives. The sink body must absorb the replay.
+    val epoch0 = Seq((1L, "a"), (2L, "b"), (2L, "bz")).toDF("id", "payload")
+    UpsertSink.applyBatch(epoch0, out, "id")
+    val once = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toSeq
+    UpsertSink.applyBatch(epoch0, out, "id")
+    val twice = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(twice === once, "replaying epoch 0 changed the target")
+    assert(once === Seq(1L -> "a", 2L -> "bz"))
+
+    // same failure mode mid-stream: epoch 1 lands, is replayed, and the
+    // target must equal the single-application state — no duplicate
+    // rows, no flip-flopped winners
+    val epoch1 = Seq((2L, "b2"), (3L, "c")).toDF("id", "payload")
+    UpsertSink.applyBatch(epoch1, out, "id")
+    val e1once = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toSeq
+    UpsertSink.applyBatch(epoch1, out, "id")
+    val e1twice = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(e1twice === e1once, "replaying epoch 1 changed the target")
+    assert(e1once === Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
 }
