@@ -304,7 +304,55 @@ object ScaleQueries {
       |FROM s0 JOIN s1 USING (o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk02 — transactional lake CDC / INCREMENTAL READ
+    * ([[graft.lake.TxnLake.changes]]): create a txn table (v0), run a
+    * transactional upsert (v1 — doubled prices on %21 keys, fresh +20M
+    * keys on %70), then a transactional key-delete of the %35 keys (v2),
+    * and ask the lake for the NET changes v0→v2. The oracle derives the
+    * same insert/update/delete rows relationally — keys on 105's grid
+    * (21·5) are updated in v1 then deleted in v2, so they must surface
+    * as a DELETE carrying the v0 image, and v1's intermediate files
+    * (referenced by neither endpoint manifest) must not leak into the
+    * diff. A hash match proves the manifest-diff CDC reads exactly the
+    * changed rows — the primitive that lets a downstream 100 TB consumer
+    * refresh from touched partitions only. */
+  private def lk02(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk02")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    val updates = base.filter(col("o_orderkey") % 21 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .unionByName(base.filter(col("o_orderkey") % 70 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    TxnLake.upsert(s, dir, updates, "o_orderkey")
+    TxnLake.delete(s, dir,
+      base.filter(col("o_orderkey") % 35 === 0).select(col("o_orderkey")), "o_orderkey")
+    TxnLake.changes(s, dir, 0L, 2L, "o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("_change_type"))
+      .orderBy(col("o_orderkey"), col("_change_type"))
+  }
+
+  private val lk02Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderkey + 20000000 AS o_orderkey, o_orderstatus, o_totalprice,
+      |  'insert' AS _change_type
+      |FROM base WHERE o_orderkey % 70 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice * 2, 'update'
+      |FROM base WHERE o_orderkey % 21 = 0 AND o_orderkey % 35 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+      |FROM base WHERE o_orderkey % 35 = 0
+      |ORDER BY o_orderkey, _change_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk02_incremental_read" -> (lk02 _),
     "lk01_time_travel" -> (lk01 _),
     "zq01_zorder_layout" -> (zq01 _),
     "q53_fuzzy_match" -> (q53 _),
@@ -316,6 +364,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk02_incremental_read" -> lk02Sql,
     "lk01_time_travel" -> lk01Sql,
     "zq01_zorder_layout" -> zq01Sql,
     "q53_fuzzy_match" -> q53Sql,

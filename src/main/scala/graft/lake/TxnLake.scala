@@ -144,6 +144,83 @@ object TxnLake {
       .toDF("version", "commit_id", "touched_partitions", "n_files")
   }
 
+  /** CDC / INCREMENTAL READ: the net row-level changes between two
+    * committed versions, tagged `insert` / `update` / `delete` in a
+    * `_change_type` column (update and insert rows carry the NEW image,
+    * delete rows the prior image). This is how a downstream consumer —
+    * an embedding job, an index refresh, a training-corpus delta — keeps
+    * up with a mutating 100 TB table without re-reading it: the diff
+    * opens ONLY the files the two manifests disagree on (the rewritten
+    * partitions), never the whole table.
+    *
+    * Rewritten files also carry ride-along rows of co-located partition
+    * values that did not change; a full-row EXCEPT ALL in each direction
+    * cancels them (immutable files re-written from parquet round-trip
+    * bit-identically), so only real changes surface. Requires `key` to
+    * be row-unique within each snapshot — the invariant [[create]] +
+    * [[upsert]] maintain — and identical schemas at both versions
+    * (diffing across a schema change is ambiguous; fail loudly). */
+  def changes(spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long,
+              key: String): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val fs = fsOf(spark, dir)
+    def manifestOf(v: Long): Manifest = {
+      val p = manifestPath(dir, v)
+      require(fs.exists(p),
+        s"version $v of $dir does not exist (vacuumed or never committed); " +
+          s"available: ${listVersions(fs, dir).sorted.mkString(",")}")
+      readManifest(fs, p)
+    }
+    val mFrom = manifestOf(fromVersion)
+    val mTo = manifestOf(toVersion)
+    require(mFrom.schemaDdl == mTo.schemaDdl,
+      s"schema changed between v$fromVersion and v$toVersion of $dir; " +
+        "diff the versions on either side of the evolution instead")
+    val schema = StructType.fromDDL(mTo.schemaDdl)
+    val fromPaths = mFrom.files.map(_.path).toSet
+    val toPaths = mTo.files.map(_.path).toSet
+    val added = readFiles(spark, dir, schema, (toPaths -- fromPaths).toSeq.sorted)
+    val dropped = readFiles(spark, dir, schema, (fromPaths -- toPaths).toSeq.sorted)
+    val newImg = added.exceptAll(dropped)
+    val oldImg = dropped.exceptAll(added)
+    val upserts = newImg
+      .join(oldImg.select(col(key).as("__txn_ck")).distinct(),
+        col(key) === col("__txn_ck"), "left")
+      .withColumn("_change_type",
+        when(col("__txn_ck").isNull, lit("insert")).otherwise(lit("update")))
+      .drop("__txn_ck")
+    val deletes = oldImg
+      .join(newImg.select(col(key).as("__txn_ck")).distinct(),
+        col(key) === col("__txn_ck"), "left_anti")
+      .withColumn("_change_type", lit("delete"))
+    upserts.unionByName(deletes)
+  }
+
+  /** Transactional key-based delete: remove every target row whose `key`
+    * appears in `keys`, with the same partition pruning, staging, and
+    * optimistic-concurrency publish as [[upsert]] — only files holding
+    * doomed rows are rewritten, and a concurrent disjoint commit rebases
+    * rather than aborting. A key set touching nothing commits nothing. */
+  def delete(spark: SparkSession, dir: String, keys: DataFrame, key: String): Unit = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    require(keys.columns.contains(key), s"key column '$key' not in ${keys.columns.mkString(",")}")
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val target = readFiles(spark, dir, schema, base.files.map(_.path))
+    val keyDf = keys.select(col(key).cast(target.schema(key).dataType).as("__txn_dkey")).distinct()
+    val touched = target
+      .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
+      .select(col(base.partCol)).distinct().collect().map(r => render(r.get(0))).toSet
+    if (touched.isEmpty) return
+    val pruned = base.files.filter(_.parts.exists(touched.contains))
+    val remaining = readFiles(spark, dir, schema, pruned.map(_.path))
+      .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
+    val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size)
+    commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
+      touched, pruned.map(_.path).toSet, newFiles))
+  }
+
   /** Transactional partition-pruned upsert: rows of `updates` replace
     * target rows with the same `key`, unmatched rows insert; only files
     * holding touched partitions are read and rewritten. The partition

@@ -220,6 +220,42 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(dir).map(t => (t._1, t._2)) === at(2L))
   }
 
+  test("delete removes keyed rows transactionally with partition pruning") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val p3Before = TxnLake.resolve(spark, dir).get.files
+      .filter(_.parts.contains(Some("p3"))).map(_.path).toSet
+    TxnLake.delete(spark, dir, Seq(2L, 3L).toDF("id"), "id")
+    assert(rows(dir) === Seq((1L, "a", "p1"), (4L, "d", "p3")))
+    assert(TxnLake.resolve(spark, dir).get.version === 1L)
+    val p3After = TxnLake.resolve(spark, dir).get.files
+      .filter(_.parts.contains(Some("p3"))).map(_.path).toSet
+    assert(p3After === p3Before, "p3 held no doomed keys — its files must carry over")
+    // deleting nothing commits nothing
+    TxnLake.delete(spark, dir, Seq(99L).toDF("id"), "id")
+    assert(TxnLake.resolve(spark, dir).get.version === 1L)
+  }
+
+  test("changes(from,to) yields net insert/update/delete rows, ride-alongs suppressed") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    // v1: update 2 (p1 ride-along: 1), insert 5; v2: delete 3, and update
+    // 5 AGAIN so the v0->v2 net must collapse insert+update into 'insert'
+    // with the FINAL image, never the intermediate one
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "p1"), (5L, "e", "p2")).toDF("id", "name", "part"), "id")
+    TxnLake.delete(spark, dir, Seq(3L).toDF("id"), "id")
+    TxnLake.upsert(spark, dir, Seq((5L, "e2", "p2")).toDF("id", "name", "part"), "id")
+    val net = TxnLake.changes(spark, dir, 0L, 3L, "id").orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("_change_type"))).toSeq
+    assert(net === Seq((2L, "b2", "update"), (3L, "c", "delete"), (5L, "e2", "insert")),
+      "rows 1 and 4 never changed and must not surface")
+    // a single-commit window sees only that commit's changes
+    val step = TxnLake.changes(spark, dir, 1L, 2L, "id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSeq
+    assert(step === Seq(3L -> "delete"))
+    assertThrows[IllegalArgumentException](TxnLake.changes(spark, dir, 2L, 2L, "id"))
+  }
+
   test("history lists every version with touched partitions; vacuumed versions fail loudly") {
     import spark.implicits._
     val dir = freshTxnTable()
