@@ -320,6 +320,53 @@ object ExtensionQueries {
        |FROM kept GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** sp06 — LEAKAGE-SAFE split ([[Sampling.leakageSafeSplit]]): the
+    * corpus is augmented with exact copies of the first 100 docs under
+    * fresh ids (the dd02 augmentation discipline — the raw synthetic
+    * corpus has no duplicates), then split with the hash keyed on each
+    * duplicate cluster's representative. An id-keyed split would strand
+    * copies on opposite sides of train/val (the ids hash independently);
+    * here every copy follows its representative, and the oracle replays
+    * the representative election + portable hash exactly, so the
+    * per-split doc/cluster counts pin the membership. */
+  private def sp06(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val aug = docs.unionByName(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Sampling.leakageSafeSplit(aug, "doc_id", md5(col("text")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_clusters"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("split"))
+  }
+
+  private val sp06Sql: String = {
+    val (a, b, c) = Sampling.MixConsts
+    val P = 1000000007L
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100),
+       |fp AS (SELECT doc_id, md5(text) AS fp FROM aug),
+       |rep AS (SELECT fp, min(doc_id) AS rep FROM fp GROUP BY fp),
+       |rb AS (SELECT fp,
+       |  (($a*((h*h) % $P) + $b*h + $c) % $P) % 10000 AS bucket
+       |  FROM (SELECT fp, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(CAST(rep AS VARCHAR))+1),
+       |        i -> CAST(ascii(CAST(rep AS VARCHAR)[i]) AS BIGINT))),
+       |      (a, c) -> (a*31 + c) % $P) AS h FROM rep)),
+       |j AS (SELECT f.doc_id, f.fp,
+       |  CASE WHEN rb.bucket < 500 THEN 'val' WHEN rb.bucket < 1000 THEN 'test'
+       |       ELSE 'train' END AS split
+       |  FROM fp f JOIN rb USING (fp))
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT fp) AS BIGINT) AS n_clusters,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id
+       |FROM j GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   /** tx10 — inverted-index postings build: per term, document frequency,
     * total posting count, and the first 20 `(doc_id:pos)` postings in
     * global (doc_id, pos) order — the retrieval-layer structure a corpus
@@ -1677,6 +1724,7 @@ object ExtensionQueries {
     "sp03_pack_sequences" -> (sp03 _),
     "sp04_token_budget" -> (sp04 _),
     "sp05_temperature_mix" -> (sp05 _),
+    "sp06_leakage_safe_split" -> (sp06 _),
     "dc01_decontaminate" -> (dc01 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
@@ -1724,6 +1772,7 @@ object ExtensionQueries {
     "sp03_pack_sequences" -> sp03Sql,
     "sp04_token_budget" -> sp04Sql,
     "sp05_temperature_mix" -> sp05Sql,
+    "sp06_leakage_safe_split" -> sp06Sql,
     "dc01_decontaminate" -> dc01Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables._
-import graft.operators.PageRank
+import graft.operators.{Dedup, PageRank}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,13 +127,40 @@ object GraphQueries {
        |SELECT node, rank FROM r$Iterations ORDER BY node""".stripMargin
   }
 
+  /** pr04 — connected components on a LONG-DIAMETER graph
+    * ([[Dedup.clustersStar]], large-star/small-star contraction —
+    * Kiveris et al. 2014): nodes are customer-key residues mod 120,
+    * chained k → k+1 inside three 40-node paths (k ≡ 39 mod 40 breaks
+    * the chain). Diameter 39 is the regime the operator exists for —
+    * star contraction converges in ~log₂(40) rounds where one-hop label
+    * propagation (dd07's default path) would need 39 driver-paced
+    * rounds. The oracle is CLOSED-FORM — cluster = 40·⌊k/40⌋ — and
+    * contains no graph traversal at all, so an algorithmic bug cannot
+    * cancel itself (the gq04 discipline). */
+  private def pr04(s: SparkSession, d: String): DataFrame = {
+    val nodes = customer(s, d)
+      .select((col("c_custkey") % 120).as("doc_id")).distinct()
+    val pairs = nodes.filter(col("doc_id") % 40 =!= 39)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+    Dedup.clustersStar(nodes, pairs)
+      .select(col("doc_id").as("node"), col("cluster_id"))
+      .orderBy(col("node"))
+  }
+
+  private val pr04Sql =
+    """SELECT node, (node // 40) * 40 AS cluster_id
+      |FROM (SELECT DISTINCT c_custkey % 120 AS node FROM customer)
+      |ORDER BY node""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "pr01_pagerank" -> (pr01 _),
     "pr02_triangles" -> (pr02 _),
-    "pr03_personalized_pagerank" -> (pr03 _))
+    "pr03_personalized_pagerank" -> (pr03 _),
+    "pr04_connected_components" -> (pr04 _))
 
   val oracle: Map[String, String] = Map(
     "pr01_pagerank" -> pr01Sql,
     "pr02_triangles" -> pr02Sql,
-    "pr03_personalized_pagerank" -> pr03Sql)
+    "pr03_personalized_pagerank" -> pr03Sql,
+    "pr04_connected_components" -> pr04Sql)
 }

@@ -82,9 +82,12 @@ object TxnLake {
     val logDir = new Path(dir, LogDir)
     require(!fs.exists(logDir), s"$dir is already a txn table")
     fs.mkdirs(logDir)
-    val parts = df.select(col(partCol)).distinct().collect().map(r => render(r.get(0))).toSet
-    val files = stageFiles(spark, dir, df, partCol, math.max(parts.size, 1))
-    val m = Manifest(0L, newCommitId(), partCol, df.schema.toDDL, parts, files)
+    // touched = every partition value present, read off the staged
+    // files' own metadata — no separate distinct-collect job
+    val files = stageFiles(spark, dir, df, partCol,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val m = Manifest(0L, newCommitId(), partCol, df.schema.toDDL,
+      files.flatMap(_.parts).toSet, files)
     require(publish(fs, dir, m), s"concurrent create of txn table at $dir")
   }
 
@@ -248,13 +251,14 @@ object TxnLake {
     // fine here — they are ordinary manifest values)
     require(aligned.filter(col(key).isNull).isEmpty,
       s"updates contain NULL values in merge key '$key'")
-    val newParts = aligned.select(col(partCol)).distinct().collect()
-      .map(r => render(r.get(0))).toSet
-    if (newParts.isEmpty) return None
-    val oldParts = target
-      .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_semi")
-      .select(col(partCol)).distinct().collect().map(r => render(r.get(0))).toSet
-    val touched = newParts ++ oldParts
+    // one job for the whole touched-partition set: partitions the
+    // updates land in UNION partitions currently holding matched keys
+    val touched = aligned.select(col(partCol))
+      .unionByName(target
+        .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_semi")
+        .select(col(partCol)))
+      .distinct().collect().map(r => render(r.get(0))).toSet
+    if (touched.isEmpty) return None
     val pruned = base.files.filter(_.parts.exists(touched.contains))
     val prunedDf = readFiles(spark, dir, schema, pruned.map(_.path))
     // pruned files may also hold rows of UNtouched partitions (a writer

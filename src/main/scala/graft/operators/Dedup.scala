@@ -449,39 +449,66 @@ object Dedup {
     // back to a leaf, the standard treatment for iterative DataFrame
     // algorithms; on a real cluster with executor loss to worry about,
     // swap for reliable `checkpoint()` on the configured checkpoint dir.
-    var edges = canonEdges.localCheckpoint(true)
+    // LAZY checkpoints (eager = false): the materialization rides the
+    // round's one count() action instead of costing a standalone job —
+    // at small edge counts the loop is pure job-overhead, so jobs per
+    // round is the figure of merit (measured 6 s for a 120-node chain
+    // graph with eager checkpoints, ~half that lazy).
+    var edges = canonEdges.localCheckpoint(false)
     var cnt = edges.count()
     var rounds = 0
     var fixed = false
+    // Each half-round is ONE window over the neighbor list (min of the
+    // neighborhood, partitioned by node) instead of a groupBy + re-join
+    // pair: two shuffles per round total, which matters because under
+    // AQE every shuffle stage schedules as its own job — the original
+    // join/distinct form cost 139 jobs (≈10 s of pure scheduling at
+    // local[32]) for a 120-node graph vs ~40 in this form. Skew note
+    // for real scale: a hub's whole neighborhood lands in one window
+    // task, but that is the published algorithm's reduce step verbatim
+    // (and the join form shuffled the same rows to the same reducer),
+    // so the window loses nothing the MR formulation had.
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    // one-scan orientation doubling: a self-UNION would execute the
+    // (expensive, windowed) upstream once per branch; explode emits
+    // both directions from a single pass
+    def both(df: DataFrame, a: String, b: String): DataFrame =
+      df.select(explode(array(
+        struct(col(a).as("u"), col(b).as("v")),
+        struct(col(b).as("u"), col(a).as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
     while (rounds < maxRounds && !fixed) {
       // both orientations of the materialized edge set = full
-      // neighborhoods (two scans of a checkpoint leaf, no recompute)
-      val nbrs = edges.select(col("u"), col("v"))
-        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      // neighborhoods (one scan of the checkpoint leaf)
+      val nbrs = both(edges, "u", "v")
       // LARGE-STAR: every node points its LARGER neighbors at the min of
-      // its closed neighborhood — long chains halve in one pass
-      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      // consumed twice below (both orientations) → checkpoint leaf too
-      val large = nbrs.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
-        .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      // its closed neighborhood — long chains halve in one pass.
+      // Duplicate edges out of this step are harmless (they feed mins
+      // and a final distinct), so no intermediate dedup shuffle.
+      val lw = nbrs.withColumn("mn", least(min(col("v")).over(wu), col("u")))
+      val large = lw.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .filter(col("u") =!= col("v"))
       // SMALL-STAR: every node with smaller neighbors points them (and
       // itself) at the smallest of them
-      val lnbrs = large.select(col("u"), col("v"))
-        .union(large.select(col("v").as("u"), col("u").as("v")))
-      val snbrs = lnbrs.filter(col("v") < col("u"))
-      val smins = snbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = snbrs.join(smins, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .union(smins.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b"))
-        .select(greatest(col("a"), col("b")).as("u"),
-          least(col("a"), col("b")).as("v"))
-        .distinct().localCheckpoint(true)
+      val snbrs = both(large, "u", "v").filter(col("v") < col("u"))
+      val sw = snbrs.withColumn("m", min(col("v")).over(wu))
+      // emit (smaller-neighbor -> m) and (center -> m) in one pass; the
+      // duplicate center rows die in the final distinct
+      val next = sw.select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct().localCheckpoint(false)
+      // one action per round: materializes the lazy checkpoint AND
+      // reads off the new edge count
+      val nextCnt = next.count()
       // fixed point = identical edge set: both sides are DISTINCT
       // canonical sets, so equal counts + one empty EXCEPT prove it
-      val nextCnt = next.count()
+      // (the EXCEPT only ever runs on count-equal rounds, near the end)
       fixed = nextCnt == cnt && next.except(edges).isEmpty
       edges = next
       cnt = nextCnt

@@ -180,12 +180,41 @@ object Sampling {
                   valPct: Double = 0.05, testPct: Double = 0.05): DataFrame = {
     require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 1,
       s"invalid split percentages: val=$valPct test=$testPct")
-    val b = bucketOf(col(idCol))
+    df.withColumn("split", splitOf(bucketOf(col(idCol)), valPct, testPct))
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: like [[assignSplit]], but the
+    * hash keys off each row's duplicate-cluster REPRESENTATIVE (min id
+    * per content fingerprint) instead of the row id, so every copy of a
+    * document lands in the SAME split. Splitting by row id leaks:
+    * duplicates straddle train and val, and the eval score measures
+    * memorization of training rows — the failure mode train/test
+    * decontamination papers exist for. `fingerprint` is any content-key
+    * expression: `md5(text)` for exact-dup safety, a minhash band or
+    * cluster id from [[Dedup.clusters]] for near-dup safety.
+    *
+    * Scale shape: one keyed aggregation electing representatives
+    * (narrow (fp, rep) rows) and one shuffle join back on the
+    * fingerprint — no all-pairs, no corpus-wide window; the split
+    * column itself is row-local hash math on the representative. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, fingerprint: Column,
+                       valPct: Double = 0.05, testPct: Double = 0.05): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 1,
+      s"invalid split percentages: val=$valPct test=$testPct")
+    require(!df.columns.exists(_.startsWith("__lss_")),
+      s"leakageSafeSplit reserves the __lss_ column prefix; input has ${df.columns.mkString(",")}")
+    val withFp = df.withColumn("__lss_fp", fingerprint)
+    val reps = withFp.groupBy(col("__lss_fp")).agg(min(col(idCol)).as("__lss_rep"))
+    withFp.join(reps, "__lss_fp")
+      .withColumn("split", splitOf(bucketOf(col("__lss_rep")), valPct, testPct))
+      .drop("__lss_fp", "__lss_rep")
+  }
+
+  private def splitOf(bucket: Column, valPct: Double, testPct: Double): Column = {
     val valCut = math.round(valPct * Buckets)
     val testCut = valCut + math.round(testPct * Buckets)
-    df.withColumn("split",
-      when(b < valCut, lit("val"))
-        .when(b < testCut, lit("test"))
-        .otherwise(lit("train")))
+    when(bucket < valCut, lit("val"))
+      .when(bucket < testCut, lit("test"))
+      .otherwise(lit("train"))
   }
 }

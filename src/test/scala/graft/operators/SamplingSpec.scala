@@ -84,6 +84,31 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       again.select("doc_id", "split")).count() === 0)
   }
 
+  test("leakageSafeSplit keeps duplicate clusters whole; id-keyed split leaks on the same corpus") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // exact copies under fresh ids: ids hash independently, content doesn't
+    val aug = texts.unionByName(texts.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val safe = Sampling.leakageSafeSplit(aug, "doc_id", md5(col("text")))
+    assert(safe.count() === aug.count(), "split must keep every row exactly once")
+    val straddling = safe.groupBy(md5(col("text")).as("fp"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddling === 0, "no duplicate cluster may straddle splits")
+    // the invariant is not vacuous: the id-keyed split DOES leak here
+    val leaky = Sampling.assignSplit(aug, "doc_id").groupBy(md5(col("text")).as("fp"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(leaky > 0, "corpus must contain clusters an id-keyed split separates")
+    // originals (no copies) get their plain assignSplit membership: the
+    // representative of a singleton cluster is the row itself
+    val lone = texts.filter(col("doc_id") >= 100)
+    val a = Sampling.leakageSafeSplit(lone, "doc_id", md5(col("text")))
+      .select("doc_id", "split")
+    val b = Sampling.assignSplit(lone, "doc_id").select("doc_id", "split")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "singleton clusters must match the id-keyed assignment")
+  }
+
   test("temperatureSample up-weights small strata and stays deterministic") {
     val kept = Sampling.temperatureSample(docs, "doc_id", "lang", targetFrac = 0.5)
     val keptBy = kept.groupBy("lang").count().collect()
