@@ -192,6 +192,25 @@ object StreamingQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** st10 — LEFT OUTER stream-stream join in batch form
+    * ([[EventStreams.purchasesWithClicksOuter]]): attributed purchases
+    * carry their click ids, unattributed ones surface with NULL — the
+    * rows the inner join (st06) drops. StreamingSpec pins the streaming
+    * execution equal to this, null rows included. */
+  private def st10(s: SparkSession, d: String): DataFrame =
+    EventStreams.purchasesWithClicksOuter(events(s, d))
+      .orderBy(col("user_id"), col("purchase_id"), asc_nulls_first("click_id"))
+
+  private val st10Sql =
+    """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id, p.value AS value
+      |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
+      |ORDER BY user_id, purchase_id, click_id NULLS FIRST""".stripMargin
+
   /** st09 — stream-static enrichment ([[EventStreams.enrichWithSegment]]):
     * events decorated with the customer's market segment via an
     * explicitly broadcast static dim (stateless per micro-batch — no
@@ -212,6 +231,7 @@ object StreamingQueries {
       |ORDER BY segment, event_type""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "st10_outer_stream_join" -> (st10 _),
     "st09_stream_static_join" -> (st09 _),
     "st08_arbitrary_state" -> (st08 _),
     "st07_asof_join" -> (st07 _),
@@ -223,6 +243,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st10_outer_stream_join" -> st10Sql,
     "st09_stream_static_join" -> st09Sql,
     "st08_arbitrary_state" -> st08Sql,
     "st07_asof_join" -> st07Sql,

@@ -96,6 +96,35 @@ object EventStreams {
         col("value"))
   }
 
+  /** LEFT OUTER stream-stream join: every purchase, attributed to the
+    * clicks in its 10-minute lookback or emitted with NULL click when
+    * none — the unattributed-conversion case the inner join
+    * ([[purchasesWithRecentClicks]]) silently drops. In streaming this
+    * is exactly where outer joins differ from inner: the engine must
+    * hold each purchase in state until the CLICK-side watermark passes
+    * its window (no further match possible) and only then emit the
+    * null row, so both watermarks plus the time-range condition are
+    * mandatory, not advisory. The batch form is the same transform
+    * with the state machinery elided; StreamingSpec pins
+    * stream == batch including the null rows. */
+  def purchasesWithClicksOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("purchase_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("value"))
+  }
+
   /** Stream-static enrichment: events joined to a STATIC dimension
     * (customer market segments) — the standard pattern for decorating a
     * stream with slowly-changing reference data. The static side is

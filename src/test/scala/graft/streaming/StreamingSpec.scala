@@ -94,6 +94,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got) === rows(want))
   }
 
+  test("LEFT OUTER stream-stream join equals the batch outer join, null rows included") {
+    // An outer join's NULL rows emit only when the global watermark
+    // passes the purchase's match window, so a finite stream holds back
+    // nulls for purchases within the lookback of the stream's end
+    // (observed: exactly the last 2 unattributed purchases stayed in
+    // state). Sentinel click+purchase events 1 h past the corpus
+    // (user -1) advance BOTH sides' watermarks so every real null row
+    // flushes; the sentinels match nothing and their own rows stay held
+    // in state, so the emitted set equals the batch join over the
+    // ORIGINAL events exactly.
+    import spark.implicits._
+    val dir = tmp().resolve("events_outer_src")
+    Files.createDirectories(dir)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val maxNs = spark.read.parquet(s"$sf/events.parquet")
+      .agg(max(col("ts"))).as[Long].head()
+    val farNs = maxNs + 3600L * 1000000000L
+    Seq((-1L, farNs, -1L, "click", 0.0, "{}"),
+        (-2L, farNs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val got = runToMemory(EventStreams.purchasesWithClicksOuter(
+      EventStreams.source(spark, dir.toString)), "t_ssouter", "append")
+    val want = EventStreams.purchasesWithClicksOuter(Tables.events(spark, sf))
+    assert(want.filter(col("click_id").isNull).count() > 0,
+      "fixture must contain unattributed purchases or the test is vacuous")
+    assert(rows(got) === rows(want))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val stream = EventStreams.source(spark, eventsDir)
     val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
