@@ -185,8 +185,17 @@ object TxnLake {
     val toPaths = mTo.files.map(_.path).toSet
     val added = readFiles(spark, dir, schema, (toPaths -- fromPaths).toSeq.sorted)
     val dropped = readFiles(spark, dir, schema, (fromPaths -- toPaths).toSeq.sorted)
-    val newImg = added.exceptAll(dropped)
-    val oldImg = dropped.exceptAll(added)
+    // both set-differences from ONE full-row shuffle (a signed-count
+    // aggregate), instead of two independent exceptAll set ops: rows in
+    // both sides (the ride-alongs, the bulk of rewritten files) net to 0
+    // and vanish; +1 survivors are the `to`-only images, -1 the
+    // `from`-only ones
+    val cs = schema.fieldNames.toIndexedSeq.map(col)
+    val net = added.withColumn("__txn_side", lit(1))
+      .unionByName(dropped.withColumn("__txn_side", lit(-1)))
+      .groupBy(cs: _*).agg(sum(col("__txn_side")).as("__txn_net"))
+    val newImg = net.filter(col("__txn_net") > 0).drop("__txn_net")
+    val oldImg = net.filter(col("__txn_net") < 0).drop("__txn_net")
     val upserts = newImg
       .join(oldImg.select(col(key).as("__txn_ck")).distinct(),
         col(key) === col("__txn_ck"), "left")
@@ -247,17 +256,20 @@ object TxnLake {
     require(updates.columns.sorted.sameElements(cols.sorted),
       s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
     val aligned = castToTarget(updates, target)
-    // a NULL merge key can neither match nor insert (NULL partitions are
-    // fine here — they are ordinary manifest values)
-    require(aligned.filter(col(key).isNull).isEmpty,
-      s"updates contain NULL values in merge key '$key'")
-    // one job for the whole touched-partition set: partitions the
-    // updates land in UNION partitions currently holding matched keys
-    val touched = aligned.select(col(partCol))
+    // ONE metadata job for the whole pre-commit picture: the
+    // touched-partition set (partitions the updates land in UNION
+    // partitions currently holding matched keys) plus a null-merge-key
+    // flag rides along as a second column — a NULL key can neither
+    // match nor insert, so it aborts (NULL partitions are fine; they
+    // are ordinary manifest values)
+    val meta = aligned.select(col(partCol).as("__txn_p"), col(key).isNull.as("__txn_nk"))
       .unionByName(target
         .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_semi")
-        .select(col(partCol)))
-      .distinct().collect().map(r => render(r.get(0))).toSet
+        .select(col(partCol).as("__txn_p"), lit(false).as("__txn_nk")))
+      .distinct().collect()
+    require(!meta.exists(_.getBoolean(1)),
+      s"updates contain NULL values in merge key '$key'")
+    val touched = meta.map(r => render(r.get(0))).toSet
     if (touched.isEmpty) return None
     val pruned = base.files.filter(_.parts.exists(touched.contains))
     val prunedDf = readFiles(spark, dir, schema, pruned.map(_.path))
