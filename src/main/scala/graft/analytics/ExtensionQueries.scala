@@ -763,6 +763,81 @@ object ExtensionQueries {
        |ORDER BY format, phash""".stripMargin
   }
 
+  /** mm06 — CROSS-MODAL retrieval ([[Similarity.lshKnnAcross]]): every
+    * media item's decoded feature vector (stub codec at dim 64, the
+    * embedding table's width) retrieves its top-3 nearest embeddings —
+    * the CLIP-style "align modality A to modality B's index" shape.
+    * Both sides hash through the SAME hyperplane family, so candidates
+    * are cross-table (band, bits) collisions; the oracle rebuilds the
+    * features from raw bytes, replays both signature pipelines, the
+    * candidate join, and the exact cosine rescore. */
+  private def mm06(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+        Multimodal.mediaCorpus(documents(s, d)), dim = 64)
+      .select(col("media_id").as("qid"), col("features").as("qvec"))
+    Similarity.lshKnnAcross(feats, embeddings(s, d), k = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val mm06Sql: String = {
+    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+      .zipWithIndex.map { case (pl, p) =>
+        s"($p, [${pl.take(64).mkString(", ")}])"
+      }.mkString(",\n  ")
+    s"""WITH planes(p, pl) AS (VALUES
+       |  $planeRows),
+       |m AS (SELECT doc_id AS media_id, text,
+       |    octet_length(encode(text)) AS byte_len FROM documents),
+       |f AS (SELECT media_id,
+       |  list_transform(range(0, 64), j -> CAST(CAST(
+       |    coalesce(list_sum(list_transform(list_filter(range(1, byte_len + 1),
+       |      i -> ((i - 1) % 64) = j), i -> CAST(ascii(text[i]) AS DOUBLE))), 0.0)
+       |    / greatest(CAST(byte_len AS DOUBLE), 1.0) AS FLOAT) AS DOUBLE)) AS fd
+       |  FROM m),
+       |qdots AS (SELECT f.media_id, pls.p,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> coalesce(f.fd[i] * pls.pl[i], 0.0))) AS dot
+       |  FROM f CROSS JOIN planes pls),
+       |qsigs AS (SELECT media_id,
+       |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM qdots GROUP BY media_id),
+       |qbands AS (SELECT media_id,
+       |    unnest(list_transform(range(0, 4), b -> {'band': b,
+       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |  FROM qsigs),
+       |cdots AS (SELECT e.vec_id, pls.p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
+       |  FROM embeddings e CROSS JOIN planes pls),
+       |csigs AS (SELECT vec_id,
+       |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM cdots GROUP BY vec_id),
+       |cbands AS (SELECT vec_id,
+       |    unnest(list_transform(range(0, 4), b -> {'band': b,
+       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |  FROM csigs),
+       |cand AS (SELECT DISTINCT q.media_id AS qid, c.vec_id
+       |  FROM qbands q JOIN cbands c
+       |    ON q.u.band = c.u.band AND q.u.bits = c.u.bits),
+       |scored AS (SELECT cand.qid, cand.vec_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(f.fd, e.embedding),
+       |               s -> s[1] * CAST(s[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(f.fd, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       |  FROM cand
+       |  JOIN f ON f.media_id = cand.qid
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id),
+       |r AS (SELECT qid, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, cos FROM r WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** Shared bucket CTE for the sp-family oracles: portable id-string
     * hash + the exact quadratic mix [[Sampling.MixConsts]] uses. */
   private def spBucketCte: String = {
@@ -1746,7 +1821,8 @@ object ExtensionQueries {
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
     "mm04_resize" -> (mm04 _),
-    "mm05_perceptual_hash" -> (mm05 _))
+    "mm05_perceptual_hash" -> (mm05 _),
+    "mm06_crossmodal_knn" -> (mm06 _))
 
   val oracle: Map[String, String] = Map(
     "tx01_token_stats" -> tx01Sql,
@@ -1794,5 +1870,6 @@ object ExtensionQueries {
     "mm02_media_features" -> mm02Sql,
     "mm03_frame_sample" -> mm03Sql,
     "mm04_resize" -> mm04Sql,
-    "mm05_perceptual_hash" -> mm05Sql)
+    "mm05_perceptual_hash" -> mm05Sql,
+    "mm06_crossmodal_knn" -> mm06Sql)
 }

@@ -150,6 +150,41 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** CROSS-TABLE (cross-modal) batch kNN join: top-k `corpus` neighbors
+    * for every `queries` row — the retrieval shape that aligns one
+    * modality's feature vectors (e.g. decoded media) with another's
+    * embeddings. Both sides are bucketed by the SAME hyperplane
+    * signature, so a candidate is a (band, bits) collision ACROSS
+    * tables; signs only depend on direction, so the modalities need no
+    * shared normalization. Queries carry (qid, qvec); corpus
+    * (vec_id, embedding). Scale shape is [[lshKnnJoin]]'s: signatures
+    * are narrow per-row maps, candidates come only from bucket
+    * equality (never |Q|×|C|), exact rescoring joins vectors back by
+    * id, and the top-k window hash-partitions by qid. Queries whose
+    * buckets yield fewer than k candidates return fewer rows — the
+    * same documented LSH recall trade. */
+  def lshKnnAcross(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val qb = bandedSignatures(
+        queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
+        nBits, bands, seed)
+      .select(col("vec_id").as("qid"), col("band"), col("band_bits"))
+    val cb = bandedSignatures(corpus, nBits, bands, seed)
+      .select(col("vec_id"), col("band"), col("band_bits"))
+    val pairs = qb.join(cb, Seq("band", "band_bits"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val scored = pairs
+      .join(queries.select(col("qid"), col("qvec")), "qid")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        round(VectorFunctions.cosineFast(col("qvec"), col("embedding")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Seed-selection hash constants — the same splitmix-derived portable
     * quadratic family as [[Dedup.seedConsts]] (seed 2000, disjoint from
     * the minhash and simhash seed ranges), exposed so the ss03 oracle
