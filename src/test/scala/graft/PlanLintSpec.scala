@@ -163,6 +163,12 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"single-partition window detected\n$p")
   }
 
+  test("mm06: cross-modal candidates come from a band equi-join, never |Q|x|C|") {
+    val p = plan("mm06_crossmodal_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("dd10: bloom probe joins positions, never probe-keys-vs-corpus-keys") {
     val p = plan("dd10_bloom_membership")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -134,6 +134,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       "reused index must serve other queries (self found in its own cell)")
   }
 
+  test("lshKnnAcross: a query equal to a corpus vector retrieves it at rank 1, cos 1.0") {
+    // identical vectors share every band signature, so the bucket join
+    // MUST surface the pair regardless of LSH recall luck — the
+    // cross-modal invariant that needs no tuning to hold
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 7000L).as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.lshKnnAcross(queries, emb, k = 3).collect()
+      .map(r => (r.getAs[Long]("qid") - 7000L, r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet === (0L until 20L).toSet,
+      "every query must retrieve at least its own twin")
+    byQ.foreach { case (q, rs) =>
+      // rank 1 must be a perfect match; the twin itself must be among
+      // the returned rows at cos 1.0 (exact-duplicate corpus vectors
+      // may legitimately tie ahead of it on the id tiebreak)
+      assert(rs.find(_._2 == 1).get._4 === 1.0, s"query $q rank-1 not cos 1.0: $rs")
+      assert(rs.exists(r => r._3 == q && r._4 === 1.0),
+        s"query $q's identical corpus vector missing from top-3: $rs")
+    }
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
