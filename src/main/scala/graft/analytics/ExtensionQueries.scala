@@ -1304,6 +1304,39 @@ object ExtensionQueries {
       |ORDER BY cos DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** ss08 — INT8-quantized ANN ([[Similarity.int8TopK]]): top-10 for
+    * query vector 0 scored entirely on symmetric int8 codes — the 4×
+    * memory cut a RAM-resident 100 TB embedding serving tier runs on.
+    * The oracle replays the quantization (max|x|/127 scale,
+    * floor(x/s + 0.5) rounding — spelled out so tie behavior is
+    * engine-independent), the integer dot products, and the final
+    * divide; scales cancel from the cosine so scoring is integer
+    * arithmetic until one double divide per pair. */
+  private def ss08(s: SparkSession, d: String): DataFrame =
+    Similarity.int8TopK(embeddings(s, d), queryId = 0L, k = 10)
+
+  private val ss08Sql =
+    """WITH qz AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT)) AS qv
+      |  FROM (SELECT vec_id, embedding,
+      |      CASE WHEN ma = 0 THEN 1.0 ELSE ma / 127.0 END AS sc
+      |    FROM (SELECT vec_id, embedding,
+      |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+      |      FROM embeddings))),
+      |n AS (SELECT vec_id, qv,
+      |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS qn FROM qz),
+      |q AS (SELECT qv AS qqv, qn AS qqn FROM n WHERE vec_id = 0)
+      |SELECT n.vec_id,
+      |  round(CASE WHEN n.qn = 0 OR q.qqn = 0 THEN 0.0
+      |    ELSE CAST(list_sum(list_transform(list_zip(n.qv, q.qqv),
+      |           s -> s[1] * s[2])) AS DOUBLE)
+      |      / (sqrt(CAST(n.qn AS DOUBLE)) * sqrt(CAST(q.qqn AS DOUBLE))) END, 6) AS qcos
+      |FROM n, q
+      |ORDER BY qcos DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
@@ -1817,6 +1850,7 @@ object ExtensionQueries {
     "ss05_knn_join" -> (ss05 _),
     "ss06_mmr_rerank" -> (ss06 _),
     "ss07_ivf_persisted" -> (ss07 _),
+    "ss08_int8_quantized" -> (ss08 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -1863,6 +1897,7 @@ object ExtensionQueries {
     "ss02_lsh_ann" -> ss02Sql,
     "ss03_ivf_ann" -> ss03Sql,
     "ss07_ivf_persisted" -> ss03Sql,
+    "ss08_int8_quantized" -> ss08Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
     "ss06_mmr_rerank" -> ss06Sql,

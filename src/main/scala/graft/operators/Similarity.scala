@@ -185,6 +185,52 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** INT8 scalar quantization of an embedding column: per-vector
+    * symmetric scale (max|x|/127), q_i = floor(x_i/scale + 0.5) ∈
+    * [-127, 127] — the standard 4× memory cut that lets a 100 TB
+    * embedding corpus keep its working set in RAM. Rounding is spelled
+    * `floor(x + 0.5)` so both engines (and any future reader) agree on
+    * ties, and the quantized norm is precomputed so scoring is pure
+    * integer arithmetic per pair. Zero vectors quantize to all-zero at
+    * scale 1 instead of dividing by zero. */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val vd = col("embedding").cast("array<double>")
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        aggregate(vd, lit(0.0), (a, x) => greatest(a, abs(x))).as("__q_maxabs"))
+      .select(col("vec_id"), col("embedding"),
+        when(col("__q_maxabs") === 0.0, lit(1.0))
+          .otherwise(col("__q_maxabs") / 127.0).as("qscale"))
+      .select(col("vec_id"), col("qscale"),
+        transform(vd, x => floor(x / col("qscale") + 0.5)).as("qvec"))
+      .withColumn("qnorm",
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x * x))
+  }
+
+  /** Top-k by quantized cosine against one query vector: the per-vector
+    * scales cancel out of the cosine, so the score is
+    * intdot / (√qnorm_a · √qnorm_b) — one integer dot product per pair
+    * (SIMD-friendly, no float loads) with a single float divide at the
+    * end. Quality is pinned against exact brute force in
+    * SimilaritySpec; ss08 replays quantization AND scoring exactly in
+    * the oracle. */
+  def int8TopK(corpus: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qz = quantizeInt8(corpus)
+    val q = qz.filter(col("vec_id") === queryId)
+      .select(col("qvec").as("q_qvec"), col("qnorm").as("q_qnorm"))
+    qz.join(broadcast(q))
+      .select(col("vec_id"),
+        round(
+          when(col("qnorm") === 0L || col("q_qnorm") === 0L, lit(0.0))
+            .otherwise(
+              aggregate(zip_with(col("qvec"), col("q_qvec"), _ * _),
+                lit(0L), (a, x) => a + x).cast("double") /
+              (sqrt(col("qnorm").cast("double")) *
+               sqrt(col("q_qnorm").cast("double")))), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Seed-selection hash constants — the same splitmix-derived portable
     * quadratic family as [[Dedup.seedConsts]] (seed 2000, disjoint from
     * the minhash and simhash seed ranges), exposed so the ss03 oracle

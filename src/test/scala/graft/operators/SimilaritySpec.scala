@@ -156,6 +156,18 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("int8TopK: self at qcos 1.0, high overlap with exact brute-force top-k") {
+    val top = Similarity.int8TopK(emb, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    assert(top.head.getLong(0) === 0L && top.head.getDouble(1) === 1.0,
+      "a vector's own int8 code must score exactly 1.0 (intdot == qnorm)")
+    val brute = Similarity.bruteForceTopK(emb, 0L, 10).collect().map(_.getLong(0)).toSet
+    val quant = top.map(_.getLong(0)).toSet
+    val recall = (brute & quant).size.toDouble / brute.size
+    assert(recall >= 0.7,
+      s"recall@10 = $recall — int8 rounding of dim-64 vectors should barely move the ranking")
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
