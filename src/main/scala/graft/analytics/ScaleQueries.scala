@@ -351,7 +351,54 @@ object ScaleQueries {
       |FROM base WHERE o_orderkey % 35 = 0
       |ORDER BY o_orderkey, _change_type""".stripMargin
 
+  /** lk03 — lake SCHEMA EVOLUTION ([[graft.lake.TxnLake]] additive
+    * upsert): create a txn table (v0, three columns), then upsert rows
+    * carrying a NEW column (v1). Old data files are never rewritten;
+    * the manifest's schema advances and readers null-fill the added
+    * column for pre-evolution files. The oracle rebuilds v1
+    * relationally with explicit NULLs, so the per-status counts of
+    * evolved vs null-filled rows pin both the merge membership and the
+    * null-fill semantics (doubling keeps the decimal sum exact — the
+    * lk01 discipline). */
+  private def lk03(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk03")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    val updates = base.filter(col("o_orderkey") % 33 === 0)
+      .withColumn("o_twice", col("o_totalprice") * 2)
+    TxnLake.upsert(s, dir, updates, "o_orderkey")
+    TxnLake.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_twice")).as("n_evolved"),
+        sum(col("o_twice").cast("decimal(12,2)")).cast("double").as("sum_twice"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk03Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    o_totalprice * 2 AS o_twice
+      |  FROM base WHERE o_orderkey % 33 = 0),
+      |v1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(NULL AS DOUBLE) AS o_twice
+      |  FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(o_twice) AS BIGINT) AS n_evolved,
+      |  CAST(sum(CAST(o_twice AS DECIMAL(12,2))) AS DOUBLE) AS sum_twice
+      |FROM v1 GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk03_schema_evolution" -> (lk03 _),
     "lk02_incremental_read" -> (lk02 _),
     "lk01_time_travel" -> (lk01 _),
     "zq01_zorder_layout" -> (zq01 _),
@@ -364,6 +411,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk03_schema_evolution" -> lk03Sql,
     "lk02_incremental_read" -> lk02Sql,
     "lk01_time_travel" -> lk01Sql,
     "zq01_zorder_layout" -> zq01Sql,

@@ -246,16 +246,30 @@ object TxnLake {
 
   /** Stage the merge against snapshot `base`: write the rewritten
     * partitions' files (no manifest yet — invisible). Returns None for
-    * an empty update set (nothing to commit). */
+    * an empty update set (nothing to commit).
+    *
+    * SCHEMA EVOLUTION: updates may carry NEW columns, which append to
+    * the table schema (additive-only — the evolution every lake format
+    * supports without rewrites). Untouched data files are never
+    * rewritten; readers null-fill the new columns for them because
+    * every read binds the manifest's schema explicitly over the file
+    * list. Updates MISSING a table column still abort — silently
+    * nulling existing data is a bug, not evolution. */
   private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
                                updates: DataFrame, key: String): Option[Staged] = {
     val partCol = base.partCol
-    val schema = StructType.fromDDL(base.schemaDdl)
+    val baseSchema = StructType.fromDDL(base.schemaDdl)
+    val missing = baseSchema.fieldNames.toSet -- updates.columns.toSet
+    require(missing.isEmpty,
+      s"updates missing table columns ${missing.mkString(",")} — " +
+        "evolution is additive-only")
+    val addedCols = updates.columns.filterNot(baseSchema.fieldNames.contains)
+    val schema = StructType(baseSchema.fields ++
+      addedCols.map(c => updates.schema(c)))
     val target = readFiles(spark, dir, schema, base.files.map(_.path))
     val cols = target.columns
-    require(updates.columns.sorted.sameElements(cols.sorted),
-      s"schema mismatch: target ${cols.mkString(",")} vs updates ${updates.columns.mkString(",")}")
     val aligned = castToTarget(updates, target)
+      .select(cols.map(col).toIndexedSeq: _*)
     // ONE metadata job for the whole pre-commit picture: the
     // touched-partition set (partitions the updates land in UNION
     // partitions currently holding matched keys) plus a null-merge-key
@@ -281,7 +295,9 @@ object TxnLake {
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(aligned.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, merged, partCol, touched.size)
-    Some(Staged(base.version, partCol, base.schemaDdl, touched,
+    // the staged manifest carries the EVOLVED schema: readers of this
+    // version null-fill added columns for files that predate them
+    Some(Staged(base.version, partCol, schema.toDDL, touched,
       pruned.map(_.path).toSet, newFiles))
   }
 

@@ -256,6 +256,26 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     assertThrows[IllegalArgumentException](TxnLake.changes(spark, dir, 2L, 2L, "id"))
   }
 
+  test("schema evolution: upsert with a new column null-fills old files, old versions unchanged") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir,
+      Seq((2L, "b2", "p1", 42)).toDF("id", "name", "part", "score"), "id")
+    val latest = TxnLake.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        Option(r.getAs[Any]("score")))).toSeq
+    assert(latest === Seq((1L, "a", None), (2L, "b2", Some(42)),
+      (3L, "c", None), (4L, "d", None)),
+      "old rows must null-fill the evolved column; p2/p3 files untouched")
+    // time travel: the pre-evolution snapshot still has exactly 3 columns
+    assert(TxnLake.readVersion(spark, dir, 0L).columns.toSeq === Seq("id", "name", "part"))
+    // dropping a column is NOT evolution — loud abort, nothing committed
+    assertThrows[IllegalArgumentException] {
+      TxnLake.upsert(spark, dir, Seq((3L, "c9", "p2")).toDF("id", "name", "part"), "id")
+    }
+    assert(TxnLake.resolve(spark, dir).get.version === 1L)
+  }
+
   test("history lists every version with touched partitions; vacuumed versions fail loudly") {
     import spark.implicits._
     val dir = freshTxnTable()
