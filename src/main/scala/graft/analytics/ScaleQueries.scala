@@ -397,7 +397,66 @@ object ScaleQueries {
       |FROM v1 GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk04 — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE
+    * ([[graft.lake.IncrementalView]] over [[graft.lake.TxnLake.changes]]
+    * with preimages): build a grouped count/sum view at v0, mutate the
+    * table through an upsert (v1) and a transactional delete (v2), then
+    * maintain the view purely from the v0→v2 CDC feed — the base table
+    * is never re-read. The oracle recomputes the v2 aggregate from
+    * scratch, so a hash match proves signed preimage/postimage folding
+    * is EXACTLY a full rebuild (decimal sums — the lk01 exactness
+    * discipline). This is the 100 TB refresh path: work scales with the
+    * changed partitions, not the table. */
+  private def lk04(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{IncrementalView, TxnLake}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk04")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 6 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    val mv0 = IncrementalView.build(TxnLake.readVersion(s, dir, 0L),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_price"))
+    val updates = base.filter(col("o_orderkey") % 12 === 0)
+      .withColumn("o_price", (col("o_price") * 2).cast("decimal(12,2)"))
+      .unionByName(base.filter(col("o_orderkey") % 60 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+    TxnLake.upsert(s, dir, updates, "o_orderkey")
+    TxnLake.delete(s, dir,
+      base.filter(col("o_orderkey") % 30 === 0).select(col("o_orderkey")), "o_orderkey")
+    val feed = TxnLake.changes(s, dir, 0L, 2L, "o_orderkey", preimages = true)
+    IncrementalView.applyChanges(mv0, feed,
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+        col("sum_o_price").cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val lk04Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CAST(o_price * 2 AS DECIMAL(12,2)) AS o_price
+      |  FROM base WHERE o_orderkey % 12 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 30000000, o_orderstatus, o_orderpriority, o_price
+      |  FROM base WHERE o_orderkey % 60 = 0),
+      |v1 AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd),
+      |v2 AS (
+      |  SELECT * FROM v1 WHERE o_orderkey NOT IN
+      |    (SELECT o_orderkey FROM base WHERE o_orderkey % 30 = 0))
+      |SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price
+      |FROM v2 GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk04_incremental_mv" -> (lk04 _),
     "lk03_schema_evolution" -> (lk03 _),
     "lk02_incremental_read" -> (lk02 _),
     "lk01_time_travel" -> (lk01 _),
@@ -411,6 +470,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk04_incremental_mv" -> lk04Sql,
     "lk03_schema_evolution" -> lk03Sql,
     "lk02_incremental_read" -> lk02Sql,
     "lk01_time_travel" -> lk01Sql,

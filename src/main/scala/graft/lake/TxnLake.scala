@@ -162,9 +162,17 @@ object TxnLake {
     * bit-identically), so only real changes surface. Requires `key` to
     * be row-unique within each snapshot — the invariant [[create]] +
     * [[upsert]] maintain — and identical schemas at both versions
-    * (diffing across a schema change is ambiguous; fail loudly). */
+    * (diffing across a schema change is ambiguous; fail loudly).
+    *
+    * With `preimages = true`, updated keys emit TWO rows — the prior
+    * image tagged `update_preimage` and the new image tagged
+    * `update_postimage` (Delta's CDF row set). Preimages are what make
+    * the feed ALGEBRAICALLY invertible: summable aggregates can be
+    * maintained by adding postimages/inserts and subtracting
+    * preimages/deletes ([[IncrementalView.applyChanges]]), with no
+    * second read of the table. */
   def changes(spark: SparkSession, dir: String, fromVersion: Long, toVersion: Long,
-              key: String): DataFrame = {
+              key: String, preimages: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
     val fs = fsOf(spark, dir)
@@ -200,13 +208,21 @@ object TxnLake {
       .join(oldImg.select(col(key).as("__txn_ck")).distinct(),
         col(key) === col("__txn_ck"), "left")
       .withColumn("_change_type",
-        when(col("__txn_ck").isNull, lit("insert")).otherwise(lit("update")))
+        when(col("__txn_ck").isNull, lit("insert"))
+          .otherwise(lit(if (preimages) "update_postimage" else "update")))
       .drop("__txn_ck")
     val deletes = oldImg
       .join(newImg.select(col(key).as("__txn_ck")).distinct(),
         col(key) === col("__txn_ck"), "left_anti")
       .withColumn("_change_type", lit("delete"))
-    upserts.unionByName(deletes)
+    if (!preimages) upserts.unionByName(deletes)
+    else {
+      val pre = oldImg
+        .join(newImg.select(col(key).as("__txn_ck")).distinct(),
+          col(key) === col("__txn_ck"), "left_semi")
+        .withColumn("_change_type", lit("update_preimage"))
+      upserts.unionByName(deletes).unionByName(pre)
+    }
   }
 
   /** Transactional key-based delete: remove every target row whose `key`
