@@ -1337,6 +1337,64 @@ object ExtensionQueries {
       |ORDER BY qcos DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** ss09 — PRODUCT-QUANTIZATION ANN ([[Similarity.pqTopK]], Jégou et
+    * al. 2011): 4 subspaces × 8 codewords, asymmetric-distance (ADC)
+    * inner-product scoring — each corpus vector is scanned as 4 small
+    * codes and scored by 4 LUT lookups, never by reading its floats
+    * (the billion-vector memory layout). The oracle replays the whole
+    * pipeline: hash-ordered codeword selection (ss03's portable seed
+    * hash), subspace slicing, L2² encode with code-order tie-break, the
+    * query's dot-product LUT, and the subspace-ordered ADC fold. */
+  private def ss09(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(embeddings(s, d), queryId = 0L, k = 10, m = 4, ksub = 8)
+
+  private val ss09Sql: String = {
+    val (sa, sb, sc) = Similarity.SeedSelConsts
+    s"""WITH hp AS (
+       |  SELECT vec_id, embedding,
+       |    ((($sa * (((((vec_id % 1000000007) + 1000000007) % 1000000007)
+       |              * (((vec_id % 1000000007) + 1000000007) % 1000000007)) % 1000000007)
+       |     + $sb * (((vec_id % 1000000007) + 1000000007) % 1000000007)
+       |     + $sc) % 1000000007) + 1000000007) % 1000000007 AS h
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT embedding, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+       |  FROM hp ORDER BY h, vec_id LIMIT 8),
+       |subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+       |cb AS (
+       |  SELECT sub, code,
+       |    list_transform(
+       |      embedding[(sub * (len(embedding) // 4) + 1):((sub + 1) * (len(embedding) // 4))],
+       |      x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM seeds CROSS JOIN subs),
+       |vs AS (
+       |  SELECT vec_id, sub,
+       |    list_transform(
+       |      embedding[(sub * (len(embedding) // 4) + 1):((sub + 1) * (len(embedding) // 4))],
+       |      x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings CROSS JOIN subs),
+       |enc0 AS (
+       |  SELECT vs.vec_id, vs.sub, cb.code,
+       |    list_sum(list_transform(list_zip(vs.v, cb.centroid),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS l2
+       |  FROM vs JOIN cb USING (sub)),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY l2, code) AS rk
+       |    FROM enc0) WHERE rk = 1),
+       |lut AS (
+       |  SELECT q.sub, cb.code,
+       |    list_sum(list_transform(list_zip(q.v, cb.centroid),
+       |      z -> z[1] * z[2])) AS d
+       |  FROM (SELECT sub, v FROM vs WHERE vec_id = 0) q JOIN cb USING (sub))
+       |SELECT e.vec_id, round(list_sum(list(l.d ORDER BY l.sub)), 6) AS adc
+       |FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |GROUP BY e.vec_id
+       |ORDER BY adc DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
@@ -1851,6 +1909,7 @@ object ExtensionQueries {
     "ss06_mmr_rerank" -> (ss06 _),
     "ss07_ivf_persisted" -> (ss07 _),
     "ss08_int8_quantized" -> (ss08 _),
+    "ss09_pq_adc" -> (ss09 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -1898,6 +1957,7 @@ object ExtensionQueries {
     "ss03_ivf_ann" -> ss03Sql,
     "ss07_ivf_persisted" -> ss03Sql,
     "ss08_int8_quantized" -> ss08Sql,
+    "ss09_pq_adc" -> ss09Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
     "ss06_mmr_rerank" -> ss06Sql,

@@ -466,6 +466,98 @@ object Similarity {
       .drop("__rk")
   }
 
+  /** Explode a corpus into its `m` PQ subspace slices:
+    * (idCol, sub ∈ [0,m), v = the sub'th dim/m-wide slice, as doubles).
+    * Vectors whose width `m` does not divide fail loudly per row —
+    * silently ragged slices would corrupt every downstream code. */
+  private def pqSubspaces(df: DataFrame, m: Int, idCol: String): DataFrame = {
+    val guarded = df.filter(
+      when(pmod(size(col("embedding")), lit(m)) === 0, lit(true))
+        .otherwise(raise_error(concat(
+          lit("embedding dim "), size(col("embedding")),
+          lit(s" not divisible into $m PQ subspaces")))))
+    // Column `/` on ints is a DOUBLE divide; the guard above makes it
+    // exact, but slice() needs int operands — cast back down
+    val sd = (size(col("embedding")) / lit(m)).cast("int")
+    guarded.select(col(idCol),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          s => struct(s.as("sub"),
+            slice(col("embedding"), s * sd + 1, sd).cast("array<double>").as("v"))))
+          .as("__pq"))
+      .select(col(idCol), col("__pq.sub").as("sub"), col("__pq.v").as("v"))
+  }
+
+  /** PRODUCT-QUANTIZATION codebook (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the vector space splits
+    * into `m` orthogonal subspaces and each gets its own `ksub`-entry
+    * codebook, so a D-dim float vector compresses to `m` small codes —
+    * (ksub)^m virtual centroids from m·ksub stored ones, the memory
+    * layout billion-vector ANN serving actually uses (16-32 bytes per
+    * vector instead of 4·D).
+    *
+    * Codewords are the subspace slices of a deterministic hash-ordered
+    * corpus sample (the [[seedCentroids]] discipline; `code` = rank in
+    * hash order so both engines number identically). Output:
+    * (sub, code, centroid) — m·ksub narrow rows, broadcast-sized by
+    * construction. */
+  def pqCodebook(corpus: DataFrame, m: Int = 4, ksub: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.orderBy(seedOrderHash(col("vec_id")), col("vec_id"))
+    // the window runs AFTER the limit — ksub rows, single tiny partition
+    val seeds = corpus
+      .orderBy(seedOrderHash(col("vec_id")), col("vec_id")).limit(ksub)
+      .withColumn("code", row_number().over(ordered) - 1)
+    pqSubspaces(seeds, m, "code")
+      .select(col("sub"), col("code"), col("v").as("centroid"))
+  }
+
+  /** Encode every vector as `m` codes: per subspace, the codeword with
+    * the smallest L2² distance (ties break on code — both engines agree).
+    * One broadcast join against the m·ksub codebook, narrow per-row math,
+    * then a (vec_id, sub)-partitioned rank — nothing here is ever
+    * all-pairs, and the output is the 100 TB-resident form: m small ints
+    * per vector. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("__l2"), col("code"))
+    pqSubspaces(corpus, m, "vec_id")
+      .join(broadcast(codebook), "sub")
+      .withColumn("__l2",
+        aggregate(zip_with(col("v"), col("centroid"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k by inner product: the query stays
+    * EXACT while the corpus is its PQ codes — score(v) = Σ_s
+    * LUT[s, code_s(v)] where LUT is the m·ksub table of query-slice ·
+    * codeword dots, computed once per query. Per corpus vector the scan
+    * does m table lookups and an m-term sum: no float vector is ever
+    * read, which is the entire point at 100 TB (codes live in RAM,
+    * embeddings stay on disk for optional rescoring). The m partial
+    * scores fold in fixed subspace order (sorted struct array), so the
+    * sum is bit-reproducible and ss09's oracle replays it exactly. */
+  def pqTopK(corpus: DataFrame, queryId: Long, k: Int,
+             m: Int = 4, ksub: Int = 8): DataFrame = {
+    val cb = pqCodebook(corpus, m, ksub)
+    val codes = pqEncode(corpus, cb, m)
+    val lut = pqSubspaces(corpus.filter(col("vec_id") === queryId), m, "vec_id")
+      .join(broadcast(cb), "sub")
+      .select(col("sub"), col("code"),
+        aggregate(zip_with(col("v"), col("centroid"), _ * _), lit(0.0), _ + _).as("d"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("d")))).as("__ds"))
+      .select(col("vec_id"),
+        round(aggregate(transform(col("__ds"), s => s.getField("d")),
+          lit(0.0), _ + _), 6).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: banded hyperplane-LSH candidates +
     * exact cosine confirm.
     *

@@ -168,6 +168,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       s"recall@10 = $recall — int8 rounding of dim-64 vectors should barely move the ranking")
   }
 
+  test("pqEncode: every vector gets exactly m in-range codes; exact copies share codes") {
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding")))
+    val cb = Similarity.pqCodebook(aug, m = 4, ksub = 8)
+    assert(cb.count() === 32)
+    val codes = Similarity.pqEncode(aug, cb, m = 4).cache()
+    val n = aug.count()
+    assert(codes.count() === n * 4)
+    assert(codes.filter(col("code") < 0 || col("code") >= 8).count() === 0)
+    // an exact copy must encode identically in every subspace
+    val drift = codes.filter(col("vec_id") >= 3000000L)
+      .select((col("vec_id") - 3000000L).as("vec_id"), col("sub"), col("code").as("code2"))
+      .join(codes, Seq("vec_id", "sub"))
+      .filter(col("code") =!= col("code2"))
+    assert(drift.count() === 0, "exact duplicate vectors diverged in PQ codes")
+  }
+
+  test("pqTopK: deterministic across runs; planted exact copy of the query ties its ADC score") {
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") === 0L)
+        .select(lit(4000000L).as("vec_id"), col("embedding")))
+    val top = Similarity.pqTopK(aug, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    val scoreOf = top.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical vectors share codes (previous test), so identical ADC:
+    // either both copies make the top-k with equal scores, or neither does
+    assert(scoreOf.contains(0L) === scoreOf.contains(4000000L))
+    for (a <- scoreOf.get(0L); b <- scoreOf.get(4000000L)) assert(a === b)
+    val again = Similarity.pqTopK(aug, queryId = 0L, k = 10).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
