@@ -211,6 +211,26 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
       |ORDER BY user_id, purchase_id, click_id NULLS FIRST""".stripMargin
 
+  /** st11 — FULL OUTER stream-stream join in batch form
+    * ([[EventStreams.purchasesWithClicksFullOuter]]): st10's attributed
+    * and unattributed purchases PLUS the orphaned clicks (NULL purchase
+    * columns) — the complete watermarked join matrix. StreamingSpec pins
+    * the streaming execution equal to this, both null families included. */
+  private def st11(s: SparkSession, d: String): DataFrame =
+    EventStreams.purchasesWithClicksFullOuter(events(s, d))
+      .orderBy(col("user_id"), asc_nulls_first("purchase_id"),
+        asc_nulls_first("click_id"))
+
+  private val st11Sql =
+    """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT coalesce(p.user_id, c.user_id) AS user_id, p.event_id AS purchase_id,
+      |  c.event_id AS click_id, p.value AS value
+      |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      |FULL JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
+      |ORDER BY user_id, purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
+
   /** st09 — stream-static enrichment ([[EventStreams.enrichWithSegment]]):
     * events decorated with the customer's market segment via an
     * explicitly broadcast static dim (stateless per micro-batch — no
@@ -231,6 +251,7 @@ object StreamingQueries {
       |ORDER BY segment, event_type""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "st11_full_outer_stream_join" -> (st11 _),
     "st10_outer_stream_join" -> (st10 _),
     "st09_stream_static_join" -> (st09 _),
     "st08_arbitrary_state" -> (st08 _),
@@ -243,6 +264,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st11_full_outer_stream_join" -> st11Sql,
     "st10_outer_stream_join" -> st10Sql,
     "st09_stream_static_join" -> st09Sql,
     "st08_arbitrary_state" -> st08Sql,

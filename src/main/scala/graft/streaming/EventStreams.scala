@@ -125,6 +125,31 @@ object EventStreams {
         col("value"))
   }
 
+  /** FULL OUTER stream-stream join: the st10 left-outer attribution
+    * plus the orphaned clicks — clicks that preceded no purchase in
+    * their forward window surface with NULL purchase columns once the
+    * watermark passes their window (state eviction is symmetric: both
+    * sides buffer only within the 10-minute watermark bound). Completes
+    * the watermarked stream-stream join matrix (inner st06, left st10,
+    * full st11); runs identically on a batch frame. */
+  def purchasesWithClicksFullOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("purchase_ts"),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("click_id"), col("value"))
+  }
+
   /** Stream-static enrichment: events joined to a STATIC dimension
     * (customer market segments) — the standard pattern for decorating a
     * stream with slowly-changing reference data. The static side is

@@ -124,6 +124,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got) === rows(want))
   }
 
+  test("FULL OUTER stream-stream join equals the batch full join — both null families flush") {
+    // Same sentinel discipline as the left-outer test: null rows (on
+    // EITHER side) emit only once the global watermark passes their
+    // match window, so far-future click+purchase sentinels advance both
+    // watermarks; the sentinels match nothing and stay held in state,
+    // leaving the emitted set equal to the batch join over the
+    // original events.
+    import spark.implicits._
+    val dir = tmp().resolve("events_full_outer_src")
+    Files.createDirectories(dir)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val maxNs = spark.read.parquet(s"$sf/events.parquet")
+      .agg(max(col("ts"))).as[Long].head()
+    val farNs = maxNs + 3600L * 1000000000L
+    Seq((-1L, farNs, -1L, "click", 0.0, "{}"),
+        (-2L, farNs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val got = runToMemory(EventStreams.purchasesWithClicksFullOuter(
+      EventStreams.source(spark, dir.toString)), "t_ssfull", "append")
+    val want = EventStreams.purchasesWithClicksFullOuter(Tables.events(spark, sf))
+    assert(want.filter(col("click_id").isNull).count() > 0,
+      "fixture must contain unattributed purchases or the test is vacuous")
+    assert(want.filter(col("purchase_id").isNull).count() > 0,
+      "fixture must contain orphaned clicks or full-outer adds nothing over st10")
+    assert(rows(got) === rows(want))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val stream = EventStreams.source(spark, eventsDir)
     val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
