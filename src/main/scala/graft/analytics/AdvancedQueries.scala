@@ -203,6 +203,45 @@ object AdvancedQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q60 — KMV distinct-count sketch ([[graft.functions.KmvSketch]])
+    * next to the exact count: mergeable bounded state (k=64 longs per
+    * group, map-side combinable) over the portable quadratic hash, so
+    * unlike HLL (q35, range-checked only) the DuckDB oracle replays the
+    * ESTIMATE itself bit-for-bit — hash, k-th order statistic, and the
+    * one double divide. */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"),
+        round(graft.functions.KmvSketch.kmvDistinct(col("o_custkey"), 64), 6)
+          .as("kmv_estimate"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q60Sql: String = {
+    val (ka, kb, kc) = graft.functions.KmvSketch.Consts
+    s"""WITH x AS (
+       |  SELECT DISTINCT o_orderpriority AS g,
+       |    ((o_custkey % 1000000007) + 1000000007) % 1000000007 AS xm
+       |  FROM orders),
+       |h AS (
+       |  SELECT DISTINCT g,
+       |    ((($ka * ((xm * xm) % 1000000007) + $kb * xm + $kc) % 1000000007)
+       |      + 1000000007) % 1000000007 AS hv
+       |  FROM x),
+       |r AS (SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rk FROM h),
+       |est AS (
+       |  SELECT g, count(*) AS nh, max(CASE WHEN rk = 64 THEN hv END) AS kth
+       |  FROM r WHERE rk <= 64 GROUP BY g),
+       |ex AS (
+       |  SELECT o_orderpriority AS g, count(DISTINCT o_custkey) AS exact_distinct
+       |  FROM orders GROUP BY 1)
+       |SELECT ex.g AS o_orderpriority, CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       |  round(CASE WHEN est.nh < 64 THEN CAST(est.nh AS DOUBLE)
+       |    ELSE 63.0 * 1000000007 / greatest(est.kth, 1) END, 6) AS kmv_estimate
+       |FROM ex JOIN est USING (g)
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** q55 — the SQL entry point + LATERAL: every other query enters via
     * the DataFrame API; this one registers temp views and runs
     * `spark.sql` with a LATERAL correlated subquery (the per-row
@@ -299,6 +338,7 @@ object AdvancedQueries {
       |ORDER BY l_returnflag, metric""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q60_kmv_distinct" -> (q60 _),
     "q59_unpivot" -> (q59 _),
     "q58_recursive_cte" -> (q58 _),
     "q55_sql_lateral" -> (q55 _),
@@ -313,6 +353,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q60_kmv_distinct" -> q60Sql,
     "q59_unpivot" -> q59Sql,
     "q58_recursive_cte" -> q58Sql,
     "q55_sql_lateral" -> q55Sql,
