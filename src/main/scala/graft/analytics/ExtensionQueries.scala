@@ -1611,6 +1611,56 @@ object ExtensionQueries {
       |FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY chunk_fp""".stripMargin
 
+  /** dd14 — EXACT duplicated-substring spans
+    * ([[Dedup.duplicatedSpans]], Lee et al. 2022 exact-substring
+    * family): every 8-token gram occurring >= 2 times anywhere in the
+    * augmented corpus marks positions; positions merge into maximal
+    * per-doc spans. Planted near-copies duplicate their source's whole
+    * token stream, so source and copy must both surface one long span —
+    * and the EXACT property (vs dd08's sampled winnowing) means any
+    * natural 8-gram repeat must surface too. The oracle replays token
+    * hashing, the rolling gram fold, the global >=2 count, and the
+    * gaps-and-islands merge. */
+  private def dd14(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicatedSpans(Dedup.augmentWithNearDups(documents(s, d)), width = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val dd14Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |th AS (SELECT doc_id,
+      |  list_transform(string_split(text, ' '),
+      |    t -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS BIGINT))),
+      |      (a, c) -> (a*31 + c) % 1000000007)) AS ths
+      |  FROM aug),
+      |g AS (SELECT doc_id, ths,
+      |    unnest(range(0, greatest(len(ths) - 7, 0))) AS gpos
+      |  FROM th),
+      |grams AS (SELECT doc_id, CAST(gpos AS INTEGER) AS gpos,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      ths[CAST(gpos + 1 AS INT):CAST(gpos + 8 AS INT)]),
+      |      (a, x) -> (a*131 + x) % 1000000007) AS h
+      |  FROM g),
+      |dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+      |dp AS (SELECT doc_id, gpos FROM grams JOIN dup USING (h)),
+      |isl AS (SELECT doc_id, gpos,
+      |    CASE WHEN lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) IS NULL
+      |           OR gpos - lag(gpos) OVER (PARTITION BY doc_id ORDER BY gpos) > 8
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM dp),
+      |sp AS (SELECT doc_id, gpos,
+      |    sum(ns) OVER (PARTITION BY doc_id ORDER BY gpos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM isl)
+      |SELECT doc_id, CAST(min(gpos) AS INTEGER) AS span_start,
+      |  CAST(max(gpos) + 7 AS INTEGER) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_grams
+      |FROM sp GROUP BY doc_id, span_id
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** ss06 — MMR diversified rerank ([[Similarity.mmrRerank]], λ = 0.7):
     * exact top-10 retrieval for query vector 0, then 3 greedy MMR
     * selections. The oracle unrolls the greedy rounds with the SAME
@@ -1884,6 +1934,7 @@ object ExtensionQueries {
     "dd11_semantic_dedup" -> (dd11 _),
     "dd12_content_chunks" -> (dd12 _),
     "dd13_star_clusters" -> (dd13 _),
+    "dd14_duplicated_spans" -> (dd14 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -1935,6 +1986,7 @@ object ExtensionQueries {
     "dd11_semantic_dedup" -> dd11Sql,
     "dd12_content_chunks" -> dd12Sql,
     "dd13_star_clusters" -> dd07Sql,
+    "dd14_duplicated_spans" -> dd14Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,

@@ -662,6 +662,56 @@ object Dedup {
           (a, x) => pmod(a * lit(131L) + x, lit(HashP))).as("chunk_fp"))
   }
 
+  /** EXACT duplicated-substring spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" exact-
+    * substring family, token-granular): every `width`-token gram that
+    * occurs >= 2 times ANYWHERE in the corpus (same doc or cross-doc)
+    * marks its positions, and per document the marked positions merge
+    * into maximal duplicated spans (gaps-and-islands: grams at distance
+    * <= width overlap or touch, so they fuse). Complements the
+    * approximate fingerprint families — winnowing (dd08) samples grams,
+    * this finds EVERY duplicated span exactly; the suffix-array the
+    * paper uses is replaced by the gram-hash group-by, which is the
+    * shuffle-native equivalent at fixed minimum match length.
+    *
+    * Returns (doc_id, span_start, span_end, n_grams) in token indices
+    * (inclusive). Scale shape: one explode to gram hashes (n_tokens
+    * rows/doc), one map-side-combinable count shuffle to find
+    * duplicated grams, a semi-join back, and a per-doc window — never
+    * any pairwise doc comparison; the dominant term is the gram count
+    * shuffle, linear in corpus tokens. */
+  def duplicatedSpans(docs: DataFrame, width: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token hashes via explode + ordered re-collect (the CollapseProject
+    // trap — see [[signatures]])
+    val tokHashed = docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
+    val arrays = tokHashed.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
+      .select(col("doc_id"), transform(col("pt"), s => s.getField("th")).as("ths"))
+    val grams = arrays.select(col("doc_id"),
+      posexplode(shingleHashes(col("ths"), width)).as(Seq("gpos", "h")))
+    val dupGrams = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+      .select(col("h"))
+    val dupPos = grams.join(dupGrams, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("gpos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("gpos"))
+    dupPos
+      .withColumn("__prev", lag(col("gpos"), 1).over(w))
+      .withColumn("__ns",
+        when(col("__prev").isNull || col("gpos") - col("__prev") > width, 1)
+          .otherwise(0))
+      .withColumn("__span",
+        sum(col("__ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("gpos")).as("span_start"),
+        (max(col("gpos")) + (width - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Exact n-gram Jaccard as a two-phase block-then-verify pipeline:
     * MinHash-LSH banding generates candidate pairs (16 hashes, 8 bands →
     * P[candidate | J=0.6] ≈ 0.97, ≈1.0 for true near-dups), then the

@@ -232,6 +232,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(star(6L) === 1L && star(8L) === 7L && star(11L) === 11L)
   }
 
+  test("duplicatedSpans: hand-built corpus — exact spans, merging, and no false positives") {
+    import spark.implicits._
+    // doc 1 and doc 2 share the 10-token run w0..w9 (at offsets 0 and 2);
+    // doc 3 is disjoint; doc 4 repeats ITS OWN 8-gram twice (self-dup)
+    val shared = (0 until 10).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, shared + " xa xb xc"),
+      (2L, "ya yb " + shared),
+      (3L, (0 until 16).map(i => s"z$i").mkString(" ")),
+      (4L, ((0 until 8).map(i => s"r$i") ++ (0 until 8).map(i => s"r$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(d, width = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // doc 1: grams 0..2 duplicated (w0..w9 = 3 overlapping 8-grams) -> one span [0, 9]
+    // doc 2: same run at offset 2 -> span [2, 11]
+    // doc 4: r0..r7 r0..r7 has period 8, so exactly grams 0 and 8
+    // coincide; distance 8 <= width merges them -> span [0, 15], n=2
+    assert(got === Set((1L, 0, 9, 3L), (2L, 2, 11, 3L), (4L, 0, 15, 2L)))
+  }
+
+  test("duplicatedSpans: planted near-dup copies surface long spans in source and copy") {
+    import org.apache.spark.sql.functions.col
+    val spans = Dedup.duplicatedSpans(aug, width = 8).cache()
+    val srcDocs = spans.filter(col("doc_id") < 50).select("doc_id").distinct().count()
+    val copyDocs = spans.filter(col("doc_id") >= Offset).select("doc_id").distinct().count()
+    assert(srcDocs === 50, s"all 50 planted sources must carry a duplicated span, got $srcDocs")
+    assert(copyDocs === 50, s"all 50 planted copies must carry a duplicated span, got $copyDocs")
+    // the copy is source + ' dup': the shared prefix must span (nearly)
+    // the whole source token stream — require length >= 8 (one gram) and
+    // assert spans never overlap within a doc (maximal-merge property)
+    import spark.implicits._
+    val overlaps = spans.as("a").join(spans.as("b"),
+      col("a.doc_id") === col("b.doc_id") &&
+        col("a.span_start") < col("b.span_start") &&
+        col("b.span_start") <= col("a.span_end")).count()
+    assert(overlaps === 0, "maximal spans must not overlap")
+  }
+
   test("clusters falls back to star contraction when the batch budget runs out") {
     import spark.implicits._
     // diameter 15 chain, but only 2 propagation rounds allowed: plain
