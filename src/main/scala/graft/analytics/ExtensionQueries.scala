@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1611,6 +1611,79 @@ object ExtensionQueries {
       |FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY chunk_fp""".stripMargin
 
+  private val Bm25Terms = Seq("merge", "spark", "window")
+
+  /** tx14 — BM25 keyword retrieval ([[Retrieval.bm25TopK]]): top-10
+    * documents for a 3-term query under the Lucene-style
+    * never-negative idf. Lexical retrieval is the other half of a RAG
+    * serving stack next to the ANN family; term stats are integer
+    * counts, the score is closed-form double arithmetic, and per-doc
+    * contributions fold in sorted term order, so the oracle replays the
+    * ranking bit-for-bit. */
+  private def tx14(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25TopK(documents(s, d), Bm25Terms, k = 10)
+
+  /** The BM25 scoring pipeline as a WITH-body fragment (shared by the
+    * tx14 and ss10 oracles so they can never drift). Emits `bmscore` =
+    * (doc_id, bm25). */
+  private val bm25Cte =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      |  WHERE term IN ('merge', 'spark', 'window') GROUP BY doc_id, term),
+      |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT tf.doc_id, tf.term,
+      |    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * tf.tf /
+      |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS sterm
+      |  FROM tf JOIN dfx d USING (term) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      |bmscore AS (SELECT doc_id, round(list_sum(list(sterm ORDER BY term)), 6) AS bm25
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  private val tx14Sql =
+    s"""WITH $bm25Cte
+       |SELECT doc_id, bm25 FROM bmscore
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 10""".stripMargin
+
+  /** ss10 — HYBRID retrieval via reciprocal-rank fusion
+    * ([[Retrieval.rrfFuse]], Cormack et al. 2009): the BM25 top-10
+    * (tx14's lexical ranking) fused with the exact-cosine top-10 (ss01's
+    * vector ranking) by `Σ 1/(60 + rank)` — rank-based, so no score
+    * normalization across modalities. The oracle replays both retrievals
+    * AND the fusion fold (contributions ordered by source label). */
+  private def ss10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmRank = Retrieval.bm25TopK(documents(s, d), Bm25Terms, k = 10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+    val annRank = Similarity.bruteForceTopK(embeddings(s, d), queryId = 0L, k = 10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq("ann" -> annRank, "bm25" -> bmRank), k = 10)
+  }
+
+  private val ss10Sql =
+    s"""WITH $bm25Cte,
+       |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+       |  FROM (SELECT doc_id, bm25 FROM bmscore ORDER BY bm25 DESC, doc_id LIMIT 10)),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |anns AS (SELECT e.vec_id AS doc_id,
+       |    round(${cosSqlOf("e.embedding", "q.qe")}, 6) AS cos
+       |  FROM embeddings e, q
+       |  ORDER BY cos DESC, doc_id LIMIT 10),
+       |anntop AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rnk FROM anns),
+       |u AS (
+       |  SELECT doc_id, 1.0 / (60 + rnk) AS contrib, 'ann' AS src FROM anntop
+       |  UNION ALL
+       |  SELECT doc_id, 1.0 / (60 + rnk) AS contrib, 'bm25' AS src FROM bmtop)
+       |SELECT doc_id, round(list_sum(list(contrib ORDER BY src)), 6) AS rrf
+       |FROM u GROUP BY doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   /** dd14 — EXACT duplicated-substring spans
     * ([[Dedup.duplicatedSpans]], Lee et al. 2022 exact-substring
     * family): every 8-token gram occurring >= 2 times anywhere in the
@@ -1961,6 +2034,8 @@ object ExtensionQueries {
     "ss07_ivf_persisted" -> (ss07 _),
     "ss08_int8_quantized" -> (ss08 _),
     "ss09_pq_adc" -> (ss09 _),
+    "ss10_hybrid_rrf" -> (ss10 _),
+    "tx14_bm25" -> (tx14 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -2010,6 +2085,8 @@ object ExtensionQueries {
     "ss07_ivf_persisted" -> ss03Sql,
     "ss08_int8_quantized" -> ss08Sql,
     "ss09_pq_adc" -> ss09Sql,
+    "ss10_hybrid_rrf" -> ss10Sql,
+    "tx14_bm25" -> tx14Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
     "ss06_mmr_rerank" -> ss06Sql,
