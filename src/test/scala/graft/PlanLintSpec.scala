@@ -221,6 +221,45 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("ss09: PQ codebook and LUT broadcast; encode ranks per (vector, subspace)") {
+    val p = plan("ss09_pq_adc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the m*ksub codebook/LUT must ride broadcasts\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"encode argmin must partition by (vec_id, sub), not one task\n$p")
+  }
+
+  test("tx14: BM25 stats are partial aggs; df and corpus stats broadcast") {
+    val p = plan("tx14_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"df/corpus stats must broadcast\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"term counts need map-side combine\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("dd14: span mining is keyed shuffles + per-doc windows, no cartesian, no UDFs") {
+    val p = plan("dd14_duplicated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"island merge must partition by doc\n$p")
+    assert(p.contains("partial_count"),
+      s"gram occurrence counting needs map-side combine\n$p")
+  }
+
+  test("q60: KMV sketch participates in partial aggregation (bounded merge)") {
+    val p = plan("q60_kmv_distinct")
+    assert(p.contains("partial_kmv_distinct") || p.contains("kmv_distinct"),
+      s"expected the custom aggregate in the plan\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed aggregate should plan as object-hash/sort agg\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
