@@ -397,6 +397,39 @@ object ScaleQueries {
       |FROM v1 GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** zq02 — manifest ZONE-MAP file skipping ([[graft.lake.TxnLake]]
+    * stats columns + [[graft.lake.TxnLake.readRange]]): create a txn
+    * table partitioned by an orderkey range bucket (so each data file
+    * gets a tight key zone), then range-read keys [1000, 3000] — the
+    * manifest min/max prune non-intersecting files at planning time,
+    * no footer reads (skipping itself is pinned via inputFiles in
+    * TxnLakeSpec). The oracle recomputes the range aggregate straight
+    * off the base table, so a hash match proves skipping loses no rows
+    * at any layout. */
+  private def zq02(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq02")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"),
+        (col("o_orderkey") / lit(512)).cast("long").as("okbucket"))
+    TxnLake.create(s, dir, base, "okbucket", statsCol = Some("o_orderkey"))
+    TxnLake.readRange(s, dir, 1000.0, 3000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val zq02Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 = 0 AND o_orderkey BETWEEN 1000 AND 3000
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** lk04 — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE
     * ([[graft.lake.IncrementalView]] over [[graft.lake.TxnLake.changes]]
     * with preimages): build a grouped count/sum view at v0, mutate the
@@ -456,6 +489,7 @@ object ScaleQueries {
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "zq02_zone_map_skip" -> (zq02 _),
     "lk04_incremental_mv" -> (lk04 _),
     "lk03_schema_evolution" -> (lk03 _),
     "lk02_incremental_read" -> (lk02 _),
@@ -470,6 +504,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq02_zone_map_skip" -> zq02Sql,
     "lk04_incremental_mv" -> lk04Sql,
     "lk03_schema_evolution" -> lk03Sql,
     "lk02_incremental_read" -> lk02Sql,

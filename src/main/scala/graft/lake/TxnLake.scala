@@ -54,19 +54,25 @@ import org.apache.spark.sql.types.StructType
 object TxnLake {
 
   /** One immutable data file and the (rendered) partition values it
-    * contains. `None` = a NULL partition value. */
-  case class FileEntry(path: String, parts: Set[Option[String]])
+    * contains. `None` = a NULL partition value. `zmin`/`zmax` are the
+    * file's min/max of the table's stats column (when one is tracked) —
+    * the manifest-level ZONE MAP that lets a range read skip files at
+    * planning time, Delta/Iceberg-style. NULL-only files carry no
+    * bounds. */
+  case class FileEntry(path: String, parts: Set[Option[String]],
+                       zmin: Option[Double] = None, zmax: Option[Double] = None)
 
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
-                      files: Seq[FileEntry])
+                      files: Seq[FileEntry], statsCol: Option[String] = None)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
     * manifest referencing them. */
   private[lake] case class Staged(baseVersion: Long, partCol: String,
                                   schemaDdl: String, touched: Set[Option[String]],
-                                  prunedPaths: Set[String], newFiles: Seq[FileEntry])
+                                  prunedPaths: Set[String], newFiles: Seq[FileEntry],
+                                  statsCol: Option[String] = None)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -75,9 +81,16 @@ object TxnLake {
     fsOf(spark, dir).exists(new Path(dir, LogDir))
 
   /** Create a txn table at `dir` from `df`, partitioned (logically) on
-    * `partCol`. Publishes version 0. */
-  def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String): Unit = {
+    * `partCol`. Publishes version 0. `statsCol` opts the table into
+    * manifest ZONE MAPS: every staged file records min/max of that
+    * (numeric) column, and [[readRange]] prunes files against them at
+    * planning time — the Delta/Iceberg data-skipping move. All later
+    * commits keep collecting stats (the column is in the manifest). */
+  def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+             statsCol: Option[String] = None): Unit = {
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
+    statsCol.foreach(sc => require(df.columns.contains(sc),
+      s"stats column '$sc' not in ${df.columns.mkString(",")}"))
     val fs = fsOf(spark, dir)
     val logDir = new Path(dir, LogDir)
     require(!fs.exists(logDir), s"$dir is already a txn table")
@@ -85,9 +98,9 @@ object TxnLake {
     // touched = every partition value present, read off the staged
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, statsCol)
     val m = Manifest(0L, newCommitId(), partCol, df.schema.toDDL,
-      files.flatMap(_.parts).toSet, files)
+      files.flatMap(_.parts).toSet, files, statsCol)
     require(publish(fs, dir, m), s"concurrent create of txn table at $dir")
   }
 
@@ -244,9 +257,10 @@ object TxnLake {
     val pruned = base.files.filter(_.parts.exists(touched.contains))
     val remaining = readFiles(spark, dir, schema, pruned.map(_.path))
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
-    val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size)
+    val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
+      base.statsCol)
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
-      touched, pruned.map(_.path).toSet, newFiles))
+      touched, pruned.map(_.path).toSet, newFiles, base.statsCol))
   }
 
   /** Transactional partition-pruned upsert: rows of `updates` replace
@@ -310,11 +324,12 @@ object TxnLake {
       .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(aligned.select(cols.map(col).toIndexedSeq: _*))
-    val newFiles = stageFiles(spark, dir, merged, partCol, touched.size)
+    val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
+      base.statsCol)
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
-      pruned.map(_.path).toSet, newFiles))
+      pruned.map(_.path).toSet, newFiles, base.statsCol))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -345,7 +360,8 @@ object TxnLake {
       }
       val m = Manifest(head.version + 1, newCommitId(), staged.partCol, staged.schemaDdl,
         staged.touched,
-        head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles)
+        head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
+        staged.statsCol)
       if (publish(fs, dir, m)) return
       // lost the version-number race; loop re-resolves and re-checks
     }
@@ -430,9 +446,12 @@ object TxnLake {
     * snapshot reads require. The per-file partition values come from
     * ONE metadata-scale job over `_metadata.file_path`. */
   private def stageFiles(spark: SparkSession, dir: String, df: DataFrame,
-                         partCol: String, partHint: Int): Seq[FileEntry] = {
+                         partCol: String, partHint: Int,
+                         statsCol: Option[String] = None): Seq[FileEntry] = {
     require(!df.columns.contains("__txn_pk"),
       s"TxnLake reserves the __txn_pk column name; input has ${df.columns.mkString(",")}")
+    statsCol.foreach(sc => require(df.columns.contains(sc),
+      s"stats column '$sc' missing from staged data (${df.columns.mkString(",")})"))
     if (df.isEmpty) return Seq.empty
     val rel = s"$DataDir/c${newCommitId()}"
     val dataDir = s"$dir/$rel"
@@ -449,15 +468,54 @@ object TxnLake {
     df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
       .repartition(n, col(partCol))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("__txn_pk").parquet(dataDir)
-    spark.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
-      .distinct().collect()
-      .groupBy(_.getString(0))
+    // ONE metadata-scale job covers partition values AND (when tracked)
+    // the per-file zone map: min/max ignore NULLs, so all-NULL files
+    // carry no bounds and readRange keeps them conservatively
+    val staged = spark.read.parquet(dataDir)
+    val meta = statsCol match {
+      case Some(sc) =>
+        staged.groupBy(col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
+          .agg(min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))
+          .collect()
+      case None =>
+        staged.select(col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
+          .distinct().collect()
+    }
+    meta.groupBy(_.getString(0))
       .map { case (p, rows) =>
         val relPath = p.substring(p.indexOf(DataDir))
-        FileEntry(relPath, rows.map(r => render(r.get(1))).toSet)
+        val (zmin, zmax) = statsCol match {
+          case Some(_) =>
+            val mns = rows.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+            val mxs = rows.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+            (mns.minOption, mxs.maxOption)
+          case None => (None, None)
+        }
+        FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax)
       }
       .toSeq.sortBy(_.path)
+  }
+
+  /** ZONE-MAP range read: the snapshot restricted to `statsCol` ∈
+    * [lo, hi] (inclusive), opening ONLY files whose manifest min/max
+    * intersects the range — planning-time file skipping off commit
+    * metadata, no footer reads. Files without bounds (all-NULL stats or
+    * written before stats tracking) are kept conservatively; the
+    * predicate is re-applied to the survivors, so the result equals a
+    * full-scan filter regardless of pruning sharpness. */
+  def readRange(spark: SparkSession, dir: String, lo: Double, hi: Double): DataFrame = {
+    val m = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val sc = m.statsCol.getOrElse(throw new IllegalArgumentException(
+      s"$dir tracks no stats column — create(..., statsCol = Some(...)) to enable zone maps"))
+    val keep = m.files.filter { f =>
+      (f.zmin, f.zmax) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+    readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), keep.map(_.path))
+      .filter(col(sc).cast("double").between(lo, hi))
   }
 
   private def dropStagedFiles(fs: FileSystem, dir: String, staged: Staged): Unit =
@@ -479,6 +537,7 @@ object TxnLake {
     root.put("commitId", m.commitId)
     root.put("partCol", m.partCol)
     root.put("schemaDdl", m.schemaDdl)
+    m.statsCol.foreach(root.put("statsCol", _))
     val t = root.putArray("touched")
     m.touched.toSeq.sortBy(_.getOrElse("")).foreach {
       case Some(v) => t.add(v)
@@ -488,6 +547,8 @@ object TxnLake {
     m.files.foreach { f =>
       val fn = fsArr.addObject()
       fn.put("path", f.path)
+      f.zmin.foreach(fn.put("zmin", _))
+      f.zmax.foreach(fn.put("zmax", _))
       val pn = fn.putArray("parts")
       f.parts.toSeq.sortBy(_.getOrElse("")).foreach {
         case Some(v) => pn.add(v)
@@ -512,8 +573,11 @@ object TxnLake {
       root.get("touched").elements().asScala.map(optStr).toSet,
       root.get("files").elements().asScala.map { fn =>
         FileEntry(fn.get("path").asText(),
-          fn.get("parts").elements().asScala.map(optStr).toSet)
-      }.toSeq)
+          fn.get("parts").elements().asScala.map(optStr).toSet,
+          Option(fn.get("zmin")).map(_.asDouble()),
+          Option(fn.get("zmax")).map(_.asDouble()))
+      }.toSeq,
+      Option(root.get("statsCol")).map(_.asText()))
   }
 
   /** Atomically publish `m` as the manifest for its version. Returns

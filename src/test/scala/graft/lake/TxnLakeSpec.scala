@@ -276,6 +276,47 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.resolve(spark, dir).get.version === 1L)
   }
 
+  test("zone maps: range reads skip non-intersecting files; results equal a full filter") {
+    import spark.implicits._
+    val dir = freshDir()
+    // bucket correlates with id, so each file gets a tight id zone —
+    // the layout a range-queried lake table is maintained in
+    val df = spark.range(0, 400)
+      .select(col("id"), (col("id") / lit(100)).cast("long").as("bucket"))
+    TxnLake.create(spark, dir, df, "bucket", statsCol = Some("id"))
+    val pruned = TxnLake.readRange(spark, dir, 120, 130)
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq === (120L to 130L))
+    val allFiles = TxnLake.read(spark, dir).inputFiles.length
+    assert(allFiles >= 4, s"expected one file per bucket, got $allFiles")
+    assert(pruned.inputFiles.length < allFiles,
+      s"zone maps pruned nothing: ${pruned.inputFiles.length} of $allFiles files read")
+    // boundary inclusivity
+    assert(TxnLake.readRange(spark, dir, 399, 500).select("id").as[Long].collect().toSeq === Seq(399L))
+  }
+
+  test("zone maps survive upserts: rewritten files carry fresh bounds") {
+    import spark.implicits._
+    val dir = freshDir()
+    val df = spark.range(0, 200)
+      .select(col("id"), (col("id") / lit(50)).cast("long").as("bucket"))
+    TxnLake.create(spark, dir, df, "bucket", statsCol = Some("id"))
+    // move id 10 to value 999 via an upsert that keeps its bucket
+    TxnLake.upsert(spark, dir,
+      Seq((999L, 0L)).toDF("id", "bucket"), "id")
+    val hi = TxnLake.readRange(spark, dir, 900, 1000).select("id").as[Long].collect().toSeq
+    assert(hi === Seq(999L), "the rewritten file's new max must be visible to range reads")
+    val untouched = TxnLake.readRange(spark, dir, 60, 70).select("id").as[Long].collect().sorted.toSeq
+    assert(untouched === (60L to 70L))
+  }
+
+  test("tables without a stats column refuse range reads instead of scanning everything silently") {
+    val dir = freshTxnTable()
+    val ex = intercept[IllegalArgumentException] {
+      TxnLake.readRange(spark, dir, 0, 10)
+    }
+    assert(ex.getMessage.contains("stats column"))
+  }
+
   test("history lists every version with touched partitions; vacuumed versions fail loudly") {
     import spark.implicits._
     val dir = freshTxnTable()
