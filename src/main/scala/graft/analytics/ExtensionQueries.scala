@@ -1395,6 +1395,75 @@ object ExtensionQueries {
        |LIMIT 10""".stripMargin
   }
 
+  /** ss11 — IVF-PQ ANN ([[Similarity.ivfPqTopK]], the FAISS `IVF16,PQ4`
+    * layout): ss03's oracled coarse quantizer routes vectors to cells,
+    * residuals v − centroid are PQ-encoded with ss09's discipline, and
+    * the probe scores its 4 nearest cells with per-cell ADC tables built
+    * from the query's own residual. The oracle composes the shared IVF
+    * CTE (seed hash → Lloyd round → assignment, verbatim from ss03)
+    * with the PQ replay on residuals — codeword selection, L2² encode,
+    * per-cell LUT, subspace-ordered fold — so every stage of the
+    * composition is pinned, not just the ends. */
+  private def ss11(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(embeddings(s, d), queryId = 0L, k = 10,
+      nCells = 16, kmeansIters = 1, nProbe = 4, m = 4, ksub = 8)
+
+  private val ss11Sql: String =
+    s"""WITH ${ivfAsg1Cte("embeddings")},
+       |res AS (
+       |  SELECT a.vec_id, a.centroid_id,
+       |    list_transform(list_zip(a.embedding, c.centroid),
+       |      z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS r
+       |  FROM asg1 a JOIN cents c USING (centroid_id)),
+       |pseeds AS (
+       |  SELECT r, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+       |  FROM (SELECT res.vec_id, res.r, hp.h FROM res JOIN hp USING (vec_id))
+       |  ORDER BY h, vec_id LIMIT 8),
+       |subs AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+       |pcb AS (
+       |  SELECT sub, code,
+       |    r[(sub * (len(r) // 4) + 1):((sub + 1) * (len(r) // 4))] AS centroid
+       |  FROM pseeds CROSS JOIN subs),
+       |vsr AS (
+       |  SELECT vec_id, centroid_id, sub,
+       |    r[(sub * (len(r) // 4) + 1):((sub + 1) * (len(r) // 4))] AS v
+       |  FROM res CROSS JOIN subs),
+       |enc0 AS (
+       |  SELECT vsr.vec_id, vsr.centroid_id, vsr.sub, pcb.code,
+       |    list_sum(list_transform(list_zip(vsr.v, pcb.centroid),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS l2
+       |  FROM vsr JOIN pcb USING (sub)),
+       |enc AS (
+       |  SELECT vec_id, centroid_id, sub, code FROM (
+       |    SELECT vec_id, centroid_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY l2, code) AS rk
+       |    FROM enc0) WHERE rk = 1),
+       |qprobe AS (SELECT centroid_id FROM a1 WHERE vec_id = 0 AND rk <= 4),
+       |qres AS (
+       |  SELECT c.centroid_id,
+       |    list_transform(list_zip(q.embedding, c.centroid),
+       |      z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
+       |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+       |  CROSS JOIN cents c
+       |  JOIN qprobe ON c.centroid_id = qprobe.centroid_id),
+       |qvs AS (
+       |  SELECT centroid_id, sub,
+       |    qr[(sub * (len(qr) // 4) + 1):((sub + 1) * (len(qr) // 4))] AS qv
+       |  FROM qres CROSS JOIN subs),
+       |lut AS (
+       |  SELECT q.centroid_id, q.sub, c.code,
+       |    list_sum(list_transform(list_zip(q.qv, c.centroid),
+       |      z -> z[1] * z[2])) AS d
+       |  FROM qvs q JOIN pcb c USING (sub)),
+       |scq AS (
+       |  SELECT e.vec_id, l.sub, l.d
+       |  FROM enc e JOIN lut l
+       |    ON e.centroid_id = l.centroid_id AND e.sub = l.sub AND e.code = l.code)
+       |SELECT vec_id, round(list_sum(list(d ORDER BY sub)), 6) AS adc
+       |FROM scq GROUP BY vec_id
+       |ORDER BY adc DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
@@ -2035,6 +2104,7 @@ object ExtensionQueries {
     "ss08_int8_quantized" -> (ss08 _),
     "ss09_pq_adc" -> (ss09 _),
     "ss10_hybrid_rrf" -> (ss10 _),
+    "ss11_ivfpq" -> (ss11 _),
     "tx14_bm25" -> (tx14 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
@@ -2086,6 +2156,7 @@ object ExtensionQueries {
     "ss08_int8_quantized" -> ss08Sql,
     "ss09_pq_adc" -> ss09Sql,
     "ss10_hybrid_rrf" -> ss10Sql,
+    "ss11_ivfpq" -> ss11Sql,
     "tx14_bm25" -> tx14Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,

@@ -558,6 +558,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ (Jégou et al. 2011, the FAISS `IVFx,PQy` layout): the coarse
+    * quantizer ([[kmeansCentroids]]) routes vectors to cells, the
+    * RESIDUAL v − centroid is PQ-encoded, and probes score only the
+    * nProbe nearest cells with a PER-CELL ADC table built from the
+    * query's own residual against that cell. Residual encoding is what
+    * makes the composition worth having: residuals are centered near
+    * zero, so the shared m·ksub codebook spends its codes on the
+    * deviation that distinguishes neighbors, not on cell-level offsets
+    * the coarse index already captured.
+    *
+    * Scale shape: everything rides the existing pieces — broadcast
+    * codebooks, narrow code rows (m small ints per vector in RAM),
+    * candidate set = probed cells only, LUT join keyed on
+    * (cell, sub, code). The scan never touches a float vector. */
+  def ivfPqTopK(corpus: DataFrame, queryId: Long, k: Int,
+                nCells: Int = 16, kmeansIters: Int = 1, nProbe: Int = 4,
+                m: Int = 4, ksub: Int = 8): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCells, kmeansIters)
+    val assigned = nearestCells(corpus, cents, 1, "vec_id")
+    val residuals = assigned.join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("centroid").cast("array<double>"), _ - _).as("embedding"))
+    val cb = pqCodebook(residuals.select(col("vec_id"), col("embedding")), m, ksub)
+    val codes = pqEncode(residuals.select(col("vec_id"), col("embedding")), cb, m)
+      .join(residuals.select(col("vec_id"), col("centroid_id")), "vec_id")
+    val qRes = nearestCells(corpus.filter(col("vec_id") === queryId), cents, nProbe, "vec_id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("centroid_id"),
+        zip_with(col("embedding").cast("array<double>"),
+          col("centroid").cast("array<double>"), _ - _).as("embedding"))
+    val lut = pqSubspaces(qRes, m, "centroid_id")
+      .join(broadcast(cb), "sub")
+      .select(col("centroid_id"), col("sub"), col("code"),
+        aggregate(zip_with(col("v"), col("centroid"), _ * _), lit(0.0), _ + _).as("d"))
+    codes.join(broadcast(lut), Seq("centroid_id", "sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("d")))).as("__ds"))
+      .select(col("vec_id"),
+        round(aggregate(transform(col("__ds"), s => s.getField("d")),
+          lit(0.0), _ + _), 6).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: banded hyperplane-LSH candidates +
     * exact cosine confirm.
     *

@@ -202,6 +202,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("ivfPqTopK: deterministic; planted exact copy of the query ties or ties-out with it") {
+    val aug = emb.select(col("vec_id"), col("embedding"))
+      .union(emb.filter(col("vec_id") === 0L)
+        .select(lit(5000000L).as("vec_id"), col("embedding")))
+    val top = Similarity.ivfPqTopK(aug, queryId = 0L, k = 10).collect()
+    assert(top.length === 10)
+    val scoreOf = top.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical vectors share cell, residual, and codes -> identical ADC
+    assert(scoreOf.contains(0L) === scoreOf.contains(5000000L))
+    for (a <- scoreOf.get(0L); b <- scoreOf.get(5000000L)) assert(a === b)
+    val again = Similarity.ivfPqTopK(aug, queryId = 0L, k = 10).collect()
+    assert(top.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("ivfPqTopK only scores vectors from probed cells") {
+    val top = Similarity.ivfPqTopK(emb, queryId = 0L, k = 500,
+      nCells = 16, nProbe = 4).count()
+    val full = emb.count()
+    assert(top < full, "IVF-PQ must prune to the probed cells, not scan every vector")
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
