@@ -242,6 +242,44 @@ object AdvancedQueries {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q61 — time-interval RANGE window frames, through the SQL surface
+    * (the frame spec only exists in SQL syntax): each event's trailing
+    * 10-minute per-user activity (count + decimal value sum — decimal
+    * because engines disagree on double summation order inside range
+    * frames: DuckDB's segment tree vs Spark's sequential buffer), rolled
+    * up to per-user burstiness. Peers at equal timestamps are included
+    * by RANGE in both engines. */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    SqlEntry.sql(s, """
+      WITH w AS (
+        SELECT user_id,
+          count(*) OVER win AS roll_n,
+          sum(CAST(value AS DECIMAL(12,2))) OVER win AS roll_v
+        FROM graft_q61_events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+      )
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(max(roll_n) AS BIGINT) AS max_burst,
+        CAST(max(roll_v) AS DOUBLE) AS max_roll_value
+      FROM w GROUP BY user_id ORDER BY user_id""",
+      "graft_q61_events" -> events(s, d))
+
+  private val q61Sql =
+    """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    count(*) OVER win AS roll_n,
+      |    sum(CAST(value AS DECIMAL(12,2))) OVER win AS roll_v
+      |  FROM ev
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(roll_n) AS BIGINT) AS max_burst,
+      |  CAST(max(roll_v) AS DOUBLE) AS max_roll_value
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q55 — the SQL entry point + LATERAL: every other query enters via
     * the DataFrame API; this one registers temp views and runs
     * `spark.sql` with a LATERAL correlated subquery (the per-row
@@ -339,6 +377,7 @@ object AdvancedQueries {
 
   val defs: Map[String, Q] = Map(
     "q60_kmv_distinct" -> (q60 _),
+    "q61_interval_range_frame" -> (q61 _),
     "q59_unpivot" -> (q59 _),
     "q58_recursive_cte" -> (q58 _),
     "q55_sql_lateral" -> (q55 _),
@@ -354,6 +393,7 @@ object AdvancedQueries {
 
   val oracle: Map[String, String] = Map(
     "q60_kmv_distinct" -> q60Sql,
+    "q61_interval_range_frame" -> q61Sql,
     "q59_unpivot" -> q59Sql,
     "q58_recursive_cte" -> q58Sql,
     "q55_sql_lateral" -> q55Sql,
