@@ -1464,6 +1464,53 @@ object ExtensionQueries {
        |ORDER BY adc DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** ss12 — INCREMENTAL index maintenance
+    * ([[Similarity.updateIvfIndex]]): build the persisted IVF index on
+    * 4/5 of the corpus, then fold in the missing fifth and remove the
+    * %7==2 ids — only touched cells' posting directories rewrite, the
+    * codebook never rebuilds (how a 100 TB index tracks a mutating
+    * corpus; [[graft.lake.TxnLake.changes]] feeds the same API). The
+    * probe then runs against the UPDATED files. Oracle: codebook from
+    * the BASE corpus (ss03's replayed pipeline), final assignment over
+    * the post-update corpus, probe, rescore — a hash match proves the
+    * incremental path equals indexing the final corpus under the same
+    * codebook. */
+  private def ss12(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val ix = java.nio.file.Files.createTempDirectory("graft_ss12")
+      .resolve("ivf").toString
+    val base = e.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+    Similarity.buildIvfIndex(base, ix, nCells = 16, kmeansIters = 1)
+    Similarity.updateIvfIndex(s, ix,
+      adds = e.filter(pmod(col("vec_id"), lit(5)) === 3),
+      removeIds = base.filter(pmod(col("vec_id"), lit(7)) === 2).select(col("vec_id")))
+    Similarity.probeIvfIndex(s, ix,
+        e.filter(col("vec_id") === 0L).select(col("vec_id").as("qid"), col("embedding")),
+        k = 10, nProbe = 4)
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  private val ss12Sql: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 3),
+       |${ivfAsg1Cte("base")},
+       |fin AS (
+       |  SELECT vec_id, embedding FROM base WHERE vec_id % 7 <> 2
+       |  UNION ALL
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 3),
+       |af AS (
+       |  SELECT f.vec_id, f.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY ${cosSqlOf("f.embedding", "c.centroid")} DESC, c.centroid_id) AS rk
+       |  FROM fin f CROSS JOIN cents c),
+       |asgf AS (SELECT vec_id, embedding, centroid_id FROM af WHERE rk = 1),
+       |qprobe AS (SELECT centroid_id FROM af WHERE vec_id = 0 AND rk <= 4),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT a.vec_id, round(${cosSqlOf("a.embedding", "q.qe")}, 6) AS cos
+       |FROM asgf a JOIN qprobe USING (centroid_id), q
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
@@ -2105,6 +2152,7 @@ object ExtensionQueries {
     "ss09_pq_adc" -> (ss09 _),
     "ss10_hybrid_rrf" -> (ss10 _),
     "ss11_ivfpq" -> (ss11 _),
+    "ss12_incremental_index" -> (ss12 _),
     "tx14_bm25" -> (tx14 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
@@ -2157,6 +2205,7 @@ object ExtensionQueries {
     "ss09_pq_adc" -> ss09Sql,
     "ss10_hybrid_rrf" -> ss10Sql,
     "ss11_ivfpq" -> ss11Sql,
+    "ss12_incremental_index" -> ss12Sql,
     "tx14_bm25" -> tx14Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,

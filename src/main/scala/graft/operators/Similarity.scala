@@ -439,6 +439,58 @@ object Similarity {
       .parquet(s"$indexDir/postings")
   }
 
+  /** INCREMENTAL index maintenance: fold adds/removes into a persisted
+    * [[buildIvfIndex]] index WITHOUT rebuilding — the codebook is
+    * immutable (rebuild-free serving is the point; re-clustering is a
+    * separate, rarer event), new vectors assign to their nearest
+    * existing cell, and ONLY the touched cells' posting directories are
+    * rewritten (dynamic partition overwrite — the same touched-partition
+    * discipline as [[graft.lake.TxnLake.upsert]]). At 100 TB this is
+    * how an embedding index tracks a mutating corpus: work scales with
+    * the delta ([[graft.lake.TxnLake.changes]] feeds it directly),
+    * never the index. */
+  def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     adds: DataFrame, removeIds: DataFrame): Unit = {
+    val codebook = spark.read.parquet(s"$indexDir/codebook")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val newPost = nearestCells(adds, codebook, 1, "vec_id")
+    val rm = removeIds.select(col("vec_id").as("__rm_id"))
+    val touchedCells = newPost.select(col("centroid_id"))
+      .union(postings.join(rm, col("vec_id") === col("__rm_id"), "left_semi")
+        .select(col("centroid_id")))
+      .distinct().collect().map(_.getLong(0))
+    if (touchedCells.isEmpty) return
+    // align on the postings schema: the corpus may carry payload columns
+    // beyond (vec_id, embedding) and they persist in the postings
+    val rewritten = postings.filter(col("centroid_id").isin(touchedCells.toIndexedSeq: _*))
+      .join(rm, col("vec_id") === col("__rm_id"), "left_anti")
+      .unionByName(newPost.select(postings.columns.map(col).toIndexedSeq: _*))
+    // dynamic overwrite only replaces partitions PRESENT in the write,
+    // so a touched cell emptied by removes needs its stale directory
+    // dropped explicitly — and `live` must be computed BEFORE the
+    // overwrite invalidates the lazy plan's input files
+    val live = rewritten.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try rewritten.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$indexDir/postings")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (touchedCells.toSet -- live).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/postings/centroid_id=$c"), true)
+    }
+    // drop the cached file listing: later reads of the same path must
+    // see the rewritten files, not the pre-update listing
+    spark.catalog.refreshByPath(s"$indexDir/postings")
+  }
+
   /** Serve ANN probes against a persisted [[buildIvfIndex]] index — no
     * k-means, no corpus scan. `queries` is a `(qid, embedding)` frame
     * (any number of query vectors). The probed cell ids are collected

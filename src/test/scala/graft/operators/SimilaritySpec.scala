@@ -224,6 +224,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(top < full, "IVF-PQ must prune to the probed cells, not scan every vector")
   }
 
+  test("updateIvfIndex: postings equal assigning the final corpus under the frozen codebook") {
+    val ix = java.nio.file.Files.createTempDirectory("graft_upd_ix").resolve("ivf").toString
+    val base = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    Similarity.buildIvfIndex(base, ix, nCells = 8, kmeansIters = 1)
+    val adds = emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val removes = base.filter(pmod(col("vec_id"), lit(5)) === 1).select(col("vec_id"))
+    Similarity.updateIvfIndex(spark, ix, adds, removes)
+    val got = spark.read.parquet(s"$ix/postings")
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: (base \ removes) ∪ adds, each assigned to its nearest
+    // cell under the PERSISTED (frozen) codebook
+    val removed = removes.collect().map(_.getLong(0)).toSet
+    val finalCorpus = emb.filter(pmod(col("vec_id"), lit(3)) === 0 ||
+      !col("vec_id").isin(removed.toSeq: _*))
+    val cb = spark.read.parquet(s"$ix/codebook")
+    val expected = finalCorpus
+      .join(broadcast(cb))
+      .withColumn("__c", graft.functions.VectorFunctions.cosineFast(col("embedding"), col("centroid")))
+      .withColumn("__rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("__c").desc, col("centroid_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
+  test("updateIvfIndex: a cell emptied by removes leaves no stale postings behind") {
+    import spark.implicits._
+    // corpus where cell membership is controllable: 8 seed-ish vectors
+    val ix = java.nio.file.Files.createTempDirectory("graft_upd_empty").resolve("ivf").toString
+    val sub = emb.filter(col("vec_id") < 40)
+    Similarity.buildIvfIndex(sub, ix, nCells = 4, kmeansIters = 0)
+    // remove EVERY vector of one cell
+    val postings = spark.read.parquet(s"$ix/postings")
+    val victim = postings.select(col("centroid_id").cast("long")).distinct()
+      .orderBy(col("centroid_id")).collect().head.getLong(0)
+    val doomed = postings.filter(col("centroid_id") === victim).select(col("vec_id"))
+    val nDoomed = doomed.count()
+    Similarity.updateIvfIndex(spark, ix, adds = sub.limit(0), removeIds = doomed)
+    val after = spark.read.parquet(s"$ix/postings")
+    assert(after.filter(col("centroid_id") === victim).count() === 0,
+      "emptied cell must not serve stale postings")
+    assert(after.count() === 40 - nDoomed)
+  }
+
   test("cosineFast (codegen expression) agrees with the HOF cosine") {
     val pairs = emb.as("x").crossJoin(emb.as("y"))
       .filter(col("x.vec_id") < 5 && col("y.vec_id") < 5)
