@@ -260,6 +260,42 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ss11: IVF-PQ scan scores codes via broadcast LUTs — no cartesian, no UDFs") {
+    val p = plan("ss11_ivfpq")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook/LUT joins must broadcast\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("ss12: probe after incremental update prunes postings partitions") {
+    val p = plan("ss12_incremental_index")
+    assert(p.contains("PartitionFilters") && p.contains("centroid_id"),
+      s"probed cells must prune postings partitions at planning time\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("zq02: zone-map range read scans an explicit pruned file list with the predicate pushed") {
+    val p = plan("zq02_zone_map_skip")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"range aggregate needs map-side combine\n$p")
+  }
+
+  test("q61: interval RANGE frames hash-partition by user, never one task") {
+    val p = plan("q61_interval_range_frame")
+    assert(!p.contains("windowspecdefinition()"),
+      s"single-partition window detected\n$p")
+  }
+
+  test("lk04: the CDC delta aggregates before joining the view") {
+    val p = plan("lk04_incremental_mv")
+    assert(!p.contains("CartesianProduct"), p)
+    // the signed delta must reach the view join as an aggregate, not raw
+    // change rows — partial aggregation proves the map-side combine
+    assert(p.contains("partial_sum"), s"delta must pre-aggregate\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
