@@ -1287,6 +1287,69 @@ object ExtensionQueries {
       |SELECT doc_id, cluster_id FROM labels JOIN multi USING (cluster_id)
       |ORDER BY cluster_id, doc_id""".stripMargin
 
+  /** dd15 — QUALITY-AWARE representative selection: per near-dup
+    * cluster keep the LONGEST member (most complete copy — the
+    * C4/RefinedWeb-style alternative to [[Dedup.dedupCorpus]]'s
+    * keep-lowest-id), tie-break on doc_id. Clusters come from the
+    * log-round star contraction; the oracle closes the same exact
+    * all-pairs graph with the recursive CTE and replays the
+    * argmax-by-token-count, so representative choice is pinned, not
+    * just cluster membership. The planted copies are one token LONGER
+    * than their sources ('… dup'), so the selected representative
+    * provably differs from keep-lowest-id. */
+  private def dd15(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val aug = Dedup.augmentWithNearDups(documents(s, d))
+    val pairs = Dedup.ngramJaccardDups(aug)
+    val cl = Dedup.clustersStar(aug.select(col("doc_id")), pairs)
+    val multi = cl.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    cl.join(multi, "cluster_id")
+      .join(aug.select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens")), "doc_id")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"),
+        col("n_tokens"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val dd15Sql =
+    """WITH RECURSIVE
+      |aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' dup' FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS s
+      |  FROM aug),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM aug
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+      |multi AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      |  FROM labels GROUP BY cluster_id HAVING count(*) > 1),
+      |toks AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM aug),
+      |ranked AS (
+      |  SELECT m.cluster_id, l.doc_id, t.n_tokens, m.n_members,
+      |    row_number() OVER (PARTITION BY m.cluster_id
+      |      ORDER BY t.n_tokens DESC, l.doc_id) AS rk
+      |  FROM labels l JOIN multi m USING (cluster_id) JOIN toks t USING (doc_id))
+      |SELECT cluster_id, doc_id AS rep_id, n_tokens, n_members
+      |FROM ranked WHERE rk = 1
+      |ORDER BY cluster_id""".stripMargin
+
   // ---------------- similarity search ----------------
 
   private def ss01(s: SparkSession, d: String): DataFrame =
@@ -2124,6 +2187,7 @@ object ExtensionQueries {
     "dd12_content_chunks" -> (dd12 _),
     "dd13_star_clusters" -> (dd13 _),
     "dd14_duplicated_spans" -> (dd14 _),
+    "dd15_quality_dedup" -> (dd15 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -2180,6 +2244,7 @@ object ExtensionQueries {
     "dd12_content_chunks" -> dd12Sql,
     "dd13_star_clusters" -> dd07Sql,
     "dd14_duplicated_spans" -> dd14Sql,
+    "dd15_quality_dedup" -> dd15Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,
