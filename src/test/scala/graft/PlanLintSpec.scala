@@ -296,6 +296,14 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("partial_sum"), s"delta must pre-aggregate\n$p")
   }
 
+  test("dd15: representative selection is a per-cluster window, no cartesian, no UDFs") {
+    val p = plan("dd15_quality_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"argmax must partition by cluster, never one task\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
