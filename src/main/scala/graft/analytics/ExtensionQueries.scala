@@ -1574,6 +1574,34 @@ object ExtensionQueries {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** ss13 — cosine RADIUS (ε-)join ([[Similarity.cosineRadiusJoin]]):
+    * every augmented-corpus vector within cosine ≥ 0.99 of each probe
+    * (every 10th vector), all matches rather than a fixed k — the
+    * "find everything this similar" retrieval shape (duplicate sweeps,
+    * contamination lookups). Differential oracle, dd06's discipline:
+    * DuckDB computes the EXACT all-pairs queries×corpus cosine at the
+    * same threshold, so a hash match proves the hyperplane-LSH blocking
+    * lost no pair on this corpus. Probes with vec_id < 50 must surface
+    * their planted +1000000 copies (cos = 1) as well as themselves. */
+  private def ss13(s: SparkSession, d: String): DataFrame = {
+    val probes = embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.cosineRadiusJoin(probes, augmentedEmbeddings(s, d), threshold = 0.99)
+      .orderBy(col("qid"), col("vec_id"))
+  }
+
+  private val ss13Sql: String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec
+       |  FROM embeddings WHERE vec_id % 10 = 0)
+       |SELECT q.qid, c.vec_id, round(${cosSqlOf("q.qvec", "c.embedding")}, 6) AS cos
+       |FROM q JOIN aug c ON ${cosSqlOf("q.qvec", "c.embedding")} >= 0.99
+       |ORDER BY qid, vec_id""".stripMargin
+
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
@@ -2217,6 +2245,7 @@ object ExtensionQueries {
     "ss10_hybrid_rrf" -> (ss10 _),
     "ss11_ivfpq" -> (ss11 _),
     "ss12_incremental_index" -> (ss12 _),
+    "ss13_radius_join" -> (ss13 _),
     "tx14_bm25" -> (tx14 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
@@ -2271,6 +2300,7 @@ object ExtensionQueries {
     "ss10_hybrid_rrf" -> ss10Sql,
     "ss11_ivfpq" -> ss11Sql,
     "ss12_incremental_index" -> ss12Sql,
+    "ss13_radius_join" -> ss13Sql,
     "tx14_bm25" -> tx14Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,

@@ -185,6 +185,39 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** RADIUS (ε-)join: every `corpus` row within cosine ≥ `threshold`
+    * of each `queries` row — the all-matches dual of [[lshKnnAcross]]'s
+    * top-k, the shape retrieval uses when the caller wants "everything
+    * this similar" (duplicate sweep of a probe set, contamination
+    * lookup) rather than a fixed neighbor count. Queries carry
+    * (qid, qvec); corpus (vec_id, embedding).
+    *
+    * Scale shape: candidates only from shared (band, bits) buckets —
+    * never |Q|×|C| — deduped as NARROW id pairs before either side's
+    * vectors re-join ([[cosineNearDups]]'s lesson); the confirm filters
+    * the RAW cosine so boundary pairs match an exact oracle. Recall is
+    * [[cosineNearDups]]'s banding bound (miss ≈ 0.03 at θ=8°, tighter
+    * at 0.99+) — the threshold regime radius sweeps run at. */
+  def cosineRadiusJoin(queries: DataFrame, corpus: DataFrame,
+                       threshold: Double = 0.99, nBits: Int = 16,
+                       bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val qb = bandedSignatures(
+        queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
+        nBits, bands, seed)
+      .select(col("vec_id").as("qid"), col("band"), col("band_bits"))
+    val cb = bandedSignatures(corpus, nBits, bands, seed)
+      .select(col("vec_id"), col("band"), col("band_bits"))
+    val pairs = qb.join(cb, Seq("band", "band_bits"))
+      .select(col("qid"), col("vec_id")).distinct()
+    pairs
+      .join(queries.select(col("qid"), col("qvec")), "qid")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineFast(col("qvec"), col("embedding")).as("__raw"))
+      .filter(col("__raw") >= threshold)
+      .select(col("qid"), col("vec_id"), round(col("__raw"), 6).as("cos"))
+  }
+
   /** INT8 scalar quantization of an embedding column: per-vector
     * symmetric scale (max|x|/127), q_i = floor(x_i/scale + 0.5) ∈
     * [-127, 127] — the standard 4× memory cut that lets a 100 TB

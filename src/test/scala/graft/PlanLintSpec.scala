@@ -304,6 +304,12 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"argmax must partition by cluster, never one task\n$p")
   }
 
+  test("ss13: radius join candidates come from band-bucket equality, never |Q|*|C|") {
+    val p = plan("ss13_radius_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
