@@ -231,6 +231,25 @@ object StreamingQueries {
       | AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts
       |ORDER BY user_id, purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin
 
+  /** st12 — LEFT SEMI stream-stream join in batch form
+    * ([[EventStreams.purchasesWithClicksSemi]]): purchases with at
+    * least one click in their lookback, one row each — the
+    * existence-gate that closes the watermarked join matrix (inner
+    * st06, left st10, full st11, semi st12). StreamingSpec pins the
+    * streaming execution equal to this. */
+  private def st12(s: SparkSession, d: String): DataFrame =
+    EventStreams.purchasesWithClicksSemi(events(s, d))
+      .orderBy(col("user_id"), col("purchase_id"))
+
+  private val st12Sql =
+    """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |SELECT p.user_id, p.event_id AS purchase_id, p.value AS value
+      |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      |WHERE EXISTS (SELECT 1 FROM ev c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      |    AND c.ts >= p.ts - INTERVAL 10 MINUTES AND c.ts < p.ts)
+      |ORDER BY user_id, purchase_id""".stripMargin
+
   /** st09 — stream-static enrichment ([[EventStreams.enrichWithSegment]]):
     * events decorated with the customer's market segment via an
     * explicitly broadcast static dim (stateless per micro-batch — no
@@ -251,6 +270,7 @@ object StreamingQueries {
       |ORDER BY segment, event_type""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "st12_semi_stream_join" -> (st12 _),
     "st11_full_outer_stream_join" -> (st11 _),
     "st10_outer_stream_join" -> (st10 _),
     "st09_stream_static_join" -> (st09 _),
@@ -264,6 +284,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st12_semi_stream_join" -> st12Sql,
     "st11_full_outer_stream_join" -> st11Sql,
     "st10_outer_stream_join" -> st10Sql,
     "st09_stream_static_join" -> st09Sql,

@@ -150,6 +150,31 @@ object EventStreams {
         col("purchase_id"), col("click_id"), col("value"))
   }
 
+  /** LEFT SEMI stream-stream join: purchases that HAD at least one
+    * click in their 10-minute lookback, emitted once each — the
+    * existence-test form of [[purchasesWithRecentClicks]] (which
+    * multiplies a purchase by its matching clicks). Streaming-wise the
+    * state contract is the inner join's (both sides watermarked, the
+    * range condition bounds buffering) but the output dedups on the
+    * left row, so attribution fan-out never inflates downstream
+    * volume — the gate-on-evidence shape (emit only events that were
+    * preceded by X). Runs identically on a batch frame. */
+  def purchasesWithClicksSemi(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("click_ts") < col("purchase_ts"),
+      "left_semi")
+      .select(col("user_id"), col("purchase_id"), col("value"))
+  }
+
   /** Stream-static enrichment: events joined to a STATIC dimension
     * (customer market segments) — the standard pattern for decorating a
     * stream with slowly-changing reference data. The static side is

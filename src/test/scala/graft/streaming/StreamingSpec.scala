@@ -153,6 +153,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got) === rows(want))
   }
 
+  test("LEFT SEMI stream-stream join equals the batch semi join — one row per gated purchase") {
+    // Plant a SECOND lookback click for an already-attributed purchase,
+    // so the inner join fans out while the semi join still emits one
+    // row — the dedup this join form exists for. Semi joins emit as
+    // matches arrive (no held-back null family), so no watermark
+    // sentinel is needed.
+    import spark.implicits._
+    val dir = tmp().resolve("events_semi_src")
+    Files.createDirectories(dir)
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val attributed = EventStreams.purchasesWithRecentClicks(Tables.events(spark, sf))
+      .select(col("purchase_id")).limit(1).as[Long].head()
+    val (pUser, pTsNs) = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_id") === attributed)
+      .select(col("user_id"), col("ts")).as[(Long, Long)].head()
+    Seq((-1L, pTsNs - 60L * 1000000000L, pUser, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val got = runToMemory(EventStreams.purchasesWithClicksSemi(
+      EventStreams.source(spark, dir.toString)), "t_sssemi", "append")
+    val batchAug = spark.read.parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val want = EventStreams.purchasesWithClicksSemi(batchAug)
+    val inner = EventStreams.purchasesWithRecentClicks(batchAug)
+    assert(inner.count() > want.count(),
+      "fixture must fan out (a purchase with >1 lookback click) or semi == inner")
+    assert(rows(got) === rows(want))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val stream = EventStreams.source(spark, eventsDir)
     val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
