@@ -488,8 +488,78 @@ object ScaleQueries {
       |FROM v2 GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** lk05 — transactional APPEND + OPTIMIZE ([[graft.lake.TxnLake]]):
+    * create a txn table (one file per status), blind-append three
+    * disjoint key slices (each lands new files without reading base —
+    * the O(new data) ingest path), then OPTIMIZE compacts every status
+    * fragmented across >2 files back to one file, as an atomic commit
+    * that changes no rows. Output joins the per-status DATA summary
+    * (over the post-optimize snapshot) with the per-status FILE counts
+    * of the pre- and post-optimize manifests ([[TxnLake.detail]]). The
+    * oracle replays the data relationally and derives both file counts
+    * from first principles — files_before = 1 + #appends containing the
+    * status (stageFiles writes one file per partition value per
+    * commit), files_after folds the >minFiles rule — so a hash match
+    * pins the append fragmentation, the compaction trigger, AND row
+    * preservation in one result. */
+  private def lk05(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk05")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    def slice(m: Int, off: Long) = base.filter(col("o_orderkey") % m === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + off)
+    TxnLake.append(s, dir, slice(3, 30000000L))
+    TxnLake.append(s, dir, slice(5, 40000000L))
+    TxnLake.append(s, dir, slice(7, 50000000L))
+    val st = TxnLake.optimize(s, dir)
+    def fileCounts(v: Long, as: String) =
+      TxnLake.detail(s, dir, v)
+        .groupBy(col("part_value").as("o_orderstatus"))
+        .agg(count(lit(1)).as(as))
+    TxnLake.read(s, dir).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+      .join(fileCounts(st.version - 1, "files_before"), "o_orderstatus")
+      .join(fileCounts(st.version, "files_after"), "o_orderstatus")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk05Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |a1 AS (SELECT o_orderkey + 30000000 AS o_orderkey, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 3 = 0),
+      |a2 AS (SELECT o_orderkey + 40000000 AS o_orderkey, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 5 = 0),
+      |a3 AS (SELECT o_orderkey + 50000000 AS o_orderkey, o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 7 = 0),
+      |allr AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM a1
+      |  UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3),
+      |fb AS (
+      |  SELECT s.o_orderstatus,
+      |    1 + (SELECT count(DISTINCT t.src) FROM (
+      |           SELECT 1 AS src, o_orderstatus FROM a1
+      |           UNION ALL SELECT 2, o_orderstatus FROM a2
+      |           UNION ALL SELECT 3, o_orderstatus FROM a3) t
+      |         WHERE t.o_orderstatus = s.o_orderstatus) AS files_before
+      |  FROM (SELECT DISTINCT o_orderstatus FROM base) s)
+      |SELECT r.o_orderstatus, r.n_rows, r.sum_price,
+      |  CAST(fb.files_before AS BIGINT) AS files_before,
+      |  CAST(CASE WHEN fb.files_before > 2 THEN 1 ELSE fb.files_before END AS BIGINT) AS files_after
+      |FROM (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+      |        CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |      FROM allr GROUP BY 1) r
+      |JOIN fb USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "zq02_zone_map_skip" -> (zq02 _),
+    "lk05_append_optimize" -> (lk05 _),
     "lk04_incremental_mv" -> (lk04 _),
     "lk03_schema_evolution" -> (lk03 _),
     "lk02_incremental_read" -> (lk02 _),
@@ -505,6 +575,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "zq02_zone_map_skip" -> zq02Sql,
+    "lk05_append_optimize" -> lk05Sql,
     "lk04_incremental_mv" -> lk04Sql,
     "lk03_schema_evolution" -> lk03Sql,
     "lk02_incremental_read" -> lk02Sql,

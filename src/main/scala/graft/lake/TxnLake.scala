@@ -160,6 +160,23 @@ object TxnLake {
       .toDF("version", "commit_id", "touched_partitions", "n_files")
   }
 
+  /** File-level layout of a committed version (latest when `version`
+    * is negative): one row per (file, partition value), with the zone
+    * bounds when the table tracks stats — the DESCRIBE-DETAIL surface
+    * that lets planners, tests, and [[optimize]]-scheduling policies
+    * see fragmentation without opening a single data file. */
+  def detail(spark: SparkSession, dir: String, version: Long = -1L): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m =
+      if (version < 0) resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      else readManifest(fs, manifestPath(dir, version))
+    import spark.implicits._
+    m.files.flatMap(f => f.parts.toSeq.map(p =>
+        (f.path, p.getOrElse("NULL"), f.zmin, f.zmax)))
+      .toDF("path", "part_value", "zmin", "zmax")
+  }
+
   /** CDC / INCREMENTAL READ: the net row-level changes between two
     * committed versions, tagged `insert` / `update` / `delete` in a
     * `_change_type` column (update and insert rows carry the NEW image,
@@ -263,6 +280,73 @@ object TxnLake {
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol))
   }
 
+  /** Transactional blind APPEND: stage `rows` as new files and publish —
+    * no base file is read, pruned, or rewritten, so ingest cost is
+    * O(new data) regardless of table size (the path a high-rate feed
+    * takes; [[upsert]]'s read-modify-write is for keyed mutation).
+    * Appends mark their partitions touched, so a concurrent MERGE of
+    * the same partitions aborts under the standard OCC rule (its merged
+    * output predates these rows), while merges of disjoint partitions
+    * and other appends commit freely — two appends never conflict
+    * because neither prunes base files. Repeated small appends fragment
+    * partitions into many files; [[optimize]] is the repair. */
+  def append(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    stageAppend(spark, dir, base, rows).foreach(commitStaged(spark, dir, _))
+  }
+
+  private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
+                                rows: DataFrame): Option[Staged] = {
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val missing = schema.fieldNames.toSet -- rows.columns.toSet
+    require(missing.isEmpty,
+      s"append missing table columns ${missing.mkString(",")}")
+    val target = readFiles(spark, dir, schema, Seq.empty)
+    val aligned = castToTarget(rows, target)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newFiles = stageFiles(spark, dir, aligned, base.partCol,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol)
+    if (newFiles.isEmpty) None
+    else Some(Staged(base.version, base.partCol, base.schemaDdl,
+      newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol))
+  }
+
+  final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
+                                 partitionsCompacted: Int, version: Long)
+
+  /** Transactional small-file compaction (OPTIMIZE): rewrite partitions
+    * fragmented across more than `minFiles` files into ~one file per
+    * partition value, published as an ordinary atomic commit that
+    * changes NO rows. Only fragmented partitions' files are read (plus
+    * any co-resident partition a shared file drags in — rewriting a
+    * file rewrites all its rows); untouched files carry over by
+    * reference. Under OCC a concurrent writer to a compacted partition
+    * aborts exactly like any conflicting merge — data is never lost,
+    * only the compaction retried — and readers of older versions keep
+    * resolving the pre-compaction files until [[vacuum]] drops them.
+    * This is [[Compaction]]'s job re-expressed as a lake commit: no
+    * directory swap, no reader ever sees a half-rewritten table. */
+  def optimize(spark: SparkSession, dir: String, minFiles: Int = 2): OptimizeStats = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val fileCount = base.files.flatMap(f => f.parts.map(_ -> f.path))
+      .groupBy(_._1).view.mapValues(_.size)
+    val fragmented = fileCount.filter(_._2 > minFiles).keys.toSet
+    if (fragmented.isEmpty)
+      return OptimizeStats(base.files.size, base.files.size, 0, base.version)
+    val pruned = base.files.filter(_.parts.exists(fragmented.contains))
+    val touched = pruned.flatMap(_.parts).toSet
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val rewritten = readFiles(spark, dir, schema, pruned.map(_.path))
+    val newFiles = stageFiles(spark, dir, rewritten, base.partCol, touched.size,
+      base.statsCol)
+    commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
+      touched, pruned.map(_.path).toSet, newFiles, base.statsCol))
+    val head = resolve(fsOf(spark, dir), dir).get
+    OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
+  }
+
   /** Transactional partition-pruned upsert: rows of `updates` replace
     * target rows with the same `key`, unmatched rows insert; only files
     * holding touched partitions are read and rewritten. The partition
@@ -345,7 +429,10 @@ object TxnLake {
       require(attempts <= 20, s"txn commit retry budget exhausted at $dir")
       val head = resolve(fs, dir)
         .getOrElse(throw new IllegalStateException(s"txn log vanished under $dir"))
-      if (head.version > staged.baseVersion) {
+      // a blind append (nothing pruned) rebases over ANY intervening
+      // commit: it invalidates no reader and read no base state that
+      // could be stale — only read-modify-write commits can conflict
+      if (head.version > staged.baseVersion && staged.prunedPaths.nonEmpty) {
         val othersTouched = (staged.baseVersion + 1 to head.version)
           .flatMap(v => readManifest(fs, manifestPath(dir, v)).touched).toSet
         val overlap = othersTouched.intersect(staged.touched)

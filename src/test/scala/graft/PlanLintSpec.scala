@@ -310,6 +310,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("lk05: post-optimize summary aggregates with map-side combine, no cartesian") {
+    val p = plan("lk05_append_optimize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"snapshot summary needs map-side combine\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

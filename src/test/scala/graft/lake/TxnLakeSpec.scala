@@ -331,4 +331,50 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.readVersion(spark, dir, 1L).count() === 4L)
     assert(TxnLake.history(spark, dir).collect().map(_.getAs[Long]("version")).toSeq === Seq(1L))
   }
+
+  test("append lands rows without rewriting any base file; optimize compacts and changes no row") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val filesV0 = TxnLake.detail(spark, dir, 0L).select("path").collect().map(_.getString(0)).toSet
+    TxnLake.append(spark, dir, Seq((10L, "x", "p1")).toDF("id", "name", "part"))
+    TxnLake.append(spark, dir, Seq((11L, "y", "p1")).toDF("id", "name", "part"))
+    val d1 = TxnLake.detail(spark, dir)
+    assert(filesV0.subsetOf(d1.select("path").collect().map(_.getString(0)).toSet),
+      "append must carry every base file over by reference")
+    assert(d1.filter(col("part_value") === "p1").count() === 3L,
+      "two appends + create must leave p1 fragmented across 3 files")
+    val before = rows(dir)
+    val st = TxnLake.optimize(spark, dir)
+    assert(st.partitionsCompacted === 1 && st.filesAfter < st.filesBefore)
+    assert(TxnLake.detail(spark, dir).filter(col("part_value") === "p1").count() === 1L)
+    assert(rows(dir) === before, "optimize must be a pure layout change")
+    // pre-optimize version still resolves its fragmented layout (time travel)
+    assert(TxnLake.detail(spark, dir, st.version - 1)
+      .filter(col("part_value") === "p1").count() === 3L)
+    assert(TxnLake.readVersion(spark, dir, st.version - 1).count() === before.size.toLong)
+  }
+
+  test("optimize on a compact table is a no-op commit-wise") {
+    val dir = freshTxnTable()
+    val v = TxnLake.resolve(spark, dir).get.version
+    val st = TxnLake.optimize(spark, dir)
+    assert(st.partitionsCompacted === 0 && st.version === v,
+      "nothing fragmented -> no commit published")
+  }
+
+  test("a blind append rebases over ANY intervening commit, even of the same partition") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    val base = TxnLake.resolve(spark, dir).get
+    // stage an append against version 0, then let a SAME-partition merge
+    // commit first — the append must rebase (it invalidates no reader
+    // and read no base state), where a staged MERGE would abort
+    val staged = TxnLake.stageAppend(spark, dir, base,
+      Seq((12L, "z", "p1")).toDF("id", "name", "part")).get
+    TxnLake.upsert(spark, dir, Seq((1L, "a9", "p1")).toDF("id", "name", "part"), "id")
+    TxnLake.commitStaged(spark, dir, staged)
+    assert(rows(dir).contains((1L, "a9", "p1")) && rows(dir).contains((12L, "z", "p1")),
+      "merge and append must both land")
+    assert(TxnLake.resolve(spark, dir).get.version === base.version + 2)
+  }
 }
