@@ -367,6 +367,33 @@ object ExtensionQueries {
        |ORDER BY split""".stripMargin
   }
 
+  /** sp07 — systematic PPS sampling ([[Sampling.ppsSample]]): ~10 docs
+    * per language with inclusion probability ∝ n_chars — the weighted
+    * draw a mixture builder uses when long documents should anchor the
+    * sample. The oracle replays the whole scheme — portable
+    * hash-shuffled order, integer cumsum, ⌊cum·k/W⌋ point-crossing — as
+    * one window cumsum (associativity makes Spark's bucket-decomposed
+    * cumsum equal it exactly), so membership is pinned bit-for-bit. */
+  private def sp07(s: SparkSession, d: String): DataFrame =
+    Sampling.ppsSample(
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", k = 10)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val sp07Sql =
+    s"""WITH $spBucketCte,
+       |o AS (SELECT d.doc_id, d.lang, d.n_chars, b.bucket
+       |  FROM documents d JOIN b USING (doc_id, lang)),
+       |c AS (SELECT doc_id, lang, n_chars,
+       |    sum(n_chars) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    sum(n_chars) OVER (PARTITION BY lang) AS tot
+       |  FROM o)
+       |SELECT lang, doc_id, n_chars FROM c
+       |WHERE (cum * 10) // tot > ((cum - n_chars) * 10) // tot
+       |ORDER BY lang, doc_id""".stripMargin
+
   /** tx10 — inverted-index postings build: per term, document frequency,
     * total posting count, and the first 20 `(doc_id:pos)` postings in
     * global (doc_id, pos) order — the retrieval-layer structure a corpus
@@ -2223,6 +2250,7 @@ object ExtensionQueries {
     "sp04_token_budget" -> (sp04 _),
     "sp05_temperature_mix" -> (sp05 _),
     "sp06_leakage_safe_split" -> (sp06 _),
+    "sp07_pps_sample" -> (sp07 _),
     "dc01_decontaminate" -> (dc01 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
@@ -2281,6 +2309,7 @@ object ExtensionQueries {
     "sp04_token_budget" -> sp04Sql,
     "sp05_temperature_mix" -> sp05Sql,
     "sp06_leakage_safe_split" -> sp06Sql,
+    "sp07_pps_sample" -> sp07Sql,
     "dc01_decontaminate" -> dc01Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,

@@ -67,6 +67,57 @@ object Sampling {
     df.filter(bucketOf(col(idCol)) < cut)
   }
 
+  /** Systematic PPS sampling (probability proportional to size, Madow's
+    * systematic scheme): select ~`k` rows per stratum with inclusion
+    * probability ∝ `weightCol`. Rows are laid on a weight line in the
+    * deterministic hash-shuffled order ([[bucketOf]], ties by id); a row
+    * is selected when its interval (cum−w, cum] contains a sampling
+    * point t·W/k (t = 1..k) — evaluated as
+    * `⌊cum·k/W⌋ > ⌊(cum−w)·k/W⌋` in pure BIGINT arithmetic, so a DuckDB
+    * oracle replays the selection bit-for-bit (exact while W·k < 2^63 —
+    * a 9·10^17-unit stratum at k=10, far past 100 TB of characters).
+    * Exactly k rows per stratum when no single weight exceeds W/k; an
+    * over-heavy row absorbs its extra points into one selection (the
+    * standard PPS edge). Weights must be ≥ 0; zero-weight rows are
+    * never selected.
+    *
+    * Scale shape — same discipline as [[tokenBudgetSample]], NOT one
+    * cumsum window per stratum (that would stream each stratum through
+    * a single task): (1) a partial-agg weight histogram per (stratum,
+    * bucket) — ≤ |strata|·[[Buckets]] rows regardless of corpus size,
+    * (2) bucket offsets + stratum totals from windows over that tiny
+    * frame, (3) offsets join back and each row's global cumsum is
+    * offset + a LOCAL window partitioned by (stratum, bucket) — 10000
+    * bounded partitions per stratum instead of one unbounded one.
+    * Integer addition is associative, so the decomposed cumsum equals
+    * the straight-line one exactly. */
+  def ppsSample(df: DataFrame, idCol: String, stratumCol: String,
+                weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    val wcol = col(weightCol).cast("long")
+    val withB = df.withColumn("__pps_b", bucketOf(col(idCol)))
+    val hist = withB.groupBy(col(stratumCol).as("__pps_s"), col("__pps_b").as("__pps_hb"))
+      .agg(sum(wcol).as("__pps_bw"))
+    val wOrd = Window.partitionBy(col("__pps_s")).orderBy(col("__pps_hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = hist
+      .withColumn("__pps_off", sum(col("__pps_bw")).over(wOrd) - col("__pps_bw"))
+      .withColumn("__pps_tot",
+        sum(col("__pps_bw")).over(Window.partitionBy(col("__pps_s"))))
+      .select(col("__pps_s"), col("__pps_hb"), col("__pps_off"), col("__pps_tot"))
+    val wLoc = Window.partitionBy(col(stratumCol), col("__pps_b"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(offs, col(stratumCol) <=> col("__pps_s") && col("__pps_b") === col("__pps_hb"))
+      .withColumn("__pps_cum", col("__pps_off") + sum(wcol).over(wLoc))
+      .withColumn("__pps_lo", col("__pps_cum") - wcol)
+      .filter(expr(s"__pps_cum * ${k}L DIV __pps_tot") >
+        expr(s"__pps_lo * ${k}L DIV __pps_tot"))
+      .drop("__pps_b", "__pps_s", "__pps_hb", "__pps_off", "__pps_tot",
+        "__pps_cum", "__pps_lo")
+  }
+
   /** Token-budget mixture sampling ("data mixing"): per stratum (e.g.
     * source domain), keep a deterministic pseudo-random subset of rows
     * whose token count approximately meets that stratum's budget — the

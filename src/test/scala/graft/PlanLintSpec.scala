@@ -317,6 +317,15 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"snapshot summary needs map-side combine\n$p")
   }
 
+  test("sp07: PPS cumsum windows are keyed (histogram + local), never one global task") {
+    val p = plan("sp07_pps_sample")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned window detected — stratum stream through one task\n$p")
+    assert(p.contains("partial_sum"),
+      s"bucket histogram needs map-side combine\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -154,4 +154,33 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
     assert(cuts("big") > 0L, "dominant stratum must not be dropped")
     assert(cuts("small") === 10000L, "tiny stratum is fully kept under sqrt weighting")
   }
+
+  test("ppsSample selects exactly k per stratum when no weight exceeds W/k, never zero-weight rows") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "x" else "y", (i % 7) + 1))
+      .toDF("id", "s", "w")
+      .unionByName(Seq((1000L, "x", 0L), (1001L, "y", 0L)).toDF("id", "s", "w"))
+    val sel = Sampling.ppsSample(df, "id", "s", "w", k = 10)
+    val perStratum = sel.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perStratum === Map("x" -> 10L, "y" -> 10L),
+      s"each stratum must yield exactly k rows, got $perStratum")
+    assert(sel.filter(col("w") === 0).count() === 0L,
+      "zero-weight rows can never contain a sampling point")
+    // deterministic: the same ids every run
+    val again = Sampling.ppsSample(df, "id", "s", "w", k = 10)
+    assert(sel.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("ppsSample inclusion probability tracks weight (heavy rows always in, at most one row absorbed)") {
+    import spark.implicits._
+    // one row carries >W/k weight: it MUST be selected (its interval
+    // spans at least one point) and the total can dip below k only by
+    // points pooled into that row
+    val df = ((1L to 50L).map(i => (i, "s", 1L)) :+ (99L, "s", 1000L)).toDF("id", "s", "w")
+    val sel = Sampling.ppsSample(df, "id", "s", "w", k = 5).collect()
+    assert(sel.exists(_.getLong(0) == 99L), "a >W/k row is always selected")
+    assert(sel.length <= 5 && sel.length >= 1)
+  }
 }
