@@ -152,15 +152,60 @@ object GraphQueries {
       |FROM (SELECT DISTINCT c_custkey % 120 AS node FROM customer)
       |ORDER BY node""".stripMargin
 
+  private val LpaRounds = 3
+
+  /** pr05 — label-propagation communities
+    * ([[graft.operators.Communities.labelPropagation]], synchronous
+    * weighted LPA): 3 votes over the modular customer graph
+    * `{c mod 41, (13c+7) mod 37}` (parallel rows = weights, coprime
+    * moduli so both endpoints vary independently). The vote is an
+    * all-integer argmax (heaviest neighbor label, ties → smaller id),
+    * so the oracle unrolls the SAME three rounds — window-max +
+    * min-label filter replaying the struct-argmax — and must match
+    * bit-for-bit. Semantically distinct from pr04's components: LPA
+    * keeps thinly-bridged dense regions apart (CommunitiesSpec pins
+    * the barbell case). */
+  private def pr05(s: SparkSession, d: String): DataFrame = {
+    val edges = customer(s, d).select(
+      (col("c_custkey") % 41).as("u"),
+      ((col("c_custkey") * 13 + 7) % 37).as("v"))
+    graft.operators.Communities.labelPropagation(edges, LpaRounds)
+      .orderBy(col("node"))
+  }
+
+  private val pr05Sql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""v$i AS (SELECT a.node, lb.label, CAST(sum(a.cnt) AS BIGINT) AS wt
+         |  FROM adj a JOIN $prev lb ON lb.node = a.nbr
+         |  GROUP BY a.node, lb.label),
+         |l$i AS (SELECT node, min(label) AS label FROM (
+         |    SELECT node, label, wt, max(wt) OVER (PARTITION BY node) AS mx
+         |    FROM v$i) WHERE wt = mx GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT c_custkey % 41 AS u, (c_custkey*13 + 7) % 37 AS v
+       |  FROM customer),
+       |ef AS (SELECT u, v FROM e WHERE u <> v),
+       |bi AS (SELECT u AS node, v AS nbr FROM ef
+       |       UNION ALL SELECT v, u FROM ef),
+       |adj AS (SELECT node, nbr, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bi GROUP BY 1, 2),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+       |$rounds
+       |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "pr01_pagerank" -> (pr01 _),
     "pr02_triangles" -> (pr02 _),
     "pr03_personalized_pagerank" -> (pr03 _),
-    "pr04_connected_components" -> (pr04 _))
+    "pr04_connected_components" -> (pr04 _),
+    "pr05_label_propagation" -> (pr05 _))
 
   val oracle: Map[String, String] = Map(
     "pr01_pagerank" -> pr01Sql,
     "pr02_triangles" -> pr02Sql,
     "pr03_personalized_pagerank" -> pr03Sql,
-    "pr04_connected_components" -> pr04Sql)
+    "pr04_connected_components" -> pr04Sql,
+    "pr05_label_propagation" -> pr05Sql)
 }

@@ -326,6 +326,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"bucket histogram needs map-side combine\n$p")
   }
 
+  test("pr05: LPA rounds are keyed joins + partial-agg votes, no cartesian") {
+    val p = plan("pr05_label_propagation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"vote aggregation needs map-side combine\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
