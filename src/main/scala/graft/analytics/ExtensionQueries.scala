@@ -1629,6 +1629,62 @@ object ExtensionQueries {
        |FROM q JOIN aug c ON ${cosSqlOf("q.qvec", "c.embedding")} >= 0.99
        |ORDER BY qid, vec_id""".stripMargin
 
+  /** ss14 — HARD-NEGATIVE mining ([[Similarity.hardNegatives]]):
+    * top-3 most-similar DIFFERENT-label vectors for every vector — the
+    * contrastive-training negatives op, i.e. filtered ANN with the
+    * label predicate pushed into the narrow candidate stage. Oracle:
+    * ss05's exact LSH replay (interpolated planes, integer banding,
+    * exact rescoring) plus the same label-inequality filter, so both
+    * the candidates AND the filtered ranking are pinned per vector. */
+  private def ss14(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(embeddings(s, d), k = 3)
+      .orderBy(col("vec_id"), col("rank"))
+
+  private val ss14Sql: String = {
+    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+      .zipWithIndex.map { case (pl, p) =>
+        s"($p, [${pl.take(64).mkString(", ")}])"
+      }.mkString(",\n  ")
+    s"""WITH planes(p, pl) AS (VALUES
+       |  $planeRows),
+       |dots AS (SELECT e.vec_id, pls.p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
+       |  FROM embeddings e CROSS JOIN planes pls),
+       |sigs AS (SELECT vec_id,
+       |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+       |        ELSE CAST(0 AS BIGINT) END) AS sig
+       |  FROM dots GROUP BY vec_id),
+       |bands AS (SELECT vec_id,
+       |    unnest(list_transform(range(0, 4), b -> {'band': b,
+       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |  FROM sigs),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
+       |  FROM bands x JOIN bands y
+       |    ON x.u.band = y.u.band AND x.u.bits = y.u.bits
+       |  JOIN lab lx ON lx.vec_id = x.vec_id
+       |  JOIN lab ly ON ly.vec_id = y.vec_id
+       |  WHERE lx.label <> ly.label),
+       |scored AS (SELECT c.vec_id, la.label, c.nbr_id, lb.label AS nbr_label,
+       |    round(
+       |      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |               s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.vec_id
+       |  JOIN embeddings b ON b.vec_id = c.nbr_id
+       |  JOIN lab la ON la.vec_id = c.vec_id
+       |  JOIN lab lb ON lb.vec_id = c.nbr_id),
+       |r AS (SELECT vec_id, label, nbr_id, nbr_label, cos,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, nbr_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT vec_id, label, rank, nbr_id, nbr_label, cos FROM r WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
@@ -2274,6 +2330,7 @@ object ExtensionQueries {
     "ss11_ivfpq" -> (ss11 _),
     "ss12_incremental_index" -> (ss12 _),
     "ss13_radius_join" -> (ss13 _),
+    "ss14_hard_negatives" -> (ss14 _),
     "tx14_bm25" -> (tx14 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
@@ -2330,6 +2387,7 @@ object ExtensionQueries {
     "ss11_ivfpq" -> ss11Sql,
     "ss12_incremental_index" -> ss12Sql,
     "ss13_radius_join" -> ss13Sql,
+    "ss14_hard_negatives" -> ss14Sql,
     "tx14_bm25" -> tx14Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,

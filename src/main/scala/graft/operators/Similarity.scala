@@ -218,6 +218,43 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("__raw"), 6).as("cos"))
   }
 
+  /** HARD-NEGATIVE MINING: for every vector, the top-k most similar
+    * vectors carrying a DIFFERENT label — the contrastive-training
+    * primitive (negatives that are hard precisely because they are
+    * near the anchor). This is filtered ANN with the predicate pushed
+    * INTO candidate generation: the label-inequality filter runs on
+    * the NARROW (band, bits) collision pairs, before either side's
+    * embedding re-joins — post-filtering a plain kNN would instead
+    * waste the whole candidate budget on same-label neighbors and
+    * return fewer than k negatives. Same banded-hyperplane recall
+    * trade as [[lshKnnJoin]], pinned by the exact-replay oracle
+    * (ss14). Corpus carries (vec_id, embedding, label). */
+  def hardNegatives(corpus: DataFrame, k: Int, nBits: Int = 16,
+                    bands: Int = 4, seed: Long = 42L): DataFrame = {
+    val banded = bandedSignatures(corpus, nBits, bands, seed)
+      .join(corpus.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("band"), col("band_bits"))
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.label") =!= col("y.label"))
+      .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
+        col("y.vec_id").as("nbr_id"), col("y.label").as("nbr_label"))
+      .dropDuplicates("vec_id", "nbr_id")
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val scored = pairs
+      .join(emb.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
+      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb")), "nbr_id")
+      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
+        round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("label"), col("rank"), col("nbr_id"),
+        col("nbr_label"), col("cos"))
+  }
+
   /** INT8 scalar quantization of an embedding column: per-vector
     * symmetric scale (max|x|/127), q_i = floor(x_i/scale + 0.5) ∈
     * [-127, 127] — the standard 4× memory cut that lets a 100 TB

@@ -333,6 +333,12 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"vote aggregation needs map-side combine\n$p")
   }
 
+  test("ss14: label filter runs on narrow candidate pairs before embeddings re-join") {
+    val p = plan("ss14_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
