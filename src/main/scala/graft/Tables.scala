@@ -16,17 +16,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 cannot read as a
-    * timestamp; with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * Verify/Bench/test sessions) it arrives as LongType nanos and is
-    * floor-truncated here to a µs TimestampType — exactly matching the
-    * DuckDB oracle's `CAST(ts AS TIMESTAMP)` truncation of TIMESTAMP_NS,
-    * so both engines compare identical µs instants. */
-  private def eventsNormalized(df: DataFrame): DataFrame =
+  /** events.ts arrives in whatever parquet type the generator used that
+    * round and is normalized to a µs TimestampType here:
+    *  - TIMESTAMP(NANOS): Spark 4 cannot read it as a timestamp; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/
+    *    Bench/test sessions) it arrives as LongType nanos and is
+    *    floor-truncated — exactly matching the DuckDB oracle's
+    *    `CAST(ts AS TIMESTAMP)` truncation of TIMESTAMP_NS;
+    *  - TIMESTAMP(MICROS) without timezone: Spark 4 infers
+    *    TimestampNTZType, which time functions like `unix_micros` and
+    *    streaming watermarks reject; cast to TimestampType (sessions
+    *    pin UTC, so the wall-clock reading IS the instant — the same
+    *    reading DuckDB's naive TIMESTAMP uses). */
+  private[graft] def eventsNormalized(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
 

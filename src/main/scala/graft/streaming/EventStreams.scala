@@ -20,21 +20,17 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet schema of the events table as read with
-    * spark.sql.legacy.parquet.nanosAsLong=true (ts arrives as ns longs). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over an events parquet directory; ts normalized
-    * ns→µs exactly like Tables.events. */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Streaming source over an events parquet directory. `readStream`
+    * needs an explicit schema; it is probed from the directory's parquet
+    * footers (a driver-side metadata read), so the source tracks
+    * whatever ts type the generator used that round — ns longs under
+    * `nanosAsLong`, µs NTZ, or a plain timestamp — and `ts` is then
+    * normalized to a µs TimestampType exactly like `Tables.events`. */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    val footerSchema = spark.read.parquet(dir).schema
+    graft.Tables.eventsNormalized(
+      spark.readStream.schema(footerSchema).parquet(dir))
+  }
 
   /** Tumbling 5-minute counts per event type, 10-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

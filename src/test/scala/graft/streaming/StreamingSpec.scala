@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.mkString("|")).toSet
 
+  /** Append sentinel events to a staged events dir, writing `ts` in the
+    * SAME parquet type the source file uses (ns longs under
+    * `nanosAsLong`, µs TIMESTAMP_NTZ, or an instant timestamp) so the
+    * directory stays schema-homogeneous whatever the generator emitted
+    * this round. Rows are (event_id, user_id, event_type, tsMicros). */
+  private def appendSentinels(dir: String,
+                              sentinels: Seq[(Long, Long, String, Long)]): Unit = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import spark.implicits._
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val base = sentinels.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val withTs = tsType match {
+      case LongType => base.withColumn("ts", col("us") * 1000L)
+      case TimestampNTZType =>
+        base.withColumn("ts", expr("timestamp_micros(us)").cast("timestamp_ntz"))
+      case _ => base.withColumn("ts", expr("timestamp_micros(us)"))
+    }
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+  }
+
+  /** Largest event timestamp of the staged fixture, in µs. */
+  private def maxMicros(): Long = {
+    import spark.implicits._
+    Tables.events(spark, sf).agg(max(unix_micros(col("ts")))).as[Long].head()
+  }
+
   test("ingest stream: arriving raw files are massaged exactly once, with lineage") {
     val dir = tmp()
     val raw = dir.resolve("raw"); Files.createDirectories(raw)
@@ -109,13 +137,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     Files.createDirectories(dir)
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val maxNs = spark.read.parquet(s"$sf/events.parquet")
-      .agg(max(col("ts"))).as[Long].head()
-    val farNs = maxNs + 3600L * 1000000000L
-    Seq((-1L, farNs, -1L, "click", 0.0, "{}"),
-        (-2L, farNs, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val farUs = maxMicros() + 3600L * 1000000L
+    appendSentinels(dir.toString,
+      Seq((-1L, -1L, "click", farUs), (-2L, -1L, "purchase", farUs)))
     val got = runToMemory(EventStreams.purchasesWithClicksOuter(
       EventStreams.source(spark, dir.toString)), "t_ssouter", "append")
     val want = EventStreams.purchasesWithClicksOuter(Tables.events(spark, sf))
@@ -136,13 +160,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     Files.createDirectories(dir)
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val maxNs = spark.read.parquet(s"$sf/events.parquet")
-      .agg(max(col("ts"))).as[Long].head()
-    val farNs = maxNs + 3600L * 1000000000L
-    Seq((-1L, farNs, -1L, "click", 0.0, "{}"),
-        (-2L, farNs, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("append").parquet(dir.toString)
+    val farUs = maxMicros() + 3600L * 1000000L
+    appendSentinels(dir.toString,
+      Seq((-1L, -1L, "click", farUs), (-2L, -1L, "purchase", farUs)))
     val got = runToMemory(EventStreams.purchasesWithClicksFullOuter(
       EventStreams.source(spark, dir.toString)), "t_ssfull", "append")
     val want = EventStreams.purchasesWithClicksFullOuter(Tables.events(spark, sf))
@@ -166,16 +186,14 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       dir.resolve("events.parquet"))
     val attributed = EventStreams.purchasesWithRecentClicks(Tables.events(spark, sf))
       .select(col("purchase_id")).limit(1).as[Long].head()
-    val (pUser, pTsNs) = spark.read.parquet(s"$sf/events.parquet")
+    val (pUser, pTsUs) = Tables.events(spark, sf)
       .filter(col("event_id") === attributed)
-      .select(col("user_id"), col("ts")).as[(Long, Long)].head()
-    Seq((-1L, pTsNs - 60L * 1000000000L, pUser, "click", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("append").parquet(dir.toString)
+      .select(col("user_id"), unix_micros(col("ts"))).as[(Long, Long)].head()
+    appendSentinels(dir.toString,
+      Seq((-1L, pUser, "click", pTsUs - 60L * 1000000L)))
     val got = runToMemory(EventStreams.purchasesWithClicksSemi(
       EventStreams.source(spark, dir.toString)), "t_sssemi", "append")
-    val batchAug = spark.read.parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchAug = Tables.eventsNormalized(spark.read.parquet(dir.toString))
     val want = EventStreams.purchasesWithClicksSemi(batchAug)
     val inner = EventStreams.purchasesWithRecentClicks(batchAug)
     assert(inner.count() > want.count(),
