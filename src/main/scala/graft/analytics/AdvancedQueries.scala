@@ -242,6 +242,72 @@ object AdvancedQueries {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** q62 — statistical aggregates (corr / covar_samp / stddev_samp /
+    * linear-regression slope+intercept / median) per return flag. The
+    * co-moments are accumulated as EXACT decimal sums (2-dp money
+    * values are exact in DECIMAL; sums and products stay exact), and
+    * the closed-form statistics are then one identical double-precision
+    * expression per engine — so unlike a streaming Welford/co-moment
+    * implementation, whose low bits depend on merge order, both engines
+    * compute bit-identical statistics from bit-identical aggregates.
+    * Scale shape: one hash aggregate with full map-side partials; the
+    * final formulas are literal column math on the 6 aggregate values.
+    * StatsAggSpec pins this decimal path against Spark's built-in
+    * `corr`/`covar_samp`/`regr_slope` within float tolerance. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    val dx = col("l_quantity").cast("decimal(12,2)")
+    val dy = col("l_extendedprice").cast("decimal(12,2)")
+    val agg = lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(dx).as("sx"), sum(dy).as("sy"),
+        sum(dx * dx).as("sxx"), sum(dy * dy).as("syy"),
+        sum(dx * dy).as("sxy"),
+        median(col("l_quantity")).as("med"))
+    val n = col("n_rows").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    agg.select(col("l_returnflag"), col("n_rows"),
+        stableRound6((n * sxy - sx * sy) /
+          sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"),
+        stableRound6((sxy - sx * sy / n) / (n - lit(1.0))).as("covar_qty_price"),
+        stableRound6(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+          .as("stddev_qty"),
+        stableRound6(slope).as("regr_slope"),
+        stableRound6((sy - slope * sx) / n).as("regr_intercept"),
+        stableRound6(col("med")).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q62Sql =
+    """WITH agg AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS dsx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS dsy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS dsxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS dsyy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS dsxy,
+      |    quantile_cont(l_quantity, 0.5) AS med
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n_rows, CAST(n_rows AS DOUBLE) AS n, med,
+      |    CAST(dsx AS DOUBLE) AS sx, CAST(dsy AS DOUBLE) AS sy,
+      |    CAST(dsxx AS DOUBLE) AS sxx, CAST(dsyy AS DOUBLE) AS syy,
+      |    CAST(dsxy AS DOUBLE) AS sxy
+      |  FROM agg)
+      |SELECT l_returnflag, n_rows,
+      |  floor((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+      |    * 1000000.0 + 0.5)/1000000.0 AS corr_qty_price,
+      |  floor((sxy - sx*sy/n) / (n - 1.0) * 1000000.0 + 0.5)/1000000.0 AS covar_qty_price,
+      |  floor(sqrt((n*sxx - sx*sx) / (n * (n - 1.0))) * 1000000.0 + 0.5)/1000000.0 AS stddev_qty,
+      |  floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1000000.0 + 0.5)/1000000.0 AS regr_slope,
+      |  floor((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+      |    * 1000000.0 + 0.5)/1000000.0 AS regr_intercept,
+      |  floor(med * 1000000.0 + 0.5)/1000000.0 AS median_qty
+      |FROM d
+      |ORDER BY l_returnflag""".stripMargin
+
   /** q61 — time-interval RANGE window frames, through the SQL surface
     * (the frame spec only exists in SQL syntax): each event's trailing
     * 10-minute per-user activity (count + decimal value sum — decimal
@@ -378,6 +444,7 @@ object AdvancedQueries {
   val defs: Map[String, Q] = Map(
     "q60_kmv_distinct" -> (q60 _),
     "q61_interval_range_frame" -> (q61 _),
+    "q62_stats_agg" -> (q62 _),
     "q59_unpivot" -> (q59 _),
     "q58_recursive_cte" -> (q58 _),
     "q55_sql_lateral" -> (q55 _),
@@ -394,6 +461,7 @@ object AdvancedQueries {
   val oracle: Map[String, String] = Map(
     "q60_kmv_distinct" -> q60Sql,
     "q61_interval_range_frame" -> q61Sql,
+    "q62_stats_agg" -> q62Sql,
     "q59_unpivot" -> q59Sql,
     "q58_recursive_cte" -> q58Sql,
     "q55_sql_lateral" -> q55Sql,

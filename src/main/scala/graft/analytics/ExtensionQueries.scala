@@ -394,6 +394,52 @@ object ExtensionQueries {
        |WHERE (cum * 10) // tot > ((cum - n_chars) * 10) // tot
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** sp08 — deterministic epoch shuffle ([[Sampling.epochShuffled]]):
+    * the first 20 documents of the training order for epochs 0..2.
+    * Each epoch is a DIFFERENT full permutation of the corpus, yet a
+    * pure function of (doc_id, epoch) — resumable dataloading with
+    * cross-engine replayable order, vs. `orderBy(rand(seed))` whose
+    * results shift with partition layout. The `limit` collapses the
+    * global sort into a distributed TakeOrdered per epoch (no full
+    * sort materializes); the oracle replays the seeded quadratic mix
+    * per epoch and ranks with one window. */
+  private def sp08(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val epochs = (0 to 2).map { e =>
+      Sampling.epochShuffled(
+          documents(s, d).select(col("doc_id")), "doc_id", e)
+        .limit(20)
+        .withColumn("epoch", lit(e))
+        .withColumn("pos", row_number().over(Window.partitionBy(lit(e))
+          .orderBy(Sampling.epochOrderKey(col("doc_id"), e), col("doc_id"))))
+    }
+    epochs.reduce(_ unionByName _)
+      .select(col("epoch"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  private val sp08Sql: String = {
+    val P = 1000000007L
+    val epochCtes = (0 to 2).map { e =>
+      val (a, b, c) = graft.operators.Dedup.seedConsts(2001 + e)
+      s"""e$e AS (SELECT $e AS epoch,
+         |    CAST(row_number() OVER (ORDER BY (($a*((h*h) % $P) + $b*h + $c) % $P), doc_id)
+         |      AS INTEGER) AS pos, doc_id
+         |  FROM hsh
+         |  ORDER BY (($a*((h*h) % $P) + $b*h + $c) % $P), doc_id LIMIT 20)"""
+    }.mkString(",\n")
+    s"""WITH hsh AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+       |        i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i]) AS BIGINT))),
+       |      (a, c) -> (a*31 + c) % $P) AS h
+       |  FROM documents),
+       |$epochCtes
+       |SELECT epoch, pos, doc_id FROM (
+       |  SELECT * FROM e0 UNION ALL SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+       |ORDER BY epoch, pos""".stripMargin
+  }
+
   /** tx10 — inverted-index postings build: per term, document frequency,
     * total posting count, and the first 20 `(doc_id:pos)` postings in
     * global (doc_id, pos) order — the retrieval-layer structure a corpus
@@ -1936,6 +1982,85 @@ object ExtensionQueries {
        |ORDER BY bm25 DESC, doc_id
        |LIMIT 10""".stripMargin
 
+  /** tx15 — lexical diversity: type-token ratio and hapax fraction per
+    * document — the vocabulary-richness quality signals (a TTR near 0
+    * flags machine-generated or boilerplate text; a hapax fraction near
+    * 1 flags noise/garbage) that complement tx09's repetition signals.
+    * Shape: one token explode + two hash-aggs, all partial-aggregable;
+    * the ratios are row-local double math at the end. */
+  private def tx15(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        stableRound6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        stableRound6(col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+      .orderBy(col("doc_id"))
+
+  private val tx15Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_types,
+      |  floor(count(*)/CAST(sum(c) AS DOUBLE) * 1000000.0 + 0.5)/1000000.0 AS ttr,
+      |  floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)/CAST(count(*) AS DOUBLE)
+      |    * 1000000.0 + 0.5)/1000000.0 AS hapax_frac
+      |FROM cnt GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** tx16 — PMI collocations (Church & Hanks 1990): corpus-level
+    * pointwise mutual information `ln(c_ab · N / (c_a · c_b))` over
+    * bigrams with support ≥ 5, N = total token instances — the
+    * collocation miner feeding tokenizer-merge candidates and phrase
+    * vocabularies. Scale shape: two explode + hash-agg passes (unigrams,
+    * bigrams), the 1-row total broadcast-joined, then the bigram frame
+    * joins the unigram counts twice on the token key — vocabulary-sized
+    * shuffles, never corpus-pairs. Ranked by ROUNDED score so the
+    * cross-engine order is stable, tie-break on the bigram text. */
+  private def tx16(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(TF.tokens(col("text"))).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("n_tok"))
+    val big = documents(s, d)
+      .select(explode(TF.shingles(col("text"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    big
+      .withColumn("lt", split(col("b"), " ").getItem(0))
+      .withColumn("rt", split(col("b"), " ").getItem(1))
+      .join(uni.select(col("t").as("lt"), col("cu").as("ca")), "lt")
+      .join(uni.select(col("t").as("rt"), col("cu").as("cb")), "rt")
+      .join(broadcast(total))
+      .select(col("b").as("bigram"), col("cab"),
+        stableRound6(log((col("cab").cast("double") * col("n_tok")) /
+          (col("ca").cast("double") * col("cb")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val tx16Sql =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n_tok FROM uni),
+      |toks2 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i+1])) AS b FROM toks2),
+      |big AS (SELECT b, CAST(count(*) AS BIGINT) AS cab FROM bg
+      |  GROUP BY b HAVING count(*) >= 5)
+      |SELECT big.b AS bigram, cab,
+      |  floor(ln((CAST(cab AS DOUBLE) * n_tok) /
+      |    (CAST(l.cu AS DOUBLE) * r.cu)) * 1000000.0 + 0.5)/1000000.0 AS pmi
+      |FROM big
+      |JOIN uni l ON l.t = string_split(big.b, ' ')[1]
+      |JOIN uni r ON r.t = string_split(big.b, ' ')[2]
+      |CROSS JOIN tot
+      |ORDER BY pmi DESC, bigram
+      |LIMIT 20""".stripMargin
+
   /** ss10 — HYBRID retrieval via reciprocal-rank fusion
     * ([[Retrieval.rrfFuse]], Cormack et al. 2009): the BM25 top-10
     * (tx14's lexical ranking) fused with the exact-cosine top-10 (ss01's
@@ -2307,6 +2432,7 @@ object ExtensionQueries {
     "sp05_temperature_mix" -> (sp05 _),
     "sp06_leakage_safe_split" -> (sp06 _),
     "sp07_pps_sample" -> (sp07 _),
+    "sp08_epoch_shuffle" -> (sp08 _),
     "dc01_decontaminate" -> (dc01 _),
     "dd01_exact_dedup" -> (dd01 _),
     "dd02_minhash_lsh" -> (dd02 _),
@@ -2332,6 +2458,8 @@ object ExtensionQueries {
     "ss13_radius_join" -> (ss13 _),
     "ss14_hard_negatives" -> (ss14 _),
     "tx14_bm25" -> (tx14 _),
+    "tx15_lexical_diversity" -> (tx15 _),
+    "tx16_pmi_collocations" -> (tx16 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -2367,6 +2495,7 @@ object ExtensionQueries {
     "sp05_temperature_mix" -> sp05Sql,
     "sp06_leakage_safe_split" -> sp06Sql,
     "sp07_pps_sample" -> sp07Sql,
+    "sp08_epoch_shuffle" -> sp08Sql,
     "dc01_decontaminate" -> dc01Sql,
     "dd01_exact_dedup" -> dd01Sql,
     "dd02_minhash_lsh" -> dd02Sql,
@@ -2389,6 +2518,8 @@ object ExtensionQueries {
     "ss13_radius_join" -> ss13Sql,
     "ss14_hard_negatives" -> ss14Sql,
     "tx14_bm25" -> tx14Sql,
+    "tx15_lexical_diversity" -> tx15Sql,
+    "tx16_pmi_collocations" -> tx16Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
     "ss06_mmr_rerank" -> ss06Sql,

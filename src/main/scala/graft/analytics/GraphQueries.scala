@@ -195,17 +195,77 @@ object GraphQueries {
        |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin
   }
 
+  /** pr06 — link prediction by common-neighbor / Jaccard scores: for
+    * every NON-adjacent node pair of the pr02 graph sharing at least
+    * one neighbor, the common-neighbor count and the neighborhood
+    * Jaccard `cn / (deg(u) + deg(v) − cn)` — the classic
+    * recommendation/missing-edge primitive (Liben-Nowell & Kleinberg
+    * 2003). Scale shape: candidate pairs come ONLY from wedge closure
+    * (two equi-joins on the shared-neighbor key — the pr02 discipline,
+    * no all-pairs), adjacency is excluded with an anti-join, and
+    * degrees join in from a per-node aggregate. At power-law scale the
+    * wedge fan-out is bounded the same way pr02's is (degree-ordered
+    * canonical edges); every count is BIGINT so only the final ratio is
+    * a double, rounded before ranking for a cross-engine-stable order. */
+  private def pr06(s: SparkSession, d: String): DataFrame = {
+    val raw = customer(s, d).select((col("c_custkey") % 97).as("a"),
+      ((col("c_custkey") * 11 + 5) % 89).as("b"))
+    val e = raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("u"), col("y.src").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    wedges.join(e, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        graft.analytics.stableRound6(col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val pr06Sql =
+    """WITH r AS (SELECT c_custkey % 97 AS a, (c_custkey*11 + 5) % 89 AS b
+      |  FROM customer),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM r WHERE a <> b),
+      |adj AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+      |  FROM adj GROUP BY src),
+      |wedges AS (SELECT x.src AS u, y.src AS v, CAST(count(*) AS BIGINT) AS cn
+      |  FROM adj x JOIN adj y ON x.dst = y.dst AND x.src < y.src
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT w.u, w.v, w.cn FROM wedges w
+      |  ANTI JOIN e ON e.u = w.u AND e.v = w.v)
+      |SELECT c.u, c.v, c.cn,
+      |  floor(CAST(c.cn AS DOUBLE) / (du.deg + dv.deg - c.cn)
+      |    * 1000000.0 + 0.5)/1000000.0 AS jaccard
+      |FROM cand c
+      |JOIN deg du ON du.node = c.u
+      |JOIN deg dv ON dv.node = c.v
+      |ORDER BY jaccard DESC, c.u, c.v
+      |LIMIT 20""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "pr01_pagerank" -> (pr01 _),
     "pr02_triangles" -> (pr02 _),
     "pr03_personalized_pagerank" -> (pr03 _),
     "pr04_connected_components" -> (pr04 _),
-    "pr05_label_propagation" -> (pr05 _))
+    "pr05_label_propagation" -> (pr05 _),
+    "pr06_link_prediction" -> (pr06 _))
 
   val oracle: Map[String, String] = Map(
     "pr01_pagerank" -> pr01Sql,
     "pr02_triangles" -> pr02Sql,
     "pr03_personalized_pagerank" -> pr03Sql,
     "pr04_connected_components" -> pr04Sql,
-    "pr05_label_propagation" -> pr05Sql)
+    "pr05_label_propagation" -> pr05Sql,
+    "pr06_link_prediction" -> pr06Sql)
 }

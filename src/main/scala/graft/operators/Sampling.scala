@@ -224,6 +224,27 @@ object Sampling {
           lit(10000L)).as("__ts_cut"))
   }
 
+  /** Deterministic per-epoch shuffle key: a portable pseudo-random sort
+    * key that is a pure function of (id, epoch), so ordering by it
+    * gives each training epoch a DIFFERENT but fully reproducible
+    * permutation of the corpus — the dataloader shuffle, minus the
+    * nondeterminism. Seeds 2001+epoch of the shared splitmix-derived
+    * quadratic family (sampling mix holds 2000). */
+  def epochOrderKey(id: Column, epoch: Int): Column = {
+    require(epoch >= 0 && epoch < 999, s"epoch must be in [0,999), got $epoch")
+    val (a, b, c) = Dedup.seedConsts(2001 + epoch)
+    val h = TextFunctions.stringHash(id.cast("string"))
+    pmod(lit(a) * pmod(h * h, lit(P)) + lit(b) * h + lit(c), lit(P))
+  }
+
+  /** The corpus in epoch-`epoch` training order: globally sorted by
+    * [[epochOrderKey]] (ties by id — keys collide at ~n²/P). A global
+    * sort is exactly what Spark's range-partitioned exchange does well
+    * at 100 TB; a downstream `limit(k)` collapses it further into a
+    * distributed TakeOrdered with no full sort at all. */
+  def epochShuffled(df: DataFrame, idCol: String, epoch: Int): DataFrame =
+    df.orderBy(epochOrderKey(col(idCol), epoch), col(idCol))
+
   /** Train/val/test assignment by hash range: val gets the first
     * `valPct` buckets, test the next `testPct`, train the rest. Adds a
     * `split` column; membership is a pure function of the id. */

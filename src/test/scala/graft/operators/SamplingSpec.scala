@@ -173,6 +173,21 @@ class SamplingSpec extends AnyFunSuite with SparkTestSession {
       again.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("epochShuffled: each epoch is a distinct full permutation, reproducible across runs") {
+    val ids = docs.select("doc_id")
+    val e0 = Sampling.epochShuffled(ids, "doc_id", 0).collect().map(_.getLong(0))
+    val e1 = Sampling.epochShuffled(ids, "doc_id", 1).collect().map(_.getLong(0))
+    // permutations: same membership, different order per epoch
+    assert(e0.toSet === e1.toSet, "an epoch must keep the whole corpus")
+    assert(e0.length === ids.count())
+    assert(!(e0 sameElements e1), "distinct epochs must yield distinct orders")
+    // pure function of (id, epoch): bit-identical on rerun
+    val again = Sampling.epochShuffled(ids, "doc_id", 0).collect().map(_.getLong(0))
+    assert(e0 sameElements again, "epoch order must be reproducible")
+    // and not id-sorted (i.e. actually shuffled)
+    assert(!(e0 sameElements e0.sorted), "epoch order must differ from id order")
+  }
+
   test("ppsSample inclusion probability tracks weight (heavy rows always in, at most one row absorbed)") {
     import spark.implicits._
     // one row carries >W/k weight: it MUST be selected (its interval
