@@ -557,7 +557,71 @@ object ScaleQueries {
       |JOIN fb USING (o_orderstatus)
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk06 — VACUUM with retention ([[graft.lake.TxnLake.vacuum]]):
+    * create a txn table, upsert (v1), transactionally delete (v2), then
+    * vacuum down to the live version — old manifests and every data
+    * file they exclusively referenced are deleted (file-level deletion
+    * is pinned in TxnLakeSpec; readVersion on a vacuumed version fails
+    * loudly). The query output joins the post-vacuum LIVE data summary
+    * with the post-vacuum metadata counters (live version count, live
+    * files per partition); the oracle recomputes the v2 state
+    * relationally and derives the counters from the protocol's
+    * invariants (vacuum keeps exactly `keepVersions` manifests; create/
+    * upsert/delete each leave one file per touched partition) — so a
+    * hash match proves vacuum changed METADATA ONLY, never the
+    * snapshot. */
+  private def lk06(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk06")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    TxnLake.upsert(s, dir,
+      base.filter(col("o_orderkey") % 18 === 0)
+        .withColumn("o_price", (col("o_price") * 3).cast("decimal(12,2)")),
+      "o_orderkey")
+    TxnLake.delete(s, dir,
+      base.filter(col("o_orderkey") % 27 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    TxnLake.vacuum(s, dir, keepVersions = 1, graceMs = 0L)
+    val versionsLive = TxnLake.history(s, dir)
+      .agg(count(lit(1)).as("n_versions_live"))
+    val filesLive = TxnLake.detail(s, dir)
+      .groupBy(col("part_value").as("o_orderstatus"))
+      .agg(count(lit(1)).as("n_files"))
+    TxnLake.read(s, dir).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_price")).cast("double").as("sum_price"))
+      .join(filesLive, "o_orderstatus")
+      .join(broadcast(versionsLive))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk06Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+      |  FROM orders WHERE o_orderkey % 9 = 0),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_price * 3 AS DECIMAL(12,2)) AS o_price
+      |  FROM base WHERE o_orderkey % 18 = 0),
+      |v1 AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd),
+      |v2 AS (
+      |  SELECT * FROM v1 WHERE o_orderkey NOT IN
+      |    (SELECT o_orderkey FROM base WHERE o_orderkey % 27 = 0))
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price,
+      |  CAST(1 AS BIGINT) AS n_files,
+      |  CAST(1 AS BIGINT) AS n_versions_live
+      |FROM v2 GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk06_vacuum" -> (lk06 _),
     "zq02_zone_map_skip" -> (zq02 _),
     "lk05_append_optimize" -> (lk05 _),
     "lk04_incremental_mv" -> (lk04 _),
@@ -574,6 +638,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk06_vacuum" -> lk06Sql,
     "zq02_zone_map_skip" -> zq02Sql,
     "lk05_append_optimize" -> lk05Sql,
     "lk04_incremental_mv" -> lk04Sql,

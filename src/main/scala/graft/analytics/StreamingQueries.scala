@@ -269,7 +269,33 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY segment, event_type""".stripMargin
 
+  /** st13 — streaming top-k per window (batch form): top-3 users by
+    * event count in each 10-minute tumbling window, ties by user_id.
+    * The stream computes the watermarked windowed counts
+    * ([[EventStreams.windowUserCounts]]); the rank
+    * ([[EventStreams.topUsersPerWindow]]) applies per finalized window
+    * — StreamingSpec pins stream==batch for the composed pipeline. */
+  private def st13(s: SparkSession, d: String): DataFrame =
+    EventStreams.topUsersPerWindow(
+        EventStreams.windowUserCounts(events(s, d)), 3)
+      .orderBy(col("wstart"), col("rk"))
+
+  private val st13Sql =
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+      |cnt AS (
+      |  SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+      |      '%Y-%m-%d %H:%M:%S') AS wstart,
+      |    user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT wstart, CAST(row_number() OVER (PARTITION BY wstart
+      |      ORDER BY n DESC, user_id) AS INTEGER) AS rk, user_id, n
+      |  FROM cnt)
+      |SELECT wstart, rk, user_id, n FROM rk WHERE rk <= 3
+      |ORDER BY wstart, rk""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st13_stream_topk" -> (st13 _),
     "st12_semi_stream_join" -> (st12 _),
     "st11_full_outer_stream_join" -> (st11 _),
     "st10_outer_stream_join" -> (st10 _),
@@ -284,6 +310,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st13_stream_topk" -> st13Sql,
     "st12_semi_stream_join" -> st12Sql,
     "st11_full_outer_stream_join" -> st11Sql,
     "st10_outer_stream_join" -> st10Sql,

@@ -50,6 +50,34 @@ object EventStreams {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"))
 
+  /** Per-(10-minute-window, user) event counts — the windowed
+    * aggregation half of the streaming top-k pattern. Ranking is NOT
+    * done in-stream: append-mode streaming cannot re-rank a window as
+    * rows arrive, so the standard shape is watermarked windowed counts
+    * in the stream and [[topUsersPerWindow]] applied per finalized
+    * window (or in foreachBatch). */
+  def windowUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("user_id"), col("n"))
+
+  /** Top-k users per finalized window from [[windowUserCounts]] output
+    * (ties broken by user_id). A per-window partitioned window function
+    * — each window's candidate set is small (active users in 10 min),
+    * so the rank never sees unbounded state. */
+  def topUsersPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("wstart")).orderBy(col("n").desc, col("user_id"))))
+      .filter(col("rk") <= k)
+      .select(col("wstart"), col("rk").cast("int").as("rk"),
+        col("user_id"), col("n"))
+  }
+
   /** Session windows per user with a 10-minute inactivity gap. */
   def sessionStats(events: DataFrame): DataFrame =
     events

@@ -201,6 +201,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(got) === rows(want))
   }
 
+  test("streaming windowed top-k users equals the batch rank per window") {
+    val stream = EventStreams.source(spark, eventsDir)
+    // the stream computes the watermarked windowed counts; the rank
+    // applies on finalized windows (complete-mode memory table here,
+    // foreachBatch in production) — the composed result must equal the
+    // one-shot batch pipeline
+    val counts = runToMemory(EventStreams.windowUserCounts(stream),
+      "t_topk_counts", "complete")
+    val got = EventStreams.topUsersPerWindow(counts, 3)
+    val want = EventStreams.topUsersPerWindow(
+      EventStreams.windowUserCounts(Tables.events(spark, sf)), 3)
+    assert(want.count() > 0, "fixture must produce ranked windows")
+    assert(rows(got) === rows(want))
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val stream = EventStreams.source(spark, eventsDir)
     val got = runToMemory(EventStreams.dedupFirstPerUserType(stream), "t_dedup", "append")
