@@ -845,10 +845,14 @@ object ExtensionQueries {
     * features from raw bytes, replays both signature pipelines, the
     * candidate join, and the exact cosine rescore. */
   private def mm06(s: SparkSession, d: String): DataFrame = {
+    // the decoded feature frame feeds TWO consumers inside lshKnnAcross
+    // (signature build + exact rescore); without a cache the
+    // mapPartitions codec pass — the expensive half — runs twice
     val feats = Multimodal.extractFeatures(
         Multimodal.mediaCorpus(documents(s, d)), dim = 64)
       .select(col("media_id").as("qid"), col("features").as("qvec"))
-    Similarity.lshKnnAcross(feats, embeddings(s, d), k = 3)
+      .cache()
+    Similarity.lshKnnAcross(feats, embeddings(s, d), k = 3, center = true)
       .orderBy(col("qid"), col("rank"))
   }
 
@@ -867,10 +871,18 @@ object ExtensionQueries {
        |      i -> ((i - 1) % 64) = j), i -> CAST(ascii(text[i]) AS DOUBLE))), 0.0)
        |    / greatest(CAST(byte_len AS DOUBLE), 1.0) AS FLOAT) AS DOUBLE)) AS fd
        |  FROM m),
-       |qdots AS (SELECT f.media_id, pls.p,
+       |fsum AS (SELECT j, sum(CAST(floor(fd[j]*1048576.0 + 0.5) AS BIGINT)) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM f CROSS JOIN range(1, 65) t(j) GROUP BY j),
+       |fmean AS (SELECT list(floor(CAST(s AS DOUBLE)/n)/1048576.0 ORDER BY j) AS mv
+       |  FROM fsum),
+       |fcen AS (SELECT media_id,
+       |    list_transform(range(1, 65), i -> fd[i] - mv[i]) AS fdc
+       |  FROM f CROSS JOIN fmean),
+       |qdots AS (SELECT fc.media_id, pls.p,
        |    list_sum(list_transform(range(1, 65),
-       |      i -> coalesce(f.fd[i] * pls.pl[i], 0.0))) AS dot
-       |  FROM f CROSS JOIN planes pls),
+       |      i -> coalesce(fc.fdc[i] * pls.pl[i], 0.0))) AS dot
+       |  FROM fcen fc CROSS JOIN planes pls),
        |qsigs AS (SELECT media_id,
        |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
        |        ELSE CAST(0 AS BIGINT) END) AS sig
@@ -879,10 +891,20 @@ object ExtensionQueries {
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
        |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
        |  FROM qsigs),
-       |cdots AS (SELECT e.vec_id, pls.p,
-       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-       |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
-       |  FROM embeddings e CROSS JOIN planes pls),
+       |esum AS (SELECT j,
+       |    sum(CAST(floor(CAST(e.embedding[j] AS DOUBLE)*1048576.0 + 0.5) AS BIGINT)) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM embeddings e CROSS JOIN range(1, 65) t(j) GROUP BY j),
+       |emean AS (SELECT list(floor(CAST(s AS DOUBLE)/n)/1048576.0 ORDER BY j) AS mv
+       |  FROM esum),
+       |ecen AS (SELECT e.vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - mv[i]) AS ec
+       |  FROM embeddings e CROSS JOIN emean),
+       |cdots AS (SELECT ec.vec_id, pls.p,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> coalesce(ec.ec[i] * pls.pl[i], 0.0))) AS dot
+       |  FROM ecen ec CROSS JOIN planes pls),
        |csigs AS (SELECT vec_id,
        |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
        |        ELSE CAST(0 AS BIGINT) END) AS sig

@@ -77,6 +77,11 @@ object Similarity {
     * Banded LSH: `nBits` must be a multiple of `bands`; rows sharing any
     * band with the query are candidates. Recall grows with bands; cost
     * grows with bucket size. */
+  /** Test-only window into [[bandedSignatures]] (candidate census). */
+  private[graft] def debugBandedSignatures(corpus: DataFrame, nBits: Int,
+                                           bands: Int, seed: Long): DataFrame =
+    bandedSignatures(corpus, nBits, bands, seed)
+
   private def bandedSignatures(corpus: DataFrame, nBits: Int, bands: Int,
                                seed: Long): DataFrame = {
     require(nBits % bands == 0, "nBits must divide into bands")
@@ -150,26 +155,65 @@ object Similarity {
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Order-deterministic per-dimension mean of a fixed-width vector
+    * column, as a broadcastable 1-row frame holding `mean_vec:
+    * array<double>`. Each element is first snapped to 2^-20 fixed point
+    * (`floor(x·2^20 + 0.5)` — identical in any IEEE engine), summed as
+    * BIGINT (associative, so partition order cannot perturb low bits —
+    * the ss03 codebook discipline), then floor-divided back. The DuckDB
+    * oracles replay the exact same integer chain. */
+  private[graft] def fixedPointMeanVec(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("pos"),
+        (floor(col("s").cast("double") / col("n")) / lit(1048576.0)).as("m"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mean_vec"))
+
   /** CROSS-TABLE (cross-modal) batch kNN join: top-k `corpus` neighbors
     * for every `queries` row — the retrieval shape that aligns one
     * modality's feature vectors (e.g. decoded media) with another's
     * embeddings. Both sides are bucketed by the SAME hyperplane
     * signature, so a candidate is a (band, bits) collision ACROSS
-    * tables; signs only depend on direction, so the modalities need no
-    * shared normalization. Queries carry (qid, qvec); corpus
-    * (vec_id, embedding). Scale shape is [[lshKnnJoin]]'s: signatures
-    * are narrow per-row maps, candidates come only from bucket
-    * equality (never |Q|×|C|), exact rescoring joins vectors back by
-    * id, and the top-k window hash-partitions by qid. Queries whose
-    * buckets yield fewer than k candidates return fewer rows — the
-    * same documented LSH recall trade. */
+    * tables. Queries carry (qid, qvec); corpus (vec_id, embedding).
+    * Scale shape is [[lshKnnJoin]]'s: signatures are narrow per-row
+    * maps, candidates come only from bucket equality (never |Q|×|C|),
+    * exact rescoring joins vectors back by id, and the top-k window
+    * hash-partitions by qid. Queries whose buckets yield fewer than k
+    * candidates return fewer rows — the same documented LSH recall
+    * trade.
+    *
+    * `center = true` subtracts each side's OWN per-dimension mean
+    * before hashing (exact rescoring still uses raw vectors). Sign
+    * random projections assume data spread around the origin; a
+    * modality living in the positive orthant (e.g. byte-mean features)
+    * otherwise collapses into a handful of buckets and the candidate
+    * set degenerates toward |Q|×|C| — measured 2.4 M of 10 M possible
+    * pairs on the mm06 corpus, vs ~2 k centered. Means are computed in
+    * order-independent fixed point ([[fixedPointMeanVec]]) so oracles
+    * replay the hash bit-for-bit; with per-side means, a query equal to
+    * a corpus row is no longer GUARANTEED its bucket (centering shifts
+    * the sides differently) — callers needing that property keep
+    * `center = false`. */
   def lshKnnAcross(queries: DataFrame, corpus: DataFrame, k: Int,
-                   nBits: Int = 16, bands: Int = 4, seed: Long = 42L): DataFrame = {
-    val qb = bandedSignatures(
-        queries.select(col("qid").as("vec_id"), col("qvec").as("embedding")),
-        nBits, bands, seed)
+                   nBits: Int = 16, bands: Int = 4, seed: Long = 42L,
+                   center: Boolean = false): DataFrame = {
+    def centered(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.crossJoin(broadcast(fixedPointMeanVec(df, vecCol)))
+        .select(col(idCol).as("vec_id"),
+          zip_with(col(vecCol).cast("array<double>"), col("mean_vec"),
+            (x, m) => x - m).as("embedding"))
+    val qHash =
+      if (center) centered(queries, "qid", "qvec")
+      else queries.select(col("qid").as("vec_id"), col("qvec").as("embedding"))
+    val cHash =
+      if (center) centered(corpus, "vec_id", "embedding")
+      else corpus.select(col("vec_id"), col("embedding"))
+    val qb = bandedSignatures(qHash, nBits, bands, seed)
       .select(col("vec_id").as("qid"), col("band"), col("band_bits"))
-    val cb = bandedSignatures(corpus, nBits, bands, seed)
+    val cb = bandedSignatures(cHash, nBits, bands, seed)
       .select(col("vec_id"), col("band"), col("band_bits"))
     val pairs = qb.join(cb, Seq("band", "band_bits"))
       .select(col("qid"), col("vec_id")).distinct()
