@@ -2121,6 +2121,32 @@ object ExtensionQueries {
        |ORDER BY rrf DESC, doc_id
        |LIMIT 10""".stripMargin
 
+  /** dd16 — substring-CONTAINMENT dedup ([[Dedup.containmentDups]]):
+    * every doc that is a verbatim token-aligned span of another doc in
+    * the excerpt-augmented corpus — the quotes/excerpt/wrapper-page
+    * case resemblance dedup misses (an 18-token excerpt of a 100-token
+    * doc has Jaccard ≈ 0.18, far under any near-dup threshold). The
+    * oracle is the EXACT ALL-PAIRS containment check, so the hash match
+    * proves the first-gram blocking lost no pair (the dd04 differential
+    * discipline). */
+  private def dd16(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentDups(Dedup.augmentWithExcerpts(documents(s, d)))
+
+  private val dd16Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(string_split(text, ' ')[3:20], ' ')
+      |  FROM documents
+      |  WHERE doc_id < 50 AND len(string_split(text, ' ')) >= 25),
+      |elig AS (SELECT doc_id, text FROM aug
+      |  WHERE len(string_split(text, ' ')) >= 8)
+      |SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+      |FROM elig a JOIN aug b ON a.doc_id <> b.doc_id
+      |WHERE contains(' ' || b.text || ' ', ' ' || a.text || ' ')
+      |ORDER BY contained_id, container_id""".stripMargin
+
   /** dd14 — EXACT duplicated-substring spans
     * ([[Dedup.duplicatedSpans]], Lee et al. 2022 exact-substring
     * family): every 8-token gram occurring >= 2 times anywhere in the
@@ -2446,6 +2472,7 @@ object ExtensionQueries {
     "dd13_star_clusters" -> (dd13 _),
     "dd14_duplicated_spans" -> (dd14 _),
     "dd15_quality_dedup" -> (dd15 _),
+    "dd16_containment" -> (dd16 _),
     "pl01_clean_pipeline" -> (pl01 _),
     "sp01_stratified_sample" -> (sp01 _),
     "sp02_split_assign" -> (sp02 _),
@@ -2509,6 +2536,7 @@ object ExtensionQueries {
     "dd13_star_clusters" -> dd07Sql,
     "dd14_duplicated_spans" -> dd14Sql,
     "dd15_quality_dedup" -> dd15Sql,
+    "dd16_containment" -> dd16Sql,
     "pl01_clean_pipeline" -> pl01Sql,
     "sp01_stratified_sample" -> sp01Sql,
     "sp02_split_assign" -> sp02Sql,

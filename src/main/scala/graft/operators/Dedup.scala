@@ -32,6 +32,65 @@ object Dedup {
           concat(col("text"), lit(" dup")).as("text")))
   }
 
+  /** Test/demo corpus augmentation for CONTAINMENT dedup: re-appends an
+    * 18-token excerpt (tokens 3..20, offset ids) of the first `nDocs`
+    * sufficiently long docs — planted ground truth for "document A is a
+    * verbatim span of document B" detection, which resemblance dedup
+    * (Jaccard on full shingle sets) structurally misses: an excerpt's
+    * Jaccard against its source is |A|/|B|, arbitrarily low for short
+    * spans. */
+  def augmentWithExcerpts(docs: DataFrame, nDocs: Int = 50,
+                          idOffset: Long = 2000000L): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.union(
+      docs.filter(col("doc_id") < nDocs &&
+          size(TextFunctions.tokens(col("text"))) >= 25)
+        .select((col("doc_id") + idOffset).as("doc_id"),
+          array_join(slice(TextFunctions.tokens(col("text")), 3, 18), " ")
+            .as("text")))
+  }
+
+  /** Exact substring-containment dedup (the Lee et al. 2022
+    * exact-substring family, pairwise form): every (contained_id,
+    * container_id) pair where one document's text occurs VERBATIM and
+    * token-aligned inside another's. Catches quotes, excerpts, and
+    * wrapper pages that near-dup resemblance scoring misses.
+    *
+    * Scale shape — candidates never approach |D|²: a token-aligned
+    * contained doc's FIRST `width`-token gram must appear among the
+    * container's grams, so candidates are an equi-join of one probe
+    * gram per doc against the container gram table (corpus-linear),
+    * verified with one exact substring test per candidate. Both sides
+    * pad with spaces so the containment check is token-aligned — which
+    * is also what makes the first-gram blocking provably complete for
+    * docs of ≥ `width` tokens (dd16's oracle is the exact all-pairs
+    * check, so the completeness claim is hash-verified, not asserted).
+    * Candidate pairs travel as narrow (id, id) rows; texts re-join by
+    * id only for the verify (the dd06 narrow-pairs discipline). */
+  def containmentDups(docs: DataFrame, width: Int = 8): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val elig = docs.filter(size(toks) >= width)
+    val probes = elig.select(col("doc_id").as("contained_id"),
+      TextFunctions.stringHash(
+        element_at(TextFunctions.shingles(col("text"), width), 1)).as("g"))
+    val grams = docs.select(col("doc_id").as("container_id"),
+        explode(TextFunctions.shingles(col("text"), width)).as("gr"))
+      .select(col("container_id"), TextFunctions.stringHash(col("gr")).as("g"))
+      .distinct()
+    val cand = probes.join(grams, "g")
+      .filter(col("contained_id") =!= col("container_id"))
+      .select(col("contained_id"), col("container_id")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("contained_id"),
+        col("text").as("a_text")), "contained_id")
+      .join(docs.select(col("doc_id").as("container_id"),
+        col("text").as("b_text")), "container_id")
+      .filter(contains(concat(lit(" "), col("b_text"), lit(" ")),
+        concat(lit(" "), col("a_text"), lit(" "))))
+      .select(col("contained_id"), col("container_id"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Portable MinHash family: per-seed QUADRATIC transforms
     * `(A_s·H² + B_s·H + C_s) mod P` of the base-31 polynomial hash `H`
     * (P = 1e9+7), with A/B/C drawn per seed from splitmix64 — fully

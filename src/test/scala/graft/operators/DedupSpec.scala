@@ -270,6 +270,32 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(overlaps === 0, "maximal spans must not overlap")
   }
 
+  test("containmentDups finds every planted excerpt; resemblance misses them") {
+    import org.apache.spark.sql.functions.col
+    val withExcerpts = Dedup.augmentWithExcerpts(docs)
+    val planted = withExcerpts.filter(col("doc_id") >= 2000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty, "fixture must plant excerpts")
+    val got = Dedup.containmentDups(withExcerpts)
+    // every planted excerpt is contained in its source (id - 2000000)
+    val foundInSource = got
+      .filter(col("contained_id") >= 2000000L &&
+        col("container_id") === col("contained_id") - 2000000L)
+      .select("contained_id").collect().map(_.getLong(0)).toSet
+    assert(foundInSource === planted,
+      s"missing excerpt pairs: ${planted -- foundInSource}")
+    // the gap containment dedup exists for: the same pairs are invisible
+    // to 3-gram Jaccard resemblance at the near-dup threshold
+    val jacc = Dedup.ngramJaccardDups(withExcerpts)
+    // (an excerpt of a barely-eligible 25-token source can still clear
+    // the Jaccard bar — require the BULK of planted pairs to be
+    // resemblance-invisible)
+    val asNearDup = jacc.filter(col("doc_b") >= 2000000L &&
+      col("doc_a") === col("doc_b") - 2000000L).count()
+    assert(asNearDup <= planted.size / 10,
+      s"only short-source outliers may clear resemblance: $asNearDup of ${planted.size}")
+  }
+
   test("clusters falls back to star contraction when the batch budget runs out") {
     import spark.implicits._
     // diameter 15 chain, but only 2 propagation rounds allowed: plain
