@@ -76,13 +76,49 @@ object IngestQueries {
           graft.ingest.LineMassager.stripQuotes(col("raw_line"))).as("normalized"))
       .orderBy(col("n_nationkey"))
 
+  /** iq04 — quarantine classification (SURVEY O11, the error channel):
+    * the EXACT try-cast predicate [[CsvIngestJob.promote]] uses to
+    * divert malformed rows, run over synthesized values where every 5th
+    * key carries a corrupt numeric field. The oracle replays TRY_CAST,
+    * so the good/quarantined partition — not just its existence — is
+    * hash-pinned. (The file-writing quarantine path itself is
+    * spec-tested in CsvIngestJobSpec; this pins the row classification
+    * rule cross-engine.) */
+  private def iq04(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .select(col("n_nationkey"),
+        when(col("n_nationkey") % 5 === 0,
+            concat(lit("x"), col("n_nationkey").cast("string")))
+          .otherwise(col("n_nationkey").cast("string")).as("raw_val"))
+      .withColumn("quarantined", expr("try_cast(raw_val AS INT)").isNull)
+      .groupBy(col("quarantined"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_nationkey")).as("min_key"),
+        max(col("n_nationkey")).as("max_key"))
+      .orderBy(col("quarantined"))
+
+  private val iq04Sql =
+    """WITH raw AS (
+      |  SELECT n_nationkey,
+      |    CASE WHEN n_nationkey % 5 = 0
+      |         THEN 'x' || CAST(n_nationkey AS VARCHAR)
+      |         ELSE CAST(n_nationkey AS VARCHAR) END AS raw_val
+      |  FROM nation)
+      |SELECT (TRY_CAST(raw_val AS INTEGER) IS NULL) AS quarantined,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+      |FROM raw GROUP BY 1
+      |ORDER BY quarantined""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "iq01_ingest_massage" -> (iq01 _),
     "iq02_wkt_normalize" -> (iq02 _),
-    "iq03_wkt_normalize_expr" -> (iq03 _))
+    "iq03_wkt_normalize_expr" -> (iq03 _),
+    "iq04_quarantine_classify" -> (iq04 _))
 
   val oracle: Map[String, String] = Map(
     "iq01_ingest_massage" -> iq01Sql,
     "iq02_wkt_normalize" -> iq02Sql,
-    "iq03_wkt_normalize_expr" -> iq02Sql)
+    "iq03_wkt_normalize_expr" -> iq02Sql,
+    "iq04_quarantine_classify" -> iq04Sql)
 }
