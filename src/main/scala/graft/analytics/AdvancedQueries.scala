@@ -441,7 +441,52 @@ object AdvancedQueries {
       |FROM agg UNPIVOT (value FOR metric IN (sum_qty, avg_price, n_items))
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** q63 — cumulative DISTINCT count over a window: each event carries
+    * how many distinct event types its user has produced up to and
+    * including it. Neither engine's window aggregate surface does this
+    * directly at scale — Spark has no `count(DISTINCT) OVER` at all,
+    * and a `collect_set` frame would hold every distinct value in the
+    * window buffer — so both sides run the exact DECOMPOSITION:
+    * mark each (user, type)'s FIRST occurrence with a row_number, then
+    * running-sum the 0/1 marks. Two window passes over per-user
+    * partitions, state = one long per row, no value set materialized
+    * anywhere. The user-id filter bounds the dumped output; the
+    * (ts, event_id) order key makes both passes tie-free. */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d).filter(col("user_id") % 25 === 0)
+    val first = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("__q63_first",
+        when(row_number().over(first) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_types_so_far", sum(col("__q63_first")).over(cum))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("distinct_types_so_far"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q63Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE user_id % 25 = 0),
+      |f AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM ev)
+      |SELECT user_id, event_id, event_type,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS distinct_types_so_far
+      |FROM f
+      |ORDER BY user_id, event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q63_window_distinct" -> (q63 _),
     "q60_kmv_distinct" -> (q60 _),
     "q61_interval_range_frame" -> (q61 _),
     "q62_stats_agg" -> (q62 _),
@@ -459,6 +504,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q63_window_distinct" -> q63Sql,
     "q60_kmv_distinct" -> q60Sql,
     "q61_interval_range_frame" -> q61Sql,
     "q62_stats_agg" -> q62Sql,

@@ -2083,6 +2083,94 @@ object ExtensionQueries {
       |ORDER BY pmi DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** tx17 — CCNet-style perplexity buckets (Wenzek et al. 2020,
+    * arXiv:1911.00359): each document scored by its PER-LANGUAGE bigram
+    * LM (tx07's estimator conditioned on `lang`), then bucketed
+    * head/middle/tail by per-language score TERCILES — the standard
+    * "keep the head, audit the middle, drop the tail" quality gate for
+    * crawl corpora. The tercile cuts are NOT a global sort/ntile (the
+    * single-task scale-killer): scores collapse to an integer histogram
+    * (`floor(score·1000)` — floor on identical doubles is
+    * tie-free cross-engine, unlike round's half-handling), a cumsum
+    * window runs over that bounded frame (|langs| × ~few-thousand
+    * buckets regardless of corpus size), and the two cut values per
+    * language broadcast back as a row-local CASE — the
+    * histogram-then-broadcast-threshold shape [[Sampling]] uses.
+    * Output is the per-(lang, bucket) doc count + score range, which
+    * pins both the LM and the cut placement. */
+  private def tx17(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val bigrams = docs.select(col("doc_id"), col("lang"),
+      explode(TF.shingles(col("text"), 2)).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val bigramCounts = bigrams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cb"))
+    val unigramCounts = docs
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("w1"))
+      .groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("cu"))
+    // model tables are vocab-sized → broadcast; scoring stays narrow
+    val scores = bigrams
+      .join(broadcast(bigramCounts), Seq("lang", "bigram"))
+      .join(broadcast(unigramCounts), Seq("lang", "w1"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(log(col("cb").cast("double")) - log(col("cu").cast("double"))), 6)
+        .as("score"))
+      .withColumn("s3", floor(col("score") * 1000).cast("long"))
+    val hist = scores.groupBy(col("lang"), col("s3")).agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("s3"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("s3"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("s3"))).as("t2"))
+    scores.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("s3") <= col("t1"), lit("tail"))
+          .when(col("s3") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val tx17Sql =
+    """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks),
+      |bg2 AS (SELECT doc_id, lang, bigram,
+      |    string_split(bigram, ' ')[1] AS w1 FROM bg),
+      |bc AS (SELECT lang, bigram, count(*) AS cb FROM bg2 GROUP BY 1, 2),
+      |uc AS (SELECT lang, unnest(string_split(text, ' ')) AS w1 FROM documents),
+      |ucc AS (SELECT lang, w1, count(*) AS cu FROM uc GROUP BY 1, 2),
+      |sc AS (SELECT b.doc_id, b.lang,
+      |    round(avg(ln(CAST(cb AS DOUBLE)) - ln(CAST(cu AS DOUBLE))), 6) AS score
+      |  FROM bg2 b
+      |  JOIN bc ON bc.lang = b.lang AND bc.bigram = b.bigram
+      |  JOIN ucc ON ucc.lang = b.lang AND ucc.w1 = b.w1
+      |  GROUP BY 1, 2),
+      |s3 AS (SELECT doc_id, lang, score,
+      |    CAST(floor(score * 1000) AS BIGINT) AS s3 FROM sc),
+      |hist AS (SELECT lang, s3, count(*) AS c FROM s3 GROUP BY 1, 2),
+      |cum AS (SELECT lang, s3,
+      |    sum(c) OVER (PARTITION BY lang ORDER BY s3) AS cum,
+      |    sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+      |cuts AS (SELECT lang,
+      |    min(CASE WHEN cum * 3 >= n THEN s3 END) AS t1,
+      |    min(CASE WHEN cum * 3 >= 2 * n THEN s3 END) AS t2
+      |  FROM cum GROUP BY lang)
+      |SELECT d.lang,
+      |  CASE WHEN d.s3 <= t1 THEN 'tail'
+      |       WHEN d.s3 <= t2 THEN 'middle' ELSE 'head' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(score) AS min_score, max(score) AS max_score
+      |FROM s3 d JOIN cuts USING (lang)
+      |GROUP BY 1, 2
+      |ORDER BY lang, bucket""".stripMargin
+
   /** ss10 — HYBRID retrieval via reciprocal-rank fusion
     * ([[Retrieval.rrfFuse]], Cormack et al. 2009): the BM25 top-10
     * (tx14's lexical ranking) fused with the exact-cosine top-10 (ss01's
@@ -2509,6 +2597,7 @@ object ExtensionQueries {
     "tx14_bm25" -> (tx14 _),
     "tx15_lexical_diversity" -> (tx15 _),
     "tx16_pmi_collocations" -> (tx16 _),
+    "tx17_perplexity_buckets" -> (tx17 _),
     "mm01_media_stats" -> (mm01 _),
     "mm02_media_features" -> (mm02 _),
     "mm03_frame_sample" -> (mm03 _),
@@ -2570,6 +2659,7 @@ object ExtensionQueries {
     "tx14_bm25" -> tx14Sql,
     "tx15_lexical_diversity" -> tx15Sql,
     "tx16_pmi_collocations" -> tx16Sql,
+    "tx17_perplexity_buckets" -> tx17Sql,
     "ss04_ann_recall" -> ss04Sql,
     "ss05_knn_join" -> ss05Sql,
     "ss06_mmr_rerank" -> ss06Sql,

@@ -253,13 +253,61 @@ object GraphQueries {
       |ORDER BY jaccard DESC, c.u, c.v
       |LIMIT 20""".stripMargin
 
+  private val KCoreRounds = 4
+
+  /** pr07 — k-core decomposition ([[graft.operators.Communities.kCore]],
+    * k = 2): a dense modular core `{c mod 23, (5c+1) mod 19}` that the
+    * peel must NOT touch, plus 25 disjoint 8-node chains
+    * (`1000+(c mod 200)` → successor, broken at every 8th residue)
+    * that must peel COMPLETELY — one endpoint pair per round, so the
+    * 4-round cascade is exercised end-to-end and the fixed `rounds`
+    * equals the longest pendant path exactly. The oracle unrolls the
+    * same four degree-filter/edge-prune rounds; all arithmetic is
+    * BIGINT, so the engines must agree bit-for-bit. The final
+    * `deg >= k` filter doubles as an in-output convergence self-check
+    * (a non-settled cascade would leave sub-k survivors). */
+  private def pr07(s: SparkSession, d: String): DataFrame = {
+    val core = customer(s, d).select((col("c_custkey") % 23).as("u"),
+      ((col("c_custkey") * 5 + 1) % 19).as("v"))
+    val chains = customer(s, d)
+      .select((col("c_custkey") % 200).as("m"))
+      .filter(col("m") % 8 =!= 7)
+      .select((col("m") + 1000).as("u"), (col("m") + 1001).as("v"))
+    graft.operators.Communities.kCore(core.unionByName(chains), k = 2,
+        rounds = KCoreRounds)
+      .orderBy(col("node"))
+  }
+
+  private val pr07Sql: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      val prev = s"a${i - 1}"
+      s"""k$i AS (SELECT node FROM $prev GROUP BY node
+         |  HAVING count(*) >= 2),
+         |a$i AS (SELECT a.node, a.nbr FROM $prev a
+         |  JOIN k$i x ON x.node = a.node
+         |  JOIN k$i y ON y.node = a.nbr)"""
+    }.mkString(",\n")
+    s"""WITH ce AS (SELECT c_custkey % 23 AS a, (c_custkey*5 + 1) % 19 AS b
+       |  FROM customer),
+       |ch AS (SELECT 1000 + (c_custkey % 200) AS a, 1001 + (c_custkey % 200) AS b
+       |  FROM customer WHERE (c_custkey % 200) % 8 <> 7),
+       |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM (SELECT * FROM ce UNION ALL SELECT * FROM ch) WHERE a <> b),
+       |a0 AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+       |$rounds
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM a$KCoreRounds
+       |GROUP BY node HAVING count(*) >= 2
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
     "pr01_pagerank" -> (pr01 _),
     "pr02_triangles" -> (pr02 _),
     "pr03_personalized_pagerank" -> (pr03 _),
     "pr04_connected_components" -> (pr04 _),
     "pr05_label_propagation" -> (pr05 _),
-    "pr06_link_prediction" -> (pr06 _))
+    "pr06_link_prediction" -> (pr06 _),
+    "pr07_kcore" -> (pr07 _))
 
   val oracle: Map[String, String] = Map(
     "pr01_pagerank" -> pr01Sql,
@@ -267,5 +315,6 @@ object GraphQueries {
     "pr03_personalized_pagerank" -> pr03Sql,
     "pr04_connected_components" -> pr04Sql,
     "pr05_label_propagation" -> pr05Sql,
-    "pr06_link_prediction" -> pr06Sql)
+    "pr06_link_prediction" -> pr06Sql,
+    "pr07_kcore" -> pr07Sql)
 }

@@ -2,7 +2,7 @@ package graft.analytics
 
 import graft.Tables._
 import graft.operators.GlobalRank
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fifth batch (round 3): scale-safe re-expressions and deeper TPC-H
@@ -620,7 +620,87 @@ object ScaleQueries {
       |FROM v2 GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk07 — write-time CHECK constraints with a quarantine channel
+    * ([[graft.lake.Constraints.appendChecked]]): a clean orders slice
+    * becomes a txn table; an incoming batch is corrupted in CLOSED FORM
+    * (negated price on %13 keys, unknown status on %17, NULL price on
+    * %19 — each reason population non-trivially overlapping the
+    * others), then checked-appended under two declared constraints.
+    * Output is the per-channel summary: table partitions (base + only
+    * the passing batch rows) and quarantine reasons (FIRST-failing
+    * classification, declaration order; NULL price fails-closed into
+    * positive_price). The oracle replays the corruption and the
+    * classifier relationally — a hash match proves the gate diverted
+    * exactly the right rows AND committed exactly the rest, the lake
+    * descendant of the reference's per-line error channel
+    * (CSVIngest.java:96-112). */
+  private def lk07(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{Constraints, TxnLake}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk07")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 6 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    val batch = orders(s, d).filter(col("o_orderkey") % 6 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 17 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 19 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+    Constraints.appendChecked(s, dir, batch, Seq(
+      "positive_price" -> (col("o_totalprice") > 0),
+      "known_status" -> col("o_orderstatus").isin("O", "F", "P")),
+      dir + "_quarantine")
+    def channelSum(df: DataFrame, channel: Column) =
+      df.groupBy(channel.as("channel"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("sum_price"))
+    channelSum(TxnLake.read(s, dir), concat(lit("table:"), col("o_orderstatus")))
+      .unionByName(channelSum(s.read.parquet(dir + "_quarantine"),
+        concat(lit("quarantine:"), col(Constraints.ViolationCol))))
+      .orderBy(col("channel"))
+  }
+
+  private val lk07Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |batch AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 17 = 0 THEN 'X' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 19 = 0 THEN NULL
+      |         WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 6 = 1),
+      |tagged AS (
+      |  SELECT *,
+      |    CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 'positive_price'
+      |         WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+      |           THEN 'known_status' END AS violation
+      |  FROM batch),
+      |tbl AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM tagged
+      |  WHERE violation IS NULL)
+      |SELECT 'table:' || o_orderstatus AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM tbl GROUP BY 1
+      |UNION ALL
+      |SELECT 'quarantine:' || violation,
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |FROM tagged WHERE violation IS NOT NULL GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk07_check_constraints" -> (lk07 _),
     "lk06_vacuum" -> (lk06 _),
     "zq02_zone_map_skip" -> (zq02 _),
     "lk05_append_optimize" -> (lk05 _),
@@ -638,6 +718,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk07_check_constraints" -> lk07Sql,
     "lk06_vacuum" -> lk06Sql,
     "zq02_zone_map_skip" -> zq02Sql,
     "lk05_append_optimize" -> lk05Sql,

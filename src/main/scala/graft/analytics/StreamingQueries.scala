@@ -294,7 +294,65 @@ object StreamingQueries {
       |SELECT wstart, rk, user_id, n FROM rk WHERE rk <= 3
       |ORDER BY wstart, rk""".stripMargin
 
+  /** st14 — online z-score anomaly gate in BATCH window form: the same
+    * integer cross-multiplied predicate [[EventStreams.anomalyScores]]
+    * folds statefully, here as cumulative window moments over
+    * per-event-type partitions (`ROWS UNBOUNDED PRECEDING TO 1
+    * PRECEDING` = "all strictly preceding events"). DIFFERENTIAL by
+    * construction: the stream is a sequential BigInt fold, this is a
+    * columnar window plan, the oracle is DuckDB's window engine with
+    * HUGEINT math — three implementations, one exact integer
+    * predicate, so all three must agree bit-for-bit (StreamingSpec
+    * pins stream == this; the driver pins this == DuckDB). The decimal
+    * casts keep Spark's side exact: (n·v−S₁)² ≤ ~1e22 at sf0.1, well
+    * inside DECIMAL(38,0); DuckDB's HUGEINT is 128-bit. */
+  private def st14(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("v", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      // one select, one Window node: chained withColumns leave a
+      // Project between the window ops and defeat CollapseWindow
+      .select(col("event_type"), col("event_id"), col("v"),
+        count(lit(1)).over(w).as("n"),
+        coalesce(sum(col("v")).over(w), lit(0L)).as("s1"),
+        coalesce(sum(col("v") * col("v")).over(w), lit(0L)).as("s2"))
+      .filter(col("n") >= 30)
+      .filter(expr(
+        """CAST(n * v - s1 AS DECIMAL(38,0)) * CAST(n * v - s1 AS DECIMAL(38,0))
+          |  * CAST(n - 1 AS DECIMAL(38,0))
+          |> CAST(9 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
+          |  * (CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
+          |     - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0)))"""
+          .stripMargin.replace('\n', ' ')))
+      .select(col("event_type"), col("event_id"), col("v"),
+        col("n").as("n_prior"))
+      .orderBy(col("event_id"))
+  }
+
+  private val st14Sql =
+    """WITH ev AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+      |w AS (SELECT event_type, event_id, v,
+      |    count(*) OVER win AS n,
+      |    coalesce(sum(v) OVER win, 0) AS s1,
+      |    coalesce(sum(v * v) OVER win, 0) AS s2
+      |  FROM ev WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, event_id, v, CAST(n AS BIGINT) AS n_prior
+      |FROM w
+      |WHERE n >= 30
+      |  AND CAST(n * v - s1 AS HUGEINT) * CAST(n * v - s1 AS HUGEINT)
+      |      * CAST(n - 1 AS HUGEINT)
+      |    > 9 * CAST(n AS HUGEINT)
+      |      * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)
+      |         - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
+      |ORDER BY event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st14_stream_anomaly" -> (st14 _),
     "st13_stream_topk" -> (st13 _),
     "st12_semi_stream_join" -> (st12 _),
     "st11_full_outer_stream_join" -> (st11 _),
@@ -310,6 +368,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st14_stream_anomaly" -> st14Sql,
     "st13_stream_topk" -> st13Sql,
     "st12_semi_stream_join" -> st12Sql,
     "st11_full_outer_stream_join" -> st11Sql,

@@ -57,4 +57,63 @@ object Communities {
     }
     labels
   }
+
+  /** k-core decomposition by synchronous peeling (Seidman 1983,
+    * "Network structure and minimum degree"; the MapReduce formulation
+    * follows Montresor et al. 2013): each round drops every node whose
+    * CURRENT degree is below k, together with its edges, and the drops
+    * cascade — removing a chain's endpoint exposes its neighbor next
+    * round. The k-core is the fixed point: the maximal subgraph where
+    * every node keeps ≥ k distinct neighbors. The graph-pruning
+    * primitive for spam/bot subgraph removal and dense-community
+    * seeding over interaction graphs.
+    *
+    * Rounds are FIXED (not loop-until-converged) so a DuckDB oracle can
+    * unroll the identical peels and match bit-for-bit (pr01's
+    * discipline); the final `deg >= k` filter makes a non-converged
+    * call honest (it returns current-round survivors, which equals the
+    * k-core exactly when the cascade has settled — pick `rounds` ≥ the
+    * longest pendant path, and a spec pins convergence by checking one
+    * extra round changes nothing). At 100 TB each round is one
+    * degree hash-agg + two keyed semi-join prunes on the shrinking edge
+    * set — no adjacency matrix, no driver state; a production
+    * loop-until-fixed-point would re-anchor lineage every few rounds
+    * ([[Dedup.clusters]]' batching pattern).
+    *
+    * `edges` needs BIGINT-castable `u`, `v`; read undirected, parallel
+    * edges and self-loops dropped (degree = DISTINCT neighbors).
+    * Returns (node, deg) of k-core members with their in-core degree.
+    *
+    * Plan shape: the adjacency is SYMMETRIC (both orientations
+    * present), so each peel is two window counts over the one edge
+    * frame — `count() over (partition by node)` is the node's current
+    * degree, the mirror partition is the neighbor's — and a row-local
+    * filter. The frame is referenced ONCE per round, keeping the
+    * composed lazy plan linear in `rounds`; the semi-join formulation
+    * (prune edges against a filtered degree table) re-derives the
+    * shrinking adjacency three times per round and compounds to 3^r
+    * copies of the upstream plan — measured minutes of planning at
+    * toy scale, unusable at any real one. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val e = edges.select(col("u").cast("bigint").as("u"),
+        col("v").cast("bigint").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    var adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+    for (_ <- 1 to rounds) {
+      adj = adj
+        .withColumn("__kc_dn", count(lit(1)).over(Window.partitionBy(col("node"))))
+        .withColumn("__kc_dm", count(lit(1)).over(Window.partitionBy(col("nbr"))))
+        .filter(col("__kc_dn") >= k && col("__kc_dm") >= k)
+        .select(col("node"), col("nbr"))
+    }
+    adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+  }
 }

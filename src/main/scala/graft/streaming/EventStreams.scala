@@ -239,6 +239,60 @@ object EventStreams {
         })
   }
 
+  /** Online anomaly detection (running z-score gate) as arbitrary
+    * keyed state: an event is anomalous when its value deviates from
+    * the mean of all STRICTLY PRECEDING same-type events by more than
+    * 3 sample standard deviations — the classic online monitoring
+    * primitive (fraud spikes, sensor faults, metric regressions).
+    *
+    * Exactness: the gate is evaluated in INTEGER arithmetic so the
+    * stream, the batch window form (StreamingQueries.st14) and the
+    * DuckDB oracle agree bit-for-bit — no Welford-vs-segment-tree
+    * float drift can flip a marginal verdict. Values scale to cents
+    * (`floor(v·100 + 0.5)` — exact on identical doubles in every
+    * engine); the state is the raw moments (n, Σv, Σv²) as longs, and
+    * `z² > 9` becomes the cross-multiplied comparison
+    * `(n·v − S₁)²·(n−1) > 9·n·(n·S₂ − S₁²)` evaluated in BigInt.
+    * Long moments hold to Σv² ≲ 9e18 (≈ 1e12 cent-squared events per
+    * key); past that the state slots become BigDecimal strings.
+    *
+    * Order contract: each group call buffers and sorts its rows by
+    * (ts, event_id) before folding, so batch mode (one call with the
+    * whole group) replays the exact event-time sequence; in streaming,
+    * micro-batches that respect event-time order compose to the same
+    * fold because the state carries the moments across calls.
+    * The first `minPrior` events per key only warm the state. */
+  def anomalyScores(events: DataFrame, minPrior: Int = 30): Dataset[Anomaly] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("event_type"), col("event_id").cast("long"),
+        unix_micros(col("ts")),
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .as[(String, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[TypeMoments]) => {
+          val prev = state.getOption.getOrElse(TypeMoments(0L, 0L, 0L))
+          var n = prev.n; var s1 = prev.s1; var s2 = prev.s2
+          val buf = rows.toArray.sortBy(r => (r._3, r._2))
+          val out = Array.newBuilder[Anomaly]
+          buf.foreach { case (_, id, _, v) =>
+            if (n >= minPrior) {
+              val bn = BigInt(n)
+              val d = bn * v - s1
+              val lhs = d * d * (bn - 1)
+              val rhs = BigInt(9) * bn * (bn * s2 - BigInt(s1) * BigInt(s1))
+              if (lhs > rhs) out += Anomaly(etype, id, v, n)
+            }
+            n += 1; s1 += v; s2 += v * v
+          }
+          state.update(TypeMoments(n, s1, s2))
+          out.result().iterator
+        })
+  }
+
   /** Per-user running totals on the Spark 4 arbitrary-state API
     * (`transformWithState` + [[RunningTotalProcessor]]) — the successor
     * to flatMapGroupsWithState: named typed state slots, optional
@@ -258,6 +312,16 @@ object EventStreams {
 
 /** Per-user running aggregate state for [[EventStreams.runningUserTotals]]. */
 final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+/** Raw-moment state for [[EventStreams.anomalyScores]]: count, Σv, Σv²
+  * of all events seen so far for one event type (cent-scaled longs). */
+final case class TypeMoments(n: Long, s1: Long, s2: Long)
+
+/** One anomalous event from [[EventStreams.anomalyScores]]: the
+  * cent-scaled value and how many prior same-type events its z-score
+  * gate was computed against. */
+final case class Anomaly(event_type: String, event_id: Long, v: Long,
+                         n_prior: Long)
 
 /** [[org.apache.spark.sql.streaming.StatefulProcessor]] behind
   * [[EventStreams.runningUserTotalsTws]]: one named ValueState slot per

@@ -388,6 +388,47 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
       s"windowed counts need map-side combine\n$p")
   }
 
+  test("tx17: per-lang LM tables broadcast; bucket cuts never globally sort the corpus") {
+    val p = plan("tx17_perplexity_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized model tables and tercile cuts must broadcast\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned window detected — the cut must come from the lang histogram\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"LM counting needs map-side combine\n$p")
+  }
+
+  test("pr07: k-core peels are keyed windows over the edge frame, no cartesian, linear plan") {
+    val p = plan("pr07_kcore")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"degree windows must partition by vertex\n$p")
+    // the linear window formulation scans the customer table ONCE per
+    // edge-construction branch (core + chains = 2 scans, doubled by
+    // formatted-mode's tree+detail listing); the semi-join form
+    // re-derived it 3^rounds times
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 8, s"edge re-derivation detected: $scans scans\n$p")
+  }
+
+  test("q63: windowed distinct decomposition stays in per-user partitions") {
+    val p = plan("q63_window_distinct")
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned window — global sequential scan\n$p")
+    assert(!p.contains("collect_set"),
+      s"distinct-over-window must use the first-occurrence trick, not a value set buffer\n$p")
+  }
+
+  test("st14: anomaly windows partition by event type; moments aggregate in one window pass") {
+    val p = plan("st14_stream_anomaly")
+    assert(!p.contains("windowspecdefinition()"),
+      s"unpartitioned window — whole event stream through one task\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val windows = "(?m)^\\(\\d+\\) Window".r.findAllIn(p).size
+    assert(windows <= 1, s"the three moment columns must share one Window node\n$p")
+  }
+
   test("pl01: cleaning pipeline filters before the fingerprint-dedup shuffle") {
     val p = plan("pl01_clean_pipeline")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

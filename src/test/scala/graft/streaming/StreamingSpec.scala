@@ -300,6 +300,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       "new-API state machine must converge to the same totals")
   }
 
+  test("streaming anomaly gate equals the batch window form, verdict for verdict") {
+    // three implementations of one integer predicate: the streaming
+    // BigInt fold here, the columnar window plan in
+    // StreamingQueries.st14 (the batch side of this assertion), and
+    // the DuckDB HUGEINT oracle the driver compares st14 against —
+    // exact arithmetic means set equality, not approximate overlap
+    val stream = EventStreams.source(spark, eventsDir)
+    val got = runToMemory(EventStreams.anomalyScores(stream).toDF(),
+      "t_anomaly", "append")
+    val want = graft.SparkEntry.queries("st14_stream_anomaly")(spark, sf)
+    assert(want.count() > 0, "fixture must contain anomalies for the pin to bite")
+    assert(rows(got.select(col("event_type"), col("event_id"), col("v"),
+      col("n_prior"))) === rows(want))
+  }
+
+  test("anomaly state carries across micro-batches: split feed equals one-shot feed") {
+    // two ts-ordered halves in separate files processed as separate
+    // micro-batches must fold to the same anomaly set as one batch —
+    // the state-handoff property that makes the operator a stream
+    import spark.implicits._
+    val ev = Tables.events(spark, sf).orderBy(col("ts"), col("event_id"))
+    val cut = Tables.events(spark, sf).agg(
+      expr("percentile_approx(unix_micros(ts), 0.5)")).as[Long].head()
+    val dir = tmp().resolve("events_split")
+    java.nio.file.Files.createDirectories(dir)
+    // stage each half as a FLAT file (the file source does not recurse
+    // into the directories DataFrame.write would produce)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val scratch = tmp().resolve(name)
+      df.coalesce(1).write.parquet(scratch.toString)
+      val part = java.nio.file.Files.list(scratch).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        dir.resolve(name))
+    }
+    stage(ev.filter(unix_micros(col("ts")) <= cut), "0_first.parquet")
+    stage(ev.filter(unix_micros(col("ts")) > cut), "1_second.parquet")
+    val src = EventStreams.source(spark, dir.toString)
+    val q = EventStreams.anomalyScores(src).toDF()
+      .writeStream.format("memory").queryName("t_anomaly_split")
+      .outputMode("append")
+      .option("maxFilesPerTrigger", "1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val want = graft.SparkEntry.queries("st14_stream_anomaly")(spark, sf)
+    assert(rows(spark.table("t_anomaly_split").select(col("event_type"),
+      col("event_id"), col("v"), col("n_prior"))) === rows(want))
+  }
+
   test("RocksDB state store: watermarked aggregation runs and matches batch") {
     // the large-state production backend (state spills to disk instead
     // of executor heap — the difference between bounded and unbounded
