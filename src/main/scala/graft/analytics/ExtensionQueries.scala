@@ -852,12 +852,16 @@ object ExtensionQueries {
         Multimodal.mediaCorpus(documents(s, d)), dim = 64)
       .select(col("media_id").as("qid"), col("features").as("qvec"))
       .cache()
-    Similarity.lshKnnAcross(feats, embeddings(s, d), k = 3, center = true)
+    Similarity.lshKnnAcross(feats, embeddings(s, d), k = 3, nBits = 32,
+        center = true)
       .orderBy(col("qid"), col("rank"))
   }
 
+  // 8-bit bands for the cross join too (the ss14 rationale): 5045
+  // queries x 2000 corpus at 16 buckets/band collided into ~2.5M
+  // candidate pairs; 256 buckets cut that ~16x, exact-replayed.
   private val mm06Sql: String = {
-    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+    val planeRows = Similarity.planes(32, Similarity.MaxPlaneDim)
       .zipWithIndex.map { case (pl, p) =>
         s"($p, [${pl.take(64).mkString(", ")}])"
       }.mkString(",\n  ")
@@ -889,7 +893,7 @@ object ExtensionQueries {
        |  FROM qdots GROUP BY media_id),
        |qbands AS (SELECT media_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |      'bits': (((sig >> CAST(b*8 AS INT)) & 255))})) AS u
        |  FROM qsigs),
        |esum AS (SELECT j,
        |    sum(CAST(floor(CAST(e.embedding[j] AS DOUBLE)*1048576.0 + 0.5) AS BIGINT)) AS s,
@@ -911,7 +915,7 @@ object ExtensionQueries {
        |  FROM cdots GROUP BY vec_id),
        |cbands AS (SELECT vec_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |      'bits': (((sig >> CAST(b*8 AS INT)) & 255))})) AS u
        |  FROM csigs),
        |cand AS (SELECT DISTINCT q.media_id AS qid, c.vec_id
        |  FROM qbands q JOIN cbands c
@@ -1705,11 +1709,17 @@ object ExtensionQueries {
     * exact rescoring) plus the same label-inequality filter, so both
     * the candidates AND the filtered ranking are pinned per vector. */
   private def ss14(s: SparkSession, d: String): DataFrame =
-    Similarity.hardNegatives(embeddings(s, d), k = 3)
+    Similarity.hardNegatives(embeddings(s, d), k = 3, nBits = 32)
       .orderBy(col("vec_id"), col("rank"))
 
+  // 32 bits / 4 bands = 8-bit bands (256 buckets): at 4-bit bands every
+  // vector collided with ~1/16 of the corpus per band (~1M candidate
+  // pairs for 2000 vectors — measured 6.8 s, nearly brute force);
+  // 8-bit bands cut candidates ~16x while close pairs still collide at
+  // (1 - θ/π)^8 per band. The oracle interpolates the SAME 32-plane
+  // family and band math, so the trade stays exact-replayed.
   private val ss14Sql: String = {
-    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+    val planeRows = Similarity.planes(32, Similarity.MaxPlaneDim)
       .zipWithIndex.map { case (pl, p) =>
         s"($p, [${pl.take(64).mkString(", ")}])"
       }.mkString(",\n  ")
@@ -1725,7 +1735,7 @@ object ExtensionQueries {
        |  FROM dots GROUP BY vec_id),
        |bands AS (SELECT vec_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
+       |      'bits': (((sig >> CAST(b*8 AS INT)) & 255))})) AS u
        |  FROM sigs),
        |lab AS (SELECT vec_id, label FROM embeddings),
        |cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
