@@ -2119,13 +2119,22 @@ object ExtensionQueries {
     val unigramCounts = docs
       .select(col("lang"), explode(TF.tokens(col("text"))).as("w1"))
       .groupBy(col("lang"), col("w1")).agg(count(lit(1)).as("cu"))
-    // model tables are vocab-sized → broadcast; scoring stays narrow
+    // model tables are vocab-sized → broadcast; scoring stays narrow.
+    // Scoring is FIXED-POINT: each log-prob term quantizes to an
+    // integer (floor(lp·1e6+.5), exact in both engines), the per-doc
+    // sum is integer arithmetic (order-independent — avg over doubles
+    // is summation-order dependent and could flip a histogram cell on
+    // a rounding boundary), and the mean is ONE double division of
+    // identical integers, so the doubles are bit-identical cross-engine.
     val scores = bigrams
       .join(broadcast(bigramCounts), Seq("lang", "bigram"))
       .join(broadcast(unigramCounts), Seq("lang", "w1"))
+      .withColumn("lp_fp",
+        floor((log(col("cb").cast("double")) - log(col("cu").cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(avg(log(col("cb").cast("double")) - log(col("cu").cast("double"))), 6)
-        .as("score"))
+      .agg(sum(col("lp_fp")).as("slp"), count(lit(1)).as("nb"))
+      .withColumn("score", col("slp").cast("double") / (col("nb") * lit(1000000.0)))
       .withColumn("s3", floor(col("score") * 1000).cast("long"))
     val hist = scores.groupBy(col("lang"), col("s3")).agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(col("lang")).orderBy(col("s3"))
@@ -2157,13 +2166,17 @@ object ExtensionQueries {
       |uc AS (SELECT lang, unnest(string_split(text, ' ')) AS w1 FROM documents),
       |ucc AS (SELECT lang, w1, count(*) AS cu FROM uc GROUP BY 1, 2),
       |sc AS (SELECT b.doc_id, b.lang,
-      |    round(avg(ln(CAST(cb AS DOUBLE)) - ln(CAST(cu AS DOUBLE))), 6) AS score
+      |    CAST(sum(CAST(floor((ln(CAST(cb AS DOUBLE)) - ln(CAST(cu AS DOUBLE)))
+      |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS slp,
+      |    CAST(count(*) AS BIGINT) AS nb
       |  FROM bg2 b
       |  JOIN bc ON bc.lang = b.lang AND bc.bigram = b.bigram
       |  JOIN ucc ON ucc.lang = b.lang AND ucc.w1 = b.w1
       |  GROUP BY 1, 2),
+      |sc2 AS (SELECT doc_id, lang,
+      |    CAST(slp AS DOUBLE) / (nb * 1000000.0) AS score FROM sc),
       |s3 AS (SELECT doc_id, lang, score,
-      |    CAST(floor(score * 1000) AS BIGINT) AS s3 FROM sc),
+      |    CAST(floor(score * 1000) AS BIGINT) AS s3 FROM sc2),
       |hist AS (SELECT lang, s3, count(*) AS c FROM s3 GROUP BY 1, 2),
       |cum AS (SELECT lang, s3,
       |    sum(c) OVER (PARTITION BY lang ORDER BY s3) AS cum,

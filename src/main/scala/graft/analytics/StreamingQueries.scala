@@ -320,8 +320,13 @@ object StreamingQueries {
         coalesce(sum(col("v")).over(w), lit(0L)).as("s1"),
         coalesce(sum(col("v") * col("v")).over(w), lit(0L)).as("s2"))
       .filter(col("n") >= 30)
+      // Every operand is widened to DECIMAL(38,0) BEFORE any multiply:
+      // a LONG `n * v` would wrap silently past the 64-bit envelope
+      // (ANSI off) while DuckDB's HUGEINT raises — the engines must
+      // stay exact together at any scale, not just inside it.
       .filter(expr(
-        """CAST(n * v - s1 AS DECIMAL(38,0)) * CAST(n * v - s1 AS DECIMAL(38,0))
+        """(CAST(n AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)))
+          |  * (CAST(n AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) - CAST(s1 AS DECIMAL(38,0)))
           |  * CAST(n - 1 AS DECIMAL(38,0))
           |> CAST(9 AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))
           |  * (CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
@@ -344,7 +349,8 @@ object StreamingQueries {
       |SELECT event_type, event_id, v, CAST(n AS BIGINT) AS n_prior
       |FROM w
       |WHERE n >= 30
-      |  AND CAST(n * v - s1 AS HUGEINT) * CAST(n * v - s1 AS HUGEINT)
+      |  AND (CAST(n AS HUGEINT) * CAST(v AS HUGEINT) - CAST(s1 AS HUGEINT))
+      |      * (CAST(n AS HUGEINT) * CAST(v AS HUGEINT) - CAST(s1 AS HUGEINT))
       |      * CAST(n - 1 AS HUGEINT)
       |    > 9 * CAST(n AS HUGEINT)
       |      * (CAST(n AS HUGEINT) * CAST(s2 AS HUGEINT)

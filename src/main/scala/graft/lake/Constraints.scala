@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: classification is one row-local CASE column; each
   * channel is a filtered pass over the batch (no shuffle beyond the
-  * writes themselves). Callers replaying a large batch should
-  * `.persist()` it so the two filtered passes share the scan.
+  * writes themselves). The tagged batch is persisted inside
+  * [[appendChecked]] so classification is computed exactly once —
+  * required for correctness (not just speed): with a
+  * non-deterministic input, two independent evaluations could land a
+  * row in both channels or neither, breaking the exactly-one-channel
+  * contract.
   */
 object Constraints {
 
@@ -48,18 +52,25 @@ object Constraints {
 
   /** Append `rows` to the txn table at `dir`, diverting constraint
     * violations (with a [[ViolationCol]] reason) to parquet at
-    * `quarantineDir`. Returns (committed, quarantined) row counts. */
+    * `quarantineDir`. Returns (committed, quarantined) row counts —
+    * committed is the table's CUMULATIVE row count after this append
+    * (the lake's authoritative state), quarantined is THIS CALL's
+    * diverted rows (counted from the persisted split, not by
+    * re-reading the quarantine dir, which would be cumulative and
+    * cost a second full scan). */
   def appendChecked(spark: SparkSession, dir: String, rows: DataFrame,
                     constraints: Seq[(String, Column)],
                     quarantineDir: String): (Long, Long) = {
     require(!rows.columns.contains(ViolationCol),
       s"input must not already carry a '$ViolationCol' column")
-    val tagged = rows.withColumn(ViolationCol, violationOf(constraints))
-    val bad = tagged.filter(col(ViolationCol).isNotNull)
-    bad.write.mode("append").parquet(quarantineDir)
-    val good = tagged.filter(col(ViolationCol).isNull).drop(ViolationCol)
-    TxnLake.append(spark, dir, good)
-    val nBad = spark.read.parquet(quarantineDir).count()
-    (TxnLake.read(spark, dir).count(), nBad)
+    val tagged = rows.withColumn(ViolationCol, violationOf(constraints)).persist()
+    try {
+      val bad = tagged.filter(col(ViolationCol).isNotNull)
+      bad.write.mode("append").parquet(quarantineDir)
+      val nBad = bad.count()
+      val good = tagged.filter(col(ViolationCol).isNull).drop(ViolationCol)
+      TxnLake.append(spark, dir, good)
+      (TxnLake.read(spark, dir).count(), nBad)
+    } finally tagged.unpersist()
   }
 }
