@@ -258,7 +258,11 @@ object ScaleQueries {
     * (a) version 0 still reads exactly the pre-merge state after the
     * commit — snapshot immutability, not just isolation — and (b) the
     * merge applied exactly the claimed row set. Everything stages into
-    * a per-invocation temp dir (same discipline as ss07). */
+    * a per-invocation temp dir (same discipline as ss07). Both version
+    * reads go through the `graft-txn` DATA SOURCE
+    * ([[graft.lake.TxnLakeSource]], `versionAsOf` option) rather than
+    * the bespoke API, so the registered query also pins the DSv2-path
+    * snapshot resolution. */
   private def lk01(s: SparkSession, d: String): DataFrame = {
     import graft.lake.TxnLake
     val dir = java.nio.file.Files.createTempDirectory("graft_lk01")
@@ -276,8 +280,10 @@ object ScaleQueries {
       df.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as(s"n_$sfx"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as(s"sum_$sfx"))
-    summarize(TxnLake.readVersion(s, dir, 0L), "v0")
-      .join(summarize(TxnLake.readVersion(s, dir, 1L), "v1"), Seq("o_orderstatus"))
+    def readVersion(v: Long): DataFrame =
+      s.read.format("graft-txn").option("versionAsOf", v.toString).load(dir)
+    summarize(readVersion(0L), "v0")
+      .join(summarize(readVersion(1L), "v1"), Seq("o_orderstatus"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -397,15 +403,19 @@ object ScaleQueries {
       |FROM v1 GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
-  /** zq02 — manifest ZONE-MAP file skipping ([[graft.lake.TxnLake]]
-    * stats columns + [[graft.lake.TxnLake.readRange]]): create a txn
-    * table partitioned by an orderkey range bucket (so each data file
-    * gets a tight key zone), then range-read keys [1000, 3000] — the
-    * manifest min/max prune non-intersecting files at planning time,
-    * no footer reads (skipping itself is pinned via inputFiles in
-    * TxnLakeSpec). The oracle recomputes the range aggregate straight
-    * off the base table, so a hash match proves skipping loses no rows
-    * at any layout. */
+  /** zq02 — manifest ZONE-MAP file skipping through the `graft-txn`
+    * DATA SOURCE ([[graft.lake.TxnLakeSource]]): create a txn table
+    * partitioned by an orderkey range bucket (so each data file gets a
+    * tight key zone), then read it as an ordinary
+    * `spark.read.format("graft-txn")` relation with a BETWEEN predicate
+    * — Catalyst hands the conjuncts to [[graft.lake.TxnFileIndex]],
+    * which prunes non-intersecting files against the manifest min/max
+    * at planning time, no footer reads (the pruned scanned-file count
+    * is pinned via the scan's `numFiles` metric in TxnLakeSourceSpec
+    * and plan-linted). Unlike the bespoke `readRange`, ANY predicate on
+    * the stats column prunes here. The oracle recomputes the range
+    * aggregate straight off the base table, so a hash match proves
+    * skipping loses no rows at any layout. */
   private def zq02(s: SparkSession, d: String): DataFrame = {
     import graft.lake.TxnLake
     val dir = java.nio.file.Files.createTempDirectory("graft_zq02")
@@ -415,7 +425,8 @@ object ScaleQueries {
         col("o_totalprice").cast("decimal(12,2)").as("o_price"),
         (col("o_orderkey") / lit(512)).cast("long").as("okbucket"))
     TxnLake.create(s, dir, base, "okbucket", statsCol = Some("o_orderkey"))
-    TxnLake.readRange(s, dir, 1000.0, 3000.0)
+    s.read.format("graft-txn").load(dir)
+      .filter(col("o_orderkey").between(1000L, 3000L))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_price")).cast("double").as("sum_price"))

@@ -1,0 +1,212 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{StructType, StringType, IntegerType, LongType, ShortType, ByteType, FloatType, DoubleType, DecimalType}
+
+/** `spark.read.format("graft-txn").load(dir)` — the [[TxnLake]] commit
+  * log surfaced as a first-class Spark data source, so lake snapshots
+  * compose with Catalyst on ANY predicate instead of only through the
+  * bespoke `TxnLake.read` / `readRange` API (and are reachable from
+  * pure SQL via `CREATE TABLE ... USING `graft-txn``).
+  *
+  * Architecture: a V1 `RelationProvider` returning a `HadoopFsRelation`
+  * over [[TxnFileIndex]] — the same integration point the public
+  * Delta Lake connector uses (its `TahoeFileIndex`), and deliberately
+  * NOT a bespoke DSv2 `PartitionReader`: by shipping only a file
+  * *index*, every downstream layer is stock Spark — `FileSourceStrategy`
+  * drives pushdown, the vectorized parquet reader handles decoding and
+  * row-group skipping off footer stats, column pruning reaches the scan
+  * (`ReadSchema`), and whole-stage codegen is unaffected. The index is
+  * where lake metadata adds something Spark cannot know: at
+  * `listFiles` time — planning, before any footer is opened — files are
+  * pruned against the MANIFEST's zone maps (`FileEntry.zmin/zmax` of
+  * the table's stats column) and per-file partition-value sets, so a
+  * 100 TB table with a selective stats/partition predicate schedules
+  * tasks for only the surviving files. Catalyst separately re-applies
+  * the full predicate per row, so pruning can only ever be
+  * conservative, never wrong.
+  *
+  * Snapshot semantics: the manifest is resolved ONCE at relation
+  * creation; the returned DataFrame is bound to that version's exact
+  * file list (option `versionAsOf` time-travels to an older retained
+  * version). Concurrent commits never change what a bound frame yields.
+  *
+  * Options: `path` (required), `versionAsOf` (optional long).
+  */
+class TxnLakeSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-txn"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-txn requires a path"))
+    val manifest = parameters.get("versionAsOf") match {
+      case Some(v) =>
+        val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val p = new Path(dir, f"_graft_log/v${v.toLong}%08d.json")
+        require(fs.exists(p),
+          s"version $v of $dir does not exist (vacuumed or never committed)")
+        TxnLake.readManifest(fs, p)
+      case None => TxnLake.resolve(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
+    }
+    val schema = StructType.fromDDL(manifest.schemaDdl)
+    val index = new TxnFileIndex(spark, dir, manifest)
+    HadoopFsRelation(index, new StructType(), schema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+  }
+}
+
+/** Manifest-backed `FileIndex`: the lake's planning-time file-skipping
+  * brain. `listFiles` receives the query's data filters as Catalyst
+  * conjuncts and drops every file whose manifest metadata PROVES it
+  * holds no matching row:
+  *
+  *  - range/equality/IN predicates on the table's STATS column test
+  *    against the file's zone map (`zmin`/`zmax`; files without bounds
+  *    — all-NULL or pre-stats — are kept conservatively);
+  *  - equality/IN/IS NULL predicates on the PARTITION column test
+  *    against the file's recorded partition-value set.
+  *
+  * Anything unrecognizable (ORs, UDFs, other columns) simply doesn't
+  * prune — correctness never depends on the analyzer, because Spark
+  * re-evaluates the full predicate on every surviving row. Monotone
+  * numeric casts around the stats column are unwrapped, so
+  * `CAST(price AS DOUBLE) > 900` prunes like `price > 900`.
+  *
+  * All metadata here is commit-manifest scale (file count × partition
+  * values), resolved on the driver with zero data-file reads.
+  */
+private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
+                                  manifest: TxnLake.Manifest) extends FileIndex {
+
+  private val root = new Path(dir)
+  // one listStatus per commit directory, not one RPC per file: commit
+  // dirs are few (one per commit) and each holds its files flat under
+  // __txn_pk=<token>/ subdirs — two bounded listings
+  private val statusByRel: Map[String, FileStatus] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wanted = manifest.files.map(_.path).toSet
+    val commitDirs = wanted.map(_.split("/").take(2).mkString("/"))
+    commitDirs.toSeq.sorted.flatMap { c =>
+      val d = new Path(root, c)
+      if (!fs.exists(d)) Seq.empty
+      else {
+        val it = fs.listFiles(d, true)
+        val buf = Seq.newBuilder[(String, FileStatus)]
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath.toUri.getPath
+          val rel = p.substring(p.indexOf("_graft_data"))
+          if (wanted.contains(rel)) buf += rel -> st
+        }
+        buf.result()
+      }
+    }.toMap
+  }
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def inputFiles: Array[String] =
+    manifest.files.map(f => new Path(root, f.path).toString).toArray
+
+  override def sizeInBytes: Long = statusByRel.values.map(_.getLen).sum
+
+  override def refresh(): Unit = () // snapshot-bound by design
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val statsRanges = manifest.statsCol.toSeq.flatMap(sc =>
+      dataFilters.flatMap(rangeOf(_, sc)))
+    val partSets = dataFilters.flatMap(partSetOf(_, manifest.partCol))
+    val keep = manifest.files.filter { f =>
+      val zoneOk = (f.zmin, f.zmax) match {
+        case (Some(mn), Some(mx)) =>
+          statsRanges.forall { case (lo, hi) => mx >= lo && mn <= hi }
+        case _ => true // unbounded (all-NULL stats or pre-stats file)
+      }
+      val partOk = partSets.forall(s => f.parts.exists(s.contains))
+      zoneOk && partOk
+    }
+    val sts = keep.flatMap(f => statusByRel.get(f.path)).toArray
+    Seq(PartitionDirectory(InternalRow.empty, sts))
+  }
+
+  /** [lo, hi] implied by one conjunct on the stats column, when one is
+    * provable. Strict bounds relax to inclusive — conservative. */
+  private def rangeOf(e: Expression, statsCol: String): Option[(Double, Double)] = {
+    def isStats(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.name == statsCol
+      // a cast between numeric types is monotone, so bounds transfer
+      case Cast(child, dt, _, _) if numeric(dt) => isStats(child)
+      case _ => false
+    }
+    def num(l: Literal): Option[Double] = l.value match {
+      case null => None
+      case n: Number => Some(n.doubleValue())
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    e match {
+      case GreaterThan(a, l: Literal) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
+      case GreaterThanOrEqual(a, l: Literal) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
+      case LessThan(a, l: Literal) if isStats(a) => num(l).map(v => (Double.MinValue, v))
+      case LessThanOrEqual(a, l: Literal) if isStats(a) => num(l).map(v => (Double.MinValue, v))
+      case EqualTo(a, l: Literal) if isStats(a) => num(l).map(v => (v, v))
+      case GreaterThan(l: Literal, a) if isStats(a) => num(l).map(v => (Double.MinValue, v))
+      case GreaterThanOrEqual(l: Literal, a) if isStats(a) => num(l).map(v => (Double.MinValue, v))
+      case LessThan(l: Literal, a) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
+      case LessThanOrEqual(l: Literal, a) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
+      case EqualTo(l: Literal, a) if isStats(a) => num(l).map(v => (v, v))
+      case In(a, ls) if isStats(a) && ls.forall(_.isInstanceOf[Literal]) =>
+        val vs = ls.flatMap(l => num(l.asInstanceOf[Literal]))
+        if (vs.isEmpty) None else Some((vs.min, vs.max))
+      case _ => None
+    }
+  }
+
+  private def numeric(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Allowed partition-value set implied by one conjunct on the
+    * partition column. Rendering matches the writer's `String.valueOf`
+    * for the types whose Catalyst literal prints identically (string,
+    * integral, floating) — anything else abstains. */
+  private def partSetOf(e: Expression, partCol: String): Option[Set[Option[String]]] = {
+    def isPart(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.name == partCol
+      case _ => false
+    }
+    def rendered(l: Literal): Option[Option[String]] = (l.value, l.dataType) match {
+      case (null, _) => Some(None)
+      case (v, StringType) => Some(Some(v.toString))
+      case (v: Number, ByteType | ShortType | IntegerType | LongType |
+                        FloatType | DoubleType) => Some(Some(String.valueOf(v)))
+      case _ => None // timestamps/decimals render engine-specifically: abstain
+    }
+    e match {
+      case EqualTo(a, l: Literal) if isPart(a) => rendered(l).map(Set(_))
+      case EqualTo(l: Literal, a) if isPart(a) => rendered(l).map(Set(_))
+      case EqualNullSafe(a, l: Literal) if isPart(a) => rendered(l).map(Set(_))
+      case EqualNullSafe(l: Literal, a) if isPart(a) => rendered(l).map(Set(_))
+      case IsNull(a) if isPart(a) => Some(Set(None: Option[String]))
+      case In(a, ls) if isPart(a) && ls.forall(_.isInstanceOf[Literal]) =>
+        val vs = ls.map(l => rendered(l.asInstanceOf[Literal]))
+        if (vs.exists(_.isEmpty)) None else Some(vs.flatten.toSet)
+      case _ => None
+    }
+  }
+}

@@ -285,6 +285,33 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"range aggregate needs map-side combine\n$p")
+    // DSv2 path: the BETWEEN must ALSO reach the parquet reader as
+    // pushed row-group filters — manifest skipping and footer skipping
+    // compose, they don't replace each other
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)") &&
+      p.contains("LessThanOrEqual(o_orderkey,3000)"),
+      s"stats predicate must push into the parquet scan\n$p")
+  }
+
+  test("zq02: the graft-txn scan opens strictly fewer files than the snapshot holds") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("zq02_zone_map_skip")(spark, sf)
+    df.collect()
+    // AQE hides materialized stages behind QueryStageExec leaves —
+    // plain collect() never reaches the scans inside them
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case s: QueryStageExec => scansOf(s.plan)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    }.flatten
+    val scans = scansOf(df.queryExecution.executedPlan)
+      .filter(_.relation.location.isInstanceOf[graft.lake.TxnFileIndex])
+    assert(scans.nonEmpty, "zq02 must read through a graft-txn file index")
+    val opened = scans.map(_.metrics("numFiles").value).sum
+    val total = scans.map(_.relation.location.inputFiles.length).sum
+    assert(opened < total,
+      s"zone maps pruned nothing: opened $opened of $total files")
   }
 
   test("q61: interval RANGE frames hash-partition by user, never one task") {

@@ -1,0 +1,131 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The `graft-txn` data source: snapshot fidelity, planning-time file
+  * skipping off manifest zone maps / partition values, SQL-catalog
+  * reachability, time travel, and schema-evolution null-fill. */
+class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_txnsrc").resolve("t").toString
+
+  /** Orders-shaped table: 3 partitions × well-separated price bands so
+    * zone maps are discriminating; created over several commits so the
+    * snapshot spans multiple files. */
+  private def priceTable(): String = {
+    import spark.implicits._
+    val dir = freshDir()
+    def batch(p: String, base: Double) =
+      (0 until 20).map(i => (s"$p-$i", p, base + i)).toDF("id", "part", "price")
+    TxnLake.create(spark, dir, batch("p1", 0.0), "part", statsCol = Some("price"))
+    TxnLake.append(spark, dir, batch("p2", 1000.0))
+    TxnLake.append(spark, dir, batch("p3", 2000.0))
+    dir
+  }
+
+  private def lake(dir: String): DataFrame =
+    spark.read.format("graft-txn").load(dir)
+
+  /** Post-execution scanned-file count from the scan node's metric —
+    * the ground truth for planning-time pruning. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("format read equals the bespoke snapshot read") {
+    val dir = priceTable()
+    val viaFormat = lake(dir).orderBy("id").collect().toSeq
+    val viaApi = TxnLake.read(spark, dir).orderBy("id").collect().toSeq
+    assert(viaFormat === viaApi)
+  }
+
+  test("zone-map pruning: a stats-column range scans only intersecting files") {
+    val dir = priceTable()
+    val all = scannedFiles(lake(dir))
+    assert(all >= 3, s"expected >=3 files across 3 commits, saw $all")
+    val filtered = lake(dir).filter(col("price") >= 2000.0)
+    assert(scannedFiles(filtered) < all,
+      "planning-time zone-map pruning must drop non-intersecting files")
+    // pruning is an optimization, never a result change
+    assert(filtered.count() === 20)
+    assert(lake(dir).filter(col("price").between(1000.0, 1019.0)).count() === 20)
+  }
+
+  test("partition pruning: equality on the partition column skips other partitions") {
+    val dir = priceTable()
+    val all = scannedFiles(lake(dir))
+    val one = lake(dir).filter(col("part") === "p2")
+    assert(scannedFiles(one) < all)
+    assert(one.count() === 20)
+    // IN-set prunes too; an untracked predicate shape must NOT prune
+    assert(lake(dir).filter(col("part").isin("p1", "p3")).count() === 40)
+    assert(lake(dir).filter(length(col("part")) === 2).count() === 60)
+  }
+
+  test("parquet pushdown survives: PushedFilters reaches the scan") {
+    val dir = priceTable()
+    val df = lake(dir).filter(col("price") > 2005.0).select("id")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(price"),
+      s"stats predicate must also push into the parquet reader:\n$plan")
+    assert(df.count() === 14)
+  }
+
+  test("versionAsOf time-travels; snapshot stays bound under later commits") {
+    import spark.implicits._
+    val dir = priceTable()
+    val v0 = spark.read.format("graft-txn").option("versionAsOf", "0").load(dir)
+    assert(v0.count() === 20)
+    val head = lake(dir)
+    TxnLake.append(spark, dir,
+      Seq(("x-0", "p9", 9000.0)).toDF("id", "part", "price"))
+    assert(head.count() === 60, "bound snapshot must not see the new commit")
+    assert(lake(dir).count() === 61)
+    assert(v0.orderBy("id").collect().toSeq ===
+      TxnLake.readVersion(spark, dir, 0).orderBy("id").collect().toSeq)
+  }
+
+  test("SQL catalog: CREATE TABLE USING graft-txn answers spark.sql with pruning") {
+    val dir = priceTable()
+    spark.sql(s"CREATE TABLE txnsrc_sql USING `graft-txn` OPTIONS (path '$dir')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM txnsrc_sql WHERE price >= 2000.0")
+        .collect().head.getLong(0)
+      assert(n === 20)
+      val agg = spark.sql(
+        """SELECT part, CAST(sum(price) AS DOUBLE) AS s
+          |FROM txnsrc_sql GROUP BY part ORDER BY part""".stripMargin).collect()
+      assert(agg.map(_.getString(0)).toSeq === Seq("p1", "p2", "p3"))
+    } finally spark.sql("DROP TABLE txnsrc_sql")
+  }
+
+  test("schema evolution: old files null-fill manifest-added columns") {
+    import spark.implicits._
+    val dir = freshDir()
+    TxnLake.create(spark, dir,
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("id", "part", "price"),
+      "part", statsCol = Some("price"))
+    TxnLake.upsert(spark, dir,
+      Seq((2L, "p2", 2.5, "fresh")).toDF("id", "part", "price", "note"), "id")
+    val got = lake(dir).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), Option(r.getAs[String]("note")))).toSeq
+    assert(got === Seq(1L -> None, 2L -> Some("fresh")),
+      "files predating the evolved schema must read as NULL for added columns")
+  }
+}
