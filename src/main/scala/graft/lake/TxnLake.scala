@@ -17,16 +17,28 @@ import org.apache.spark.sql.types.StructType
   *
   * Layout under the table root:
   * {{{
-  *   _graft_log/v00000007.json     one manifest per committed version
-  *   _graft_data/c<commit>/...     immutable data files, never mutated
+  *   _graft_log/v00000007.json       one DELTA record per committed version
+  *   _graft_log/v00000010.ckpt.json  periodic full-snapshot checkpoint
+  *   _graft_data/c<commit>/...       immutable data files, never mutated
   * }}}
   *
-  * A manifest lists the data files that constitute its snapshot plus
-  * each file's partition values — partition values live in the MANIFEST
-  * (and in the data itself as a normal column), never in directory
-  * names, so values needing Hive path escaping (dates with colons,
-  * URL-ish strings) and NULL partitions are ordinary values here: the
-  * cases the directory-swap path had to `require`-refuse.
+  * Each commit publishes a DELTA record — the files it adds and the
+  * paths it removes, O(touched partitions) — and every
+  * `checkpointInterval` commits (conf
+  * `spark.graft.txnlake.checkpointInterval`, default 10) a CHECKPOINT
+  * consolidates the full file list, so snapshot resolution reads one
+  * checkpoint plus at most N-1 deltas regardless of table age (the
+  * Delta-Lake log/checkpoint discipline): log storage is
+  * O(V·touched + V/N·files), not the O(V·files) a
+  * full-manifest-per-commit log grows to over thousands of commits.
+  * Checkpoints are derived data — losing a checkpoint race is harmless
+  * (create-if-absent; replay falls back to an older one).
+  *
+  * A record lists each added file's partition values — partition values
+  * live in the LOG (and in the data itself as a normal column), never
+  * in directory names, so values needing Hive path escaping (dates with
+  * colons, URL-ish strings) and NULL partitions are ordinary values
+  * here: the cases the directory-swap path had to `require`-refuse.
   *
   * Guarantees:
   *  - '''Atomic commit''': a version publishes via an atomic
@@ -46,10 +58,10 @@ import org.apache.spark.sql.types.StructType
   *    losing either commit.
   *
   * Scale shape: commits move bytes proportional to TOUCHED partitions
-  * only (manifest-side file pruning); the manifest itself is metadata —
-  * file count × partition values, the same thing a Delta log carries
-  * (log checkpointing/compaction is the known growth path at extreme
-  * file counts).
+  * only (manifest-side file pruning) and LOG bytes proportional to the
+  * same (delta records); checkpoints amortize full-list writes to one
+  * in N commits, and [[vacuum]] keeps resolution O(1) after retention
+  * by materializing a checkpoint at the oldest retained version.
   */
 object TxnLake {
 
@@ -65,6 +77,17 @@ object TxnLake {
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
                       files: Seq[FileEntry], statsCol: Option[String] = None)
+
+  /** One committed version's LOG record: the delta this commit applied
+    * (`add`/`remove`) plus the commit-scoped metadata OCC needs
+    * (`touched`). `full = true` marks a legacy full-manifest record
+    * (`add` is the complete file list) — replay treats it as a
+    * barrier. */
+  private[lake] case class CommitRecord(version: Long, commitId: String,
+                                        partCol: String, schemaDdl: String,
+                                        touched: Set[Option[String]],
+                                        add: Seq[FileEntry], remove: Set[String],
+                                        statsCol: Option[String], full: Boolean)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -99,9 +122,13 @@ object TxnLake {
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
       spark.conf.get("spark.sql.shuffle.partitions").toInt, statsCol)
-    val m = Manifest(0L, newCommitId(), partCol, df.schema.toDDL,
-      files.flatMap(_.parts).toSet, files, statsCol)
-    require(publish(fs, dir, m), s"concurrent create of txn table at $dir")
+    val rec = CommitRecord(0L, newCommitId(), partCol, df.schema.toDDL,
+      files.flatMap(_.parts).toSet, files, Set.empty, statsCol, full = false)
+    require(publish(fs, dir, manifestPath(dir, 0L), writeRecordBytes(rec), rec.commitId),
+      s"concurrent create of txn table at $dir")
+    // v0 checkpoint: cold resolution of a fresh table is one read
+    maybeCheckpoint(spark, fs, dir,
+      Manifest(0L, rec.commitId, partCol, rec.schemaDdl, rec.touched, files, statsCol))
   }
 
   /** Convert an existing hive-partitioned parquet directory into a txn
@@ -138,12 +165,7 @@ object TxnLake {
     * snapshot trained this model"). Versions dropped by [[vacuum]] fail
     * loudly here rather than serving a partial file list. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val fs = fsOf(spark, dir)
-    val p = manifestPath(dir, version)
-    require(fs.exists(p),
-      s"version $version of $dir does not exist (vacuumed or never committed); " +
-        s"available: ${listVersions(fs, dir).sorted.mkString(",")}")
-    val m = readManifest(fs, p)
+    val m = resolveAt(fsOf(spark, dir), dir, version)
     readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), m.files.map(_.path))
   }
 
@@ -153,11 +175,24 @@ object TxnLake {
   def history(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     import spark.implicits._
-    listVersions(fs, dir).sorted
-      .map(v => readManifest(fs, manifestPath(dir, v)))
-      .map(m => (m.version, m.commitId,
-        m.touched.toSeq.map(_.getOrElse("NULL")).sorted, m.files.size))
-      .toDF("version", "commit_id", "touched_partitions", "n_files")
+    val vs = listVersions(fs, dir).sorted
+    if (vs.isEmpty)
+      return Seq.empty[(Long, String, Seq[String], Int)]
+        .toDF("version", "commit_id", "touched_partitions", "n_files")
+    // ONE forward replay for the whole history — per-version resolveAt
+    // would be quadratic in retained versions
+    var files = resolveAt(fs, dir, vs.head).files
+    val head = readRecord(fs, manifestPath(dir, vs.head))
+    val rows = Seq.newBuilder[(Long, String, Seq[String], Int)]
+    rows += ((head.version, head.commitId,
+      head.touched.toSeq.map(_.getOrElse("NULL")).sorted, files.size))
+    vs.tail.foreach { v =>
+      val r = readRecord(fs, manifestPath(dir, v))
+      files = applyRecord(files, r)
+      rows += ((r.version, r.commitId,
+        r.touched.toSeq.map(_.getOrElse("NULL")).sorted, files.size))
+    }
+    rows.result().toDF("version", "commit_id", "touched_partitions", "n_files")
   }
 
   /** File-level layout of a committed version (latest when `version`
@@ -170,7 +205,7 @@ object TxnLake {
     val m =
       if (version < 0) resolve(fs, dir)
         .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-      else readManifest(fs, manifestPath(dir, version))
+      else resolveAt(fs, dir, version)
     import spark.implicits._
     m.files.flatMap(f => f.parts.toSeq.map(p =>
         (f.path, p.getOrElse("NULL"), f.zmin, f.zmax)))
@@ -206,15 +241,8 @@ object TxnLake {
     require(fromVersion < toVersion,
       s"changes requires fromVersion < toVersion, got $fromVersion >= $toVersion")
     val fs = fsOf(spark, dir)
-    def manifestOf(v: Long): Manifest = {
-      val p = manifestPath(dir, v)
-      require(fs.exists(p),
-        s"version $v of $dir does not exist (vacuumed or never committed); " +
-          s"available: ${listVersions(fs, dir).sorted.mkString(",")}")
-      readManifest(fs, p)
-    }
-    val mFrom = manifestOf(fromVersion)
-    val mTo = manifestOf(toVersion)
+    val mFrom = resolveAt(fs, dir, fromVersion)
+    val mTo = resolveAt(fs, dir, toVersion)
     require(mFrom.schemaDdl == mTo.schemaDdl,
       s"schema changed between v$fromVersion and v$toVersion of $dir; " +
         "diff the versions on either side of the evolution instead")
@@ -434,7 +462,7 @@ object TxnLake {
       // could be stale — only read-modify-write commits can conflict
       if (head.version > staged.baseVersion && staged.prunedPaths.nonEmpty) {
         val othersTouched = (staged.baseVersion + 1 to head.version)
-          .flatMap(v => readManifest(fs, manifestPath(dir, v)).touched).toSet
+          .flatMap(v => readRecord(fs, manifestPath(dir, v)).touched).toSet
         val overlap = othersTouched.intersect(staged.touched)
         val lostFiles = staged.prunedPaths -- head.files.map(_.path).toSet
         if (overlap.nonEmpty || lostFiles.nonEmpty) {
@@ -445,29 +473,55 @@ object TxnLake {
               s"rewritten base files: ${lostFiles.mkString(",")}) — re-run the upsert")
         }
       }
-      val m = Manifest(head.version + 1, newCommitId(), staged.partCol, staged.schemaDdl,
-        staged.touched,
-        head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
-        staged.statsCol)
-      if (publish(fs, dir, m)) return
+      val rec = CommitRecord(head.version + 1, newCommitId(), staged.partCol,
+        staged.schemaDdl, staged.touched, staged.newFiles, staged.prunedPaths,
+        staged.statsCol, full = false)
+      if (publish(fs, dir, manifestPath(dir, rec.version),
+          writeRecordBytes(rec), rec.commitId)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
+            head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
+            rec.statsCol))
+        return
+      }
       // lost the version-number race; loop re-resolves and re-checks
     }
   }
 
   /** Delete data files no longer referenced by the newest
-    * `keepVersions` manifests (and drop the older manifests). Files
+    * `keepVersions` manifests (and drop the older log records). Files
     * younger than `graceMs` are kept — they may belong to an in-flight
     * commit that has not published yet. Readers of retained versions
-    * are unaffected: vacuum only ever removes what those manifests do
-    * not reference. */
+    * are unaffected: vacuum only ever removes what those versions do
+    * not reference, and it MATERIALIZES a checkpoint at the oldest
+    * retained version before dropping older records, so every retained
+    * version keeps resolving from a checkpoint + bounded delta replay.
+    * Checkpoints older than the new one are dropped with the records
+    * they served. */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
              graceMs: Long = 60000L): Unit = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val fs = fsOf(spark, dir)
-    val versions = listVersions(fs, dir)
+    val (versions, ckpts) = listLog(fs, dir)
     if (versions.isEmpty) return
     val (dropV, keepV) = versions.sorted.splitAt(math.max(0, versions.size - keepVersions))
-    val referenced = keepV.flatMap(v => readManifest(fs, manifestPath(dir, v)).files.map(_.path)).toSet
+    val minKeep = keepV.head
+    // retention-proof resolution: checkpoint the oldest retained
+    // version BEFORE any older record disappears (derived data —
+    // create-if-absent, a lost race is fine)
+    if (dropV.nonEmpty && !ckpts.contains(minKeep)) {
+      val m = resolveAt(fs, dir, minKeep)
+      publish(fs, dir, checkpointPath(dir, minKeep), writeManifestBytes(m), m.commitId)
+    }
+    // ONE forward replay over the retained chain for the live-file set
+    var cur = resolveAt(fs, dir, minKeep).files
+    val refBuilder = Set.newBuilder[String]
+    refBuilder ++= cur.map(_.path)
+    keepV.tail.foreach { v =>
+      cur = applyRecord(cur, readRecord(fs, manifestPath(dir, v)))
+      refBuilder ++= cur.map(_.path)
+    }
+    val referenced = refBuilder.result()
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
@@ -484,6 +538,7 @@ object TxnLake {
       }
     }
     dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
+    ckpts.filter(_ < minKeep).foreach(v => fs.delete(checkpointPath(dir, v), false))
   }
 
   // ---- internals ----
@@ -501,20 +556,76 @@ object TxnLake {
   private def manifestPath(dir: String, version: Long): Path =
     new Path(dir, f"$LogDir/v$version%08d.json")
 
-  private def listVersions(fs: FileSystem, dir: String): Seq[Long] = {
+  private def checkpointPath(dir: String, version: Long): Path =
+    new Path(dir, f"$LogDir/v$version%08d.ckpt.json")
+
+  /** (committed versions, checkpoint versions) — ONE directory listing. */
+  private def listLog(fs: FileSystem, dir: String): (Seq[Long], Seq[Long]) = {
     val logDir = new Path(dir, LogDir)
-    if (!fs.exists(logDir)) Seq.empty
-    else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{8}\\.json") => n.substring(1, 9).toLong }
+    if (!fs.exists(logDir)) (Seq.empty, Seq.empty)
+    else {
+      val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      (names.collect { case n if n.matches("v\\d{8}\\.json") => n.substring(1, 9).toLong },
+        names.collect { case n if n.matches("v\\d{8}\\.ckpt\\.json") => n.substring(1, 9).toLong })
+    }
+  }
+
+  private def listVersions(fs: FileSystem, dir: String): Seq[Long] =
+    listLog(fs, dir)._1
+
+  /** Forward-apply one log record to a snapshot's file list. */
+  private def applyRecord(prev: Seq[FileEntry], r: CommitRecord): Seq[FileEntry] =
+    if (r.full) r.add
+    else prev.filterNot(f => r.remove.contains(f.path)) ++ r.add
+
+  /** Resolve the snapshot at `version`: newest checkpoint ≤ version,
+    * then the delta chain after it — bounded by the checkpoint interval
+    * in the steady state, never by table age. Falls back to replaying
+    * from v0 when no checkpoint survives (pre-checkpoint tables). */
+  private[lake] def resolveAt(fs: FileSystem, dir: String, version: Long): Manifest = {
+    val (versions, ckpts) = listLog(fs, dir)
+    val vset = versions.toSet
+    val base = ckpts.filter(_ <= version).maxOption
+    val replayFrom = base.map(_ + 1).getOrElse(0L)
+    val missing = (replayFrom to version).filterNot(vset.contains)
+    require(vset.contains(version) || base.contains(version),
+      s"version $version of $dir does not exist (vacuumed or never committed); " +
+        s"available: ${versions.sorted.mkString(",")}")
+    require(missing.isEmpty,
+      s"cannot resolve version $version of $dir: log records " +
+        s"${missing.mkString(",")} are missing and no covering checkpoint exists")
+    var m = base match {
+      case Some(c) => readManifest(fs, checkpointPath(dir, c))
+      case None => Manifest(-1L, "", "", "", Set.empty, Seq.empty, None)
+    }
+    (replayFrom to version).foreach { v =>
+      val r = readRecord(fs, manifestPath(dir, v))
+      m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
+        applyRecord(m.files, r), r.statsCol)
+    }
+    m
   }
 
   private[lake] def resolve(fs: FileSystem, dir: String): Option[Manifest] = {
     val vs = listVersions(fs, dir)
-    if (vs.isEmpty) None else Some(readManifest(fs, manifestPath(dir, vs.max)))
+    if (vs.isEmpty) None else Some(resolveAt(fs, dir, vs.max))
   }
 
   private[lake] def resolve(spark: SparkSession, dir: String): Option[Manifest] =
     resolve(fsOf(spark, dir), dir)
+
+  private[lake] def resolveVersion(spark: SparkSession, dir: String, version: Long): Manifest =
+    resolveAt(fsOf(spark, dir), dir, version)
+
+  /** Write a checkpoint when `m.version` lands on the interval grid.
+    * Derived data: create-if-absent, losers of the race do nothing. */
+  private def maybeCheckpoint(spark: SparkSession, fs: FileSystem, dir: String,
+                              m: Manifest): Unit = {
+    val interval = spark.conf.getOption("spark.graft.txnlake.checkpointInterval")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
+    if (m.version % interval == 0L)
+      publish(fs, dir, checkpointPath(dir, m.version), writeManifestBytes(m), m.commitId)
+  }
 
   private def readFiles(spark: SparkSession, dir: String, schema: StructType,
                         paths: Seq[String]): DataFrame =
@@ -613,25 +724,31 @@ object TxnLake {
     updates.select(target.schema.fields.filter(f => updates.columns.contains(f.name))
       .map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
-  // ---- manifest JSON (Jackson, bundled with Spark) ----
+  // ---- log JSON (Jackson, bundled with Spark) ----
 
   private val mapper = new ObjectMapper()
 
-  private def writeManifestBytes(m: Manifest): Array[Byte] = {
-    val nf = JsonNodeFactory.instance
-    val root = nf.objectNode()
-    root.put("version", m.version)
-    root.put("commitId", m.commitId)
-    root.put("partCol", m.partCol)
-    root.put("schemaDdl", m.schemaDdl)
-    m.statsCol.foreach(root.put("statsCol", _))
+  private def headerNode(version: Long, commitId: String, partCol: String,
+                         schemaDdl: String, touched: Set[Option[String]],
+                         statsCol: Option[String]) = {
+    val root = JsonNodeFactory.instance.objectNode()
+    root.put("version", version)
+    root.put("commitId", commitId)
+    root.put("partCol", partCol)
+    root.put("schemaDdl", schemaDdl)
+    statsCol.foreach(root.put("statsCol", _))
     val t = root.putArray("touched")
-    m.touched.toSeq.sortBy(_.getOrElse("")).foreach {
+    touched.toSeq.sortBy(_.getOrElse("")).foreach {
       case Some(v) => t.add(v)
       case None => t.addNull()
     }
-    val fsArr = root.putArray("files")
-    m.files.foreach { f =>
+    root
+  }
+
+  private def addFileArray(root: com.fasterxml.jackson.databind.node.ObjectNode,
+                           name: String, files: Seq[FileEntry]): Unit = {
+    val fsArr = root.putArray(name)
+    files.foreach { f =>
       val fn = fsArr.addObject()
       fn.put("path", f.path)
       f.zmin.foreach(fn.put("zmin", _))
@@ -642,13 +759,47 @@ object TxnLake {
         case None => pn.addNull()
       }
     }
+  }
+
+  /** Full snapshot (checkpoint / legacy manifest) bytes: `files`. */
+  private def writeManifestBytes(m: Manifest): Array[Byte] = {
+    val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
+      m.touched, m.statsCol)
+    addFileArray(root, "files", m.files)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
 
-  private[lake] def readManifest(fs: FileSystem, p: Path): Manifest = {
+  /** Delta record bytes: `add` + `remove` — O(touched partitions). */
+  private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
+    val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
+      r.touched, r.statsCol)
+    addFileArray(root, "add", r.add)
+    val rm = root.putArray("remove")
+    r.remove.toSeq.sorted.foreach(rm.add)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+  }
+
+  private def parseFiles(node: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (n.isNull) None else Some(n.asText())
+    node.elements().asScala.map { fn =>
+      FileEntry(fn.get("path").asText(),
+        fn.get("parts").elements().asScala.map(optStr).toSet,
+        Option(fn.get("zmin")).map(_.asDouble()),
+        Option(fn.get("zmax")).map(_.asDouble()))
+    }.toSeq
+  }
+
+  private def readJson(fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode = {
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    val root = mapper.readTree(bytes)
+    mapper.readTree(bytes)
+  }
+
+  /** Full-snapshot file (checkpoint or legacy manifest). */
+  private[lake] def readManifest(fs: FileSystem, p: Path): Manifest = {
+    val root = readJson(fs, p)
     import scala.jdk.CollectionConverters._
     def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
       if (n.isNull) None else Some(n.asText())
@@ -658,37 +809,54 @@ object TxnLake {
       root.get("partCol").asText(),
       root.get("schemaDdl").asText(),
       root.get("touched").elements().asScala.map(optStr).toSet,
-      root.get("files").elements().asScala.map { fn =>
-        FileEntry(fn.get("path").asText(),
-          fn.get("parts").elements().asScala.map(optStr).toSet,
-          Option(fn.get("zmin")).map(_.asDouble()),
-          Option(fn.get("zmax")).map(_.asDouble()))
-      }.toSeq,
+      parseFiles(root.get("files")),
       Option(root.get("statsCol")).map(_.asText()))
   }
 
-  /** Atomically publish `m` as the manifest for its version. Returns
-    * false (leaving the log unchanged) if that version already exists —
-    * the caller lost the commit race. Local filesystems get a true
-    * atomic create-if-absent via hard link; HDFS-likes rely on rename
-    * refusing to overwrite an existing destination. */
-  private def publish(fs: FileSystem, dir: String, m: Manifest): Boolean = {
-    val dst = manifestPath(dir, m.version)
+  /** Per-version log record; a legacy full manifest parses as a
+    * `full = true` record (replay barrier). */
+  private[lake] def readRecord(fs: FileSystem, p: Path): CommitRecord = {
+    val root = readJson(fs, p)
+    import scala.jdk.CollectionConverters._
+    def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      if (n.isNull) None else Some(n.asText())
+    val full = root.has("files")
+    CommitRecord(
+      root.get("version").asLong(),
+      root.get("commitId").asText(),
+      root.get("partCol").asText(),
+      root.get("schemaDdl").asText(),
+      root.get("touched").elements().asScala.map(optStr).toSet,
+      parseFiles(if (full) root.get("files") else root.get("add")),
+      if (full) Set.empty
+      else root.get("remove").elements().asScala.map(_.asText()).toSet,
+      Option(root.get("statsCol")).map(_.asText()),
+      full)
+  }
+
+  /** Atomically publish `bytes` at `dst` (a log record or checkpoint).
+    * Returns false (leaving the log unchanged) if the destination
+    * already exists — the caller lost the commit race. Local
+    * filesystems get a true atomic create-if-absent via hard link;
+    * HDFS-likes rely on rename refusing to overwrite an existing
+    * destination. */
+  private def publish(fs: FileSystem, dir: String, dst: Path,
+                      bytes: Array[Byte], commitId: String): Boolean = {
     if (fs.getUri.getScheme == "file") {
       // pure-nio on local filesystems: hard-link create is the atomic
       // create-if-absent primitive, and bypassing fs.create avoids
       // ChecksumFileSystem's .crc sidecars littering the log dir
       val logNio = java.nio.file.Paths.get(new Path(dir, LogDir).toUri.getPath)
-      val t = logNio.resolve(s".tmp-${m.commitId}.json")
-      java.nio.file.Files.write(t, writeManifestBytes(m))
+      val t = logNio.resolve(s".tmp-$commitId-${dst.getName}")
+      java.nio.file.Files.write(t, bytes)
       try { java.nio.file.Files.createLink(logNio.resolve(dst.getName), t); true }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
       finally java.nio.file.Files.delete(t)
     } else {
       // HDFS-likes: rename refuses to overwrite an existing destination
-      val tmp = new Path(dir, s"$LogDir/.tmp-${m.commitId}.json")
+      val tmp = new Path(dir, s"$LogDir/.tmp-$commitId-${dst.getName}")
       val out = fs.create(tmp, true)
-      try out.write(writeManifestBytes(m)) finally out.close()
+      try out.write(bytes) finally out.close()
       if (fs.exists(dst)) { fs.delete(tmp, false); false }
       else if (fs.rename(tmp, dst)) true
       else { fs.delete(tmp, false); false }

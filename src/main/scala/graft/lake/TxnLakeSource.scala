@@ -49,12 +49,7 @@ class TxnLakeSource extends RelationProvider with DataSourceRegister {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-txn requires a path"))
     val manifest = parameters.get("versionAsOf") match {
-      case Some(v) =>
-        val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val p = new Path(dir, f"_graft_log/v${v.toLong}%08d.json")
-        require(fs.exists(p),
-          s"version $v of $dir does not exist (vacuumed or never committed)")
-        TxnLake.readManifest(fs, p)
+      case Some(v) => TxnLake.resolveVersion(spark, dir, v.toLong)
       case None => TxnLake.resolve(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
     }
