@@ -401,8 +401,13 @@ object Dedup {
     * BATCHES of two composed lazily and executed by a single action.
     * Only the batch's FINAL round carries the old-label column:
     * propagation is monotone (labels only decrease), so "last round
-    * changed nothing" alone proves the fixed point. At extreme
-    * diameters you'd switch to large-star/small-star, same primitives. */
+    * changed nothing" alone proves the fixed point.
+    *
+    * CONVERGENCE GUARANTEE: this never returns half-propagated labels.
+    * Either the fixed point lands inside the batch budget, or the
+    * computation escalates to large-star/small-star contraction
+    * ([[starRounds]], O(log diameter) rounds) over the same edges —
+    * and the star loop itself fails loudly rather than truncate. */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
     // cache the edge list AND pin it with an eager count: every round
     // joins against it, and the lazily-batched rounds below would
@@ -590,6 +595,14 @@ object Dedup {
       cnt = nextCnt
       rounds += 1
     }
+    // NEVER silently truncate: labels read off a non-star edge set are
+    // wrong (a vertex could still point at a non-minimum), and this is
+    // the terminal fallback — there is no further escalation. With
+    // log-diameter contraction the default budgets cover diameters past
+    // 2^25, so reaching this is a graph-shape bug worth failing on.
+    if (!fixed) throw new IllegalStateException(
+      s"star contraction did not reach a fixed point in $maxRounds rounds — " +
+        "component labels would be unreliable; raise maxRounds")
     // at the fixed point the graph is disjoint stars centered at each
     // component's minimum id: labels read straight off the edge set
     val labels = edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))

@@ -219,6 +219,20 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got === (0L until n).map(_ -> 0L).toMap)
   }
 
+  test("star contraction fails loudly when its round budget cannot reach a fixed point") {
+    import spark.implicits._
+    // the terminal fallback must never hand back labels off a non-star
+    // edge set — a diameter-63 chain cannot contract in 1 round
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val canon = pairs.select(
+      org.apache.spark.sql.functions.greatest($"doc_a", $"doc_b").as("u"),
+      org.apache.spark.sql.functions.least($"doc_a", $"doc_b").as("v"))
+    val e = intercept[IllegalStateException] {
+      Dedup.starRounds(canon, maxRounds = 1)._1.collect()
+    }
+    assert(e.getMessage.contains("fixed point"))
+  }
+
   test("clustersStar matches clusters on chains, forests and unpaired docs") {
     import spark.implicits._
     val d = (1L to 12L).toDF("doc_id")
