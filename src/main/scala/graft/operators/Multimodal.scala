@@ -53,6 +53,55 @@ object StubCodec extends MediaCodec {
   }
 }
 
+/** REAL codec #2 — pure-JVM PNG/JPEG decode via `javax.imageio`
+  * (bundled with the JDK, no native libraries): proof the
+  * [[MediaCodec]] seam takes a production decoder without touching any
+  * operator. Features are a luminance histogram over DECODED PIXELS —
+  * trailing bytes after the image stream, chunk reordering, or
+  * different compression of the same pixels all yield IDENTICAL
+  * features here while changing [[StubCodec]]'s byte-fold, which is
+  * exactly the property a content-addressed media pipeline wants (and
+  * what the differential spec pins).
+  *
+  * Same IEEE discipline as the stub: integer bin sums (exact in float
+  * below 2^24), one double divide, narrow to float. Payloads that do
+  * not decode as images fall back to `fallback` so mixed-modality
+  * frames keep flowing — the wav rows of a (png|wav) corpus take the
+  * stub path, the png rows take the pixel path.
+  *
+  * Stateless, so executor shipping is trivial; `ImageIO.read` is
+  * called per record on the task thread (codec instances are
+  * per-partition, the [[Multimodal.extractFeatures]] contract). */
+final class ImageIoCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
+  override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) fallback.decode(payload, dim)
+    else {
+      val out = new Array[Float](dim)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          // integer BT.601 luma — exact, engine-independent
+          val lum = ((rgb >> 16 & 0xFF) * 299 + (rgb >> 8 & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          out((y * w + x) % dim) += lum.toFloat
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h).toDouble
+      var j = 0
+      while (j < dim) { out(j) = (out(j).toDouble / n).toFloat; j += 1 }
+      out
+    }
+  }
+}
+
 /** Multimodal column plumbing: image/audio/video travel the lake as
   * opaque `binary` columns with typed metadata; decode / feature-extract
   * runs as a batched per-partition stage.
