@@ -710,7 +710,81 @@ object ScaleQueries {
       |FROM tagged WHERE violation IS NOT NULL GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** lk08 — commit-time CHANGE-DATA-CAPTURE feed
+    * ([[graft.streaming.CdcFeed]] over [[graft.lake.TxnLake]]): script a
+    * create → append → upsert → delete history on a txn table, then
+    * read the `_graft_cdc` feed in batch and summarize rows per
+    * (version, change type). Each commit writes its own change rows
+    * (insert/update post-images, delete pre-images) at commit time —
+    * O(changed rows), never a snapshot diff — and the same files are
+    * what `CdcFeed.stream` tails as a checkpointed file stream
+    * (stream == batch pinned in CdcFeedSpec). The oracle rebuilds every
+    * commit's expected change set relationally, including the doubled
+    * pre-image price of keys updated before deletion (%42), so a hash
+    * match pins classification, pre-image capture, and version
+    * attribution at once. Prices go through DECIMAL(12,2) so sums are
+    * order-independent (the lk01 discipline). */
+  private def lk08(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.CdcFeed
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk08")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus")
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 7 === 3))
+    TxnLake.upsert(s, dir,
+      slice(col("o_orderkey") % 21 === 0 || col("o_orderkey") % 7 === 5)
+        .withColumn("price",
+          when(col("o_orderkey") % 21 === 0, col("price") * 2)
+            .otherwise(col("price")).cast("decimal(12,2)")),
+      "o_orderkey")
+    TxnLake.delete(s, dir,
+      orders(s, d).filter(col("o_orderkey") % 14 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    CdcFeed.batch(s, dir)
+      .groupBy(col(TxnLake.VersionCol).as("v"), col(TxnLake.ChangeTypeCol).as("change"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("v"), col("change"))
+  }
+
+  private val lk08Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |app AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 = 3),
+      |upd AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 21 = 0
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+      |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price,
+      |    o_orderkey % 21 = 0 AS matched
+      |  FROM orders WHERE o_orderkey % 21 = 0 OR o_orderkey % 7 = 5),
+      |del AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 42 = 0
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+      |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 14 = 0),
+      |feed AS (
+      |  SELECT CAST(0 AS BIGINT) AS v, 'insert' AS change, price FROM base
+      |  UNION ALL
+      |  SELECT 1, 'insert', price FROM app
+      |  UNION ALL
+      |  SELECT 2, CASE WHEN matched THEN 'update' ELSE 'insert' END, price FROM upd
+      |  UNION ALL
+      |  SELECT 3, 'delete', price FROM del)
+      |SELECT v, change, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM feed GROUP BY v, change
+      |ORDER BY v, change""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk08_cdc_feed" -> (lk08 _),
     "lk07_check_constraints" -> (lk07 _),
     "lk06_vacuum" -> (lk06 _),
     "zq02_zone_map_skip" -> (zq02 _),
@@ -729,6 +803,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk08_cdc_feed" -> lk08Sql,
     "lk07_check_constraints" -> lk07Sql,
     "lk06_vacuum" -> lk06Sql,
     "zq02_zone_map_skip" -> zq02Sql,

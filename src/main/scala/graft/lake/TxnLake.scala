@@ -91,14 +91,29 @@ object TxnLake {
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
-    * manifest referencing them. */
+    * manifest referencing them. `cdc` is the commit's row-level CHANGE
+    * FEED (lazy — each row tagged `_change_type` insert/update/delete),
+    * materialized under `_graft_cdc/v<version>` only after the commit
+    * publishes and its version number is known. */
   private[lake] case class Staged(baseVersion: Long, partCol: String,
                                   schemaDdl: String, touched: Set[Option[String]],
                                   prunedPaths: Set[String], newFiles: Seq[FileEntry],
-                                  statsCol: Option[String] = None)
+                                  statsCol: Option[String] = None,
+                                  cdc: Option[DataFrame] = None)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
+
+  /** Root of the commit-time CHANGE-DATA feed (Delta CDF-style): one
+    * `v<version>` parquet directory per row-changing commit, rows =
+    * post-images (pre-images for deletes) + [[ChangeTypeCol]], with
+    * [[VersionCol]] baked into the files. Written by the committing
+    * writer, O(changed rows) per commit — [[graft.streaming.CdcFeed]]
+    * tails it as a plain checkpointed file stream, so downstream
+    * incremental consumers never diff snapshots. */
+  val CdcDir = "_graft_cdc"
+  val ChangeTypeCol = "_change_type"
+  val VersionCol = "_commit_version"
 
   def isTxnTable(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(new Path(dir, LogDir))
@@ -129,6 +144,10 @@ object TxnLake {
     // v0 checkpoint: cold resolution of a fresh table is one read
     maybeCheckpoint(spark, fs, dir,
       Manifest(0L, rec.commitId, partCol, rec.schemaDdl, rec.touched, files, statsCol))
+    // v0 change feed = the initial snapshot as inserts, so a CDC
+    // consumer starting from scratch bootstraps a full replica from the
+    // feed alone (the Delta CDF convention for the create version)
+    writeCdc(spark, dir, 0L, df.withColumn(ChangeTypeCol, lit("insert")))
   }
 
   /** Convert an existing hive-partitioned parquet directory into a txn
@@ -304,8 +323,13 @@ object TxnLake {
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
     val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
       base.statsCol)
+    // change feed: the doomed rows (delete PRE-images), the semi-join
+    // complement of `remaining` — O(pruned files), not O(table)
+    val doomed = readFiles(spark, dir, schema, pruned.map(_.path))
+      .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
+      .withColumn(ChangeTypeCol, lit("delete"))
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
-      touched, pruned.map(_.path).toSet, newFiles, base.statsCol))
+      touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = Some(doomed)))
   }
 
   /** Transactional blind APPEND: stage `rows` as new files and publish —
@@ -337,7 +361,9 @@ object TxnLake {
       spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol)
     if (newFiles.isEmpty) None
     else Some(Staged(base.version, base.partCol, base.schemaDdl,
-      newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol))
+      newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol,
+      // a blind append's change feed is the appended rows themselves
+      cdc = Some(aligned.withColumn(ChangeTypeCol, lit("insert")))))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
@@ -438,10 +464,20 @@ object TxnLake {
       .unionByName(aligned.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
       base.statsCol)
+    // change feed: each upserted row classified insert-vs-update by
+    // whether its key exists in the PRUNED snapshot files (matched keys
+    // live in touched partitions by construction, so the pruned subset
+    // decides membership exactly) — O(touched), not O(table)
+    val cdcRows = aligned.select(cols.map(col).toIndexedSeq: _*)
+      .join(prunedDf.select(col(key).as("__txn_mk")).distinct(),
+        col(key) === col("__txn_mk"), "left")
+      .withColumn(ChangeTypeCol,
+        when(col("__txn_mk").isNull, lit("insert")).otherwise(lit("update")))
+      .drop("__txn_mk")
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
-      pruned.map(_.path).toSet, newFiles, base.statsCol))
+      pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = Some(cdcRows)))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -482,6 +518,12 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
             rec.statsCol))
+        // the change feed needs the WON version number, so it writes
+        // after publish; its lazy plan re-reads only base files, which
+        // commits never delete (vacuum-only), so replay is safe. A
+        // crash in this window loses the feed entry, never table data —
+        // [[changes]]' snapshot diff stays the recovery path.
+        staged.cdc.foreach(rows => writeCdc(spark, dir, rec.version, rows))
         return
       }
       // lost the version-number race; loop re-resolves and re-checks
@@ -539,9 +581,29 @@ object TxnLake {
     }
     dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
     ckpts.filter(_ < minKeep).foreach(v => fs.delete(checkpointPath(dir, v), false))
+    // change-feed retention rides log retention: CDC of a dropped
+    // version serves no retained consumer start point
+    val cdcRoot = new Path(dir, CdcDir)
+    if (fs.exists(cdcRoot)) fs.listStatus(cdcRoot).foreach { st =>
+      val digits = st.getPath.getName.stripPrefix("v")
+      if (digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < minKeep)
+        fs.delete(st.getPath, true)
+    }
   }
 
   // ---- internals ----
+
+  /** Materialize one commit's change rows under `_graft_cdc/v<version>`
+    * with [[VersionCol]] baked into the files (not the path), so the
+    * feed reads with ONE explicit schema — no partition inference, and
+    * pre-evolution feed files null-fill later columns exactly like the
+    * table's own readers. One directory per version keeps retention a
+    * directory drop ([[vacuum]]). */
+  private def writeCdc(spark: SparkSession, dir: String, version: Long,
+                       changeRows: DataFrame): Unit =
+    changeRows.withColumn(VersionCol, lit(version))
+      .write.mode(SaveMode.ErrorIfExists)
+      .parquet(f"$dir/$CdcDir/v$version%08d")
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.lake.TxnLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The commit-time change feed vs its two independent counterparts:
+  * the snapshot-diff [[TxnLake.changes]] (post-hoc file diff — a
+  * different computation of the same facts) and the streamed form of
+  * the feed itself (stream == batch), plus downstream replication with
+  * replay idempotence. */
+class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  /** create → append → upsert → delete: a 3-commit mutation history on
+    * top of v0. */
+  private def mutatedTable(): String = {
+    import spark.implicits._
+    val dir = freshDir("graft_cdc")
+    TxnLake.create(spark, dir,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")).toDF("id", "name", "part"),
+      "part")
+    TxnLake.append(spark, dir, Seq((4L, "d", "p2"), (5L, "e", "p3")).toDF("id", "name", "part"))
+    TxnLake.upsert(spark, dir,
+      Seq((2L, "b2", "p1"), (6L, "f", "p3")).toDF("id", "name", "part"), "id")
+    TxnLake.delete(spark, dir, Seq(1L, 6L).toDF("id"), "id")
+    dir
+  }
+
+  private def changeSet(df: DataFrame): Set[(Long, String, String, String, Long)] =
+    df.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+      r.getAs[String]("part"), r.getAs[String](TxnLake.ChangeTypeCol),
+      r.getAs[Long](TxnLake.VersionCol))).toSet
+
+  private def snapshotSet(df: DataFrame): Set[(Long, String, String)] =
+    df.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+      r.getAs[String]("part"))).toSet
+
+  test("batch feed equals the expected change history exactly") {
+    val dir = mutatedTable()
+    assert(changeSet(CdcFeed.batch(spark, dir)) === Set(
+      (1L, "a", "p1", "insert", 0L), (2L, "b", "p1", "insert", 0L), (3L, "c", "p2", "insert", 0L),
+      (4L, "d", "p2", "insert", 1L), (5L, "e", "p3", "insert", 1L),
+      (2L, "b2", "p1", "update", 2L), (6L, "f", "p3", "insert", 2L),
+      (1L, "a", "p1", "delete", 3L), (6L, "f", "p3", "delete", 3L)))
+  }
+
+  test("feed matches the snapshot-diff changes() version by version") {
+    val dir = mutatedTable()
+    // v0 has no predecessor to diff — its feed entry is the snapshot as
+    // inserts, pinned against readVersion
+    val v0 = TxnLake.readVersion(spark, dir, 0L)
+      .withColumn(TxnLake.ChangeTypeCol, lit("insert"))
+      .withColumn(TxnLake.VersionCol, lit(0L))
+    val diffed = (1L to 3L).map { v =>
+      TxnLake.changes(spark, dir, v - 1, v, "id")
+        .withColumn(TxnLake.VersionCol, lit(v))
+    }.foldLeft(v0)(_ unionByName _)
+    assert(changeSet(CdcFeed.batch(spark, dir)) === changeSet(diffed))
+  }
+
+  test("streamed feed equals the batch feed (stream == batch)") {
+    val dir = mutatedTable()
+    val q = CdcFeed.stream(spark, dir, maxFilesPerTrigger = Some(2))
+      .writeStream.format("memory").queryName("cdc_feed_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(changeSet(spark.table("cdc_feed_stream")) ===
+      changeSet(CdcFeed.batch(spark, dir)))
+  }
+
+  test("replicate() converges the replica to the source head snapshot") {
+    val dir = mutatedTable()
+    val target = freshDir("graft_cdc_replica")
+    val ckpt = freshDir("graft_cdc_ckpt")
+    CdcFeed.replicate(spark, dir, target, "id", "part", ckpt).awaitTermination()
+    assert(snapshotSet(TxnLake.read(spark, target)) ===
+      snapshotSet(TxnLake.read(spark, dir)))
+    assert(snapshotSet(TxnLake.read(spark, target)) ===
+      Set((2L, "b2", "p1"), (3L, "c", "p2"), (4L, "d", "p2"), (5L, "e", "p3")))
+  }
+
+  test("applyCdc replay is idempotent: re-applying the full feed changes nothing") {
+    val dir = mutatedTable()
+    val target = freshDir("graft_cdc_replay")
+    val feed = CdcFeed.batch(spark, dir)
+    CdcFeed.applyCdc(feed, target, "id", "part")
+    val once = snapshotSet(TxnLake.read(spark, target))
+    CdcFeed.applyCdc(feed, target, "id", "part") // the foreachBatch replay
+    assert(snapshotSet(TxnLake.read(spark, target)) === once)
+    assert(once === snapshotSet(TxnLake.read(spark, dir)))
+  }
+
+  test("row-preserving OPTIMIZE emits no feed entry") {
+    import spark.implicits._
+    val dir = freshDir("graft_cdc_opt")
+    TxnLake.create(spark, dir, Seq((1L, "a", "p1")).toDF("id", "name", "part"), "part")
+    TxnLake.append(spark, dir, Seq((2L, "b", "p1")).toDF("id", "name", "part"))
+    TxnLake.append(spark, dir, Seq((3L, "c", "p1")).toDF("id", "name", "part"))
+    val stats = TxnLake.optimize(spark, dir, minFiles = 1)
+    assert(stats.version === 3L)
+    val feed = CdcFeed.batch(spark, dir)
+    assert(feed.agg(max(col(TxnLake.VersionCol))).head().getLong(0) === 2L)
+    assert(feed.count() === 3L) // the three appended rows, nothing rewritten
+  }
+
+  test("vacuum drops feed entries of dropped versions; later reads survive") {
+    val dir = mutatedTable()
+    TxnLake.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
+    // versions 0 and 1 dropped => their feed dirs go; 2..3 retained
+    val vs = CdcFeed.batch(spark, dir)
+      .select(TxnLake.VersionCol).distinct().collect().map(_.getLong(0)).toSet
+    assert(vs === Set(2L, 3L))
+  }
+}
