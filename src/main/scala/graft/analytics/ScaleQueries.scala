@@ -710,6 +710,52 @@ object ScaleQueries {
       |FROM tagged WHERE violation IS NOT NULL GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** zq03 — `graft-txn` WRITE PATH + SQL catalog, end to end: build a
+    * lake table purely through the data-source API
+    * (`df.write.format("graft-txn")` — create, then blind append, then
+    * an atomic full OVERWRITE that rewrites the snapshot through a
+    * self-referential clean-and-replace, the real maintenance pattern),
+    * register it with `CREATE TABLE ... USING` under a
+    * collision-proof name (dropped in a finally — the q58 purity
+    * discipline), and answer a `spark.sql` aggregate whose BETWEEN
+    * predicate prunes files via [[graft.lake.TxnFileIndex]] zone maps.
+    * The oracle replays create ∪ append → filter relationally, so a
+    * hash match pins all three write modes AND the SQL read in one
+    * query. */
+  private def zq03(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq03")
+      .resolve("orders_lake").toString
+    def slice(m: Int) = orders(s, d).filter(col("o_orderkey") % 9 === m)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    slice(0).write.format("graft-txn")
+      .option("partCol", "o_orderstatus").option("statsCol", "o_orderkey").save(dir)
+    slice(4).write.format("graft-txn").mode("append").save(dir)
+    // clean-and-replace: drop expensive outliers in one atomic commit
+    s.read.format("graft-txn").load(dir)
+      .filter(col("price") <= lit(java.math.BigDecimal.valueOf(50000)))
+      .write.format("graft-txn").mode("overwrite").save(dir)
+    val tbl = s"zq03_lake_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-txn` OPTIONS (path '$dir')")
+    try
+      s.sql(
+        s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(price) AS DOUBLE) AS sum_price
+           |FROM $tbl WHERE o_orderkey BETWEEN 500 AND 5000
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    finally s.sql(s"DROP TABLE $tbl")
+  }
+
+  private val zq03Sql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE (o_orderkey % 9 = 0 OR o_orderkey % 9 = 4)
+      |  AND CAST(o_totalprice AS DECIMAL(12,2)) <= 50000
+      |  AND o_orderkey BETWEEN 500 AND 5000
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** lk08 — commit-time CHANGE-DATA-CAPTURE feed
     * ([[graft.streaming.CdcFeed]] over [[graft.lake.TxnLake]]): script a
     * create → append → upsert → delete history on a txn table, then
@@ -784,6 +830,7 @@ object ScaleQueries {
       |ORDER BY v, change""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "zq03_sql_writepath" -> (zq03 _),
     "lk08_cdc_feed" -> (lk08 _),
     "lk07_check_constraints" -> (lk07 _),
     "lk06_vacuum" -> (lk06 _),
@@ -803,6 +850,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq03_sql_writepath" -> zq03Sql,
     "lk08_cdc_feed" -> lk08Sql,
     "lk07_check_constraints" -> lk07Sql,
     "lk06_vacuum" -> lk06Sql,

@@ -366,6 +366,41 @@ object TxnLake {
       cdc = Some(aligned.withColumn(ChangeTypeCol, lit("insert")))))
   }
 
+  /** Transactional full-snapshot OVERWRITE: replace the table's entire
+    * contents with `rows` in one atomic commit (the
+    * `df.write.mode("overwrite")` semantics every lake format gives).
+    * Old files are dropped by reference — readers of retained older
+    * versions keep resolving them until [[vacuum]] — and every old and
+    * new partition counts as touched, so ANY concurrent
+    * read-modify-write commit conflicts under OCC rather than silently
+    * landing on replaced state. Column contract matches [[append]]
+    * (all table columns required; extra columns evolve the schema
+    * additively). The change feed records the replacement faithfully:
+    * delete pre-images for every old row plus inserts for every new
+    * one — O(table), which is what an overwrite IS; use [[upsert]] /
+    * [[delete]] when only a delta changed. */
+  def overwrite(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val baseSchema = StructType.fromDDL(base.schemaDdl)
+    val missing = baseSchema.fieldNames.toSet -- rows.columns.toSet
+    require(missing.isEmpty,
+      s"overwrite missing table columns ${missing.mkString(",")}")
+    val addedCols = rows.columns.filterNot(baseSchema.fieldNames.contains)
+    val schema = StructType(baseSchema.fields ++ addedCols.map(c => rows.schema(c)))
+    val target = readFiles(spark, dir, schema, Seq.empty)
+    val aligned = castToTarget(rows, target)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newFiles = stageFiles(spark, dir, aligned, base.partCol,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol)
+    val oldRows = readFiles(spark, dir, schema, base.files.map(_.path))
+      .withColumn(ChangeTypeCol, lit("delete"))
+    val cdc = oldRows.unionByName(aligned.withColumn(ChangeTypeCol, lit("insert")))
+    commitStaged(spark, dir, Staged(base.version, base.partCol, schema.toDDL,
+      base.files.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts),
+      base.files.map(_.path).toSet, newFiles, base.statsCol, cdc = Some(cdc)))
+  }
+
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
                                  partitionsCompacted: Int, version: Long)
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{StructType, StringType, IntegerType, LongType, ShortType, ByteType, FloatType, DoubleType, DecimalType}
 
 /** `spark.read.format("graft-txn").load(dir)` — the [[TxnLake]] commit
@@ -37,11 +37,46 @@ import org.apache.spark.sql.types.{StructType, StringType, IntegerType, LongType
   * file list (option `versionAsOf` time-travels to an older retained
   * version). Concurrent commits never change what a bound frame yields.
   *
-  * Options: `path` (required), `versionAsOf` (optional long).
+  * Options: `path` (required), `versionAsOf` (optional long; read
+  * only), `partCol` + `statsCol` (first create only).
+  *
+  * Write path: `df.write.format("graft-txn").mode(...).save(dir)` maps
+  * each save mode onto the matching transactional commit — `append` →
+  * [[TxnLake.append]] (blind, O(new data)), `overwrite` →
+  * [[TxnLake.overwrite]] (atomic full replace), first write → create
+  * (option `partCol` required, `statsCol` opts into zone maps). Every
+  * mode publishes one manifest commit, so concurrent readers keep
+  * snapshot isolation and the change feed records the write.
   */
-class TxnLakeSource extends RelationProvider with DataSourceRegister {
+class TxnLakeSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-txn"
+
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-txn requires a path"))
+    val exists = TxnLake.isTxnTable(spark, dir)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"$dir is already a txn table (mode ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists => TxnLake.append(spark, dir, data)
+      case SaveMode.Overwrite if exists => TxnLake.overwrite(spark, dir, data)
+      case _ =>
+        val partCol = parameters.getOrElse("partCol",
+          throw new IllegalArgumentException(
+            "graft-txn initial create requires option partCol"))
+        TxnLake.create(spark, dir, data, partCol, parameters.get("statsCol"))
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
