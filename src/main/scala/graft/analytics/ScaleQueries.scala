@@ -829,7 +829,76 @@ object ScaleQueries {
       |FROM feed GROUP BY v, change
       |ORDER BY v, change""".stripMargin
 
+  /** lk09 — full MERGE with all three clauses in ONE atomic commit
+    * ([[graft.lake.TxnLake.merge]]):
+    *
+    *   MERGE INTO tgt USING src ON tgt.o_orderkey = src.o_orderkey
+    *   WHEN MATCHED AND tgt.price > 100000 THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET *
+    *   WHEN NOT MATCHED THEN INSERT *
+    *
+    * Target = orders keys %5=0; source = keys %10=0 (all matched)
+    * ∪ keys %5=2 (all unmatched) at doubled price. The result unions
+    * the post-merge snapshot per status with the merge commit's CDC
+    * rows per change type, so one hash pins the retention-delete
+    * clause, the update/insert split, the withheld source rows of
+    * deleted keys, AND the three-way change-feed classification.
+    * The oracle replays the clauses relationally. Prices go through
+    * DECIMAL(12,2) (the lk01 discipline). */
+  private def lk09(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.CdcFeed
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk09")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 5 === 0), "o_orderstatus")
+    val src = slice(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 5 === 2)
+      .withColumn("price", (col("price") * 2).cast("decimal(12,2)"))
+    TxnLake.merge(s, dir, src, "o_orderkey",
+      deleteWhen = col("price") > 100000)
+    val table = TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("o_orderstatus")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    val cdc = CdcFeed.batch(s, dir, fromVersion = 1L)
+      .groupBy(concat(lit("cdc:"), col(TxnLake.ChangeTypeCol)).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    table.unionByName(cdc).orderBy(col("channel"))
+  }
+
+  private val lk09Sql =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |src AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 5 = 2),
+      |del AS (SELECT t.* FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+      |        WHERE t.price > 100000),
+      |upd AS (SELECT s.* FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      |        WHERE t.price <= 100000),
+      |ins AS (SELECT s.* FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      |        WHERE t.o_orderkey IS NULL),
+      |final AS (
+      |  SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins),
+      |cdc AS (
+      |  SELECT 'update' AS change, price FROM upd
+      |  UNION ALL SELECT 'insert', price FROM ins
+      |  UNION ALL SELECT 'delete', price FROM del)
+      |SELECT 'table:' || o_orderstatus AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1
+      |UNION ALL
+      |SELECT 'cdc:' || change, CAST(count(*) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      |FROM cdc GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk09_merge_clauses" -> (lk09 _),
     "zq03_sql_writepath" -> (zq03 _),
     "lk08_cdc_feed" -> (lk08 _),
     "lk07_check_constraints" -> (lk07 _),
@@ -850,6 +919,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk09_merge_clauses" -> lk09Sql,
     "zq03_sql_writepath" -> zq03Sql,
     "lk08_cdc_feed" -> lk08Sql,
     "lk07_check_constraints" -> lk07Sql,

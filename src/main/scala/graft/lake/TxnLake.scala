@@ -5,7 +5,7 @@ import java.util.UUID
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.JsonNodeFactory
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -447,6 +447,29 @@ object TxnLake {
       .foreach(commitStaged(spark, dir, _))
   }
 
+  /** Full MERGE with a delete clause, in ONE atomic commit:
+    *
+    *   MERGE INTO target USING source ON target.key = source.key
+    *   WHEN MATCHED AND deleteWhen(target) THEN DELETE
+    *   WHEN MATCHED THEN UPDATE SET * (source row replaces target row)
+    *   WHEN NOT MATCHED THEN INSERT *
+    *
+    * `deleteWhen` is a predicate over the TARGET row's columns (the
+    * pre-image decides its own fate — "purge stale versions" /
+    * "retention" clauses). Unmatched source rows never consult it.
+    * Same partition-pruned read-modify-write as [[upsert]] — only
+    * files holding touched partitions are rewritten — and the change
+    * feed carries all three classes: update post-images, insert rows,
+    * delete pre-images. A plain [[upsert]] is merge with
+    * `deleteWhen = lit(false)`. */
+  def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
+            deleteWhen: Column): Unit = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    stageMerge(spark, dir, base, source, key, Some(deleteWhen))
+      .foreach(commitStaged(spark, dir, _))
+  }
+
   /** Stage the merge against snapshot `base`: write the rewritten
     * partitions' files (no manifest yet — invisible). Returns None for
     * an empty update set (nothing to commit).
@@ -459,7 +482,8 @@ object TxnLake {
     * list. Updates MISSING a table column still abort — silently
     * nulling existing data is a bug, not evolution. */
   private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
-                               updates: DataFrame, key: String): Option[Staged] = {
+                               updates: DataFrame, key: String,
+                               deleteWhen: Option[Column] = None): Option[Staged] = {
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
     val missing = baseSchema.fieldNames.toSet -- updates.columns.toSet
@@ -492,23 +516,45 @@ object TxnLake {
     val prunedDf = readFiles(spark, dir, schema, pruned.map(_.path))
     // pruned files may also hold rows of UNtouched partitions (a writer
     // task can emit several partition values into one file) — those rows
-    // ride along into the rewrite unchanged, so no row is ever dropped
+    // ride along into the rewrite unchanged, so no row is ever dropped.
+    // A MERGE delete clause drops matched TARGET rows satisfying the
+    // predicate AND withholds their source rows — both sides of the
+    // match vanish in the same commit (the retention/purge clause).
+    val srcKeys = aligned.select(col(key).as("__txn_ukey")).distinct()
+    val delKeys = deleteWhen match {
+      case Some(cond) => prunedDf
+        .join(srcKeys, col(key) === col("__txn_ukey"), "left_semi")
+        .filter(cond).select(col(key).as("__txn_dk")).distinct()
+      case None => null
+    }
+    val applied = deleteWhen match {
+      case Some(_) => aligned.join(delKeys, col(key) === col("__txn_dk"), "left_anti")
+      case None => aligned
+    }
     val merged = prunedDf
-      .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_anti")
+      .join(srcKeys, col(key) === col("__txn_ukey"), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*)
-      .unionByName(aligned.select(cols.map(col).toIndexedSeq: _*))
+      .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
       base.statsCol)
-    // change feed: each upserted row classified insert-vs-update by
+    // change feed: each applied row classified insert-vs-update by
     // whether its key exists in the PRUNED snapshot files (matched keys
     // live in touched partitions by construction, so the pruned subset
-    // decides membership exactly) — O(touched), not O(table)
-    val cdcRows = aligned.select(cols.map(col).toIndexedSeq: _*)
+    // decides membership exactly) — O(touched), not O(table); a delete
+    // clause additionally emits the doomed target rows as pre-images
+    val upsertCdc = applied.select(cols.map(col).toIndexedSeq: _*)
       .join(prunedDf.select(col(key).as("__txn_mk")).distinct(),
         col(key) === col("__txn_mk"), "left")
       .withColumn(ChangeTypeCol,
         when(col("__txn_mk").isNull, lit("insert")).otherwise(lit("update")))
       .drop("__txn_mk")
+    val cdcRows = deleteWhen match {
+      case Some(_) => upsertCdc.unionByName(prunedDf
+        .join(delKeys, col(key) === col("__txn_dk"), "left_semi")
+        .select(cols.map(col).toIndexedSeq: _*)
+        .withColumn(ChangeTypeCol, lit("delete")))
+      case None => upsertCdc
+    }
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
