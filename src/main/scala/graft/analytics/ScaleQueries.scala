@@ -761,7 +761,8 @@ object ScaleQueries {
     * create → append → upsert → delete history on a txn table, then
     * read the `_graft_cdc` feed in batch and summarize rows per
     * (version, change type). Each commit writes its own change rows
-    * (insert/update post-images, delete pre-images) at commit time —
+    * (preimage dialect: insert / update_preimage / update_postimage /
+    * delete pre-images) at commit time —
     * O(changed rows), never a snapshot diff — and the same files are
     * what `CdcFeed.stream` tails as a checkpointed file stream
     * (stream == batch pinned in CdcFeedSpec). The oracle rebuilds every
@@ -821,7 +822,11 @@ object ScaleQueries {
       |  UNION ALL
       |  SELECT 1, 'insert', price FROM app
       |  UNION ALL
-      |  SELECT 2, CASE WHEN matched THEN 'update' ELSE 'insert' END, price FROM upd
+      |  SELECT 2, CASE WHEN matched THEN 'update_postimage' ELSE 'insert' END, price
+      |  FROM upd
+      |  UNION ALL
+      |  SELECT 2, 'update_preimage', CAST(o_totalprice AS DECIMAL(12,2))
+      |  FROM orders WHERE o_orderkey % 21 = 0
       |  UNION ALL
       |  SELECT 3, 'delete', price FROM del)
       |SELECT v, change, CAST(count(*) AS BIGINT) AS n,
@@ -842,7 +847,7 @@ object ScaleQueries {
     * the post-merge snapshot per status with the merge commit's CDC
     * rows per change type, so one hash pins the retention-delete
     * clause, the update/insert split, the withheld source rows of
-    * deleted keys, AND the three-way change-feed classification.
+    * deleted keys, AND the preimage-dialect change-feed classification.
     * The oracle replays the clauses relationally. Prices go through
     * DECIMAL(12,2) (the lk01 discipline). */
   private def lk09(s: SparkSession, d: String): DataFrame = {
@@ -886,7 +891,10 @@ object ScaleQueries {
       |  UNION ALL SELECT * FROM upd
       |  UNION ALL SELECT * FROM ins),
       |cdc AS (
-      |  SELECT 'update' AS change, price FROM upd
+      |  SELECT 'update_postimage' AS change, price FROM upd
+      |  UNION ALL
+      |  SELECT 'update_preimage', t.price FROM tgt t JOIN src s
+      |    ON t.o_orderkey = s.o_orderkey WHERE t.price <= 100000
       |  UNION ALL SELECT 'insert', price FROM ins
       |  UNION ALL SELECT 'delete', price FROM del)
       |SELECT 'table:' || o_orderstatus AS channel, CAST(count(*) AS BIGINT) AS n,

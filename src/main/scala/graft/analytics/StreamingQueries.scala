@@ -357,7 +357,70 @@ object StreamingQueries {
       |         - CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT))
       |ORDER BY event_id""".stripMargin
 
+  /** st15 — streaming INCREMENTAL VIEW MAINTENANCE over the commit-time
+    * CDC feed: script the lk08 mutation history (create → append →
+    * upsert → delete) on a txn table, then maintain a
+    * (status, count, sum) aggregate view purely from the change feed —
+    * the feed's preimage dialect makes updates subtractable, so the
+    * view starts EMPTY and folds every change without ever scanning
+    * the table ([[graft.lake.IncrementalView.applyChanges]] over
+    * [[graft.streaming.CdcFeed.batch]]). The streamed execution of the
+    * same fold (micro-batch at a time, maxFilesPerTrigger=1) is pinned
+    * equal in CdcFeedSpec; the oracle replays the history relationally
+    * and aggregates the FINAL state, so a hash match proves the folded
+    * deltas land exactly on the rebuild-from-scratch answer. At 100 TB
+    * the MV cost tracks the mutation rate, not the table size. */
+  private def st15(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.{IncrementalView, TxnLake}
+    import graft.streaming.CdcFeed
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15")
+      .resolve("orders_lake").toString
+    def slice(pred: org.apache.spark.sql.Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus")
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 7 === 3))
+    TxnLake.upsert(s, dir,
+      slice(col("o_orderkey") % 21 === 0 || col("o_orderkey") % 7 === 5)
+        .withColumn("price",
+          when(col("o_orderkey") % 21 === 0, col("price") * 2)
+            .otherwise(col("price")).cast("decimal(12,2)")),
+      "o_orderkey")
+    TxnLake.delete(s, dir,
+      orders(s, d).filter(col("o_orderkey") % 14 === 0).select(col("o_orderkey")),
+      "o_orderkey")
+    val groupCols = Seq("o_orderstatus")
+    val sumCols = Seq("price")
+    val empty = IncrementalView.build(
+      TxnLake.read(s, dir).limit(0), groupCols, sumCols)
+    IncrementalView.applyChanges(empty,
+        CdcFeed.batch(s, dir), groupCols, sumCols)
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val st15Sql =
+    """WITH tabl AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 IN (0, 3)),
+      |ups AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 21 = 0
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2))
+      |      ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 21 = 0 OR o_orderkey % 7 = 5),
+      |merged AS (
+      |  SELECT * FROM tabl WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+      |  UNION ALL SELECT * FROM ups),
+      |final AS (SELECT * FROM merged WHERE o_orderkey % 14 <> 0)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st15_cdc_incremental_mv" -> (st15 _),
     "st14_stream_anomaly" -> (st14 _),
     "st13_stream_topk" -> (st13 _),
     "st12_semi_stream_join" -> (st12 _),
@@ -374,6 +437,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st15_cdc_incremental_mv" -> st15Sql,
     "st14_stream_anomaly" -> st14Sql,
     "st13_stream_topk" -> st13Sql,
     "st12_semi_stream_join" -> st12Sql,

@@ -105,8 +105,11 @@ object TxnLake {
   private val LogDir = "_graft_log"
 
   /** Root of the commit-time CHANGE-DATA feed (Delta CDF-style): one
-    * `v<version>` parquet directory per row-changing commit, rows =
-    * post-images (pre-images for deletes) + [[ChangeTypeCol]], with
+    * `v<version>` parquet directory per row-changing commit, rows in
+    * the full preimage dialect — [[ChangeTypeCol]] ∈ insert /
+    * update_preimage / update_postimage / delete (deletes carry their
+    * pre-image) — so sums are SUBTRACTABLE and the feed can maintain
+    * aggregates ([[IncrementalView.applyChanges]]) downstream, with
     * [[VersionCol]] baked into the files. Written by the committing
     * writer, O(changed rows) per commit — [[graft.streaming.CdcFeed]]
     * tails it as a plain checkpointed file stream, so downstream
@@ -537,23 +540,37 @@ object TxnLake {
       .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
       base.statsCol)
-    // change feed: each applied row classified insert-vs-update by
-    // whether its key exists in the PRUNED snapshot files (matched keys
-    // live in touched partitions by construction, so the pruned subset
-    // decides membership exactly) — O(touched), not O(table); a delete
-    // clause additionally emits the doomed target rows as pre-images
+    // change feed, in the full PREIMAGE dialect (Delta-CDF's row set —
+    // the one [[IncrementalView.applyChanges]] can fold, because
+    // updates are subtractable): each applied row classified
+    // insert-vs-update_postimage by whether its key exists in the
+    // PRUNED snapshot files (matched keys live in touched partitions
+    // by construction, so the pruned subset decides membership
+    // exactly) — O(touched), not O(table) — plus the replaced target
+    // rows as update_preimages and, under a delete clause, the doomed
+    // target rows as delete pre-images.
     val upsertCdc = applied.select(cols.map(col).toIndexedSeq: _*)
       .join(prunedDf.select(col(key).as("__txn_mk")).distinct(),
         col(key) === col("__txn_mk"), "left")
       .withColumn(ChangeTypeCol,
-        when(col("__txn_mk").isNull, lit("insert")).otherwise(lit("update")))
+        when(col("__txn_mk").isNull, lit("insert"))
+          .otherwise(lit("update_postimage")))
       .drop("__txn_mk")
+    val appliedKeys = deleteWhen match {
+      case Some(_) => srcKeys.join(delKeys,
+        col("__txn_ukey") === col("__txn_dk"), "left_anti")
+      case None => srcKeys
+    }
+    val preImg = prunedDf
+      .join(appliedKeys, col(key) === col("__txn_ukey"), "left_semi")
+      .select(cols.map(col).toIndexedSeq: _*)
+      .withColumn(ChangeTypeCol, lit("update_preimage"))
     val cdcRows = deleteWhen match {
-      case Some(_) => upsertCdc.unionByName(prunedDf
+      case Some(_) => upsertCdc.unionByName(preImg).unionByName(prunedDf
         .join(delKeys, col(key) === col("__txn_dk"), "left_semi")
         .select(cols.map(col).toIndexedSeq: _*)
         .withColumn(ChangeTypeCol, lit("delete")))
-      case None => upsertCdc
+      case None => upsertCdc.unionByName(preImg)
     }
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them

@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * incremental feed [[graft.lake.IncrementalView]] consumes in batch,
   * delivered as a Structured Streaming source.
   *
-  * Every row-changing commit materializes its change rows (insert /
-  * update post-images, delete pre-images) under `_graft_cdc/v<version>`
+  * Every row-changing commit materializes its change rows in the full
+  * preimage dialect (insert / update_preimage / update_postimage /
+  * delete pre-images — subtractable, so the feed can maintain
+  * aggregates downstream) under `_graft_cdc/v<version>`
   * at commit time, O(changed rows). Tailing the table is therefore a
   * plain checkpointed parquet FILE STREAM over that directory — Spark's
   * file source discovers each commit's new files, tracks them in the
@@ -54,7 +56,7 @@ object CdcFeed {
 
   /** Batch read of the feed: every retained change at `fromVersion` or
     * later, one row per changed row per commit, tagged
-    * `_change_type` ∈ insert|update|delete and `_commit_version`. */
+    * `_change_type` in the preimage dialect and `_commit_version`. */
   def batch(spark: SparkSession, dir: String, fromVersion: Long = 0L): DataFrame = {
     requireFeed(spark, dir)
     spark.read.schema(schemaOf(spark, dir)).parquet(feedGlob(dir))
@@ -86,7 +88,12 @@ object CdcFeed {
   def applyCdc(batch: DataFrame, targetDir: String, key: String, partCol: String): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val latest = lastChangePerKey(batch, key)
+    // update_preimage rows exist for aggregate maintenance (they make
+    // sums subtractable); for key-based replication the post-image
+    // alone is the truth — drop preimages before the per-key reduction
+    // so an update's OLD value can never win the last-change struct
+    val latest = lastChangePerKey(
+      batch.filter(col(TxnLake.ChangeTypeCol) =!= "update_preimage"), key)
     val dataCols = batch.columns
       .filterNot(c => c == TxnLake.ChangeTypeCol || c == TxnLake.VersionCol)
     val upserts = latest.filter(col(TxnLake.ChangeTypeCol) =!= "delete")

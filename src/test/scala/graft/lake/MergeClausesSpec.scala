@@ -69,7 +69,8 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestSession {
     val cdc = graft.streaming.CdcFeed.batch(spark, dir, fromVersion = v)
       .select(col("id"), col(TxnLake.ChangeTypeCol)).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(cdc === Set((1L, "update"), (2L, "delete"), (5L, "insert")))
+    assert(cdc === Set((1L, "update_preimage"), (1L, "update_postimage"),
+      (2L, "delete"), (5L, "insert")))
   }
 
   test("merge with lit(false) deleteWhen degenerates to upsert") {

@@ -47,7 +47,8 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     assert(changeSet(CdcFeed.batch(spark, dir)) === Set(
       (1L, "a", "p1", "insert", 0L), (2L, "b", "p1", "insert", 0L), (3L, "c", "p2", "insert", 0L),
       (4L, "d", "p2", "insert", 1L), (5L, "e", "p3", "insert", 1L),
-      (2L, "b2", "p1", "update", 2L), (6L, "f", "p3", "insert", 2L),
+      (2L, "b", "p1", "update_preimage", 2L),
+      (2L, "b2", "p1", "update_postimage", 2L), (6L, "f", "p3", "insert", 2L),
       (1L, "a", "p1", "delete", 3L), (6L, "f", "p3", "delete", 3L)))
   }
 
@@ -59,7 +60,7 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
       .withColumn(TxnLake.ChangeTypeCol, lit("insert"))
       .withColumn(TxnLake.VersionCol, lit(0L))
     val diffed = (1L to 3L).map { v =>
-      TxnLake.changes(spark, dir, v - 1, v, "id")
+      TxnLake.changes(spark, dir, v - 1, v, "id", preimages = true)
         .withColumn(TxnLake.VersionCol, lit(v))
     }.foldLeft(v0)(_ unionByName _)
     assert(changeSet(CdcFeed.batch(spark, dir)) === changeSet(diffed))
@@ -96,6 +97,40 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     CdcFeed.applyCdc(feed, target, "id", "part") // the foreachBatch replay
     assert(snapshotSet(TxnLake.read(spark, target)) === once)
     assert(once === snapshotSet(TxnLake.read(spark, dir)))
+  }
+
+  test("streamed incremental-view fold == batch fold == full rebuild (st15 shape)") {
+    import spark.implicits._
+    import graft.lake.IncrementalView
+    val dir = freshDir("graft_cdc_mv")
+    TxnLake.create(spark, dir,
+      Seq((1L, 10L, "p1"), (2L, 20L, "p1"), (3L, 30L, "p2")).toDF("id", "v", "part"),
+      "part")
+    TxnLake.append(spark, dir, Seq((4L, 40L, "p2")).toDF("id", "v", "part"))
+    // update 2 (subtractable only via the preimage dialect) + insert 5
+    TxnLake.upsert(spark, dir, Seq((2L, 25L, "p1"), (5L, 50L, "p3")).toDF("id", "v", "part"), "id")
+    TxnLake.delete(spark, dir, Seq(3L).toDF("id"), "id")
+    val g = Seq("part"); val sums = Seq("v")
+    def viewSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("n"),
+        r.getAs[Number]("sum_v").longValue())).toSet
+    val empty = IncrementalView.build(TxnLake.read(spark, dir).limit(0), g, sums)
+    val batchFold = IncrementalView.applyChanges(empty, CdcFeed.batch(spark, dir), g, sums)
+    val rebuild = IncrementalView.build(TxnLake.read(spark, dir), g, sums)
+    assert(viewSet(batchFold) === viewSet(rebuild))
+    assert(viewSet(rebuild) === Set(("p1", 2L, 35L), ("p2", 1L, 40L), ("p3", 1L, 50L)))
+    // the STREAMED fold: one commit's files per micro-batch, folded in
+    // foreachBatch — the continuous MV-maintenance deployment shape
+    var view = empty.localCheckpoint(true)
+    val q = CdcFeed.stream(spark, dir, maxFilesPerTrigger = Some(1))
+      .writeStream.option("checkpointLocation", freshDir("graft_cdc_mv_ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        view = IncrementalView.applyChanges(view, b, g, sums).localCheckpoint(true)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(viewSet(view) === viewSet(rebuild))
   }
 
   test("row-preserving OPTIMIZE emits no feed entry") {
