@@ -300,7 +300,53 @@ object GraphQueries {
        |ORDER BY node""".stripMargin
   }
 
+  private val BfsMaxHops = 6
+
+  /** pr08 — single-source SHORTEST HOP DISTANCES (bounded BFS) over the
+    * directed modular customer graph (pr01's edge set), from node 0.
+    * Distributed frontier expansion: round i joins only the nodes first
+    * reached at hop i-1 against the edge list and anti-joins the
+    * settled set, so each round is two keyed shuffles over a frontier
+    * that never exceeds |V| — the textbook BFS shape that scales to
+    * billion-edge graphs, vs. the oracle's DuckDB `WITH RECURSIVE ...
+    * UNION` walk (its per-level dedup is what keeps the path count from
+    * exploding combinatorially). BFS reaches every node first at its
+    * minimum hop count by construction, so `min(hops)` needs no second
+    * aggregation on the Spark side — a differential pair, not a port. */
+  private def pr08(s: SparkSession, d: String): DataFrame = {
+    val edges = customer(s, d).select(
+        (col("c_custkey") % 53).as("src"),
+        ((col("c_custkey") * 7 + 3) % 50).as("dst"))
+      .distinct().cache()
+    var settled = edges.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0L).as("hops"))
+    var frontier = settled
+    for (i <- 1 to BfsMaxHops) {
+      val reached = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("hops")).distinct()
+      val fresh = reached.join(settled.select(col("node").as("__seen")),
+        col("node") === col("__seen"), "left_anti")
+      settled = settled.unionByName(fresh)
+      frontier = fresh
+    }
+    settled.orderBy(col("node"))
+  }
+
+  private val pr08Sql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT DISTINCT c_custkey % 53 AS src, (c_custkey*7 + 3) % 50 AS dst
+       |  FROM customer),
+       |walk(node, hops) AS (
+       |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION
+       |  SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+       |  WHERE w.hops < $BfsMaxHops)
+       |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+       |FROM walk GROUP BY node
+       |ORDER BY node""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "pr08_bfs_hops" -> (pr08 _),
     "pr01_pagerank" -> (pr01 _),
     "pr02_triangles" -> (pr02 _),
     "pr03_personalized_pagerank" -> (pr03 _),
@@ -310,6 +356,7 @@ object GraphQueries {
     "pr07_kcore" -> (pr07 _))
 
   val oracle: Map[String, String] = Map(
+    "pr08_bfs_hops" -> pr08Sql,
     "pr01_pagerank" -> pr01Sql,
     "pr02_triangles" -> pr02Sql,
     "pr03_personalized_pagerank" -> pr03Sql,
