@@ -2563,7 +2563,229 @@ object ExtensionQueries {
       |GROUP BY 1
       |ORDER BY format""".stripMargin
 
+  /** tx18 — ZIPF SLOPE per language: least-squares slope of
+    * log(freq) vs log(rank) over each language's 200 most frequent
+    * terms (the corpus-health statistic — natural text sits near −1;
+    * templated/spammy corpora drift off it). The regression runs in
+    * the tx17 fixed-point discipline: each log quantizes to an integer
+    * (`floor(ln·1e6+.5)`, exact in both engines), all five regression
+    * sums are BIGINT (order-independent), and the slope is ONE double
+    * division of exact DECIMAL(38,0)/HUGEINT combinations — no
+    * float-summation-order caveat anywhere. The rank window runs over
+    * the already-aggregated (lang, term, freq) vocabulary — orders of
+    * magnitude smaller than the corpus — with freq-desc/term-asc
+    * giving a cross-engine-deterministic total order. */
+  private def tx18(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tfc = documents(s, d)
+      .select(col("lang"), explode(TF.tokens(col("text"))).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("term"))
+    val fp = tfc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 200)
+      .select(col("lang"),
+        floor(log(col("rank").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("lx"),
+        floor(log(col("freq").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("ly"))
+    fp.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      // n·Sxy can reach ~3e19 — past BIGINT — so the combination runs
+      // in DECIMAL(38,0) (HUGEINT on the oracle side) before the one
+      // double division
+      .select(col("lang"), col("n_terms"),
+        (floor(
+          (col("n_terms").cast("decimal(38,0)") * col("sxy") -
+            col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+            (col("n_terms").cast("decimal(38,0)") * col("sxx") -
+              col("sx").cast("decimal(38,0)") * col("sx")).cast("double") *
+            lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
+  private val tx18Sql =
+    """WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tfc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS freq FROM tf GROUP BY 1, 2),
+      |rk AS (SELECT lang, term, freq,
+      |    row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rank FROM tfc),
+      |fp AS (SELECT lang,
+      |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lx,
+      |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS ly
+      |  FROM rk WHERE rank <= 200),
+      |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+      |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+      |    CAST(sum(lx * ly) AS BIGINT) AS sxy, CAST(sum(lx * lx) AS BIGINT) AS sxx
+      |  FROM fp GROUP BY lang)
+      |SELECT lang, n_terms,
+      |  floor(CAST(CAST(n_terms AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+      |      / CAST(CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+      |      * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope
+      |FROM agg ORDER BY lang""".stripMargin
+
+  /** tx19 — VOCABULARY GROWTH curve (Heaps' law): cumulative distinct
+    * terms vs cumulative tokens at 20 equal-width doc-id checkpoints.
+    * The sequential-looking "distinct terms so far" is two hash
+    * aggregations, no sequential scan: each term's FIRST document
+    * (`min(doc_id)`) decides the bucket where it enters the
+    * vocabulary, bucket-level counts cumsum over a 20-row frame, and
+    * everything is integer arithmetic — exact at any scale. The
+    * growth curve (and its flattening) is the standard corpus-size
+    * diagnostic for when more crawl stops buying new vocabulary. */
+  private def tx19(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    // bucket = doc_id·20 div (mx+1) ∈ [0,19]; the max broadcasts as a
+    // one-row scalar, so bucketing is a narrow map
+    val tb = toks.crossJoin(broadcast(mx))
+      .groupBy(expr("(doc_id * 20) div (mx + 1)").as("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val vb = toks.groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr("(first_doc * 20) div (mx + 1)").as("bucket"))
+      .agg(count(lit(1)).as("vnew"))
+    // the window frame is the 20 bucket rows — metadata-scale
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tb.join(vb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("vnew"), lit(0L)).as("vnew"))
+      .select(col("bucket"),
+        sum(col("toks")).over(w).as("cum_tokens"),
+        sum(col("vnew")).over(w).as("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
+  private val tx19Sql =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tb AS (SELECT (doc_id * 20) // (mx + 1) AS bucket, CAST(count(*) AS BIGINT) AS toks
+      |       FROM toks, mx GROUP BY 1),
+      |fs AS (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+      |vb AS (SELECT (first_doc * 20) // (mx + 1) AS bucket, CAST(count(*) AS BIGINT) AS vnew
+      |       FROM fs, mx GROUP BY 1),
+      |j AS (SELECT coalesce(tb.bucket, vb.bucket) AS bucket,
+      |        coalesce(toks, 0) AS toks, coalesce(vnew, 0) AS vnew
+      |      FROM tb FULL JOIN vb ON tb.bucket = vb.bucket)
+      |SELECT bucket,
+      |  CAST(sum(toks) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(vnew) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+      |FROM j ORDER BY bucket""".stripMargin
+
+  /** dd17 — URL CANONICALIZATION dedup: crawl URLs that differ only in
+    * scheme/host case, default port, `www.` prefix, tracking params, or
+    * fragments are the same resource — the first dedup pass every crawl
+    * pipeline runs, BEFORE any content hashing. Synthetic URLs derive
+    * deterministically from doc rows (scheme case %2, host case %3,
+    * `:80` %5, utm position %3, fragment %4), so both engines build
+    * byte-identical inputs; canonicalization is a fixed regex sequence
+    * (strip fragment → strip utm params → lowercase → strip default
+    * port → strip www) — a narrow per-row map, no shuffle until the
+    * final keep-earliest hash agg on the canonical key. */
+  private def dd17(s: SparkSession, d: String): DataFrame = {
+    val raw = documents(s, d).select(col("doc_id"), col("source"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("http")),
+        lit("://www."),
+        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+        when(col("doc_id") % 3 === 0, lit(".EXAMPLE.COM")).otherwise(lit(".example.com")),
+        when(col("doc_id") % 5 === 0, lit(":80")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+              lit("&utm_campaign=x")))
+          .otherwise(concat(lit("?id="), (col("doc_id") % 7).cast("string"))),
+        when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+    val canon = lower(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("url"), "#.*$", ""),
+          "utm_[a-z]+=[^&#]*&", ""),
+        "&utm_[a-z]+=[^&#]*", ""))
+    val stripped = regexp_replace(
+      regexp_replace(canon, ":80/", "/"), "://www\\.", "://")
+    raw.select(col("doc_id"), stripped.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dupes"))
+      .orderBy(col("canon_url"))
+  }
+
+  private val dd17Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://www.' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '.EXAMPLE.COM' ELSE '.example.com' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+      |          WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+      |          ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        lower(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(url, '#.*$', ''),
+      |              'utm_[a-z]+=[^&#]*&', ''),
+      |            '&utm_[a-z]+=[^&#]*', '')),
+      |        ':80/', '/'),
+      |      '://www\.', '://') AS canon_url
+      |  FROM raw)
+      |SELECT canon_url, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dupes
+      |FROM canon GROUP BY canon_url
+      |ORDER BY canon_url""".stripMargin
+
+  /** sp09 — WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    * A-ES, 2006 — public research): each doc draws priority
+    * `ln(u)/w` (equivalent to `u^(1/w)`) with weight = n_chars and `u`
+    * a deterministic uniform from a fully-specified multiplicative
+    * hash, then the global top-100 priorities ARE the sample — one
+    * narrow map + a distributed TakeOrdered, no per-partition reservoir
+    * state, no driver loop; the identical arithmetic replays in SQL.
+    * Longer docs win proportionally more often, the property
+    * length-balanced corpus sampling needs. */
+  private def sp09(s: SparkSession, d: String): DataFrame = {
+    val M = 2147483647L
+    val u = (pmod(col("doc_id") * lit(2654435761L), lit(M)).cast("double") +
+      lit(0.5)) / lit(M.toDouble)
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        (log(u) / col("n_chars").cast("double")).as("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"),
+        (floor(col("pri") * lit(1000000000.0) - lit(0.5)) /
+          lit(1000000000.0)).as("priority"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sp09Sql =
+    """WITH pri AS (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0)
+      |      / CAST(n_chars AS DOUBLE) AS pri
+      |  FROM documents),
+      |top AS (SELECT * FROM pri ORDER BY pri DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_chars,
+      |  floor(pri * 1000000000.0 - 0.5) / 1000000000.0 AS priority
+      |FROM top ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "dd17_url_dedup" -> (dd17 _),
+    "sp09_weighted_sample" -> (sp09 _),
+    "tx18_zipf_slope" -> (tx18 _),
+    "tx19_vocab_growth" -> (tx19 _),
     "tx01_token_stats" -> (tx01 _),
     "tx02_quality_scores" -> (tx02 _),
     "tx03_langid" -> (tx03 _),
@@ -2629,6 +2851,10 @@ object ExtensionQueries {
     "mm06_crossmodal_knn" -> (mm06 _))
 
   val oracle: Map[String, String] = Map(
+    "dd17_url_dedup" -> dd17Sql,
+    "sp09_weighted_sample" -> sp09Sql,
+    "tx18_zipf_slope" -> tx18Sql,
+    "tx19_vocab_growth" -> tx19Sql,
     "tx01_token_stats" -> tx01Sql,
     "tx02_quality_scores" -> tx02Sql,
     "tx03_langid" -> tx03Sql,
