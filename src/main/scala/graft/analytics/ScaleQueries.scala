@@ -779,7 +779,8 @@ object ScaleQueries {
     def slice(pred: Column) = orders(s, d).filter(pred)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(12,2)").as("price"))
-    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus")
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus",
+      changeFeed = true)
     TxnLake.append(s, dir, slice(col("o_orderkey") % 7 === 3))
     TxnLake.upsert(s, dir,
       slice(col("o_orderkey") % 21 === 0 || col("o_orderkey") % 7 === 5)
@@ -858,7 +859,8 @@ object ScaleQueries {
     def slice(pred: Column) = orders(s, d).filter(pred)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(12,2)").as("price"))
-    TxnLake.create(s, dir, slice(col("o_orderkey") % 5 === 0), "o_orderstatus")
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 5 === 0), "o_orderstatus",
+      changeFeed = true)
     val src = slice(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 5 === 2)
       .withColumn("price", (col("price") * 2).cast("decimal(12,2)"))
     TxnLake.merge(s, dir, src, "o_orderkey",

@@ -378,7 +378,8 @@ object StreamingQueries {
     def slice(pred: org.apache.spark.sql.Column) = orders(s, d).filter(pred)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(12,2)").as("price"))
-    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus")
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus",
+      changeFeed = true)
     TxnLake.append(s, dir, slice(col("o_orderkey") % 7 === 3))
     TxnLake.upsert(s, dir,
       slice(col("o_orderkey") % 21 === 0 || col("o_orderkey") % 7 === 5)

@@ -99,7 +99,8 @@ object TxnLake {
                                   schemaDdl: String, touched: Set[Option[String]],
                                   prunedPaths: Set[String], newFiles: Seq[FileEntry],
                                   statsCol: Option[String] = None,
-                                  cdc: Option[DataFrame] = None)
+                                  cdc: Option[DataFrame] = None,
+                                  cdcCopy: Seq[FileEntry] = Nil)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -121,6 +122,20 @@ object TxnLake {
   def isTxnTable(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(new Path(dir, LogDir))
 
+  /** Whether this table captures a change feed (the `_graft_cdc` root
+    * exists — the opt-in table property [[create]] sets). */
+  def cdcEnabled(spark: SparkSession, dir: String): Boolean =
+    fsOf(spark, dir).exists(new Path(dir, CdcDir))
+
+  /** Turn change capture ON for an existing table. Takes effect from
+    * the NEXT commit — history before this point has no feed entries
+    * (consumers needing older changes use [[changes]]' snapshot diff,
+    * exactly Delta's rule when CDF is enabled mid-history). */
+  def enableChangeFeed(spark: SparkSession, dir: String): Unit = {
+    require(isTxnTable(spark, dir), s"$dir is not a txn table (no $LogDir)")
+    fsOf(spark, dir).mkdirs(new Path(dir, CdcDir))
+  }
+
   /** Create a txn table at `dir` from `df`, partitioned (logically) on
     * `partCol`. Publishes version 0. `statsCol` opts the table into
     * manifest ZONE MAPS: every staged file records min/max of that
@@ -128,7 +143,7 @@ object TxnLake {
     * planning time — the Delta/Iceberg data-skipping move. All later
     * commits keep collecting stats (the column is in the manifest). */
   def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String,
-             statsCol: Option[String] = None): Unit = {
+             statsCol: Option[String] = None, changeFeed: Boolean = false): Unit = {
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
       s"stats column '$sc' not in ${df.columns.mkString(",")}"))
@@ -136,6 +151,12 @@ object TxnLake {
     val logDir = new Path(dir, LogDir)
     require(!fs.exists(logDir), s"$dir is already a txn table")
     fs.mkdirs(logDir)
+    // change capture is OPT-IN per table (Delta's enableChangeDataFeed
+    // discipline — commits on non-consuming tables shouldn't pay for a
+    // feed nobody tails); the `_graft_cdc` root dir IS the table
+    // property, checked by every later commit ([[cdcEnabled]]) and
+    // switchable on an existing table via [[enableChangeFeed]]
+    if (changeFeed) fs.mkdirs(new Path(dir, CdcDir))
     // touched = every partition value present, read off the staged
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
@@ -149,8 +170,12 @@ object TxnLake {
       Manifest(0L, rec.commitId, partCol, rec.schemaDdl, rec.touched, files, statsCol))
     // v0 change feed = the initial snapshot as inserts, so a CDC
     // consumer starting from scratch bootstraps a full replica from the
-    // feed alone (the Delta CDF convention for the create version)
-    writeCdc(spark, dir, 0L, df.withColumn(ChangeTypeCol, lit("insert")))
+    // feed alone (the Delta CDF convention for the create version).
+    // Pure-insert commits never re-encode their rows: the staged data
+    // files ARE the post-images, so the feed entry is a raw byte copy
+    // ([[copyCdcFiles]]) and readers derive the change-type/version
+    // columns — zero write amplification through the engine.
+    if (changeFeed) copyCdcFiles(spark, dir, 0L, files)
   }
 
   /** Convert an existing hive-partitioned parquet directory into a txn
@@ -328,11 +353,14 @@ object TxnLake {
       base.statsCol)
     // change feed: the doomed rows (delete PRE-images), the semi-join
     // complement of `remaining` — O(pruned files), not O(table)
-    val doomed = readFiles(spark, dir, schema, pruned.map(_.path))
-      .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
-      .withColumn(ChangeTypeCol, lit("delete"))
+    val doomed =
+      if (cdcEnabled(spark, dir))
+        Some(readFiles(spark, dir, schema, pruned.map(_.path))
+          .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
+          .withColumn(ChangeTypeCol, lit("delete")))
+      else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
-      touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = Some(doomed)))
+      touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed))
   }
 
   /** Transactional blind APPEND: stage `rows` as new files and publish —
@@ -365,8 +393,10 @@ object TxnLake {
     if (newFiles.isEmpty) None
     else Some(Staged(base.version, base.partCol, base.schemaDdl,
       newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol,
-      // a blind append's change feed is the appended rows themselves
-      cdc = Some(aligned.withColumn(ChangeTypeCol, lit("insert")))))
+      // a blind append's change feed is the appended rows themselves —
+      // served by byte-copying the staged files, not a second encode
+      cdc = None,
+      cdcCopy = if (cdcEnabled(spark, dir)) newFiles else Nil))
   }
 
   /** Transactional full-snapshot OVERWRITE: replace the table's entire
@@ -396,12 +426,18 @@ object TxnLake {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val newFiles = stageFiles(spark, dir, aligned, base.partCol,
       spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol)
-    val oldRows = readFiles(spark, dir, schema, base.files.map(_.path))
-      .withColumn(ChangeTypeCol, lit("delete"))
-    val cdc = oldRows.unionByName(aligned.withColumn(ChangeTypeCol, lit("insert")))
+    // change feed: delete pre-images must be written explicitly (they
+    // exist nowhere else once replaced); the inserts byte-copy from the
+    // staged files — an overwrite's feed costs one table write, not two
+    val cdcOn = cdcEnabled(spark, dir)
+    val oldRows =
+      if (cdcOn) Some(readFiles(spark, dir, schema, base.files.map(_.path))
+        .withColumn(ChangeTypeCol, lit("delete")))
+      else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, schema.toDDL,
       base.files.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts),
-      base.files.map(_.path).toSet, newFiles, base.statsCol, cdc = Some(cdc)))
+      base.files.map(_.path).toSet, newFiles, base.statsCol,
+      cdc = oldRows, cdcCopy = if (cdcOn) newFiles else Nil))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
@@ -548,34 +584,40 @@ object TxnLake {
     // by construction, so the pruned subset decides membership
     // exactly) — O(touched), not O(table) — plus the replaced target
     // rows as update_preimages and, under a delete clause, the doomed
-    // target rows as delete pre-images.
-    val upsertCdc = applied.select(cols.map(col).toIndexedSeq: _*)
-      .join(prunedDf.select(col(key).as("__txn_mk")).distinct(),
-        col(key) === col("__txn_mk"), "left")
-      .withColumn(ChangeTypeCol,
-        when(col("__txn_mk").isNull, lit("insert"))
-          .otherwise(lit("update_postimage")))
-      .drop("__txn_mk")
-    val appliedKeys = deleteWhen match {
-      case Some(_) => srcKeys.join(delKeys,
-        col("__txn_ukey") === col("__txn_dk"), "left_anti")
-      case None => srcKeys
-    }
-    val preImg = prunedDf
-      .join(appliedKeys, col(key) === col("__txn_ukey"), "left_semi")
-      .select(cols.map(col).toIndexedSeq: _*)
-      .withColumn(ChangeTypeCol, lit("update_preimage"))
-    val cdcRows = deleteWhen match {
-      case Some(_) => upsertCdc.unionByName(preImg).unionByName(prunedDf
-        .join(delKeys, col(key) === col("__txn_dk"), "left_semi")
-        .select(cols.map(col).toIndexedSeq: _*)
-        .withColumn(ChangeTypeCol, lit("delete")))
-      case None => upsertCdc.unionByName(preImg)
-    }
+    // target rows as delete pre-images. Only staged when the table
+    // opted into change capture: the classification joins are real
+    // work a non-consuming table should not pay for.
+    val cdcRows =
+      if (!cdcEnabled(spark, dir)) None
+      else {
+        val upsertCdc = applied.select(cols.map(col).toIndexedSeq: _*)
+          .join(prunedDf.select(col(key).as("__txn_mk")).distinct(),
+            col(key) === col("__txn_mk"), "left")
+          .withColumn(ChangeTypeCol,
+            when(col("__txn_mk").isNull, lit("insert"))
+              .otherwise(lit("update_postimage")))
+          .drop("__txn_mk")
+        val appliedKeys = deleteWhen match {
+          case Some(_) => srcKeys.join(delKeys,
+            col("__txn_ukey") === col("__txn_dk"), "left_anti")
+          case None => srcKeys
+        }
+        val preImg = prunedDf
+          .join(appliedKeys, col(key) === col("__txn_ukey"), "left_semi")
+          .select(cols.map(col).toIndexedSeq: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+        Some(deleteWhen match {
+          case Some(_) => upsertCdc.unionByName(preImg).unionByName(prunedDf
+            .join(delKeys, col(key) === col("__txn_dk"), "left_semi")
+            .select(cols.map(col).toIndexedSeq: _*)
+            .withColumn(ChangeTypeCol, lit("delete")))
+          case None => upsertCdc.unionByName(preImg)
+        })
+      }
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
-      pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = Some(cdcRows)))
+      pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = cdcRows))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -622,6 +664,7 @@ object TxnLake {
         // crash in this window loses the feed entry, never table data —
         // [[changes]]' snapshot diff stays the recovery path.
         staged.cdc.foreach(rows => writeCdc(spark, dir, rec.version, rows))
+        if (staged.cdcCopy.nonEmpty) copyCdcFiles(spark, dir, rec.version, staged.cdcCopy)
         return
       }
       // lost the version-number race; loop re-resolves and re-checks
@@ -702,6 +745,39 @@ object TxnLake {
     changeRows.withColumn(VersionCol, lit(version))
       .write.mode(SaveMode.ErrorIfExists)
       .parquet(f"$dir/$CdcDir/v$version%08d")
+
+  /** Feed entry for a PURE-INSERT commit: the staged data files are
+    * byte-copied into `_graft_cdc/v<N>/ins_*.parquet` — no second
+    * encode, no shuffle, no Spark job; readers derive the missing
+    * `_change_type` ('insert') and `_commit_version` (from the v-dir
+    * name) columns by projection ([[graft.streaming.CdcFeed]]), the
+    * schema-by-name null-fill making mixed explicit/copied feed dirs
+    * read uniformly. Copies run from a small driver pool: on object
+    * stores a FileSystem copy is a server-side COPY (metadata-plane —
+    * no data bytes transit the driver), and on HDFS a DistCp-style
+    * distributed copy can slot in here; either way the feed costs
+    * 0 engine writes where it used to cost a full second table write. */
+  private def copyCdcFiles(spark: SparkSession, dir: String, version: Long,
+                           files: Seq[FileEntry]): Unit = {
+    if (files.isEmpty) return
+    val fs = fsOf(spark, dir)
+    val destDir = new Path(f"$dir/$CdcDir/v$version%08d")
+    fs.mkdirs(destDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, files.size)))
+    try files.zipWithIndex.map { case (fe, i) =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          val src = new Path(dir, fe.path)
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new Path(destDir, f"ins_$i%05d.parquet"), false, conf)
+          ()
+        }
+      })
+    }.foreach(_.get())
+    finally pool.shutdown()
+  }
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -73,7 +73,8 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
         val partCol = parameters.getOrElse("partCol",
           throw new IllegalArgumentException(
             "graft-txn initial create requires option partCol"))
-        TxnLake.create(spark, dir, data, partCol, parameters.get("statsCol"))
+        TxnLake.create(spark, dir, data, partCol, parameters.get("statsCol"),
+          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
     }
     createRelation(sqlContext, parameters)
   }

@@ -54,12 +54,28 @@ object CdcFeed {
         "use TxnLake.changes for a snapshot diff")
   }
 
+  /** Pure-insert commits byte-copy their data files into the feed
+    * (zero write amplification — [[TxnLake]] `copyCdcFiles`), so those
+    * files carry neither `_change_type` nor `_commit_version`; the
+    * schema-by-name read null-fills them and this projection derives
+    * both — 'insert' for the type, the `v<N>` dir name for the
+    * version. Explicitly-written change files keep their stored
+    * columns (coalesce no-op). */
+  private def derive(df: DataFrame): DataFrame =
+    df.withColumn("__cdc_file", col("_metadata.file_path"))
+      .withColumn(TxnLake.VersionCol, coalesce(col(TxnLake.VersionCol),
+        regexp_extract(col("__cdc_file"),
+          "/" + TxnLake.CdcDir + "/v(\\d+)/", 1).cast("long")))
+      .withColumn(TxnLake.ChangeTypeCol,
+        coalesce(col(TxnLake.ChangeTypeCol), lit("insert")))
+      .drop("__cdc_file")
+
   /** Batch read of the feed: every retained change at `fromVersion` or
     * later, one row per changed row per commit, tagged
     * `_change_type` in the preimage dialect and `_commit_version`. */
   def batch(spark: SparkSession, dir: String, fromVersion: Long = 0L): DataFrame = {
     requireFeed(spark, dir)
-    spark.read.schema(schemaOf(spark, dir)).parquet(feedGlob(dir))
+    derive(spark.read.schema(schemaOf(spark, dir)).parquet(feedGlob(dir)))
       .filter(col(TxnLake.VersionCol) >= fromVersion)
   }
 
@@ -74,7 +90,7 @@ object CdcFeed {
     requireFeed(spark, dir)
     val reader = spark.readStream.schema(schemaOf(spark, dir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(feedGlob(dir))
+    derive(reader.parquet(feedGlob(dir)))
   }
 
   /** Apply one micro-batch of feed rows to a downstream [[TxnLake]]

@@ -20,7 +20,7 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestSession {
     TxnLake.create(spark, dir,
       Seq((1L, 10L, "p1"), (2L, 200L, "p1"), (3L, 30L, "p2"), (4L, 400L, "p3"))
         .toDF("id", "v", "part"),
-      "part")
+      "part", changeFeed = true)
     dir
   }
 

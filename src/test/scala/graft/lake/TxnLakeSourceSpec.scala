@@ -146,7 +146,8 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     val dir = freshDir()
     Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("id", "part", "price")
-      .write.format("graft-txn").option("partCol", "part").save(dir)
+      .write.format("graft-txn").option("partCol", "part")
+      .option("changeFeed", "true").save(dir)
     Seq((9L, "p9", 9.0)).toDF("id", "part", "price")
       .write.format("graft-txn").mode("overwrite").save(dir)
     assert(lake(dir).collect().map(_.getAs[Long]("id")).toSeq === Seq(9L))

@@ -25,7 +25,7 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     val dir = freshDir("graft_cdc")
     TxnLake.create(spark, dir,
       Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")).toDF("id", "name", "part"),
-      "part")
+      "part", changeFeed = true)
     TxnLake.append(spark, dir, Seq((4L, "d", "p2"), (5L, "e", "p3")).toDF("id", "name", "part"))
     TxnLake.upsert(spark, dir,
       Seq((2L, "b2", "p1"), (6L, "f", "p3")).toDF("id", "name", "part"), "id")
@@ -105,7 +105,7 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     val dir = freshDir("graft_cdc_mv")
     TxnLake.create(spark, dir,
       Seq((1L, 10L, "p1"), (2L, 20L, "p1"), (3L, 30L, "p2")).toDF("id", "v", "part"),
-      "part")
+      "part", changeFeed = true)
     TxnLake.append(spark, dir, Seq((4L, 40L, "p2")).toDF("id", "v", "part"))
     // update 2 (subtractable only via the preimage dialect) + insert 5
     TxnLake.upsert(spark, dir, Seq((2L, 25L, "p1"), (5L, 50L, "p3")).toDF("id", "v", "part"), "id")
@@ -133,10 +133,43 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     assert(viewSet(view) === viewSet(rebuild))
   }
 
+  test("change capture is opt-in: a default table pays nothing and has no feed") {
+    import spark.implicits._
+    val dir = freshDir("graft_cdc_off")
+    TxnLake.create(spark, dir, Seq((1L, "a", "p1")).toDF("id", "name", "part"), "part")
+    TxnLake.upsert(spark, dir, Seq((1L, "a2", "p1")).toDF("id", "name", "part"), "id")
+    assert(!TxnLake.cdcEnabled(spark, dir))
+    assert(!new java.io.File(dir, TxnLake.CdcDir).exists())
+    val e = intercept[IllegalArgumentException](CdcFeed.batch(spark, dir))
+    assert(e.getMessage.contains("no " + TxnLake.CdcDir))
+    // enabling mid-history captures from the NEXT commit on
+    TxnLake.enableChangeFeed(spark, dir)
+    TxnLake.append(spark, dir, Seq((2L, "b", "p2")).toDF("id", "name", "part"))
+    assert(changeSet(CdcFeed.batch(spark, dir)) === Set((2L, "b", "p2", "insert", 2L)))
+  }
+
+  test("pure-insert feed entries are byte copies of the data files, not rewrites") {
+    import spark.implicits._
+    val dir = freshDir("graft_cdc_copy")
+    TxnLake.create(spark, dir,
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "part"),
+      "part", changeFeed = true)
+    val dataFiles = TxnLake.detail(spark, dir).select("path").collect()
+      .map(r => new java.io.File(dir, r.getString(0)))
+    val feedFiles = new java.io.File(dir, TxnLake.CdcDir + "/v00000000").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(feedFiles.nonEmpty)
+    // every feed file's bytes equal SOME staged data file's bytes
+    def bytes(f: java.io.File) = java.nio.file.Files.readAllBytes(f.toPath).toSeq
+    val dataBytes = dataFiles.map(bytes).toSet
+    assert(feedFiles.forall(f => dataBytes.contains(bytes(f))))
+  }
+
   test("row-preserving OPTIMIZE emits no feed entry") {
     import spark.implicits._
     val dir = freshDir("graft_cdc_opt")
-    TxnLake.create(spark, dir, Seq((1L, "a", "p1")).toDF("id", "name", "part"), "part")
+    TxnLake.create(spark, dir, Seq((1L, "a", "p1")).toDF("id", "name", "part"), "part",
+      changeFeed = true)
     TxnLake.append(spark, dir, Seq((2L, "b", "p1")).toDF("id", "name", "part"))
     TxnLake.append(spark, dir, Seq((3L, "c", "p1")).toDF("id", "name", "part"))
     val stats = TxnLake.optimize(spark, dir, minFiles = 1)
