@@ -485,7 +485,46 @@ object AdvancedQueries {
       |FROM f
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q64 — ORDERED-SET string aggregation (`LISTAGG ... WITHIN GROUP`,
+    * the SQL:2016 ordered-set aggregate Spark grew in 4.x): each
+    * nation's top-5 suppliers by account balance concatenated in rank
+    * order. The top-5 cut runs as a per-nation window (bounded groups),
+    * so the listagg buffer holds at most 5 names per group — the
+    * discipline that keeps ordered aggregation viable at scale (an
+    * unbounded LISTAGG over a hot group is a single-buffer OOM, exactly
+    * like an unbounded collect_list). DuckDB spells the same aggregate
+    * string_agg(... ORDER BY ...); the (balance DESC, suppkey) order
+    * key is tie-free so both engines must produce byte-equal strings. */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier(s, d)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 5)
+      .groupBy(col("s_nationkey"))
+      .agg(expr(
+        "listagg(s_name, ',') WITHIN GROUP (ORDER BY s_acctbal DESC, s_suppkey)")
+          .as("top_suppliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val q64Sql =
+    """WITH rk AS (
+      |  SELECT s_nationkey, s_name, s_acctbal, s_suppkey,
+      |    row_number() OVER (PARTITION BY s_nationkey
+      |      ORDER BY s_acctbal DESC, s_suppkey) AS rk
+      |  FROM supplier)
+      |SELECT s_nationkey,
+      |  string_agg(s_name, ',' ORDER BY s_acctbal DESC, s_suppkey) AS top_suppliers,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM rk WHERE rk <= 5
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q64_listagg" -> (q64 _),
     "q63_window_distinct" -> (q63 _),
     "q60_kmv_distinct" -> (q60 _),
     "q61_interval_range_frame" -> (q61 _),
@@ -504,6 +543,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q64_listagg" -> q64Sql,
     "q63_window_distinct" -> q63Sql,
     "q60_kmv_distinct" -> q60Sql,
     "q61_interval_range_frame" -> q61Sql,
