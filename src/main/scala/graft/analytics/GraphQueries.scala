@@ -318,8 +318,11 @@ object GraphQueries {
         (col("c_custkey") % 53).as("src"),
         ((col("c_custkey") * 7 + 3) % 50).as("dst"))
       .distinct().cache()
-    var settled = edges.sparkSession.range(1)
-      .select(lit(0L).as("node"), lit(0L).as("hops"))
+    // seed from the vertex set, not a literal row: a folded-constant
+    // seed degenerates every frontier join into a nested-loop build —
+    // deriving it keeps all rounds equi-hash-joins (PlanLintSpec)
+    var settled = edges.select(col("src").as("node")).filter(col("node") === 0)
+      .distinct().withColumn("hops", lit(0L))
     var frontier = settled
     for (i <- 1 to BfsMaxHops) {
       val reached = frontier.join(edges, col("node") === col("src"))

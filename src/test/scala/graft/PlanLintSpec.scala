@@ -465,4 +465,43 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     // 100 TB the shuffle only carries surviving documents
     assert(p.contains("Filter"), p)
   }
+
+  test("sp09: weighted sample is a TakeOrdered, never a full global sort") {
+    val p = plan("sp09_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("pr08: BFS rounds are keyed joins — no cartesian, no nested loop") {
+    val p = plan("pr08_bfs_hops")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("tx19: the max-doc-id scalar broadcasts; bucketing is a narrow map") {
+    val p = plan("tx19_vocab_growth")
+    // the 1-row max joins by broadcast nested loop (scalar cross) or
+    // broadcast hash — never a shuffled cartesian over the corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("dd17: URL canonicalization is row-local — one hash agg, no joins at all") {
+    val p = plan("dd17_url_dedup")
+    assert(!p.contains("Join"), s"canonicalization must not join\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // one shuffle for the canonical-key agg, one for the output sort
+    assert(exchanges <= 2, s"dd17 grew extra shuffles\n$p")
+  }
+
+  test("q64: listagg buffers are bounded by the per-nation window pre-cut") {
+    val p = plan("q64_listagg")
+    assert(p.contains("listagg"), p)
+    // the rank filter must sit BELOW the aggregate: the plan carries a
+    // Filter on the row_number output before any listagg node
+    assert("(?s)Filter.*listagg".r.findFirstIn(p).isDefined ||
+      "(?s)listagg.*Filter".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
