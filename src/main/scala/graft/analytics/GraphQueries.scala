@@ -322,14 +322,22 @@ object GraphQueries {
     // seed degenerates every frontier join into a nested-loop build —
     // deriving it keeps all rounds equi-hash-joins (PlanLintSpec)
     var settled = edges.select(col("src").as("node")).filter(col("node") === 0)
-      .distinct().withColumn("hops", lit(0L))
+      .distinct().withColumn("hops", lit(0L)).localCheckpoint()
     var frontier = settled
     for (i <- 1 to BfsMaxHops) {
       val reached = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), lit(i.toLong).as("hops")).distinct()
+      // checkpoint per round (the dd13 star-contraction discipline):
+      // round i's plan references round i-1 TWICE (the union and the
+      // anti-join), so an untruncated loop doubles the LINEAGE every
+      // hop — 2^rounds copies for the analyzer even when caches stop
+      // the recomputation (measured 36 s uncached and still ~100 s
+      // cache-only, pure plan-tree explosion on a 53-node graph).
+      // localCheckpoint resets the analysis tree to an RDD scan; the
+      // driver sync per hop is the Pregel/BFS contract at any scale.
       val fresh = reached.join(settled.select(col("node").as("__seen")),
-        col("node") === col("__seen"), "left_anti")
-      settled = settled.unionByName(fresh)
+        col("node") === col("__seen"), "left_anti").localCheckpoint()
+      settled = settled.unionByName(fresh).localCheckpoint()
       frontier = fresh
     }
     settled.orderBy(col("node"))
