@@ -907,7 +907,46 @@ object ScaleQueries {
       |FROM cdc GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** zq04 — manifest BLOOM file index: equality skipping on a
+    * high-cardinality UNSORTED string column, where zone maps (which
+    * need min/max order) are useless. The table tracks a per-file
+    * 1024-bit/k=4 Bloom of the order-date string in its commit
+    * manifest; the `graft-txn` scan tests equality literals against it
+    * at planning time and opens only files that might hold the value
+    * (TxnBloomSpec pins the pruned `numFiles` and zero false
+    * negatives). The probe date is the table's own minimum — computed
+    * first (one scalar aggregate), so the query is deterministic at
+    * every SF — and the oracle recomputes the same filter relationally:
+    * a hash match proves skipping lost no row. */
+  private def zq04(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq04")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") / lit(512)).cast("long").as("okbucket"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+    TxnLake.create(s, dir, base, "okbucket", bloomCol = Some("odate"))
+    val lk = s.read.format("graft-txn").load(dir)
+    val d0 = lk.agg(min(col("odate"))).head().getString(0)
+    lk.filter(col("odate") === d0)
+      .select(col("o_orderkey"), col("odate"), col("price").cast("double").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val zq04Sql =
+    """WITH t AS (
+      |  SELECT o_orderkey,
+      |    strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS odate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 4 = 0)
+      |SELECT o_orderkey, odate, price FROM t
+      |WHERE odate = (SELECT min(odate) FROM t)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "zq04_bloom_skip" -> (zq04 _),
     "lk09_merge_clauses" -> (lk09 _),
     "zq03_sql_writepath" -> (zq03 _),
     "lk08_cdc_feed" -> (lk08 _),
@@ -929,6 +968,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq04_bloom_skip" -> zq04Sql,
     "lk09_merge_clauses" -> lk09Sql,
     "zq03_sql_writepath" -> zq03Sql,
     "lk08_cdc_feed" -> lk08Sql,

@@ -72,11 +72,13 @@ object TxnLake {
     * planning time, Delta/Iceberg-style. NULL-only files carry no
     * bounds. */
   case class FileEntry(path: String, parts: Set[Option[String]],
-                       zmin: Option[Double] = None, zmax: Option[Double] = None)
+                       zmin: Option[Double] = None, zmax: Option[Double] = None,
+                       bloom: Option[String] = None)
 
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
-                      files: Seq[FileEntry], statsCol: Option[String] = None)
+                      files: Seq[FileEntry], statsCol: Option[String] = None,
+                      bloomCol: Option[String] = None)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -87,7 +89,8 @@ object TxnLake {
                                         partCol: String, schemaDdl: String,
                                         touched: Set[Option[String]],
                                         add: Seq[FileEntry], remove: Set[String],
-                                        statsCol: Option[String], full: Boolean)
+                                        statsCol: Option[String], full: Boolean,
+                                        bloomCol: Option[String] = None)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -100,7 +103,8 @@ object TxnLake {
                                   prunedPaths: Set[String], newFiles: Seq[FileEntry],
                                   statsCol: Option[String] = None,
                                   cdc: Option[DataFrame] = None,
-                                  cdcCopy: Seq[FileEntry] = Nil)
+                                  cdcCopy: Seq[FileEntry] = Nil,
+                                  bloomCol: Option[String] = None)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -143,10 +147,18 @@ object TxnLake {
     * planning time — the Delta/Iceberg data-skipping move. All later
     * commits keep collecting stats (the column is in the manifest). */
   def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String,
-             statsCol: Option[String] = None, changeFeed: Boolean = false): Unit = {
+             statsCol: Option[String] = None, changeFeed: Boolean = false,
+             bloomCol: Option[String] = None): Unit = {
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
       s"stats column '$sc' not in ${df.columns.mkString(",")}"))
+    bloomCol.foreach { bc =>
+      require(df.columns.contains(bc),
+        s"bloom column '$bc' not in ${df.columns.mkString(",")}")
+      require(df.schema(bc).dataType == org.apache.spark.sql.types.StringType,
+        s"bloom column '$bc' must be STRING (got ${df.schema(bc).dataType.simpleString}) — " +
+          "equality skipping hashes the exact string the query literal carries")
+    }
     val fs = fsOf(spark, dir)
     val logDir = new Path(dir, LogDir)
     require(!fs.exists(logDir), s"$dir is already a txn table")
@@ -160,14 +172,16 @@ object TxnLake {
     // touched = every partition value present, read off the staged
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, statsCol)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, statsCol, bloomCol)
     val rec = CommitRecord(0L, newCommitId(), partCol, df.schema.toDDL,
-      files.flatMap(_.parts).toSet, files, Set.empty, statsCol, full = false)
+      files.flatMap(_.parts).toSet, files, Set.empty, statsCol, full = false,
+      bloomCol = bloomCol)
     require(publish(fs, dir, manifestPath(dir, 0L), writeRecordBytes(rec), rec.commitId),
       s"concurrent create of txn table at $dir")
     // v0 checkpoint: cold resolution of a fresh table is one read
     maybeCheckpoint(spark, fs, dir,
-      Manifest(0L, rec.commitId, partCol, rec.schemaDdl, rec.touched, files, statsCol))
+      Manifest(0L, rec.commitId, partCol, rec.schemaDdl, rec.touched, files, statsCol,
+        bloomCol = bloomCol))
     // v0 change feed = the initial snapshot as inserts, so a CDC
     // consumer starting from scratch bootstraps a full replica from the
     // feed alone (the Delta CDF convention for the create version).
@@ -350,7 +364,7 @@ object TxnLake {
     val remaining = readFiles(spark, dir, schema, pruned.map(_.path))
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
     val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
-      base.statsCol)
+      base.statsCol, base.bloomCol)
     // change feed: the doomed rows (delete PRE-images), the semi-join
     // complement of `remaining` — O(pruned files), not O(table)
     val doomed =
@@ -360,7 +374,8 @@ object TxnLake {
           .withColumn(ChangeTypeCol, lit("delete")))
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
-      touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed))
+      touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed,
+      bloomCol = base.bloomCol))
   }
 
   /** Transactional blind APPEND: stage `rows` as new files and publish —
@@ -389,14 +404,16 @@ object TxnLake {
     val aligned = castToTarget(rows, target)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val newFiles = stageFiles(spark, dir, aligned, base.partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol,
+      base.bloomCol)
     if (newFiles.isEmpty) None
     else Some(Staged(base.version, base.partCol, base.schemaDdl,
       newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol,
       // a blind append's change feed is the appended rows themselves —
       // served by byte-copying the staged files, not a second encode
       cdc = None,
-      cdcCopy = if (cdcEnabled(spark, dir)) newFiles else Nil))
+      cdcCopy = if (cdcEnabled(spark, dir)) newFiles else Nil,
+      bloomCol = base.bloomCol))
   }
 
   /** Transactional full-snapshot OVERWRITE: replace the table's entire
@@ -425,7 +442,8 @@ object TxnLake {
     val aligned = castToTarget(rows, target)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val newFiles = stageFiles(spark, dir, aligned, base.partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol,
+      base.bloomCol)
     // change feed: delete pre-images must be written explicitly (they
     // exist nowhere else once replaced); the inserts byte-copy from the
     // staged files — an overwrite's feed costs one table write, not two
@@ -437,7 +455,8 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, schema.toDDL,
       base.files.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts),
       base.files.map(_.path).toSet, newFiles, base.statsCol,
-      cdc = oldRows, cdcCopy = if (cdcOn) newFiles else Nil))
+      cdc = oldRows, cdcCopy = if (cdcOn) newFiles else Nil,
+      bloomCol = base.bloomCol))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
@@ -468,9 +487,10 @@ object TxnLake {
     val schema = StructType.fromDDL(base.schemaDdl)
     val rewritten = readFiles(spark, dir, schema, pruned.map(_.path))
     val newFiles = stageFiles(spark, dir, rewritten, base.partCol, touched.size,
-      base.statsCol)
+      base.statsCol, base.bloomCol)
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
-      touched, pruned.map(_.path).toSet, newFiles, base.statsCol))
+      touched, pruned.map(_.path).toSet, newFiles, base.statsCol,
+      bloomCol = base.bloomCol))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -575,7 +595,7 @@ object TxnLake {
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
-      base.statsCol)
+      base.statsCol, base.bloomCol)
     // change feed, in the full PREIMAGE dialect (Delta-CDF's row set —
     // the one [[IncrementalView.applyChanges]] can fold, because
     // updates are subtractable): each applied row classified
@@ -617,7 +637,8 @@ object TxnLake {
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
-      pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = cdcRows))
+      pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = cdcRows,
+      bloomCol = base.bloomCol))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -651,13 +672,13 @@ object TxnLake {
       }
       val rec = CommitRecord(head.version + 1, newCommitId(), staged.partCol,
         staged.schemaDdl, staged.touched, staged.newFiles, staged.prunedPaths,
-        staged.statsCol, full = false)
+        staged.statsCol, full = false, bloomCol = staged.bloomCol)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
-            rec.statsCol))
+            rec.statsCol, bloomCol = rec.bloomCol))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -837,7 +858,7 @@ object TxnLake {
     (replayFrom to version).foreach { v =>
       val r = readRecord(fs, manifestPath(dir, v))
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
-        applyRecord(m.files, r), r.statsCol)
+        applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol)
     }
     m
   }
@@ -881,11 +902,14 @@ object TxnLake {
     * ONE metadata-scale job over `_metadata.file_path`. */
   private def stageFiles(spark: SparkSession, dir: String, df: DataFrame,
                          partCol: String, partHint: Int,
-                         statsCol: Option[String] = None): Seq[FileEntry] = {
+                         statsCol: Option[String] = None,
+                         bloomCol: Option[String] = None): Seq[FileEntry] = {
     require(!df.columns.contains("__txn_pk"),
       s"TxnLake reserves the __txn_pk column name; input has ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
       s"stats column '$sc' missing from staged data (${df.columns.mkString(",")})"))
+    bloomCol.foreach(bc => require(df.columns.contains(bc),
+      s"bloom column '$bc' missing from staged data (${df.columns.mkString(",")})"))
     if (df.isEmpty) return Seq.empty
     val rel = s"$DataDir/c${newCommitId()}"
     val dataDir = s"$dir/$rel"
@@ -903,32 +927,95 @@ object TxnLake {
       .repartition(n, col(partCol))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("__txn_pk").parquet(dataDir)
     // ONE metadata-scale job covers partition values AND (when tracked)
-    // the per-file zone map: min/max ignore NULLs, so all-NULL files
-    // carry no bounds and readRange keeps them conservatively
-    val staged = spark.read.parquet(dataDir)
-    val meta = statsCol match {
-      case Some(sc) =>
-        staged.groupBy(col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
-          .agg(min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))
-          .collect()
-      case None =>
-        staged.select(col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
-          .distinct().collect()
+    // the per-file zone map and Bloom bits: min/max ignore NULLs, so
+    // all-NULL files carry no bounds and readRange keeps them
+    // conservatively. Bloom state is O(1) per group — each row ORs its
+    // k hash bits into ${BloomWords} long words via bit_or aggregates,
+    // never a collected position set, so a billion-row file costs the
+    // same aggregation state as a thousand-row one.
+    val staged0 = spark.read.parquet(dataDir)
+    val staged = bloomCol match {
+      case Some(bc) =>
+        val withPos = (0 until BloomK).foldLeft(staged0)((d, k) =>
+          d.withColumn(s"__txn_bp$k",
+            pmod(xxhash64(lit(k), col(bc)), lit(BloomBits.toLong))))
+        (0 until BloomWords).foldLeft(withPos) { (d, j) =>
+          d.withColumn(s"__txn_bw$j",
+            expr((0 until BloomK).map(k =>
+              s"if(cast(__txn_bp$k div 64 as int) = $j, " +
+                s"shiftleft(cast(1 as bigint), cast(__txn_bp$k % 64 as int)), " +
+                "cast(0 as bigint))").mkString(" | ")))
+        }
+      case None => staged0
     }
+    val aggCols =
+      statsCol.toSeq.flatMap(sc => Seq(
+        min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
+      bloomCol.toSeq.flatMap(_ => (0 until BloomWords).map(j =>
+        expr(s"bit_or(__txn_bw$j)").as(s"__bw$j")))
+    val grouped = staged.groupBy(
+      col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
+    val meta = (aggCols match {
+      case head +: tail => grouped.agg(head, tail: _*)
+      case _ => grouped.agg(count(lit(1)).as("__n"))
+    }).collect()
     meta.groupBy(_.getString(0))
       .map { case (p, rows) =>
         val relPath = p.substring(p.indexOf(DataDir))
         val (zmin, zmax) = statsCol match {
           case Some(_) =>
-            val mns = rows.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
-            val mxs = rows.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+            val mns = rows.flatMap(r => Option(r.getAs[Any]("__mn")).map(_.asInstanceOf[Double]))
+            val mxs = rows.flatMap(r => Option(r.getAs[Any]("__mx")).map(_.asInstanceOf[Double]))
             (mns.minOption, mxs.maxOption)
           case None => (None, None)
         }
-        FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax)
+        val bloom = bloomCol.map { _ =>
+          val words = (0 until BloomWords).map { j =>
+            rows.map(r => Option(r.getAs[Any](s"__bw$j"))
+              .fold(0L)(_.asInstanceOf[Long])).reduce(_ | _)
+          }
+          words.map(java.lang.Long.toHexString).mkString(":")
+        }
+        FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax,
+          bloom = bloom)
       }
       .toSeq.sortBy(_.path)
   }
+
+  /** Bloom geometry: 1024 bits (16 longs), k=4 seeded xxhash64 probes —
+    * false-positive rate ≈ (1-e^(-4n/1024))^4, under 1% for files
+    * holding up to ~100 distinct bloom-column values and still useful
+    * two orders of magnitude past that. [[bloomPositionsOf]] MUST stay
+    * in lockstep with the staging expression. */
+  private[lake] val BloomBits = 1024
+  private[lake] val BloomWords = BloomBits / 64
+  private[lake] val BloomK = 4
+
+  /** The k bit positions a string value sets — driver-side mirror of
+    * the staged `xxhash64(lit(k), col)` expression (same Catalyst
+    * XxHash64, same default seed), evaluated on literals at planning
+    * time. */
+  private[graft] def bloomPositionsOf(v: String): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    import org.apache.spark.unsafe.types.UTF8String
+    (0 until BloomK).map { k =>
+      val h = new XxHash64(Seq(CLit(k, org.apache.spark.sql.types.IntegerType),
+        CLit(UTF8String.fromString(v), org.apache.spark.sql.types.StringType)))
+        .eval(null).asInstanceOf[Long]
+      java.lang.Math.floorMod(h, BloomBits.toLong).toInt
+    }
+  }
+
+  /** Whether a file's serialized bloom POSSIBLY contains `v` (absent
+    * bloom = conservatively yes). */
+  private[graft] def bloomMightContain(bloom: Option[String], v: String): Boolean =
+    bloom match {
+      case None => true
+      case Some(b) =>
+        val words = b.split(":").map(java.lang.Long.parseUnsignedLong(_, 16))
+        if (words.length != BloomWords) true // unknown geometry: keep
+        else bloomPositionsOf(v).forall(p => (words(p / 64) & (1L << (p % 64))) != 0L)
+    }
 
   /** ZONE-MAP range read: the snapshot restricted to `statsCol` ∈
     * [lo, hi] (inclusive), opening ONLY files whose manifest min/max
@@ -966,13 +1053,15 @@ object TxnLake {
 
   private def headerNode(version: Long, commitId: String, partCol: String,
                          schemaDdl: String, touched: Set[Option[String]],
-                         statsCol: Option[String]) = {
+                         statsCol: Option[String],
+                         bloomCol: Option[String]) = {
     val root = JsonNodeFactory.instance.objectNode()
     root.put("version", version)
     root.put("commitId", commitId)
     root.put("partCol", partCol)
     root.put("schemaDdl", schemaDdl)
     statsCol.foreach(root.put("statsCol", _))
+    bloomCol.foreach(root.put("bloomCol", _))
     val t = root.putArray("touched")
     touched.toSeq.sortBy(_.getOrElse("")).foreach {
       case Some(v) => t.add(v)
@@ -989,6 +1078,7 @@ object TxnLake {
       fn.put("path", f.path)
       f.zmin.foreach(fn.put("zmin", _))
       f.zmax.foreach(fn.put("zmax", _))
+      f.bloom.foreach(fn.put("bloom", _))
       val pn = fn.putArray("parts")
       f.parts.toSeq.sortBy(_.getOrElse("")).foreach {
         case Some(v) => pn.add(v)
@@ -1000,7 +1090,7 @@ object TxnLake {
   /** Full snapshot (checkpoint / legacy manifest) bytes: `files`. */
   private def writeManifestBytes(m: Manifest): Array[Byte] = {
     val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
-      m.touched, m.statsCol)
+      m.touched, m.statsCol, m.bloomCol)
     addFileArray(root, "files", m.files)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -1008,7 +1098,7 @@ object TxnLake {
   /** Delta record bytes: `add` + `remove` — O(touched partitions). */
   private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
-      r.touched, r.statsCol)
+      r.touched, r.statsCol, r.bloomCol)
     addFileArray(root, "add", r.add)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -1023,7 +1113,8 @@ object TxnLake {
       FileEntry(fn.get("path").asText(),
         fn.get("parts").elements().asScala.map(optStr).toSet,
         Option(fn.get("zmin")).map(_.asDouble()),
-        Option(fn.get("zmax")).map(_.asDouble()))
+        Option(fn.get("zmax")).map(_.asDouble()),
+        bloom = Option(fn.get("bloom")).map(_.asText()))
     }.toSeq
   }
 
@@ -1046,7 +1137,8 @@ object TxnLake {
       root.get("schemaDdl").asText(),
       root.get("touched").elements().asScala.map(optStr).toSet,
       parseFiles(root.get("files")),
-      Option(root.get("statsCol")).map(_.asText()))
+      Option(root.get("statsCol")).map(_.asText()),
+      bloomCol = Option(root.get("bloomCol")).map(_.asText()))
   }
 
   /** Per-version log record; a legacy full manifest parses as a
@@ -1067,7 +1159,8 @@ object TxnLake {
       if (full) Set.empty
       else root.get("remove").elements().asScala.map(_.asText()).toSet,
       Option(root.get("statsCol")).map(_.asText()),
-      full)
+      full,
+      bloomCol = Option(root.get("bloomCol")).map(_.asText()))
   }
 
   /** Atomically publish `bytes` at `dst` (a log record or checkpoint).

@@ -74,7 +74,8 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
           throw new IllegalArgumentException(
             "graft-txn initial create requires option partCol"))
         TxnLake.create(spark, dir, data, partCol, parameters.get("statsCol"),
-          changeFeed = parameters.get("changeFeed").exists(_.toBoolean))
+          changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
+          bloomCol = parameters.get("bloomCol"))
     }
     createRelation(sqlContext, parameters)
   }
@@ -160,6 +161,11 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
     val statsRanges = manifest.statsCol.toSeq.flatMap(sc =>
       dataFilters.flatMap(rangeOf(_, sc)))
     val partSets = dataFilters.flatMap(partSetOf(_, manifest.partCol))
+    // equality/IN on the BLOOM column: each conjunct yields the allowed
+    // value set; a file survives a conjunct if its bloom might contain
+    // at least one of the values (absent bloom = conservatively yes)
+    val bloomSets = manifest.bloomCol.toSeq.flatMap(bc =>
+      dataFilters.flatMap(bloomValuesOf(_, bc)))
     val keep = manifest.files.filter { f =>
       val zoneOk = (f.zmin, f.zmax) match {
         case (Some(mn), Some(mx)) =>
@@ -167,10 +173,35 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
         case _ => true // unbounded (all-NULL stats or pre-stats file)
       }
       val partOk = partSets.forall(s => f.parts.exists(s.contains))
-      zoneOk && partOk
+      val bloomOk = bloomSets.forall(vs =>
+        vs.exists(v => TxnLake.bloomMightContain(f.bloom, v)))
+      zoneOk && partOk && bloomOk
     }
     val sts = keep.flatMap(f => statusByRel.get(f.path)).toArray
     Seq(PartitionDirectory(InternalRow.empty, sts))
+  }
+
+  /** Allowed string-value set implied by one conjunct on the bloom
+    * column (equality / IN over string literals only — anything else
+    * abstains; NULL literals abstain, a bloom proves nothing about
+    * NULL). */
+  private def bloomValuesOf(e: Expression, bloomCol: String): Option[Seq[String]] = {
+    def isBloom(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.name == bloomCol
+      case _ => false
+    }
+    def str(l: Literal): Option[String] = (l.value, l.dataType) match {
+      case (v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, l: Literal) if isBloom(a) => str(l).map(Seq(_))
+      case EqualTo(l: Literal, a) if isBloom(a) => str(l).map(Seq(_))
+      case In(a, ls) if isBloom(a) && ls.forall(_.isInstanceOf[Literal]) =>
+        val vs = ls.flatMap(l => str(l.asInstanceOf[Literal]))
+        if (vs.size == ls.size) Some(vs) else None // a NULL in the list: abstain
+      case _ => None
+    }
   }
 
   /** [lo, hi] implied by one conjunct on the stats column, when one is
