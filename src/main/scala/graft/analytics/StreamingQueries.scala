@@ -420,7 +420,52 @@ object StreamingQueries {
       |FROM final GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** st16 — INTERVAL THINNING, the batch analog of Spark's
+    * time-bounded streaming dedup (`dropDuplicatesWithinWatermark` —
+    * [[EventStreams.dedupWithinWatermark]], state bounded by the
+    * watermark horizon instead of O(all keys ever)): per (user, type),
+    * keep an event iff it is ≥10 minutes after the previously KEPT one
+    * — the duplicate-ping / retry-storm thinner. The greedy chain has
+    * no window-function form (each verdict depends on the previous
+    * KEPT event), so Spark runs the documented sequential-per-key
+    * `flatMapGroups` ([[EventStreams.thinWithinGap]]) while DuckDB
+    * walks the same chain with a recursive CTE stepping one
+    * row_number per iteration — structurally different executions,
+    * one integer-exact answer. The user filter bounds the dump. */
+  private def st16(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).filter(col("user_id") % 25 === 0)
+    EventStreams.thinWithinGap(ev, gapUs = 600000000L)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), min(col("event_id")).as("first_kept"),
+        max(col("event_id")).as("last_kept"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val st16Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events WHERE user_id % 25 = 0),
+      |walk(user_id, event_type, rn, event_id, kept_us, keep) AS (
+      |  SELECT user_id, event_type, rn, event_id, us, true
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.event_type, e.rn, e.event_id,
+      |    CASE WHEN e.us - w.kept_us >= 600000000 THEN e.us ELSE w.kept_us END,
+      |    e.us - w.kept_us >= 600000000
+      |  FROM walk w JOIN ev e
+      |    ON e.user_id = w.user_id AND e.event_type = w.event_type
+      |   AND e.rn = w.rn + 1)
+      |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_kept,
+      |  min(event_id) AS first_kept, max(event_id) AS last_kept
+      |FROM walk WHERE keep
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st16_interval_thinning" -> (st16 _),
     "st15_cdc_incremental_mv" -> (st15 _),
     "st14_stream_anomaly" -> (st14 _),
     "st13_stream_topk" -> (st13 _),
@@ -438,6 +483,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st16_interval_thinning" -> st16Sql,
     "st15_cdc_incremental_mv" -> st15Sql,
     "st14_stream_anomaly" -> st14Sql,
     "st13_stream_topk" -> st13Sql,

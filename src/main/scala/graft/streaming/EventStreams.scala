@@ -96,6 +96,56 @@ object EventStreams {
       .dropDuplicates(Seq("user_id", "event_type"))
       .select(col("user_id"), col("event_type"), col("event_id"))
 
+  /** TIME-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`,
+    * Spark 3.5+): per-key state lives only until the watermark passes
+    * the admitted event's time + the delay — duplicates within the
+    * horizon drop, the key re-admits after it, and state is O(active
+    * keys within the horizon) instead of O(all keys ever) (the
+    * unbounded-state problem plain `dropDuplicates` has on an
+    * eternal stream). DedupWithinWatermarkSpec pins the admission
+    * sequence on a crafted in-order feed. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+
+  /** BATCH interval thinning — the deterministic batch analog of
+    * [[dedupWithinWatermark]]: per (user, type), keep an event iff it
+    * is at least `gapUs` after the previously KEPT one (greedy,
+    * anchored at the first event; admitted events do NOT slide the
+    * horizon, unlike sessionization). The standard duplicate-ping /
+    * retry-storm thinner for event pipelines. A greedy chain has no
+    * window-function form — each verdict depends on the previous
+    * KEPT event, not the previous row — so this is the documented
+    * `flatMapGroups` case: genuinely sequential per-key logic, keyed
+    * shuffle + per-group iterator, state one long per group. The
+    * streaming execution's admission additionally lags on the
+    * WATERMARK (an event re-admits only once the watermark — driven
+    * by earlier events — passes the horizon), so stream and batch
+    * agree on in-order feeds whose gaps exceed one delay, which is
+    * what the spec pins. */
+  def thinWithinGap(events: DataFrame, gapUs: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Long, Long)]) =>
+        val sorted = it.toSeq.sortBy(r => (r._4, r._3))
+        var lastKept = Long.MinValue
+        sorted.iterator.collect {
+          case (_, _, id, us)
+            if lastKept == Long.MinValue || us - lastKept >= gapUs =>
+              lastKept = us
+              (key._1, key._2, id, us)
+        }
+      }
+      .toDF("user_id", "event_type", "event_id", "us")
+  }
+
   /** Stream-stream inner join: purchases joined to the same user's
     * clicks within the preceding 10 minutes. Both sides watermarked so
     * the join state is bounded (clicks kept only until the purchase-side
