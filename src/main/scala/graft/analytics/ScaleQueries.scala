@@ -420,10 +420,21 @@ object ScaleQueries {
     import graft.lake.TxnLake
     val dir = java.nio.file.Files.createTempDirectory("graft_zq02")
       .resolve("orders_lake").toString
-    val base = orders(s, d).filter(col("o_orderkey") % 4 === 0)
+    // SIXTEEN RANGE BUCKETS over the key span at ANY scale factor
+    // (broadcast-scalar max, the tx19 bucketing move): enough disjoint
+    // key ranges to show planning-time skipping without degenerating
+    // into hundreds of one-row files — a fixed absolute width did
+    // exactly that (293 files for 37k rows at sf0.1, where the
+    // file-listing/commit overhead cost more than the scan it saved;
+    // zq04 keeps a fine layout deliberately, its Bloom fpp needs small
+    // per-file value sets, and pays the flagged build cost for it)
+    val sliced = orders(s, d).filter(col("o_orderkey") % 4 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(12,2)").as("o_price"),
-        (col("o_orderkey") / lit(512)).cast("long").as("okbucket"))
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    val mx = sliced.agg(max(col("o_orderkey")).as("mx"))
+    val base = sliced.crossJoin(broadcast(mx))
+      .withColumn("okbucket", expr("(o_orderkey * 16) div (mx + 1)"))
+      .drop("mx")
     TxnLake.create(s, dir, base, "okbucket", statsCol = Some("o_orderkey"))
     s.read.format("graft-txn").load(dir)
       .filter(col("o_orderkey").between(1000L, 3000L))
