@@ -933,12 +933,21 @@ object ScaleQueries {
     import graft.lake.TxnLake
     val dir = java.nio.file.Files.createTempDirectory("graft_zq04")
       .resolve("orders_lake").toString
-    val base = orders(s, d).filter(col("o_orderkey") % 4 === 0)
+    // 32 range buckets over the key span (the zq02 layout) with
+    // 8192-bit per-file blooms: at sf0.1 each file holds ~1100 distinct
+    // dates, so the default 1024-bit filter would saturate (fpp -> 1,
+    // zero skipping) — the per-table bloomBits knob is exactly for
+    // bigger files, fpp ≈ (1-e^(-4·1100/8192))^4 ≈ 3% here
+    val sliced = orders(s, d).filter(col("o_orderkey") % 4 === 0)
       .select(col("o_orderkey"),
-        (col("o_orderkey") / lit(512)).cast("long").as("okbucket"),
         col("o_totalprice").cast("decimal(12,2)").as("price"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
-    TxnLake.create(s, dir, base, "okbucket", bloomCol = Some("odate"))
+    val mx = sliced.agg(max(col("o_orderkey")).as("mx"))
+    val base = sliced.crossJoin(broadcast(mx))
+      .withColumn("okbucket", expr("(o_orderkey * 32) div (mx + 1)"))
+      .drop("mx")
+    TxnLake.create(s, dir, base, "okbucket", bloomCol = Some("odate"),
+      bloomBits = 8192)
     val lk = s.read.format("graft-txn").load(dir)
     val d0 = lk.agg(min(col("odate"))).head().getString(0)
     lk.filter(col("odate") === d0)

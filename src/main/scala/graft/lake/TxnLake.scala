@@ -78,7 +78,8 @@ object TxnLake {
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
                       files: Seq[FileEntry], statsCol: Option[String] = None,
-                      bloomCol: Option[String] = None)
+                      bloomCol: Option[String] = None,
+                      bloomBits: Int = DefaultBloomBits)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -90,7 +91,8 @@ object TxnLake {
                                         touched: Set[Option[String]],
                                         add: Seq[FileEntry], remove: Set[String],
                                         statsCol: Option[String], full: Boolean,
-                                        bloomCol: Option[String] = None)
+                                        bloomCol: Option[String] = None,
+                                        bloomBits: Int = DefaultBloomBits)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -104,7 +106,8 @@ object TxnLake {
                                   statsCol: Option[String] = None,
                                   cdc: Option[DataFrame] = None,
                                   cdcCopy: Seq[FileEntry] = Nil,
-                                  bloomCol: Option[String] = None)
+                                  bloomCol: Option[String] = None,
+                                  bloomBits: Int = DefaultBloomBits)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -148,7 +151,10 @@ object TxnLake {
     * commits keep collecting stats (the column is in the manifest). */
   def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String,
              statsCol: Option[String] = None, changeFeed: Boolean = false,
-             bloomCol: Option[String] = None): Unit = {
+             bloomCol: Option[String] = None,
+             bloomBits: Int = DefaultBloomBits): Unit = {
+    require(bloomBits > 0 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
       s"stats column '$sc' not in ${df.columns.mkString(",")}"))
@@ -172,16 +178,17 @@ object TxnLake {
     // touched = every partition value present, read off the staged
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, statsCol, bloomCol)
+      spark.conf.get("spark.sql.shuffle.partitions").toInt, statsCol, bloomCol,
+      bloomBits)
     val rec = CommitRecord(0L, newCommitId(), partCol, df.schema.toDDL,
       files.flatMap(_.parts).toSet, files, Set.empty, statsCol, full = false,
-      bloomCol = bloomCol)
+      bloomCol = bloomCol, bloomBits = bloomBits)
     require(publish(fs, dir, manifestPath(dir, 0L), writeRecordBytes(rec), rec.commitId),
       s"concurrent create of txn table at $dir")
     // v0 checkpoint: cold resolution of a fresh table is one read
     maybeCheckpoint(spark, fs, dir,
       Manifest(0L, rec.commitId, partCol, rec.schemaDdl, rec.touched, files, statsCol,
-        bloomCol = bloomCol))
+        bloomCol = bloomCol, bloomBits = bloomBits))
     // v0 change feed = the initial snapshot as inserts, so a CDC
     // consumer starting from scratch bootstraps a full replica from the
     // feed alone (the Delta CDF convention for the create version).
@@ -364,7 +371,7 @@ object TxnLake {
     val remaining = readFiles(spark, dir, schema, pruned.map(_.path))
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
     val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
-      base.statsCol, base.bloomCol)
+      base.statsCol, base.bloomCol, base.bloomBits)
     // change feed: the doomed rows (delete PRE-images), the semi-join
     // complement of `remaining` — O(pruned files), not O(table)
     val doomed =
@@ -375,7 +382,7 @@ object TxnLake {
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed,
-      bloomCol = base.bloomCol))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
   }
 
   /** Transactional blind APPEND: stage `rows` as new files and publish —
@@ -405,7 +412,7 @@ object TxnLake {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val newFiles = stageFiles(spark, dir, aligned, base.partCol,
       spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol,
-      base.bloomCol)
+      base.bloomCol, base.bloomBits)
     if (newFiles.isEmpty) None
     else Some(Staged(base.version, base.partCol, base.schemaDdl,
       newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol,
@@ -413,7 +420,7 @@ object TxnLake {
       // served by byte-copying the staged files, not a second encode
       cdc = None,
       cdcCopy = if (cdcEnabled(spark, dir)) newFiles else Nil,
-      bloomCol = base.bloomCol))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
   }
 
   /** Transactional full-snapshot OVERWRITE: replace the table's entire
@@ -443,7 +450,7 @@ object TxnLake {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val newFiles = stageFiles(spark, dir, aligned, base.partCol,
       spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol,
-      base.bloomCol)
+      base.bloomCol, base.bloomBits)
     // change feed: delete pre-images must be written explicitly (they
     // exist nowhere else once replaced); the inserts byte-copy from the
     // staged files — an overwrite's feed costs one table write, not two
@@ -456,7 +463,7 @@ object TxnLake {
       base.files.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts),
       base.files.map(_.path).toSet, newFiles, base.statsCol,
       cdc = oldRows, cdcCopy = if (cdcOn) newFiles else Nil,
-      bloomCol = base.bloomCol))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
@@ -487,10 +494,10 @@ object TxnLake {
     val schema = StructType.fromDDL(base.schemaDdl)
     val rewritten = readFiles(spark, dir, schema, pruned.map(_.path))
     val newFiles = stageFiles(spark, dir, rewritten, base.partCol, touched.size,
-      base.statsCol, base.bloomCol)
+      base.statsCol, base.bloomCol, base.bloomBits)
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol,
-      bloomCol = base.bloomCol))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -595,7 +602,7 @@ object TxnLake {
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
-      base.statsCol, base.bloomCol)
+      base.statsCol, base.bloomCol, base.bloomBits)
     // change feed, in the full PREIMAGE dialect (Delta-CDF's row set —
     // the one [[IncrementalView.applyChanges]] can fold, because
     // updates are subtractable): each applied row classified
@@ -638,7 +645,7 @@ object TxnLake {
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
       pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = cdcRows,
-      bloomCol = base.bloomCol))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -672,13 +679,14 @@ object TxnLake {
       }
       val rec = CommitRecord(head.version + 1, newCommitId(), staged.partCol,
         staged.schemaDdl, staged.touched, staged.newFiles, staged.prunedPaths,
-        staged.statsCol, full = false, bloomCol = staged.bloomCol)
+        staged.statsCol, full = false, bloomCol = staged.bloomCol,
+        bloomBits = staged.bloomBits)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
-            rec.statsCol, bloomCol = rec.bloomCol))
+            rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -858,7 +866,8 @@ object TxnLake {
     (replayFrom to version).foreach { v =>
       val r = readRecord(fs, manifestPath(dir, v))
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
-        applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol)
+        applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol,
+        bloomBits = r.bloomBits)
     }
     m
   }
@@ -903,7 +912,8 @@ object TxnLake {
   private def stageFiles(spark: SparkSession, dir: String, df: DataFrame,
                          partCol: String, partHint: Int,
                          statsCol: Option[String] = None,
-                         bloomCol: Option[String] = None): Seq[FileEntry] = {
+                         bloomCol: Option[String] = None,
+                         bloomBits: Int = DefaultBloomBits): Seq[FileEntry] = {
     require(!df.columns.contains("__txn_pk"),
       s"TxnLake reserves the __txn_pk column name; input has ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
@@ -938,8 +948,8 @@ object TxnLake {
       case Some(bc) =>
         val withPos = (0 until BloomK).foldLeft(staged0)((d, k) =>
           d.withColumn(s"__txn_bp$k",
-            pmod(xxhash64(lit(k), col(bc)), lit(BloomBits.toLong))))
-        (0 until BloomWords).foldLeft(withPos) { (d, j) =>
+            pmod(xxhash64(lit(k), col(bc)), lit(bloomBits.toLong))))
+        (0 until bloomBits / 64).foldLeft(withPos) { (d, j) =>
           d.withColumn(s"__txn_bw$j",
             expr((0 until BloomK).map(k =>
               s"if(cast(__txn_bp$k div 64 as int) = $j, " +
@@ -951,7 +961,7 @@ object TxnLake {
     val aggCols =
       statsCol.toSeq.flatMap(sc => Seq(
         min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
-      bloomCol.toSeq.flatMap(_ => (0 until BloomWords).map(j =>
+      bloomCol.toSeq.flatMap(_ => (0 until bloomBits / 64).map(j =>
         expr(s"bit_or(__txn_bw$j)").as(s"__bw$j")))
     val grouped = staged.groupBy(
       col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
@@ -970,7 +980,7 @@ object TxnLake {
           case None => (None, None)
         }
         val bloom = bloomCol.map { _ =>
-          val words = (0 until BloomWords).map { j =>
+          val words = (0 until bloomBits / 64).map { j =>
             rows.map(r => Option(r.getAs[Any](s"__bw$j"))
               .fold(0L)(_.asInstanceOf[Long])).reduce(_ | _)
           }
@@ -982,39 +992,42 @@ object TxnLake {
       .toSeq.sortBy(_.path)
   }
 
-  /** Bloom geometry: 1024 bits (16 longs), k=4 seeded xxhash64 probes —
-    * false-positive rate ≈ (1-e^(-4n/1024))^4, under 1% for files
-    * holding up to ~100 distinct bloom-column values and still useful
-    * two orders of magnitude past that. [[bloomPositionsOf]] MUST stay
-    * in lockstep with the staging expression. */
-  private[lake] val BloomBits = 1024
-  private[lake] val BloomWords = BloomBits / 64
+  /** Bloom geometry: `bloomBits` bits (a per-table knob, default 1024
+    * = 16 longs; Delta-style KB-scale blooms fit big files), k=4 seeded
+    * xxhash64 probes — false-positive rate ≈ (1-e^(-4n/m))^4, under 1%
+    * while a file's distinct-value count n stays below ~m/10. The
+    * serialized form is self-describing (bit count = 64 × word count),
+    * so readers never consult the manifest knob. [[bloomPositionsOf]]
+    * MUST stay in lockstep with the staging expression. */
+  private[lake] val DefaultBloomBits = 1024
   private[lake] val BloomK = 4
 
-  /** The k bit positions a string value sets — driver-side mirror of
-    * the staged `xxhash64(lit(k), col)` expression (same Catalyst
-    * XxHash64, same default seed), evaluated on literals at planning
-    * time. */
-  private[graft] def bloomPositionsOf(v: String): Seq[Int] = {
+  /** The k bit positions a string value sets in an `m`-bit bloom —
+    * driver-side mirror of the staged `xxhash64(lit(k), col)`
+    * expression (same Catalyst XxHash64, same default seed), evaluated
+    * on literals at planning time. */
+  private[graft] def bloomPositionsOf(v: String, bits: Int): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
     import org.apache.spark.unsafe.types.UTF8String
     (0 until BloomK).map { k =>
       val h = new XxHash64(Seq(CLit(k, org.apache.spark.sql.types.IntegerType),
         CLit(UTF8String.fromString(v), org.apache.spark.sql.types.StringType)))
         .eval(null).asInstanceOf[Long]
-      java.lang.Math.floorMod(h, BloomBits.toLong).toInt
+      java.lang.Math.floorMod(h, bits.toLong).toInt
     }
   }
 
   /** Whether a file's serialized bloom POSSIBLY contains `v` (absent
-    * bloom = conservatively yes). */
+    * bloom = conservatively yes; the word count carries the bit
+    * geometry). */
   private[graft] def bloomMightContain(bloom: Option[String], v: String): Boolean =
     bloom match {
       case None => true
       case Some(b) =>
         val words = b.split(":").map(java.lang.Long.parseUnsignedLong(_, 16))
-        if (words.length != BloomWords) true // unknown geometry: keep
-        else bloomPositionsOf(v).forall(p => (words(p / 64) & (1L << (p % 64))) != 0L)
+        if (words.isEmpty) true
+        else bloomPositionsOf(v, words.length * 64)
+          .forall(p => (words(p / 64) & (1L << (p % 64))) != 0L)
     }
 
   /** ZONE-MAP range read: the snapshot restricted to `statsCol` ∈
@@ -1054,14 +1067,15 @@ object TxnLake {
   private def headerNode(version: Long, commitId: String, partCol: String,
                          schemaDdl: String, touched: Set[Option[String]],
                          statsCol: Option[String],
-                         bloomCol: Option[String]) = {
+                         bloomCol: Option[String],
+                         bloomBits: Int) = {
     val root = JsonNodeFactory.instance.objectNode()
     root.put("version", version)
     root.put("commitId", commitId)
     root.put("partCol", partCol)
     root.put("schemaDdl", schemaDdl)
     statsCol.foreach(root.put("statsCol", _))
-    bloomCol.foreach(root.put("bloomCol", _))
+    bloomCol.foreach { bc => root.put("bloomCol", bc); root.put("bloomBits", bloomBits); () }
     val t = root.putArray("touched")
     touched.toSeq.sortBy(_.getOrElse("")).foreach {
       case Some(v) => t.add(v)
@@ -1090,7 +1104,7 @@ object TxnLake {
   /** Full snapshot (checkpoint / legacy manifest) bytes: `files`. */
   private def writeManifestBytes(m: Manifest): Array[Byte] = {
     val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
-      m.touched, m.statsCol, m.bloomCol)
+      m.touched, m.statsCol, m.bloomCol, m.bloomBits)
     addFileArray(root, "files", m.files)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -1098,7 +1112,7 @@ object TxnLake {
   /** Delta record bytes: `add` + `remove` — O(touched partitions). */
   private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
-      r.touched, r.statsCol, r.bloomCol)
+      r.touched, r.statsCol, r.bloomCol, r.bloomBits)
     addFileArray(root, "add", r.add)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -1138,7 +1152,8 @@ object TxnLake {
       root.get("touched").elements().asScala.map(optStr).toSet,
       parseFiles(root.get("files")),
       Option(root.get("statsCol")).map(_.asText()),
-      bloomCol = Option(root.get("bloomCol")).map(_.asText()))
+      bloomCol = Option(root.get("bloomCol")).map(_.asText()),
+      bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits))
   }
 
   /** Per-version log record; a legacy full manifest parses as a
@@ -1160,7 +1175,8 @@ object TxnLake {
       else root.get("remove").elements().asScala.map(_.asText()).toSet,
       Option(root.get("statsCol")).map(_.asText()),
       full,
-      bloomCol = Option(root.get("bloomCol")).map(_.asText()))
+      bloomCol = Option(root.get("bloomCol")).map(_.asText()),
+      bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits))
   }
 
   /** Atomically publish `bytes` at `dst` (a log record or checkpoint).

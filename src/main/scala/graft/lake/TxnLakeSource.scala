@@ -75,7 +75,9 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
             "graft-txn initial create requires option partCol"))
         TxnLake.create(spark, dir, data, partCol, parameters.get("statsCol"),
           changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
-          bloomCol = parameters.get("bloomCol"))
+          bloomCol = parameters.get("bloomCol"),
+          bloomBits = parameters.get("bloomBits").map(_.toInt)
+            .getOrElse(TxnLake.DefaultBloomBits))
     }
     createRelation(sqlContext, parameters)
   }
