@@ -965,7 +965,104 @@ object ScaleQueries {
       |WHERE odate = (SELECT min(odate) FROM t)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** lk10 — DELETION-VECTOR deletes ([[graft.lake.TxnLake.deleteWhere]]):
+    * two successive predicate deletes mark rows dead in `_graft_dv`
+    * position sidecars — zero data files rewritten (pinned in
+    * `DeletionVectorSpec`) — then OPTIMIZE(purgeDv) folds the vectors
+    * into fresh files. The query aggregates the SAME snapshot through
+    * both read paths — the merge-on-read positional anti-join ('mor')
+    * and the purged vector-free scan ('purged') — and the oracle
+    * recomputes both phases from the base table with the predicates
+    * negated, so a hash match proves the sidecar subtraction and the
+    * rewrite are row-identical to a plain filtered scan. This is the
+    * 100 TB delete path: dropping a sliver of rows (GDPR erasure,
+    * corpus decontamination) moves O(deleted positions), not O(touched
+    * files), and the rewrite debt is repaid once, transactionally, by
+    * OPTIMIZE. */
+  private def lk10(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk10")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    TxnLake.deleteWhere(s, dir, col("o_price") > 150000)
+    TxnLake.deleteWhere(s, dir, col("o_orderkey") % 21 === 0)
+    def agg(df: DataFrame, phase: String): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("sum_price"))
+      .withColumn("phase", lit(phase))
+    val mor = agg(TxnLake.read(s, dir), "mor") // binds v2's files + vectors
+    TxnLake.optimize(s, dir, minFiles = Int.MaxValue, purgeDv = true)
+    val purged = agg(TxnLake.read(s, dir), "purged")
+    mor.unionByName(purged)
+      .select(col("phase"), col("o_orderstatus"), col("n"), col("sum_price"))
+      .orderBy(col("phase"), col("o_orderstatus"))
+  }
+
+  private val lk10Sql =
+    """WITH live AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+      |  FROM orders
+      |  WHERE o_orderkey % 7 = 0
+      |    AND NOT (CAST(o_totalprice AS DECIMAL(12,2)) > 150000)
+      |    AND NOT (o_orderkey % 21 = 0))
+      |SELECT 'mor' AS phase, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price
+      |FROM live GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'purged' AS phase, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price
+      |FROM live GROUP BY o_orderstatus
+      |ORDER BY phase, o_orderstatus""".stripMargin
+
+  /** zq05 — DYNAMIC PARTITION PRUNING through the partition-aware
+    * `graft-txn` file index ([[graft.lake.TxnFileIndex]]): the fact
+    * lake is partitioned on a join-key bucket, the index exposes that
+    * column via `partitionSchema`, and a star join against the tiny
+    * `nation` dim (filtered to one region) lets Catalyst inject a
+    * dynamic-pruning subquery — at RUNTIME the broadcast dim's keys
+    * prune whole fact partitions before their files are ever opened
+    * (fired + file-skipping pinned in `DynamicPruningSpec`). This is
+    * the 100 TB star-schema move no static analysis can make: the
+    * selective predicate lives on the dim, yet the fact scan only
+    * reads joined partitions. The oracle recomputes the join off the
+    * base tables, so a hash match proves runtime skipping loses no
+    * rows. */
+  private def zq05(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq05")
+      .resolve("orders_lake").toString
+    val fact = orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), (col("o_orderkey") % 25).as("nbucket"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, fact, "nbucket")
+    val dim = nation(s, d)
+      .join(region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    s.read.format("graft-txn").load(dir)
+      .join(dim, col("nbucket") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("sum_price"))
+      .orderBy(col("n_name"))
+  }
+
+  private val zq05Sql =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN nation ON o_orderkey % 25 = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderkey % 3 = 0 AND r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "zq05_dynamic_pruning" -> (zq05 _),
+    "lk10_deletion_vectors" -> (lk10 _),
     "zq04_bloom_skip" -> (zq04 _),
     "lk09_merge_clauses" -> (lk09 _),
     "zq03_sql_writepath" -> (zq03 _),
@@ -988,6 +1085,8 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq05_dynamic_pruning" -> zq05Sql,
+    "lk10_deletion_vectors" -> lk10Sql,
     "zq04_bloom_skip" -> zq04Sql,
     "lk09_merge_clauses" -> lk09Sql,
     "zq03_sql_writepath" -> zq03Sql,

@@ -73,7 +73,7 @@ object TxnLake {
     * bounds. */
   case class FileEntry(path: String, parts: Set[Option[String]],
                        zmin: Option[Double] = None, zmax: Option[Double] = None,
-                       bloom: Option[String] = None)
+                       bloom: Option[String] = None, dv: Seq[String] = Nil)
 
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
@@ -107,10 +107,19 @@ object TxnLake {
                                   cdc: Option[DataFrame] = None,
                                   cdcCopy: Seq[FileEntry] = Nil,
                                   bloomCol: Option[String] = None,
-                                  bloomBits: Int = DefaultBloomBits)
+                                  bloomBits: Int = DefaultBloomBits,
+                                  abortDirs: Seq[String] = Nil)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
+
+  /** Root of DELETION-VECTOR sidecars (merge-on-read row deletes): one
+    * `c<commit>` parquet directory per [[deleteWhere]] commit, rows
+    * `(file, pos)` — the data-relative path and parquet row index of
+    * each deleted row. Data files are never rewritten; readers subtract
+    * referenced DV positions at scan time and [[optimize]] purges them
+    * by rewriting. */
+  private[lake] val DvDir = "_graft_dv"
 
   /** Root of the commit-time CHANGE-DATA feed (Delta CDF-style): one
     * `v<version>` parquet directory per row-changing commit, rows in
@@ -223,7 +232,7 @@ object TxnLake {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), m.files.map(_.path))
+    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files)
   }
 
   /** TIME TRAVEL: snapshot read of a specific committed version. Every
@@ -234,7 +243,7 @@ object TxnLake {
     * loudly here rather than serving a partial file list. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = resolveAt(fsOf(spark, dir), dir, version)
-    readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), m.files.map(_.path))
+    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files)
   }
 
   /** Commit history of the table: one row per retained version with its
@@ -315,10 +324,17 @@ object TxnLake {
       s"schema changed between v$fromVersion and v$toVersion of $dir; " +
         "diff the versions on either side of the evolution instead")
     val schema = StructType.fromDDL(mTo.schemaDdl)
-    val fromPaths = mFrom.files.map(_.path).toSet
-    val toPaths = mTo.files.map(_.path).toSet
-    val added = readFiles(spark, dir, schema, (toPaths -- fromPaths).toSeq.sorted)
-    val dropped = readFiles(spark, dir, schema, (fromPaths -- toPaths).toSeq.sorted)
+    // diff on ENTRY identity (path + dv list), not path alone: a
+    // deletion-vector commit changes a file's entry without changing
+    // its path, and the changed entry must land on both sides so the
+    // signed-count netting below can surface its deleted rows (each
+    // side reads with ITS OWN version's vectors applied)
+    val fromKeys = mFrom.files.map(f => (f.path, f.dv)).toSet
+    val toKeys = mTo.files.map(f => (f.path, f.dv)).toSet
+    val added = readEntries(spark, dir, schema,
+      mTo.files.filterNot(f => fromKeys.contains((f.path, f.dv))).sortBy(_.path))
+    val dropped = readEntries(spark, dir, schema,
+      mFrom.files.filterNot(f => toKeys.contains((f.path, f.dv))).sortBy(_.path))
     // both set-differences from ONE full-row shuffle (a signed-count
     // aggregate), instead of two independent exceptAll set ops: rows in
     // both sides (the ride-alongs, the bulk of rewritten files) net to 0
@@ -361,14 +377,14 @@ object TxnLake {
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     require(keys.columns.contains(key), s"key column '$key' not in ${keys.columns.mkString(",")}")
     val schema = StructType.fromDDL(base.schemaDdl)
-    val target = readFiles(spark, dir, schema, base.files.map(_.path))
+    val target = readEntries(spark, dir, schema, base.files)
     val keyDf = keys.select(col(key).cast(target.schema(key).dataType).as("__txn_dkey")).distinct()
     val touched = target
       .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
       .select(col(base.partCol)).distinct().collect().map(r => render(r.get(0))).toSet
     if (touched.isEmpty) return
     val pruned = base.files.filter(_.parts.exists(touched.contains))
-    val remaining = readFiles(spark, dir, schema, pruned.map(_.path))
+    val remaining = readEntries(spark, dir, schema, pruned)
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
     val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
       base.statsCol, base.bloomCol, base.bloomBits)
@@ -376,13 +392,79 @@ object TxnLake {
     // complement of `remaining` — O(pruned files), not O(table)
     val doomed =
       if (cdcEnabled(spark, dir))
-        Some(readFiles(spark, dir, schema, pruned.map(_.path))
+        Some(readEntries(spark, dir, schema, pruned)
           .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
           .withColumn(ChangeTypeCol, lit("delete")))
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits))
+  }
+
+  /** MERGE-ON-READ predicate delete via DELETION VECTORS: mark every
+    * live row satisfying `predicate` deleted WITHOUT rewriting a single
+    * data file. The doomed rows' `(file, row_index)` positions are
+    * written once as a parquet sidecar under `_graft_dv/c<commit>/`
+    * (distributed write, O(deleted rows) — never a driver collect), and
+    * one atomic commit re-publishes the affected files' manifest
+    * entries with the sidecar appended to their `dv` list. Readers of
+    * this and later versions subtract the positions at scan time
+    * ([[readEntries]]); readers of older versions never see the
+    * sidecar — time travel is untouched.
+    *
+    * This is the delete a 100 TB table wants when the doomed rows are a
+    * sliver of the files they sit in: [[delete]]'s copy-on-write
+    * rewrite moves O(touched files) bytes to drop O(doomed rows);
+    * deletion vectors move O(doomed rows) and defer the rewrite to
+    * [[optimize]]`(purgeDv = true)`, which folds outstanding vectors
+    * into fresh files (restoring the zero-overhead scan path) — the
+    * Iceberg-v2-positional-delete / Delta-DV design. Zone maps and
+    * Blooms stay valid: a delete only narrows a file's contents, so
+    * pruning remains conservative. Under OCC a DV commit marks its
+    * files' partitions touched, so a concurrent rewrite of those files
+    * conflicts instead of resurrecting deleted rows.
+    *
+    * Returns the number of rows deleted (0 = nothing matched, no
+    * commit published). */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: Column): Long = {
+    val fs = fsOf(spark, dir)
+    val base = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(base.schemaDdl)
+    // doom only LIVE rows: prior deletion vectors are applied first, so
+    // re-deleting an already-deleted row is impossible and sidecars
+    // never hold duplicate positions
+    val live = readEntries(spark, dir, schema, base.files, keepMeta = true)
+    val dvRel = s"$DvDir/c${newCommitId()}"
+    val dvAbs = s"$dir/$dvRel"
+    // ONE distributed pass writes the vector; touched files and the
+    // deleted count come from the written sidecar's own (narrow,
+    // columnar) data — the stageFiles metadata discipline
+    live.filter(predicate)
+      .select(col("__txn_file").as("file"), col("__txn_pos").as("pos"))
+      .repartition(col("file")).sortWithinPartitions(col("file"), col("pos"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dvAbs)
+    val dvMeta = spark.read.parquet(dvAbs)
+      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
+    if (dvMeta.isEmpty) { fs.delete(new Path(dvAbs), true); return 0L }
+    val deleted = dvMeta.map(_.getLong(1)).sum
+    val touchedPaths = dvMeta.map(_.getString(0)).toSet
+    val updated = base.files.filter(f => touchedPaths.contains(f.path))
+      .map(f => f.copy(dv = f.dv :+ dvRel))
+    val touched = updated.flatMap(_.parts).toSet
+    // change feed: the doomed rows are delete PRE-images — the same
+    // predicate scan over the PRE-commit entries (old dv lists), lazy
+    // until the commit publishes; immutable files make replay safe
+    val doomed =
+      if (cdcEnabled(spark, dir))
+        Some(readEntries(spark, dir, schema, base.files)
+          .filter(predicate).withColumn(ChangeTypeCol, lit("delete")))
+      else None
+    commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
+      touched, touchedPaths, updated, base.statsCol, cdc = doomed,
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      abortDirs = Seq(dvRel)))
+    deleted
   }
 
   /** Transactional blind APPEND: stage `rows` as new files and publish —
@@ -456,7 +538,7 @@ object TxnLake {
     // staged files — an overwrite's feed costs one table write, not two
     val cdcOn = cdcEnabled(spark, dir)
     val oldRows =
-      if (cdcOn) Some(readFiles(spark, dir, schema, base.files.map(_.path))
+      if (cdcOn) Some(readEntries(spark, dir, schema, base.files)
         .withColumn(ChangeTypeCol, lit("delete")))
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, schema.toDDL,
@@ -480,19 +562,28 @@ object TxnLake {
     * only the compaction retried — and readers of older versions keep
     * resolving the pre-compaction files until [[vacuum]] drops them.
     * This is [[Compaction]]'s job re-expressed as a lake commit: no
-    * directory swap, no reader ever sees a half-rewritten table. */
-  def optimize(spark: SparkSession, dir: String, minFiles: Int = 2): OptimizeStats = {
+    * directory swap, no reader ever sees a half-rewritten table.
+    *
+    * With `purgeDv = true`, partitions holding files with outstanding
+    * DELETION VECTORS are compacted regardless of fragmentation: the
+    * rewrite reads through the vectors ([[readEntries]]) and stages
+    * vector-free files, restoring the zero-overhead scan path — the
+    * merge-on-read debt repayment [[deleteWhere]] defers to here. */
+  def optimize(spark: SparkSession, dir: String, minFiles: Int = 2,
+               purgeDv: Boolean = false): OptimizeStats = {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val fileCount = base.files.flatMap(f => f.parts.map(_ -> f.path))
       .groupBy(_._1).view.mapValues(_.size)
-    val fragmented = fileCount.filter(_._2 > minFiles).keys.toSet
+    val fragmented = fileCount.filter(_._2 > minFiles).keys.toSet ++
+      (if (purgeDv) base.files.filter(_.dv.nonEmpty).flatMap(_.parts).toSet
+       else Set.empty[Option[String]])
     if (fragmented.isEmpty)
       return OptimizeStats(base.files.size, base.files.size, 0, base.version)
     val pruned = base.files.filter(_.parts.exists(fragmented.contains))
     val touched = pruned.flatMap(_.parts).toSet
     val schema = StructType.fromDDL(base.schemaDdl)
-    val rewritten = readFiles(spark, dir, schema, pruned.map(_.path))
+    val rewritten = readEntries(spark, dir, schema, pruned)
     val newFiles = stageFiles(spark, dir, rewritten, base.partCol, touched.size,
       base.statsCol, base.bloomCol, base.bloomBits)
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
@@ -559,7 +650,7 @@ object TxnLake {
     val addedCols = updates.columns.filterNot(baseSchema.fieldNames.contains)
     val schema = StructType(baseSchema.fields ++
       addedCols.map(c => updates.schema(c)))
-    val target = readFiles(spark, dir, schema, base.files.map(_.path))
+    val target = readEntries(spark, dir, schema, base.files)
     val cols = target.columns
     val aligned = castToTarget(updates, target)
       .select(cols.map(col).toIndexedSeq: _*)
@@ -579,7 +670,7 @@ object TxnLake {
     val touched = meta.map(r => render(r.get(0))).toSet
     if (touched.isEmpty) return None
     val pruned = base.files.filter(_.parts.exists(touched.contains))
-    val prunedDf = readFiles(spark, dir, schema, pruned.map(_.path))
+    val prunedDf = readEntries(spark, dir, schema, pruned)
     // pruned files may also hold rows of UNtouched partitions (a writer
     // task can emit several partition values into one file) — those rows
     // ride along into the rewrite unchanged, so no row is ever dropped.
@@ -726,14 +817,19 @@ object TxnLake {
       publish(fs, dir, checkpointPath(dir, minKeep), writeManifestBytes(m), m.commitId)
     }
     // ONE forward replay over the retained chain for the live-file set
+    // (and the deletion-vector dirs those versions still reference)
     var cur = resolveAt(fs, dir, minKeep).files
     val refBuilder = Set.newBuilder[String]
+    val dvRefBuilder = Set.newBuilder[String]
     refBuilder ++= cur.map(_.path)
+    dvRefBuilder ++= cur.flatMap(_.dv)
     keepV.tail.foreach { v =>
       cur = applyRecord(cur, readRecord(fs, manifestPath(dir, v)))
       refBuilder ++= cur.map(_.path)
+      dvRefBuilder ++= cur.flatMap(_.dv)
     }
     val referenced = refBuilder.result()
+    val dvReferenced = dvRefBuilder.result()
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
@@ -747,6 +843,18 @@ object TxnLake {
             fs.delete(f.getPath, false)
         }
         if (!fs.listFiles(cdir.getPath, true).hasNext) fs.delete(cdir.getPath, true)
+      }
+    }
+    // deletion-vector sidecars referenced by no retained version go the
+    // way of their data files (dir-granular — one sidecar dir per
+    // delete commit)
+    val dvRoot = new Path(dir, DvDir)
+    if (fs.exists(dvRoot)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      fs.listStatus(dvRoot).foreach { st =>
+        val rel = s"$DvDir/${st.getPath.getName}"
+        if (!dvReferenced.contains(rel) && st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
       }
     }
     dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
@@ -900,6 +1008,45 @@ object TxnLake {
     else
       spark.read.schema(schema).parquet(paths.map(p => s"$dir/$p"): _*)
 
+  /** Snapshot read of a set of manifest entries with their DELETION
+    * VECTORS applied: rows whose `(file, row_index)` appears in any of
+    * the entries' DV sidecars are subtracted via an anti-join on the
+    * parquet reader's `_metadata` columns — the merge-on-read path. DV
+    * sidecars are tiny next to the data (O(deleted rows), two narrow
+    * columns), so AQE plans the anti-join as a broadcast in the common
+    * case; a table whose DVs have grown past broadcast scale pays one
+    * co-partitioning shuffle until [[optimize]]`(purgeDv = true)`
+    * rewrites the vectors away — exactly the read-amplification trade
+    * merge-on-read formats (Iceberg v2 positional deletes, Delta DVs)
+    * make. Entries without DVs take the plain vectorized-scan path
+    * untouched. */
+  private[lake] def readEntries(spark: SparkSession, dir: String, schema: StructType,
+                                entries: Seq[FileEntry],
+                                keepMeta: Boolean = false): DataFrame = {
+    val dvDirs = entries.flatMap(_.dv).distinct.sorted
+    if (dvDirs.isEmpty && !keepMeta)
+      return readFiles(spark, dir, schema, entries.map(_.path))
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        if (keepMeta) StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__txn_file", org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("__txn_pos", org.apache.spark.sql.types.LongType))
+        else schema)
+    val df = spark.read.schema(schema).parquet(entries.map(e => s"$dir/${e.path}"): _*)
+      .withColumn("__txn_file",
+        expr(s"substring(_metadata.file_path, instr(_metadata.file_path, '$DataDir'))"))
+      .withColumn("__txn_pos", col("_metadata.row_index"))
+    val out =
+      if (dvDirs.isEmpty) df
+      else {
+        val dv = spark.read.parquet(dvDirs.map(p => s"$dir/$p"): _*)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+        df.join(dv, col("__txn_file") === col("__dv_file") &&
+          col("__txn_pos") === col("__dv_pos"), "left_anti")
+      }
+    if (keepMeta) out else out.drop("__txn_file", "__txn_pos")
+  }
+
   /** Write `df` as immutable files under a fresh `_graft_data/c<id>/`
     * dir and return their manifest entries. Files are SINGLE-partition
     * (so manifest pruning and the OCC disjointness check stay sharp):
@@ -1048,13 +1195,22 @@ object TxnLake {
         case _ => true
       }
     }
-    readFiles(spark, dir, StructType.fromDDL(m.schemaDdl), keep.map(_.path))
+    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), keep)
       .filter(col(sc).cast("double").between(lo, hi))
   }
 
+  /** Abort cleanup for a lost commit: drop exactly what THIS commit
+    * staged. A rewriting commit staged fresh `_graft_data/c<id>` dirs
+    * (derived from its new files' paths); a deletion-vector commit
+    * re-adds LIVE data files — dropping their dirs would destroy
+    * committed data — so it names its own sidecar dir via `abortDirs`
+    * instead. */
   private def dropStagedFiles(fs: FileSystem, dir: String, staged: Staged): Unit =
-    staged.newFiles.map(_.path.split("/")(1)).distinct
-      .foreach(c => fs.delete(new Path(dir, s"$DataDir/$c"), true))
+    if (staged.abortDirs.nonEmpty)
+      staged.abortDirs.foreach(d => fs.delete(new Path(dir, d), true))
+    else
+      staged.newFiles.map(_.path.split("/")(1)).distinct
+        .foreach(c => fs.delete(new Path(dir, s"$DataDir/$c"), true))
 
   private def castToTarget(updates: DataFrame, target: DataFrame): DataFrame =
     updates.select(target.schema.fields.filter(f => updates.columns.contains(f.name))
@@ -1093,6 +1249,10 @@ object TxnLake {
       f.zmin.foreach(fn.put("zmin", _))
       f.zmax.foreach(fn.put("zmax", _))
       f.bloom.foreach(fn.put("bloom", _))
+      if (f.dv.nonEmpty) {
+        val dn = fn.putArray("dv")
+        f.dv.foreach(dn.add)
+      }
       val pn = fn.putArray("parts")
       f.parts.toSeq.sortBy(_.getOrElse("")).foreach {
         case Some(v) => pn.add(v)
@@ -1128,7 +1288,9 @@ object TxnLake {
         fn.get("parts").elements().asScala.map(optStr).toSet,
         Option(fn.get("zmin")).map(_.asDouble()),
         Option(fn.get("zmax")).map(_.asDouble()),
-        bloom = Option(fn.get("bloom")).map(_.asText()))
+        bloom = Option(fn.get("bloom")).map(_.asText()),
+        dv = Option(fn.get("dv")).toSeq
+          .flatMap(_.elements().asScala.map(_.asText())))
     }.toSeq
   }
 

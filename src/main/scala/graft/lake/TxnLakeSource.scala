@@ -3,11 +3,12 @@ package graft.lake
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNull, LessThan, LessThanOrEqual, Literal, Predicate => CatalystPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
-import org.apache.spark.sql.types.{StructType, StringType, IntegerType, LongType, ShortType, ByteType, FloatType, DoubleType, DecimalType}
+import org.apache.spark.sql.types.{StructField, StructType, StringType, IntegerType, LongType, ShortType, ByteType, BooleanType, FloatType, DoubleType, DecimalType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** `spark.read.format("graft-txn").load(dir)` — the [[TxnLake]] commit
   * log surfaced as a first-class Spark data source, so lake snapshots
@@ -93,9 +94,43 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
         throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
     }
     val schema = StructType.fromDDL(manifest.schemaDdl)
-    val index = new TxnFileIndex(spark, dir, manifest)
-    HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat, Map.empty[String, String])(spark)
+    if (manifest.files.exists(_.dv.nonEmpty)) {
+      // MERGE-ON-READ fallback: outstanding deletion vectors mean the
+      // raw files over-report rows, so the file-index fast path is
+      // wrong until OPTIMIZE(purgeDv) folds the vectors in. Serve the
+      // snapshot through TxnLake's DV-applying read instead — column
+      // pruning still reaches the scan (PrunedScan), Catalyst
+      // re-evaluates every filter on the returned rows, and the only
+      // cost is the positional anti-join deleteWhere already bought.
+      val dvDf = TxnLake.readEntries(spark, dir, schema, manifest.files)
+      new BaseRelation with org.apache.spark.sql.sources.PrunedScan {
+        override def sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = StructType.fromDDL(manifest.schemaDdl)
+        override def buildScan(requiredColumns: Array[String]):
+            org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          (if (requiredColumns.isEmpty) dvDf.select()
+           else dvDf.select(requiredColumns.toIndexedSeq.map(
+             org.apache.spark.sql.functions.col): _*)).rdd
+      }
+    } else {
+      val index = new TxnFileIndex(spark, dir, manifest)
+      // PARTITION-AWARE MODE: when every manifest entry maps a file to
+      // exactly ONE partition value of a cleanly round-trippable type,
+      // the index exposes the partition column through `partitionSchema`
+      // — so Catalyst's own partition machinery takes over from the
+      // index's bespoke conjunct analysis: arbitrary partition
+      // predicates prune at planning time (PruneFileSourcePartitions,
+      // not just the eq/IN shapes `partSetOf` recognizes), and star
+      // joins get DYNAMIC PARTITION PRUNING — the dim side's join keys
+      // prune fact files at runtime, the 100 TB star-schema move no
+      // static analysis can make. The FULL manifest schema stays the
+      // dataSchema: Spark's data/partition schema merge keeps the
+      // overlapped column in its manifest position (column order is
+      // unchanged for readers) while serving its VALUE from the
+      // partition row, so the parquet reader never decodes it.
+      HadoopFsRelation(index, index.partitionSchema, schema, None,
+        new ParquetFileFormat, Map.empty[String, String])(spark)
+    }
   }
 }
 
@@ -149,7 +184,39 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
 
   override def rootPaths: Seq[Path] = Seq(root)
 
-  override def partitionSchema: StructType = new StructType()
+  /** The partition column's field when PARTITION-AWARE mode is safe:
+    * every file holds exactly one partition value (a 64-bit token
+    * collision in the writer's path hashing can widen a file's value
+    * set — then the whole table falls back to the flat index) and the
+    * value round-trips exactly through the manifest's
+    * `String.valueOf` rendering (string / integral / boolean; floats,
+    * decimals and temporals render engine-specifically — abstain). */
+  private val partField: Option[StructField] = {
+    val roundTrippable = StructType.fromDDL(manifest.schemaDdl)
+      .fields.find(_.name == manifest.partCol)
+      .filter(_.dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             BooleanType => true
+        case _ => false
+      })
+    roundTrippable.filter(_ => manifest.files.forall(_.parts.size == 1))
+  }
+
+  override def partitionSchema: StructType =
+    partField.map(f => StructType(Seq(f))).getOrElse(new StructType())
+
+  private def partValue(f: StructField, v: Option[String]): Any = v match {
+    case None => null
+    case Some(s) => f.dataType match {
+      case StringType => UTF8String.fromString(s)
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case dt => throw new IllegalStateException(s"unreachable partition type $dt")
+    }
+  }
 
   override def inputFiles: Array[String] =
     manifest.files.map(f => new Path(root, f.path).toString).toArray
@@ -162,7 +229,13 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val statsRanges = manifest.statsCol.toSeq.flatMap(sc =>
       dataFilters.flatMap(rangeOf(_, sc)))
-    val partSets = dataFilters.flatMap(partSetOf(_, manifest.partCol))
+    // flat mode only: partition predicates arrive as dataFilters and
+    // the bespoke analyzer recognizes eq/IN/IS NULL shapes. In
+    // partition-aware mode they arrive as partitionFilters instead and
+    // are evaluated exactly, below.
+    val partSets =
+      if (partField.isEmpty) dataFilters.flatMap(partSetOf(_, manifest.partCol))
+      else Seq.empty
     // equality/IN on the BLOOM column: each conjunct yields the allowed
     // value set; a file survives a conjunct if its bloom might contain
     // at least one of the values (absent bloom = conservatively yes)
@@ -179,8 +252,31 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
         vs.exists(v => TxnLake.bloomMightContain(f.bloom, v)))
       zoneOk && partOk && bloomOk
     }
-    val sts = keep.flatMap(f => statusByRel.get(f.path)).toArray
-    Seq(PartitionDirectory(InternalRow.empty, sts))
+    partField match {
+      case None =>
+        Seq(PartitionDirectory(InternalRow.empty,
+          keep.flatMap(f => statusByRel.get(f.path)).toArray))
+      case Some(f) =>
+        // one PartitionDirectory per manifest partition value, filtered
+        // by evaluating ANY partition predicate (not just eq/IN) on the
+        // typed value — the stock PartitioningAwareFileIndex discipline
+        val dirs = keep.groupBy(_.parts.head).toSeq
+          .sortBy(_._1.getOrElse(""))
+          .map { case (pv, entries) =>
+            PartitionDirectory(InternalRow(partValue(f, pv)),
+              entries.flatMap(e => statusByRel.get(e.path)).toArray)
+          }
+        if (partitionFilters.isEmpty) dirs
+        else {
+          val bound = CatalystPredicate.create(
+            partitionFilters.reduce(And).transform {
+              case a: AttributeReference if a.name == f.name =>
+                BoundReference(0, f.dataType, nullable = true)
+            })
+          bound.initialize(0)
+          dirs.filter(d => bound.eval(d.values))
+        }
+    }
   }
 
   /** Allowed string-value set implied by one conjunct on the bloom

@@ -1,0 +1,112 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** PARTITION-AWARE mode of [[TxnFileIndex]]: the manifest's partition
+  * column surfaces through `partitionSchema`, so Catalyst's stock
+  * partition machinery — arbitrary-predicate planning-time pruning and
+  * join-driven DYNAMIC PARTITION PRUNING — drives file skipping,
+  * instead of the flat index's eq/IN conjunct analyzer. */
+class DynamicPruningSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Fact lake: 120 rows across 6 single-value partitions 0..5. */
+  private def factTable(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpp").resolve("fact").toString
+    TxnLake.create(spark, dir,
+      (1L to 120L).map(i => (i, i % 6, i * 1.5)).toDF("id", "bucket", "v"),
+      "bucket")
+    dir
+  }
+
+  private def lake(dir: String): DataFrame =
+    spark.read.format("graft-txn").load(dir)
+
+  /** AQE wraps materialized stages as leaf QueryStageExec nodes;
+    * descend into them (and reused exchanges) to reach the scan. */
+  private def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allScans(r.child)
+    }.flatten
+
+  private def executedScan(df: DataFrame): FileSourceScanExec = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = allScans(plan)
+      .filter(_.relation.location.isInstanceOf[TxnFileIndex])
+    assert(scans.nonEmpty, "expected the lake's FileSourceScanExec")
+    scans.head
+  }
+
+  test("the relation exposes the partition column; order and values are unchanged") {
+    val dir = factTable()
+    val df = lake(dir)
+    assert(df.columns.toSeq === Seq("id", "bucket", "v"),
+      "partition-aware mode must not reorder the manifest schema")
+    val scan = executedScan(df)
+    assert(scan.relation.partitionSchema.fieldNames.toSeq === Seq("bucket"))
+    assert(df.select(sum(col("bucket"))).head().getLong(0) ===
+      (1L to 120L).map(_ % 6).sum)
+  }
+
+  test("arbitrary partition predicates prune at planning time — beyond eq/IN shapes") {
+    val dir = factTable()
+    val all = executedScan(lake(dir)).metrics("numFiles").value
+    assert(all >= 6, s"expected one file per partition value, saw $all")
+    // pmod/comparison shapes the flat analyzer never recognized
+    val odd = lake(dir).filter(pmod(col("bucket"), lit(2)) === 1)
+    assert(executedScan(odd).metrics("numFiles").value < all)
+    assert(odd.count() === 60)
+    val range = lake(dir).filter(col("bucket") >= 4)
+    assert(executedScan(range).metrics("numFiles").value < all)
+    assert(range.count() === 40)
+  }
+
+  test("star join: a selective dim filter dynamically prunes fact files at runtime") {
+    import spark.implicits._
+    val dir = factTable()
+    val dimPath = Files.createTempDirectory("graft_dpp").resolve("dim").toString
+    (0L to 5L).map(b => (b, if (b < 2) "keep" else "drop"))
+      .toDF("bucket", "grp").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("grp") === "keep")
+    val all = executedScan(lake(dir)).metrics("numFiles").value
+    val joined = lake(dir).join(dim, "bucket")
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val scan = executedScan(joined)
+    assert(scan.toString.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the lake scan:\n$scan")
+    assert(scan.metrics("numFiles").value < all,
+      "runtime pruning must skip the files of unjoined partitions")
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("keep", 40L)))
+  }
+
+  test("a multi-value-per-file manifest falls back to the flat index, results intact") {
+    import spark.implicits._
+    // widen one entry's parts set artificially by writing two values into
+    // one partition token — simulate via a table whose partCol type is
+    // not round-trippable (decimal) instead: same fallback path
+    val dir = Files.createTempDirectory("graft_dpp").resolve("flat").toString
+    TxnLake.create(spark, dir,
+      Seq((1L, BigDecimal("1.10"), "a"), (2L, BigDecimal("2.20"), "b"))
+        .toDF("id", "dpart", "name"),
+      "dpart")
+    val df = lake(dir)
+    assert(executedScan(df).relation.partitionSchema.isEmpty,
+      "decimal partition values must not enter partition-aware mode")
+    assert(df.orderBy("id").collect().map(_.getAs[String]("name")).toSeq ===
+      Seq("a", "b"))
+  }
+}
