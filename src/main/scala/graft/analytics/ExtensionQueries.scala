@@ -1886,6 +1886,40 @@ object ExtensionQueries {
       .orderBy(col("cos").desc, col("vec_id"))
   }
 
+  /** ss15 — FILTERED ANN through the persisted IVF index
+    * ([[Similarity.probeIvfIndex]] with a `where` pre-filter): top-10
+    * neighbors of query 0 AMONG vectors with `label = 2` — the
+    * "semantic search within a metadata slice" retrieval shape. The
+    * predicate applies INSIDE the probed cells (pushed to their parquet
+    * scan, pinned in `FilteredAnnSpec`), so candidates never include
+    * non-matching rows and the result cannot starve below k the way
+    * post-filtering an unfiltered top-k does. The oracle replays the
+    * IVF pipeline (ss03's CTE) and restricts the rescore to the same
+    * label slice, so a hash match proves the pre-filtered probe is
+    * EXACTLY the filtered top-k of the probed cells. */
+  private def ss15(s: SparkSession, d: String): DataFrame = {
+    val ix = java.nio.file.Files.createTempDirectory("graft_ss15")
+      .resolve("ivf").toString
+    Similarity.buildIvfIndex(embeddings(s, d), ix, nCells = 16, kmeansIters = 1)
+    Similarity.probeIvfIndex(s, ix,
+        embeddings(s, d).filter(col("vec_id") === 0L)
+          .select(col("vec_id").as("qid"), col("embedding")),
+        k = 10, nProbe = 4, where = Some(col("label") === 2))
+      .select(col("vec_id"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  private lazy val ss15Sql: String =
+    s"""WITH ${ivfAsg1Cte("embeddings")},
+       |qprobe AS (SELECT centroid_id FROM a1 WHERE vec_id = 0 AND rk <= 4),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT a.vec_id, round(${cosSqlOf("a.embedding", "q.qe")}, 6) AS cos
+       |FROM asg1 a
+       |JOIN qprobe USING (centroid_id)
+       |JOIN embeddings e2 ON e2.vec_id = a.vec_id AND e2.label = 2, q
+       |ORDER BY cos DESC, a.vec_id
+       |LIMIT 10""".stripMargin
+
   /** ss03 oracle — exact replica of the full IVF pipeline in DuckDB SQL:
     *  1. seed selection: order by the interpolated portable quadratic
     *     hash of vec_id (same splitmix-derived family as dd02), take 16;
@@ -2832,6 +2866,7 @@ object ExtensionQueries {
     "ss05_knn_join" -> (ss05 _),
     "ss06_mmr_rerank" -> (ss06 _),
     "ss07_ivf_persisted" -> (ss07 _),
+    "ss15_filtered_ann" -> (ss15 _),
     "ss08_int8_quantized" -> (ss08 _),
     "ss09_pq_adc" -> (ss09 _),
     "ss10_hybrid_rrf" -> (ss10 _),
@@ -2898,6 +2933,7 @@ object ExtensionQueries {
     "ss02_lsh_ann" -> ss02Sql,
     "ss03_ivf_ann" -> ss03Sql,
     "ss07_ivf_persisted" -> ss03Sql,
+    "ss15_filtered_ann" -> ss15Sql,
     "ss08_int8_quantized" -> ss08Sql,
     "ss09_pq_adc" -> ss09Sql,
     "ss10_hybrid_rrf" -> ss10Sql,

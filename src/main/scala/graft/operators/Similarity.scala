@@ -612,9 +612,23 @@ object Similarity {
     * `isin` partition filter, so the scan touches only the probed
     * cells' directories; the query embeddings themselves stay
     * distributed and broadcast-join against the pruned postings.
-    * Output: (qid, vec_id, cos), top-k per query. */
+    * Output: (qid, vec_id, cos), top-k per query.
+    *
+    * `where` is an optional PRE-FILTER over the postings' payload
+    * columns (FILTERED ANN — "nearest neighbors among rows satisfying a
+    * metadata predicate", the retrieval shape RAG stacks need). It
+    * composes with the cell pruning: the predicate applies INSIDE the
+    * probed cells, pushed down to their parquet scan, so candidate
+    * generation never materializes non-matching rows — unlike
+    * post-filtering a plain top-k, which starves below k whenever the
+    * unfiltered neighborhood is dominated by non-matching rows.
+    * Pre-filtering preserves the IVF contract exactly: the result is
+    * the TRUE filtered top-k of the probed cells; recall against the
+    * whole corpus is governed by nProbe, same as the unfiltered probe
+    * (widen it when the predicate is very selective). */
   def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                    queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame = {
+                    queries: DataFrame, k: Int = 10, nProbe: Int = 4,
+                    where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val postings = spark.read.parquet(s"$indexDir/postings")
@@ -623,7 +637,8 @@ object Similarity {
     val cellIds = qCells.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    postings.filter(col("centroid_id").isin(cellIds.toIndexedSeq: _*))
+    val pruned = postings.filter(col("centroid_id").isin(cellIds.toIndexedSeq: _*))
+    where.fold(pruned)(pruned.filter)
       .join(broadcast(qCells), Seq("centroid_id"))
       .select(col("qid"), col("vec_id"),
         round(VectorFunctions.cosineFast(col("embedding"), col("query_embedding")), 6).as("cos"))
