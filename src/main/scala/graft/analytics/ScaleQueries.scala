@@ -1060,7 +1060,54 @@ object ScaleQueries {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** lk11 — PARTITION EVOLUTION ([[graft.lake.TxnLake.evolvePartitioning]]):
+    * create the table partitioned by order status, re-point the
+    * partition column to order priority in one metadata-only commit (no
+    * file moves — pinned in `PartitionEvolutionSpec`), blind-append new
+    * data under the new layout, then upsert keys whose target rows live
+    * in LEGACY-layout files — the rewrite must drag those files in
+    * conservatively (their partition values index the old column) and
+    * re-stages them under the new layout, the lazy migration. The
+    * oracle recomputes the final state from the base table, so a hash
+    * match proves no row is lost or duplicated across the mixed-layout
+    * snapshot. At 100 TB this is how a table re-partitions: one
+    * millisecond commit, migration amortized into the writes that were
+    * happening anyway. */
+  private def lk11(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk11")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 9 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, base.filter(col("o_orderkey") % 18 === 0), "o_orderstatus")
+    TxnLake.evolvePartitioning(s, dir, "o_orderpriority")
+    TxnLake.append(s, dir, base.filter(col("o_orderkey") % 18 =!= 0))
+    TxnLake.upsert(s, dir, base.filter(col("o_orderkey") % 45 === 0)
+      .withColumn("o_price", (col("o_price") * 2).cast("decimal(12,2)")), "o_orderkey")
+    TxnLake.read(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val lk11Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+      |  FROM orders WHERE o_orderkey % 9 = 0),
+      |v AS (
+      |  SELECT o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderkey % 45 = 0
+      |      THEN CAST(o_price * 2 AS DECIMAL(12,2)) ELSE o_price END AS o_price
+      |  FROM base)
+      |SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price
+      |FROM v GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk11_partition_evolution" -> (lk11 _),
     "zq05_dynamic_pruning" -> (zq05 _),
     "lk10_deletion_vectors" -> (lk10 _),
     "zq04_bloom_skip" -> (zq04 _),
@@ -1085,6 +1132,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk11_partition_evolution" -> lk11Sql,
     "zq05_dynamic_pruning" -> zq05Sql,
     "lk10_deletion_vectors" -> lk10Sql,
     "zq04_bloom_skip" -> zq04Sql,

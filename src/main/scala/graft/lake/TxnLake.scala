@@ -71,9 +71,21 @@ object TxnLake {
     * the manifest-level ZONE MAP that lets a range read skip files at
     * planning time, Delta/Iceberg-style. NULL-only files carry no
     * bounds. */
+  /** `spec` = the PARTITION COLUMN this file was staged under (filled
+    * at parse from the record's partCol when absent in the log —
+    * pre-evolution logs). After [[evolvePartitioning]] a snapshot mixes
+    * specs: files whose spec differs from the table's current partCol
+    * can't be partition-pruned (their `parts` values index a different
+    * column) — rewrites include them conservatively, which migrates
+    * them to the current layout as a side effect. */
   case class FileEntry(path: String, parts: Set[Option[String]],
                        zmin: Option[Double] = None, zmax: Option[Double] = None,
-                       bloom: Option[String] = None, dv: Seq[String] = Nil)
+                       bloom: Option[String] = None, dv: Seq[String] = Nil,
+                       spec: Option[String] = None) {
+    /** Whether this file's partition values index `partCol` (legacy
+      * in-memory entries without a spec are treated as current). */
+    def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
+  }
 
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
@@ -383,7 +395,10 @@ object TxnLake {
       .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
       .select(col(base.partCol)).distinct().collect().map(r => render(r.get(0))).toSet
     if (touched.isEmpty) return
-    val pruned = base.files.filter(_.parts.exists(touched.contains))
+    // legacy-spec files can't be value-pruned (their parts index another
+    // column) — include them conservatively; the rewrite migrates them
+    val pruned = base.files.filter(f =>
+      !f.onSpec(base.partCol) || f.parts.exists(touched.contains))
     val remaining = readEntries(spark, dir, schema, pruned)
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
     val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
@@ -578,9 +593,13 @@ object TxnLake {
     val fragmented = fileCount.filter(_._2 > minFiles).keys.toSet ++
       (if (purgeDv) base.files.filter(_.dv.nonEmpty).flatMap(_.parts).toSet
        else Set.empty[Option[String]])
-    if (fragmented.isEmpty)
+    // legacy-spec files always compact: OPTIMIZE is the deliberate
+    // migration path after evolvePartitioning
+    val legacy = base.files.filterNot(_.onSpec(base.partCol))
+    if (fragmented.isEmpty && legacy.isEmpty)
       return OptimizeStats(base.files.size, base.files.size, 0, base.version)
-    val pruned = base.files.filter(_.parts.exists(fragmented.contains))
+    val pruned = (base.files.filter(_.parts.exists(fragmented.contains)) ++ legacy)
+      .distinct
     val touched = pruned.flatMap(_.parts).toSet
     val schema = StructType.fromDDL(base.schemaDdl)
     val rewritten = readEntries(spark, dir, schema, pruned)
@@ -591,6 +610,45 @@ object TxnLake {
       bloomCol = base.bloomCol, bloomBits = base.bloomBits))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
+  }
+
+  /** PARTITION EVOLUTION: change the table's partition column for all
+    * FUTURE commits in one metadata-only commit — no data file is read
+    * or rewritten (the Iceberg move; a 100 TB table re-partitions in
+    * milliseconds). Existing files keep their original layout, marked
+    * by their manifest `spec`: reads are unaffected (snapshot reads
+    * bind explicit file lists; partition values live in the data), and
+    * rewrites can no longer value-prune legacy files, so any merge /
+    * delete / OPTIMIZE that touches them re-stages them under the new
+    * column — the lazy migration that converges the table without a
+    * stop-the-world rewrite. Under OCC the evolution conflicts with
+    * every in-flight read-modify-write (their touched sets were
+    * computed under the old column): [[commitStaged]] aborts a staged
+    * rewrite when ANY intervening record changed the partition column
+    * or schema. */
+  def evolvePartitioning(spark: SparkSession, dir: String, newPartCol: String): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"evolvePartitioning retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      require(StructType.fromDDL(head.schemaDdl).fieldNames.contains(newPartCol),
+        s"partition column '$newPartCol' not in table schema ${head.schemaDdl}")
+      if (head.partCol == newPartCol) return
+      val rec = CommitRecord(head.version + 1, newCommitId(), newPartCol,
+        head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits)
+      if (publish(fs, dir, manifestPath(dir, rec.version),
+          writeRecordBytes(rec), rec.commitId)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
+            Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
+            bloomBits = head.bloomBits))
+        return
+      }
+    }
   }
 
   /** Transactional partition-pruned upsert: rows of `updates` replace
@@ -669,7 +727,12 @@ object TxnLake {
       s"updates contain NULL values in merge key '$key'")
     val touched = meta.map(r => render(r.get(0))).toSet
     if (touched.isEmpty) return None
-    val pruned = base.files.filter(_.parts.exists(touched.contains))
+    // legacy-spec files ride into every rewrite (their parts values
+    // index the pre-evolution column, so pruning them on current-column
+    // values would silently drop matched rows); rewriting re-stages
+    // them under the current partCol — evolution migrates lazily
+    val pruned = base.files.filter(f =>
+      !f.onSpec(base.partCol) || f.parts.exists(touched.contains))
     val prunedDf = readEntries(spark, dir, schema, pruned)
     // pruned files may also hold rows of UNtouched partitions (a writer
     // task can emit several partition values into one file) — those rows
@@ -756,20 +819,37 @@ object TxnLake {
       // commit: it invalidates no reader and read no base state that
       // could be stale — only read-modify-write commits can conflict
       if (head.version > staged.baseVersion && staged.prunedPaths.nonEmpty) {
-        val othersTouched = (staged.baseVersion + 1 to head.version)
-          .flatMap(v => readRecord(fs, manifestPath(dir, v)).touched).toSet
+        val intervening = (staged.baseVersion + 1 to head.version)
+          .map(v => readRecord(fs, manifestPath(dir, v)))
+        val othersTouched = intervening.flatMap(_.touched).toSet
         val overlap = othersTouched.intersect(staged.touched)
         val lostFiles = staged.prunedPaths -- head.files.map(_.path).toSet
-        if (overlap.nonEmpty || lostFiles.nonEmpty) {
+        // a LAYOUT change (evolvePartitioning / another writer's schema
+        // evolution) invalidates this rewrite wholesale: its pruning
+        // and touched set were computed under the old column, and its
+        // record would republish a stale schema/partCol
+        val base = resolveAt(fs, dir, staged.baseVersion)
+        val layoutChanged = intervening.exists(r =>
+          r.partCol != base.partCol || r.schemaDdl != base.schemaDdl)
+        if (overlap.nonEmpty || lostFiles.nonEmpty || layoutChanged) {
           dropStagedFiles(fs, dir, staged)
           throw new java.util.ConcurrentModificationException(
             s"concurrent commit conflicts with this merge at $dir " +
               s"(overlapping partitions: ${overlap.map(_.getOrElse("NULL")).mkString(",")}; " +
-              s"rewritten base files: ${lostFiles.mkString(",")}) — re-run the upsert")
+              s"rewritten base files: ${lostFiles.mkString(",")}; " +
+              s"layout changed: $layoutChanged) — re-run the upsert")
         }
       }
-      val rec = CommitRecord(head.version + 1, newCommitId(), staged.partCol,
-        staged.schemaDdl, staged.touched, staged.newFiles, staged.prunedPaths,
+      // a rebased blind append adopts the HEAD's layout and schema:
+      // republishing its own staged base values would silently revert
+      // an intervening schema evolution or partition-spec change (the
+      // append's files keep their own spec/columns — readers null-fill)
+      val (recPartCol, recSchema) =
+        if (staged.prunedPaths.isEmpty && head.version > staged.baseVersion)
+          (head.partCol, head.schemaDdl)
+        else (staged.partCol, staged.schemaDdl)
+      val rec = CommitRecord(head.version + 1, newCommitId(), recPartCol,
+        recSchema, staged.touched, staged.newFiles, staged.prunedPaths,
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
         bloomBits = staged.bloomBits)
       if (publish(fs, dir, manifestPath(dir, rec.version),
@@ -1134,7 +1214,7 @@ object TxnLake {
           words.map(java.lang.Long.toHexString).mkString(":")
         }
         FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax,
-          bloom = bloom)
+          bloom = bloom, spec = Some(partCol))
       }
       .toSeq.sortBy(_.path)
   }
@@ -1241,7 +1321,8 @@ object TxnLake {
   }
 
   private def addFileArray(root: com.fasterxml.jackson.databind.node.ObjectNode,
-                           name: String, files: Seq[FileEntry]): Unit = {
+                           name: String, files: Seq[FileEntry],
+                           recPartCol: String): Unit = {
     val fsArr = root.putArray(name)
     files.foreach { f =>
       val fn = fsArr.addObject()
@@ -1253,6 +1334,9 @@ object TxnLake {
         val dn = fn.putArray("dv")
         f.dv.foreach(dn.add)
       }
+      // spec is stored only when it DIFFERS from the record's partCol
+      // (post-evolution legacy files); parse fills the default back in
+      f.spec.filter(_ != recPartCol).foreach(fn.put("spec", _))
       val pn = fn.putArray("parts")
       f.parts.toSeq.sortBy(_.getOrElse("")).foreach {
         case Some(v) => pn.add(v)
@@ -1265,7 +1349,7 @@ object TxnLake {
   private def writeManifestBytes(m: Manifest): Array[Byte] = {
     val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
       m.touched, m.statsCol, m.bloomCol, m.bloomBits)
-    addFileArray(root, "files", m.files)
+    addFileArray(root, "files", m.files, m.partCol)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
 
@@ -1273,13 +1357,14 @@ object TxnLake {
   private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
       r.touched, r.statsCol, r.bloomCol, r.bloomBits)
-    addFileArray(root, "add", r.add)
+    addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
 
-  private def parseFiles(node: com.fasterxml.jackson.databind.JsonNode): Seq[FileEntry] = {
+  private def parseFiles(node: com.fasterxml.jackson.databind.JsonNode,
+                         defaultSpec: String): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
       if (n.isNull) None else Some(n.asText())
@@ -1290,7 +1375,8 @@ object TxnLake {
         Option(fn.get("zmax")).map(_.asDouble()),
         bloom = Option(fn.get("bloom")).map(_.asText()),
         dv = Option(fn.get("dv")).toSeq
-          .flatMap(_.elements().asScala.map(_.asText())))
+          .flatMap(_.elements().asScala.map(_.asText())),
+        spec = Some(Option(fn.get("spec")).map(_.asText()).getOrElse(defaultSpec)))
     }.toSeq
   }
 
@@ -1312,7 +1398,7 @@ object TxnLake {
       root.get("partCol").asText(),
       root.get("schemaDdl").asText(),
       root.get("touched").elements().asScala.map(optStr).toSet,
-      parseFiles(root.get("files")),
+      parseFiles(root.get("files"), root.get("partCol").asText()),
       Option(root.get("statsCol")).map(_.asText()),
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits))
@@ -1332,7 +1418,8 @@ object TxnLake {
       root.get("partCol").asText(),
       root.get("schemaDdl").asText(),
       root.get("touched").elements().asScala.map(optStr).toSet,
-      parseFiles(if (full) root.get("files") else root.get("add")),
+      parseFiles(if (full) root.get("files") else root.get("add"),
+        root.get("partCol").asText()),
       if (full) Set.empty
       else root.get("remove").elements().asScala.map(_.asText()).toSet,
       Option(root.get("statsCol")).map(_.asText()),

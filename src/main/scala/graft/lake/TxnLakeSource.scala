@@ -199,7 +199,8 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
              BooleanType => true
         case _ => false
       })
-    roundTrippable.filter(_ => manifest.files.forall(_.parts.size == 1))
+    roundTrippable.filter(_ => manifest.files.forall(f =>
+      f.parts.size == 1 && f.onSpec(manifest.partCol)))
   }
 
   override def partitionSchema: StructType =
@@ -247,7 +248,9 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
           statsRanges.forall { case (lo, hi) => mx >= lo && mn <= hi }
         case _ => true // unbounded (all-NULL stats or pre-stats file)
       }
-      val partOk = partSets.forall(s => f.parts.exists(s.contains))
+      // legacy-spec files (pre-evolution layout) can't be value-pruned
+      val partOk = !f.onSpec(manifest.partCol) ||
+        partSets.forall(s => f.parts.exists(s.contains))
       val bloomOk = bloomSets.forall(vs =>
         vs.exists(v => TxnLake.bloomMightContain(f.bloom, v)))
       zoneOk && partOk && bloomOk

@@ -108,6 +108,20 @@ class DeletionVectorSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getLong(0)).toSeq.sorted === Seq(1L, 4L, 7L))
   }
 
+  test("DV deletes flow into the change feed as delete pre-images") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dv").resolve("cdc").toString
+    TxnLake.create(spark, dir,
+      (1L to 8L).map(i => (i, s"n$i", s"p${i % 2}")).toDF("id", "name", "part"),
+      "part", changeFeed = true)
+    TxnLake.deleteWhere(spark, dir, col("id") >= 7L)
+    val feed = graft.streaming.CdcFeed.batch(spark, dir, fromVersion = 1L)
+      .select(col("id"), col(TxnLake.ChangeTypeCol))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((7L, "delete"), (8L, "delete")),
+      "a CDC consumer must see merge-on-read deletes like any other delete")
+  }
+
   test("vacuum keeps referenced sidecars and drops unreferenced ones with their versions") {
     val dir = freshTable()
     TxnLake.deleteWhere(spark, dir, col("id") === 1L)            // v1: dv A
