@@ -1163,39 +1163,43 @@ object TxnLake {
     df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
       .repartition(n, col(partCol))
       .write.mode(SaveMode.ErrorIfExists).partitionBy("__txn_pk").parquet(dataDir)
-    // ONE metadata-scale job covers partition values AND (when tracked)
-    // the per-file zone map and Bloom bits: min/max ignore NULLs, so
+    // metadata-scale jobs cover partition values AND (when tracked) the
+    // per-file zone map and Bloom bits: min/max ignore NULLs, so
     // all-NULL files carry no bounds and readRange keeps them
-    // conservatively. Bloom state is O(1) per group — each row ORs its
-    // k hash bits into ${BloomWords} long words via bit_or aggregates,
-    // never a collected position set, so a billion-row file costs the
-    // same aggregation state as a thousand-row one.
-    val staged0 = spark.read.parquet(dataDir)
-    val staged = bloomCol match {
-      case Some(bc) =>
-        val withPos = (0 until BloomK).foldLeft(staged0)((d, k) =>
-          d.withColumn(s"__txn_bp$k",
-            pmod(xxhash64(lit(k), col(bc)), lit(bloomBits.toLong))))
-        (0 until bloomBits / 64).foldLeft(withPos) { (d, j) =>
-          d.withColumn(s"__txn_bw$j",
-            expr((0 until BloomK).map(k =>
-              s"if(cast(__txn_bp$k div 64 as int) = $j, " +
-                s"shiftleft(cast(1 as bigint), cast(__txn_bp$k % 64 as int)), " +
-                "cast(0 as bigint))").mkString(" | ")))
-        }
-      case None => staged0
-    }
+    // conservatively.
+    val staged = spark.read.parquet(dataDir)
     val aggCols =
       statsCol.toSeq.flatMap(sc => Seq(
-        min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
-      bloomCol.toSeq.flatMap(_ => (0 until bloomBits / 64).map(j =>
-        expr(s"bit_or(__txn_bw$j)").as(s"__bw$j")))
+        min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx")))
     val grouped = staged.groupBy(
       col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
     val meta = (aggCols match {
       case head +: tail => grouped.agg(head, tail: _*)
       case _ => grouped.agg(count(lit(1)).as("__n"))
     }).collect()
+    // Bloom bits as a second NARROW pass: each row explodes into its k
+    // hash positions and a (file, word-index) bit_or folds them — work
+    // is O(rows × k), independent of the filter width (the previous
+    // one-column-per-word shape was O(rows × words) expression work and
+    // a 128-column codegen blob at 8K bits), and aggregation state
+    // stays O(set words) per file — never a collected position set.
+    val bloomWords: Map[String, Array[Long]] = bloomCol match {
+      case Some(bc) =>
+        val positions = (0 until BloomK).map(k =>
+          pmod(xxhash64(lit(k), col(bc)), lit(bloomBits.toLong)))
+        staged.select(col("_metadata.file_path").as("__fp"),
+            explode(array(positions: _*)).as("__bp"))
+          .groupBy(col("__fp"), expr("cast(__bp div 64 as int)").as("__wi"))
+          .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(__bp % 64 as int)))").as("__bw"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (fp, rs) =>
+            val words = new Array[Long](bloomBits / 64)
+            rs.foreach(r => words(r.getInt(1)) = r.getLong(2))
+            fp -> words
+          }
+      case None => Map.empty
+    }
     meta.groupBy(_.getString(0))
       .map { case (p, rows) =>
         val relPath = p.substring(p.indexOf(DataDir))
@@ -1207,11 +1211,8 @@ object TxnLake {
           case None => (None, None)
         }
         val bloom = bloomCol.map { _ =>
-          val words = (0 until bloomBits / 64).map { j =>
-            rows.map(r => Option(r.getAs[Any](s"__bw$j"))
-              .fold(0L)(_.asInstanceOf[Long])).reduce(_ | _)
-          }
-          words.map(java.lang.Long.toHexString).mkString(":")
+          bloomWords.getOrElse(p, new Array[Long](bloomBits / 64))
+            .map(java.lang.Long.toHexString).mkString(":")
         }
         FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax,
           bloom = bloom, spec = Some(partCol))
