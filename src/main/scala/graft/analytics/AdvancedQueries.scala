@@ -523,7 +523,51 @@ object AdvancedQueries {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin
 
+  /** q65 — inverse-distribution ORDERED-SET aggregates
+    * (`PERCENTILE_DISC` / `PERCENTILE_CONT ... WITHIN GROUP`, SQL:2016):
+    * per order priority, the discrete quartiles (actual row values —
+    * audit-friendly, no interpolation artifacts) and the interpolated
+    * median of the order totals. Both engines implement the standard's
+    * semantics (disc = first value whose cumulative distribution ≥ p;
+    * cont = linear interpolation), and the order key is a DECIMAL cast
+    * of the price so cross-engine comparison is exact; the cont median
+    * interpolates two decimals in double — one rounding guards the
+    * boundary. Distributed shape: per-group sort inside a hash
+    * aggregate, no global window. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("o_price", col("o_totalprice").cast("decimal(12,2)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_price)")
+          .cast("double").as("p25_disc"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_price)")
+          .cast("double").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_price)")
+          .cast("double").as("p90_disc"),
+        round(expr(
+          "percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(o_price AS DOUBLE))"),
+          4).as("p50_cont"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q65Sql =
+    """SELECT o_orderpriority,
+      |  CAST(percentile_disc(0.25) WITHIN GROUP
+      |    (ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS p25_disc,
+      |  CAST(percentile_disc(0.5) WITHIN GROUP
+      |    (ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS p50_disc,
+      |  CAST(percentile_disc(0.9) WITHIN GROUP
+      |    (ORDER BY CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS p90_disc,
+      |  round(percentile_cont(0.5) WITHIN GROUP
+      |    (ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)), 4) AS p50_cont,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q65_inverse_distribution" -> (q65 _),
     "q64_listagg" -> (q64 _),
     "q63_window_distinct" -> (q63 _),
     "q60_kmv_distinct" -> (q60 _),
@@ -543,6 +587,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q65_inverse_distribution" -> q65Sql,
     "q64_listagg" -> q64Sql,
     "q63_window_distinct" -> q63Sql,
     "q60_kmv_distinct" -> q60Sql,

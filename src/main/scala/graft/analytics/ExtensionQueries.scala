@@ -2710,6 +2710,62 @@ object ExtensionQueries {
       |  CAST(sum(vnew) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
       |FROM j ORDER BY bucket""".stripMargin
 
+  /** tx20 — READABILITY scoring (Flesch reading-ease), bucketed into a
+    * corpus histogram — the grade-level quality signal next to tx02's
+    * surface ratios and tx17's LM perplexity. Words are whitespace
+    * tokens (the corpus-wide tx01 convention), sentences count
+    * `[.!?]+` groups clamped to ≥1 (this corpus has none — the clamp
+    * IS the tested path), syllables per word approximate as vowel-group
+    * runs clamped to ≥1. The score `206.835 − 1.015·(W/S) − 84.6·(SY/W)`
+    * never touches a float: the histogram bucket is
+    * `floor(score/10) = floordiv(206835·S·W − 1015·W² − 84600·SY·S,
+    * 10000·S·W)` — one integer expression, exact in BIGINT at any
+    * scale, with pmod-based floor division because scores go negative
+    * and `div` truncation differs from floor there. Shape: one narrow
+    * per-doc map, one hash agg. */
+  private def tx20(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(
+      greatest(lit(1L), size(TF.tokens(col("text"))).cast("long")).as("w"),
+      greatest(lit(1L),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")).as("st"),
+      expr("""aggregate(
+               transform(split(lower(text), ' '),
+                 t -> greatest(1L, cast(size(regexp_extract_all(t, '[aeiouy]+', 0)) as bigint))),
+               cast(0 as bigint), (a, x) -> a + x)""").as("sy"))
+    val num = col("w") * col("st") * lit(206835L) -
+      col("w") * col("w") * lit(1015L) - col("sy") * col("st") * lit(84600L)
+    val den = col("w") * col("st") * lit(10000L)
+    scored
+      .withColumn("__num", num).withColumn("__den", den)
+      // (num − pmod) is exactly divisible; `div` keeps it in BIGINT —
+      // a double division would lose exactness past 2^53 (book-length docs)
+      .withColumn("bucket", expr("(__num - pmod(__num, __den)) div __den"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_words"),
+        sum(col("sy")).as("sum_syllables"))
+      .orderBy(col("bucket"))
+  }
+
+  private val tx20Sql =
+    """WITH scored AS (
+      |  SELECT
+      |    greatest(1, CAST(len(string_split(text, ' ')) AS BIGINT)) AS w,
+      |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS st,
+      |    CAST(list_sum(list_transform(string_split(lower(text), ' '),
+      |      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))) AS BIGINT) AS sy
+      |  FROM documents),
+      |b AS (
+      |  SELECT w, st, sy,
+      |    (w*st*206835 - w*w*1015 - sy*st*84600) AS num,
+      |    (w*st*10000) AS den
+      |  FROM scored)
+      |SELECT CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(w) AS BIGINT) AS sum_words,
+      |  CAST(sum(sy) AS BIGINT) AS sum_syllables
+      |FROM b GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   /** dd17 — URL CANONICALIZATION dedup: crawl URLs that differ only in
     * scheme/host case, default port, `www.` prefix, tracking params, or
     * fragments are the same resource — the first dedup pass every crawl
@@ -2820,6 +2876,7 @@ object ExtensionQueries {
     "sp09_weighted_sample" -> (sp09 _),
     "tx18_zipf_slope" -> (tx18 _),
     "tx19_vocab_growth" -> (tx19 _),
+    "tx20_readability" -> (tx20 _),
     "tx01_token_stats" -> (tx01 _),
     "tx02_quality_scores" -> (tx02 _),
     "tx03_langid" -> (tx03 _),
@@ -2890,6 +2947,7 @@ object ExtensionQueries {
     "sp09_weighted_sample" -> sp09Sql,
     "tx18_zipf_slope" -> tx18Sql,
     "tx19_vocab_growth" -> tx19Sql,
+    "tx20_readability" -> tx20Sql,
     "tx01_token_stats" -> tx01Sql,
     "tx02_quality_scores" -> tx02Sql,
     "tx03_langid" -> tx03Sql,
