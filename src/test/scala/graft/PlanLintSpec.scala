@@ -495,6 +495,36 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(exchanges <= 2, s"dd17 grew extra shuffles\n$p")
   }
 
+  test("q65: inverse-distribution aggregates stay a two-phase-free sorted agg, no window") {
+    val p = plan("q65_inverse_distribution")
+    assert(p.contains("percentile_disc") || p.contains("percentile_cont"), p)
+    assert(!p.contains("Window"), s"inverse distribution must not become a global window\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("tx20: readability scoring is a narrow map + one hash agg, all-integer bucket math") {
+    val p = plan("tx20_readability")
+    assert(!p.contains("Join"), s"per-doc scoring must not join\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"tx20 grew extra shuffles\n$p")
+  }
+
+  test("zq05: the lake fact scan carries a runtime partition-pruning subquery") {
+    val p = plan("zq05_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"the dim filter must prune fact partitions at runtime\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ss15: the filtered probe pushes the label predicate into the postings scan") {
+    val p = plan("ss15_filtered_ann")
+    assert(p.contains("EqualTo(label,2)"),
+      s"metadata pre-filter must reach the parquet reader\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("q64: listagg buffers are bounded by the per-nation window pre-cut") {
     val p = plan("q64_listagg")
     assert(p.contains("listagg"), p)
