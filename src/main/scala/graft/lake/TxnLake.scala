@@ -258,6 +258,31 @@ object TxnLake {
     readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files)
   }
 
+  /** TIME TRAVEL BY TIMESTAMP: the newest version whose commit
+    * published at-or-before `tsMillis`, resolved off the log records'
+    * own publish times — the only clock the commit protocol writes
+    * (manifest files are immutable after their atomic create, so the
+    * modification time IS the commit time). Fails loudly when the
+    * timestamp predates the oldest retained version (vacuumed history
+    * cannot be served partially) or postdates nothing. */
+  def versionAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val fs = fsOf(spark, dir)
+    val vs = listVersions(fs, dir).sorted
+    require(vs.nonEmpty, s"$dir is not a txn table (no $LogDir)")
+    val eligible = vs.filter(v =>
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $dir committed at or before $tsMillis " +
+        s"(oldest retained version ${vs.head} published at " +
+        s"${fs.getFileStatus(manifestPath(dir, vs.head)).getModificationTime})")
+    eligible.max
+  }
+
+  /** Snapshot read as of a wall-clock instant ([[versionAsOfTimestamp]]
+    * then [[readVersion]]). */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readVersion(spark, dir, versionAsOfTimestamp(spark, dir, tsMillis))
+
   /** Commit history of the table: one row per retained version with its
     * commit id, touched partition values and file count — metadata only,
     * no data files are opened. */

@@ -88,9 +88,17 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-txn requires a path"))
-    val manifest = parameters.get("versionAsOf") match {
-      case Some(v) => TxnLake.resolveVersion(spark, dir, v.toLong)
-      case None => TxnLake.resolve(spark, dir).getOrElse(
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val manifest = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(v), _) => TxnLake.resolveVersion(spark, dir, v.toLong)
+      case (_, Some(ts)) =>
+        // epoch millis, or an ISO-8601 instant ("2026-08-14T10:00:00Z")
+        val millis = ts.toLongOption
+          .getOrElse(java.time.Instant.parse(ts).toEpochMilli)
+        TxnLake.resolveVersion(spark, dir,
+          TxnLake.versionAsOfTimestamp(spark, dir, millis))
+      case _ => TxnLake.resolve(spark, dir).getOrElse(
         throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
     }
     val schema = StructType.fromDDL(manifest.schemaDdl)

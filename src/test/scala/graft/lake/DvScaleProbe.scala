@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * then the same aggregate through (a) the raw pre-delete snapshot,
   * (b) the merge-on-read snapshot (positional anti-join), and (c) the
   * post-OPTIMIZE(purgeDv) snapshot. Watch for: the MOR overhead staying
-  * a modest constant factor (the DV side is ~240k narrow rows — AQE
+  * a modest constant factor (the DV side is ~24k narrow rows — AQE
   * should broadcast it), and the purged read returning to raw-scan
   * cost. Also prints the deleteWhere wall itself: the O(deleted
   * positions) claim vs the O(touched files) rewrite a copy-on-write

@@ -100,6 +100,30 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
       TxnLake.readVersion(spark, dir, 0).orderBy("id").collect().toSeq)
   }
 
+  test("timestampAsOf time-travels off the log's own publish clock") {
+    import spark.implicits._
+    val dir = freshDir()
+    TxnLake.create(spark, dir,
+      Seq((1L, "p1", 1.0)).toDF("id", "part", "price"), "part")
+    Thread.sleep(1200) // distinct publish mtimes at second granularity
+    TxnLake.append(spark, dir, Seq((2L, "p2", 2.0)).toDF("id", "part", "price"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Long) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, f"_graft_log/v$v%08d.json")).getModificationTime
+    assert(mtime(1L) > mtime(0L), "publish times must order the versions")
+    val mid = (mtime(0L) + mtime(1L)) / 2
+    assert(TxnLake.versionAsOfTimestamp(spark, dir, mid) === 0L)
+    assert(TxnLake.readAsOf(spark, dir, mid).count() === 1L)
+    assert(spark.read.format("graft-txn")
+      .option("timestampAsOf", mid.toString).load(dir).count() === 1L)
+    assert(spark.read.format("graft-txn")
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(mtime(1L)).toString)
+      .load(dir).count() === 2L)
+    intercept[IllegalArgumentException] {
+      TxnLake.versionAsOfTimestamp(spark, dir, mtime(0L) - 10000L)
+    }
+  }
+
   test("SQL catalog: CREATE TABLE USING graft-txn answers spark.sql with pruning") {
     val dir = priceTable()
     spark.sql(s"CREATE TABLE txnsrc_sql USING `graft-txn` OPTIONS (path '$dir')")
