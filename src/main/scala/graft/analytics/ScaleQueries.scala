@@ -1106,7 +1106,54 @@ object ScaleQueries {
       |FROM v GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** lk12 — RESTORE ([[graft.lake.TxnLake.restore]]): a bad backfill
+    * (tripled prices, v1) and a bad delete (v2) are rolled back by
+    * restoring v0 as a FORWARD commit (v3 — metadata-only, history
+    * intact, pinned in `RestoreSpec`), then new data appends on top
+    * (v4) to prove the table stays live. The oracle recomputes the
+    * final state as base + appended rows only — a hash match proves
+    * the restore erased exactly the two bad commits' effects and
+    * nothing else. The O(1)-at-any-size undo is the operational
+    * counterpart of time travel: readVersion answers "what did we
+    * train on", restore answers "make it yesterday again". */
+  private def lk12(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk12")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 8 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    TxnLake.upsert(s, dir, base.filter(col("o_orderkey") % 16 === 0)
+      .withColumn("o_price", (col("o_price") * 3).cast("decimal(12,2)")), "o_orderkey")
+    TxnLake.delete(s, dir,
+      base.filter(col("o_orderkey") % 24 === 0).select(col("o_orderkey")), "o_orderkey")
+    TxnLake.restore(s, dir, 0L)
+    TxnLake.append(s, dir, base.filter(col("o_orderkey") % 16 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+    TxnLake.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk12Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+      |  FROM orders WHERE o_orderkey % 8 = 0),
+      |final AS (
+      |  SELECT * FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey + 50000000, o_orderstatus, o_price
+      |  FROM base WHERE o_orderkey % 16 = 0)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk12_restore" -> (lk12 _),
     "lk11_partition_evolution" -> (lk11 _),
     "zq05_dynamic_pruning" -> (zq05 _),
     "lk10_deletion_vectors" -> (lk10 _),
@@ -1132,6 +1179,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk12_restore" -> lk12Sql,
     "lk11_partition_evolution" -> lk11Sql,
     "zq05_dynamic_pruning" -> zq05Sql,
     "lk10_deletion_vectors" -> lk10Sql,

@@ -637,6 +637,46 @@ object TxnLake {
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
 
+  /** RESTORE: roll the table BACK to a retained version as a new
+    * forward commit — history is never rewritten (the audit trail keeps
+    * the bad commits and the restore itself), readers bound to any
+    * version keep resolving, and a later restore can roll the restore
+    * back. Metadata-only: the new record re-points the file list (and
+    * schema/partition column) at the target version's; no data file
+    * moves, which is what makes "undo yesterday's bad backfill" an O(1)
+    * operation on a 100 TB table. The restore marks every partition of
+    * both snapshots touched, so any concurrent read-modify-write
+    * commit conflicts under the standard OCC rule. Vacuumed versions
+    * fail loudly in [[resolveAt]] — a partial restore is impossible.
+    * The change feed intentionally gets no entry (the diff is derivable
+    * via [[changes]]; Delta's RESTORE makes the same call). */
+  def restore(spark: SparkSession, dir: String, version: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"restore retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      val target = resolveAt(fs, dir, version)
+      if (head.files == target.files && head.schemaDdl == target.schemaDdl &&
+          head.partCol == target.partCol) return // already that state
+      val touched = (head.files ++ target.files).flatMap(_.parts).toSet
+      val rec = CommitRecord(head.version + 1, newCommitId(), target.partCol,
+        target.schemaDdl, touched, target.files, head.files.map(_.path).toSet,
+        target.statsCol, full = false, bloomCol = target.bloomCol,
+        bloomBits = target.bloomBits)
+      if (publish(fs, dir, manifestPath(dir, rec.version),
+          writeRecordBytes(rec), rec.commitId)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
+            touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
+            bloomBits = rec.bloomBits))
+        return
+      }
+    }
+  }
+
   /** PARTITION EVOLUTION: change the table's partition column for all
     * FUTURE commits in one metadata-only commit — no data file is read
     * or rewritten (the Iceberg move; a 100 TB table re-partitions in
