@@ -102,6 +102,75 @@ final class ImageIoCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
   }
 }
 
+/** REAL codec #3 — pure-JVM WAV/PCM16 audio decode (RIFF chunk walk,
+  * no libraries): features are per-time-bin mean absolute amplitudes
+  * over the DECODED SAMPLES. Like [[ImageIoCodec]] for pixels, this
+  * reads content, not container bytes: extra metadata chunks (LIST/
+  * INFO), chunk reordering, or word-alignment padding around the same
+  * samples yield IDENTICAL features while changing the stub's
+  * byte-fold. Non-WAV / non-PCM16 payloads fall back, so codecs COMPOSE
+  * across modalities: `new ImageIoCodec(new WavPcmCodec)` decodes pixels
+  * for image rows, samples for audio rows, and byte-folds the rest —
+  * one codec instance, one `mapPartitions` pass, zero operator changes.
+  *
+  * IEEE discipline: per-bin |sample| sums are exact in LONG, one double
+  * divide per bin, narrow to float. */
+final class WavPcmCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
+  override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val samples = parsePcm16(payload)
+    if (samples == null) fallback.decode(payload, dim)
+    else {
+      val sums = new Array[Long](dim)
+      val cnts = new Array[Long](dim)
+      val n = math.max(1, samples.length)
+      var i = 0
+      while (i < samples.length) {
+        val b = (i.toLong * dim / n).toInt
+        sums(b) += math.abs(samples(i).toLong)
+        cnts(b) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      var j = 0
+      while (j < dim) {
+        out(j) = if (cnts(j) == 0) 0f else (sums(j).toDouble / cnts(j)).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** PCM16 samples from a RIFF/WAVE container; null = not decodable
+    * (malformed header, compressed audio, truncated chunk) — the
+    * caller falls back rather than failing the partition. */
+  private def parsePcm16(p: Array[Byte]): Array[Short] = {
+    def le32(o: Int): Int =
+      (p(o) & 0xFF) | (p(o + 1) & 0xFF) << 8 | (p(o + 2) & 0xFF) << 16 | (p(o + 3) & 0xFF) << 24
+    def le16(o: Int): Int = (p(o) & 0xFF) | (p(o + 1) & 0xFF) << 8
+    def tag(o: Int): String = new String(p, o, 4, "US-ASCII")
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (off + 8 <= p.length) {
+      val id = tag(off)
+      val sz = le32(off + 4)
+      if (sz < 0 || off + 8 + sz > p.length) return null
+      if (id == "fmt ")
+        fmtOk = sz >= 16 && le16(off + 8) == 1 && le16(off + 8 + 14) == 16
+      else if (id == "data") {
+        val ns = sz / 2
+        val arr = new Array[Short](ns)
+        var k = 0
+        while (k < ns) { arr(k) = le16(off + 8 + k * 2).toShort; k += 1 }
+        data = arr
+      }
+      off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtOk && data != null) data else null
+  }
+}
+
 /** Multimodal column plumbing: image/audio/video travel the lake as
   * opaque `binary` columns with typed metadata; decode / feature-extract
   * runs as a batched per-partition stage.
