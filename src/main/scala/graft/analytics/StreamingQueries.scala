@@ -420,6 +420,60 @@ object StreamingQueries {
       |FROM final GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** st17 — streaming CDC REPLICATION, end to end: a txn table mutates
+    * through create → append → upsert → delete (+ a merge-on-read
+    * DELETION-VECTOR delete — the feed carries its pre-images like any
+    * other delete), and a Structured Streaming job
+    * ([[graft.streaming.CdcFeed.replicate]]: checkpointed file stream
+    * over `_graft_cdc`, `foreachBatch` → per-key last-change reduction
+    * → transactional upsert+delete on the replica) converges an
+    * independent table to the source head WITHOUT ever scanning the
+    * source. The query aggregates the REPLICA; the oracle replays the
+    * mutation history relationally — a hash match proves exactly-once
+    * end-to-end (idempotent replay and stream==batch are pinned in
+    * CdcFeedSpec). At 100 TB replication cost tracks the mutation
+    * rate: the feed is O(changed rows), the apply is partition-pruned. */
+  private def st17(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.CdcFeed
+    val root = java.nio.file.Files.createTempDirectory("graft_st17")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("replica").toString
+    def slice(pred: org.apache.spark.sql.Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, src, slice(col("o_orderkey") % 11 === 0), "o_orderstatus",
+      changeFeed = true)
+    TxnLake.append(s, src, slice(col("o_orderkey") % 11 === 4))
+    TxnLake.upsert(s, src, slice(col("o_orderkey") % 33 === 0)
+      .withColumn("price", (col("price") * 2).cast("decimal(12,2)")), "o_orderkey")
+    TxnLake.deleteWhere(s, src, col("o_orderkey") % 55 === 0)
+    CdcFeed.replicate(s, src, dst, "o_orderkey", "o_orderstatus",
+      root.resolve("ckpt").toString).awaitTermination()
+    TxnLake.read(s, dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val st17Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 11 IN (0, 4)),
+      |upd AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 33 = 0),
+      |merged AS (
+      |  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |  UNION ALL SELECT * FROM upd),
+      |final AS (SELECT * FROM merged WHERE o_orderkey % 55 <> 0)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** st16 — INTERVAL THINNING, the batch analog of Spark's
     * time-bounded streaming dedup (`dropDuplicatesWithinWatermark` —
     * [[EventStreams.dedupWithinWatermark]], state bounded by the
@@ -465,6 +519,7 @@ object StreamingQueries {
       |ORDER BY user_id, event_type""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "st17_cdc_replication" -> (st17 _),
     "st16_interval_thinning" -> (st16 _),
     "st15_cdc_incremental_mv" -> (st15 _),
     "st14_stream_anomaly" -> (st14 _),
@@ -483,6 +538,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st17_cdc_replication" -> st17Sql,
     "st16_interval_thinning" -> st16Sql,
     "st15_cdc_incremental_mv" -> st15Sql,
     "st14_stream_anomaly" -> st14Sql,

@@ -1225,9 +1225,21 @@ object TxnLake {
     // token collision merely widens one file's parts set — correctness
     // is unaffected, only pruning sharpness, and only on a 64-bit
     // collision
-    df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
+    // file-size governance: conf `spark.graft.txnlake.maxRecordsPerFile`
+    // caps rows per staged file (Spark's writer splits a task's output
+    // at the cap), so a hot partition value stages as several
+    // manifest entries instead of one monolith — at 100 TB, OPTIMIZE
+    // compacting a skewed partition to literally one file would
+    // otherwise mint multi-hundred-GB parquet nobody can task-split
+    // on the row-group boundary they want. parts stay single-value
+    // per file either way (the split is within one partition task).
+    val maxRecs = spark.conf.getOption("spark.graft.txnlake.maxRecordsPerFile")
+      .flatMap(_.toLongOption).filter(_ > 0)
+    val writer = df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
       .repartition(n, col(partCol))
-      .write.mode(SaveMode.ErrorIfExists).partitionBy("__txn_pk").parquet(dataDir)
+      .write.mode(SaveMode.ErrorIfExists)
+    maxRecs.fold(writer)(m => writer.option("maxRecordsPerFile", m))
+      .partitionBy("__txn_pk").parquet(dataDir)
     // metadata-scale jobs cover partition values AND (when tracked) the
     // per-file zone map and Bloom bits: min/max ignore NULLs, so
     // all-NULL files carry no bounds and readRange keeps them

@@ -26,6 +26,27 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     TxnLake.read(spark, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
 
+  test("maxRecordsPerFile splits hot partitions into several single-value files") {
+    import spark.implicits._
+    val dir = freshDir()
+    val key = "spark.graft.txnlake.maxRecordsPerFile"
+    spark.conf.set(key, "10")
+    try TxnLake.create(spark, dir,
+      (1L to 40L).map(i => (i, s"n$i", "hot")).toDF("id", "name", "part"), "part")
+    finally spark.conf.unset(key)
+    val m = TxnLake.resolve(spark, dir).get
+    assert(m.files.size >= 4, s"40 rows at cap 10 need >=4 files, got ${m.files.size}")
+    assert(m.files.forall(_.parts === Set(Option("hot"))),
+      "splitting must not widen any file's partition-value set")
+    assert(TxnLake.read(spark, dir).count() === 40L)
+    // OPTIMIZE honors the cap too: compaction re-stages under the same knob
+    spark.conf.set(key, "20")
+    try TxnLake.optimize(spark, dir, minFiles = 2)
+    finally spark.conf.unset(key)
+    val after = TxnLake.resolve(spark, dir).get
+    assert(after.files.size === 2 && TxnLake.read(spark, dir).count() === 40L)
+  }
+
   test("create/read round-trip preserves rows and schema") {
     val dir = freshTxnTable()
     assert(rows(dir) === Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3")))
