@@ -1152,7 +1152,54 @@ object ScaleQueries {
       |FROM final GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk13 — COLUMN RENAME via NAME MAPPING
+    * ([[graft.lake.TxnLake.renameColumn]]): rename the price column in
+    * one metadata-only commit (files keep the frozen physical name —
+    * pinned in `RenameColumnSpec`), then upsert and predicate-delete
+    * THROUGH the new logical name, and aggregate it. The oracle
+    * recomputes the final state off the base table under the new
+    * name — a hash match proves the mapping round-trips exactly through
+    * the read boundary (logical projection), the write boundary
+    * (un-rename before staging), and the DV delete. At 100 TB a rename
+    * is a millisecond commit instead of a full-table rewrite. */
+  private def lk13(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk13")
+      .resolve("orders_lake").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, dir, base, "o_orderstatus")
+    TxnLake.renameColumn(s, dir, "o_price", "turnover")
+    TxnLake.upsert(s, dir, base.filter(col("o_orderkey") % 30 === 0)
+      .withColumnRenamed("o_price", "turnover")
+      .withColumn("turnover", (col("turnover") * 2).cast("decimal(12,2)")),
+      "o_orderkey")
+    TxnLake.deleteWhere(s, dir, col("turnover") > 400000)
+    TxnLake.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("turnover")).cast("double").as("sum_turnover"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk13Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS turnover
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |v1 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 30 = 0
+      |      THEN CAST(turnover * 2 AS DECIMAL(12,2)) ELSE turnover END AS turnover
+      |  FROM base),
+      |final AS (SELECT * FROM v1 WHERE NOT (turnover > 400000))
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(turnover) AS DOUBLE) AS sum_turnover
+      |FROM final GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk13_rename_column" -> (lk13 _),
     "lk12_restore" -> (lk12 _),
     "lk11_partition_evolution" -> (lk11 _),
     "zq05_dynamic_pruning" -> (zq05 _),
@@ -1179,6 +1226,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk13_rename_column" -> lk13Sql,
     "lk12_restore" -> lk12Sql,
     "lk11_partition_evolution" -> lk11Sql,
     "zq05_dynamic_pruning" -> zq05Sql,

@@ -87,11 +87,18 @@ object TxnLake {
     def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
   }
 
+  /** `renames` = COLUMN NAME MAPPING, physical → logical: parquet files
+    * keep the name a column was BORN with forever (so every file in a
+    * snapshot binds one physical schema), and [[renameColumn]] re-points
+    * only the logical name readers and writers see — rename is a
+    * metadata commit, never a rewrite. `schemaDdl`, `partCol`,
+    * `statsCol`, `bloomCol` are all PHYSICAL names. */
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
                       files: Seq[FileEntry], statsCol: Option[String] = None,
                       bloomCol: Option[String] = None,
-                      bloomBits: Int = DefaultBloomBits)
+                      bloomBits: Int = DefaultBloomBits,
+                      renames: Map[String, String] = Map.empty)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -104,7 +111,8 @@ object TxnLake {
                                         add: Seq[FileEntry], remove: Set[String],
                                         statsCol: Option[String], full: Boolean,
                                         bloomCol: Option[String] = None,
-                                        bloomBits: Int = DefaultBloomBits)
+                                        bloomBits: Int = DefaultBloomBits,
+                                        renames: Map[String, String] = Map.empty)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -120,7 +128,8 @@ object TxnLake {
                                   cdcCopy: Seq[FileEntry] = Nil,
                                   bloomCol: Option[String] = None,
                                   bloomBits: Int = DefaultBloomBits,
-                                  abortDirs: Seq[String] = Nil)
+                                  abortDirs: Seq[String] = Nil,
+                                  renames: Map[String, String] = Map.empty)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -244,7 +253,8 @@ object TxnLake {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files)
+    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files,
+      renames = m.renames)
   }
 
   /** TIME TRAVEL: snapshot read of a specific committed version. Every
@@ -255,7 +265,8 @@ object TxnLake {
     * loudly here rather than serving a partial file list. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = resolveAt(fsOf(spark, dir), dir, version)
-    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files)
+    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), m.files,
+      renames = m.renames)
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the newest version whose commit
@@ -357,7 +368,7 @@ object TxnLake {
     val fs = fsOf(spark, dir)
     val mFrom = resolveAt(fs, dir, fromVersion)
     val mTo = resolveAt(fs, dir, toVersion)
-    require(mFrom.schemaDdl == mTo.schemaDdl,
+    require(mFrom.schemaDdl == mTo.schemaDdl && mFrom.renames == mTo.renames,
       s"schema changed between v$fromVersion and v$toVersion of $dir; " +
         "diff the versions on either side of the evolution instead")
     val schema = StructType.fromDDL(mTo.schemaDdl)
@@ -369,15 +380,18 @@ object TxnLake {
     val fromKeys = mFrom.files.map(f => (f.path, f.dv)).toSet
     val toKeys = mTo.files.map(f => (f.path, f.dv)).toSet
     val added = readEntries(spark, dir, schema,
-      mTo.files.filterNot(f => fromKeys.contains((f.path, f.dv))).sortBy(_.path))
+      mTo.files.filterNot(f => fromKeys.contains((f.path, f.dv))).sortBy(_.path),
+      renames = mTo.renames)
     val dropped = readEntries(spark, dir, schema,
-      mFrom.files.filterNot(f => toKeys.contains((f.path, f.dv))).sortBy(_.path))
+      mFrom.files.filterNot(f => toKeys.contains((f.path, f.dv))).sortBy(_.path),
+      renames = mFrom.renames)
     // both set-differences from ONE full-row shuffle (a signed-count
     // aggregate), instead of two independent exceptAll set ops: rows in
     // both sides (the ride-alongs, the bulk of rewritten files) net to 0
     // and vanish; +1 survivors are the `to`-only images, -1 the
     // `from`-only ones
-    val cs = schema.fieldNames.toIndexedSeq.map(col)
+    val cs = schema.fieldNames.toIndexedSeq
+      .map(n => col(mTo.renames.getOrElse(n, n)))
     val net = added.withColumn("__txn_side", lit(1))
       .unionByName(dropped.withColumn("__txn_side", lit(-1)))
       .groupBy(cs: _*).agg(sum(col("__txn_side")).as("__txn_net"))
@@ -414,7 +428,7 @@ object TxnLake {
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     require(keys.columns.contains(key), s"key column '$key' not in ${keys.columns.mkString(",")}")
     val schema = StructType.fromDDL(base.schemaDdl)
-    val target = readEntries(spark, dir, schema, base.files)
+    val target = readEntries(spark, dir, schema, base.files, renames = base.renames)
     val keyDf = keys.select(col(key).cast(target.schema(key).dataType).as("__txn_dkey")).distinct()
     val touched = target
       .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
@@ -424,21 +438,22 @@ object TxnLake {
     // column) — include them conservatively; the rewrite migrates them
     val pruned = base.files.filter(f =>
       !f.onSpec(base.partCol) || f.parts.exists(touched.contains))
-    val remaining = readEntries(spark, dir, schema, pruned)
+    val remaining = readEntries(spark, dir, schema, pruned, renames = base.renames)
       .join(keyDf, col(key) === col("__txn_dkey"), "left_anti")
-    val newFiles = stageFiles(spark, dir, remaining, base.partCol, touched.size,
-      base.statsCol, base.bloomCol, base.bloomBits)
+    val newFiles = stageFiles(spark, dir, toPhysical(remaining, base.renames),
+      base.partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
     // change feed: the doomed rows (delete PRE-images), the semi-join
     // complement of `remaining` — O(pruned files), not O(table)
     val doomed =
       if (cdcEnabled(spark, dir))
-        Some(readEntries(spark, dir, schema, pruned)
+        Some(readEntries(spark, dir, schema, pruned, renames = base.renames)
           .join(keyDf, col(key) === col("__txn_dkey"), "left_semi")
           .withColumn(ChangeTypeCol, lit("delete")))
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed,
-      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      renames = base.renames))
   }
 
   /** MERGE-ON-READ predicate delete via DELETION VECTORS: mark every
@@ -474,7 +489,8 @@ object TxnLake {
     // doom only LIVE rows: prior deletion vectors are applied first, so
     // re-deleting an already-deleted row is impossible and sidecars
     // never hold duplicate positions
-    val live = readEntries(spark, dir, schema, base.files, keepMeta = true)
+    val live = readEntries(spark, dir, schema, base.files, keepMeta = true,
+      renames = base.renames)
     val dvRel = s"$DvDir/c${newCommitId()}"
     val dvAbs = s"$dir/$dvRel"
     // ONE distributed pass writes the vector; touched files and the
@@ -497,13 +513,13 @@ object TxnLake {
     // until the commit publishes; immutable files make replay safe
     val doomed =
       if (cdcEnabled(spark, dir))
-        Some(readEntries(spark, dir, schema, base.files)
+        Some(readEntries(spark, dir, schema, base.files, renames = base.renames)
           .filter(predicate).withColumn(ChangeTypeCol, lit("delete")))
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, touchedPaths, updated, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      abortDirs = Seq(dvRel)))
+      abortDirs = Seq(dvRel), renames = base.renames))
     deleted
   }
 
@@ -526,23 +542,28 @@ object TxnLake {
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
                                 rows: DataFrame): Option[Staged] = {
     val schema = StructType.fromDDL(base.schemaDdl)
-    val missing = schema.fieldNames.toSet -- rows.columns.toSet
+    val logicalNames = schema.fieldNames.map(n => base.renames.getOrElse(n, n))
+    val missing = logicalNames.toSet -- rows.columns.toSet
     require(missing.isEmpty,
       s"append missing table columns ${missing.mkString(",")}")
-    val target = readFiles(spark, dir, schema, Seq.empty)
+    val target = toLogical(readFiles(spark, dir, schema, Seq.empty), base.renames)
     val aligned = castToTarget(rows, target)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val newFiles = stageFiles(spark, dir, aligned, base.partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol,
-      base.bloomCol, base.bloomBits)
+      .select(logicalNames.map(col).toIndexedSeq: _*)
+    val newFiles = stageFiles(spark, dir, toPhysical(aligned, base.renames),
+      base.partCol, spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      base.statsCol, base.bloomCol, base.bloomBits)
     if (newFiles.isEmpty) None
     else Some(Staged(base.version, base.partCol, base.schemaDdl,
       newFiles.flatMap(_.parts).toSet, Set.empty, newFiles, base.statsCol,
       // a blind append's change feed is the appended rows themselves —
-      // served by byte-copying the staged files, not a second encode
-      cdc = None,
-      cdcCopy = if (cdcEnabled(spark, dir)) newFiles else Nil,
-      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
+      // served by byte-copying the staged files, not a second encode.
+      // Renamed tables can't byte-copy (the files carry PHYSICAL names;
+      // the feed contract is logical) — they pay the explicit encode.
+      cdc = if (cdcEnabled(spark, dir) && base.renames.nonEmpty)
+        Some(aligned.withColumn(ChangeTypeCol, lit("insert"))) else None,
+      cdcCopy = if (cdcEnabled(spark, dir) && base.renames.isEmpty) newFiles else Nil,
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      renames = base.renames))
   }
 
   /** Transactional full-snapshot OVERWRITE: replace the table's entire
@@ -562,30 +583,39 @@ object TxnLake {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val baseSchema = StructType.fromDDL(base.schemaDdl)
-    val missing = baseSchema.fieldNames.toSet -- rows.columns.toSet
+    val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))
+    val missing = logicalNames.toSet -- rows.columns.toSet
     require(missing.isEmpty,
       s"overwrite missing table columns ${missing.mkString(",")}")
-    val addedCols = rows.columns.filterNot(baseSchema.fieldNames.contains)
+    // added columns are born with their logical name as physical
+    val addedCols = rows.columns.filterNot(logicalNames.contains)
     val schema = StructType(baseSchema.fields ++ addedCols.map(c => rows.schema(c)))
-    val target = readFiles(spark, dir, schema, Seq.empty)
+    val target = toLogical(readFiles(spark, dir, schema, Seq.empty), base.renames)
     val aligned = castToTarget(rows, target)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val newFiles = stageFiles(spark, dir, aligned, base.partCol,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, base.statsCol,
-      base.bloomCol, base.bloomBits)
+      .select((logicalNames ++ addedCols).map(col).toIndexedSeq: _*)
+    val newFiles = stageFiles(spark, dir, toPhysical(aligned, base.renames),
+      base.partCol, spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      base.statsCol, base.bloomCol, base.bloomBits)
     // change feed: delete pre-images must be written explicitly (they
     // exist nowhere else once replaced); the inserts byte-copy from the
     // staged files — an overwrite's feed costs one table write, not two
+    // (renamed tables encode explicitly; see stageAppend)
     val cdcOn = cdcEnabled(spark, dir)
     val oldRows =
-      if (cdcOn) Some(readEntries(spark, dir, schema, base.files)
-        .withColumn(ChangeTypeCol, lit("delete")))
-      else None
+      if (cdcOn) {
+        val dels = readEntries(spark, dir, schema, base.files,
+            renames = base.renames)
+          .withColumn(ChangeTypeCol, lit("delete"))
+        Some(if (base.renames.isEmpty) dels
+             else dels.unionByName(aligned.withColumn(ChangeTypeCol, lit("insert")),
+               allowMissingColumns = true))
+      } else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, schema.toDDL,
       base.files.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts),
       base.files.map(_.path).toSet, newFiles, base.statsCol,
-      cdc = oldRows, cdcCopy = if (cdcOn) newFiles else Nil,
-      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
+      cdc = oldRows, cdcCopy = if (cdcOn && base.renames.isEmpty) newFiles else Nil,
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      renames = base.renames))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
@@ -627,14 +657,61 @@ object TxnLake {
       .distinct
     val touched = pruned.flatMap(_.parts).toSet
     val schema = StructType.fromDDL(base.schemaDdl)
-    val rewritten = readEntries(spark, dir, schema, pruned)
-    val newFiles = stageFiles(spark, dir, rewritten, base.partCol, touched.size,
-      base.statsCol, base.bloomCol, base.bloomBits)
+    val rewritten = readEntries(spark, dir, schema, pruned, renames = base.renames)
+    val newFiles = stageFiles(spark, dir, toPhysical(rewritten, base.renames),
+      base.partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol,
-      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      renames = base.renames))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
+  }
+
+  /** COLUMN RENAME via NAME MAPPING: re-point a column's logical name
+    * in one metadata-only commit. Parquet files keep the frozen
+    * PHYSICAL name forever (every file in a snapshot binds one physical
+    * schema — no rewrite, ever); the manifest's physical→logical map
+    * renames at the read boundary and un-renames at the write boundary,
+    * so readers, writers, CDC consumers and oracles all see the logical
+    * name while the bytes never move — the Delta column-mapping /
+    * Iceberg rename semantics. Chained renames collapse onto the same
+    * physical key. Time travel shows each version under ITS OWN names;
+    * restore reinstates them. Restrictions: the partition, stats and
+    * bloom columns cannot be renamed (their physical names thread
+    * through pruning metadata), and the new name must not collide with
+    * any current logical name. Under OCC a rename is a layout change:
+    * staged rewrites from before it abort rather than republishing the
+    * old mapping. */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"renameColumn retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      val physical = StructType.fromDDL(head.schemaDdl).fieldNames
+      val logicalOf = physical.map(p => head.renames.getOrElse(p, p) -> p).toMap
+      require(logicalOf.contains(from), s"no column '$from' in ${logicalOf.keys.mkString(",")}")
+      require(!logicalOf.contains(to), s"column '$to' already exists")
+      val phys = logicalOf(from)
+      require(phys != head.partCol && !head.statsCol.contains(phys) &&
+        !head.bloomCol.contains(phys),
+        s"cannot rename '$from' — partition/stats/bloom columns keep physical names")
+      val renames = head.renames + (phys -> to)
+      val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
+        head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits, renames = renames)
+      if (publish(fs, dir, manifestPath(dir, rec.version),
+          writeRecordBytes(rec), rec.commitId)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, head.partCol, head.schemaDdl,
+            Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
+            bloomBits = head.bloomBits, renames = renames))
+        return
+      }
+    }
   }
 
   /** RESTORE: roll the table BACK to a retained version as a new
@@ -660,18 +737,19 @@ object TxnLake {
         .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
       val target = resolveAt(fs, dir, version)
       if (head.files == target.files && head.schemaDdl == target.schemaDdl &&
-          head.partCol == target.partCol) return // already that state
+          head.partCol == target.partCol && head.renames == target.renames)
+        return // already that state
       val touched = (head.files ++ target.files).flatMap(_.parts).toSet
       val rec = CommitRecord(head.version + 1, newCommitId(), target.partCol,
         target.schemaDdl, touched, target.files, head.files.map(_.path).toSet,
         target.statsCol, full = false, bloomCol = target.bloomCol,
-        bloomBits = target.bloomBits)
+        bloomBits = target.bloomBits, renames = target.renames)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
-            bloomBits = rec.bloomBits))
+            bloomBits = rec.bloomBits, renames = rec.renames))
         return
       }
     }
@@ -702,15 +780,20 @@ object TxnLake {
       require(StructType.fromDDL(head.schemaDdl).fieldNames.contains(newPartCol),
         s"partition column '$newPartCol' not in table schema ${head.schemaDdl}")
       if (head.partCol == newPartCol) return
+      require(!head.renames.contains(newPartCol) &&
+        !head.renames.valuesIterator.contains(newPartCol),
+        s"cannot partition on renamed column '$newPartCol' — partition, " +
+          "stats and bloom columns must keep physical == logical names")
       val rec = CommitRecord(head.version + 1, newCommitId(), newPartCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
-        bloomCol = head.bloomCol, bloomBits = head.bloomBits)
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits,
+        renames = head.renames)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
-            bloomBits = head.bloomBits))
+            bloomBits = head.bloomBits, renames = head.renames))
         return
       }
     }
@@ -766,14 +849,15 @@ object TxnLake {
                                deleteWhen: Option[Column] = None): Option[Staged] = {
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
-    val missing = baseSchema.fieldNames.toSet -- updates.columns.toSet
+    val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))
+    val missing = logicalNames.toSet -- updates.columns.toSet
     require(missing.isEmpty,
       s"updates missing table columns ${missing.mkString(",")} — " +
         "evolution is additive-only")
-    val addedCols = updates.columns.filterNot(baseSchema.fieldNames.contains)
+    val addedCols = updates.columns.filterNot(logicalNames.contains)
     val schema = StructType(baseSchema.fields ++
       addedCols.map(c => updates.schema(c)))
-    val target = readEntries(spark, dir, schema, base.files)
+    val target = readEntries(spark, dir, schema, base.files, renames = base.renames)
     val cols = target.columns
     val aligned = castToTarget(updates, target)
       .select(cols.map(col).toIndexedSeq: _*)
@@ -798,7 +882,7 @@ object TxnLake {
     // them under the current partCol — evolution migrates lazily
     val pruned = base.files.filter(f =>
       !f.onSpec(base.partCol) || f.parts.exists(touched.contains))
-    val prunedDf = readEntries(spark, dir, schema, pruned)
+    val prunedDf = readEntries(spark, dir, schema, pruned, renames = base.renames)
     // pruned files may also hold rows of UNtouched partitions (a writer
     // task can emit several partition values into one file) — those rows
     // ride along into the rewrite unchanged, so no row is ever dropped.
@@ -820,8 +904,8 @@ object TxnLake {
       .join(srcKeys, col(key) === col("__txn_ukey"), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
-    val newFiles = stageFiles(spark, dir, merged, partCol, touched.size,
-      base.statsCol, base.bloomCol, base.bloomBits)
+    val newFiles = stageFiles(spark, dir, toPhysical(merged, base.renames),
+      partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
     // change feed, in the full PREIMAGE dialect (Delta-CDF's row set —
     // the one [[IncrementalView.applyChanges]] can fold, because
     // updates are subtractable): each applied row classified
@@ -864,7 +948,8 @@ object TxnLake {
     // version null-fill added columns for files that predate them
     Some(Staged(base.version, partCol, schema.toDDL, touched,
       pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = cdcRows,
-      bloomCol = base.bloomCol, bloomBits = base.bloomBits))
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      renames = base.renames))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -895,7 +980,8 @@ object TxnLake {
         // record would republish a stale schema/partCol
         val base = resolveAt(fs, dir, staged.baseVersion)
         val layoutChanged = intervening.exists(r =>
-          r.partCol != base.partCol || r.schemaDdl != base.schemaDdl)
+          r.partCol != base.partCol || r.schemaDdl != base.schemaDdl ||
+            r.renames != base.renames)
         if (overlap.nonEmpty || lostFiles.nonEmpty || layoutChanged) {
           dropStagedFiles(fs, dir, staged)
           throw new java.util.ConcurrentModificationException(
@@ -909,20 +995,21 @@ object TxnLake {
       // republishing its own staged base values would silently revert
       // an intervening schema evolution or partition-spec change (the
       // append's files keep their own spec/columns — readers null-fill)
-      val (recPartCol, recSchema) =
+      val (recPartCol, recSchema, recRenames) =
         if (staged.prunedPaths.isEmpty && head.version > staged.baseVersion)
-          (head.partCol, head.schemaDdl)
-        else (staged.partCol, staged.schemaDdl)
+          (head.partCol, head.schemaDdl, head.renames)
+        else (staged.partCol, staged.schemaDdl, staged.renames)
       val rec = CommitRecord(head.version + 1, newCommitId(), recPartCol,
         recSchema, staged.touched, staged.newFiles, staged.prunedPaths,
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
-        bloomBits = staged.bloomBits)
+        bloomBits = staged.bloomBits, renames = recRenames)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
-            rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits))
+            rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits,
+            renames = rec.renames))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -1120,7 +1207,7 @@ object TxnLake {
       val r = readRecord(fs, manifestPath(dir, v))
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
         applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol,
-        bloomBits = r.bloomBits)
+        bloomBits = r.bloomBits, renames = r.renames)
     }
     m
   }
@@ -1165,18 +1252,38 @@ object TxnLake {
     * merge-on-read formats (Iceberg v2 positional deletes, Delta DVs)
     * make. Entries without DVs take the plain vectorized-scan path
     * untouched. */
+  /** Physical→logical projection (one simultaneous select, so cyclic
+    * rename chains — swaps — resolve correctly); identity sans renames.
+    * Reserved meta columns are never rename targets, so they pass
+    * through untouched. */
+  private def toLogical(df: DataFrame, renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(renames.getOrElse(c, c))).toIndexedSeq: _*)
+
+  /** Logical→physical inverse projection for staged writes: parquet
+    * files always carry the frozen physical names. */
+  private def toPhysical(df: DataFrame, renames: Map[String, String]): DataFrame =
+    if (renames.isEmpty) df
+    else {
+      val inv = renames.map(_.swap)
+      df.select(df.columns.map(c =>
+        col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
   private[lake] def readEntries(spark: SparkSession, dir: String, schema: StructType,
                                 entries: Seq[FileEntry],
-                                keepMeta: Boolean = false): DataFrame = {
+                                keepMeta: Boolean = false,
+                                renames: Map[String, String] = Map.empty): DataFrame = {
     val dvDirs = entries.flatMap(_.dv).distinct.sorted
     if (dvDirs.isEmpty && !keepMeta)
-      return readFiles(spark, dir, schema, entries.map(_.path))
+      return toLogical(readFiles(spark, dir, schema, entries.map(_.path)), renames)
     if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      return toLogical(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (keepMeta) StructType(schema.fields :+
           org.apache.spark.sql.types.StructField("__txn_file", org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("__txn_pos", org.apache.spark.sql.types.LongType))
-        else schema)
+        else schema), renames)
     val df = spark.read.schema(schema).parquet(entries.map(e => s"$dir/${e.path}"): _*)
       .withColumn("__txn_file",
         expr(s"substring(_metadata.file_path, instr(_metadata.file_path, '$DataDir'))"))
@@ -1189,7 +1296,7 @@ object TxnLake {
         df.join(dv, col("__txn_file") === col("__dv_file") &&
           col("__txn_pos") === col("__dv_pos"), "left_anti")
       }
-    if (keepMeta) out else out.drop("__txn_file", "__txn_pos")
+    toLogical(if (keepMeta) out else out.drop("__txn_file", "__txn_pos"), renames)
   }
 
   /** Write `df` as immutable files under a fresh `_graft_data/c<id>/`
@@ -1353,7 +1460,8 @@ object TxnLake {
         case _ => true
       }
     }
-    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), keep)
+    readEntries(spark, dir, StructType.fromDDL(m.schemaDdl), keep,
+        renames = m.renames)
       .filter(col(sc).cast("double").between(lo, hi))
   }
 
@@ -1382,7 +1490,8 @@ object TxnLake {
                          schemaDdl: String, touched: Set[Option[String]],
                          statsCol: Option[String],
                          bloomCol: Option[String],
-                         bloomBits: Int) = {
+                         bloomBits: Int,
+                         renames: Map[String, String] = Map.empty) = {
     val root = JsonNodeFactory.instance.objectNode()
     root.put("version", version)
     root.put("commitId", commitId)
@@ -1390,6 +1499,10 @@ object TxnLake {
     root.put("schemaDdl", schemaDdl)
     statsCol.foreach(root.put("statsCol", _))
     bloomCol.foreach { bc => root.put("bloomCol", bc); root.put("bloomBits", bloomBits); () }
+    if (renames.nonEmpty) {
+      val rn = root.putObject("renames")
+      renames.toSeq.sortBy(_._1).foreach { case (p, l) => rn.put(p, l) }
+    }
     val t = root.putArray("touched")
     touched.toSeq.sortBy(_.getOrElse("")).foreach {
       case Some(v) => t.add(v)
@@ -1426,7 +1539,7 @@ object TxnLake {
   /** Full snapshot (checkpoint / legacy manifest) bytes: `files`. */
   private def writeManifestBytes(m: Manifest): Array[Byte] = {
     val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
-      m.touched, m.statsCol, m.bloomCol, m.bloomBits)
+      m.touched, m.statsCol, m.bloomCol, m.bloomBits, m.renames)
     addFileArray(root, "files", m.files, m.partCol)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -1434,7 +1547,7 @@ object TxnLake {
   /** Delta record bytes: `add` + `remove` — O(touched partitions). */
   private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
-      r.touched, r.statsCol, r.bloomCol, r.bloomBits)
+      r.touched, r.statsCol, r.bloomCol, r.bloomBits, r.renames)
     addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -1464,6 +1577,13 @@ object TxnLake {
     mapper.readTree(bytes)
   }
 
+  private def parseRenames(root: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Option(root.get("renames")).fold(Map.empty[String, String]) { rn =>
+      rn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
   /** Full-snapshot file (checkpoint or legacy manifest). */
   private[lake] def readManifest(fs: FileSystem, p: Path): Manifest = {
     val root = readJson(fs, p)
@@ -1479,7 +1599,8 @@ object TxnLake {
       parseFiles(root.get("files"), root.get("partCol").asText()),
       Option(root.get("statsCol")).map(_.asText()),
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
-      bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits))
+      bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
+      renames = parseRenames(root))
   }
 
   /** Per-version log record; a legacy full manifest parses as a
@@ -1503,7 +1624,8 @@ object TxnLake {
       Option(root.get("statsCol")).map(_.asText()),
       full,
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
-      bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits))
+      bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
+      renames = parseRenames(root))
   }
 
   /** Atomically publish `bytes` at `dst` (a log record or checkpoint).

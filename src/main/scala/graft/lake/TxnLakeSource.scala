@@ -102,18 +102,23 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
         throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
     }
     val schema = StructType.fromDDL(manifest.schemaDdl)
-    if (manifest.files.exists(_.dv.nonEmpty)) {
-      // MERGE-ON-READ fallback: outstanding deletion vectors mean the
-      // raw files over-report rows, so the file-index fast path is
-      // wrong until OPTIMIZE(purgeDv) folds the vectors in. Serve the
-      // snapshot through TxnLake's DV-applying read instead — column
-      // pruning still reaches the scan (PrunedScan), Catalyst
-      // re-evaluates every filter on the returned rows, and the only
-      // cost is the positional anti-join deleteWhere already bought.
-      val dvDf = TxnLake.readEntries(spark, dir, schema, manifest.files)
+    if (manifest.files.exists(_.dv.nonEmpty) || manifest.renames.nonEmpty) {
+      // MERGE-ON-READ / NAME-MAPPING fallback: outstanding deletion
+      // vectors mean the raw files over-report rows, and renamed
+      // columns mean the files' physical names differ from the logical
+      // schema — either way the file-index fast path would read the
+      // bytes wrong. Serve the snapshot through TxnLake's own read
+      // (DV anti-join + logical projection) instead — column pruning
+      // still reaches the scan (PrunedScan), Catalyst re-evaluates
+      // every filter on the returned rows, and OPTIMIZE(purgeDv)
+      // restores the fast path for the DV case.
+      val dvDf = TxnLake.readEntries(spark, dir, schema, manifest.files,
+        renames = manifest.renames)
+      val logicalSchema = StructType(schema.fields.map(f =>
+        f.copy(name = manifest.renames.getOrElse(f.name, f.name))))
       new BaseRelation with org.apache.spark.sql.sources.PrunedScan {
         override def sqlContext: SQLContext = spark.sqlContext
-        override def schema: StructType = StructType.fromDDL(manifest.schemaDdl)
+        override def schema: StructType = logicalSchema
         override def buildScan(requiredColumns: Array[String]):
             org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
           (if (requiredColumns.isEmpty) dvDf.select()
