@@ -98,7 +98,8 @@ object TxnLake {
                       files: Seq[FileEntry], statsCol: Option[String] = None,
                       bloomCol: Option[String] = None,
                       bloomBits: Int = DefaultBloomBits,
-                      renames: Map[String, String] = Map.empty)
+                      renames: Map[String, String] = Map.empty,
+                      tombstones: Set[String] = Set.empty)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -112,7 +113,8 @@ object TxnLake {
                                         statsCol: Option[String], full: Boolean,
                                         bloomCol: Option[String] = None,
                                         bloomBits: Int = DefaultBloomBits,
-                                        renames: Map[String, String] = Map.empty)
+                                        renames: Map[String, String] = Map.empty,
+                                        tombstones: Set[String] = Set.empty)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -129,7 +131,8 @@ object TxnLake {
                                   bloomCol: Option[String] = None,
                                   bloomBits: Int = DefaultBloomBits,
                                   abortDirs: Seq[String] = Nil,
-                                  renames: Map[String, String] = Map.empty)
+                                  renames: Map[String, String] = Map.empty,
+                                  tombstones: Set[String] = Set.empty)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -453,7 +456,7 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames))
+      renames = base.renames, tombstones = base.tombstones))
   }
 
   /** MERGE-ON-READ predicate delete via DELETION VECTORS: mark every
@@ -519,7 +522,7 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, touchedPaths, updated, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      abortDirs = Seq(dvRel), renames = base.renames))
+      abortDirs = Seq(dvRel), renames = base.renames, tombstones = base.tombstones))
     deleted
   }
 
@@ -563,7 +566,7 @@ object TxnLake {
         Some(aligned.withColumn(ChangeTypeCol, lit("insert"))) else None,
       cdcCopy = if (cdcEnabled(spark, dir) && base.renames.isEmpty) newFiles else Nil,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames))
+      renames = base.renames, tombstones = base.tombstones))
   }
 
   /** Transactional full-snapshot OVERWRITE: replace the table's entire
@@ -587,13 +590,21 @@ object TxnLake {
     val missing = logicalNames.toSet -- rows.columns.toSet
     require(missing.isEmpty,
       s"overwrite missing table columns ${missing.mkString(",")}")
-    // added columns are born with their logical name as physical
+    // added columns get fresh physical names when tombstoned/taken
     val addedCols = rows.columns.filterNot(logicalNames.contains)
-    val schema = StructType(baseSchema.fields ++ addedCols.map(c => rows.schema(c)))
-    val target = toLogical(readFiles(spark, dir, schema, Seq.empty), base.renames)
+    val (added, _) = addedCols.foldLeft(
+        (Seq.empty[(String, String)], baseSchema.fieldNames)) {
+      case ((acc, used), c) =>
+        val p = freshPhysical(c, base, used)
+        (acc :+ (c -> p), used :+ p)
+    }
+    val schema = StructType(baseSchema.fields ++
+      added.map { case (l, p) => rows.schema(l).copy(name = p) })
+    val renames = base.renames ++ added.collect { case (l, p) if l != p => p -> l }
+    val target = toLogical(readFiles(spark, dir, schema, Seq.empty), renames)
     val aligned = castToTarget(rows, target)
       .select((logicalNames ++ addedCols).map(col).toIndexedSeq: _*)
-    val newFiles = stageFiles(spark, dir, toPhysical(aligned, base.renames),
+    val newFiles = stageFiles(spark, dir, toPhysical(aligned, renames),
       base.partCol, spark.conf.get("spark.sql.shuffle.partitions").toInt,
       base.statsCol, base.bloomCol, base.bloomBits)
     // change feed: delete pre-images must be written explicitly (they
@@ -604,18 +615,18 @@ object TxnLake {
     val oldRows =
       if (cdcOn) {
         val dels = readEntries(spark, dir, schema, base.files,
-            renames = base.renames)
+            renames = renames)
           .withColumn(ChangeTypeCol, lit("delete"))
-        Some(if (base.renames.isEmpty) dels
+        Some(if (renames.isEmpty) dels
              else dels.unionByName(aligned.withColumn(ChangeTypeCol, lit("insert")),
                allowMissingColumns = true))
       } else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, schema.toDDL,
       base.files.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts),
       base.files.map(_.path).toSet, newFiles, base.statsCol,
-      cdc = oldRows, cdcCopy = if (cdcOn && base.renames.isEmpty) newFiles else Nil,
+      cdc = oldRows, cdcCopy = if (cdcOn && renames.isEmpty) newFiles else Nil,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames))
+      renames = renames, tombstones = base.tombstones))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,
@@ -663,7 +674,7 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames))
+      renames = base.renames, tombstones = base.tombstones))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -702,17 +713,77 @@ object TxnLake {
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
-        bloomCol = head.bloomCol, bloomBits = head.bloomBits, renames = renames)
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits, renames = renames,
+        tombstones = head.tombstones)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, head.partCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
-            bloomBits = head.bloomBits, renames = renames))
+            bloomBits = head.bloomBits, renames = renames,
+            tombstones = head.tombstones))
         return
       }
     }
   }
+
+  /** COLUMN DROP: remove a column in one metadata-only commit — the
+    * field leaves the manifest schema (and its rename entry), so no
+    * reader ever binds it again; the bytes stay in existing files (a
+    * ghost column parquet's by-name projection never touches) and fall
+    * away naturally as rewrites re-stage without it. The physical name
+    * is TOMBSTONED forever: re-adding a column with the same logical
+    * name later mints a FRESH physical name mapped through the rename
+    * machinery, so old files can never resurrect dead values into the
+    * reborn column — the failure mode Delta's column-mapping IDs exist
+    * to prevent. Partition/stats/bloom columns refuse (their physical
+    * names thread through pruning metadata). */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"dropColumn retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      val fields = StructType.fromDDL(head.schemaDdl)
+      val logicalOf = fields.fieldNames.map(p => head.renames.getOrElse(p, p) -> p).toMap
+      require(logicalOf.contains(name), s"no column '$name' in ${logicalOf.keys.mkString(",")}")
+      val phys = logicalOf(name)
+      require(phys != head.partCol && !head.statsCol.contains(phys) &&
+        !head.bloomCol.contains(phys),
+        s"cannot drop '$name' — partition/stats/bloom columns are structural")
+      require(fields.size > 1, "cannot drop the last column")
+      val schema = StructType(fields.filterNot(_.name == phys))
+      val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
+        schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits,
+        renames = head.renames - phys, tombstones = head.tombstones + phys)
+      if (publish(fs, dir, manifestPath(dir, rec.version),
+          writeRecordBytes(rec), rec.commitId)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
+            Set.empty, head.files, rec.statsCol, bloomCol = rec.bloomCol,
+            bloomBits = rec.bloomBits, renames = rec.renames,
+            tombstones = rec.tombstones))
+        return
+      }
+    }
+  }
+
+  /** Physical name for a column being ADDED as logical `name`: the name
+    * itself unless it is tombstoned (a dropped column's ghost bytes
+    * would resurrect into it) or already in use physically (a renamed
+    * column's frozen name) — then a fresh versioned physical name,
+    * mapped back to `name` via renames. */
+  private def freshPhysical(name: String, base: Manifest,
+                            fields: Array[String]): String =
+    if (!base.tombstones.contains(name) && !fields.contains(name)) name
+    else {
+      var i = base.version + 1
+      while (base.tombstones.contains(s"${name}__r$i") || fields.contains(s"${name}__r$i")) i += 1
+      s"${name}__r$i"
+    }
 
   /** RESTORE: roll the table BACK to a retained version as a new
     * forward commit — history is never rewritten (the audit trail keeps
@@ -743,13 +814,15 @@ object TxnLake {
       val rec = CommitRecord(head.version + 1, newCommitId(), target.partCol,
         target.schemaDdl, touched, target.files, head.files.map(_.path).toSet,
         target.statsCol, full = false, bloomCol = target.bloomCol,
-        bloomBits = target.bloomBits, renames = target.renames)
+        bloomBits = target.bloomBits, renames = target.renames,
+        tombstones = target.tombstones)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
-            bloomBits = rec.bloomBits, renames = rec.renames))
+            bloomBits = rec.bloomBits, renames = rec.renames,
+            tombstones = rec.tombstones))
         return
       }
     }
@@ -787,13 +860,14 @@ object TxnLake {
       val rec = CommitRecord(head.version + 1, newCommitId(), newPartCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
         bloomCol = head.bloomCol, bloomBits = head.bloomBits,
-        renames = head.renames)
+        renames = head.renames, tombstones = head.tombstones)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
-            bloomBits = head.bloomBits, renames = head.renames))
+            bloomBits = head.bloomBits, renames = head.renames,
+            tombstones = head.tombstones))
         return
       }
     }
@@ -855,9 +929,18 @@ object TxnLake {
       s"updates missing table columns ${missing.mkString(",")} — " +
         "evolution is additive-only")
     val addedCols = updates.columns.filterNot(logicalNames.contains)
+    // each added column gets a physical name — fresh when its logical
+    // name is tombstoned or physically taken ([[freshPhysical]])
+    val (added, _) = addedCols.foldLeft(
+        (Seq.empty[(String, String)], baseSchema.fieldNames)) {
+      case ((acc, used), c) =>
+        val p = freshPhysical(c, base, used)
+        (acc :+ (c -> p), used :+ p)
+    }
     val schema = StructType(baseSchema.fields ++
-      addedCols.map(c => updates.schema(c)))
-    val target = readEntries(spark, dir, schema, base.files, renames = base.renames)
+      added.map { case (l, p) => updates.schema(l).copy(name = p) })
+    val renames = base.renames ++ added.collect { case (l, p) if l != p => p -> l }
+    val target = readEntries(spark, dir, schema, base.files, renames = renames)
     val cols = target.columns
     val aligned = castToTarget(updates, target)
       .select(cols.map(col).toIndexedSeq: _*)
@@ -882,7 +965,7 @@ object TxnLake {
     // them under the current partCol — evolution migrates lazily
     val pruned = base.files.filter(f =>
       !f.onSpec(base.partCol) || f.parts.exists(touched.contains))
-    val prunedDf = readEntries(spark, dir, schema, pruned, renames = base.renames)
+    val prunedDf = readEntries(spark, dir, schema, pruned, renames = renames)
     // pruned files may also hold rows of UNtouched partitions (a writer
     // task can emit several partition values into one file) — those rows
     // ride along into the rewrite unchanged, so no row is ever dropped.
@@ -904,7 +987,7 @@ object TxnLake {
       .join(srcKeys, col(key) === col("__txn_ukey"), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
-    val newFiles = stageFiles(spark, dir, toPhysical(merged, base.renames),
+    val newFiles = stageFiles(spark, dir, toPhysical(merged, renames),
       partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
     // change feed, in the full PREIMAGE dialect (Delta-CDF's row set —
     // the one [[IncrementalView.applyChanges]] can fold, because
@@ -949,7 +1032,7 @@ object TxnLake {
     Some(Staged(base.version, partCol, schema.toDDL, touched,
       pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = cdcRows,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames))
+      renames = renames, tombstones = base.tombstones))
   }
 
   /** Publish a staged merge, with optimistic-concurrency retry: if the
@@ -981,7 +1064,8 @@ object TxnLake {
         val base = resolveAt(fs, dir, staged.baseVersion)
         val layoutChanged = intervening.exists(r =>
           r.partCol != base.partCol || r.schemaDdl != base.schemaDdl ||
-            r.renames != base.renames)
+            r.renames != base.renames ||
+            r.tombstones != base.tombstones)
         if (overlap.nonEmpty || lostFiles.nonEmpty || layoutChanged) {
           dropStagedFiles(fs, dir, staged)
           throw new java.util.ConcurrentModificationException(
@@ -995,21 +1079,22 @@ object TxnLake {
       // republishing its own staged base values would silently revert
       // an intervening schema evolution or partition-spec change (the
       // append's files keep their own spec/columns — readers null-fill)
-      val (recPartCol, recSchema, recRenames) =
+      val (recPartCol, recSchema, recRenames, recTombstones) =
         if (staged.prunedPaths.isEmpty && head.version > staged.baseVersion)
-          (head.partCol, head.schemaDdl, head.renames)
-        else (staged.partCol, staged.schemaDdl, staged.renames)
+          (head.partCol, head.schemaDdl, head.renames, head.tombstones)
+        else (staged.partCol, staged.schemaDdl, staged.renames, staged.tombstones)
       val rec = CommitRecord(head.version + 1, newCommitId(), recPartCol,
         recSchema, staged.touched, staged.newFiles, staged.prunedPaths,
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
-        bloomBits = staged.bloomBits, renames = recRenames)
+        bloomBits = staged.bloomBits, renames = recRenames,
+        tombstones = recTombstones)
       if (publish(fs, dir, manifestPath(dir, rec.version),
           writeRecordBytes(rec), rec.commitId)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
             rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits,
-            renames = rec.renames))
+            renames = rec.renames, tombstones = rec.tombstones))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -1207,7 +1292,7 @@ object TxnLake {
       val r = readRecord(fs, manifestPath(dir, v))
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
         applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol,
-        bloomBits = r.bloomBits, renames = r.renames)
+        bloomBits = r.bloomBits, renames = r.renames, tombstones = r.tombstones)
     }
     m
   }
@@ -1491,7 +1576,8 @@ object TxnLake {
                          statsCol: Option[String],
                          bloomCol: Option[String],
                          bloomBits: Int,
-                         renames: Map[String, String] = Map.empty) = {
+                         renames: Map[String, String] = Map.empty,
+                         tombstones: Set[String] = Set.empty) = {
     val root = JsonNodeFactory.instance.objectNode()
     root.put("version", version)
     root.put("commitId", commitId)
@@ -1502,6 +1588,10 @@ object TxnLake {
     if (renames.nonEmpty) {
       val rn = root.putObject("renames")
       renames.toSeq.sortBy(_._1).foreach { case (p, l) => rn.put(p, l) }
+    }
+    if (tombstones.nonEmpty) {
+      val tn = root.putArray("tombstones")
+      tombstones.toSeq.sorted.foreach(tn.add)
     }
     val t = root.putArray("touched")
     touched.toSeq.sortBy(_.getOrElse("")).foreach {
@@ -1539,7 +1629,7 @@ object TxnLake {
   /** Full snapshot (checkpoint / legacy manifest) bytes: `files`. */
   private def writeManifestBytes(m: Manifest): Array[Byte] = {
     val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
-      m.touched, m.statsCol, m.bloomCol, m.bloomBits, m.renames)
+      m.touched, m.statsCol, m.bloomCol, m.bloomBits, m.renames, m.tombstones)
     addFileArray(root, "files", m.files, m.partCol)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -1547,7 +1637,7 @@ object TxnLake {
   /** Delta record bytes: `add` + `remove` — O(touched partitions). */
   private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
-      r.touched, r.statsCol, r.bloomCol, r.bloomBits, r.renames)
+      r.touched, r.statsCol, r.bloomCol, r.bloomBits, r.renames, r.tombstones)
     addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -1584,6 +1674,13 @@ object TxnLake {
     }
   }
 
+  private def parseTombstones(root: com.fasterxml.jackson.databind.JsonNode): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(root.get("tombstones")).fold(Set.empty[String]) { tn =>
+      tn.elements().asScala.map(_.asText()).toSet
+    }
+  }
+
   /** Full-snapshot file (checkpoint or legacy manifest). */
   private[lake] def readManifest(fs: FileSystem, p: Path): Manifest = {
     val root = readJson(fs, p)
@@ -1600,7 +1697,7 @@ object TxnLake {
       Option(root.get("statsCol")).map(_.asText()),
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
-      renames = parseRenames(root))
+      renames = parseRenames(root), tombstones = parseTombstones(root))
   }
 
   /** Per-version log record; a legacy full manifest parses as a
@@ -1625,7 +1722,7 @@ object TxnLake {
       full,
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
-      renames = parseRenames(root))
+      renames = parseRenames(root), tombstones = parseTombstones(root))
   }
 
   /** Atomically publish `bytes` at `dst` (a log record or checkpoint).
