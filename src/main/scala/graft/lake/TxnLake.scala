@@ -114,7 +114,8 @@ object TxnLake {
                                         bloomCol: Option[String] = None,
                                         bloomBits: Int = DefaultBloomBits,
                                         renames: Map[String, String] = Map.empty,
-                                        tombstones: Set[String] = Set.empty)
+                                        tombstones: Set[String] = Set.empty,
+                                        ts: Long = 0L)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -216,7 +217,7 @@ object TxnLake {
     val rec = CommitRecord(0L, newCommitId(), partCol, df.schema.toDDL,
       files.flatMap(_.parts).toSet, files, Set.empty, statsCol, full = false,
       bloomCol = bloomCol, bloomBits = bloomBits)
-    require(publish(fs, dir, manifestPath(dir, 0L), writeRecordBytes(rec), rec.commitId),
+    require(publishRecord(fs, dir, rec),
       s"concurrent create of txn table at $dir")
     // v0 checkpoint: cold resolution of a fresh table is one read
     maybeCheckpoint(spark, fs, dir,
@@ -273,22 +274,22 @@ object TxnLake {
   }
 
   /** TIME TRAVEL BY TIMESTAMP: the newest version whose commit
-    * published at-or-before `tsMillis`, resolved off the log records'
-    * own publish times — the only clock the commit protocol writes
-    * (manifest files are immutable after their atomic create, so the
-    * modification time IS the commit time). Fails loudly when the
-    * timestamp predates the oldest retained version (vacuumed history
-    * cannot be served partially) or postdates nothing. */
+    * published at-or-before `tsMillis`, resolved off each record's
+    * IN-COMMIT TIMESTAMP — persisted inside the log record at publish
+    * time and strictly monotonic across versions, so results survive
+    * table copies/migrations that rewrite file mtimes (pre-ICT records
+    * fall back to manifest mtime). Fails loudly when the timestamp
+    * predates the oldest retained version (vacuumed history cannot be
+    * served partially) or postdates nothing. */
   def versionAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
     val fs = fsOf(spark, dir)
     val vs = listVersions(fs, dir).sorted
     require(vs.nonEmpty, s"$dir is not a txn table (no $LogDir)")
-    val eligible = vs.filter(v =>
-      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= tsMillis)
+    val eligible = vs.filter(v => commitTimeOf(fs, dir, v) <= tsMillis)
     require(eligible.nonEmpty,
       s"no version of $dir committed at or before $tsMillis " +
         s"(oldest retained version ${vs.head} published at " +
-        s"${fs.getFileStatus(manifestPath(dir, vs.head)).getModificationTime})")
+        s"${commitTimeOf(fs, dir, vs.head)})")
     eligible.max
   }
 
@@ -715,8 +716,7 @@ object TxnLake {
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
         bloomCol = head.bloomCol, bloomBits = head.bloomBits, renames = renames,
         tombstones = head.tombstones)
-      if (publish(fs, dir, manifestPath(dir, rec.version),
-          writeRecordBytes(rec), rec.commitId)) {
+      if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, head.partCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
@@ -759,8 +759,7 @@ object TxnLake {
         schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,
         bloomCol = head.bloomCol, bloomBits = head.bloomBits,
         renames = head.renames - phys, tombstones = head.tombstones + phys)
-      if (publish(fs, dir, manifestPath(dir, rec.version),
-          writeRecordBytes(rec), rec.commitId)) {
+      if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             Set.empty, head.files, rec.statsCol, bloomCol = rec.bloomCol,
@@ -816,8 +815,7 @@ object TxnLake {
         target.statsCol, full = false, bloomCol = target.bloomCol,
         bloomBits = target.bloomBits, renames = target.renames,
         tombstones = target.tombstones)
-      if (publish(fs, dir, manifestPath(dir, rec.version),
-          writeRecordBytes(rec), rec.commitId)) {
+      if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
@@ -861,8 +859,7 @@ object TxnLake {
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
         bloomCol = head.bloomCol, bloomBits = head.bloomBits,
         renames = head.renames, tombstones = head.tombstones)
-      if (publish(fs, dir, manifestPath(dir, rec.version),
-          writeRecordBytes(rec), rec.commitId)) {
+      if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
@@ -1088,8 +1085,7 @@ object TxnLake {
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
         bloomBits = staged.bloomBits, renames = recRenames,
         tombstones = recTombstones)
-      if (publish(fs, dir, manifestPath(dir, rec.version),
-          writeRecordBytes(rec), rec.commitId)) {
+      if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
@@ -1638,6 +1634,7 @@ object TxnLake {
   private def writeRecordBytes(r: CommitRecord): Array[Byte] = {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
       r.touched, r.statsCol, r.bloomCol, r.bloomBits, r.renames, r.tombstones)
+    if (r.ts > 0) root.put("ts", r.ts)
     addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -1722,8 +1719,40 @@ object TxnLake {
       full,
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
-      renames = parseRenames(root), tombstones = parseTombstones(root))
+      renames = parseRenames(root), tombstones = parseTombstones(root),
+      ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L))
   }
+
+  /** IN-COMMIT TIMESTAMP (Delta's ICT discipline): strictly monotonic
+    * across versions — max(wall clock, previous record's ts + 1) — and
+    * persisted INSIDE the log record, so timestamp time travel survives
+    * table copies/migrations (distcp, rsync, backup restore) that
+    * rewrite file mtimes, and near-simultaneous commits can never
+    * reorder. Pre-ICT records (ts absent) fall back to manifest mtime
+    * at resolution time. */
+  private def nextCommitTs(fs: FileSystem, dir: String, version: Long): Long = {
+    val prev =
+      if (version <= 0) 0L
+      else try readRecord(fs, manifestPath(dir, version - 1)).ts
+      catch { case _: Exception => 0L }
+    math.max(System.currentTimeMillis(), prev + 1)
+  }
+
+  /** The instant `version` committed: the record's in-commit timestamp
+    * when present, else the manifest file's mtime (legacy records). */
+  private def commitTimeOf(fs: FileSystem, dir: String, version: Long): Long = {
+    val p = manifestPath(dir, version)
+    val ict = try readRecord(fs, p).ts catch { case _: Exception => 0L }
+    if (ict > 0) ict else fs.getFileStatus(p).getModificationTime
+  }
+
+  /** Publish a commit record at its version slot, stamping the
+    * in-commit timestamp at publish time (the only instant that IS the
+    * commit time). All record-publishing commit paths go through here. */
+  private def publishRecord(fs: FileSystem, dir: String, rec: CommitRecord): Boolean =
+    publish(fs, dir, manifestPath(dir, rec.version),
+      writeRecordBytes(rec.copy(ts = nextCommitTs(fs, dir, rec.version))),
+      rec.commitId)
 
   /** Atomically publish `bytes` at `dst` (a log record or checkpoint).
     * Returns false (leaving the log unchanged) if the destination

@@ -107,24 +107,18 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
       // vectors mean the raw files over-report rows, and renamed
       // columns mean the files' physical names differ from the logical
       // schema — either way the file-index fast path would read the
-      // bytes wrong. Serve the snapshot through TxnLake's own read
-      // (DV anti-join + logical projection) instead — column pruning
-      // still reaches the scan (PrunedScan), Catalyst re-evaluates
-      // every filter on the returned rows, and OPTIMIZE(purgeDv)
-      // restores the fast path for the DV case.
-      val dvDf = TxnLake.readEntries(spark, dir, schema, manifest.files,
-        renames = manifest.renames)
-      val logicalSchema = StructType(schema.fields.map(f =>
-        f.copy(name = manifest.renames.getOrElse(f.name, f.name))))
-      new BaseRelation with org.apache.spark.sql.sources.PrunedScan {
-        override def sqlContext: SQLContext = spark.sqlContext
-        override def schema: StructType = logicalSchema
-        override def buildScan(requiredColumns: Array[String]):
-            org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-          (if (requiredColumns.isEmpty) dvDf.select()
-           else dvDf.select(requiredColumns.toIndexedSeq.map(
-             org.apache.spark.sql.functions.col): _*)).rdd
-      }
+      // bytes wrong. Serve the snapshot through a PrunedFilteredScan
+      // that keeps the lake's planning-time muscle: pushed filters
+      // prune the MANIFEST first (zone map / bloom / partition checks
+      // stay valid under DVs — a deletion vector only removes rows, so
+      // every surviving stat is still an over-approximation), then the
+      // surviving files are read through TxnLake's own path (DV
+      // anti-join + logical projection) with the filters re-applied
+      // INSIDE that plan, so parquet row-group skipping and pushdown
+      // still fire within each surviving file. Catalyst re-evaluates
+      // every filter on the returned rows (unhandledFilters default),
+      // so all pruning here is conservative, never wrong.
+      new TxnDvRelation(spark, dir, schema, manifest)
     } else {
       val index = new TxnFileIndex(spark, dir, manifest)
       // PARTITION-AWARE MODE: when every manifest entry maps a file to
@@ -144,6 +138,144 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
       HadoopFsRelation(index, index.partitionSchema, schema, None,
         new ParquetFileFormat, Map.empty[String, String])(spark)
     }
+  }
+}
+
+/** DV / rename fallback relation: `PrunedFilteredScan` over the
+  * snapshot's manifest. Pushed filters (logical names) prune files
+  * against the manifest's zone maps, blooms and partition-value sets
+  * BEFORE any data file opens; the survivors are served through
+  * [[TxnLake.readEntries]] (deletion-vector anti-join + physical→
+  * logical projection) with the translatable filters re-applied inside
+  * that plan so parquet pushdown still reaches the scan. */
+private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
+                                  physSchema: StructType,
+                                  manifest: TxnLake.Manifest)
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe => FEqNs,
+    EqualTo => FEq, Filter, GreaterThan => FGt, GreaterThanOrEqual => FGe,
+    In => FIn, IsNotNull => FNotNull, IsNull => FNull, LessThan => FLt,
+    LessThanOrEqual => FLe, Not => FNot, Or => FOr,
+    StringContains => FContains, StringEndsWith => FEnds,
+    StringStartsWith => FStarts}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def logicalName(phys: String): String =
+    manifest.renames.getOrElse(phys, phys)
+  private val statsL = manifest.statsCol.map(logicalName)
+  private val bloomL = manifest.bloomCol.map(logicalName)
+  private val partL = logicalName(manifest.partCol)
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = StructType(physSchema.fields.map(f =>
+    f.copy(name = logicalName(f.name))))
+
+  private def num(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** [lo, hi] implied by one pushed conjunct on the stats column. */
+  private def rangeOf(f: Filter): Option[(Double, Double)] = statsL.flatMap { sc =>
+    f match {
+      case FGt(a, v) if a == sc => num(v).map(x => (x, Double.MaxValue))
+      case FGe(a, v) if a == sc => num(v).map(x => (x, Double.MaxValue))
+      case FLt(a, v) if a == sc => num(v).map(x => (Double.MinValue, x))
+      case FLe(a, v) if a == sc => num(v).map(x => (Double.MinValue, x))
+      case FEq(a, v) if a == sc => num(v).map(x => (x, x))
+      case FIn(a, vs) if a == sc =>
+        val ns = vs.toSeq.flatMap(num)
+        if (ns.isEmpty) None else Some((ns.min, ns.max))
+      case _ => None
+    }
+  }
+
+  /** Allowed partition-value set implied by one pushed conjunct —
+    * rendering must match the writer's `String.valueOf` (string /
+    * integral / floating only; anything else abstains). */
+  private def partSetOf(f: Filter): Option[Set[Option[String]]] = {
+    def rendered(v: Any): Option[Option[String]] = v match {
+      case null => Some(None)
+      case s: String => Some(Some(s))
+      case n @ (_: java.lang.Byte | _: java.lang.Short | _: Integer |
+                _: java.lang.Long | _: java.lang.Float | _: java.lang.Double) =>
+        Some(Some(String.valueOf(n)))
+      case b: java.lang.Boolean => Some(Some(String.valueOf(b)))
+      case _ => None
+    }
+    f match {
+      case FEq(a, v) if a == partL => rendered(v).map(Set(_))
+      case FEqNs(a, v) if a == partL => rendered(v).map(Set(_))
+      case FNull(a) if a == partL => Some(Set(None: Option[String]))
+      case FIn(a, vs) if a == partL =>
+        val rs = vs.toSeq.map(rendered)
+        if (rs.exists(_.isEmpty)) None else Some(rs.flatten.toSet)
+      case _ => None
+    }
+  }
+
+  /** Allowed string values implied by one pushed conjunct on the bloom
+    * column (a bloom proves nothing about NULL — abstain). */
+  private def bloomValuesOf(f: Filter): Option[Seq[String]] = bloomL.flatMap { bc =>
+    f match {
+      case FEq(a, v: String) if a == bc => Some(Seq(v))
+      case FIn(a, vs) if a == bc && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.toSeq.map(_.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** Pushed filter → Column over the LOGICAL schema, when expressible
+    * (unhandled shapes just don't push — Spark re-applies everything). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = f match {
+    case FEq(a, v) => Some(col(a) === lit(v))
+    case FEqNs(a, v) => Some(col(a) <=> lit(v))
+    case FGt(a, v) => Some(col(a) > lit(v))
+    case FGe(a, v) => Some(col(a) >= lit(v))
+    case FLt(a, v) => Some(col(a) < lit(v))
+    case FLe(a, v) => Some(col(a) <= lit(v))
+    case FIn(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case FNull(a) => Some(col(a).isNull)
+    case FNotNull(a) => Some(col(a).isNotNull)
+    case FStarts(a, v) => Some(col(a).startsWith(v))
+    case FEnds(a, v) => Some(col(a).endsWith(v))
+    case FContains(a, v) => Some(col(a).contains(v))
+    case FAnd(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case FOr(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case FNot(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  /** Manifest entries surviving the pushed conjuncts — mirror of
+    * TxnFileIndex.listFiles: a file survives only if every recognized
+    * conjunct MIGHT match it (DVs only shrink files, so manifest stats
+    * stay valid over-approximations). Package-visible for the spec. */
+  private[lake] def prunedEntries(filters: Seq[Filter]): Seq[TxnLake.FileEntry] = {
+    val ranges = filters.flatMap(rangeOf)
+    val psets = filters.flatMap(partSetOf)
+    val blooms = filters.flatMap(bloomValuesOf)
+    manifest.files.filter { e =>
+      val zoneOk = (e.zmin, e.zmax) match {
+        case (Some(mn), Some(mx)) => ranges.forall { case (lo, hi) => mx >= lo && mn <= hi }
+        case _ => true
+      }
+      val partOk = !e.onSpec(manifest.partCol) ||
+        psets.forall(s => e.parts.exists(s.contains))
+      val bloomOk = blooms.forall(vs =>
+        vs.exists(v => TxnLake.bloomMightContain(e.bloom, v)))
+      zoneOk && partOk && bloomOk
+    }
+  }
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]):
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val keep = prunedEntries(filters.toIndexedSeq)
+    val base = TxnLake.readEntries(spark, dir, physSchema, keep,
+      renames = manifest.renames)
+    val filtered = filters.toSeq.flatMap(toColumn)
+      .foldLeft(base)((df, c) => df.filter(c))
+    (if (requiredColumns.isEmpty) filtered.select()
+     else filtered.select(requiredColumns.toIndexedSeq.map(col): _*)).rdd
   }
 }
 

@@ -143,7 +143,11 @@ final class WavPcmCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
   /** PCM16 samples from a RIFF/WAVE container; null = not decodable
     * (malformed header, compressed audio, truncated chunk) — the
     * caller falls back rather than failing the partition. */
-  private def parsePcm16(p: Array[Byte]): Array[Short] = {
+  private def parsePcm16(p: Array[Byte]): Array[Short] =
+    try parsePcm16Unsafe(p)
+    catch { case _: RuntimeException => null } // corrupt container ⇒ fall back, never fail the task
+
+  private def parsePcm16Unsafe(p: Array[Byte]): Array[Short] = {
     def le32(o: Int): Int =
       (p(o) & 0xFF) | (p(o + 1) & 0xFF) << 8 | (p(o + 2) & 0xFF) << 16 | (p(o + 3) & 0xFF) << 24
     def le16(o: Int): Int = (p(o) & 0xFF) | (p(o + 1) & 0xFF) << 8
@@ -155,7 +159,8 @@ final class WavPcmCodec(fallback: MediaCodec = StubCodec) extends MediaCodec {
     while (off + 8 <= p.length) {
       val id = tag(off)
       val sz = le32(off + 4)
-      if (sz < 0 || off + 8 + sz > p.length) return null
+      // Long math: a crafted size near Int.MaxValue must not wrap the bound negative.
+      if (sz < 0 || off.toLong + 8L + sz > p.length) return null
       if (id == "fmt ")
         fmtOk = sz >= 16 && le16(off + 8) == 1 && le16(off + 8 + 14) == 16
       else if (id == "data") {

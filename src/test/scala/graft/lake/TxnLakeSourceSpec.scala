@@ -114,14 +114,63 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
     val mid = (mtime(0L) + mtime(1L)) / 2
     assert(TxnLake.versionAsOfTimestamp(spark, dir, mid) === 0L)
     assert(TxnLake.readAsOf(spark, dir, mid).count() === 1L)
+    // IN-COMMIT TIMESTAMPS: the clock lives INSIDE the records, strictly
+    // monotonic — mtime may truncate to coarser granularity, so the
+    // records' own clock is the query boundary
+    def ict(v: Long) = TxnLake.readRecord(fs,
+      new org.apache.hadoop.fs.Path(dir, f"_graft_log/v$v%08d.json")).ts
     assert(spark.read.format("graft-txn")
       .option("timestampAsOf", mid.toString).load(dir).count() === 1L)
     assert(spark.read.format("graft-txn")
-      .option("timestampAsOf", java.time.Instant.ofEpochMilli(mtime(1L)).toString)
+      .option("timestampAsOf", java.time.Instant.ofEpochMilli(ict(1L)).toString)
       .load(dir).count() === 2L)
     intercept[IllegalArgumentException] {
-      TxnLake.versionAsOfTimestamp(spark, dir, mtime(0L) - 10000L)
+      TxnLake.versionAsOfTimestamp(spark, dir, ict(0L) - 10000L)
     }
+    assert(ict(0L) > 0L && ict(1L) > ict(0L),
+      "records must carry monotonic in-commit timestamps")
+    val logNio = java.nio.file.Paths.get(dir, "_graft_log")
+    val bogus = java.nio.file.attribute.FileTime.fromMillis(ict(1L) + 3600000L)
+    java.nio.file.Files.list(logNio).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, bogus)) // simulate distcp/rsync
+    assert(TxnLake.versionAsOfTimestamp(spark, dir, mid) === 0L,
+      "timestamp travel must resolve off in-commit timestamps, not mtimes")
+    assert(TxnLake.versionAsOfTimestamp(spark, dir, ict(1L)) === 1L)
+  }
+
+  test("DV fallback keeps manifest pruning: files drop BEFORE any data read") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+    val dir = priceTable()
+    TxnLake.deleteWhere(spark, dir, col("id") === "p1-0")
+    val m = TxnLake.resolve(spark, dir).get
+    assert(m.files.exists(_.dv.nonEmpty), "precondition: a DV is outstanding")
+    val rel = new TxnDvRelation(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl), m)
+    val all = rel.prunedEntries(Nil).size
+    assert(all >= 3)
+    assert(rel.prunedEntries(Seq(GreaterThanOrEqual("price", 2000.0))).size < all,
+      "zone maps must keep pruning under outstanding DVs")
+    assert(rel.prunedEntries(Seq(EqualTo("part", "p2"))).size < all,
+      "partition values must keep pruning under outstanding DVs")
+    // pruning is conservative: results through the fallback stay exact
+    assert(lake(dir).filter(col("price") >= 2000.0).count() === 20)
+    assert(lake(dir).filter(col("part") === "p1").count() === 19)
+    assert(lake(dir).count() === 59)
+  }
+
+  test("rename fallback prunes on stats/partition predicates and serves logical names") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = priceTable()
+    TxnLake.renameColumn(spark, dir, "id", "doc_id")
+    val m = TxnLake.resolve(spark, dir).get
+    val rel = new TxnDvRelation(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl), m)
+    val all = rel.prunedEntries(Nil).size
+    assert(rel.prunedEntries(Seq(EqualTo("part", "p3"))).size < all,
+      "a rename elsewhere must not disable partition pruning")
+    val got = lake(dir).filter(col("part") === "p3").select("doc_id")
+    assert(got.columns.toSeq === Seq("doc_id"))
+    assert(got.count() === 20)
   }
 
   test("SQL catalog: CREATE TABLE USING graft-txn answers spark.sql with pruning") {

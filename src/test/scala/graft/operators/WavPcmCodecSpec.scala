@@ -77,6 +77,27 @@ class WavPcmCodecSpec extends AnyFunSuite with SparkTestSession {
     assert(real === stub, "undecodable payloads must take the fallback path")
   }
 
+  test("a crafted chunk size near Int.MaxValue falls back instead of wrapping the bounds check") {
+    // a corrupt/adversarial RIFF declaring a ~2GB data chunk: Int
+    // arithmetic would wrap `off + 8 + sz` negative, bypass the bounds
+    // check and try to allocate ~1G samples / read out of bounds —
+    // the Long-math check must send it down the fallback path instead
+    def evil(sz: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+      def le16(v: Int): Unit = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xFF))
+      tag("RIFF"); le32(0); tag("WAVE")
+      tag("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      tag("data"); le32(sz); (0 until 64).foreach(_ => out.write(1))
+      out.toByteArray
+    }
+    val payloads = Seq(evil(Int.MaxValue - 4) -> "wav", evil(0x7FFFFFF0) -> "wav")
+    val real = vecs(corpus(payloads), new WavPcmCodec)
+    val stub = vecs(corpus(payloads), StubCodec)
+    assert(real === stub, "overflowing chunk sizes must take the fallback path")
+  }
+
   test("codecs compose across modalities: png rows decode pixels, wav rows decode samples") {
     val image = png(8, 8, (x, y) => (x * 30) << 16 | (y * 30) << 8)
     val df = corpus(Seq(image -> "png", wav(tone) -> "wav", wav(tone, pre = 32) -> "wav"))
