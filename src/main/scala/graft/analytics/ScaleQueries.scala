@@ -1198,7 +1198,57 @@ object ScaleQueries {
       |FROM final GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk14 — row-level `UPDATE ... SET` ([[graft.lake.TxnLake
+    * .updateWhere]]) as MERGE-ON-READ: update #1 raises cheap parts'
+    * prices through a stats-column predicate (matched rows are doomed
+    * via a deletion-vector sidecar, post-images staged as new files,
+    * one atomic commit — no touched file is rewritten, pinned in
+    * `UpdateWhereSpec`); update #2 rewrites the PARTITION column, so
+    * rows migrate partitions through the same commit path. The oracle
+    * replays both updates as CASE expressions over the base table — a
+    * hash match proves no row doubled, vanished, or kept a stale
+    * image. At 100 TB this is the UPDATE shape that moves O(matched
+    * rows), not O(touched files). */
+  private def lk14(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk14")
+      .resolve("part_lake").toString
+    val base = graft.Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice").cast("decimal(12,2)").as("p_price"))
+    TxnLake.create(s, dir, base, "p_brand", statsCol = Some("p_price"))
+    TxnLake.updateWhere(s, dir, col("p_price") < lit(1000.0),
+      Map("p_price" -> (col("p_price") + 100).cast("decimal(12,2)")))
+    TxnLake.updateWhere(s, dir, col("p_brand") === "Brand#55",
+      Map("p_brand" -> lit("Brand#99")))
+    TxnLake.read(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("p_price")).cast("double").as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val lk14Sql =
+    """WITH base AS (
+      |  SELECT p_partkey, p_brand,
+      |    CAST(p_retailprice AS DECIMAL(12,2)) AS p_price
+      |  FROM part),
+      |u1 AS (
+      |  SELECT p_partkey, p_brand,
+      |    CASE WHEN p_price < 1000.0
+      |      THEN CAST(p_price + 100 AS DECIMAL(12,2)) ELSE p_price END AS p_price
+      |  FROM base),
+      |u2 AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_brand = 'Brand#55' THEN 'Brand#99' ELSE p_brand END AS p_brand,
+      |    p_price
+      |  FROM u1)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p_price) AS DOUBLE) AS sum_price
+      |FROM u2 GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk14_update" -> (lk14 _),
     "lk13_rename_column" -> (lk13 _),
     "lk12_restore" -> (lk12 _),
     "lk11_partition_evolution" -> (lk11 _),
@@ -1226,6 +1276,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk14_update" -> lk14Sql,
     "lk13_rename_column" -> lk13Sql,
     "lk12_restore" -> lk12Sql,
     "lk11_partition_evolution" -> lk11Sql,

@@ -527,6 +527,85 @@ object TxnLake {
     deleted
   }
 
+  /** Row-level `UPDATE ... SET` as a MERGE-ON-READ commit: every live
+    * row matching `predicate` is doomed via a deletion-vector sidecar
+    * (its file is never rewritten) and its updated image — `set`'s
+    * expressions applied over the LOGICAL row — is staged as new files;
+    * ONE atomic commit publishes both, so readers see either the old
+    * snapshot or the fully-updated one, never a row twice or missing.
+    *
+    * Scale shape: cost is O(matched rows) — the DV write plus staging
+    * only the post-images — not O(touched files) as a copy-on-write
+    * UPDATE pays when matched rows are a sliver of the files they sit
+    * in; `optimize(purgeDv = true)` later folds the vectors away. The
+    * SET may change any column including the partition column (rows
+    * migrate partitions via the staged files' own values); zone maps /
+    * blooms for the new rows are recomputed at staging. Under OCC the
+    * commit touches both the doomed rows' partitions and the staged
+    * rows' partitions.
+    *
+    * With the change feed enabled, the commit emits Delta-CDF-style
+    * `update_preimage` / `update_postimage` row pairs.
+    *
+    * Returns the number of rows updated (0 = nothing matched, no
+    * commit published). */
+  def updateWhere(spark: SparkSession, dir: String, predicate: Column,
+                  set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val fs = fsOf(spark, dir)
+    val base = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val logicalNames = schema.fieldNames.map(p => base.renames.getOrElse(p, p)).toSet
+    set.keys.foreach(k => require(logicalNames.contains(k),
+      s"no column '$k' in ${logicalNames.mkString(",")}"))
+    val live = readEntries(spark, dir, schema, base.files, keepMeta = true,
+      renames = base.renames)
+    // 1. DV sidecar over the matched positions (deleteWhere discipline)
+    val dvRel = s"$DvDir/c${newCommitId()}"
+    val dvAbs = s"$dir/$dvRel"
+    live.filter(predicate)
+      .select(col("__txn_file").as("file"), col("__txn_pos").as("pos"))
+      .repartition(col("file")).sortWithinPartitions(col("file"), col("pos"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(dvAbs)
+    val dvMeta = spark.read.parquet(dvAbs)
+      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
+    if (dvMeta.isEmpty) { fs.delete(new Path(dvAbs), true); return 0L }
+    val updatedCount = dvMeta.map(_.getLong(1)).sum
+    val touchedPaths = dvMeta.map(_.getString(0)).toSet
+    val withDv = base.files.filter(f => touchedPaths.contains(f.path))
+      .map(f => f.copy(dv = f.dv :+ dvRel))
+    // 2. post-images: SET over the matched logical rows, physical names
+    // restored for staging (files are always written physical)
+    val post = set.foldLeft(
+      live.filter(predicate).drop("__txn_file", "__txn_pos")) {
+      case (df, (k, v)) => df.withColumn(k, v)
+    }
+    val postPhys = base.renames.foldLeft(post) {
+      case (df, (phys, logical)) => df.withColumnRenamed(logical, phys)
+    }
+    val newFiles = stageFiles(spark, dir, postPhys, base.partCol,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      base.statsCol, base.bloomCol, base.bloomBits)
+    val touched = withDv.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts)
+    // change feed: pre-images re-filter the (immutable) base snapshot;
+    // post-images read the staged bytes themselves — both lazy until
+    // the commit wins its version
+    val feed =
+      if (cdcEnabled(spark, dir))
+        Some(readEntries(spark, dir, schema, base.files, renames = base.renames)
+          .filter(predicate).withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(readEntries(spark, dir, schema, newFiles,
+            renames = base.renames)
+            .withColumn(ChangeTypeCol, lit("update_postimage"))))
+      else None
+    commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
+      touched, touchedPaths, withDv ++ newFiles, base.statsCol, cdc = feed,
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      abortDirs = Seq(dvRel), renames = base.renames, tombstones = base.tombstones))
+    updatedCount
+  }
+
   /** Transactional blind APPEND: stage `rows` as new files and publish —
     * no base file is read, pruned, or rewritten, so ingest cost is
     * O(new data) regardless of table size (the path a high-rate feed
