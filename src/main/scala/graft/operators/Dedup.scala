@@ -297,10 +297,19 @@ object Dedup {
     * <= maxDistance confirms. */
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 8): DataFrame = {
     val sigs = simhashAll(docs)
+    // pin the chunked signatures: the self-join below would otherwise
+    // run the WHOLE simhash pipeline (token explode + 60 vote sums)
+    // once per branch — AQE broadcasts one side, so no exchange reuse
+    // saves it (measured 4 scans / 0 reuse at sf0.1). The cache is
+    // narrow (4 columns, 4 rows per doc) and evicted by the caller's
+    // post-query clearCache; the eager pin prevents the two branches
+    // racing to materialize it.
     val chunks = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("sig"), c * lit(16)).bitwiseAND(lit(0xFFFFL))))
         .as(Seq("chunk", "chunk_val")))
+      .cache()
+    chunks.count()
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
