@@ -518,7 +518,51 @@ object StreamingQueries {
       |GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** st18 — EXACTLY-ONCE streaming ingest into the transactional lake
+    * ([[graft.streaming.LakeSink]]): a checkpointed file stream drains
+    * the events slice in several micro-batches (maxFilesPerTrigger=1),
+    * each committing through [[graft.lake.TxnLake.appendOnce]] with a
+    * persisted `(appId, batchId)` transaction marker — then the query
+    * SIMULATES THE CRASH-REPLAY, re-submitting the ENTIRE input under
+    * the last committed batch id. The marker refuses it; the oracle is
+    * the plain batch aggregate of the slice, so the hash match proves
+    * the replay contributed zero rows (the Delta txnAppId/txnVersion
+    * recipe, idempotence also pinned in `LakeSinkSpec`). At 100 TB each
+    * micro-batch is one blind O(batch) append; replay safety costs one
+    * metadata read per batch. */
+  private def st18(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.LakeSink
+    val root = java.nio.file.Files.createTempDirectory("graft_st18")
+    val in = root.resolve("in").toString
+    val out = root.resolve("t").toString
+    events(s, d).filter(col("user_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(3).write.parquet(in)
+    val sch = s.read.parquet(in).schema
+    LakeSink.startAppend(
+      s.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(in),
+      out, "event_type", "st18", root.resolve("ckpt").toString)
+      .awaitTermination()
+    val last = TxnLake.lastCommittedTxn(s, out, "st18").getOrElse(0L)
+    LakeSink.applyBatch(s.read.parquet(in), out, "event_type", "st18", last)
+    TxnLake.read(s, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"),
+        min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"))
+      .orderBy(col("event_type"))
+  }
+
+  private val st18Sql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_users,
+      |  min(event_id) AS min_ev, max(event_id) AS max_ev
+      |FROM events WHERE user_id % 7 = 0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st18_exactly_once_sink" -> (st18 _),
     "st17_cdc_replication" -> (st17 _),
     "st16_interval_thinning" -> (st16 _),
     "st15_cdc_incremental_mv" -> (st15 _),
@@ -538,6 +582,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st18_exactly_once_sink" -> st18Sql,
     "st17_cdc_replication" -> st17Sql,
     "st16_interval_thinning" -> st16Sql,
     "st15_cdc_incremental_mv" -> st15Sql,

@@ -115,7 +115,9 @@ object TxnLake {
                                         bloomBits: Int = DefaultBloomBits,
                                         renames: Map[String, String] = Map.empty,
                                         tombstones: Set[String] = Set.empty,
-                                        ts: Long = 0L)
+                                        ts: Long = 0L,
+                                        txnApp: Option[String] = None,
+                                        txnVer: Option[Long] = None)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -133,7 +135,8 @@ object TxnLake {
                                   bloomBits: Int = DefaultBloomBits,
                                   abortDirs: Seq[String] = Nil,
                                   renames: Map[String, String] = Map.empty,
-                                  tombstones: Set[String] = Set.empty)
+                                  tombstones: Set[String] = Set.empty,
+                                  txn: Option[(String, Long)] = None)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -620,6 +623,48 @@ object TxnLake {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     stageAppend(spark, dir, base, rows).foreach(commitStaged(spark, dir, _))
+  }
+
+  /** IDEMPOTENT APPEND (Delta's `txnAppId`/`txnVersion` discipline):
+    * append `rows` tagged with an application transaction marker
+    * `(appId, version)` persisted in the commit record. A later call
+    * with the same appId and a version <= the last committed one is a
+    * SILENT NO-OP — the primitive that makes a Structured Streaming
+    * `foreachBatch` sink exactly-once under micro-batch replay
+    * ([[graft.streaming.LakeSink]]): the checkpoint replays batch N
+    * after a crash, the marker says N already landed, nothing doubles.
+    * The check re-runs inside the OCC retry loop, so two concurrent
+    * replays of the same batch can never both commit.
+    *
+    * Returns true if this call committed, false for a replay no-op.
+    * Markers live in the retained log (vacuum-bounded): the idempotency
+    * horizon is log retention, exactly Delta's contract. An EMPTY batch
+    * stages nothing and returns false — replaying it is equally empty,
+    * so skipping the marker is safe. */
+  def appendOnce(spark: SparkSession, dir: String, rows: DataFrame,
+                 appId: String, version: Long): Boolean = {
+    val fs = fsOf(spark, dir)
+    val base = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    if (lastTxnVersion(fs, dir, appId).exists(_ >= version)) return false
+    stageAppend(spark, dir, base, rows) match {
+      case None => false
+      case Some(staged) =>
+        commitStaged(spark, dir, staged.copy(txn = Some((appId, version))))
+    }
+  }
+
+  /** Newest committed transaction version for `appId` among retained
+    * log records (None = never committed or vacuumed past). */
+  def lastCommittedTxn(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    lastTxnVersion(fsOf(spark, dir), dir, appId)
+
+  private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] = {
+    // newest-first: streaming markers cluster at the head, so steady-
+    // state cost is O(1) record reads per micro-batch
+    listVersions(fs, dir).sorted.reverseIterator
+      .map(v => readRecord(fs, manifestPath(dir, v)))
+      .collectFirst { case r if r.txnApp.contains(appId) => r.txnVer.getOrElse(-1L) }
   }
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
@@ -1116,7 +1161,9 @@ object TxnLake {
     * commit touched DISJOINT partitions and left our pruned files
     * intact; otherwise delete the staged files and abort — neither
     * writer's commit is silently lost. */
-  private[lake] def commitStaged(spark: SparkSession, dir: String, staged: Staged): Unit = {
+  /** Returns true when this staged commit published; false when an
+    * application transaction marker proved it a replay (silent no-op). */
+  private[lake] def commitStaged(spark: SparkSession, dir: String, staged: Staged): Boolean = {
     val fs = fsOf(spark, dir)
     var attempts = 0
     while (true) {
@@ -1159,11 +1206,24 @@ object TxnLake {
         if (staged.prunedPaths.isEmpty && head.version > staged.baseVersion)
           (head.partCol, head.schemaDdl, head.renames, head.tombstones)
         else (staged.partCol, staged.schemaDdl, staged.renames, staged.tombstones)
+      // IDEMPOTENT WRITES (Delta's txnAppId/txnVersion discipline): a
+      // commit carrying an application transaction marker re-checks
+      // the log INSIDE the retry loop — if any committed version
+      // already recorded this app at >= this batch version (a replayed
+      // micro-batch, or a concurrent replay that won the race), the
+      // staged files are dropped and the commit is a silent no-op.
+      staged.txn.foreach { case (app, ver) =>
+        if (lastTxnVersion(fs, dir, app).exists(_ >= ver)) {
+          dropStagedFiles(fs, dir, staged)
+          return false
+        }
+      }
       val rec = CommitRecord(head.version + 1, newCommitId(), recPartCol,
         recSchema, staged.touched, staged.newFiles, staged.prunedPaths,
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
         bloomBits = staged.bloomBits, renames = recRenames,
-        tombstones = recTombstones)
+        tombstones = recTombstones, txnApp = staged.txn.map(_._1),
+        txnVer = staged.txn.map(_._2))
       if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
@@ -1177,10 +1237,11 @@ object TxnLake {
         // [[changes]]' snapshot diff stays the recovery path.
         staged.cdc.foreach(rows => writeCdc(spark, dir, rec.version, rows))
         if (staged.cdcCopy.nonEmpty) copyCdcFiles(spark, dir, rec.version, staged.cdcCopy)
-        return
+        return true
       }
       // lost the version-number race; loop re-resolves and re-checks
     }
+    throw new IllegalStateException("unreachable") // while(true) exits via return
   }
 
   /** Delete data files no longer referenced by the newest
@@ -1714,6 +1775,8 @@ object TxnLake {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
       r.touched, r.statsCol, r.bloomCol, r.bloomBits, r.renames, r.tombstones)
     if (r.ts > 0) root.put("ts", r.ts)
+    r.txnApp.foreach(root.put("txnApp", _))
+    r.txnVer.foreach { v => root.put("txnVer", v); () }
     addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -1799,7 +1862,9 @@ object TxnLake {
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
       renames = parseRenames(root), tombstones = parseTombstones(root),
-      ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L))
+      ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L),
+      txnApp = Option(root.get("txnApp")).map(_.asText()),
+      txnVer = Option(root.get("txnVer")).map(_.asLong()))
   }
 
   /** IN-COMMIT TIMESTAMP (Delta's ICT discipline): strictly monotonic
