@@ -1247,7 +1247,58 @@ object ScaleQueries {
       |FROM u2 GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** lk15 — TYPE WIDENING ([[graft.lake.TxnLake.widenColumn]]): the
+    * key column widens int→long and the price column float→double in
+    * two metadata-only commits (zero files rewritten — pinned in
+    * `TypeWideningSpec`), then rows that only FIT the wide types
+    * (keys past 2^31) append on top; the narrow-era files up-convert
+    * at scan time via Spark 4's native parquet type promotion. The
+    * oracle replays both eras relationally — the hash match proves old
+    * and new files aggregate as one type with no value drift (float→
+    * double is exact in IEEE). At 100 TB this is "our int32 ids
+    * overflowed" solved by a millisecond commit instead of a
+    * full-table rewrite. */
+  private def lk15(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk15")
+      .resolve("orders_lake").toString
+    def slice(m: Int) = orders(s, d).filter(col("o_orderkey") % 9 === m)
+    TxnLake.create(s, dir, slice(0)
+      .select(col("o_orderkey").cast("int").as("okey"), col("o_orderstatus"),
+        col("o_totalprice").cast("float").as("price")),
+      "o_orderstatus")
+    TxnLake.widenColumn(s, dir, "okey", LongType)
+    TxnLake.widenColumn(s, dir, "price", DoubleType)
+    TxnLake.append(s, dir, slice(3)
+      .select((col("o_orderkey").cast("long") + 3000000000L).as("okey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("float").cast("double").as("price")))
+    TxnLake.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
+        min(col("price")).as("min_price"), max(col("price")).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk15Sql =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS okey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 0),
+      |extra AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) + 3000000000 AS okey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 3),
+      |final AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(okey) AS BIGINT) AS sum_okey,
+      |  min(price) AS min_price, max(price) AS max_price
+      |FROM final GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk15_type_widening" -> (lk15 _),
     "lk14_update" -> (lk14 _),
     "lk13_rename_column" -> (lk13 _),
     "lk12_restore" -> (lk12 _),
@@ -1276,6 +1327,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk15_type_widening" -> lk15Sql,
     "lk14_update" -> lk14Sql,
     "lk13_rename_column" -> lk13Sql,
     "lk12_restore" -> lk12Sql,

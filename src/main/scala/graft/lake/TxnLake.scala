@@ -819,6 +819,69 @@ object TxnLake {
     * any current logical name. Under OCC a rename is a layout change:
     * staged rewrites from before it abort rather than republishing the
     * old mapping. */
+  /** TYPE WIDENING (Delta's type-widening evolution): change a column
+    * to a strictly WIDER type in one metadata-only commit — zero files
+    * rewritten. Existing files keep the narrow physical type forever;
+    * Spark 4's parquet reader up-converts at scan time (INT32→LONG,
+    * FLOAT→DOUBLE, INT→DECIMAL are native vectorized promotions, pinned
+    * in `TypeWideningSpec`), and files staged after the commit are born
+    * wide. Allowed promotions are the lossless lattice
+    * byte→short→int→long, float→double, byte/short/int/long→decimal(p,0)
+    * with p large enough — anything lossy fails loudly. The partition
+    * column is refused (its manifest values are rendered strings;
+    * float-family widenings change the rendering) and the bloom column
+    * is string-typed by construction. [[changes]] treats the widen
+    * commit as a schema barrier like any other evolution. At 100 TB
+    * this turns "our int32 ids overflowed" from a full-table rewrite
+    * into a millisecond commit. */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+                  newType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => -1
+    }
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(t) > rank(f)
+      case (FloatType, DoubleType) => true
+      case (f, d: DecimalType) if rank(f) > 0 && d.scale == 0 =>
+        // decimal must hold every value of the integral type
+        d.precision >= Seq(3, 5, 10, 20)(rank(f) - 1)
+      case _ => false
+    }
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"widenColumn retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      val fields = StructType.fromDDL(head.schemaDdl)
+      val logicalOf = fields.fieldNames.map(p => head.renames.getOrElse(p, p) -> p).toMap
+      require(logicalOf.contains(name), s"no column '$name' in ${logicalOf.keys.mkString(",")}")
+      val phys = logicalOf(name)
+      require(phys != head.partCol,
+        s"cannot widen partition column '$name' — manifest partition values are rendered strings")
+      val from = fields(fields.fieldIndex(phys)).dataType
+      require(widens(from, newType),
+        s"'$name': ${from.simpleString} -> ${newType.simpleString} is not a lossless widening")
+      val schema = StructType(fields.map(f =>
+        if (f.name == phys) f.copy(dataType = newType) else f))
+      val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
+        schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits,
+        renames = head.renames, tombstones = head.tombstones)
+      if (publishRecord(fs, dir, rec)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
+            Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
+            bloomBits = head.bloomBits, renames = head.renames,
+            tombstones = head.tombstones))
+        return
+      }
+    }
+  }
+
   def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
     val fs = fsOf(spark, dir)
     var attempts = 0
