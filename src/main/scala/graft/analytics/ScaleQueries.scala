@@ -1297,7 +1297,74 @@ object ScaleQueries {
       |FROM final GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk16 — SLOWLY-CHANGING DIMENSION TYPE 2 ([[graft.lake.Scd2]]):
+    * three loads over a customer-segment dimension — init, an update
+    * batch (some rows changed, some byte-identical no-ops, some brand
+    * new keys), and a second change to already-changed keys — each
+    * close+open pair landing through ONE transactional upsert on the
+    * `key:valid_from` surrogate. The oracle enumerates every validity
+    * era relationally; the hash match proves chains never fork (one
+    * open row per key), no-ops left no row, and intervals seal at
+    * exactly the load that superseded them (mechanics pinned in
+    * `Scd2Spec`). Chains co-locate by key-hash bucket, so at 100 TB an
+    * apply rewrites only buckets containing changed keys — history
+    * depth is free. */
+  private def lk16(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.Scd2
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk16")
+      .resolve("dim").toString
+    val base = graft.Tables.customer(s, d).filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    Scd2.init(s, dir, base, "c_custkey", version = 1L)
+    Scd2.apply(s, dir,
+      base.filter(col("c_custkey") % 20 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .unionByName(base.filter(col("c_custkey") % 28 === 0)) // no-ops
+        .unionByName(base.filter(col("c_custkey") % 40 === 0)
+          .select((col("c_custkey") + 900000).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"))),
+      "c_custkey", version = 2L)
+    Scd2.apply(s, dir,
+      base.filter(col("c_custkey") % 40 === 0)
+        .withColumn("c_mktsegment", lit("MOVED2")),
+      "c_custkey", version = 3L)
+    graft.lake.TxnLake.read(s, dir)
+      .groupBy(col("c_mktsegment").as("seg"), col("is_current"))
+      .agg(count(lit(1)).as("n"), sum(col("valid_from")).as("sum_from"),
+        sum(when(col("valid_to") === Scd2.OpenVersion, 0L)
+          .otherwise(col("valid_to"))).as("sum_to_closed"))
+      .orderBy(col("seg"), col("is_current"))
+  }
+
+  private val lk16Sql =
+    """WITH s AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+      |  WHERE c_custkey % 4 = 0),
+      |era1 AS (
+      |  SELECT k, seg, 1 AS vf,
+      |    CASE WHEN k % 20 = 0 THEN 2 ELSE 0 END AS vt,
+      |    (k % 20 <> 0) AS cur FROM s),
+      |era2 AS (
+      |  SELECT k, 'MOVED' AS seg, 2 AS vf,
+      |    CASE WHEN k % 40 = 0 THEN 3 ELSE 0 END AS vt,
+      |    (k % 40 <> 0) AS cur FROM s WHERE k % 20 = 0),
+      |era3 AS (
+      |  SELECT k, 'MOVED2' AS seg, 3 AS vf, 0 AS vt, TRUE AS cur
+      |  FROM s WHERE k % 40 = 0),
+      |eranew AS (
+      |  SELECT k + 900000 AS k, 'NEW' AS seg, 2 AS vf, 0 AS vt, TRUE AS cur
+      |  FROM s WHERE k % 40 = 0),
+      |rows_all AS (
+      |  SELECT * FROM era1 UNION ALL SELECT * FROM era2
+      |  UNION ALL SELECT * FROM era3 UNION ALL SELECT * FROM eranew)
+      |SELECT seg, cur AS is_current, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(vf) AS BIGINT) AS sum_from,
+      |  CAST(sum(vt) AS BIGINT) AS sum_to_closed
+      |FROM rows_all GROUP BY seg, cur
+      |ORDER BY seg, cur""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "lk16_scd2" -> (lk16 _),
     "lk15_type_widening" -> (lk15 _),
     "lk14_update" -> (lk14 _),
     "lk13_rename_column" -> (lk13 _),
@@ -1327,6 +1394,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk16_scd2" -> lk16Sql,
     "lk15_type_widening" -> lk15Sql,
     "lk14_update" -> lk14Sql,
     "lk13_rename_column" -> lk13Sql,

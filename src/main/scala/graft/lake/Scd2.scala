@@ -1,0 +1,114 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SLOWLY-CHANGING DIMENSION, TYPE 2 — full history with validity
+  * intervals, the classic warehouse discipline (Kimball) on top of
+  * [[TxnLake]]'s transactional upsert.
+  *
+  * Each business key holds a CHAIN of rows: `valid_from` / `valid_to`
+  * version bounds (`valid_to = Long.MaxValue` sentinel = open) and an
+  * `is_current` flag. [[apply]] takes a batch of dimension updates and,
+  * for every key whose attributes actually CHANGED (null-safe compare;
+  * unchanged rows are no-ops), closes the open row and opens a new one
+  * — both through ONE transactional upsert on the surrogate id
+  * `key:valid_from`, so the close+open pair is atomic: readers see the
+  * old chain or the new chain, never a key with zero or two open rows.
+  * Unknown keys insert as new chains.
+  *
+  * Scale shape: rows partition by a HASH BUCKET of the business key, so
+  * a key's whole chain co-locates and an apply rewrites only the
+  * buckets containing changed keys — never the full history (the reason
+  * the table does NOT partition by `is_current`: closing a row would
+  * migrate it into one giant history partition that every apply
+  * rewrites). The changed-key detection is one broadcast-or-shuffle
+  * join of the update batch against open rows; history depth costs
+  * nothing (closed rows are never read by [[apply]]).
+  *
+  * [[asOf]] reconstructs the dimension at any version with a pure
+  * interval filter — the batch-side of an as-of fact join — and
+  * [[current]] is a partition-pruned-by-flag-free filter over open
+  * rows. Time travel ([[TxnLake.readVersion]]) still works underneath,
+  * but SCD2 answers "what did the dimension SAY as of load 7" even
+  * after vacuum drops old snapshots — the history lives in the DATA.
+  */
+object Scd2 {
+
+  /** Open-interval sentinel (printable, sortable, never a real load id). */
+  val OpenVersion: Long = Long.MaxValue
+
+  private val Meta = Seq("scd_id", "scd_bucket", "valid_from", "valid_to", "is_current")
+
+  private def withMeta(rows: DataFrame, key: String, version: Long,
+                       buckets: Int): DataFrame =
+    rows
+      .withColumn("scd_id", concat_ws(":", col(key).cast("string"), lit(version)))
+      .withColumn("scd_bucket", pmod(xxhash64(col(key).cast("string")), lit(buckets)))
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(OpenVersion))
+      .withColumn("is_current", lit(true))
+
+  /** Create the dimension table from its initial snapshot at `version`. */
+  def init(spark: SparkSession, dir: String, dim: DataFrame, key: String,
+           version: Long, buckets: Int = 16): Unit =
+    TxnLake.create(spark, dir, withMeta(dim, key, version, buckets), "scd_bucket")
+
+  /** Apply one batch of updates at `version` (monotonically increasing
+    * load id). Attribute columns = every update column except the key;
+    * they must all exist in the dimension. Returns the number of keys
+    * whose chain advanced (changed + new). */
+  def apply(spark: SparkSession, dir: String, updates: DataFrame, key: String,
+            version: Long): Long = {
+    val tbl = TxnLake.read(spark, dir)
+    val attrs = updates.columns.filterNot(_ == key).toSeq
+    val bad = attrs.toSet -- tbl.columns.toSet
+    require(bad.isEmpty, s"updates carry unknown columns ${bad.mkString(",")}")
+    val buckets = tbl.select(max(col("scd_bucket"))).collect()
+      .headOption.map(_.getLong(0).toInt + 1).getOrElse(16)
+    val cur = tbl.filter(col("is_current"))
+    val joined = updates.as("u")
+      .join(cur.as("c"), col(s"u.$key") === col(s"c.$key"), "left")
+    val differs = attrs.map(a => !(col(s"u.$a") <=> col(s"c.$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val toApply = joined.filter(col(s"c.scd_id").isNull || differs)
+    // closing rows keep the OPEN row's surrogate id (same scd_id ⇒ the
+    // upsert REPLACES it) with the interval sealed at this version
+    val closing = toApply.filter(col(s"c.scd_id").isNotNull)
+      .select(tbl.columns.map(c => col(s"c.$c")).toIndexedSeq: _*)
+      .withColumn("valid_to", lit(version))
+      .withColumn("is_current", lit(false))
+    // opening rows are born at this version with a fresh surrogate id
+    val opening = withMeta(
+      toApply.select(col(s"u.$key").as(key) +:
+        attrs.map(a => col(s"u.$a").as(a)): _*),
+      key, version, buckets)
+      .select(tbl.columns.map(col).toIndexedSeq: _*)
+    val delta = closing.unionByName(opening)
+    val n = opening.count()
+    if (n > 0) TxnLake.upsert(spark, dir, delta, "scd_id")
+    n
+  }
+
+  /** Open rows only — the dimension NOW. */
+  def current(spark: SparkSession, dir: String): DataFrame =
+    TxnLake.read(spark, dir).filter(col("is_current"))
+
+  /** The dimension as of load `version`: interval containment, pure
+    * filter — no log replay, works past vacuum horizons. */
+  def asOf(spark: SparkSession, dir: String, version: Long): DataFrame =
+    TxnLake.read(spark, dir)
+      .filter(col("valid_from") <= version && col("valid_to") > version)
+
+  /** Fact-side AS-OF join: each fact row (carrying `versionCol`, the
+    * load id it was observed under) joins the dimension row whose
+    * validity interval contains it. */
+  def joinAsOf(facts: DataFrame, dim: DataFrame, key: String,
+               versionCol: Column): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key) &&
+        dim("valid_from") <= versionCol && dim("valid_to") > versionCol)
+
+  /** Drop helper columns for presentation. */
+  def business(df: DataFrame): DataFrame = Meta.foldLeft(df)(_ drop _)
+}
