@@ -566,7 +566,38 @@ object AdvancedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q66 — ANSI FILTER-clause aggregates (SQL:2003): per return flag,
+    * plain, filtered, filtered-DECIMAL-sum and filtered-DISTINCT
+    * aggregates in ONE grouping pass — the idiom that replaces N
+    * self-joins or CASE pyramids with per-aggregate predicates (each
+    * FILTER gates its own partial aggregation; map-side combine keeps
+    * one shuffle). The sum runs in DECIMAL (exact, order-independent)
+    * and casts to double only at the edge. */
+  private def q66(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count(*) FILTER (WHERE l_quantity > 25)").as("n_heavy"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(14,2))) FILTER (WHERE l_discount > 0.05)")
+          .cast("double").as("rev_disc"),
+        expr("count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F')")
+          .as("supp_f"))
+      .orderBy(col("l_returnflag"))
+
+  private val q66Sql =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_heavy,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+      |    FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS rev_disc,
+      |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS supp_f
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q66_filtered_agg" -> (q66 _),
     "q65_inverse_distribution" -> (q65 _),
     "q64_listagg" -> (q64 _),
     "q63_window_distinct" -> (q63 _),
@@ -587,6 +618,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q66_filtered_agg" -> q66Sql,
     "q65_inverse_distribution" -> q65Sql,
     "q64_listagg" -> q64Sql,
     "q63_window_distinct" -> q63Sql,

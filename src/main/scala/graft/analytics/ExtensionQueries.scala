@@ -2860,6 +2860,38 @@ object ExtensionQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** sp10 — per-source QUOTA CAP ([[Sampling.quotaSample]]): at most
+    * 30 documents per source, picked by the deterministic hash priority
+    * — "cap every domain at N pages", the crawl-balance op that keeps
+    * one giant domain from dominating a corpus. The oracle replays the
+    * exact (bucket, id) ranking; the two-phase bucket-pruned window
+    * keeps skewed strata off single tasks at 100 TB. */
+  private def sp10(s: SparkSession, d: String): DataFrame =
+    Sampling.quotaSample(documents(s, d), "doc_id", "source", 30)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("source"))
+
+  private val sp10Sql = {
+    val (a, b, c) = Sampling.MixConsts
+    s"""WITH b AS (SELECT doc_id, source,
+       |  (($a*((h*h) % 1000000007) + $b*h + $c) % 1000000007) % 10000 AS bucket
+       |  FROM (SELECT doc_id, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+       |        i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i]) AS BIGINT))),
+       |      (acc, ch) -> (acc*31 + ch) % 1000000007) AS h
+       |    FROM documents)),
+       |r AS (SELECT doc_id, source, row_number() OVER
+       |  (PARTITION BY source ORDER BY bucket, doc_id) AS rn FROM b)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM r WHERE rn <= 30 GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   private val sp09Sql =
     """WITH pri AS (
       |  SELECT doc_id, n_chars,
@@ -2873,6 +2905,7 @@ object ExtensionQueries {
 
   val defs: Map[String, Q] = Map(
     "dd17_url_dedup" -> (dd17 _),
+    "sp10_quota_cap" -> (sp10 _),
     "sp09_weighted_sample" -> (sp09 _),
     "tx18_zipf_slope" -> (tx18 _),
     "tx19_vocab_growth" -> (tx19 _),
@@ -2944,6 +2977,7 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = Map(
     "dd17_url_dedup" -> dd17Sql,
+    "sp10_quota_cap" -> sp10Sql,
     "sp09_weighted_sample" -> sp09Sql,
     "tx18_zipf_slope" -> tx18Sql,
     "tx19_vocab_growth" -> tx19Sql,

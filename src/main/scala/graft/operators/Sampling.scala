@@ -67,6 +67,34 @@ object Sampling {
     df.filter(bucketOf(col(idCol)) < cut)
   }
 
+  /** QUOTA CAP: keep at most `n` rows per stratum, chosen by the
+    * deterministic hash priority ([[bucketOf]] asc, id asc) — the crawl
+    * op "cap every domain at N pages": bias-free (priority is a uniform
+    * seeded hash, not arrival or crawl order) and exactly reproducible
+    * (sp10's DuckDB oracle replays the ranking).
+    *
+    * Scale shape — never one window task per raw stratum: phase 1 ranks
+    * within (stratum, priority-bucket) — ≤ [[Buckets]] bounded
+    * partitions per stratum — and prunes to local rank ≤ n (a row
+    * outside its bucket's top-n cannot make the stratum's top-n, since
+    * bucket is the leading sort key); phase 2 ranks the ≤ n·Buckets
+    * survivors. A giant domain's skew lands on phase 2's BOUNDED input,
+    * never the corpus. */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n must be positive, got $n")
+    val withP = df.withColumn("__q_p", bucketOf(col(idCol)))
+    val local = Window.partitionBy(col(stratumCol), col("__q_p"))
+      .orderBy(col(idCol))
+    val pruned = withP.withColumn("__q_lr", row_number().over(local))
+      .filter(col("__q_lr") <= n).drop("__q_lr")
+    val global = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__q_p"), col(idCol))
+    pruned.withColumn("__q_r", row_number().over(global))
+      .filter(col("__q_r") <= n)
+      .drop("__q_p", "__q_r")
+  }
+
   /** Systematic PPS sampling (probability proportional to size, Madow's
     * systematic scheme): select ~`k` rows per stratum with inclusion
     * probability ∝ `weightCol`. Rows are laid on a weight line in the
