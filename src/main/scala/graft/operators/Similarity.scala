@@ -38,7 +38,16 @@ object Similarity {
     * bounds) and `coalesce` zeroes the excess, so one over-provisioned
     * plane literal serves any embedding width without probing the data
     * (no plan-build-time job) and per-row cost stays ∝ actual width. */
-  def signature(vec: Column, ps: Seq[Seq[Double]]): Column = {
+  def signature(vec: Column, ps: Seq[Seq[Double]]): Column =
+    VectorFunctions.hyperplaneSignature(vec, ps)
+
+  /** Reference HOF formulation of [[signature]] — one transform +
+    * aggregate per bit. Kept as the differential oracle for the fused
+    * codegen expression ([[graft.functions.HyperplaneSignature]]), which
+    * must match it bit-for-bit (`HyperplaneSignatureSpec`); the fused
+    * form replaces 16 traversals + 16 array allocations per row with
+    * one pass. */
+  private[graft] def signatureHof(vec: Column, ps: Seq[Seq[Double]]): Column = {
     val v = vec.cast("array<double>")
     val bits = ps.zipWithIndex.map { case (p, i) =>
       val pl = typedLit(p)
