@@ -1,8 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, quality scoring, marker-based language ID, document
@@ -86,6 +91,13 @@ object TextFunctions {
     * and the MinHash/SimHash families (which need a hash any engine can
     * reproduce — the point of making dedup oracle-checkable). */
   def stringHash(t: Column): Column =
+    CatalystBridge.column(StringPolyHash(CatalystBridge.expression(t)))
+
+  /** Reference HOF formulation of [[stringHash]] — kept as the
+    * differential oracle for the fused [[StringPolyHash]] codegen
+    * expression (`StringPolyHashSpec`), which must match it value-for-
+    * value on every string. */
+  private[graft] def stringHashHof(t: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
       lit(0L),
@@ -109,5 +121,69 @@ object TextFunctions {
     }
     when(size(ts) >= n, slice(joined, lit(1), size(ts) - n + 1))
       .otherwise(array().cast(ArrayType(StringType)))
+  }
+}
+
+/** `stringHash(string) -> bigint`: the portable base-31 polynomial
+  * rolling hash `acc = (acc·31 + codepoint) mod 1e9+7` as ONE fused
+  * codegen loop over the UTF-8 bytes. The HOF formulation
+  * ([[TextFunctions.stringHashHof]]) materializes an index array, a
+  * one-char UTF8String, and an interpreted lambda dispatch PER
+  * CHARACTER — this sits under every minhash shingle, simhash token,
+  * winnowing gram and sampling bucket, so it is the single hottest
+  * scalar in the dedup/text families. Iterates by Unicode CODE POINT
+  * (decoding UTF-8 inline, ASCII fast path) — exactly the
+  * `ascii(substr(i,1))` semantics of the HOF and of the DuckDB oracles
+  * that replay the hash, pinned value-for-value in
+  * `StringPolyHashSpec`. */
+case class StringPolyHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    StringPolyHash.hash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringPolyHash.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "string_poly_hash"
+}
+
+object StringPolyHash {
+  private val P = 1000000007L
+
+  /** Static so generated code calls one monomorphic site. Decodes the
+    * UTF-8 code points inline; truncated trailing sequences (never
+    * produced by Spark's validated UTF8Strings) terminate the loop
+    * rather than reading out of bounds. */
+  def hash(s: UTF8String): Long = {
+    val bs = s.getBytes
+    var acc = 0L
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xFF
+      var cp = 0
+      var len = 0
+      if (b < 0x80) { cp = b; len = 1 }
+      else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+      else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+      else { cp = b & 0x07; len = 4 }
+      if (i + len > bs.length) return acc // malformed tail: stop
+      var k = 1
+      while (k < len) { cp = (cp << 6) | (bs(i + k) & 0x3F); k += 1 }
+      acc = (acc * 31L + cp) % P
+      i += len
+    }
+    acc
   }
 }
