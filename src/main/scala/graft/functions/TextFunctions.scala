@@ -93,6 +93,19 @@ object TextFunctions {
   def stringHash(t: Column): Column =
     CatalystBridge.column(StringPolyHash(CatalystBridge.expression(t)))
 
+  /** All token hashes of a document in ONE fused pass: split on the
+    * single-space separator and roll the [[stringHash]] polynomial per
+    * token, emitting `array<long>` directly — no token strings
+    * materialize, no per-token rows explode. Replaces the
+    * explode + collect_list round-trip [[graft.operators.Dedup
+    * .signatures]] used to keep the char loop out of HOF lambda bodies:
+    * the minhash pipeline drops a whole corpus-token-scale shuffle.
+    * Element-for-element equal to `transform(tokens(text), stringHash)`
+    * including empty tokens from doubled/trailing separators
+    * (`split`'s limit=-1 semantics), pinned in `StringPolyHashSpec`. */
+  def tokenHashes(t: Column): Column =
+    CatalystBridge.column(TokenHashes(CatalystBridge.expression(t)))
+
   /** Reference HOF formulation of [[stringHash]] — kept as the
     * differential oracle for the fused [[StringPolyHash]] codegen
     * expression (`StringPolyHashSpec`), which must match it value-for-
@@ -159,8 +172,68 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "string_poly_hash"
 }
 
+/** `tokenHashes(string) -> array<bigint>` — see
+  * [[TextFunctions.tokenHashes]]. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    StringPolyHash.hashTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringPolyHash.hashTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_hashes"
+}
+
 object StringPolyHash {
   private val P = 1000000007L
+
+  /** One pass: split on 0x20 (a single byte that never occurs inside a
+    * multi-byte UTF-8 sequence) and roll the polynomial per segment.
+    * Keeps empty segments — `split(text, " ")`'s limit=-1 semantics. */
+  def hashTokens(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bs = s.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < bs.length) { if (bs(i) == 0x20) spaces += 1; i += 1 }
+    val hashes = new Array[Long](spaces + 1)
+    var acc = 0L
+    var t = 0
+    i = 0
+    while (i < bs.length) {
+      val b = bs(i) & 0xFF
+      if (b == 0x20) { hashes(t) = acc; t += 1; acc = 0L; i += 1 }
+      else {
+        var cp = 0
+        var len = 0
+        if (b < 0x80) { cp = b; len = 1 }
+        else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+        else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+        else { cp = b & 0x07; len = 4 }
+        if (i + len > bs.length) { i = bs.length } // malformed tail: stop
+        else {
+          var k = 1
+          while (k < len) { cp = (cp << 6) | (bs(i + k) & 0x3F); k += 1 }
+          acc = (acc * 31L + cp) % P
+          i += len
+        }
+      }
+    }
+    hashes(t) = acc
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)
+  }
 
   /** Static so generated code calls one monomorphic site. Decodes the
     * UTF-8 code points inline; truncated trailing sequences (never

@@ -152,8 +152,7 @@ object Dedup {
     * shingling numHashes×. For corpus-scale signing use [[signatures]],
     * which explodes shingles once and min-aggregates columnar. */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int): Column = {
-    val hs = shingleHashes(transform(TextFunctions.tokens(text),
-      t => TextFunctions.stringHash(t)), shingleWidth)
+    val hs = shingleHashes(TextFunctions.tokenHashes(text), shingleWidth)
     array((0 until numHashes).map(s =>
       array_min(transform(hs, h => seedHash(h, s)))): _*)
   }
@@ -177,19 +176,14 @@ object Dedup {
     * shingle — the shape that survives 100 TB (char-loop work is one
     * pass per token, per-doc state is numHashes longs). */
   def signatures(docs: DataFrame, numHashes: Int, shingleWidth: Int): DataFrame = {
-    // one portable char loop per TOKEN; shingle hashes are rolling
-    // combines of the token hashes. The token-hash array reaches the
-    // combine lambda through explode + ordered re-collect so the lambda
-    // consumes a BOUND column — inlined, the char-loop chain would
-    // re-evaluate once per window (the CollapseProject trap
-    // [[graft.functions.TextFunctions]] and dd08 document; measured 322 s
-    // on 5k docs there)
-    val tokHashed = docs.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
-    val arrays = tokHashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
-      .select(col("doc_id"), transform(col("pt"), s => s.getField("th")).as("ths"))
+    // token hashes come from ONE fused codegen pass over the text
+    // ([[TextFunctions.tokenHashes]]): the hash array is a bound column
+    // by construction, so the shingle-combine lambda can't re-evaluate
+    // the char loop (the CollapseProject trap this pipeline used to
+    // dodge with an explode + ordered re-collect — a whole corpus-
+    // token-scale shuffle, now gone)
+    val arrays = docs.select(col("doc_id"),
+      TextFunctions.tokenHashes(col("text")).as("ths"))
     val exploded = arrays.select(col("doc_id"),
       explode(shingleHashes(col("ths"), shingleWidth)).as("h"))
     val mins = (0 until numHashes).map(s => min(seedHash(col("h"), s)).as(s"m$s"))
@@ -281,8 +275,8 @@ object Dedup {
     * result as [[simhash]]; preferred at scale. */
   def simhashAll(docs: DataFrame): DataFrame = {
     val hashed = docs
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), TextFunctions.stringHash(col("t")).as("h"))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokenHashes(col("text"))).as("h"))
       .select(col("doc_id"), col("h"), pmod(col("h") * col("h"), lit(HashP)).as("h2"))
     val votes = (0 until SimhashBits).map(k =>
       sum(bitVote(col("h"), col("h2"), k)).as(s"c$k"))
@@ -345,8 +339,7 @@ object Dedup {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val whole = Window.partitionBy(col("doc_id"))
     val tokHashed = docs.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
+      posexplode(TextFunctions.tokenHashes(col("text"))).as(Seq("pos", "th")))
     // shingle hash at pos = rolling base-131 combine of th .. th+k-1
     val combined = (1 until k).foldLeft(col("th")) { (acc, j) =>
       pmod(acc * lit(131L) + lead(col("th"), j).over(byDoc), lit(HashP))
@@ -728,15 +721,10 @@ object Dedup {
   def contentChunks(docs: DataFrame, window: Int = 4,
                     boundaryMask: Long = 16L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // token hashes via explode + ordered re-collect (the CollapseProject
-    // trap — see [[signatures]]); the bound `ths` array is then sliced
-    // row-locally for the rolling window
-    val tokHashed = docs.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
-    val arrays = tokHashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
-      .select(col("doc_id"), transform(col("pt"), s => s.getField("th")).as("ths"))
+    // token hashes in one fused codegen pass; the bound `ths` array is
+    // then sliced row-locally for the rolling window
+    val arrays = docs.select(col("doc_id"),
+      TextFunctions.tokenHashes(col("text")).as("ths"))
     val rolled = arrays
       .select(col("doc_id"), col("ths"),
         explode(sequence(lit(1), size(col("ths")))).as("pos"))
@@ -780,14 +768,9 @@ object Dedup {
     * shuffle, linear in corpus tokens. */
   def duplicatedSpans(docs: DataFrame, width: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // token hashes via explode + ordered re-collect (the CollapseProject
-    // trap — see [[signatures]])
-    val tokHashed = docs.select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "t")))
-      .select(col("doc_id"), col("pos"), TextFunctions.stringHash(col("t")).as("th"))
-    val arrays = tokHashed.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("th")))).as("pt"))
-      .select(col("doc_id"), transform(col("pt"), s => s.getField("th")).as("ths"))
+    // token hashes in one fused codegen pass (no explode + re-collect)
+    val arrays = docs.select(col("doc_id"),
+      TextFunctions.tokenHashes(col("text")).as("ths"))
     val grams = arrays.select(col("doc_id"),
       posexplode(shingleHashes(col("ths"), width)).as(Seq("gpos", "h")))
     val dupGrams = grams.groupBy(col("h"))

@@ -36,6 +36,18 @@ class StringPolyHashSpec extends AnyFunSuite with SparkTestSession {
       (0 until rnd.nextInt(60)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString))
   }
 
+  test("tokenHashes == transform(tokens, stringHash) element-for-element") {
+    import spark.implicits._
+    val strs = Seq("", "a", "key agg row scan", "a  b", " lead", "trail ",
+      "café 日本 😀 x", "one", "a b c d e f g")
+    val df = strs.toDF("t")
+      .withColumn("fused", TextFunctions.tokenHashes(col("t")))
+      .withColumn("ref", transform(split(col("t"), " "),
+        x => TextFunctions.stringHashHof(x)))
+    val bad = df.filter(!(col("fused") <=> col("ref"))).collect()
+    assert(bad.isEmpty, s"divergent: ${bad.mkString(",")}")
+  }
+
   test("interpreted and codegen paths agree") {
     import spark.implicits._
     val strs = Seq("key agg row", "café 😀", "")
