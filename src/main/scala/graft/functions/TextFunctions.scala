@@ -172,6 +172,40 @@ case class StringPolyHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "string_poly_hash"
 }
 
+/** `shingleHashes(array<bigint>, width) -> array<bigint>`: rolling
+  * base-131 window combines `((h_i·131 + h_{i+1})·131 + …) mod 1e9+7`
+  * of `width` consecutive token hashes, fused into one loop. The HOF
+  * form allocates a slice and dispatches an interpreted fold PER
+  * WINDOW; this emits the whole shingle-hash array in one pass.
+  * Arithmetic is identical (same fold order, same modulus), so the
+  * dd02/dd04/dd08 oracles that replay shingle hashes still match —
+  * pinned in `StringPolyHashSpec`. Inputs shorter than `width` yield
+  * an empty array, matching the HOF's guard. */
+case class ShingleHashCombine(child: Expression, width: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    StringPolyHash.shingleCombine(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringPolyHash.shingleCombine($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hash_combine"
+}
+
 /** `tokenHashes(string) -> array<bigint>` — see
   * [[TextFunctions.tokenHashes]]. */
 case class TokenHashes(child: Expression) extends UnaryExpression {
@@ -199,6 +233,25 @@ case class TokenHashes(child: Expression) extends UnaryExpression {
 
 object StringPolyHash {
   private val P = 1000000007L
+
+  /** Rolling base-131 combine of every `width`-window — one loop over
+    * the token-hash array (see [[ShingleHashCombine]]). */
+  def shingleCombine(ths: org.apache.spark.sql.catalyst.util.ArrayData,
+                     width: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = ths.numElements()
+    if (n < width)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - width + 1)
+    var j = 0
+    while (j < out.length) {
+      var a = 0L
+      var k = 0
+      while (k < width) { a = (a * 131L + ths.getLong(j + k)) % P; k += 1 }
+      out(j) = a
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** One pass: split on 0x20 (a single byte that never occurs inside a
     * multi-byte UTF-8 sequence) and roll the polynomial per segment.

@@ -164,6 +164,19 @@ object Dedup {
     * Duplicate shingles are kept: the per-seed min is
     * duplicate-invariant, so dedup would only add work. */
   private def shingleHashes(ths: Column, width: Int): Column =
+    org.apache.spark.sql.graft.CatalystBridge.column(
+      graft.functions.ShingleHashCombine(
+        org.apache.spark.sql.graft.CatalystBridge.expression(ths), width))
+
+  /** Test-only windows into [[shingleHashes]] and its HOF reference. */
+  private[graft] def shingleHashesProbe(ths: Column, width: Int): Column =
+    shingleHashes(ths, width)
+  private[graft] def shingleHashesHofProbe(ths: Column, width: Int): Column =
+    shingleHashesHof(ths, width)
+
+  /** Reference HOF form of [[shingleHashes]] — differential oracle for
+    * the fused [[graft.functions.ShingleHashCombine]]. */
+  private[graft] def shingleHashesHof(ths: Column, width: Int): Column =
     when(size(ths) >= width,
       transform(sequence(lit(0), size(ths) - width),
         i => aggregate(slice(ths, i + 1, lit(width)), lit(0L),

@@ -48,6 +48,20 @@ class StringPolyHashSpec extends AnyFunSuite with SparkTestSession {
     assert(bad.isEmpty, s"divergent: ${bad.mkString(",")}")
   }
 
+  test("fused shingle combine == HOF slice-fold, all widths and lengths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val arrays = (0 until 50).map(_ =>
+      Seq.fill(rnd.nextInt(12))(rnd.nextLong().abs % 1000000007L))
+    for (w <- Seq(2, 3, 8)) {
+      val df = arrays.toDF("ths")
+        .withColumn("fused", graft.operators.Dedup.shingleHashesProbe(col("ths"), w))
+        .withColumn("ref", graft.operators.Dedup.shingleHashesHofProbe(col("ths"), w))
+      val bad = df.filter(!(col("fused") <=> col("ref"))).collect()
+      assert(bad.isEmpty, s"divergent at width=$w: ${bad.mkString(",")}")
+    }
+  }
+
   test("interpreted and codegen paths agree") {
     import spark.implicits._
     val strs = Seq("key agg row", "café 😀", "")
