@@ -56,22 +56,27 @@ object Scd2 {
 
   /** Apply one batch of updates at `version` (monotonically increasing
     * load id). Attribute columns = every update column except the key;
-    * they must all exist in the dimension. Returns the number of keys
-    * whose chain advanced (changed + new). */
+    * they must all exist in the dimension. `buckets` MUST match the
+    * value [[init]] created the table with (both default 16): taking it
+    * as a parameter keeps apply cost O(batch + touched buckets) — a
+    * max-scan probe would read a column of the whole table per load.
+    * Returns the number of keys whose chain advanced (changed + new). */
   def apply(spark: SparkSession, dir: String, updates: DataFrame, key: String,
-            version: Long): Long = {
+            version: Long, buckets: Int = 16): Long = {
     val tbl = TxnLake.read(spark, dir)
     val attrs = updates.columns.filterNot(_ == key).toSeq
     val bad = attrs.toSet -- tbl.columns.toSet
     require(bad.isEmpty, s"updates carry unknown columns ${bad.mkString(",")}")
-    val buckets = tbl.select(max(col("scd_bucket"))).collect()
-      .headOption.map(_.getLong(0).toInt + 1).getOrElse(16)
     val cur = tbl.filter(col("is_current"))
     val joined = updates.as("u")
       .join(cur.as("c"), col(s"u.$key") === col(s"c.$key"), "left")
     val differs = attrs.map(a => !(col(s"u.$a") <=> col(s"c.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val toApply = joined.filter(col(s"c.scd_id").isNull || differs)
+    // pinned: the changed-key join feeds the close set, the open set
+    // and the count — one materialization instead of three
+    val toApply = joined.filter(col(s"c.scd_id").isNull || differs).cache()
+    val n = toApply.count()
+    if (n == 0) { toApply.unpersist(); return 0L }
     // closing rows keep the OPEN row's surrogate id (same scd_id ⇒ the
     // upsert REPLACES it) with the interval sealed at this version
     val closing = toApply.filter(col(s"c.scd_id").isNotNull)
@@ -84,9 +89,8 @@ object Scd2 {
         attrs.map(a => col(s"u.$a").as(a)): _*),
       key, version, buckets)
       .select(tbl.columns.map(col).toIndexedSeq: _*)
-    val delta = closing.unionByName(opening)
-    val n = opening.count()
-    if (n > 0) TxnLake.upsert(spark, dir, delta, "scd_id")
+    try TxnLake.upsert(spark, dir, closing.unionByName(opening), "scd_id")
+    finally toApply.unpersist()
     n
   }
 

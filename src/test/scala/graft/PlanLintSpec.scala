@@ -525,6 +525,37 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("sp10: quota capping is two bounded windows — no global sort, no join") {
+    val p = plan("sp10_quota_cap")
+    assert(!p.contains("Join"), s"quota capping must not join\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+    // phase-1 window partitions by (stratum, bucket) — the skew shield
+    assert(p.contains("__q_p"), s"bucket-pruned phase-1 window missing\n$p")
+  }
+
+  test("q66: FILTER-clause aggregates stay one grouping pass (plus the distinct expand)") {
+    val p = plan("q66_filtered_agg")
+    assert(!p.contains("Join"), s"filtered aggregates must not become self-joins\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("dd02/signature path: fused codegen expressions, no interpreted HOF hashes") {
+    val p = plan("dd02_minhash_lsh")
+    assert(p.contains("token_hashes"), s"fused token hashing missing\n$p")
+    assert(p.contains("shingle_hash_combine"), s"fused shingle combine missing\n$p")
+    // banding/zip_with lambdas are fine (bounded per-row arrays); the
+    // per-CHARACTER loops must stay fused
+    assert(!p.contains("ascii(substr"),
+      s"interpreted per-character hashing crept back\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("ss02: the LSH probe signs vectors with the fused hyperplane expression") {
+    val p = plan("ss02_lsh_ann")
+    assert(p.contains("hyperplane_signature"), s"fused signature missing\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q64: listagg buffers are bounded by the per-nation window pre-cut") {
     val p = plan("q64_listagg")
     assert(p.contains("listagg"), p)
