@@ -62,6 +62,42 @@ class LakeSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.lastCommittedTxn(spark, out, "nobody") === None)
   }
 
+  test("CONCURRENT replays of one batch: exactly one commit wins the race") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val out = Files.createTempDirectory("graft_lake_race").resolve("t").toString
+    TxnLake.create(spark, out, Seq((0L, "p")).toDF("id", "part"), "part")
+    // 4 writers replay THE SAME (appId, batch) simultaneously — the
+    // marker re-check inside the OCC retry loop must let exactly one
+    // through; the losers drop their staged files silently
+    val rows = Seq((1L, "p"), (2L, "p")).toDF("id", "part")
+    val wins = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(
+        TxnLake.appendOnce(spark, out, rows, "racer", 7L)))),
+      5.minutes).count(identity)
+    assert(wins === 1, s"exactly one concurrent replay must commit, got $wins")
+    assert(TxnLake.read(spark, out).count() === 3, "no duplicate rows")
+    assert(TxnLake.lastCommittedTxn(spark, out, "racer") === Some(7L))
+    // distinct APPLICATIONS racing: markers are per-app, all land
+    val wins2 = Await.result(
+      Future.sequence((10 to 13).map(b => Future(
+        TxnLake.appendOnce(spark, out,
+          Seq((b.toLong, "p")).toDF("id", "part"), s"app-$b", 0L)))),
+      5.minutes).count(identity)
+    assert(wins2 === 4, "distinct applications must all commit")
+    assert(TxnLake.read(spark, out).count() === 7)
+    // out-of-order versions under ONE app are STALE REPLAYS by contract
+    // (foreachBatch is serial per query): after version 9 commits, a
+    // late-arriving 8 must no-op — exactly Delta's txnVersion rule
+    assert(TxnLake.appendOnce(spark, out,
+      Seq((90L, "p")).toDF("id", "part"), "racer", 9L) === true)
+    assert(TxnLake.appendOnce(spark, out,
+      Seq((80L, "p")).toDF("id", "part"), "racer", 8L) === false)
+    assert(TxnLake.read(spark, out).count() === 8)
+  }
+
   test("markers survive the log checkpoint cadence and time travel still works") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_lake_many").resolve("t").toString
