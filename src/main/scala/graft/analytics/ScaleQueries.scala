@@ -1363,7 +1363,43 @@ object ScaleQueries {
       |FROM rows_all GROUP BY seg, cur
       |ORDER BY seg, cur""".stripMargin
 
+  /** zq06 — MULTI-COLUMN ZONE MAPS ([[graft.lake.TxnLake
+    * .setStatsColumns]]): the lake table tracks per-file (min, max) for
+    * TWO extra columns beyond the legacy statsCol, and the `graft-txn`
+    * read pushes range predicates on EITHER into planning-time file
+    * skipping (the Delta per-column-stats discipline; skipping itself
+    * pinned via scan metrics in `MultiStatsSpec`). The query filters on
+    * the SECOND tracked column plus the partition column; the oracle
+    * replays it relationally — pruning can reorder nothing. */
+  private def zq06(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq06")
+      .resolve("lineitem_lake").toString
+    val base = lineitem(s, d).filter(col("l_orderkey") % 6 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+    TxnLake.create(s, dir, base, "l_returnflag",
+      statsCol = Some("l_extendedprice"), statsCols = Seq("l_quantity", "l_discount"))
+    s.read.format("graft-txn").load(dir)
+      .filter(col("l_quantity") >= 30.0 && col("l_returnflag") =!= "R")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val zq06Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey % 6 = 0 AND l_quantity >= 30.0 AND l_returnflag <> 'R'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "zq06_multi_zone" -> (zq06 _),
     "lk16_scd2" -> (lk16 _),
     "lk15_type_widening" -> (lk15 _),
     "lk14_update" -> (lk14 _),
@@ -1394,6 +1430,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq06_multi_zone" -> zq06Sql,
     "lk16_scd2" -> lk16Sql,
     "lk15_type_widening" -> lk15Sql,
     "lk14_update" -> lk14Sql,

@@ -78,10 +78,16 @@ object TxnLake {
     * can't be partition-pruned (their `parts` values index a different
     * column) — rewrites include them conservatively, which migrates
     * them to the current layout as a side effect. */
+  /** `stats` = MULTI-COLUMN ZONE MAP: per-file (min, max) of every
+    * column named by the table's stats-columns property
+    * ([[setStatsColumns]]), keyed by PHYSICAL name — additive alongside
+    * the legacy single `statsCol` zmin/zmax. Absent entry = no bounds
+    * (all-NULL or untracked when staged) = conservatively kept. */
   case class FileEntry(path: String, parts: Set[Option[String]],
                        zmin: Option[Double] = None, zmax: Option[Double] = None,
                        bloom: Option[String] = None, dv: Seq[String] = Nil,
-                       spec: Option[String] = None) {
+                       spec: Option[String] = None,
+                       stats: Map[String, (Double, Double)] = Map.empty) {
     /** Whether this file's partition values index `partCol` (legacy
       * in-memory entries without a spec are treated as current). */
     def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
@@ -140,6 +146,7 @@ object TxnLake {
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
+  private val StatsColsFile = "_stats_cols.json"
 
   /** Root of DELETION-VECTOR sidecars (merge-on-read row deletes): one
     * `c<commit>` parquet directory per [[deleteWhere]] commit, rows
@@ -171,6 +178,38 @@ object TxnLake {
   def cdcEnabled(spark: SparkSession, dir: String): Boolean =
     fsOf(spark, dir).exists(new Path(dir, CdcDir))
 
+  /** MULTI-COLUMN ZONE MAPS, the table property: name extra columns
+    * whose per-file (min, max) every subsequent staging records in the
+    * manifest ([[FileEntry.stats]]) and every planning-time prune
+    * consults — the Delta per-column-stats discipline, additive next to
+    * the single `statsCol` the table was created with. Like the change
+    * feed, the property is a marker file, not a versioned commit:
+    * pruning is always conservative (files staged before the property,
+    * or with the column absent, simply carry no bounds), so flipping it
+    * can never change results — only skipping power. Takes effect for
+    * files staged AFTER the call; OPTIMIZE rewrites migrate old files. */
+  def setStatsColumns(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(dir, LogDir))
+    val node = JsonNodeFactory.instance.arrayNode()
+    cols.foreach(node.add)
+    val out = fs.create(new Path(dir, s"$LogDir/$StatsColsFile"), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Extra stats-tracked columns (empty when the property is unset). */
+  def statsColumnsOf(spark: SparkSession, dir: String): Seq[String] =
+    statsColsOf(fsOf(spark, dir), dir)
+
+  private[lake] def statsColsOf(fs: FileSystem, dir: String): Seq[String] = {
+    val p = new Path(dir, s"$LogDir/$StatsColsFile")
+    if (!fs.exists(p)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      readJson(fs, p).elements().asScala.map(_.asText()).toSeq
+    }
+  }
+
   /** Turn change capture ON for an existing table. Takes effect from
     * the NEXT commit — history before this point has no feed entries
     * (consumers needing older changes use [[changes]]' snapshot diff,
@@ -189,9 +228,12 @@ object TxnLake {
   def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String,
              statsCol: Option[String] = None, changeFeed: Boolean = false,
              bloomCol: Option[String] = None,
-             bloomBits: Int = DefaultBloomBits): Unit = {
+             bloomBits: Int = DefaultBloomBits,
+             statsCols: Seq[String] = Nil): Unit = {
     require(bloomBits > 0 && bloomBits % 64 == 0,
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    statsCols.foreach(c => require(df.columns.contains(c),
+      s"stats column '$c' not in ${df.columns.mkString(",")}"))
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
       s"stats column '$sc' not in ${df.columns.mkString(",")}"))
@@ -212,6 +254,9 @@ object TxnLake {
     // property, checked by every later commit ([[cdcEnabled]]) and
     // switchable on an existing table via [[enableChangeFeed]]
     if (changeFeed) fs.mkdirs(new Path(dir, CdcDir))
+    // multi-column zone maps: the property must exist before the first
+    // staging so version 0's files already carry their bounds
+    if (statsCols.nonEmpty) setStatsColumns(spark, dir, statsCols)
     // touched = every partition value present, read off the staged
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
@@ -1636,9 +1681,16 @@ object TxnLake {
     // all-NULL files carry no bounds and readRange keeps them
     // conservatively.
     val staged = spark.read.parquet(dataDir)
+    // multi-column zone maps: the table's stats-columns property adds
+    // per-file bounds for each named column present in this staging
+    // (absent columns — post-drop appends — just record no bounds)
+    val extraStats = statsColsOf(fsOf(spark, dir), dir)
+      .filter(df.columns.contains).filterNot(statsCol.contains)
     val aggCols =
       statsCol.toSeq.flatMap(sc => Seq(
-        min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx")))
+        min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
+      extraStats.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(col(c).cast("double")).as(s"__smn$i"), max(col(c).cast("double")).as(s"__smx$i")) }
     val grouped = staged.groupBy(
       col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
     val meta = (aggCols match {
@@ -1682,8 +1734,16 @@ object TxnLake {
           bloomWords.getOrElse(p, new Array[Long](bloomBits / 64))
             .map(java.lang.Long.toHexString).mkString(":")
         }
+        val stats = extraStats.zipWithIndex.flatMap { case (c, i) =>
+          val mns = rows.flatMap(r => Option(r.getAs[Any](s"__smn$i")).map(_.asInstanceOf[Double]))
+          val mxs = rows.flatMap(r => Option(r.getAs[Any](s"__smx$i")).map(_.asInstanceOf[Double]))
+          (mns.minOption, mxs.maxOption) match {
+            case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+            case _ => None // all-NULL column in this file: no bounds
+          }
+        }.toMap
         FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax,
-          bloom = bloom, spec = Some(partCol))
+          bloom = bloom, spec = Some(partCol), stats = stats)
       }
       .toSeq.sortBy(_.path)
   }
@@ -1817,6 +1877,12 @@ object TxnLake {
       // spec is stored only when it DIFFERS from the record's partCol
       // (post-evolution legacy files); parse fills the default back in
       f.spec.filter(_ != recPartCol).foreach(fn.put("spec", _))
+      if (f.stats.nonEmpty) {
+        val st = fn.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val a = st.putArray(c); a.add(mn); a.add(mx); ()
+        }
+      }
       val pn = fn.putArray("parts")
       f.parts.toSeq.sortBy(_.getOrElse("")).foreach {
         case Some(v) => pn.add(v)
@@ -1859,7 +1925,12 @@ object TxnLake {
         bloom = Option(fn.get("bloom")).map(_.asText()),
         dv = Option(fn.get("dv")).toSeq
           .flatMap(_.elements().asScala.map(_.asText())),
-        spec = Some(Option(fn.get("spec")).map(_.asText()).getOrElse(defaultSpec)))
+        spec = Some(Option(fn.get("spec")).map(_.asText()).getOrElse(defaultSpec)),
+        stats = Option(fn.get("stats")).fold(Map.empty[String, (Double, Double)]) { st =>
+          st.properties().asScala.map { e =>
+            e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
+          }.toMap
+        })
     }.toSeq
   }
 

@@ -78,7 +78,9 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
           changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
           bloomCol = parameters.get("bloomCol"),
           bloomBits = parameters.get("bloomBits").map(_.toInt)
-            .getOrElse(TxnLake.DefaultBloomBits))
+            .getOrElse(TxnLake.DefaultBloomBits),
+          statsCols = parameters.get("statsCols").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     }
     createRelation(sqlContext, parameters)
   }
@@ -162,7 +164,6 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
 
   private def logicalName(phys: String): String =
     manifest.renames.getOrElse(phys, phys)
-  private val statsL = manifest.statsCol.map(logicalName)
   private val bloomL = manifest.bloomCol.map(logicalName)
   private val partL = logicalName(manifest.partCol)
 
@@ -175,18 +176,30 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
     case _ => None
   }
 
-  /** [lo, hi] implied by one pushed conjunct on the stats column. */
-  private def rangeOf(f: Filter): Option[(Double, Double)] = statsL.flatMap { sc =>
+  /** (column, [lo, hi]) implied by one pushed range-shaped conjunct on
+    * ANY column — only columns with recorded bounds actually prune. */
+  private def anyRangeOf(f: Filter): Option[(String, (Double, Double))] = {
+    def mk(a: String, r: Option[(Double, Double)]) = r.map(a -> _)
     f match {
-      case FGt(a, v) if a == sc => num(v).map(x => (x, Double.MaxValue))
-      case FGe(a, v) if a == sc => num(v).map(x => (x, Double.MaxValue))
-      case FLt(a, v) if a == sc => num(v).map(x => (Double.MinValue, x))
-      case FLe(a, v) if a == sc => num(v).map(x => (Double.MinValue, x))
-      case FEq(a, v) if a == sc => num(v).map(x => (x, x))
-      case FIn(a, vs) if a == sc =>
+      case FGt(a, v) => mk(a, num(v).map(x => (x, Double.MaxValue)))
+      case FGe(a, v) => mk(a, num(v).map(x => (x, Double.MaxValue)))
+      case FLt(a, v) => mk(a, num(v).map(x => (Double.MinValue, x)))
+      case FLe(a, v) => mk(a, num(v).map(x => (Double.MinValue, x)))
+      case FEq(a, v) => mk(a, num(v).map(x => (x, x)))
+      case FIn(a, vs) =>
         val ns = vs.toSeq.flatMap(num)
-        if (ns.isEmpty) None else Some((ns.min, ns.max))
+        mk(a, if (ns.isEmpty) None else Some((ns.min, ns.max)))
       case _ => None
+    }
+  }
+
+  /** Reverse name mapping + bounds lookup (multi-column stats first,
+    * legacy single statsCol second). */
+  private def boundsOf(e: TxnLake.FileEntry, logical: String): Option[(Double, Double)] = {
+    val phys = manifest.renames.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+    e.stats.get(phys).orElse {
+      if (manifest.statsCol.contains(phys)) e.zmin.zip(e.zmax) else None
     }
   }
 
@@ -251,13 +264,12 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
     * conjunct MIGHT match it (DVs only shrink files, so manifest stats
     * stay valid over-approximations). Package-visible for the spec. */
   private[lake] def prunedEntries(filters: Seq[Filter]): Seq[TxnLake.FileEntry] = {
-    val ranges = filters.flatMap(rangeOf)
+    val ranges = filters.flatMap(anyRangeOf)
     val psets = filters.flatMap(partSetOf)
     val blooms = filters.flatMap(bloomValuesOf)
     manifest.files.filter { e =>
-      val zoneOk = (e.zmin, e.zmax) match {
-        case (Some(mn), Some(mx)) => ranges.forall { case (lo, hi) => mx >= lo && mn <= hi }
-        case _ => true
+      val zoneOk = ranges.forall { case (cname, (lo, hi)) =>
+        boundsOf(e, cname).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
       val partOk = !e.onSpec(manifest.partCol) ||
         psets.forall(s => e.parts.exists(s.contains))
@@ -371,10 +383,27 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
 
   override def refresh(): Unit = () // snapshot-bound by design
 
+  /** Reverse of the name mapping: logical filter name → the physical
+    * name manifest stats are keyed by. */
+  private def physOf(logical: String): String =
+    manifest.renames.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** Zone-map bounds known for `logical` on this entry: the
+    * multi-column stats map first, else the legacy single-statsCol
+    * zmin/zmax. None = no bounds = conservatively kept. */
+  private def boundsOf(f: TxnLake.FileEntry, logical: String): Option[(Double, Double)] = {
+    val phys = physOf(logical)
+    f.stats.get(phys).orElse {
+      if (manifest.statsCol.contains(phys)) f.zmin.zip(f.zmax) else None
+    }
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val statsRanges = manifest.statsCol.toSeq.flatMap(sc =>
-      dataFilters.flatMap(rangeOf(_, sc)))
+    // (column, [lo, hi]) for every range-shaped conjunct on ANY column —
+    // only columns with recorded bounds actually prune
+    val colRanges = dataFilters.flatMap(anyRangeOf)
     // flat mode only: partition predicates arrive as dataFilters and
     // the bespoke analyzer recognizes eq/IN/IS NULL shapes. In
     // partition-aware mode they arrive as partitionFilters instead and
@@ -388,10 +417,8 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
     val bloomSets = manifest.bloomCol.toSeq.flatMap(bc =>
       dataFilters.flatMap(bloomValuesOf(_, bc)))
     val keep = manifest.files.filter { f =>
-      val zoneOk = (f.zmin, f.zmax) match {
-        case (Some(mn), Some(mx)) =>
-          statsRanges.forall { case (lo, hi) => mx >= lo && mn <= hi }
-        case _ => true // unbounded (all-NULL stats or pre-stats file)
+      val zoneOk = colRanges.forall { case (cname, (lo, hi)) =>
+        boundsOf(f, cname).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
       // legacy-spec files (pre-evolution layout) can't be value-pruned
       val partOk = !f.onSpec(manifest.partCol) ||
@@ -450,14 +477,15 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
     }
   }
 
-  /** [lo, hi] implied by one conjunct on the stats column, when one is
-    * provable. Strict bounds relax to inclusive — conservative. */
-  private def rangeOf(e: Expression, statsCol: String): Option[(Double, Double)] = {
-    def isStats(a: Expression): Boolean = a match {
-      case ar: AttributeReference => ar.name == statsCol
+  /** (column, [lo, hi]) implied by one range-shaped conjunct on ANY
+    * single column, when provable. Strict bounds relax to inclusive —
+    * conservative. Monotone numeric casts unwrap. */
+  private def anyRangeOf(e: Expression): Option[(String, (Double, Double))] = {
+    def attrOf(a: Expression): Option[String] = a match {
+      case ar: AttributeReference => Some(ar.name)
       // a cast between numeric types is monotone, so bounds transfer
-      case Cast(child, dt, _, _) if numeric(dt) => isStats(child)
-      case _ => false
+      case Cast(child, dt, _, _) if numeric(dt) => attrOf(child)
+      case _ => None
     }
     def num(l: Literal): Option[Double] = l.value match {
       case null => None
@@ -465,20 +493,22 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
       case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
       case _ => None
     }
+    def mk(a: Expression, r: Option[(Double, Double)]): Option[(String, (Double, Double))] =
+      for { n <- attrOf(a); rr <- r } yield n -> rr
     e match {
-      case GreaterThan(a, l: Literal) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
-      case GreaterThanOrEqual(a, l: Literal) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
-      case LessThan(a, l: Literal) if isStats(a) => num(l).map(v => (Double.MinValue, v))
-      case LessThanOrEqual(a, l: Literal) if isStats(a) => num(l).map(v => (Double.MinValue, v))
-      case EqualTo(a, l: Literal) if isStats(a) => num(l).map(v => (v, v))
-      case GreaterThan(l: Literal, a) if isStats(a) => num(l).map(v => (Double.MinValue, v))
-      case GreaterThanOrEqual(l: Literal, a) if isStats(a) => num(l).map(v => (Double.MinValue, v))
-      case LessThan(l: Literal, a) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
-      case LessThanOrEqual(l: Literal, a) if isStats(a) => num(l).map(v => (v, Double.MaxValue))
-      case EqualTo(l: Literal, a) if isStats(a) => num(l).map(v => (v, v))
-      case In(a, ls) if isStats(a) && ls.forall(_.isInstanceOf[Literal]) =>
+      case GreaterThan(a, l: Literal) => mk(a, num(l).map(v => (v, Double.MaxValue)))
+      case GreaterThanOrEqual(a, l: Literal) => mk(a, num(l).map(v => (v, Double.MaxValue)))
+      case LessThan(a, l: Literal) => mk(a, num(l).map(v => (Double.MinValue, v)))
+      case LessThanOrEqual(a, l: Literal) => mk(a, num(l).map(v => (Double.MinValue, v)))
+      case EqualTo(a, l: Literal) => mk(a, num(l).map(v => (v, v)))
+      case GreaterThan(l: Literal, a) => mk(a, num(l).map(v => (Double.MinValue, v)))
+      case GreaterThanOrEqual(l: Literal, a) => mk(a, num(l).map(v => (Double.MinValue, v)))
+      case LessThan(l: Literal, a) => mk(a, num(l).map(v => (v, Double.MaxValue)))
+      case LessThanOrEqual(l: Literal, a) => mk(a, num(l).map(v => (v, Double.MaxValue)))
+      case EqualTo(l: Literal, a) => mk(a, num(l).map(v => (v, v)))
+      case In(a, ls) if ls.forall(_.isInstanceOf[Literal]) =>
         val vs = ls.flatMap(l => num(l.asInstanceOf[Literal]))
-        if (vs.isEmpty) None else Some((vs.min, vs.max))
+        mk(a, if (vs.isEmpty) None else Some((vs.min, vs.max)))
       case _ => None
     }
   }
