@@ -111,7 +111,7 @@ object Bench {
     // byte-identical code — this line makes that case decidable)
     val walls = passWalls.map(fmt).mkString("[", ",", "]")
     val loads = passLoads.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"load_cap":${fmt(loadCap)},"cache_cleared_per_query":true,"lake_queries_include_table_build":["zq01","zq02","zq03","zq04","zq05","zq06","lk01","lk02","lk03","lk04","lk05","lk06","lk07","lk08","lk09","lk10","lk11","lk12","lk13","lk14","lk15","lk16","st15","st17","st18","ss07","ss12","ss15","iq04"],"pass_wall_sec":$walls,"pass_load_avg":$loads}""")
+    println(s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"load_cap":${fmt(loadCap)},"cache_cleared_per_query":true,"lake_queries_include_table_build":["zq01","zq02","zq03","zq04","zq05","zq06","zq07","lk01","lk02","lk03","lk04","lk05","lk06","lk07","lk08","lk09","lk10","lk11","lk12","lk13","lk14","lk15","lk16","st15","st17","st18","ss07","ss12","ss15","iq04"],"pass_wall_sec":$walls,"pass_load_avg":$loads}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1398,7 +1398,45 @@ object ScaleQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** zq07 — `OPTIMIZE ... ZORDER BY` on the transactional lake
+    * ([[graft.lake.TxnLake.optimizeZOrder]]): the table is created from
+    * shuffled-order commits (zone maps wide in every dimension), then
+    * one atomic rewrite re-clusters rows along the Morton curve of
+    * (price, quantity) — each file becomes a contiguous curve segment,
+    * so its multi-column zone maps go tight in BOTH dimensions and the
+    * 2-D box predicate skips files at planning time (skipping pinned
+    * via scan metrics in `ZOrderLakeSpec`; this query pins the rewrite
+    * is pure LAYOUT — the oracle replays the box relationally). */
+  private def zq07(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq07")
+      .resolve("lineitem_lake").toString
+    val base = lineitem(s, d).filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"))
+    TxnLake.create(s, dir, base, "l_returnflag",
+      statsCol = Some("l_extendedprice"), statsCols = Seq("l_quantity"))
+    TxnLake.optimizeZOrder(s, dir, "l_extendedprice", "l_quantity")
+    s.read.format("graft-txn").load(dir)
+      .filter(col("l_extendedprice") < 20000.0 && col("l_quantity") >= 40.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val zq07Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      |FROM lineitem
+      |WHERE l_orderkey % 5 = 0 AND l_extendedprice < 20000.0 AND l_quantity >= 40.0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "zq07_zorder_optimize" -> (zq07 _),
     "zq06_multi_zone" -> (zq06 _),
     "lk16_scd2" -> (lk16 _),
     "lk15_type_widening" -> (lk15 _),
@@ -1430,6 +1468,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "zq07_zorder_optimize" -> zq07Sql,
     "zq06_multi_zone" -> zq06Sql,
     "lk16_scd2" -> lk16Sql,
     "lk15_type_widening" -> lk15Sql,

@@ -849,6 +849,64 @@ object TxnLake {
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
 
+  /** `OPTIMIZE ... ZORDER BY (xCol, yCol)` — rewrite the WHOLE live
+    * table with rows clustered along the Morton curve of two columns
+    * (Delta/Iceberg's multi-dimensional clustering), in one atomic
+    * commit. Each dimension is min/max-normalized to 16 bits (a
+    * metadata-scale aggregate supplies the four constants — monotone,
+    * so curve locality is preserved for any numeric type), rows sort by
+    * the interleaved code WITHIN each partition's staging task, and
+    * `rowsPerFile` splits the sorted stream — so every file holds a
+    * contiguous curve segment and its MULTI-COLUMN ZONE MAPS
+    * ([[setStatsColumns]]; call it with the z-columns first) are tight
+    * in BOTH dimensions: range predicates on either column skip files
+    * at planning time (pinned via scan metrics in `ZOrderLakeSpec`).
+    * Reads live rows, so outstanding deletion vectors are retired as a
+    * side effect (the purge discipline). At 100 TB this is the layout
+    * pass that turns "scan everything" into "scan a few percent" for
+    * 2-D box predicates. */
+  def optimizeZOrder(spark: SparkSession, dir: String, xCol: String,
+                     yCol: String, rowsPerFile: Long = 0L): OptimizeStats = {
+    val base = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(base.schemaDdl)
+    val live = readEntries(spark, dir, schema, base.files, renames = base.renames)
+    Seq(xCol, yCol).foreach(c => require(live.columns.contains(c),
+      s"z-order column '$c' not in ${live.columns.mkString(",")}"))
+    val phys = toPhysical(live, base.renames)
+    val physOf = base.renames.map(_.swap)
+    val (px, py) = (physOf.getOrElse(xCol, xCol), physOf.getOrElse(yCol, yCol))
+    // normalization constants: one metadata-scale aggregate
+    val b = phys.agg(
+      min(col(px).cast("double")), max(col(px).cast("double")),
+      min(col(py).cast("double")), max(col(py).cast("double")),
+      count(lit(1))).collect().head
+    if (b.isNullAt(4) || b.getLong(4) == 0L)
+      return OptimizeStats(base.files.size, base.files.size, 0, base.version)
+    val nRows = b.getLong(4)
+    def quant(c: Column, mnI: Int, mxI: Int): Column = {
+      val (mn, mx) = (Option(b.get(mnI)).fold(0.0)(_.asInstanceOf[Double]),
+        Option(b.get(mxI)).fold(0.0)(_.asInstanceOf[Double]))
+      if (mx <= mn) lit(0L)
+      else least(lit(65535L), floor((coalesce(c.cast("double"), lit(mn)) - lit(mn))
+        / lit(mx - mn) * 65535.0).cast("bigint"))
+    }
+    val morton = ZOrder.mortonCode(quant(col(px), 0, 1), quant(col(py), 2, 3))
+    val targetRows =
+      if (rowsPerFile > 0) rowsPerFile
+      else math.max(1L, nRows / math.max(1, base.files.size))
+    val newFiles = stageFiles(spark, dir, phys, base.partCol, base.files.size,
+      base.statsCol, base.bloomCol, base.bloomBits,
+      sortWithin = Seq(morton), maxRecsOverride = Some(targetRows))
+    val touched = (base.files.flatMap(_.parts) ++ newFiles.flatMap(_.parts)).toSet
+    commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
+      touched, base.files.map(_.path).toSet, newFiles, base.statsCol,
+      bloomCol = base.bloomCol, bloomBits = base.bloomBits,
+      renames = base.renames, tombstones = base.tombstones))
+    val head = resolve(fsOf(spark, dir), dir).get
+    OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
+  }
+
   /** COLUMN RENAME via NAME MAPPING: re-point a column's logical name
     * in one metadata-only commit. Parquet files keep the frozen
     * PHYSICAL name forever (every file in a snapshot binds one physical
@@ -1641,7 +1699,9 @@ object TxnLake {
                          partCol: String, partHint: Int,
                          statsCol: Option[String] = None,
                          bloomCol: Option[String] = None,
-                         bloomBits: Int = DefaultBloomBits): Seq[FileEntry] = {
+                         bloomBits: Int = DefaultBloomBits,
+                         sortWithin: Seq[Column] = Nil,
+                         maxRecsOverride: Option[Long] = None): Seq[FileEntry] = {
     require(!df.columns.contains("__txn_pk"),
       s"TxnLake reserves the __txn_pk column name; input has ${df.columns.mkString(",")}")
     statsCol.foreach(sc => require(df.columns.contains(sc),
@@ -1669,11 +1729,20 @@ object TxnLake {
     // otherwise mint multi-hundred-GB parquet nobody can task-split
     // on the row-group boundary they want. parts stay single-value
     // per file either way (the split is within one partition task).
-    val maxRecs = spark.conf.getOption("spark.graft.txnlake.maxRecordsPerFile")
-      .flatMap(_.toLongOption).filter(_ > 0)
-    val writer = df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
-      .repartition(n, col(partCol))
-      .write.mode(SaveMode.ErrorIfExists)
+    val maxRecs = maxRecsOverride.orElse(
+      spark.conf.getOption("spark.graft.txnlake.maxRecordsPerFile")
+        .flatMap(_.toLongOption)).filter(_ > 0)
+    // optional within-task ordering (OPTIMIZE ZORDER): rows arrive at
+    // the writer clustered by (partition token, sort key), so each
+    // file — and each maxRecordsPerFile split — holds a CONTIGUOUS
+    // sort-key range, which is what makes its zone maps tight
+    val arranged = {
+      val base = df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
+        .repartition(n, col(partCol))
+      if (sortWithin.isEmpty) base
+      else base.sortWithinPartitions(col("__txn_pk") +: sortWithin: _*)
+    }
+    val writer = arranged.write.mode(SaveMode.ErrorIfExists)
     maxRecs.fold(writer)(m => writer.option("maxRecordsPerFile", m))
       .partitionBy("__txn_pk").parquet(dataDir)
     // metadata-scale jobs cover partition values AND (when tracked) the
