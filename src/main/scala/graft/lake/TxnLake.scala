@@ -1708,7 +1708,6 @@ object TxnLake {
       s"stats column '$sc' missing from staged data (${df.columns.mkString(",")})"))
     bloomCol.foreach(bc => require(df.columns.contains(bc),
       s"bloom column '$bc' missing from staged data (${df.columns.mkString(",")})"))
-    if (df.isEmpty) return Seq.empty
     val rel = s"$DataDir/c${newCommitId()}"
     val dataDir = s"$dir/$rel"
     val n = math.max(1, math.min(partHint,
@@ -1745,6 +1744,16 @@ object TxnLake {
     val writer = arranged.write.mode(SaveMode.ErrorIfExists)
     maxRecs.fold(writer)(m => writer.option("maxRecordsPerFile", m))
       .partitionBy("__txn_pk").parquet(dataDir)
+    // empty input detection AFTER the write (an fs glob, no Spark job):
+    // the old `df.isEmpty` pre-check was a whole extra job that re-ran
+    // the caller's update pipeline — measured as a real slice of the
+    // ~44-job lk04 commit chains
+    val fsStage = fsOf(spark, dir)
+    val wrote = fsStage.globStatus(new Path(s"$dataDir/*/*.parquet"))
+    if (wrote == null || wrote.isEmpty) {
+      fsStage.delete(new Path(dataDir), true)
+      return Seq.empty
+    }
     // metadata-scale jobs cover partition values AND (when tracked) the
     // per-file zone map and Bloom bits: min/max ignore NULLs, so
     // all-NULL files carry no bounds and readRange keeps them
