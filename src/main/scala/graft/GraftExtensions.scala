@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, TopKOrderedAgg}
+import graft.functions.{CosineSimilarity, ShingleHashCombine, StringPolyHash, TokenHashes, TopKOrderedAgg}
 import graft.ingest.WktNormalizeExpr
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -32,6 +32,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(CosineSimilarity.getClass.getName, "cosine_similarity"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("string_poly_hash"),
+      new ExpressionInfo(StringPolyHash.getClass.getName, "string_poly_hash"),
+      (exprs: Seq[Expression]) => StringPolyHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(TokenHashes.getClass.getName, "token_hashes"),
+      (exprs: Seq[Expression]) => TokenHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(ShingleHashCombine.getClass.getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        val w = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes width must be an integer literal, got $other")
+        }
+        ShingleHashCombine(exprs.head, w)
+      }))
     ext.injectFunction((
       FunctionIdentifier("top_k_by"),
       new ExpressionInfo(TopKOrderedAgg.getClass.getName, "top_k_by"),

@@ -47,6 +47,23 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
       val ids = s.sql("SELECT top_k_by(score, id, 2) AS ids FROM ext_topk GROUP BY g")
         .collect()(0).getSeq[Long](0)
       assert(ids === Seq(2L, 3L))
+
+      // the fused hash family answers pure SQL, matching the column API
+      val h = s.sql("SELECT string_poly_hash('key agg row') AS h")
+        .collect()(0).getLong(0)
+      val hRef = s.range(1).select(
+        graft.functions.TextFunctions.stringHash(
+          org.apache.spark.sql.functions.lit("key agg row")))
+        .collect()(0).getLong(0)
+      assert(h === hRef)
+      val th = s.sql("SELECT token_hashes('a b') AS t").collect()(0).getSeq[Long](0)
+      assert(th.length === 2)
+      val sh = s.sql("SELECT shingle_hashes(token_hashes('a b c d'), 2) AS s")
+        .collect()(0).getSeq[Long](0)
+      assert(sh.length === 3)
+      intercept[Exception] {
+        s.sql("SELECT shingle_hashes(token_hashes('a b'), length('xx')) AS s").collect()
+      }
     }
   }
 
