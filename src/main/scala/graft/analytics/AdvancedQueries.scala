@@ -596,7 +596,55 @@ object AdvancedQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q67 — the CUSTOM-EXPRESSION SQL surface end-to-end: the fused
+    * codegen hash family ([[graft.functions.StringPolyHash]] /
+    * TokenHashes / ShingleHashCombine) registered as SQL functions
+    * ([[graft.functions.GraftFunctions]], same registrations
+    * `GraftExtensions` installs permanently) and driven from PURE SQL
+    * text over a temp view — fingerprints, token counts and 3-gram
+    * shingle counts per language. The DuckDB oracle replays the
+    * polynomial hash character-by-character, so a hash match proves the
+    * SQL registration path evaluates the exact same codegen'd
+    * arithmetic as the Column API. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    SqlEntry.sql(s,
+      """WITH f AS (
+        |  SELECT doc_id, lang, string_poly_hash(text) AS fp,
+        |         size(token_hashes(text)) AS n_tok,
+        |         size(shingle_hashes(token_hashes(text), 3)) AS n_sh
+        |  FROM DOCS)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fp,
+        |       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |       CAST(sum(n_sh) AS BIGINT) AS sum_sh,
+        |       CAST(min(fp) AS BIGINT) AS min_fp
+        |FROM f GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+      "DOCS" -> documents(s, d))
+  }
+
+  private val q67Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(text)+1),
+      |        i -> CAST(ascii(text[i]) AS BIGINT))),
+      |      (acc, ch) -> (acc*31 + ch) % 1000000007) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |g AS (SELECT doc_id, lang, fp, n_tok,
+      |    CASE WHEN n_tok >= 3 THEN n_tok - 2 ELSE 0 END AS n_sh FROM f)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fp,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |  CAST(sum(n_sh) AS BIGINT) AS sum_sh,
+      |  CAST(min(fp) AS BIGINT) AS min_fp
+      |FROM g GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q67_sql_expression_surface" -> (q67 _),
     "q66_filtered_agg" -> (q66 _),
     "q65_inverse_distribution" -> (q65 _),
     "q64_listagg" -> (q64 _),
@@ -618,6 +666,7 @@ object AdvancedQueries {
     "q37_array_agg" -> (q37 _))
 
   val oracle: Map[String, String] = Map(
+    "q67_sql_expression_surface" -> q67Sql,
     "q66_filtered_agg" -> q66Sql,
     "q65_inverse_distribution" -> q65Sql,
     "q64_listagg" -> q64Sql,

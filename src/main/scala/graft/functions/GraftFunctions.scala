@@ -20,6 +20,19 @@ object GraftFunctions {
       exprs => WktNormalizeExpr(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("string_poly_hash",
+      exprs => StringPolyHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("token_hashes",
+      exprs => TokenHashes(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("shingle_hashes",
+      { exprs =>
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes width must be an integer literal, got $other")
+        }
+        ShingleHashCombine(exprs.head, w)
+      }, "scala_udf")
     registry.createOrReplaceTempFunction("top_k_by",
       { exprs =>
         val k = exprs(2) match {
