@@ -354,22 +354,28 @@ object TxnLake {
     import spark.implicits._
     val vs = listVersions(fs, dir).sorted
     if (vs.isEmpty)
-      return Seq.empty[(Long, String, Seq[String], Int)]
-        .toDF("version", "commit_id", "touched_partitions", "n_files")
+      return Seq.empty[(Long, String, Seq[String], Int, java.sql.Timestamp)]
+        .toDF("version", "commit_id", "touched_partitions", "n_files", "committed_at")
     // ONE forward replay for the whole history — per-version resolveAt
     // would be quadratic in retained versions
+    def tsOf(r: CommitRecord, v: Long): java.sql.Timestamp =
+      new java.sql.Timestamp(
+        if (r.ts > 0) r.ts // in-commit timestamp; legacy records fall back to mtime
+        else fs.getFileStatus(manifestPath(dir, v)).getModificationTime)
     var files = resolveAt(fs, dir, vs.head).files
     val head = readRecord(fs, manifestPath(dir, vs.head))
-    val rows = Seq.newBuilder[(Long, String, Seq[String], Int)]
+    val rows = Seq.newBuilder[(Long, String, Seq[String], Int, java.sql.Timestamp)]
     rows += ((head.version, head.commitId,
-      head.touched.toSeq.map(_.getOrElse("NULL")).sorted, files.size))
+      head.touched.toSeq.map(_.getOrElse("NULL")).sorted, files.size,
+      tsOf(head, vs.head)))
     vs.tail.foreach { v =>
       val r = readRecord(fs, manifestPath(dir, v))
       files = applyRecord(files, r)
       rows += ((r.version, r.commitId,
-        r.touched.toSeq.map(_.getOrElse("NULL")).sorted, files.size))
+        r.touched.toSeq.map(_.getOrElse("NULL")).sorted, files.size, tsOf(r, v)))
     }
-    rows.result().toDF("version", "commit_id", "touched_partitions", "n_files")
+    rows.result()
+      .toDF("version", "commit_id", "touched_partitions", "n_files", "committed_at")
   }
 
   /** File-level layout of a committed version (latest when `version`

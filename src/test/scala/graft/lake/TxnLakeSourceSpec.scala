@@ -136,6 +136,10 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.versionAsOfTimestamp(spark, dir, mid) === 0L,
       "timestamp travel must resolve off in-commit timestamps, not mtimes")
     assert(TxnLake.versionAsOfTimestamp(spark, dir, ict(1L)) === 1L)
+    // history surfaces the same clock, strictly increasing
+    val hist = TxnLake.history(spark, dir).orderBy("version")
+      .select("committed_at").collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(hist === Seq(ict(0L), ict(1L)))
   }
 
   test("DV fallback keeps manifest pruning: files drop BEFORE any data read") {
