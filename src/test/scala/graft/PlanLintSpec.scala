@@ -556,6 +556,14 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q67: SQL-registered functions plan as the fused codegen expressions") {
+    val p = plan("q67_sql_expression_surface")
+    assert(p.contains("string_poly_hash") && p.contains("token_hashes") &&
+      p.contains("shingle_hash_combine"),
+      s"SQL registration must resolve to the fused expressions\n$p")
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("q64: listagg buffers are bounded by the per-nation window pre-cut") {
     val p = plan("q64_listagg")
     assert(p.contains("listagg"), p)
