@@ -2766,6 +2766,58 @@ object ExtensionQueries {
       |FROM b GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** tx21 — LEARNED BPE ([[graft.operators.BpeTrainer]]): train a
+    * 6-round byte-pair-encoding merge table FROM the corpus — the
+    * Sennrich subword algorithm — and return the merge table itself.
+    * The corpus is touched once (explode + one keyed agg → the Zipf-
+    * small distinct-word table); each round is ONE keyed pair-count agg
+    * over that cached vocabulary plus a TakeOrdered(1) arg-max (the
+    * sole driver row — pinned in `BpeTrainerSpec`). The oracle REPLAYS
+    * the training: six chained relational rounds (pair counts → arg-max
+    * with the same (count DESC, pair ASC) tie-break → left-to-right
+    * `replace` merge), so a hash match proves the learned merges are
+    * bit-identical to an independent engine's. */
+  private def tx21(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = BpeTrainer.train(words, rounds = 6)
+    import s.implicits._
+    merges.map(m => (m.round, m.left, m.right, m.count))
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** Six relational training rounds: sN = vocabulary state after round
+    * N, pN = pair counts, tN = that round's arg-max merge. */
+  private val tx21Sql = {
+    def round(r: Int) =
+      s"""p$r AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_zip(l, l[2:])) AS pr, cnt
+         |        FROM (SELECT string_split(trim(sym), ' ') AS l, cnt FROM s${r - 1}))
+         |  WHERE pr[2] IS NOT NULL
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS (SELECT replace(sym, ' ' || t.a || ' ' || t.b || ' ',
+         |                       ' ' || t.a || t.b || ' ') AS sym, cnt
+         |        FROM s${r - 1}, t$r t)""".stripMargin
+    """WITH w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym, cnt FROM w),
+      |""".stripMargin +
+      (1 to 6).map(round).mkString(",\n") +
+      "\nSELECT * FROM (" +
+      (1 to 6).map(r =>
+        s"SELECT $r AS round, a AS left_sym, b AS right_sym, n AS pair_count FROM t$r")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY round"
+  }
+
   /** dd17 — URL CANONICALIZATION dedup: crawl URLs that differ only in
     * scheme/host case, default port, `www.` prefix, tracking params, or
     * fragments are the same resource — the first dedup pass every crawl
@@ -2910,6 +2962,7 @@ object ExtensionQueries {
     "tx18_zipf_slope" -> (tx18 _),
     "tx19_vocab_growth" -> (tx19 _),
     "tx20_readability" -> (tx20 _),
+    "tx21_learned_bpe" -> (tx21 _),
     "tx01_token_stats" -> (tx01 _),
     "tx02_quality_scores" -> (tx02 _),
     "tx03_langid" -> (tx03 _),
@@ -2982,6 +3035,7 @@ object ExtensionQueries {
     "tx18_zipf_slope" -> tx18Sql,
     "tx19_vocab_growth" -> tx19Sql,
     "tx20_readability" -> tx20Sql,
+    "tx21_learned_bpe" -> tx21Sql,
     "tx01_token_stats" -> tx01Sql,
     "tx02_quality_scores" -> tx02Sql,
     "tx03_langid" -> tx03Sql,

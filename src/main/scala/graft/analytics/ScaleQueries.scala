@@ -1363,6 +1363,56 @@ object ScaleQueries {
       |FROM rows_all GROUP BY seg, cur
       |ORDER BY seg, cur""".stripMargin
 
+  /** lk17 — ZERO-COPY CLONE ([[graft.lake.TxnLake.clone]]): fork the
+    * orders lake table as a metadata-only clone (no data file copied —
+    * pinned in `CloneSpec`), run a risky migration on the FORK only
+    * (predicate delete + backfill append), and aggregate BOTH sides
+    * under a tag. The oracle recomputes each side relationally: a hash
+    * match proves the clone read the source snapshot exactly, the
+    * migration diverged only the fork, and the source stayed
+    * bit-identical — Delta SHALLOW CLONE semantics. At 100 TB the fork
+    * costs one manifest write; the source's files are shared in place
+    * and vacuum-protected by the clone's pin ref. */
+  private def lk17(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val root = java.nio.file.Files.createTempDirectory("graft_lk17")
+    val src = root.resolve("src").toString
+    val dst = root.resolve("fork").toString
+    val base = orders(s, d).filter(col("o_orderkey") % 8 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_price"))
+    TxnLake.create(s, src, base, "o_orderstatus")
+    TxnLake.clone(s, src, dst)
+    TxnLake.deleteWhere(s, dst, col("o_orderkey") % 24 === 0)
+    TxnLake.append(s, dst, base.filter(col("o_orderkey") % 16 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 70000000L))
+    TxnLake.read(s, src).withColumn("side", lit("src"))
+      .unionByName(TxnLake.read(s, dst).withColumn("side", lit("fork")))
+      .groupBy(col("side"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_price")).cast("double").as("sum_price"))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
+  private val lk17Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS o_price
+      |  FROM orders WHERE o_orderkey % 8 = 0),
+      |fork AS (
+      |  SELECT o_orderkey, o_orderstatus, o_price FROM base
+      |  WHERE o_orderkey % 24 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 70000000, o_orderstatus, o_price
+      |  FROM base WHERE o_orderkey % 16 = 0),
+      |sides AS (
+      |  SELECT 'src' AS side, o_orderstatus, o_price FROM base
+      |  UNION ALL
+      |  SELECT 'fork' AS side, o_orderstatus, o_price FROM fork)
+      |SELECT side, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(o_price) AS DOUBLE) AS sum_price
+      |FROM sides GROUP BY side, o_orderstatus
+      |ORDER BY side, o_orderstatus""".stripMargin
+
   /** zq06 — MULTI-COLUMN ZONE MAPS ([[graft.lake.TxnLake
     * .setStatsColumns]]): the lake table tracks per-file (min, max) for
     * TWO extra columns beyond the legacy statsCol, and the `graft-txn`
@@ -1436,6 +1486,7 @@ object ScaleQueries {
       |ORDER BY l_returnflag""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "lk17_clone" -> (lk17 _),
     "zq07_zorder_optimize" -> (zq07 _),
     "zq06_multi_zone" -> (zq06 _),
     "lk16_scd2" -> (lk16 _),
@@ -1468,6 +1519,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk17_clone" -> lk17Sql,
     "zq07_zorder_optimize" -> zq07Sql,
     "zq06_multi_zone" -> zq06Sql,
     "lk16_scd2" -> lk16Sql,

@@ -60,6 +60,16 @@ object Scd2 {
     * value [[init]] created the table with (both default 16): taking it
     * as a parameter keeps apply cost O(batch + touched buckets) — a
     * max-scan probe would read a column of the whole table per load.
+    *
+    * Guards: the CHANGED set must be key-unique with non-null keys
+    * (two differing rows for one key would mint colliding
+    * `key:version` surrogates; a duplicate whose second copy is a
+    * byte-identical no-op is harmless), and `version` must exceed
+    * every TOUCHED chain's open `valid_from` (replayed / out-of-order
+    * load ids would create overlapping validity intervals) — both
+    * checked against the batch-sized changed set, never a full-table
+    * scan.
+    *
     * Returns the number of keys whose chain advanced (changed + new). */
   def apply(spark: SparkSession, dir: String, updates: DataFrame, key: String,
             version: Long, buckets: Int = 16): Long = {
@@ -77,6 +87,35 @@ object Scd2 {
     val toApply = joined.filter(col(s"c.scd_id").isNull || differs).cache()
     val n = toApply.count()
     if (n == 0) { toApply.unpersist(); return 0L }
+    // the APPLIED set must be key-unique with non-null keys: two
+    // differing rows for one key would open two rows sharing the
+    // surrogate `key:version`, breaking one-open-row-per-key. Checked
+    // on the changed set, not the raw batch — a duplicate whose second
+    // copy is a byte-identical no-op is harmless and common in
+    // union-assembled loads. Computed off the cached frame: no extra
+    // table scan.
+    val kk = toApply.agg(count(col(s"u.$key")).as("nk"),
+      count_distinct(col(s"u.$key")).as("nd")).head()
+    if (n != kk.getLong(0) || kk.getLong(0) != kk.getLong(1)) {
+      toApply.unpersist()
+      throw new IllegalArgumentException(
+        s"updates batch is not key-unique on '$key' among changed rows " +
+          s"($n changed, ${kk.getLong(0)} non-null keys, ${kk.getLong(1)} " +
+          "distinct) — dedup the batch (e.g. keep the latest row per key) " +
+          "before applying")
+    }
+    // `version` must ADVANCE past every touched chain's open row: a
+    // replayed or out-of-order load id would seal intervals at or
+    // before their own start — silent overlapping validity. Computed
+    // from the already-cached changed set, so history depth costs
+    // nothing and untouched keys don't gate.
+    val maxOpen = toApply.agg(max(col("c.valid_from"))).head()
+    if (!maxOpen.isNullAt(0) && version <= maxOpen.getLong(0)) {
+      toApply.unpersist()
+      throw new IllegalArgumentException(
+        s"load version $version must exceed the touched chains' newest " +
+          s"valid_from (${maxOpen.getLong(0)}) — out-of-order or replayed load")
+    }
     // closing rows keep the OPEN row's surrogate id (same scd_id ⇒ the
     // upsert REPLACES it) with the interval sealed at this version
     val closing = toApply.filter(col(s"c.scd_id").isNotNull)

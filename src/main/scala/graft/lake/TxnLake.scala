@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.node.JsonNodeFactory
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, NumericType, StructType, TimestampType}
 
 /** Commit-manifest ("txn log") protocol for partitioned parquet lake
   * tables — the transactional replacement for [[MergeInto]]'s
@@ -83,15 +83,33 @@ object TxnLake {
     * ([[setStatsColumns]]), keyed by PHYSICAL name — additive alongside
     * the legacy single `statsCol` zmin/zmax. Absent entry = no bounds
     * (all-NULL or untracked when staged) = conservatively kept. */
+  /** `path` is the file's IDENTITY — always the table-root-relative
+    * `_graft_data/c<commit>/...` form (globally unique thanks to UUID
+    * commit dirs), which is what DV `file` columns, remove-sets and
+    * vacuum's reference counting key on. `base` is WHERE the bytes
+    * live: `None` = under this table's own root; `Some(root)` = a
+    * ZERO-COPY external reference into another table's root (the
+    * [[clone]] mechanism — Delta shallow-clone's absolute-path files).
+    * Keeping identity relative and location separate means every
+    * identity-keyed code path (DV joins, OCC prune sets, vacuum)
+    * works unchanged on cloned entries. */
   case class FileEntry(path: String, parts: Set[Option[String]],
                        zmin: Option[Double] = None, zmax: Option[Double] = None,
                        bloom: Option[String] = None, dv: Seq[String] = Nil,
                        spec: Option[String] = None,
-                       stats: Map[String, (Double, Double)] = Map.empty) {
+                       stats: Map[String, (Double, Double)] = Map.empty,
+                       base: Option[String] = None) {
     /** Whether this file's partition values index `partCol` (legacy
       * in-memory entries without a spec are treated as current). */
     def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
+    /** Absolute location of the bytes when the table lives at `dir`. */
+    def locate(dir: String): String = s"${base.getOrElse(dir)}/$path"
   }
+
+  /** Resolve a DV-sidecar reference: clone-imported refs are absolute
+    * (they point into the source table's root), own refs are relative. */
+  private[lake] def locateDv(dir: String, ref: String): String =
+    if (ref.startsWith("/") || ref.contains("://")) ref else s"$dir/$ref"
 
   /** `renames` = COLUMN NAME MAPPING, physical → logical: parquet files
     * keep the name a column was BORN with forever (so every file in a
@@ -99,13 +117,20 @@ object TxnLake {
     * only the logical name readers and writers see — rename is a
     * metadata commit, never a rewrite. `schemaDdl`, `partCol`,
     * `statsCol`, `bloomCol` are all PHYSICAL names. */
+  /** `txns` = newest committed application-transaction version per
+    * appId ([[appendOnce]] markers), FOLDED FORWARD through snapshot
+    * resolution and persisted in checkpoints — so the exactly-once
+    * horizon survives [[vacuum]] dropping the delta records that
+    * carried the markers (Delta preserves `setTransactions` through
+    * checkpoints the same way). */
   case class Manifest(version: Long, commitId: String, partCol: String,
                       schemaDdl: String, touched: Set[Option[String]],
                       files: Seq[FileEntry], statsCol: Option[String] = None,
                       bloomCol: Option[String] = None,
                       bloomBits: Int = DefaultBloomBits,
                       renames: Map[String, String] = Map.empty,
-                      tombstones: Set[String] = Set.empty)
+                      tombstones: Set[String] = Set.empty,
+                      txns: Map[String, Long] = Map.empty)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -549,6 +574,9 @@ object TxnLake {
     // never hold duplicate positions
     val live = readEntries(spark, dir, schema, base.files, keepMeta = true,
       renames = base.renames)
+    // nondeterministic predicates are rejected (the Delta rule): the DV
+    // is one evaluation, the change feed another — they must agree
+    requireDeterministic(live.filter(predicate), "deleteWhere")
     val dvRel = s"$DvDir/c${newCommitId()}"
     val dvAbs = s"$dir/$dvRel"
     // ONE distributed pass writes the vector; touched files and the
@@ -566,13 +594,18 @@ object TxnLake {
     val updated = base.files.filter(f => touchedPaths.contains(f.path))
       .map(f => f.copy(dv = f.dv :+ dvRel))
     val touched = updated.flatMap(_.parts).toSet
-    // change feed: the doomed rows are delete PRE-images — the same
-    // predicate scan over the PRE-commit entries (old dv lists), lazy
-    // until the commit publishes; immutable files make replay safe
+    // change feed: the doomed rows are delete PRE-images, re-derived
+    // from the MATERIALIZED sidecar itself (narrow (file, pos)
+    // semi-join) — exactly the rows this commit doomed, lazy until the
+    // commit publishes; immutable files make replay safe
     val doomed =
       if (cdcEnabled(spark, dir))
-        Some(readEntries(spark, dir, schema, base.files, renames = base.renames)
-          .filter(predicate).withColumn(ChangeTypeCol, lit("delete")))
+        Some(live.join(spark.read.parquet(dvAbs)
+            .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+            col("__txn_file") === col("__dv_file") &&
+              col("__txn_pos") === col("__dv_pos"), "left_semi")
+          .drop("__txn_file", "__txn_pos")
+          .withColumn(ChangeTypeCol, lit("delete")))
       else None
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, touchedPaths, updated, base.statsCol, cdc = doomed,
@@ -615,6 +648,12 @@ object TxnLake {
       s"no column '$k' in ${logicalNames.mkString(",")}"))
     val live = readEntries(spark, dir, schema, base.files, keepMeta = true,
       renames = base.renames)
+    // the predicate must be DETERMINISTIC (the check Delta performs for
+    // UPDATE/DELETE): it is evaluated once to build the DV, and a
+    // rand()-style predicate would otherwise doom one row set while
+    // staging post-images for another — checked on the ANALYZED filter
+    // condition, where nondeterminism is actually resolved
+    requireDeterministic(live.filter(predicate), "updateWhere")
     // 1. DV sidecar over the matched positions (deleteWhere discipline)
     val dvRel = s"$DvDir/c${newCommitId()}"
     val dvAbs = s"$dir/$dvRel"
@@ -629,12 +668,26 @@ object TxnLake {
     val touchedPaths = dvMeta.map(_.getString(0)).toSet
     val withDv = base.files.filter(f => touchedPaths.contains(f.path))
       .map(f => f.copy(dv = f.dv :+ dvRel))
-    // 2. post-images: SET over the matched logical rows, physical names
-    // restored for staging (files are always written physical)
-    val post = set.foldLeft(
-      live.filter(predicate).drop("__txn_file", "__txn_pos")) {
-      case (df, (k, v)) => df.withColumn(k, v)
-    }
+    // 2. matched rows derived from the MATERIALIZED DV itself (a narrow
+    // (file, pos) semi-join, broadcast at DV scale), never a second
+    // predicate evaluation — the doomed set and the post-image set are
+    // the same rows BY CONSTRUCTION, so even a per-query-seeded
+    // deterministic predicate (current_timestamp) cannot split them
+    val dvPos = spark.read.parquet(dvAbs)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    val matchedPre = live.join(dvPos,
+      col("__txn_file") === col("__dv_file") &&
+        col("__txn_pos") === col("__dv_pos"), "left_semi")
+      .drop("__txn_file", "__txn_pos")
+    // post-images: SET over the matched logical rows, each result cast
+    // back to the table's own column types (storeAssignmentPolicy
+    // semantics — a type-changing SET would otherwise stage files the
+    // snapshot schema can't decode), physical names restored for
+    // staging (files are always written physical)
+    val target = toLogical(readFiles(spark, dir, schema, Seq.empty), base.renames)
+    val post = castToTarget(
+      set.foldLeft(matchedPre) { case (df, (k, v)) => df.withColumn(k, v) },
+      target)
     val postPhys = base.renames.foldLeft(post) {
       case (df, (phys, logical)) => df.withColumnRenamed(logical, phys)
     }
@@ -642,13 +695,13 @@ object TxnLake {
       spark.conf.get("spark.sql.shuffle.partitions").toInt,
       base.statsCol, base.bloomCol, base.bloomBits)
     val touched = withDv.flatMap(_.parts).toSet ++ newFiles.flatMap(_.parts)
-    // change feed: pre-images re-filter the (immutable) base snapshot;
-    // post-images read the staged bytes themselves — both lazy until
-    // the commit wins its version
+    // change feed: pre-images re-derive from the (immutable) DV
+    // sidecar — the same rows the commit doomed; post-images read the
+    // staged bytes themselves — both lazy until the commit wins its
+    // version
     val feed =
       if (cdcEnabled(spark, dir))
-        Some(readEntries(spark, dir, schema, base.files, renames = base.renames)
-          .filter(predicate).withColumn(ChangeTypeCol, lit("update_preimage"))
+        Some(matchedPre.withColumn(ChangeTypeCol, lit("update_preimage"))
           .unionByName(readEntries(spark, dir, schema, newFiles,
             renames = base.renames)
             .withColumn(ChangeTypeCol, lit("update_postimage"))))
@@ -688,10 +741,12 @@ object TxnLake {
     * replays of the same batch can never both commit.
     *
     * Returns true if this call committed, false for a replay no-op.
-    * Markers live in the retained log (vacuum-bounded): the idempotency
-    * horizon is log retention, exactly Delta's contract. An EMPTY batch
-    * stages nothing and returns false — replaying it is equally empty,
-    * so skipping the marker is safe. */
+    * Markers live in the log records AND are folded forward into every
+    * checkpoint's `txns` map ([[Manifest.txns]]), so [[vacuum]]
+    * dropping old records never truncates the idempotency horizon —
+    * the same reason Delta carries `setTransactions` through its
+    * checkpoints. An EMPTY batch stages nothing and returns false —
+    * replaying it is equally empty, so skipping the marker is safe. */
   def appendOnce(spark: SparkSession, dir: String, rows: DataFrame,
                  appId: String, version: Long): Boolean = {
     val fs = fsOf(spark, dir)
@@ -713,9 +768,18 @@ object TxnLake {
   private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] = {
     // newest-first: streaming markers cluster at the head, so steady-
     // state cost is O(1) record reads per micro-batch
-    listVersions(fs, dir).sorted.reverseIterator
+    val (versions, ckpts) = listLog(fs, dir)
+    versions.sorted.reverseIterator
       .map(v => readRecord(fs, manifestPath(dir, v)))
       .collectFirst { case r if r.txnApp.contains(appId) => r.txnVer.getOrElse(-1L) }
+      .orElse {
+        // no retained RECORD carries the marker — consult the newest
+        // checkpoint's folded `txns` map, which preserves markers whose
+        // records vacuum already dropped (checkpoints are cumulative,
+        // so the newest one dominates all older ones)
+        ckpts.maxOption.flatMap(c =>
+          readManifest(fs, checkpointPath(dir, c)).txns.get(appId))
+      }
   }
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
@@ -985,7 +1049,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = head.renames,
-            tombstones = head.tombstones))
+            tombstones = head.tombstones, txns = head.txns))
         return
       }
     }
@@ -1017,7 +1081,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = renames,
-            tombstones = head.tombstones))
+            tombstones = head.tombstones, txns = head.txns))
         return
       }
     }
@@ -1060,7 +1124,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             Set.empty, head.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones))
+            tombstones = rec.tombstones, txns = head.txns))
         return
       }
     }
@@ -1116,10 +1180,144 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones))
+            tombstones = rec.tombstones, txns = head.txns))
         return
       }
     }
+  }
+
+  // ---- named refs (tags) + zero-copy clone ----
+
+  private val RefsDir = s"$LogDir/refs"
+
+  private def refPath(dir: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name '$name' must be [A-Za-z0-9][A-Za-z0-9._-]*")
+    new Path(dir, s"$RefsDir/$name.json")
+  }
+
+  /** NAMED REF (tag): pin `version` (default: current head) under
+    * `name` — the Iceberg-tag / Delta-named-commit primitive. A ref
+    * does two things: [[readRef]] time-travels by name, and [[vacuum]]
+    * treats every pinned version as retained (its log records and data
+    * files survive any `keepVersions` setting until [[dropRef]]
+    * releases the pin). Re-tagging an existing name re-points it
+    * (last-writer-wins — refs are bookkeeping, not contended commits). */
+  def tag(spark: SparkSession, dir: String, name: String,
+          version: Long = -1L): Long = {
+    val fs = fsOf(spark, dir)
+    val v =
+      if (version >= 0) version
+      else resolve(fs, dir).getOrElse(throw new IllegalArgumentException(
+        s"$dir is not a txn table (no $LogDir)")).version
+    resolveAt(fs, dir, v) // fail loudly on unknown/vacuumed versions
+    val node = JsonNodeFactory.instance.objectNode()
+    node.put("version", v)
+    node.put("ts", System.currentTimeMillis())
+    fs.mkdirs(new Path(dir, RefsDir))
+    val out = fs.create(refPath(dir, name), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    v
+  }
+
+  /** All named refs: name → pinned version. */
+  def refs(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = fsOf(spark, dir)
+    val d = new Path(dir, RefsDir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .map(p => p.getName.stripSuffix(".json") ->
+        readJson(fs, p).get("version").asLong()).toMap
+  }
+
+  /** Release a pin. The next [[vacuum]] may then drop what only this
+    * ref retained (including the source files of a clone pinned by
+    * [[clone]] — drop those only once the clone itself is gone or
+    * rewritten). */
+  def dropRef(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    fs.delete(refPath(dir, name), false)
+    ()
+  }
+
+  /** Time travel by ref name. */
+  def readRef(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val v = refs(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no ref '$name' at $dir (have: ${refs(spark, dir).keys.toSeq.sorted.mkString(",")})"))
+    readVersion(spark, dir, v)
+  }
+
+  /** Versions pinned by refs — vacuum's retention floor. */
+  private def pinnedVersions(fs: FileSystem, dir: String): Seq[Long] = {
+    val d = new Path(dir, RefsDir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .map(p => readJson(fs, p).get("version").asLong())
+  }
+
+  /** ZERO-COPY CLONE (Delta SHALLOW CLONE / Iceberg branch): publish a
+    * brand-new txn table at `dst` whose version 0 references the
+    * SOURCE's data files in place — pure metadata, no byte moves, O(1)
+    * in table size. The new table is immediately a fully independent
+    * WRITABLE fork: every subsequent commit at `dst` stages its own
+    * files under `dst`'s root, and no operation on the clone ever
+    * mutates a source file (rewrites simply drop the external
+    * reference). This is the experimentation primitive — fork a 100 TB
+    * table in milliseconds, run a risky migration, keep or discard.
+    *
+    * Mechanics: cloned entries keep their RELATIVE identity
+    * ([[FileEntry.path]] — globally unique via UUID commit dirs) and
+    * carry the source root in [[FileEntry.base]], so DV joins, OCC
+    * prune sets and vacuum reference-counting work unchanged. The
+    * source's outstanding deletion vectors come along as absolute refs
+    * — the clone sees exactly the source snapshot's LIVE rows. Cloning
+    * a clone keeps pointing at the ORIGINAL roots (no chains).
+    *
+    * Vacuum safety, both directions: `dst`'s vacuum only scans its own
+    * roots, so external files are untouchable by construction; the
+    * SOURCE is protected by an automatic `clone-*` ref pinning the
+    * cloned version ([[vacuum]] retains pinned versions' files) —
+    * released with [[dropRef]] once the clone is gone. Returns the pin
+    * ref's name.
+    *
+    * `versionAsOf` < 0 clones the current head; otherwise that
+    * retained version (branch from any point time travel can reach). */
+  def clone(spark: SparkSession, src: String, dst: String,
+            versionAsOf: Long = -1L): String = {
+    require(new Path(src).isAbsolute && new Path(dst).isAbsolute,
+      "clone needs absolute table roots (external file refs embed them)")
+    val fs = fsOf(spark, src)
+    val m =
+      if (versionAsOf >= 0) resolveAt(fs, src, versionAsOf)
+      else resolve(fs, src).getOrElse(throw new IllegalArgumentException(
+        s"$src is not a txn table (no $LogDir)"))
+    val dstFs = fsOf(spark, dst)
+    require(!dstFs.exists(new Path(dst, LogDir)), s"$dst is already a txn table")
+    // pin FIRST: the source's vacuum must never race the clone into
+    // dangling references
+    val pin = s"clone-${newCommitId().take(12)}"
+    tag(spark, src, pin, m.version)
+    val external = m.files.map(e => e.copy(
+      base = Some(e.base.getOrElse(src)),
+      dv = e.dv.map(locateDv(src, _))))
+    dstFs.mkdirs(new Path(dst, LogDir))
+    val srcStats = statsColsOf(fs, src)
+    if (srcStats.nonEmpty) setStatsColumns(spark, dst, srcStats)
+    val rec = CommitRecord(0L, newCommitId(), m.partCol, m.schemaDdl,
+      external.flatMap(_.parts).toSet, external, Set.empty, m.statsCol,
+      full = false, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
+      renames = m.renames, tombstones = m.tombstones,
+      ts = nextCommitTs(dstFs, dst, 0L))
+    require(publishRecord(dstFs, dst, rec),
+      s"concurrent create of txn table at $dst")
+    maybeCheckpoint(spark, dstFs, dst,
+      Manifest(0L, rec.commitId, m.partCol, m.schemaDdl, rec.touched,
+        external, m.statsCol, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
+        renames = m.renames, tombstones = m.tombstones))
+    pin
   }
 
   /** PARTITION EVOLUTION: change the table's partition column for all
@@ -1160,7 +1358,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = head.renames,
-            tombstones = head.tombstones))
+            tombstones = head.tombstones, txns = head.txns))
         return
       }
     }
@@ -1401,7 +1599,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
             rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits,
-            renames = rec.renames, tombstones = rec.tombstones))
+            renames = rec.renames, tombstones = rec.tombstones,
+            txns = head.txns ++ staged.txn.toMap))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -1432,7 +1631,13 @@ object TxnLake {
     val fs = fsOf(spark, dir)
     val (versions, ckpts) = listLog(fs, dir)
     if (versions.isEmpty) return
-    val (dropV, keepV) = versions.sorted.splitAt(math.max(0, versions.size - keepVersions))
+    // named refs ([[tag]], clone pins) are a retention FLOOR: every
+    // version >= the oldest pin keeps its records and files, whatever
+    // `keepVersions` says — [[dropRef]] releases
+    val sorted = versions.sorted
+    val byCount = sorted.drop(math.max(0, versions.size - keepVersions)).head
+    val keepFrom = pinnedVersions(fs, dir).minOption.fold(byCount)(math.min(_, byCount))
+    val (dropV, keepV) = sorted.partition(_ < keepFrom)
     val minKeep = keepV.head
     // retention-proof resolution: checkpoint the oldest retained
     // version BEFORE any older record disappears (derived data —
@@ -1531,7 +1736,7 @@ object TxnLake {
     try files.zipWithIndex.map { case (fe, i) =>
       pool.submit(new Runnable {
         override def run(): Unit = {
-          val src = new Path(dir, fe.path)
+          val src = new Path(fe.locate(dir))
           org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
             new Path(destDir, f"ins_$i%05d.parquet"), false, conf)
           ()
@@ -1543,6 +1748,21 @@ object TxnLake {
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Reject nondeterministic mutation predicates (the rule Delta
+    * enforces for UPDATE/DELETE): checked on the ANALYZED plan's Filter
+    * conditions — the unresolved Column can't answer (an unresolved
+    * `rand()` reports deterministic until resolution binds it). */
+  private def requireDeterministic(filtered: DataFrame, op: String): Unit = {
+    val bad = filtered.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if !f.condition.deterministic => f.condition
+    }
+    require(bad.isEmpty,
+      s"$op predicate must be deterministic (it is evaluated to build the " +
+        s"deletion vector and must doom a reproducible row set); got: " +
+        bad.map(_.sql).mkString("; "))
+  }
 
   private def newCommitId(): String = UUID.randomUUID().toString.replace("-", "")
 
@@ -1598,9 +1818,17 @@ object TxnLake {
     }
     (replayFrom to version).foreach { v =>
       val r = readRecord(fs, manifestPath(dir, v))
+      // fold appendOnce markers forward (max per appId, though commits
+      // only ever advance them) so any checkpoint written from this
+      // manifest preserves the exactly-once horizon
+      val txns = r.txnApp.fold(m.txns) { app =>
+        val v2 = r.txnVer.getOrElse(-1L)
+        m.txns + (app -> math.max(v2, m.txns.getOrElse(app, Long.MinValue)))
+      }
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
         applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol,
-        bloomBits = r.bloomBits, renames = r.renames, tombstones = r.tombstones)
+        bloomBits = r.bloomBits, renames = r.renames, tombstones = r.tombstones,
+        txns = txns)
     }
     m
   }
@@ -1670,21 +1898,25 @@ object TxnLake {
                                 renames: Map[String, String] = Map.empty): DataFrame = {
     val dvDirs = entries.flatMap(_.dv).distinct.sorted
     if (dvDirs.isEmpty && !keepMeta)
-      return toLogical(readFiles(spark, dir, schema, entries.map(_.path)), renames)
+      return toLogical(
+        if (entries.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.schema(schema).parquet(entries.map(_.locate(dir)): _*),
+        renames)
     if (entries.isEmpty)
       return toLogical(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         if (keepMeta) StructType(schema.fields :+
           org.apache.spark.sql.types.StructField("__txn_file", org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("__txn_pos", org.apache.spark.sql.types.LongType))
         else schema), renames)
-    val df = spark.read.schema(schema).parquet(entries.map(e => s"$dir/${e.path}"): _*)
+    val df = spark.read.schema(schema).parquet(entries.map(_.locate(dir)): _*)
       .withColumn("__txn_file",
         expr(s"substring(_metadata.file_path, instr(_metadata.file_path, '$DataDir'))"))
       .withColumn("__txn_pos", col("_metadata.row_index"))
     val out =
       if (dvDirs.isEmpty) df
       else {
-        val dv = spark.read.parquet(dvDirs.map(p => s"$dir/$p"): _*)
+        val dv = spark.read.parquet(dvDirs.map(locateDv(dir, _)): _*)
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
         df.join(dv, col("__txn_file") === col("__dv_file") &&
           col("__txn_pos") === col("__dv_pos"), "left_anti")
@@ -1767,11 +1999,21 @@ object TxnLake {
     val staged = spark.read.parquet(dataDir)
     // multi-column zone maps: the table's stats-columns property adds
     // per-file bounds for each named column present in this staging
-    // (absent columns — post-drop appends — just record no bounds)
+    // (absent columns — post-drop appends — just record no bounds).
+    // Only bounds-TRACKABLE types record: numeric and timestamp share
+    // the cast-to-double unit the pruners compare against (timestamps
+    // as epoch seconds); a string or date column records nothing — its
+    // ANSI cast would throw (or yield a unit no literal shares), and
+    // absent bounds are merely conservative.
+    def trackable(dt: DataType): Boolean = dt match {
+      case _: NumericType | TimestampType => true
+      case _ => false
+    }
     val extraStats = statsColsOf(fsOf(spark, dir), dir)
-      .filter(df.columns.contains).filterNot(statsCol.contains)
+      .filter(c => df.columns.contains(c) && trackable(df.schema(c).dataType))
+      .filterNot(statsCol.contains)
     val aggCols =
-      statsCol.toSeq.flatMap(sc => Seq(
+      statsCol.toSeq.filter(sc => trackable(df.schema(sc).dataType)).flatMap(sc => Seq(
         min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
       extraStats.zipWithIndex.flatMap { case (c, i) => Seq(
         min(col(c).cast("double")).as(s"__smn$i"), max(col(c).cast("double")).as(s"__smx$i")) }
@@ -1951,6 +2193,7 @@ object TxnLake {
     files.foreach { f =>
       val fn = fsArr.addObject()
       fn.put("path", f.path)
+      f.base.foreach(fn.put("base", _))
       f.zmin.foreach(fn.put("zmin", _))
       f.zmax.foreach(fn.put("zmax", _))
       f.bloom.foreach(fn.put("bloom", _))
@@ -1979,6 +2222,10 @@ object TxnLake {
   private def writeManifestBytes(m: Manifest): Array[Byte] = {
     val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
       m.touched, m.statsCol, m.bloomCol, m.bloomBits, m.renames, m.tombstones)
+    if (m.txns.nonEmpty) {
+      val tn = root.putObject("txns")
+      m.txns.toSeq.sortBy(_._1).foreach { case (app, v) => tn.put(app, v); () }
+    }
     addFileArray(root, "files", m.files, m.partCol)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -2014,7 +2261,8 @@ object TxnLake {
           st.properties().asScala.map { e =>
             e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
           }.toMap
-        })
+        },
+        base = Option(fn.get("base")).map(_.asText()))
     }.toSeq
   }
 
@@ -2054,7 +2302,10 @@ object TxnLake {
       Option(root.get("statsCol")).map(_.asText()),
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
-      renames = parseRenames(root), tombstones = parseTombstones(root))
+      renames = parseRenames(root), tombstones = parseTombstones(root),
+      txns = Option(root.get("txns")).fold(Map.empty[String, Long]) { tn =>
+        tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      })
   }
 
   /** Per-version log record; a legacy full manifest parses as a

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeRefer
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
-import org.apache.spark.sql.types.{StructField, StructType, StringType, IntegerType, LongType, ShortType, ByteType, BooleanType, FloatType, DoubleType, DecimalType}
+import org.apache.spark.sql.types.{StructField, StructType, StringType, IntegerType, LongType, ShortType, ByteType, BooleanType, FloatType, DoubleType, DecimalType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `spark.read.format("graft-txn").load(dir)` — the [[TxnLake]] commit
@@ -90,9 +90,16 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-txn requires a path"))
-    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
-      "versionAsOf and timestampAsOf are mutually exclusive")
-    val manifest = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+    require(Seq("versionAsOf", "timestampAsOf", "refAsOf")
+      .count(parameters.contains) <= 1,
+      "versionAsOf, timestampAsOf and refAsOf are mutually exclusive")
+    // refAsOf = time travel by NAMED REF ([[TxnLake.tag]] / clone pin)
+    val versionOpt = parameters.get("versionAsOf").orElse(
+      parameters.get("refAsOf").map { name =>
+        TxnLake.refs(spark, dir).getOrElse(name,
+          throw new IllegalArgumentException(s"no ref '$name' at $dir")).toString
+      })
+    val manifest = (versionOpt, parameters.get("timestampAsOf")) match {
       case (Some(v), _) => TxnLake.resolveVersion(spark, dir, v.toLong)
       case (_, Some(ts)) =>
         // epoch millis, or an ISO-8601 instant ("2026-08-14T10:00:00Z")
@@ -171,8 +178,20 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
   override val schema: StructType = StructType(physSchema.fields.map(f =>
     f.copy(name = logicalName(f.name))))
 
+  /** Filter value → the double unit manifest bounds use. Pushed source
+    * filters compare an attribute directly (casts block pushdown), so
+    * the value's runtime type IS the column's type: numbers for numeric
+    * columns, Timestamp/Instant (→ epoch seconds, the same `us / 1e6`
+    * as Spark's timestamp→double cast) for timestamp columns. Dates,
+    * strings, booleans abstain — their bounds share no numeric unit. */
   private def num(v: Any): Option[Double] = v match {
     case n: Number => Some(n.doubleValue())
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t).toDouble / 1e6)
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i).toDouble / 1e6)
     case _ => None
   }
 
@@ -317,24 +336,31 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
   private val root = new Path(dir)
   // one listStatus per commit directory, not one RPC per file: commit
   // dirs are few (one per commit) and each holds its files flat under
-  // __txn_pk=<token>/ subdirs — two bounded listings
+  // __txn_pk=<token>/ subdirs — two bounded listings. Zero-copy cloned
+  // entries list under their SOURCE root (`FileEntry.base`); keys stay
+  // the relative identity, which UUID commit dirs keep collision-free
+  // across roots.
   private val statusByRel: Map[String, FileStatus] = {
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val wanted = manifest.files.map(_.path).toSet
-    val commitDirs = wanted.map(_.split("/").take(2).mkString("/"))
-    commitDirs.toSeq.sorted.flatMap { c =>
-      val d = new Path(root, c)
-      if (!fs.exists(d)) Seq.empty
-      else {
-        val it = fs.listFiles(d, true)
-        val buf = Seq.newBuilder[(String, FileStatus)]
-        while (it.hasNext) {
-          val st = it.next()
-          val p = st.getPath.toUri.getPath
-          val rel = p.substring(p.indexOf("_graft_data"))
-          if (wanted.contains(rel)) buf += rel -> st
+    val conf = spark.sparkContext.hadoopConfiguration
+    manifest.files.groupBy(_.base).toSeq.flatMap { case (b, group) =>
+      val groupRoot = b.map(new Path(_)).getOrElse(root)
+      val fs = groupRoot.getFileSystem(conf)
+      val wanted = group.map(_.path).toSet
+      val commitDirs = wanted.map(_.split("/").take(2).mkString("/"))
+      commitDirs.toSeq.sorted.flatMap { c =>
+        val d = new Path(groupRoot, c)
+        if (!fs.exists(d)) Seq.empty
+        else {
+          val it = fs.listFiles(d, true)
+          val buf = Seq.newBuilder[(String, FileStatus)]
+          while (it.hasNext) {
+            val st = it.next()
+            val p = st.getPath.toUri.getPath
+            val rel = p.substring(p.indexOf("_graft_data"))
+            if (wanted.contains(rel)) buf += rel -> st
+          }
+          buf.result()
         }
-        buf.result()
       }
     }.toMap
   }
@@ -377,7 +403,7 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
   }
 
   override def inputFiles: Array[String] =
-    manifest.files.map(f => new Path(root, f.path).toString).toArray
+    manifest.files.map(f => new Path(f.locate(dir)).toString).toArray
 
   override def sizeInBytes: Long = statusByRel.values.map(_.getLen).sum
 
@@ -479,18 +505,34 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
 
   /** (column, [lo, hi]) implied by one range-shaped conjunct on ANY
     * single column, when provable. Strict bounds relax to inclusive —
-    * conservative. Monotone numeric casts unwrap. */
+    * conservative. Monotone numeric casts unwrap.
+    *
+    * Bounds in the manifest are recorded as cast-to-double of the
+    * column value (epoch SECONDS for timestamps), so a range is emitted
+    * only when the literal converts to that exact unit: numeric
+    * literals as-is, timestamp literals micros→seconds (the same
+    * `us / 1e6` Spark's own timestamp→double cast performs, so the
+    * doubles compare bit-identically). The underlying attribute must
+    * itself be a bounds-trackable type — a string or date column
+    * reached through a numeric cast abstains, because its recorded
+    * bounds (if any) would not share the literal's unit. */
   private def anyRangeOf(e: Expression): Option[(String, (Double, Double))] = {
     def attrOf(a: Expression): Option[String] = a match {
-      case ar: AttributeReference => Some(ar.name)
-      // a cast between numeric types is monotone, so bounds transfer
+      case ar: AttributeReference
+        if numeric(ar.dataType) || ar.dataType == TimestampType => Some(ar.name)
+      // a cast between numeric types is monotone, so bounds transfer —
+      // but only when the LEAF column's own recorded bounds share the
+      // numeric unit (checked above)
       case Cast(child, dt, _, _) if numeric(dt) => attrOf(child)
       case _ => None
     }
-    def num(l: Literal): Option[Double] = l.value match {
-      case null => None
-      case n: Number => Some(n.doubleValue())
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    def num(l: Literal): Option[Double] = (l.value, l.dataType) match {
+      case (null, _) => None
+      // timestamp literals carry epoch MICROSECONDS; manifest bounds
+      // are cast-to-double epoch SECONDS
+      case (us: java.lang.Long, TimestampType) => Some(us.toDouble / 1e6)
+      case (d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+      case (n: Number, dt) if numeric(dt) => Some(n.doubleValue())
       case _ => None
     }
     def mk(a: Expression, r: Option[(Double, Double)]): Option[(String, (Double, Double))] =

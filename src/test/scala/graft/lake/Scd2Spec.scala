@@ -91,4 +91,47 @@ class Scd2Spec extends AnyFunSuite with SparkTestSession {
       .select("scd_bucket").distinct().count()
     assert(buckets === 1L, "a key's chain must live in one bucket")
   }
+
+  test("a non-key-unique batch is rejected before any commit") {
+    import spark.implicits._
+    val dir = freshDim()
+    // two differing rows for cust=1 would mint colliding `1:2`
+    // surrogates and leave the key with two open rows
+    val e = intercept[IllegalArgumentException] {
+      Scd2.apply(spark, dir,
+        Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("cust", "tier", "bal"),
+        "cust", version = 2L)
+    }
+    assert(e.getMessage.contains("key-unique"))
+    intercept[IllegalArgumentException] {
+      Scd2.apply(spark, dir,
+        Seq((Option.empty[Long], "a", 1.0)).toDF("cust", "tier", "bal"),
+        "cust", version = 2L)
+    }
+    // invariant intact: one open row per key, nothing committed
+    assert(Scd2.current(spark, dir).count() === 3L)
+  }
+
+  test("an out-of-order (non-advancing) load version is rejected") {
+    import spark.implicits._
+    val dir = freshDim()
+    assert(Scd2.apply(spark, dir,
+      Seq((1L, "platinum", 10.0)).toDF("cust", "tier", "bal"),
+      "cust", version = 5L) === 1L)
+    // replaying version 5 (or an earlier 3) against the same key would
+    // seal an interval at or before its own start — overlap
+    val e = intercept[IllegalArgumentException] {
+      Scd2.apply(spark, dir,
+        Seq((1L, "diamond", 10.0)).toDF("cust", "tier", "bal"),
+        "cust", version = 5L)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+    // an UNTOUCHED key does not gate: version 3 < 5 is fine for cust=2
+    assert(Scd2.apply(spark, dir,
+      Seq((2L, "gold", 20.0)).toDF("cust", "tier", "bal"),
+      "cust", version = 3L) === 1L)
+    val open = Scd2.current(spark, dir).filter(col("cust") === 1L)
+    assert(open.count() === 1L)
+    assert(open.select("tier").head.getString(0) === "platinum")
+  }
 }

@@ -85,6 +85,36 @@ class UpdateWhereSpec extends AnyFunSuite with SparkTestSession {
     assert(feed === Set((2L, 20.0, "update_preimage"), (2L, 25.0, "update_postimage")))
   }
 
+  test("nondeterministic predicates are rejected (Delta's UPDATE/DELETE rule)") {
+    val dir = freshTable()
+    // rand() could doom one row set while staging post-images for
+    // another — rejected before any sidecar is written
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.updateWhere(spark, dir, rand() < 0.5, Map("price" -> lit(0.0)))
+    }
+    assert(e.getMessage.contains("deterministic"))
+    intercept[IllegalArgumentException] {
+      TxnLake.deleteWhere(spark, dir, rand() < 0.5)
+    }
+    assert(TxnLake.resolve(spark, dir).get.version === 0L, "no commit landed")
+    assert(TxnLake.read(spark, dir).count() === 12L)
+  }
+
+  test("a type-changing SET is cast back to the table's column type") {
+    val dir = freshTable()
+    // an int literal into the double `price` column: without the cast,
+    // staged files would carry INT price and the snapshot schema
+    // (DOUBLE) could not decode them
+    val n = TxnLake.updateWhere(spark, dir, col("id") === 3L,
+      Map("price" -> lit(7)))
+    assert(n === 1L)
+    val got = TxnLake.read(spark, dir).filter(col("id") === 3L)
+      .select("price").collect().map(_.getDouble(0)).toSeq
+    assert(got === Seq(7.0))
+    assert(TxnLake.read(spark, dir).schema("price").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("update composes with renamed columns: SET by logical name") {
     val dir = freshTable()
     TxnLake.renameColumn(spark, dir, "id", "ident")

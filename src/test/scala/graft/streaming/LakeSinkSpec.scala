@@ -113,4 +113,32 @@ class LakeSinkSpec extends AnyFunSuite with SparkTestSession {
     // each batch is one atomic version: history replays exactly
     assert(TxnLake.readVersion(spark, out, 5L).count() === 5) // v0 = empty create
   }
+
+  test("markers survive VACUUM dropping the records that carried them") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_lake_vac").resolve("t").toString
+    // the stream lands batches 0..4, then goes quiet
+    (0L until 5L).foreach { i =>
+      assert(LakeSink.applyBatch(Seq((i, s"p${i % 3}")).toDF("id", "part"),
+        out, "part", "app", i) === true)
+    }
+    // unrelated (marker-less) writers advance the log past the
+    // checkpoint interval, then vacuum drops EVERY record that carried
+    // an "app" marker — the folded `txns` map in the surviving
+    // checkpoint is now the only carrier of the exactly-once horizon
+    (0L until 8L).foreach { i =>
+      TxnLake.append(spark, out, Seq((100L + i, "q")).toDF("id", "part"))
+    }
+    TxnLake.vacuum(spark, out, keepVersions = 2, graceMs = 0L)
+    // a replay of a long-vacuumed batch must STILL be a silent no-op —
+    // before the fix this double-appended (ADVICE r11)
+    assert(LakeSink.applyBatch(Seq((3L, "p0")).toDF("id", "part"),
+      out, "part", "app", 3L) === false)
+    assert(TxnLake.read(spark, out).count() === 13)
+    assert(TxnLake.lastCommittedTxn(spark, out, "app") === Some(4L))
+    // the horizon keeps advancing normally after the vacuum
+    assert(LakeSink.applyBatch(Seq((5L, "p2")).toDF("id", "part"),
+      out, "part", "app", 5L) === true)
+    assert(TxnLake.read(spark, out).count() === 14)
+  }
 }
