@@ -60,7 +60,14 @@ object Similarity {
   }
 
   /** Exact cosine top-k of `corpus` rows against one query vector
-    * (selected by `queryId`). Output: (vec_id, cos) sorted desc. */
+    * (selected by `queryId`). Output: (vec_id, cos) sorted desc.
+    *
+    * CONTRACT: deliberately brute-force — ONE broadcast query row
+    * against the corpus, a single linear scan, no index. That is the
+    * right exact baseline for a bounded probe set (ss01 runs 1 query;
+    * ss04 uses it as the recall oracle) and the wrong op for
+    * corpus×corpus work: an all-pairs need goes through [[lshKnnJoin]]
+    * (LSH-blocked) or [[ivfTopK]], never a lifted loop over this. */
   def bruteForceTopK(corpus: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = corpus.filter(col("vec_id") === queryId)
       .select(col("embedding").as("query_embedding"))

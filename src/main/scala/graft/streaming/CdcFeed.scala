@@ -84,13 +84,44 @@ object CdcFeed {
     * within the stream follows file order (the v-dirs sort by version).
     * Pair with [[applyCdc]] in `foreachBatch` — or any stateful
     * pipeline — and the checkpoint makes delivery exactly-once
-    * end-to-end against an idempotent sink. */
+    * end-to-end against an idempotent sink.
+    *
+    * A LATE-ATTACHING consumer picks its replay point with
+    * `startingVersion` (changes of that commit and later — Delta CDF's
+    * option of the same name) or `startingTimestamp` (the first commit
+    * whose IN-COMMIT timestamp is at or after it — resolved through
+    * the ICT in each log record, so the boundary survives file-mtime
+    * rewrites; epoch millis). Mutually exclusive; default replays the
+    * whole retained feed. The cutoff rides the per-row
+    * `_commit_version`, so the stream's first batch lists the retained
+    * feed dirs once and discards pre-cutoff rows; every later batch
+    * touches only never-seen files. */
   def stream(spark: SparkSession, dir: String,
-             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+             maxFilesPerTrigger: Option[Int] = None,
+             startingVersion: Option[Long] = None,
+             startingTimestamp: Option[Long] = None): DataFrame = {
     requireFeed(spark, dir)
+    require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    val from = startingVersion.orElse(
+      startingTimestamp.map(firstVersionAtOrAfter(spark, dir, _)))
     val reader = spark.readStream.schema(schemaOf(spark, dir))
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    derive(reader.parquet(feedGlob(dir)))
+    val df = derive(reader.parquet(feedGlob(dir)))
+    from.fold(df)(v => df.filter(col(TxnLake.VersionCol) >= v))
+  }
+
+  /** Earliest commit whose in-commit timestamp is >= `tsMillis`
+    * (Delta's `startingTimestamp` contract). Log-scale driver work —
+    * one history replay, no data files touched. */
+  private def firstVersionAtOrAfter(spark: SparkSession, dir: String,
+                                    tsMillis: Long): Long = {
+    val r = TxnLake.history(spark, dir)
+      .filter(col("committed_at") >= new java.sql.Timestamp(tsMillis))
+      .agg(min(col("version"))).head()
+    require(!r.isNullAt(0),
+      s"no commit at or after timestamp $tsMillis in $dir's retained history")
+    r.getLong(0)
   }
 
   /** Apply one micro-batch of feed rows to a downstream [[TxnLake]]

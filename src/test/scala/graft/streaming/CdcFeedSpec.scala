@@ -133,6 +133,53 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     assert(viewSet(view) === viewSet(rebuild))
   }
 
+  /** mutatedTable + one more append = a 5-commit history (v0..v4). */
+  private def fiveCommitTable(): String = {
+    import spark.implicits._
+    val dir = mutatedTable()
+    TxnLake.append(spark, dir, Seq((7L, "g", "p1")).toDF("id", "name", "part"))
+    dir
+  }
+
+  test("late-attach startingVersion replays exactly that suffix (stream == batch)") {
+    val dir = fiveCommitTable()
+    val q = CdcFeed.stream(spark, dir, startingVersion = Some(2L))
+      .writeStream.format("memory").queryName("cdc_feed_sv")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(changeSet(spark.table("cdc_feed_sv")) ===
+      changeSet(CdcFeed.batch(spark, dir, fromVersion = 2L)))
+    // pinned: nothing from v0/v1, everything from v2 on
+    assert(changeSet(spark.table("cdc_feed_sv")) === Set(
+      (2L, "b", "p1", "update_preimage", 2L),
+      (2L, "b2", "p1", "update_postimage", 2L), (6L, "f", "p3", "insert", 2L),
+      (1L, "a", "p1", "delete", 3L), (6L, "f", "p3", "delete", 3L),
+      (7L, "g", "p1", "insert", 4L)))
+  }
+
+  test("startingTimestamp resolves through in-commit timestamps to the exact commit") {
+    val dir = fiveCommitTable()
+    val ict = TxnLake.history(spark, dir).select("version", "committed_at").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    // ICTs are strictly monotonic, so v3's own ICT is a deterministic
+    // boundary: exactly versions 3 and 4 are at-or-after it
+    val q = CdcFeed.stream(spark, dir, startingTimestamp = Some(ict(3L)))
+      .writeStream.format("memory").queryName("cdc_feed_st")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(changeSet(spark.table("cdc_feed_st")) ===
+      changeSet(CdcFeed.batch(spark, dir, fromVersion = 3L)))
+    // past the newest commit there is nothing to replay — refuse loudly
+    val e = intercept[IllegalArgumentException](
+      CdcFeed.stream(spark, dir, startingTimestamp = Some(ict(4L) + 1L)))
+    assert(e.getMessage.contains("no commit at or after"))
+    // the two attach options are mutually exclusive
+    intercept[IllegalArgumentException](CdcFeed.stream(spark, dir,
+      startingVersion = Some(1L), startingTimestamp = Some(ict(2L))))
+  }
+
   test("change capture is opt-in: a default table pays nothing and has no feed") {
     import spark.implicits._
     val dir = freshDir("graft_cdc_off")
