@@ -59,19 +59,33 @@ object Bench {
     val loadCap = sys.env.get("SPARK_GRAFT_LOAD_CAP").flatMap(_.toDoubleOption)
       .getOrElse(cpus.toDouble / 8.0)
     val maxPasses = passes + 2
-    // (per-query times, wall, load_avg at pass start)
-    var samples = Vector.empty[(Map[String, Double], Double, Double)]
+    // (per-query (total, build, query) times, wall, load_avg at pass start)
+    var samples = Vector.empty[(Map[String, (Double, Double, Double)], Double, Double)]
     var quiet = 0
     while (samples.size < passes ||
            (samples.size < maxPasses && quiet < passes)) {
       val l0 = loadNow()
       val p0 = System.nanoTime()
       val r = selected.map { case (name, fn) =>
+        // two timed phases (VERDICT r11 #1): BUILD = the queries()
+        // invocation itself — for the 30 lake/stream queries that's the
+        // eager multi-commit table construction or stream drain; for
+        // plain queries it's just plan assembly (~ms). QUERY = count()
+        // of the returned frame, i.e. the actual read path. Splitting
+        // them keeps read-path regressions from hiding inside commit-
+        // I/O construction jitter.
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val built = try Some(fn(spark, sfDir)) catch { case _: Throwable => None }
+        val tBuild =
+          if (built.isDefined) (System.nanoTime() - t0) / 1e9 else -1.0
+        val q0 = System.nanoTime()
+        val tQuery = built.map { df =>
+          try { df.count(); (System.nanoTime() - q0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        }.getOrElse(-1.0)
         // failed queries record -1 (not a plausible wall time) so
         // regressions are visible in the bench JSON
-        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = if (tBuild < 0 || tQuery < 0) -1.0 else tBuild + tQuery
         // cache hygiene (VERDICT r9 #8): builder-internal cache() sites
         // (mm06's codec pass) otherwise accumulate in the shared
         // storage pool across the whole suite — later vector queries
@@ -81,21 +95,31 @@ object Bench {
         // warm cache, not the plan. Cleared OUTSIDE the timed region:
         // each query is charged its own materialization, not the sweep.
         try spark.catalog.clearCache() catch { case _: Throwable => }
-        name -> dt
+        name -> ((dt, tBuild, tQuery))
       }
       samples :+= ((r, (System.nanoTime() - p0) / 1e9, l0))
       quiet = samples.count(_._3 <= loadCap)
     }
     // grade on the quiet passes when there are enough; otherwise use all
-    // (an always-loaded machine should not silently grade on 1 pass)
+    // (an always-loaded machine should not silently grade on 1 pass).
+    // When the machine is QUIETER than the cap demands, tighten further:
+    // if enough passes started under half the cap, grade only on those
+    // (VERDICT r11 #1 — prefer load ~2 passes over load ~4 ones).
+    val tight = samples.filter(_._3 <= loadCap / 2)
     val graded =
-      if (quiet >= passes) samples.filter(_._3 <= loadCap) else samples
-    val results = selected.keys.map { name =>
-      val ts = graded.map(_._1(name))
-      // a query that failed in ANY pass reports the -1 sentinel, not a
-      // median of mixed samples — flaky failures must stay visible
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
-    }.toMap
+      if (tight.size >= passes) tight
+      else if (quiet >= passes) samples.filter(_._3 <= loadCap)
+      else samples
+    def medianOf(pick: ((Double, Double, Double)) => Double): Map[String, Double] =
+      selected.keys.map { name =>
+        val ts = graded.map(s => pick(s._1(name)))
+        // a query that failed in ANY pass reports the -1 sentinel, not a
+        // median of mixed samples — flaky failures must stay visible
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+      }.toMap
+    val results = medianOf(_._1)
+    val buildSec = medianOf(_._2)
+    val querySec = medianOf(_._3)
     val passWalls = samples.map(_._2).toList
     val passLoads = samples.map(_._3).toList
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -111,7 +135,26 @@ object Bench {
     // byte-identical code — this line makes that case decidable)
     val walls = passWalls.map(fmt).mkString("[", ",", "]")
     val loads = passLoads.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"load_cap":${fmt(loadCap)},"cache_cleared_per_query":true,"lake_queries_include_table_build":["zq01","zq02","zq03","zq04","zq05","zq06","zq07","lk01","lk02","lk03","lk04","lk05","lk06","lk07","lk08","lk09","lk10","lk11","lk12","lk13","lk14","lk15","lk16","st15","st17","st18","ss07","ss12","ss15","iq04"],"pass_wall_sec":$walls,"pass_load_avg":$loads}""")
+    // the queries whose bench number INCLUDES eager table/stream
+    // construction — exactly the ones the phase line disaggregates
+    val lakeBuilders = Seq("zq01", "zq02", "zq03", "zq04", "zq05", "zq06",
+      "zq07", "lk01", "lk02", "lk03", "lk04", "lk05", "lk06", "lk07", "lk08",
+      "lk09", "lk10", "lk11", "lk12", "lk13", "lk14", "lk15", "lk16", "lk17",
+      "st15", "st17", "st18", "ss07", "ss12", "ss15", "iq04")
+    val lakeList = lakeBuilders.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // build/query split (VERDICT r11 #1): totals over ALL queries plus
+    // the per-query build map for the construction-dominated family, so
+    // a read-path regression is visible even when commit I/O jitters
+    val bTotal = buildSec.values.filter(_ >= 0).sum
+    val qTotal = querySec.values.filter(_ >= 0).sum
+    def phaseMap(m: Map[String, Double]): String =
+      lakeBuilders.flatMap(p => m.keys.find(_.startsWith(p + "_")).map(p -> m(_)))
+        .map { case (p, v) => "\"" + p + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val bMap = phaseMap(buildSec)
+    val qMap = phaseMap(querySec)
+    println(s"""{"metric":"phase","unit":"sec","build_total":${fmt(bTotal)},"query_total":${fmt(qTotal)},"note":"build = queries() invocation (eager table construction / stream drain); query = count() of the returned frame; per-query maps cover the construction-heavy family","build":$bMap,"query":$qMap}""")
+    println(s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"load_cap":${fmt(loadCap)},"cache_cleared_per_query":true,"lake_queries_include_table_build":$lakeList,"pass_wall_sec":$walls,"pass_load_avg":$loads}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
