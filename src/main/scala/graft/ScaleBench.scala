@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SF1 SPOT-BENCH: times the most expensive queries on a synthesized
+  * 10x copy of an sf dir, so the "would this survive a scale-up"
+  * posture rests on a measured wall-time ratio instead of argument.
+  *
+  * The scaled dir is DETERMINISTIC and reproducible from the committed
+  * testdata: `copies` disjoint replicas of every table, every join key
+  * shifted by `replica * 10_000_000` so the copies stay 1:1 under all
+  * joins (no accidental fan-out). Two perturbations keep the scaled
+  * workload SHAPE honest instead of degenerate:
+  *
+  *  - `documents.text`: replicas translate three high-frequency letters
+  *    per replica index. Identical replicas would make every document a
+  *    10-way exact/near dup — the pair graph would grow ~45 extra edges
+  *    per document (quadratic in copies), which is not what a 10x
+  *    corpus looks like. Translated replicas share no shingles, so
+  *    near-dup structure scales linearly, like real data.
+  *  - `embeddings.embedding`: a deterministic sinusoidal jitter
+  *    (amplitude 0.2) per replica. Identical vectors would collide
+  *    10-deep in every LSH/IVF bucket and square the candidate counts;
+  *    jittered replicas spread across buckets like fresh vectors.
+  *
+  * Usage: sbt "runMain graft.ScaleBench [srcDir] [outDir] [copies]"
+  * (defaults /root/testdata/sf0.1, /tmp/graft_sf1, 10). Prints one JSON
+  * line per scale with per-query medians of 3 passes, the sf1/sf0.1
+  * ratio, and a plan lint (CartesianProduct / BroadcastNestedLoopJoin
+  * hits in the sf1 physical plan — a plan FLIP at scale would show here
+  * even if the timing survived). */
+object ScaleBench {
+  private val Offset = 10000000L
+
+  /** key columns shifted per replica — every FK shifts with its PK, so
+    * each replica is a closed world and all joins stay 1:1 */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def replica(df: DataFrame, table: String, i: Int): DataFrame = {
+    val keys = keyCols(table)
+    var out = keys.foldLeft(df) { (d, k) =>
+      d.withColumn(k, (col(k) + lit(Offset * i)).cast(df.schema(k).dataType))
+    }
+    if (i > 0 && table == "documents") {
+      // rotate three common letters per replica: cross-replica shingle
+      // overlap drops to ~0, so the near-dup graph scales linearly
+      val to = "" + ('b' + (i % 24)).toChar + ('B' + (i % 24)).toChar +
+        ('0' + (i % 10)).toChar
+      out = out.withColumn("text", translate(col("text"), "eta", to))
+    }
+    if (i > 0 && table == "embeddings") {
+      val elem = df.schema("embedding").dataType
+      out = out.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          x + lit(0.2) * sin(j.cast("double") * 2.3 +
+            col("vec_id").cast("double") * 0.7 + lit(i * 1.9)))
+          .cast(elem))
+    }
+    out
+  }
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+                 copies: Int): Unit = {
+    keyCols.keys.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      (0 until copies).map(replica(src, t, _)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val copies = args.lift(2).flatMap(_.toIntOption).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val marker = new java.io.File(s"$outDir/_SCALE_READY")
+    if (!marker.exists()) {
+      synthesize(spark, srcDir, outDir, copies)
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    // the spot set: the most expensive non-lake-construction queries
+    // (lake numbers are build-dominated — the bench phase line covers
+    // them); overridable via SPARK_GRAFT_SCALE_ONLY
+    val names = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("dd07_dedup_clusters", "dd08_winnowing",
+        "dd02_minhash_lsh", "mm06_crossmodal_knn", "ss05_knn_join",
+        "ss03_ivf_ann", "pr04_connected_components", "tx14_bm25",
+        "dd13_star_clusters", "gq04_spatial_join"))
+    val qs = SparkEntry.queries.filter { case (n, _) => names.contains(n) }
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm
+    def timed(dir: String): Map[String, Double] = {
+      // warm the page cache so ratios compare plan cost, not I/O order
+      keyCols.keys.foreach { t =>
+        try spark.read.parquet(s"$dir/$t.parquet").count()
+        catch { case _: Throwable => } }
+      val passes = (1 to 3).map { _ =>
+        qs.map { case (n, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, dir).count(); true }
+          catch { case _: Throwable => false }
+          val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          try spark.catalog.clearCache() catch { case _: Throwable => }
+          n -> dt
+        }
+      }
+      qs.keys.map { n =>
+        val ts = passes.map(_(n))
+        n -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+      }.toMap
+    }
+    val base = timed(srcDir)
+    val scaled = timed(outDir)
+    // plan lint at the SCALED dir: a nested-loop or cartesian node in
+    // the sf1 physical plan is a scale-up plan flip worth flagging even
+    // when the wall time happens to survive
+    val lint = qs.map { case (n, fn) =>
+      val plan = try fn(spark, outDir).queryExecution.executedPlan.toString
+      catch { case _: Throwable => "" }
+      n -> Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+    }.filter(_._2.nonEmpty)
+    val qj = names.filter(base.contains).map { n =>
+      val ratio = if (base(n) > 0 && scaled(n) > 0) scaled(n) / base(n) else -1.0
+      s""""$n":{"sf01_sec":${fmt(base(n))},"sf1_sec":${fmt(scaled(n))},"ratio":${fmt(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val lj = lint.map { case (n, hits) =>
+      s""""$n":${hits.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"scale_spot","copies":$copies,"src":"$srcDir","load_avg":${fmt(load)},"passes":3,"plan_flags":$lj,"queries":$qj}""")
+    spark.stop()
+  }
+}

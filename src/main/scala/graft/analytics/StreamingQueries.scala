@@ -561,7 +561,71 @@ object StreamingQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** st19 — LATE-ATTACHING CDC consumer ([[graft.streaming.CdcFeed]]
+    * `startingVersion`): a 5-commit feed history (create, append,
+    * doubling upsert, predicate delete, append) read from version 2 —
+    * the same per-row cutoff `CdcFeed.stream(startingVersion = 2)`
+    * applies for a consumer attaching mid-history (stream==batch is
+    * pinned in CdcFeedSpec), emitted one row per change. The oracle
+    * replays commits 2..4 relationally: v2's upsert doubles every %21
+    * key (all matched → pure update pre/post pairs), v3's predicate
+    * delete drops %35 keys at their CURRENT price (doubled iff %105),
+    * v4 appends the %7==2 slice. Nothing from v0/v1 may leak through
+    * the cutoff — a single extra insert row would break the hash. */
+  private def st19(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.CdcFeed
+    val dir = java.nio.file.Files.createTempDirectory("graft_st19")
+      .resolve("orders_lake").toString
+    def slice(pred: org.apache.spark.sql.Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus",
+      changeFeed = true)
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 7 === 1))
+    TxnLake.upsert(s, dir,
+      slice(col("o_orderkey") % 21 === 0)
+        .withColumn("price", (col("price") * 2).cast("decimal(12,2)")),
+      "o_orderkey")
+    TxnLake.deleteWhere(s, dir, col("o_orderkey") % 35 === 0)
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 7 === 2))
+    CdcFeed.batch(s, dir, fromVersion = 2L)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"),
+        col(TxnLake.ChangeTypeCol).as("change"),
+        col(TxnLake.VersionCol).as("v"))
+      .orderBy(col("v"), col("o_orderkey"), col("change"))
+  }
+
+  private val st19Sql =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders),
+      |feed AS (
+      |  SELECT o_orderkey, o_orderstatus, p AS price,
+      |    'update_preimage' AS change, CAST(2 AS BIGINT) AS v
+      |  FROM s WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, CAST(p * 2 AS DECIMAL(12,2)),
+      |    'update_postimage', 2
+      |  FROM s WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 105 = 0 THEN CAST(p * 2 AS DECIMAL(12,2))
+      |      ELSE p END,
+      |    'delete', 3
+      |  FROM s WHERE o_orderkey % 35 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, p, 'insert', 4
+      |  FROM s WHERE o_orderkey % 7 = 2)
+      |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+      |  change, v
+      |FROM feed
+      |ORDER BY v, o_orderkey, change""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st19_cdc_startversion" -> (st19 _),
     "st18_exactly_once_sink" -> (st18 _),
     "st17_cdc_replication" -> (st17 _),
     "st16_interval_thinning" -> (st16 _),
@@ -582,6 +646,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st19_cdc_startversion" -> st19Sql,
     "st18_exactly_once_sink" -> st18Sql,
     "st17_cdc_replication" -> st17Sql,
     "st16_interval_thinning" -> st16Sql,
