@@ -1413,6 +1413,42 @@ object ScaleQueries {
       |FROM sides GROUP BY side, o_orderstatus
       |ORDER BY side, o_orderstatus""".stripMargin
 
+  /** lk18 — METADATA-ONLY COUNT ([[graft.lake.TxnLake.rowCount]]): the
+    * manifest's per-file row counts answer COUNT(*) without opening a
+    * single data file — the Delta/Iceberg stats-only count that makes
+    * `SELECT count(*)` instant on a 100 TB table. The query reads the
+    * count at TWO versions (pre- and post- a deletion-vector delete),
+    * so one hash pins per-file counts riding the staging metadata job,
+    * log-only time travel of the count, AND exact DV-cardinality
+    * subtraction from the (file, pos) sidecars. The oracle recomputes
+    * both counts relationally from `orders`. */
+  private def lk18(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk18")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 3 === 0), "o_orderstatus")
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 3 === 1))
+    TxnLake.deleteWhere(s, dir, col("o_orderkey") % 6 === 0)
+    import s.implicits._
+    Seq(1L, 2L).map { v =>
+      (v, TxnLake.rowCount(s, dir, v).getOrElse(
+        sys.error(s"rowCount missing at v$v — legacy entry leaked into a fresh table")))
+    }.toDF("version", "n_rows").orderBy(col("version"))
+  }
+
+  private val lk18Sql =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST((
+      |    SELECT count(*) FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |  ) AS BIGINT) AS n_rows
+      |UNION ALL
+      |SELECT 2, (
+      |    SELECT count(*) FROM orders
+      |    WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 0)
+      |ORDER BY version""".stripMargin
+
   /** zq06 — MULTI-COLUMN ZONE MAPS ([[graft.lake.TxnLake
     * .setStatsColumns]]): the lake table tracks per-file (min, max) for
     * TWO extra columns beyond the legacy statsCol, and the `graft-txn`
@@ -1487,6 +1523,7 @@ object ScaleQueries {
 
   val defs: Map[String, Q] = Map(
     "lk17_clone" -> (lk17 _),
+    "lk18_metadata_count" -> (lk18 _),
     "zq07_zorder_optimize" -> (zq07 _),
     "zq06_multi_zone" -> (zq06 _),
     "lk16_scd2" -> (lk16 _),
@@ -1520,6 +1557,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "lk17_clone" -> lk17Sql,
+    "lk18_metadata_count" -> lk18Sql,
     "zq07_zorder_optimize" -> zq07Sql,
     "zq06_multi_zone" -> zq06Sql,
     "lk16_scd2" -> lk16Sql,

@@ -98,7 +98,8 @@ object TxnLake {
                        bloom: Option[String] = None, dv: Seq[String] = Nil,
                        spec: Option[String] = None,
                        stats: Map[String, (Double, Double)] = Map.empty,
-                       base: Option[String] = None) {
+                       base: Option[String] = None,
+                       rows: Option[Long] = None) {
     /** Whether this file's partition values index `partCol` (legacy
       * in-memory entries without a spec are treated as current). */
     def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
@@ -418,6 +419,39 @@ object TxnLake {
     m.files.flatMap(f => f.parts.toSeq.map(p =>
         (f.path, p.getOrElse("NULL"), f.zmin, f.zmax)))
       .toDF("path", "part_value", "zmin", "zmax")
+  }
+
+  /** METADATA-ONLY COUNT(*) at a version (latest when negative): the
+    * manifest's per-file row counts summed, minus the cardinality of
+    * each live file's outstanding deletion vectors. With no DVs this
+    * is a pure log read — zero data files opened, O(manifest) — which
+    * is what makes `SELECT count(*)` on a 100 TB table instant (the
+    * Delta/Iceberg stats-only count). DV cardinalities come from the
+    * narrow (file, pos) sidecars, O(deleted rows) and ONLY the sidecars
+    * live files actually reference, so a heavily-deleted table pays for
+    * its deletes, not its size. Returns None when any live entry
+    * predates row-count tracking (legacy manifest without `rows`) —
+    * callers fall back to a scan; never guesses. */
+  def rowCount(spark: SparkSession, dir: String, version: Long = -1L): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    val m =
+      if (version < 0) resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      else resolveAt(fs, dir, version)
+    if (m.files.exists(_.rows.isEmpty)) return None
+    val base = m.files.flatMap(_.rows).sum
+    // a sidecar can doom rows of files that were since rewritten (and
+    // re-added without the DV), so each sidecar's count is restricted
+    // to the live paths that still REFERENCE it — deleteWhere evaluates
+    // on live (already-DV-filtered) rows, so no position is doomed
+    // twice across sidecars and the per-sidecar counts are disjoint
+    val bySidecar = m.files.flatMap(f => f.dv.map(_ -> f.path))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deleted = bySidecar.map { case (rel, paths) =>
+      spark.read.parquet(locateDv(dir, rel))
+        .filter(col("file").isin(paths: _*)).count()
+    }.sum
+    Some(base - deleted)
   }
 
   /** CDC / INCREMENTAL READ: the net row-level changes between two
@@ -2019,10 +2053,11 @@ object TxnLake {
         min(col(c).cast("double")).as(s"__smn$i"), max(col(c).cast("double")).as(s"__smx$i")) }
     val grouped = staged.groupBy(
       col("_metadata.file_path").as("__fp"), col(partCol).as("__pv"))
-    val meta = (aggCols match {
-      case head +: tail => grouped.agg(head, tail: _*)
-      case _ => grouped.agg(count(lit(1)).as("__n"))
-    }).collect()
+    // row counts ride the SAME metadata job (one extra agg column):
+    // per-file counts in the manifest make COUNT(*) a log-only read
+    // ([[rowCount]]) and give OPTIMIZE/bin-packing real sizes
+    val allAggs = aggCols :+ count(lit(1)).as("__n")
+    val meta = grouped.agg(allAggs.head, allAggs.tail: _*).collect()
     // Bloom bits as a second NARROW pass: each row explodes into its k
     // hash positions and a (file, word-index) bit_or folds them — work
     // is O(rows × k), independent of the filter width (the previous
@@ -2069,7 +2104,8 @@ object TxnLake {
           }
         }.toMap
         FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax,
-          bloom = bloom, spec = Some(partCol), stats = stats)
+          bloom = bloom, spec = Some(partCol), stats = stats,
+          rows = Some(rows.map(_.getAs[Long]("__n")).sum))
       }
       .toSeq.sortBy(_.path)
   }
@@ -2193,6 +2229,7 @@ object TxnLake {
     files.foreach { f =>
       val fn = fsArr.addObject()
       fn.put("path", f.path)
+      f.rows.foreach { r => fn.put("rows", r); () }
       f.base.foreach(fn.put("base", _))
       f.zmin.foreach(fn.put("zmin", _))
       f.zmax.foreach(fn.put("zmax", _))
@@ -2262,7 +2299,8 @@ object TxnLake {
             e.getKey -> (e.getValue.get(0).asDouble(), e.getValue.get(1).asDouble())
           }.toMap
         },
-        base = Option(fn.get("base")).map(_.asText()))
+        base = Option(fn.get("base")).map(_.asText()),
+        rows = Option(fn.get("rows")).map(_.asLong()))
     }.toSeq
   }
 
