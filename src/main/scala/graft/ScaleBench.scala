@@ -54,9 +54,16 @@ object ScaleBench {
     }
     if (i > 0 && table == "documents") {
       // rotate three common letters per replica: cross-replica shingle
-      // overlap drops to ~0, so the near-dup graph scales linearly
-      val to = "" + ('b' + (i % 24)).toChar + ('B' + (i % 24)).toChar +
-        ('0' + (i % 10)).toChar
+      // overlap drops to ~0, so the near-dup graph scales linearly.
+      // Targets come from an alphabet EXCLUDING the source letters —
+      // ('b'+i) style indexing hits 'e' at i=3, which would leave the
+      // most frequent letter untouched and re-introduce part of the
+      // quadratic replica-pair growth this synthesizer exists to avoid
+      val safe = "bcdfghjklmnpqrsuvwxyz"
+      // stride 2 keeps (pick(0), pick(1)) injective across replicas
+      // 1..9 (2i+1 <= 19 < 21), so no two replicas share a mapping
+      def pick(k: Int) = safe.charAt((i * 2 + k) % safe.length)
+      val to = "" + pick(0) + pick(1).toUpper + ('0' + (i % 10)).toChar
       out = out.withColumn("text", translate(col("text"), "eta", to))
     }
     if (i > 0 && table == "embeddings") {

@@ -2797,18 +2797,18 @@ object ExtensionQueries {
       s"""p$r AS (
          |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
          |  FROM (SELECT unnest(list_zip(l, l[2:])) AS pr, cnt
-         |        FROM (SELECT string_split(trim(sym), ' ') AS l, cnt FROM s${r - 1}))
+         |        FROM (SELECT string_split(trim(sym), '  ') AS l, cnt FROM s${r - 1}))
          |  WHERE pr[2] IS NOT NULL
          |  GROUP BY 1, 2),
          |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |s$r AS (SELECT replace(sym, ' ' || t.a || ' ' || t.b || ' ',
+         |s$r AS (SELECT replace(sym, ' ' || t.a || '  ' || t.b || ' ',
          |                       ' ' || t.a || t.b || ' ') AS sym, cnt
          |        FROM s${r - 1}, t$r t)""".stripMargin
     """WITH w AS (
       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE word <> '' GROUP BY word),
-      |s0 AS (SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym, cnt FROM w),
+      |s0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym, cnt FROM w),
       |""".stripMargin +
       (1 to 6).map(round).mkString(",\n") +
       "\nSELECT * FROM (" +

@@ -78,7 +78,12 @@ object Scd2 {
     val bad = attrs.toSet -- tbl.columns.toSet
     require(bad.isEmpty, s"updates carry unknown columns ${bad.mkString(",")}")
     val cur = tbl.filter(col("is_current"))
-    val joined = updates.as("u")
+    // byte-identical duplicate rows are the harmless union-assembled
+    // case the guard below promises to accept — collapse them FIRST
+    // (batch-sized shuffle), so only genuinely conflicting duplicates
+    // (same key, different values) reach the key-uniqueness check
+    val uniq = updates.distinct()
+    val joined = uniq.as("u")
       .join(cur.as("c"), col(s"u.$key") === col(s"c.$key"), "left")
     val differs = attrs.map(a => !(col(s"u.$a") <=> col(s"c.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))

@@ -447,10 +447,28 @@ object TxnLake {
     // twice across sidecars and the per-sidecar counts are disjoint
     val bySidecar = m.files.flatMap(f => f.dv.map(_ -> f.path))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val deleted = bySidecar.map { case (rel, paths) =>
-      spark.read.parquet(locateDv(dir, rel))
-        .filter(col("file").isin(paths: _*)).count()
-    }.sum
+    val deleted =
+      if (bySidecar.isEmpty) 0L
+      else {
+        import spark.implicits._
+        // ONE job over all referenced sidecars, not one driver round
+        // trip per delete commit: each row's sidecar identity is
+        // recovered from its own path (commit ids are UUIDs, so the
+        // DvDir/c<id> suffix is unique even across cloned roots), and
+        // a broadcast (sidecar, file) reference set keeps exactly the
+        // rows live files still reference
+        val refs = bySidecar.toSeq.flatMap { case (rel, paths) =>
+          paths.map(p => (rel.substring(rel.indexOf(DvDir)), p))
+        }.toDF("__dv", "__file")
+        spark.read.parquet(bySidecar.keys.map(locateDv(dir, _)).toSeq: _*)
+          .select(col("file"), expr(
+            s"substring_index(substring(_metadata.file_path, " +
+              s"instr(_metadata.file_path, '$DvDir')), '/', 2)").as("__dvid"))
+          .join(broadcast(refs),
+            col("__dvid") === col("__dv") && col("file") === col("__file"),
+            "left_semi")
+          .count()
+      }
     Some(base - deleted)
   }
 
@@ -1283,6 +1301,22 @@ object TxnLake {
     readVersion(spark, dir, v)
   }
 
+  private val VacuumLockName = "_vacuum.lock"
+  private def vacuumLockPath(dir: String) = new Path(dir, s"$LogDir/$VacuumLockName")
+
+  /** An in-flight [[vacuum]] advertises itself (lock taken BEFORE its
+    * pin read, released when done) so pin creation ([[clone]]) can
+    * abort instead of racing it: a pin written after vacuum's pin read
+    * either sees this lock (abort, retryable) or — vacuum already
+    * finished — fails the post-pin re-validation. Stale locks (a
+    * crashed vacuum) expire after 15 minutes. */
+  private[lake] def vacuumBusy(fs: FileSystem, dir: String): Boolean = {
+    val p = vacuumLockPath(dir)
+    try fs.exists(p) && fs.getFileStatus(p).getModificationTime >
+      System.currentTimeMillis() - 15 * 60 * 1000L
+    catch { case _: Exception => false }
+  }
+
   /** Versions pinned by refs — vacuum's retention floor. */
   private def pinnedVersions(fs: FileSystem, dir: String): Seq[Long] = {
     val d = new Path(dir, RefsDir)
@@ -1331,9 +1365,46 @@ object TxnLake {
     val dstFs = fsOf(spark, dst)
     require(!dstFs.exists(new Path(dst, LogDir)), s"$dst is already a txn table")
     // pin FIRST: the source's vacuum must never race the clone into
-    // dangling references
+    // dangling references. Two hardenings close the race fully:
+    //  - pins are TRANSITIVE: a clone of a clone references the
+    //    ORIGINAL roots directly ("no chains" below), so every distinct
+    //    base root gets the same-named pin — retiring the intermediate
+    //    clone and dropping ITS pins can then never dangle this one.
+    //    The clone lifecycle is: dropRef(root, pin) on every base root
+    //    once the clone is gone.
+    //  - each pin is RE-VALIDATED after it lands: a vacuum that read
+    //    refs before the pin either still holds its advertised lock
+    //    (abort here, retryable) or already deleted the records (the
+    //    resolveAt re-check throws). Either way no manifest referencing
+    //    vacuumed files can publish.
     val pin = s"clone-${newCommitId().take(12)}"
-    tag(spark, src, pin, m.version)
+    def pinValidated(root: String, version: Long): Unit = {
+      tag(spark, root, pin, version)
+      val rfs = fsOf(spark, root)
+      val raced = vacuumBusy(rfs, root) ||
+        (try { resolveAt(rfs, root, version); false }
+        catch { case _: Exception => true })
+      if (raced) {
+        dropRef(spark, root, pin)
+        throw new IllegalStateException(
+          s"clone raced a vacuum at $root — retry once it completes")
+      }
+    }
+    pinValidated(src, m.version)
+    m.files.flatMap(_.base).distinct.filterNot(_ == src).foreach { root =>
+      val rfs = fsOf(spark, root)
+      val needed = m.files.filter(_.base.contains(root)).map(_.path).toSet
+      // newest on-disk version of the original root whose file set
+      // covers every referenced path — resolvable while the
+      // intermediate clone's own pin keeps that version's records
+      val v = listVersions(rfs, root).sorted.reverse.find { v =>
+        try needed.subsetOf(resolveAt(rfs, root, v).files.map(_.path).toSet)
+        catch { case _: Exception => false }
+      }.getOrElse(throw new IllegalStateException(
+        s"clone source $src references files of $root that no resolvable " +
+          "version covers — was a pin dropped while its clone lives?"))
+      pinValidated(root, v)
+    }
     val external = m.files.map(e => e.copy(
       base = Some(e.base.getOrElse(src)),
       dv = e.dv.map(locateDv(src, _))))
@@ -1665,6 +1736,19 @@ object TxnLake {
     val fs = fsOf(spark, dir)
     val (versions, ckpts) = listLog(fs, dir)
     if (versions.isEmpty) return
+    // advertise BEFORE the pin read and hold until every delete lands
+    // ([[vacuumBusy]]): pin creators re-check this lock after writing,
+    // so a pin that misses this vacuum's pin read can never silently
+    // lose its files
+    val lockOut = fs.create(vacuumLockPath(dir), true)
+    lockOut.close()
+    try vacuumLocked(spark, fs, dir, versions, ckpts, keepVersions, graceMs)
+    finally { fs.delete(vacuumLockPath(dir), false); () }
+  }
+
+  private def vacuumLocked(spark: SparkSession, fs: FileSystem, dir: String,
+                           versions: Seq[Long], ckpts: Seq[Long],
+                           keepVersions: Int, graceMs: Long): Unit = {
     // named refs ([[tag]], clone pins) are a retention FLOOR: every
     // version >= the oldest pin keeps its records and files, whatever
     // `keepVersions` says — [[dropRef]] releases
@@ -2046,8 +2130,13 @@ object TxnLake {
     val extraStats = statsColsOf(fsOf(spark, dir), dir)
       .filter(c => df.columns.contains(c) && trackable(df.schema(c).dataType))
       .filterNot(statsCol.contains)
+    // the zmin/zmax extraction below keys off THIS flag, not bare
+    // statsCol.isDefined: a non-trackable (string/bool) stats column
+    // contributes no __mn/__mx agg columns, and reading them anyway
+    // would throw on every commit of such a table
+    val zTracked = statsCol.exists(sc => trackable(df.schema(sc).dataType))
     val aggCols =
-      statsCol.toSeq.filter(sc => trackable(df.schema(sc).dataType)).flatMap(sc => Seq(
+      statsCol.toSeq.filter(_ => zTracked).flatMap(sc => Seq(
         min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
       extraStats.zipWithIndex.flatMap { case (c, i) => Seq(
         min(col(c).cast("double")).as(s"__smn$i"), max(col(c).cast("double")).as(s"__smx$i")) }
@@ -2084,13 +2173,12 @@ object TxnLake {
     meta.groupBy(_.getString(0))
       .map { case (p, rows) =>
         val relPath = p.substring(p.indexOf(DataDir))
-        val (zmin, zmax) = statsCol match {
-          case Some(_) =>
+        val (zmin, zmax) =
+          if (zTracked) {
             val mns = rows.flatMap(r => Option(r.getAs[Any]("__mn")).map(_.asInstanceOf[Double]))
             val mxs = rows.flatMap(r => Option(r.getAs[Any]("__mx")).map(_.asInstanceOf[Double]))
             (mns.minOption, mxs.maxOption)
-          case None => (None, None)
-        }
+          } else (None, None)
         val bloom = bloomCol.map { _ =>
           bloomWords.getOrElse(p, new Array[Long](bloomBits / 64))
             .map(java.lang.Long.toHexString).mkString(":")

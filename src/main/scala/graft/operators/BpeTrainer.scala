@@ -34,19 +34,26 @@ object BpeTrainer {
     * with the pair's corpus frequency at merge time. */
   case class Merge(round: Int, left: String, right: String, count: Long)
 
-  /** Spaced symbol representation of the vocabulary: `" h e l l o "`.
-    * Sentinel spaces make every adjacent pair the substring
-    * `" a b "`, which is what the merge `replace` keys on. */
+  /** Spaced symbol representation of the vocabulary: `" h  e  l  l  o "`
+    * — every symbol carries its OWN leading and trailing space (one
+    * sentinel at each end, TWO spaces between symbols), so adjacent
+    * pair patterns `" a  b "` never share a delimiter character.
+    * Sharing is the classic replace pitfall: with single spaces,
+    * `" b a n a n a "` merging (a,n) consumes the shared space after
+    * the first match and left-to-right scanning skips the second
+    * occurrence — one pass would merge only every OTHER occurrence of
+    * a consecutive run, deviating from Sennrich's merge-all-at-once
+    * round. With per-symbol spaces one pass merges every occurrence. */
   private[operators] def symbolized(words: DataFrame): DataFrame =
     words.select(
-      concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" ")).as("sym"),
+      concat(lit(" "), concat_ws("  ", split(col("word"), "")), lit(" ")).as("sym"),
       col("cnt"))
 
   /** Adjacent-pair counts over the current vocabulary state — ONE keyed
     * aggregation (package-visible so the spec can pin the plan to a
     * single shuffle). */
   private[operators] def pairCounts(cur: DataFrame): DataFrame =
-    cur.select(col("cnt"), split(trim(col("sym")), " ").as("l"))
+    cur.select(col("cnt"), split(trim(col("sym")), "  ").as("l"))
       .select(col("cnt"), explode(expr(
         "transform(slice(l, 1, size(l) - 1), " +
           "(x, i) -> struct(x AS a, element_at(l, i + 2) AS b))")).as("p"))
@@ -71,7 +78,7 @@ object BpeTrainer {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, n)
         val next = cur.select(
-          replace(col("sym"), lit(s" $a $b "), lit(s" $a$b ")).as("sym"),
+          replace(col("sym"), lit(s" $a  $b "), lit(s" $a$b ")).as("sym"),
           col("cnt")).cache()
         next.count() // materialize before releasing the parent
         cur.unpersist()
@@ -87,9 +94,9 @@ object BpeTrainer {
     * count" a pipeline budgets samples by). */
   def tokenCount(tokens: org.apache.spark.sql.Column,
                  merges: Seq[Merge]): org.apache.spark.sql.Column = {
-    val spaced = concat(lit(" "), concat_ws(" ", split(tokens, "")), lit(" "))
+    val spaced = concat(lit(" "), concat_ws("  ", split(tokens, "")), lit(" "))
     val merged = merges.foldLeft(spaced)((c, m) =>
-      replace(c, lit(s" ${m.left} ${m.right} "), lit(s" ${m.left}${m.right} ")))
-    size(split(trim(merged), " "))
+      replace(c, lit(s" ${m.left}  ${m.right} "), lit(s" ${m.left}${m.right} ")))
+    size(split(trim(merged), "  "))
   }
 }

@@ -134,6 +134,25 @@ class CloneSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.read(spark, leaf).count() === 13L)
   }
 
+  test("transitive pins: retiring the intermediate clone never dangles the leaf") {
+    val src = freshSrc()
+    val mid = sibling(src, "mid_t")
+    val leaf = sibling(src, "leaf_t")
+    val pinMid = TxnLake.clone(spark, src, mid)
+    TxnLake.clone(spark, mid, leaf) // must ALSO pin src (leaf refs src files)
+    // advance src past v0 so an unpinned vacuum would rewrite it away
+    TxnLake.deleteWhere(spark, src, col("id") <= 6L)
+    TxnLake.optimize(spark, src, minFiles = 1)
+    // retire the INTERMEDIATE clone: drop its pin on src entirely
+    TxnLake.dropRef(spark, src, pinMid)
+    TxnLake.vacuum(spark, src, keepVersions = 1, graceMs = 0L)
+    // the leaf still reads the full original snapshot through its own
+    // transitive pin — before the fix this dangled (FileNotFound or
+    // silently dropped rows)
+    assert(TxnLake.read(spark, leaf).count() === 12L)
+    assert(TxnLake.read(spark, leaf).agg(sum(col("id"))).head.getLong(0) === 78L)
+  }
+
   test("clone from an older version branches from that point") {
     val src = freshSrc() // v0: 12 rows
     TxnLake.append(spark, src, Seq((77L, 7.0, "p0")).toDF("id", "price", "part")) // v1

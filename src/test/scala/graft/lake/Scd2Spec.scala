@@ -112,6 +112,19 @@ class Scd2Spec extends AnyFunSuite with SparkTestSession {
     assert(Scd2.current(spark, dir).count() === 3L)
   }
 
+  test("byte-identical duplicate rows collapse instead of tripping the guard") {
+    import spark.implicits._
+    val dir = freshDim()
+    // the union-assembled case the docstring promises to accept: two
+    // exact copies of one changed row are ONE logical change
+    assert(Scd2.apply(spark, dir,
+      Seq((1L, "gold2", 5.0), (1L, "gold2", 5.0)).toDF("cust", "tier", "bal"),
+      "cust", version = 2L) === 1L)
+    val open = Scd2.current(spark, dir).filter(col("cust") === 1L)
+    assert(open.count() === 1L)
+    assert(open.select("tier").head.getString(0) === "gold2")
+  }
+
   test("an out-of-order (non-advancing) load version is rejected") {
     import spark.implicits._
     val dir = freshDim()

@@ -95,4 +95,18 @@ class TimestampPruningSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("id") === "d2-7")
     assert(q.count() === 1L)
   }
+
+  test("legacy single statsCol of a non-trackable type commits without bounds") {
+    // regression: the write-side trackability filter dropped the
+    // __mn/__mx agg columns but the extraction still read them —
+    // every commit on a string-statsCol table crashed
+    val dir = Files.createTempDirectory("graft_strstats").resolve("t").toString
+    val df = Seq(("a", "p1", 1L), ("b", "p2", 2L)).toDF("name", "part", "v")
+    TxnLake.create(spark, dir, df, "part", statsCol = Some("name"))
+    TxnLake.append(spark, dir, Seq(("c", "p1", 3L)).toDF("name", "part", "v"))
+    val m = TxnLake.resolve(spark, dir).get
+    assert(m.files.forall(f => f.zmin.isEmpty && f.zmax.isEmpty))
+    assert(TxnLake.read(spark, dir).count() === 3L)
+    assert(TxnLake.rowCount(spark, dir).get === 3L) // counts still ride along
+  }
 }

@@ -56,6 +56,24 @@ class BpeTrainerSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("consecutive occurrences of a pair all merge in one round") {
+    // 'banana' → b a n a n a: pairs (b,a)=1, (a,n)=2, (n,a)=2 — (a,n)
+    // wins the tie on left ASC. A single-space representation would
+    // let the two ' a n ' matches share their middle delimiter and
+    // merge only the FIRST (b an a n a — 5 symbols); the per-symbol
+    // spacing merges both, like Sennrich's round does
+    val m = BpeTrainer.train(words("banana" -> 1L), rounds = 1)
+    assert(m === Seq(BpeTrainer.Merge(1, "a", "n", 2L)))
+    val n = Seq("banana").toDF("w")
+      .select(BpeTrainer.tokenCount(col("w"), m).as("n"))
+      .head().getInt(0)
+    assert(n === 4, "b an an a — both occurrences merged in one round")
+    // round 2 sees the post-merge vocabulary b an an a: all pairs are
+    // count 1 and (an,a) wins the (left, right) tie-break
+    val m2 = BpeTrainer.train(words("banana" -> 1L), rounds = 2)
+    assert(m2(1) === BpeTrainer.Merge(2, "an", "a", 1L))
+  }
+
   test("tokenCount applies learned merges in order, row-locally") {
     val m = Seq(BpeTrainer.Merge(1, "e", "s", 9L),
       BpeTrainer.Merge(2, "es", "t", 9L))
