@@ -2818,6 +2818,70 @@ object ExtensionQueries {
       ") ORDER BY round"
   }
 
+  /** tx22 — LEARNED-BPE TOKEN BUDGET: the apply side of tx21's
+    * training — learn the 6-round merge table from the corpus, then
+    * count each word's post-merge symbols ([[graft.operators
+    * .BpeTrainer.tokenCount]], row-local replace chain, no shuffle)
+    * and budget per source. This is the pipeline loop a tokenizer
+    * trainer exists for: sampling quotas keyed by LEARNED token
+    * counts, not whitespace proxies. The oracle replays the training
+    * rounds AND the nested-replace application, so the hash pins
+    * train→apply end to end across engines. */
+  private def tx22(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val docs = documents(s, d)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val merges = BpeTrainer.train(words, rounds = 6)
+    docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("source"),
+        BpeTrainer.tokenCount(col("word"), merges).cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("learned_tokens"), count(lit(1)).as("n_words"))
+      .orderBy(col("source"))
+  }
+
+  /** The tx21 training rounds plus a nested-replace application in
+    * learn order (innermost = round 1). */
+  private val tx22Sql = {
+    def round(r: Int) =
+      s"""p$r AS (
+         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_zip(l, l[2:])) AS pr, cnt
+         |        FROM (SELECT string_split(trim(sym), '  ') AS l, cnt FROM s${r - 1}))
+         |  WHERE pr[2] IS NOT NULL
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |s$r AS (SELECT replace(sym, ' ' || t.a || '  ' || t.b || ' ',
+         |                       ' ' || t.a || t.b || ' ') AS sym, cnt
+         |        FROM s${r - 1}, t$r t)""".stripMargin
+    val applied = (1 to 6).foldLeft("sy")((acc, r) =>
+      s"replace($acc, ' ' || m$r.a || '  ' || m$r.b || ' ', ' ' || m$r.a || m$r.b || ' ')")
+    """WITH w AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym, cnt FROM w),
+      |""".stripMargin +
+      (1 to 6).map(round).mkString(",\n") +
+      s""",
+      |tok AS (
+      |  SELECT source, word FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''),
+      |sym AS (SELECT source,
+      |  ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sy FROM tok),
+      |applied AS (
+      |  SELECT source, $applied AS sy2
+      |  FROM sym, t1 m1, t2 m2, t3 m3, t4 m4, t5 m5, t6 m6)
+      |SELECT source,
+      |  CAST(sum(len(string_split(trim(sy2), '  '))) AS BIGINT) AS learned_tokens,
+      |  CAST(count(*) AS BIGINT) AS n_words
+      |FROM applied GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** dd17 — URL CANONICALIZATION dedup: crawl URLs that differ only in
     * scheme/host case, default port, `www.` prefix, tracking params, or
     * fragments are the same resource — the first dedup pass every crawl
@@ -2963,6 +3027,7 @@ object ExtensionQueries {
     "tx19_vocab_growth" -> (tx19 _),
     "tx20_readability" -> (tx20 _),
     "tx21_learned_bpe" -> (tx21 _),
+    "tx22_learned_token_budget" -> (tx22 _),
     "tx01_token_stats" -> (tx01 _),
     "tx02_quality_scores" -> (tx02 _),
     "tx03_langid" -> (tx03 _),
@@ -3036,6 +3101,7 @@ object ExtensionQueries {
     "tx19_vocab_growth" -> tx19Sql,
     "tx20_readability" -> tx20Sql,
     "tx21_learned_bpe" -> tx21Sql,
+    "tx22_learned_token_budget" -> tx22Sql,
     "tx01_token_stats" -> tx01Sql,
     "tx02_quality_scores" -> tx02Sql,
     "tx03_langid" -> tx03Sql,
