@@ -150,14 +150,12 @@ object Similarity {
     * pinned against brute force in ss04. */
   def lshKnnJoin(corpus: DataFrame, k: Int, nBits: Int = 16, bands: Int = 4,
                  seed: Long = 42L): DataFrame = {
-    val banded = bandedSignatures(corpus, nBits, bands, seed)
-      .select(col("vec_id"), col("band"), col("band_bits"))
-    val pairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_bits") === col("y.band_bits") &&
-          col("x.vec_id") =!= col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
-      .distinct()
+    // NOTE on geometry: candidates per band grow ~ n² / 2^bitsPerBand,
+    // so a FIXED nBits is only right when the caller (or an oracle
+    // replaying the exact banding) needs pinned bucket geometry. A
+    // corpus-sized pass should use [[lshKnnJoinAuto]], which scales
+    // the per-band bucket count with n to keep candidate growth linear.
+    val pairs = candidatePairs(corpus, nBits, bands, seed)
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val scored = pairs
       .join(emb.select(col("vec_id").as("vec_id"), col("embedding").as("ea")), "vec_id")
@@ -169,6 +167,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** [[lshKnnJoin]] with AUTO-SIZED bucket geometry — the 100 TB form.
+    * With B = 2^bitsPerBand buckets per band, expected candidate pairs
+    * are ~ bands·n²/B: any FIXED B turns quadratic once n outgrows it
+    * (the default 16-bit/4-band geometry is right for oracle-replayed
+    * probe sets, wrong for a corpus-sized pass). This variant sizes
+    * bitsPerBand = ceil(log2(n / targetBucket)) — clamped to [4,
+    * 63/bands] (the signature is one 64-bit word) — so expected bucket
+    * occupancy stays ~targetBucket and candidate growth stays LINEAR
+    * in n. Costs one count() pass over ids; recall at equal occupancy
+    * is preserved because collision probability per band depends on
+    * per-band bit count only through the occupancy being compared.
+    * Pinned in `AutoLshSpec`: a 4× corpus costs ~4× candidates here
+    * vs ~16× under fixed geometry. */
+  def lshKnnJoinAuto(corpus: DataFrame, k: Int, bands: Int = 4,
+                     targetBucket: Int = 32, seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && targetBucket >= 1, "bands and targetBucket must be positive")
+    val n = corpus.select(col("vec_id")).count()
+    lshKnnJoin(corpus, k, nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
+      bands = bands, seed = seed)
+  }
+
+  private[operators] def autoBitsPerBand(n: Long, targetBucket: Int,
+                                         bands: Int): Int = {
+    val wanted = math.ceil(
+      math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(63 / bands, math.max(4, wanted))
+  }
+
+  /** The LSH candidate stage shared by [[lshKnnJoin]] /
+    * [[lshKnnJoinAuto]]: distinct (vec_id, nbr_id) pairs colliding in
+    * some band bucket — NARROW ids only, vectors re-join later.
+    * Package-visible so AutoLshSpec can pin the candidate-growth
+    * contract directly. */
+  private[operators] def candidatePairs(corpus: DataFrame, nBits: Int,
+                                        bands: Int, seed: Long): DataFrame = {
+    val banded = bandedSignatures(corpus, nBits, bands, seed)
+      .select(col("vec_id"), col("band"), col("band_bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
   }
 
   /** Order-deterministic per-dimension mean of a fixed-width vector

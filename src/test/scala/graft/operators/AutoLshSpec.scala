@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AUTO-SIZED LSH geometry ([[Similarity.lshKnnJoinAuto]]): with B
+  * buckets per band, candidate pairs grow ~ n²/B — a fixed B is
+  * quadratic in corpus size; sizing B with n keeps growth linear.
+  * These tests pin the contract the docstring sells: the derived bit
+  * widths, the near-linear candidate growth on a 4× corpus (vs ~16×
+  * under fixed geometry), and output-shape sanity of the auto variant. */
+class AutoLshSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  /** Deterministic spread-out vectors: 16 dims of mixed-frequency
+    * sines — sign patterns vary per id, so buckets fill ~uniformly. */
+  private def synth(n: Int): DataFrame =
+    spark.range(n.toLong).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        d => sin(col("id").cast("double") * (d.cast("double") * 0.37 + 1.1) +
+          d.cast("double") * 2.3).cast("float")).as("embedding"))
+
+  test("derived bits: bucket count tracks n/targetBucket, clamped to one long") {
+    assert(Similarity.autoBitsPerBand(1000L, 32, 4) === 5)   // ceil(log2(31.25))
+    assert(Similarity.autoBitsPerBand(4000L, 32, 4) === 7)   // ceil(log2(125))
+    assert(Similarity.autoBitsPerBand(10L, 32, 4) === 4)     // floor clamp
+    assert(Similarity.autoBitsPerBand(1L << 40, 32, 4) === 15) // 63/bands cap
+  }
+
+  test("4x the corpus costs ~4x candidates auto-sized, ~16x under fixed geometry") {
+    val small = synth(1000).cache(); small.count()
+    val big = synth(4000).cache(); big.count()
+    try {
+      val fixedRatio =
+        Similarity.candidatePairs(big, 16, 4, 42L).count().toDouble /
+          Similarity.candidatePairs(small, 16, 4, 42L).count()
+      val autoRatio =
+        Similarity.candidatePairs(big, Similarity.autoBitsPerBand(4000L, 32, 4) * 4, 4, 42L).count().toDouble /
+          Similarity.candidatePairs(small, Similarity.autoBitsPerBand(1000L, 32, 4) * 4, 4, 42L).count()
+      assert(fixedRatio > 8.0,
+        f"fixed 16-bucket-per-band geometry should go ~quadratic (got $fixedRatio%.1fx)")
+      assert(autoRatio < fixedRatio / 2.0 && autoRatio < 8.0,
+        f"auto geometry must hold candidate growth near-linear (got $autoRatio%.1fx vs fixed $fixedRatio%.1fx)")
+    } finally { small.unpersist(); big.unpersist(); () }
+  }
+
+  test("lshKnnJoinAuto returns at most k ranked neighbors per vector") {
+    val out = Similarity.lshKnnJoinAuto(synth(500), k = 3).cache()
+    try {
+      val perVec = out.groupBy(col("vec_id")).agg(count(lit(1)).as("m"),
+        max(col("rank")).as("mr"))
+      assert(perVec.filter(col("m") > 3 || col("mr") > 3).isEmpty)
+      assert(out.count() > 0)
+    } finally { out.unpersist(); () }
+  }
+}
