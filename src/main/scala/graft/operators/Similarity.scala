@@ -482,6 +482,14 @@ object Similarity {
     * narrowing is correctly rounded in both engines, and below ~2^29
     * members per cell the sum stays under 2^53 where that narrowing is
     * lossless. */
+  /** IVF cell-count auto-sizing, the [[autoBitsPerBand]] sibling: the
+    * standard sqrt(n) rule (probe cost ~ nCells + nProbe·n/nCells is
+    * minimized near sqrt), clamped to [16, 65536]. Fixed nCells
+    * defaults exist for oracle-replayed probe sets; a corpus-sized
+    * index build should derive cells from n. */
+  private[operators] def autoCells(n: Long): Int =
+    math.min(65536, math.max(16, math.round(math.sqrt(n.toDouble)).toInt))
+
   def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, iters: Int = 0): DataFrame = {
     var cent = seedCentroids(corpus, nCells)
     for (_ <- 1 to iters) {
@@ -600,6 +608,16 @@ object Similarity {
     * bytes by construction (parquet round-trips floats exactly, which
     * also keeps [[probeIvfIndex]] bit-equal to the in-query [[ivfTopK]]
     * — ss07 shares ss03's exact-replay oracle). */
+  /** [[buildIvfIndex]] with the sqrt(n) cell count ([[autoCells]]) —
+    * the corpus-sized build path; returns the derived cell count so
+    * probes can size nProbe against it. */
+  def buildIvfIndexAuto(corpus: DataFrame, indexDir: String,
+                        kmeansIters: Int = 1): Int = {
+    val cells = autoCells(corpus.select(col("vec_id")).count())
+    buildIvfIndex(corpus, indexDir, cells, kmeansIters)
+    cells
+  }
+
   def buildIvfIndex(corpus: DataFrame, indexDir: String, nCells: Int = 16,
                     kmeansIters: Int = 1): Unit = {
     val spark = corpus.sparkSession

@@ -47,6 +47,24 @@ class AutoLshSpec extends AnyFunSuite with SparkTestSession {
     } finally { small.unpersist(); big.unpersist(); () }
   }
 
+  test("IVF auto cells follow the sqrt(n) rule with clamps") {
+    assert(Similarity.autoCells(100L) === 16)        // floor clamp
+    assert(Similarity.autoCells(10000L) === 100)     // sqrt
+    assert(Similarity.autoCells(1000000L) === 1000)
+    assert(Similarity.autoCells(1L << 40) === 65536) // ceiling clamp
+  }
+
+  test("buildIvfIndexAuto builds a servable index with derived cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autoivf").toString
+    val corpus = synth(400)
+    val cells = Similarity.buildIvfIndexAuto(corpus, dir)
+    assert(cells === 20) // sqrt(400)
+    val q = corpus.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val got = Similarity.probeIvfIndex(spark, dir, q, k = 3, nProbe = 4)
+    assert(got.count() === 3)
+  }
+
   test("lshKnnJoinAuto returns at most k ranked neighbors per vector") {
     val out = Similarity.lshKnnJoinAuto(synth(500), k = 3).cache()
     try {
