@@ -2784,15 +2784,26 @@ object ExtensionQueries {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val merges = BpeTrainer.train(words, rounds = 6)
+    // the oracle replays exactly 6 rounds (its t1..t6 CTEs cross-join);
+    // a corpus degenerate enough to fully merge earlier would silently
+    // diverge (empty oracle vs partial merges) — fail loudly instead,
+    // matching tx22's identical contract
+    require(merges.size == 6,
+      s"corpus fully merged after ${merges.size} rounds — the 6-round oracle cannot replay it")
     import s.implicits._
     merges.map(m => (m.round, m.left, m.right, m.count))
       .toDF("round", "left_sym", "right_sym", "pair_count")
       .orderBy(col("round"))
   }
 
-  /** Six relational training rounds: sN = vocabulary state after round
-    * N, pN = pair counts, tN = that round's arg-max merge. */
-  private val tx21Sql = {
+  /** The BPE training replay shared by tx21Sql and tx22Sql — ONE
+    * definition so the two oracles can never fork their training
+    * semantics (the double-space delimiter fix had to touch two copies
+    * before this was factored): the WITH prefix building the
+    * distinct-word table `w`, the spaced state `s0`, and per round N
+    * the pair counts `pN`, arg-max merge `tN`, and post-merge state
+    * `sN`. */
+  private def bpeTrainingCtes(rounds: Int): String = {
     def round(r: Int) =
       s"""p$r AS (
          |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
@@ -2810,13 +2821,18 @@ object ExtensionQueries {
       |  WHERE word <> '' GROUP BY word),
       |s0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym, cnt FROM w),
       |""".stripMargin +
-      (1 to 6).map(round).mkString(",\n") +
+      (1 to rounds).map(round).mkString(",\n")
+  }
+
+  /** Six relational training rounds: sN = vocabulary state after round
+    * N, pN = pair counts, tN = that round's arg-max merge. */
+  private val tx21Sql =
+    bpeTrainingCtes(6) +
       "\nSELECT * FROM (" +
       (1 to 6).map(r =>
         s"SELECT $r AS round, a AS left_sym, b AS right_sym, n AS pair_count FROM t$r")
         .mkString(" UNION ALL ") +
       ") ORDER BY round"
-  }
 
   /** tx22 — LEARNED-BPE TOKEN BUDGET: the apply side of tx21's
     * training — learn the 6-round merge table from the corpus, then
@@ -2834,6 +2850,8 @@ object ExtensionQueries {
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val merges = BpeTrainer.train(words, rounds = 6)
+    require(merges.size == 6,
+      s"corpus fully merged after ${merges.size} rounds — the 6-round oracle cannot replay it")
     docs.select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .select(col("source"),
@@ -2843,29 +2861,13 @@ object ExtensionQueries {
       .orderBy(col("source"))
   }
 
-  /** The tx21 training rounds plus a nested-replace application in
+  /** The tx21 training rounds ([[bpeTrainingCtes]] — shared, so the
+    * two oracles can't fork) plus a nested-replace application in
     * learn order (innermost = round 1). */
   private val tx22Sql = {
-    def round(r: Int) =
-      s"""p$r AS (
-         |  SELECT pr[1] AS a, pr[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
-         |  FROM (SELECT unnest(list_zip(l, l[2:])) AS pr, cnt
-         |        FROM (SELECT string_split(trim(sym), '  ') AS l, cnt FROM s${r - 1}))
-         |  WHERE pr[2] IS NOT NULL
-         |  GROUP BY 1, 2),
-         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
-         |s$r AS (SELECT replace(sym, ' ' || t.a || '  ' || t.b || ' ',
-         |                       ' ' || t.a || t.b || ' ') AS sym, cnt
-         |        FROM s${r - 1}, t$r t)""".stripMargin
     val applied = (1 to 6).foldLeft("sy")((acc, r) =>
       s"replace($acc, ' ' || m$r.a || '  ' || m$r.b || ' ', ' ' || m$r.a || m$r.b || ' ')")
-    """WITH w AS (
-      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
-      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      |  WHERE word <> '' GROUP BY word),
-      |s0 AS (SELECT ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS sym, cnt FROM w),
-      |""".stripMargin +
-      (1 to 6).map(round).mkString(",\n") +
+    bpeTrainingCtes(6) +
       s""",
       |tok AS (
       |  SELECT source, word FROM (

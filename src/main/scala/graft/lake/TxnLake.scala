@@ -457,13 +457,17 @@ object TxnLake {
         // DvDir/c<id> suffix is unique even across cloned roots), and
         // a broadcast (sidecar, file) reference set keeps exactly the
         // rows live files still reference
+        // sidecar identity = the TRAILING "_graft_dv/c<id>" component —
+        // lastIndexOf / an end-anchored regex, never a first-occurrence
+        // scan, because a table ROOT path may itself contain the DvDir
+        // string as a substring and a first-match key would empty the
+        // join (silent wrong counts)
         val refs = bySidecar.toSeq.flatMap { case (rel, paths) =>
-          paths.map(p => (rel.substring(rel.indexOf(DvDir)), p))
+          paths.map(p => (rel.substring(rel.lastIndexOf(DvDir)), p))
         }.toDF("__dv", "__file")
         spark.read.parquet(bySidecar.keys.map(locateDv(dir, _)).toSeq: _*)
-          .select(col("file"), expr(
-            s"substring_index(substring(_metadata.file_path, " +
-              s"instr(_metadata.file_path, '$DvDir')), '/', 2)").as("__dvid"))
+          .select(col("file"), regexp_extract(col("_metadata.file_path"),
+            s"($DvDir/[^/]+)/[^/]*$$", 1).as("__dvid"))
           .join(broadcast(refs),
             col("__dvid") === col("__dv") && col("file") === col("__file"),
             "left_semi")
@@ -1308,14 +1312,19 @@ object TxnLake {
     * pin read, released when done) so pin creation ([[clone]]) can
     * abort instead of racing it: a pin written after vacuum's pin read
     * either sees this lock (abort, retryable) or — vacuum already
-    * finished — fails the post-pin re-validation. Stale locks (a
-    * crashed vacuum) expire after 15 minutes. */
+    * finished — fails the post-pin re-validation (vacuum drops log
+    * records FIRST, so a dropped version stops resolving before its
+    * data files disappear). Stale locks (a crashed vacuum) expire
+    * after an hour; an IO error checking the lock reads as BUSY —
+    * the safety check must fail toward aborting the pin, never toward
+    * waving a live race through. */
   private[lake] def vacuumBusy(fs: FileSystem, dir: String): Boolean = {
     val p = vacuumLockPath(dir)
     try fs.exists(p) && fs.getFileStatus(p).getModificationTime >
-      System.currentTimeMillis() - 15 * 60 * 1000L
-    catch { case _: Exception => false }
+      System.currentTimeMillis() - VacuumLockStaleMs
+    catch { case _: Exception => true }
   }
+  private val VacuumLockStaleMs = 60 * 60 * 1000L
 
   /** Versions pinned by refs — vacuum's retention floor. */
   private def pinnedVersions(fs: FileSystem, dir: String): Seq[Long] = {
@@ -1378,33 +1387,42 @@ object TxnLake {
     //    resolveAt re-check throws). Either way no manifest referencing
     //    vacuumed files can publish.
     val pin = s"clone-${newCommitId().take(12)}"
+    // every pin this clone has landed so far — any abort below (a
+    // raced vacuum, a root with no covering version, the final
+    // publishRecord losing a create race) must roll ALL of them back,
+    // or the table would retain versions forever under a pin name the
+    // caller never learned
+    var pinned = List.empty[String]
+    def rollbackPins(): Unit =
+      pinned.foreach(r => try dropRef(spark, r, pin) catch { case _: Exception => })
     def pinValidated(root: String, version: Long): Unit = {
       tag(spark, root, pin, version)
+      pinned ::= root
       val rfs = fsOf(spark, root)
       val raced = vacuumBusy(rfs, root) ||
         (try { resolveAt(rfs, root, version); false }
         catch { case _: Exception => true })
-      if (raced) {
-        dropRef(spark, root, pin)
+      if (raced)
         throw new IllegalStateException(
           s"clone raced a vacuum at $root — retry once it completes")
+    }
+    try {
+      pinValidated(src, m.version)
+      m.files.flatMap(_.base).distinct.filterNot(_ == src).foreach { root =>
+        val rfs = fsOf(spark, root)
+        val needed = m.files.filter(_.base.contains(root)).map(_.path).toSet
+        // newest on-disk version of the original root whose file set
+        // covers every referenced path — resolvable while the
+        // intermediate clone's own pin keeps that version's records
+        val v = listVersions(rfs, root).sorted.reverse.find { v =>
+          try needed.subsetOf(resolveAt(rfs, root, v).files.map(_.path).toSet)
+          catch { case _: Exception => false }
+        }.getOrElse(throw new IllegalStateException(
+          s"clone source $src references files of $root that no resolvable " +
+            "version covers — was a pin dropped while its clone lives?"))
+        pinValidated(root, v)
       }
-    }
-    pinValidated(src, m.version)
-    m.files.flatMap(_.base).distinct.filterNot(_ == src).foreach { root =>
-      val rfs = fsOf(spark, root)
-      val needed = m.files.filter(_.base.contains(root)).map(_.path).toSet
-      // newest on-disk version of the original root whose file set
-      // covers every referenced path — resolvable while the
-      // intermediate clone's own pin keeps that version's records
-      val v = listVersions(rfs, root).sorted.reverse.find { v =>
-        try needed.subsetOf(resolveAt(rfs, root, v).files.map(_.path).toSet)
-        catch { case _: Exception => false }
-      }.getOrElse(throw new IllegalStateException(
-        s"clone source $src references files of $root that no resolvable " +
-          "version covers — was a pin dropped while its clone lives?"))
-      pinValidated(root, v)
-    }
+    } catch { case e: Throwable => rollbackPins(); throw e }
     val external = m.files.map(e => e.copy(
       base = Some(e.base.getOrElse(src)),
       dv = e.dv.map(locateDv(src, _))))
@@ -1416,8 +1434,10 @@ object TxnLake {
       full = false, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
       renames = m.renames, tombstones = m.tombstones,
       ts = nextCommitTs(dstFs, dst, 0L))
-    require(publishRecord(dstFs, dst, rec),
-      s"concurrent create of txn table at $dst")
+    if (!publishRecord(dstFs, dst, rec)) {
+      rollbackPins()
+      throw new IllegalArgumentException(s"concurrent create of txn table at $dst")
+    }
     maybeCheckpoint(spark, dstFs, dst,
       Manifest(0L, rec.commitId, m.partCol, m.schemaDdl, rec.touched,
         external, m.statsCol, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
@@ -1739,8 +1759,20 @@ object TxnLake {
     // advertise BEFORE the pin read and hold until every delete lands
     // ([[vacuumBusy]]): pin creators re-check this lock after writing,
     // so a pin that misses this vacuum's pin read can never silently
-    // lose its files
-    val lockOut = fs.create(vacuumLockPath(dir), true)
+    // lose its files. The lock is EXCLUSIVE (create without overwrite)
+    // so two concurrent vacuums can't clobber each other's
+    // advertisement — the second aborts loudly; a stale lock (crashed
+    // vacuum, past the staleness window) is cleared first.
+    if (vacuumBusy(fs, dir))
+      throw new IllegalStateException(
+        s"vacuum already in progress at $dir — retry once it completes")
+    fs.delete(vacuumLockPath(dir), false) // clear a stale lock, if any
+    val lockOut =
+      try fs.create(vacuumLockPath(dir), false)
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"vacuum already in progress at $dir (lost the lock race)", e)
+      }
     lockOut.close()
     try vacuumLocked(spark, fs, dir, versions, ckpts, keepVersions, graceMs)
     finally { fs.delete(vacuumLockPath(dir), false); () }
@@ -1778,6 +1810,14 @@ object TxnLake {
     }
     val referenced = refBuilder.result()
     val dvReferenced = dvRefBuilder.result()
+    // drop the RECORDS of vacuumed versions BEFORE their data files:
+    // a pin creator's post-pin resolveAt re-check then fails as soon
+    // as a version is being dropped — structurally closing the
+    // pin-vs-vacuum race even past the lock's staleness window. A
+    // crash between here and the file sweep leaves orphan data files
+    // only; the next vacuum's referenced-set sweep collects them.
+    dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
+    ckpts.filter(_ < minKeep).foreach(v => fs.delete(checkpointPath(dir, v), false))
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
@@ -1805,8 +1845,6 @@ object TxnLake {
           fs.delete(st.getPath, true)
       }
     }
-    dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
-    ckpts.filter(_ < minKeep).foreach(v => fs.delete(checkpointPath(dir, v), false))
     // change-feed retention rides log retention: CDC of a dropped
     // version serves no retained consumer start point
     val cdcRoot = new Path(dir, CdcDir)

@@ -185,6 +185,12 @@ object Similarity {
   def lshKnnJoinAuto(corpus: DataFrame, k: Int, bands: Int = 4,
                      targetBucket: Int = 32, seed: Long = 42L): DataFrame = {
     require(bands >= 1 && targetBucket >= 1, "bands and targetBucket must be positive")
+    // the signature is ONE 64-bit word: past 15 bands the 4-bit floor
+    // no longer fits and 63/bands would silently shrink buckets toward
+    // 2^0 = 1 — every vector in one bucket, the exact quadratic
+    // blowup this variant exists to prevent. Fail loudly instead.
+    require(bands <= 15,
+      s"bands=$bands cannot give every band the >=4 bits a 64-bit signature allows")
     val n = corpus.select(col("vec_id")).count()
     lshKnnJoin(corpus, k, nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
       bands = bands, seed = seed)

@@ -153,6 +153,38 @@ class CloneSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.read(spark, leaf).agg(sum(col("id"))).head.getLong(0) === 78L)
   }
 
+  test("an advertised vacuum aborts clone pinning, rolling back every pin") {
+    val src = freshSrc()
+    val dst = sibling(src, "fork_race")
+    // a fresh vacuum lock = a vacuum mid-flight whose pin read we may
+    // have missed — the clone must abort AND leave no orphan refs
+    val lock = new java.io.File(src, "_graft_log/_vacuum.lock")
+    assert(lock.createNewFile())
+    try {
+      val e = intercept[IllegalStateException](TxnLake.clone(spark, src, dst))
+      assert(e.getMessage.contains("raced a vacuum"))
+      assert(TxnLake.refs(spark, src).isEmpty, "aborted clone left orphan pins")
+      assert(!new java.io.File(dst, "_graft_log").exists())
+    } finally { lock.delete(); () }
+    // lock gone → the same clone succeeds
+    TxnLake.clone(spark, src, dst)
+    assert(TxnLake.read(spark, dst).count() === 12L)
+  }
+
+  test("concurrent vacuums exclude each other via the advertised lock") {
+    val src = freshSrc()
+    TxnLake.append(spark, src, Seq((99L, 9.0, "p0")).toDF("id", "price", "part"))
+    val lock = new java.io.File(src, "_graft_log/_vacuum.lock")
+    assert(lock.createNewFile())
+    try {
+      val e = intercept[IllegalStateException](
+        TxnLake.vacuum(spark, src, keepVersions = 1, graceMs = 0L))
+      assert(e.getMessage.contains("already in progress"))
+    } finally { lock.delete(); () }
+    TxnLake.vacuum(spark, src, keepVersions = 1, graceMs = 0L) // lock released
+    assert(TxnLake.read(spark, src).count() === 13L)
+  }
+
   test("clone from an older version branches from that point") {
     val src = freshSrc() // v0: 12 rows
     TxnLake.append(spark, src, Seq((77L, 7.0, "p0")).toDF("id", "price", "part")) // v1

@@ -47,6 +47,16 @@ class AutoLshSpec extends AnyFunSuite with SparkTestSession {
     } finally { small.unpersist(); big.unpersist(); () }
   }
 
+  test("band counts that cannot fit 4 bits per band in one long are rejected") {
+    // 63/64 = 0 bits per band would put EVERY vector in bucket 0 —
+    // the quadratic blowup the auto variant exists to prevent
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshKnnJoinAuto(synth(100), k = 3, bands = 64))
+    assert(e.getMessage.contains("64-bit signature"))
+    intercept[IllegalArgumentException](
+      Similarity.lshKnnJoinAuto(synth(100), k = 3, bands = 16))
+  }
+
   test("IVF auto cells follow the sqrt(n) rule with clamps") {
     assert(Similarity.autoCells(100L) === 16)        // floor clamp
     assert(Similarity.autoCells(10000L) === 100)     // sqrt
