@@ -1,0 +1,98 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** MODEL-BASED FUZZ of the transactional lake: a seeded random
+  * sequence of mutations (append / upsert / keyed delete / predicate
+  * delete via deletion vectors / row-level UPDATE / OPTIMIZE incl. DV
+  * purge / vacuum) runs against both [[TxnLake]] and a driver-side
+  * `Map[id, row]` reference model, and after EVERY operation the
+  * table's full contents and [[TxnLake.rowCount]] must equal the
+  * model. Single example-based specs pin each op's contract; this
+  * pins their COMPOSITION — the interleavings (a DV landing on a file
+  * that OPTIMIZE then rewrites, vacuum after a checkpointed restore
+  * point, updates over ride-along rows) where lakehouse bugs actually
+  * live. Seeds are fixed, so a failure is a deterministic repro. */
+class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private type Model = Map[Long, (String, String)]
+
+  private def toDf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("id", "name", "part")
+
+  private def readSet(dir: String): Model =
+    TxnLake.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("name"), r.getAs[String]("part"))).toMap
+
+  private def check(dir: String, model: Model, step: String): Unit = {
+    assert(readSet(dir) === model, s"table diverged from model after $step")
+    assert(TxnLake.rowCount(spark, dir) === Some(model.size.toLong),
+      s"metadata count diverged after $step")
+  }
+
+  private def fuzz(seed: Long, steps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val dir = Files.createTempDirectory(s"graft_fuzz_$seed").resolve("t").toString
+    var nextId = 100L
+    def freshRows(k: Int): Seq[(Long, String, String)] =
+      (1 to k).map { _ =>
+        nextId += 1
+        (nextId, s"n$nextId-${rnd.nextInt(10)}", s"p${rnd.nextInt(4)}")
+      }
+    val init = freshRows(6)
+    TxnLake.create(spark, dir, toDf(init), "part")
+    var model: Model = init.map(r => r._1 -> (r._2, r._3)).toMap
+    check(dir, model, "create")
+    for (i <- 1 to steps) {
+      val step = rnd.nextInt(7) match {
+        case 0 =>
+          val rows = freshRows(1 + rnd.nextInt(4))
+          TxnLake.append(spark, dir, toDf(rows))
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          s"append(${rows.size})"
+        case 1 =>
+          // upsert: mutate up to 2 existing keys + add 1 fresh
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(id => (id, s"u$id-$i", model(id)._2))
+          val rows = existing ++ freshRows(1)
+          TxnLake.upsert(spark, dir, toDf(rows), "id")
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+          s"upsert(${rows.size})"
+        case 2 =>
+          val doomed = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+          TxnLake.delete(spark, dir, doomed.toDF("id"), "id")
+          model --= doomed
+          s"delete(${doomed.size})"
+        case 3 =>
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          TxnLake.deleteWhere(spark, dir, col("id") % m === r)
+          model = model.filter { case (id, _) => id % m != r }
+          s"deleteWhere(%$m==$r)"
+        case 4 =>
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          TxnLake.updateWhere(spark, dir, col("id") % m === r,
+            Map("name" -> concat(col("name"), lit(s"+$i"))))
+          model = model.map { case (id, (n, p)) =>
+            id -> (if (id % m == r) (n + s"+$i", p) else (n, p)) }
+          s"updateWhere(%$m==$r)"
+        case 5 =>
+          TxnLake.optimize(spark, dir, minFiles = 1, purgeDv = rnd.nextBoolean())
+          "optimize"
+        case 6 =>
+          TxnLake.vacuum(spark, dir, keepVersions = 1 + rnd.nextInt(3), graceMs = 0L)
+          "vacuum"
+      }
+      check(dir, model, s"step $i: $step (seed $seed)")
+    }
+  }
+
+  test("20 random mutations stay model-equal (seed 7)") { fuzz(7L, 20) }
+  test("20 random mutations stay model-equal (seed 1234)") { fuzz(1234L, 20) }
+}
