@@ -140,6 +140,30 @@ object ScaleBench {
     }
     val base = timed(srcDir)
     val scaled = timed(outDir)
+    // head-to-head geometry evidence: the SAME corpus-wide kNN join
+    // under fixed 16-bucket-per-band geometry (the oracle-replayable
+    // default ss05 uses) vs the auto-sized form — candidate pairs are
+    // ~n²/buckets, so the gap should WIDEN with scale
+    def knnDir(dir: String, auto: Boolean): Double = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      try {
+        (if (auto) graft.operators.Similarity.lshKnnJoinAuto(emb, k = 3)
+        else graft.operators.Similarity.lshKnnJoin(emb, k = 3)).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      finally { try spark.catalog.clearCache() catch { case _: Throwable => } }
+    }
+    def med(dir: String, auto: Boolean): Double = {
+      val ts = (1 to 3).map(_ => knnDir(dir, auto))
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
+    }
+    val geom = Map(
+      "fixed_sf01" -> med(srcDir, auto = false),
+      "fixed_sf1" -> med(outDir, auto = false),
+      "auto_sf01" -> med(srcDir, auto = true),
+      "auto_sf1" -> med(outDir, auto = true))
     // plan lint at the SCALED dir: a nested-loop or cartesian node in
     // the sf1 physical plan is a scale-up plan flip worth flagging even
     // when the wall time happens to survive
@@ -158,7 +182,9 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"scale_spot","copies":$copies,"src":"$srcDir","load_avg":${fmt(load)},"passes":3,"plan_flags":$lj,"queries":$qj}""")
+    val gj = geom.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_spot","copies":$copies,"src":"$srcDir","load_avg":${fmt(load)},"passes":3,"knn_geometry_sec":$gj,"plan_flags":$lj,"queries":$qj}""")
     spark.stop()
   }
 }
