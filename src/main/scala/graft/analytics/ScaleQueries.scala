@@ -1521,9 +1521,50 @@ object ScaleQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** zq08 — N-COLUMN ZORDER ([[graft.lake.TxnLake.optimizeZOrder]]
+    * Seq form → [[graft.lake.ZOrder.mortonCodeN]]): one atomic
+    * re-cluster interleaving THREE dimensions (21 bits each of one
+    * 64-bit curve key), after which zone maps prune on any of the
+    * three — Delta's `ZORDER BY (a, b, c)`. The result is
+    * layout-independent (the oracle replays the 3-predicate aggregate
+    * relationally); the 3-D pruning itself is pinned in
+    * `NColZOrderSpec`. */
+  private def zq08(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq08")
+      .resolve("lineitem_lake").toString
+    val base = lineitem(s, d).filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+    TxnLake.create(s, dir, base, "l_returnflag",
+      statsCol = Some("l_extendedprice"),
+      statsCols = Seq("l_quantity", "l_discount"))
+    TxnLake.optimizeZOrder(s, dir,
+      Seq("l_extendedprice", "l_quantity", "l_discount"), rowsPerFile = 0L)
+    s.read.format("graft-txn").load(dir)
+      .filter(col("l_extendedprice") < 30000.0 && col("l_quantity") >= 30.0 &&
+        col("l_discount") >= 0.05)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"),
+        round(sum(col("l_discount").cast("decimal(8,2)")), 2).cast("double").as("sum_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val zq08Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  CAST(round(sum(CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_disc
+      |FROM lineitem
+      |WHERE l_orderkey % 4 = 0 AND l_extendedprice < 30000.0
+      |  AND l_quantity >= 30.0 AND l_discount >= 0.05
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "lk17_clone" -> (lk17 _),
     "lk18_metadata_count" -> (lk18 _),
+    "zq08_zorder_multi" -> (zq08 _),
     "zq07_zorder_optimize" -> (zq07 _),
     "zq06_multi_zone" -> (zq06 _),
     "lk16_scd2" -> (lk16 _),
@@ -1559,6 +1600,7 @@ object ScaleQueries {
     "lk17_clone" -> lk17Sql,
     "lk18_metadata_count" -> lk18Sql,
     "zq07_zorder_optimize" -> zq07Sql,
+    "zq08_zorder_multi" -> zq08Sql,
     "zq06_multi_zone" -> zq06Sql,
     "lk16_scd2" -> lk16Sql,
     "lk15_type_widening" -> lk15Sql,

@@ -992,32 +992,47 @@ object TxnLake {
     * pass that turns "scan everything" into "scan a few percent" for
     * 2-D box predicates. */
   def optimizeZOrder(spark: SparkSession, dir: String, xCol: String,
-                     yCol: String, rowsPerFile: Long = 0L): OptimizeStats = {
+                     yCol: String, rowsPerFile: Long = 0L): OptimizeStats =
+    optimizeZOrder(spark, dir, Seq(xCol, yCol), rowsPerFile)
+
+  /** The N-column form (Delta's `ZORDER BY (a, b, c, …)`): identical
+    * commit shape; 2 columns take the 16-bit ladder fast path (the
+    * pinned zq07 layout), 3+ interleave via [[ZOrder.mortonCodeN]]
+    * with `63/n` quantization bits per dimension. */
+  def optimizeZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
+                     rowsPerFile: Long): OptimizeStats = {
+    require(zCols.size >= 2, s"ZORDER needs at least 2 columns, got ${zCols.size}")
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val schema = StructType.fromDDL(base.schemaDdl)
     val live = readEntries(spark, dir, schema, base.files, renames = base.renames)
-    Seq(xCol, yCol).foreach(c => require(live.columns.contains(c),
+    zCols.foreach(c => require(live.columns.contains(c),
       s"z-order column '$c' not in ${live.columns.mkString(",")}"))
     val phys = toPhysical(live, base.renames)
     val physOf = base.renames.map(_.swap)
-    val (px, py) = (physOf.getOrElse(xCol, xCol), physOf.getOrElse(yCol, yCol))
+    val pCols = zCols.map(c => physOf.getOrElse(c, c))
     // normalization constants: one metadata-scale aggregate
-    val b = phys.agg(
-      min(col(px).cast("double")), max(col(px).cast("double")),
-      min(col(py).cast("double")), max(col(py).cast("double")),
-      count(lit(1))).collect().head
-    if (b.isNullAt(4) || b.getLong(4) == 0L)
+    val aggs = pCols.flatMap(p =>
+      Seq(min(col(p).cast("double")), max(col(p).cast("double")))) :+ count(lit(1))
+    val b = phys.agg(aggs.head, aggs.tail: _*).collect().head
+    val cntI = 2 * pCols.size
+    if (b.isNullAt(cntI) || b.getLong(cntI) == 0L)
       return OptimizeStats(base.files.size, base.files.size, 0, base.version)
-    val nRows = b.getLong(4)
-    def quant(c: Column, mnI: Int, mxI: Int): Column = {
+    val nRows = b.getLong(cntI)
+    val levels = (1L << ZOrder.bitsPerDim(pCols.size)) - 1
+    def quant(c: Column, mnI: Int, mxI: Int, lv: Long): Column = {
       val (mn, mx) = (Option(b.get(mnI)).fold(0.0)(_.asInstanceOf[Double]),
         Option(b.get(mxI)).fold(0.0)(_.asInstanceOf[Double]))
       if (mx <= mn) lit(0L)
-      else least(lit(65535L), floor((coalesce(c.cast("double"), lit(mn)) - lit(mn))
-        / lit(mx - mn) * 65535.0).cast("bigint"))
+      else least(lit(lv), floor((coalesce(c.cast("double"), lit(mn)) - lit(mn))
+        / lit(mx - mn) * lv.toDouble).cast("bigint"))
     }
-    val morton = ZOrder.mortonCode(quant(col(px), 0, 1), quant(col(py), 2, 3))
+    val morton =
+      if (pCols.size == 2)
+        ZOrder.mortonCode(quant(col(pCols(0)), 0, 1, 65535L),
+          quant(col(pCols(1)), 2, 3, 65535L))
+      else ZOrder.mortonCodeN(pCols.zipWithIndex.map { case (p, i) =>
+        quant(col(p), 2 * i, 2 * i + 1, levels) })
     val targetRows =
       if (rowsPerFile > 0) rowsPerFile
       else math.max(1L, nRows / math.max(1, base.files.size))

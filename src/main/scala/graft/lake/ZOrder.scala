@@ -36,6 +36,29 @@ object ZOrder {
     spreadBits16(x.cast("bigint"))
       .bitwiseOR(shiftleft(spreadBits16(y.cast("bigint")), 1))
 
+  /** N-WAY Morton interleave (Delta's `ZORDER BY (a, b, c, …)`): bit i
+    * of dimension j lands at output position `i*n + j`, each dimension
+    * contributing the low `63/n` bits (21 at n=3, 15 at n=4) of one
+    * 64-bit curve key. Expressed as a fold of shift/mask column ops —
+    * row-local, codegen'd, replayable in any engine with `<<`/`&`/`|`.
+    * The 2-D fast path stays [[mortonCode]] (its 16-bit ladder is what
+    * the zq01 oracle replays literally); this general form serves
+    * [[graft.lake.TxnLake.optimizeZOrder]] beyond two dimensions. */
+  def mortonCodeN(dims: Seq[Column]): Column = {
+    val n = dims.size
+    require(n >= 2 && n <= 6, s"morton interleave supports 2..6 dimensions, got $n")
+    val bits = 63 / n
+    val terms = for {
+      (c, j) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("bigint"), i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The payload bits per dimension [[mortonCodeN]] keeps. */
+  def bitsPerDim(n: Int): Int = 63 / n
+
   /** Write `df` parquet z-ordered on (xCol, yCol): range-partition on
     * the Morton key into `numFiles` files, sort within each. Files get
     * DISJOINT Morton ranges (range partitioner) — so parquet min/max
