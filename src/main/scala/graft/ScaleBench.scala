@@ -143,7 +143,10 @@ object ScaleBench {
     // head-to-head geometry evidence: the SAME corpus-wide kNN join
     // under fixed 16-bucket-per-band geometry (the oracle-replayable
     // default ss05 uses) vs the auto-sized form — candidate pairs are
-    // ~n²/buckets, so the gap should WIDEN with scale
+    // ~n²/buckets, so the gap should WIDEN with scale. Skipped when a
+    // SPARK_GRAFT_SCALE_ONLY filter excludes ss05: a one-query spot
+    // check should not pay 12 extra corpus-wide joins.
+    val geomWanted = names.exists(_.startsWith("ss05"))
     def knnDir(dir: String, auto: Boolean): Double = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
@@ -159,11 +162,13 @@ object ScaleBench {
       val ts = (1 to 3).map(_ => knnDir(dir, auto))
       if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1)
     }
-    val geom = Map(
-      "fixed_sf01" -> med(srcDir, auto = false),
-      "fixed_sf1" -> med(outDir, auto = false),
-      "auto_sf01" -> med(srcDir, auto = true),
-      "auto_sf1" -> med(outDir, auto = true))
+    val geom =
+      if (!geomWanted) Map.empty[String, Double]
+      else Map(
+        "fixed_sf01" -> med(srcDir, auto = false),
+        "fixed_sf1" -> med(outDir, auto = false),
+        "auto_sf01" -> med(srcDir, auto = true),
+        "auto_sf1" -> med(outDir, auto = true))
     // plan lint at the SCALED dir: a nested-loop or cartesian node in
     // the sf1 physical plan is a scale-up plan flip worth flagging even
     // when the wall time happens to survive

@@ -1001,7 +1001,10 @@ object TxnLake {
     * with `63/n` quantization bits per dimension. */
   def optimizeZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
                      rowsPerFile: Long): OptimizeStats = {
-    require(zCols.size >= 2, s"ZORDER needs at least 2 columns, got ${zCols.size}")
+    // the dimension cap is checked BEFORE the full-table min/max
+    // aggregate — an argument error must not cost a table scan
+    require(zCols.size >= 2 && zCols.size <= 6,
+      s"ZORDER supports 2..6 columns, got ${zCols.size}")
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val schema = StructType.fromDDL(base.schemaDdl)

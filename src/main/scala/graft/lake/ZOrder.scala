@@ -43,7 +43,15 @@ object ZOrder {
     * row-local, codegen'd, replayable in any engine with `<<`/`&`/`|`.
     * The 2-D fast path stays [[mortonCode]] (its 16-bit ladder is what
     * the zq01 oracle replays literally); this general form serves
-    * [[graft.lake.TxnLake.optimizeZOrder]] beyond two dimensions. */
+    * [[graft.lake.TxnLake.optimizeZOrder]] beyond two dimensions.
+    *
+    * Deliberate tradeoff: the per-bit fold is O(bits) terms per
+    * dimension (~63 OR'd ops at n=3) where a stride-n mask ladder
+    * would be O(log bits) — but the key is computed once per row on
+    * the REWRITE path, which parquet encode/IO dominates by orders of
+    * magnitude (zq08's whole re-cluster commit measures ~1 s at
+    * sf0.01), and the fold is trivially replayable/auditable. Revisit
+    * only if a profile ever shows key computation on top. */
   def mortonCodeN(dims: Seq[Column]): Column = {
     val n = dims.size
     require(n >= 2 && n <= 6, s"morton interleave supports 2..6 dimensions, got $n")

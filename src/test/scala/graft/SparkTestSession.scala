@@ -24,4 +24,24 @@ object SparkTestSession {
 trait SparkTestSession {
   lazy val spark: SparkSession = SparkTestSession.get
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Execute `df` and sum `numFiles` over its file scans — the shared
+    * planning-time file-skipping assertion (the lake specs' common
+    * helper; was six private copies). Fails loudly when the plan has
+    * NO file scan at all, so a future source/plan migration can't
+    * silently return 0 and make every `pruned < total` assertion
+    * vacuously true. */
+  def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"expected a FileSourceScanExec in the plan:\n$plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
 }

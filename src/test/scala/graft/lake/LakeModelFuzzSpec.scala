@@ -26,13 +26,17 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
   private def toDf(rows: Seq[(Long, String, String)]) =
     rows.toDF("id", "name", "part")
 
-  private def readSet(dir: String): Model =
+  /** Sorted row MULTISET, not a keyed map: a .toMap would silently
+    * collapse a wrongly-duplicated key (pre-image surviving next to
+    * its post-image) and the content check could pass on broken data. */
+  private def readRows(dir: String): Seq[(Long, String, String)] =
     TxnLake.read(spark, dir).collect()
-      .map(r => r.getAs[Long]("id") ->
-        (r.getAs[String]("name"), r.getAs[String]("part"))).toMap
+      .map(r => (r.getAs[Long]("id"),
+        r.getAs[String]("name"), r.getAs[String]("part"))).toSeq.sorted
 
   private def check(dir: String, model: Model, step: String): Unit = {
-    assert(readSet(dir) === model, s"table diverged from model after $step")
+    val want = model.toSeq.map { case (id, (n, p)) => (id, n, p) }.sorted
+    assert(readRows(dir) === want, s"table diverged from model after $step")
     assert(TxnLake.rowCount(spark, dir) === Some(model.size.toLong),
       s"metadata count diverged after $step")
   }

@@ -50,15 +50,6 @@ class NColZOrderSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collect { case f: FileSourceScanExec => f }
-      .map(_.metrics("numFiles").value).sum
-  }
 
   test("after a 3-column ZORDER, every dimension prunes files at planning time") {
     val dir = Files.createTempDirectory("graft_zn").resolve("t").toString

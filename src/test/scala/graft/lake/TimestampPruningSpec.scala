@@ -36,15 +36,6 @@ class TimestampPruningSpec extends AnyFunSuite with SparkTestSession {
     dir
   }
 
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collect { case f: FileSourceScanExec => f }
-      .map(_.metrics("numFiles").value).sum
-  }
 
   test("timestamp bounds are recorded as epoch seconds") {
     val dir = freshTable()

@@ -34,16 +34,6 @@ class TxnBloomSpec extends AnyFunSuite with SparkTestSession {
   private def lake(dir: String): DataFrame =
     spark.read.format("graft-txn").load(dir)
 
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = plan.collect { case f: FileSourceScanExec => f }
-    assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
-    scans.map(_.metrics("numFiles").value).sum
-  }
 
   test("manifest carries a bloom per file; driver probe matches the staged bits") {
     val dir = clerkTable()

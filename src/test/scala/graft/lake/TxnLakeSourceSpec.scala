@@ -36,16 +36,6 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
 
   /** Post-execution scanned-file count from the scan node's metric —
     * the ground truth for planning-time pruning. */
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val scans = plan.collect { case f: FileSourceScanExec => f }
-    assert(scans.nonEmpty, "expected a FileSourceScanExec in the plan")
-    scans.map(_.metrics("numFiles").value).sum
-  }
 
   test("format read equals the bespoke snapshot read") {
     val dir = priceTable()

@@ -36,15 +36,6 @@ class ZOrderLakeSpec extends AnyFunSuite with SparkTestSession {
   private def lake(dir: String): DataFrame =
     spark.read.format("graft-txn").load(dir)
 
-  private def scannedFiles(df: DataFrame): Long = {
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collect { case f: FileSourceScanExec => f }
-      .map(_.metrics("numFiles").value).sum
-  }
 
   test("z-order rewrite makes BOTH dimensions prunable; results unchanged") {
     val dir = freshTable()
