@@ -1561,9 +1561,48 @@ object ScaleQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** lk19 — GENERATED COLUMNS ([[graft.lake.TxnLake
+    * .setGeneratedColumns]], Delta's `GENERATED ALWAYS AS`): the table
+    * partitions on a month key derived from the order timestamp that
+    * NO writer ever supplies — create and append both omit it and the
+    * lake computes it from the stored expression. The result groups by
+    * the generated key under a range filter (partition-pruned at
+    * planning time — `GeneratedColumnsSpec` pins the pruning); the
+    * oracle derives the same key relationally. */
+  private def lk19(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk19")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"), col("o_orderdate"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 9 === 0), "o_month",
+      generatedCols = Map(
+        "o_month" -> "substring(cast(o_orderdate as string), 1, 7)"))
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 9 === 1))
+    s.read.format("graft-txn").load(dir)
+      .filter(col("o_month") >= "1995-01" && col("o_month") <= "1995-12")
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("o_month"))
+  }
+
+  private val lk19Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |    substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_month
+      |  FROM orders WHERE o_orderkey % 9 IN (0, 1))
+      |SELECT o_month, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM base
+      |WHERE o_month >= '1995-01' AND o_month <= '1995-12'
+      |GROUP BY o_month
+      |ORDER BY o_month""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "lk17_clone" -> (lk17 _),
     "lk18_metadata_count" -> (lk18 _),
+    "lk19_generated_columns" -> (lk19 _),
     "zq08_zorder_multi" -> (zq08 _),
     "zq07_zorder_optimize" -> (zq07 _),
     "zq06_multi_zone" -> (zq06 _),
@@ -1599,6 +1638,7 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "lk17_clone" -> lk17Sql,
     "lk18_metadata_count" -> lk18Sql,
+    "lk19_generated_columns" -> lk19Sql,
     "zq07_zorder_optimize" -> zq07Sql,
     "zq08_zorder_multi" -> zq08Sql,
     "zq06_multi_zone" -> zq06Sql,

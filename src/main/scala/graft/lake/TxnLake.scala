@@ -173,6 +173,7 @@ object TxnLake {
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
   private val StatsColsFile = "_stats_cols.json"
+  private val GenColsFile = "_generated_cols.json"
 
   /** Root of DELETION-VECTOR sidecars (merge-on-read row deletes): one
     * `c<commit>` parquet directory per [[deleteWhere]] commit, rows
@@ -227,6 +228,72 @@ object TxnLake {
   def statsColumnsOf(spark: SparkSession, dir: String): Seq[String] =
     statsColsOf(fsOf(spark, dir), dir)
 
+  /** GENERATED COLUMNS (Delta's `GENERATED ALWAYS AS`): persist
+    * `name -> SQL expression` as a table property. Every write path
+    * (create / append / appendOnce / upsert / merge) computes an
+    * ABSENT generated column from its expression — the classic use is
+    * a derived partition key (`month(ts)`) the writer never has to
+    * remember — and VALIDATES a supplied one row-by-row against the
+    * expression (one short-circuit job), so "always" holds whether the
+    * value was computed or copied (CDC replication and clones replay
+    * full rows and must keep working). Expressions must be
+    * deterministic and may not reference other generated columns. */
+  def setGeneratedColumns(spark: SparkSession, dir: String,
+                          gen: Map[String, String]): Unit = {
+    gen.foreach { case (c, e) =>
+      spark.sessionState.sqlParser.parseExpression(e) // syntax, fail at set time
+      require(!gen.keys.exists(other => other != c && e.contains(other)),
+        s"generated column '$c' must not reference another generated column")
+    }
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(dir, LogDir))
+    val node = JsonNodeFactory.instance.objectNode()
+    gen.toSeq.sortBy(_._1).foreach { case (c, e) => node.put(c, e); () }
+    val out = fs.create(new Path(dir, s"$LogDir/$GenColsFile"), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** The table's generated-column property (empty when unset). */
+  def generatedColumnsOf(spark: SparkSession, dir: String): Map[String, String] =
+    genColsOf(fsOf(spark, dir), dir)
+
+  private[lake] def genColsOf(fs: FileSystem, dir: String): Map[String, String] = {
+    val p = new Path(dir, s"$LogDir/$GenColsFile")
+    if (!fs.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      readJson(fs, p).properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  /** Compute absent generated columns; validate supplied ones. The
+    * determinism requirement is enforced HERE on the analyzed plan
+    * (parse-time `deterministic` is unreliable on unresolved
+    * functions): a rand()-bearing expression would make the computed
+    * and validated row sets irreproducible. */
+  private def fillGenerated(df: DataFrame, gen: Map[String, String]): DataFrame =
+    gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      // determinism of THE GENERATED EXPRESSION only (a caller's
+      // upstream frame may legitimately carry rand() — sampling —
+      // and must not be rejected): analyze the lone projection
+      val resolved = d.select(expr(e).as("__gen")).queryExecution.analyzed
+      val bad = resolved match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.filterNot(_.deterministic)
+        case _ => Nil
+      }
+      require(bad.isEmpty,
+        s"generated column '$c' needs a deterministic expression, got: $e")
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        require(d.filter(!(col(c) <=> expr(e))).isEmpty,
+          s"generated column '$c' was supplied with values violating its " +
+            s"expression: $e")
+        d
+      }
+    }
+
   private[lake] def statsColsOf(fs: FileSystem, dir: String): Seq[String] = {
     val p = new Path(dir, s"$LogDir/$StatsColsFile")
     if (!fs.exists(p)) Nil
@@ -251,13 +318,18 @@ object TxnLake {
     * (numeric) column, and [[readRange]] prunes files against them at
     * planning time — the Delta/Iceberg data-skipping move. All later
     * commits keep collecting stats (the column is in the manifest). */
-  def create(spark: SparkSession, dir: String, df: DataFrame, partCol: String,
+  def create(spark: SparkSession, dir: String, dfIn: DataFrame, partCol: String,
              statsCol: Option[String] = None, changeFeed: Boolean = false,
              bloomCol: Option[String] = None,
              bloomBits: Int = DefaultBloomBits,
-             statsCols: Seq[String] = Nil): Unit = {
+             statsCols: Seq[String] = Nil,
+             generatedCols: Map[String, String] = Map.empty): Unit = {
     require(bloomBits > 0 && bloomBits % 64 == 0,
       s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    // generated columns materialize BEFORE every check below — the
+    // whole point is a derived partition key the writer never supplies
+    // (fillGenerated also enforces expression determinism)
+    val df = fillGenerated(dfIn, generatedCols)
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column '$c' not in ${df.columns.mkString(",")}"))
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
@@ -283,6 +355,7 @@ object TxnLake {
     // multi-column zone maps: the property must exist before the first
     // staging so version 0's files already carry their bounds
     if (statsCols.nonEmpty) setStatsColumns(spark, dir, statsCols)
+    if (generatedCols.nonEmpty) setGeneratedColumns(spark, dir, generatedCols)
     // touched = every partition value present, read off the staged
     // files' own metadata — no separate distinct-collect job
     val files = stageFiles(spark, dir, df, partCol,
@@ -839,7 +912,8 @@ object TxnLake {
   }
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
-                                rows: DataFrame): Option[Staged] = {
+                                rowsIn: DataFrame): Option[Staged] = {
+    val rows = fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir))
     val schema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = schema.fieldNames.map(n => base.renames.getOrElse(n, n))
     val missing = logicalNames.toSet -- rows.columns.toSet
@@ -1447,6 +1521,8 @@ object TxnLake {
     dstFs.mkdirs(new Path(dst, LogDir))
     val srcStats = statsColsOf(fs, src)
     if (srcStats.nonEmpty) setStatsColumns(spark, dst, srcStats)
+    val srcGen = genColsOf(fs, src)
+    if (srcGen.nonEmpty) setGeneratedColumns(spark, dst, srcGen)
     val rec = CommitRecord(0L, newCommitId(), m.partCol, m.schemaDdl,
       external.flatMap(_.parts).toSet, external, Set.empty, m.statsCol,
       full = false, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
@@ -1553,8 +1629,9 @@ object TxnLake {
     * list. Updates MISSING a table column still abort — silently
     * nulling existing data is a bug, not evolution. */
   private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
-                               updates: DataFrame, key: String,
+                               updatesIn: DataFrame, key: String,
                                deleteWhen: Option[Column] = None): Option[Staged] = {
+    val updates = fillGenerated(updatesIn, genColsOf(fsOf(spark, dir), dir))
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))
