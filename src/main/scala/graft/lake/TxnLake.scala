@@ -952,7 +952,8 @@ object TxnLake {
     * delete pre-images for every old row plus inserts for every new
     * one — O(table), which is what an overwrite IS; use [[upsert]] /
     * [[delete]] when only a delta changed. */
-  def overwrite(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+  def overwrite(spark: SparkSession, dir: String, rowsIn: DataFrame): Unit = {
+    val rows = fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir))
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val baseSchema = StructType.fromDDL(base.schemaDdl)

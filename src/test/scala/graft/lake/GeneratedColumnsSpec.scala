@@ -77,6 +77,17 @@ class GeneratedColumnsSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L) === "2024-03-09" && got(9L) === "2024-03-10")
   }
 
+  test("overwrite fills the generated column like every other write path") {
+    val dir = freshDir()
+    createTable(dir)
+    TxnLake.overwrite(spark, dir,
+      Seq((10L, "2024-05-01 09:00:00"), (11L, "2024-05-02 09:00:00"))
+        .toDF("id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s"))
+    val got = TxnLake.read(spark, dir).select("id", "day").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "2024-05-01", 11L -> "2024-05-02"))
+  }
+
   test("nondeterministic expressions are rejected before any write") {
     val dir = freshDir()
     val df = Seq((1L, 1.0)).toDF("id", "v")
