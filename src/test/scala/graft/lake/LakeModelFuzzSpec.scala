@@ -53,9 +53,13 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
     val init = freshRows(6)
     TxnLake.create(spark, dir, toDf(init), "part")
     var model: Model = init.map(r => r._1 -> (r._2, r._3)).toMap
+    // model snapshot per committed version, so RESTORE can be fuzzed:
+    // the reference rolls back exactly when the table does
+    def headVersion(): Long = TxnLake.resolve(spark, dir).get.version
+    var hist = Map(0L -> model)
     check(dir, model, "create")
     for (i <- 1 to steps) {
-      val step = rnd.nextInt(7) match {
+      val step = rnd.nextInt(8) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(4))
           TxnLake.append(spark, dir, toDf(rows))
@@ -92,7 +96,18 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
         case 6 =>
           TxnLake.vacuum(spark, dir, keepVersions = 1 + rnd.nextInt(3), graceMs = 0L)
           "vacuum"
+        case 7 =>
+          // RESTORE to a random RETAINED version; the model rolls back
+          // to its snapshot, and the restore commit itself snapshots
+          val retained = TxnLake.history(spark, dir)
+            .select("version").collect().map(_.getLong(0)).toSet
+          val targets = hist.keySet.intersect(retained).toSeq.sorted
+          val v = targets(rnd.nextInt(targets.size))
+          TxnLake.restore(spark, dir, v)
+          model = hist(v)
+          s"restore(v$v)"
       }
+      hist += headVersion() -> model
       check(dir, model, s"step $i: $step (seed $seed)")
     }
   }
