@@ -26,6 +26,35 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
     TxnLake.read(spark, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[String]("part"))).toSeq
 
+  test("four REAL threads racing 20 appends: every commit lands exactly once") {
+    // the sequential interleaving tests above pin OCC's rebase logic;
+    // this drives it under genuine contention — four threads hammer
+    // the same log head, every publishRecord loser must rebase and
+    // retry until its append lands, and the final log is a contiguous
+    // version chain holding every row exactly once
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dir = freshTxnTable() // v0: 4 rows
+    val done = Future.sequence((1 to 4).map { t =>
+      Future {
+        (1 to 5).foreach { i =>
+          TxnLake.append(spark, dir,
+            Seq((t * 1000L + i, s"w$t-$i", s"p${t % 2}")).toDF("id", "name", "part"))
+        }
+      }
+    })
+    Await.result(done, 180.seconds)
+    assert(TxnLake.read(spark, dir).count() === 24L) // 4 + 4x5
+    assert(TxnLake.rowCount(spark, dir) === Some(24L))
+    val versions = TxnLake.history(spark, dir)
+      .select("version").collect().map(_.getLong(0)).sorted
+    assert(versions === (0L to 20L).toArray, "20 appends = versions 1..20, no gaps")
+    // no row duplicated or lost under the retries
+    assert(TxnLake.read(spark, dir).select("id").distinct().count() === 24L)
+  }
+
   test("maxRecordsPerFile splits hot partitions into several single-value files") {
     import spark.implicits._
     val dir = freshDir()
