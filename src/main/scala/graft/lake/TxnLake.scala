@@ -241,11 +241,32 @@ object TxnLake {
   def setGeneratedColumns(spark: SparkSession, dir: String,
                           gen: Map[String, String]): Unit = {
     gen.foreach { case (c, e) =>
-      spark.sessionState.sqlParser.parseExpression(e) // syntax, fail at set time
-      require(!gen.keys.exists(other => other != c && e.contains(other)),
+      // cross-references detected on the PARSED attribute set, not a
+      // raw substring scan (which rejected any name occurring inside
+      // tokens like 'cast' and missed case-variant references)
+      val refs = generatedRefs(spark, e)
+      require(!gen.keys.exists(o => o != c && refs.contains(o.toLowerCase)),
         s"generated column '$c' must not reference another generated column")
     }
     val fs = fsOf(spark, dir)
+    // adding the property to an EXISTING table: every key must be a
+    // real column, and every committed row must already satisfy its
+    // expression — "GENERATED ALWAYS" is true retroactively or not at
+    // all (Delta forbids this case outright; validating is strictly
+    // more useful, and a violating table fails loudly here instead of
+    // failing some future CDC replay)
+    resolve(fs, dir).foreach { m =>
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val logical = schema.fieldNames.map(n => m.renames.getOrElse(n, n)).toSet
+      gen.keys.foreach(c => require(logical.contains(c),
+        s"generated column '$c' is not a column of the existing table"))
+      val cur = read(spark, dir)
+      gen.foreach { case (c, e) =>
+        require(cur.filter(!(col(c) <=> expr(e))).isEmpty,
+          s"existing rows violate generated column '$c' = $e — " +
+            "fix the data before declaring the invariant")
+      }
+    }
     fs.mkdirs(new Path(dir, LogDir))
     val node = JsonNodeFactory.instance.objectNode()
     gen.toSeq.sortBy(_._1).foreach { case (c, e) => node.put(c, e); () }
@@ -257,6 +278,10 @@ object TxnLake {
   def generatedColumnsOf(spark: SparkSession, dir: String): Map[String, String] =
     genColsOf(fsOf(spark, dir), dir)
 
+  /** One fs.exists probe per staging — deliberate: the property is
+    * mutable ([[setGeneratedColumns]] on a live table), so caching
+    * per-dir would serve stale expressions; the probe is one metadata
+    * call among the dozens a commit already makes. */
   private[lake] def genColsOf(fs: FileSystem, dir: String): Map[String, String] = {
     val p = new Path(dir, s"$LogDir/$GenColsFile")
     if (!fs.exists(p)) Map.empty
@@ -267,31 +292,68 @@ object TxnLake {
     }
   }
 
+  /** Rename/drop guard: a column that IS generated, or that a
+    * generated expression READS, is structural — renaming or dropping
+    * it would leave the stored expression unresolvable and brick every
+    * later write (the same reason partition/stats/bloom refuse). */
+  private def requireNotGenerated(spark: SparkSession, dir: String,
+                                  name: String, op: String): Unit = {
+    val gen = genColsOf(fsOf(spark, dir), dir)
+    require(!gen.contains(name),
+      s"cannot $op '$name' — it is GENERATED ALWAYS AS (${gen.getOrElse(name, "")})")
+    gen.foreach { case (c, e) =>
+      require(!generatedRefs(spark, e).contains(name.toLowerCase),
+        s"cannot $op '$name' — generated column '$c' reads it ($e)")
+    }
+  }
+
+  /** Columns a generated expression references (lower-cased), off the
+    * PARSED tree. */
+  private def generatedRefs(spark: SparkSession, e: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(e).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
+
+  /** Expression classes whose value depends on WHEN they run — banned
+    * in generated columns (the Delta rule): Catalyst marks them
+    * deterministic, but a value stored at write time would fail
+    * validation when a CDC replay or clone re-appends the same rows a
+    * day later. */
+  private val TimeDependentExprs = Set("CurrentDate", "CurrentTimestamp",
+    "Now", "LocalTimestamp", "CurrentTimeZone", "CurrentBatchTimestamp")
+
   /** Compute absent generated columns; validate supplied ones. The
     * determinism requirement is enforced HERE on the analyzed plan
     * (parse-time `deterministic` is unreliable on unresolved
-    * functions): a rand()-bearing expression would make the computed
-    * and validated row sets irreproducible. */
+    * functions), scoped to the generated expression alone — a caller's
+    * upstream frame may legitimately carry rand() (sampling) and must
+    * not be rejected. */
   private def fillGenerated(df: DataFrame, gen: Map[String, String]): DataFrame =
     gen.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
-      // determinism of THE GENERATED EXPRESSION only (a caller's
-      // upstream frame may legitimately carry rand() — sampling —
-      // and must not be rejected): analyze the lone projection
-      val resolved = d.select(expr(e).as("__gen")).queryExecution.analyzed
-      val bad = resolved match {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          p.projectList.filterNot(_.deterministic)
+      val projected = d.select(expr(e).as("__gen")).queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
         case _ => Nil
       }
-      require(bad.isEmpty,
+      require(projected.forall(_.deterministic),
         s"generated column '$c' needs a deterministic expression, got: $e")
+      val timey = projected.flatMap(_.collect {
+        case x if TimeDependentExprs.contains(x.getClass.getSimpleName) => x })
+      require(timey.isEmpty,
+        s"generated column '$c' must not depend on evaluation time " +
+          s"(${timey.map(_.getClass.getSimpleName).distinct.mkString(",")}): $e")
       if (!d.columns.contains(c)) d.withColumn(c, expr(e))
-      else {
-        require(d.filter(!(col(c) <=> expr(e))).isEmpty,
-          s"generated column '$c' was supplied with values violating its " +
-            s"expression: $e")
-        d
-      }
+      else
+        // supplied values are validated INSIDE the projection that
+        // stages — raise_error aborts the write job on the first
+        // violating row. A separate pre-pass filter would evaluate a
+        // nondeterministic upstream frame twice and could validate
+        // DIFFERENT rows than are written.
+        d.withColumn(c, when(col(c) <=> expr(e), col(c))
+          .otherwise(raise_error(concat(
+            lit(s"generated column '$c' was supplied with a value " +
+              s"violating its expression ($e): "),
+            coalesce(col(c).cast("string"), lit("NULL"))))))
     }
 
   private[lake] def statsColsOf(fs: FileSystem, dir: String): Seq[String] = {
@@ -814,9 +876,20 @@ object TxnLake {
     // snapshot schema can't decode), physical names restored for
     // staging (files are always written physical)
     val target = toLogical(readFiles(spark, dir, schema, Seq.empty), base.renames)
-    val post = castToTarget(
-      set.foldLeft(matchedPre) { case (df, (k, v)) => df.withColumn(k, v) },
-      target)
+    // generated columns hold on THIS write path too: SET of a generated
+    // column is refused (it is GENERATED ALWAYS AS), and every
+    // generated column is recomputed over the post-SET rows — a SET
+    // touching a source column (ts) must move the derived one (day),
+    // or partition pruning on the derived key would return rows whose
+    // sources disagree with their partition
+    val genCols = genColsOf(fs, dir)
+    genCols.keys.foreach(c => require(!set.contains(c),
+      s"cannot SET generated column '$c' — it is GENERATED ALWAYS AS"))
+    val postSet = set.foldLeft(matchedPre) { case (df, (k, v)) => df.withColumn(k, v) }
+    val postGen =
+      if (genCols.isEmpty) postSet
+      else fillGenerated(postSet.drop(genCols.keys.toSeq: _*), genCols)
+    val post = castToTarget(postGen, target)
     val postPhys = base.renames.foldLeft(post) {
       case (df, (phys, logical)) => df.withColumnRenamed(logical, phys)
     }
@@ -1220,6 +1293,7 @@ object TxnLake {
       require(phys != head.partCol && !head.statsCol.contains(phys) &&
         !head.bloomCol.contains(phys),
         s"cannot rename '$from' — partition/stats/bloom columns keep physical names")
+      requireNotGenerated(spark, dir, from, "rename")
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -1262,6 +1336,7 @@ object TxnLake {
       require(phys != head.partCol && !head.statsCol.contains(phys) &&
         !head.bloomCol.contains(phys),
         s"cannot drop '$name' — partition/stats/bloom columns are structural")
+      requireNotGenerated(spark, dir, name, "drop")
       require(fields.size > 1, "cannot drop the last column")
       val schema = StructType(fields.filterNot(_.name == phys))
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,

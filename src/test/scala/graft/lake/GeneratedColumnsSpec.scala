@@ -56,13 +56,83 @@ class GeneratedColumnsSpec extends AnyFunSuite with SparkTestSession {
       Seq((5L, "2024-03-04 12:00:00", "2024-03-04")).toDF("id", "s", "day")
         .withColumn("ts", to_timestamp(col("s"))).drop("s"))
     assert(TxnLake.read(spark, dir).count() === 4L)
-    val e = intercept[IllegalArgumentException] {
+    // the violation check rides the STAGING projection itself
+    // (raise_error aborts the write job — one evaluation, never a
+    // separate pre-pass that could see different rows), so the
+    // surfaced error is the job failure carrying the message
+    val e = intercept[Exception] {
       TxnLake.append(spark, dir,
         Seq((6L, "2024-03-05 12:00:00", "2024-01-01")).toDF("id", "s", "day")
           .withColumn("ts", to_timestamp(col("s"))).drop("s"))
     }
-    assert(e.getMessage.contains("violating its"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + messages(t.getCause)
+    assert(messages(e).contains("violating its"))
     assert(TxnLake.read(spark, dir).count() === 4L, "nothing committed")
+  }
+
+  test("updateWhere recomputes the derived key and refuses to SET it") {
+    val dir = freshDir()
+    createTable(dir)
+    // moving ts must move day with it — or pruning on day would lie
+    TxnLake.updateWhere(spark, dir, col("id") === 1L,
+      Map("ts" -> lit("2024-06-15 08:00:00").cast("timestamp")))
+    val got = TxnLake.read(spark, dir).filter(col("id") === 1L)
+      .select("day").head().getString(0)
+    assert(got === "2024-06-15")
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.updateWhere(spark, dir, col("id") === 2L,
+        Map("day" -> lit("1999-01-01")))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("rename/drop of the generated column or its source is refused") {
+    val dir = freshDir()
+    createTable(dir)
+    val e1 = intercept[IllegalArgumentException](
+      TxnLake.renameColumn(spark, dir, "ts", "event_ts"))
+    assert(e1.getMessage.contains("reads it"))
+    val e2 = intercept[IllegalArgumentException](
+      TxnLake.dropColumn(spark, dir, "ts"))
+    assert(e2.getMessage.contains("reads it"))
+    // the generated column itself is equally structural (here it is
+    // also the partition column, which already refuses — exercise the
+    // generated guard on a non-partition generated column instead)
+    val dir2 = freshDir()
+    TxnLake.create(spark, dir2,
+      Seq((1L, 10.0, "p1")).toDF("id", "v", "part"), "part",
+      generatedCols = Map("v2" -> "v * 2"))
+    val e3 = intercept[IllegalArgumentException](
+      TxnLake.renameColumn(spark, dir2, "v2", "dbl"))
+    assert(e3.getMessage.contains("GENERATED ALWAYS"))
+  }
+
+  test("time-dependent expressions are rejected (the replay rule)") {
+    val dir = freshDir()
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.create(spark, dir, Seq((1L, "p1")).toDF("id", "part"), "ingest_day",
+        generatedCols = Map("ingest_day" -> "cast(current_date() as string)"))
+    }
+    assert(e.getMessage.contains("evaluation time"))
+  }
+
+  test("declaring the property on a populated table validates existing rows") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = freshDir()
+    TxnLake.create(spark, dir,
+      Seq((1L, 5.0, 10.0, "p1"), (2L, 3.0, 6.0, "p1"))
+        .toDF("id", "v", "v2", "part"), "part")
+    TxnLake.setGeneratedColumns(spark, dir, Map("v2" -> "v * 2")) // holds: ok
+    assert(TxnLake.generatedColumnsOf(spark, dir) === Map("v2" -> "v * 2"))
+    val bad = freshDir()
+    TxnLake.create(spark, bad,
+      Seq((1L, 5.0, 11.0, "p1")).toDF("id", "v", "v2", "part"), "part")
+    val e = intercept[IllegalArgumentException](
+      TxnLake.setGeneratedColumns(spark, bad, Map("v2" -> "v * 2")))
+    assert(e.getMessage.contains("existing rows violate"))
+    intercept[IllegalArgumentException](
+      TxnLake.setGeneratedColumns(spark, bad, Map("nope" -> "v * 2")))
   }
 
   test("upserts fill the generated column too") {
