@@ -172,6 +172,28 @@ object TxnLake {
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
+
+  /** Relative file identity: the path tail from the table's data dir.
+    * Anchored on the LAST `/_graft_data/` occurrence (a path COMPONENT
+    * equal to [[DataDir]]) — never a first-occurrence scan, because a
+    * table root may itself contain the marker as a substring
+    * (`/x/_graft_data_backup/t`) and a first-match key would silently
+    * mis-key `__txn_file` / prune sets / vacuum reference sets. A
+    * partition-value dir can never BE `_graft_data` (values are
+    * `__part=`-prefixed and `/` in values is %-escaped by the writer),
+    * so the deepest exact component is always the real data dir. */
+  private[lake] def dataRel(p: String): String = {
+    val i = p.lastIndexOf("/" + DataDir + "/")
+    require(i >= 0, s"path $p has no /$DataDir/ component")
+    p.substring(i + 1)
+  }
+
+  /** SQL twin of [[dataRel]] for `_metadata.file_path` columns —
+    * `split` on the anchored marker and keep the LAST piece, matching
+    * the Scala-side lastIndexOf discipline (stays whole-stage codegen:
+    * all builtin expressions). */
+  private[lake] def dataRelSql(pathCol: String): String =
+    s"concat('$DataDir/', element_at(split($pathCol, '/$DataDir/'), -1))"
   private val StatsColsFile = "_stats_cols.json"
   private val GenColsFile = "_generated_cols.json"
 
@@ -1439,8 +1461,34 @@ object TxnLake {
     node.put("version", v)
     node.put("ts", System.currentTimeMillis())
     fs.mkdirs(new Path(dir, RefsDir))
-    val out = fs.create(refPath(dir, name), true)
+    val p = refPath(dir, name)
+    // remember a re-tagged name's previous bytes so an aborted re-tag
+    // restores the old pin instead of dropping it
+    val prior: Option[Array[Byte]] =
+      try {
+        if (!fs.exists(p)) None
+        else { val in = fs.open(p); try Some(in.readAllBytes()) finally in.close() }
+      } catch { case _: Exception => None }
+    val out = fs.create(p, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // post-write re-validation (the [[clone]] pinValidated discipline):
+    // a ref written after a running vacuum's pinnedVersions() read can
+    // pin a version whose records/files that vacuum is already
+    // deleting. Vacuum drops log records FIRST, so the vacuum either
+    // still advertises its lock (abort, retryable) or the resolveAt
+    // re-check throws on a dropped version — either way the dangling
+    // ref is rolled back before the caller can rely on it.
+    val raced = vacuumBusy(fs, dir) ||
+      (try { resolveAt(fs, dir, v); false } catch { case _: Exception => true })
+    if (raced) {
+      try prior match {
+        case Some(bytes) =>
+          val o = fs.create(p, true); try o.write(bytes) finally o.close()
+        case None => fs.delete(p, false); ()
+      } catch { case _: Exception => }
+      throw new IllegalStateException(
+        s"tag '$name' raced a vacuum at $dir — retry once it completes")
+    }
     v
   }
 
@@ -1595,10 +1643,6 @@ object TxnLake {
       base = Some(e.base.getOrElse(src)),
       dv = e.dv.map(locateDv(src, _))))
     dstFs.mkdirs(new Path(dst, LogDir))
-    val srcStats = statsColsOf(fs, src)
-    if (srcStats.nonEmpty) setStatsColumns(spark, dst, srcStats)
-    val srcGen = genColsOf(fs, src)
-    if (srcGen.nonEmpty) setGeneratedColumns(spark, dst, srcGen)
     val rec = CommitRecord(0L, newCommitId(), m.partCol, m.schemaDdl,
       external.flatMap(_.parts).toSet, external, Set.empty, m.statsCol,
       full = false, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
@@ -1607,6 +1651,24 @@ object TxnLake {
     if (!publishRecord(dstFs, dst, rec)) {
       rollbackPins()
       throw new IllegalArgumentException(s"concurrent create of txn table at $dst")
+    }
+    // property files only AFTER the v0 create race is won: written
+    // earlier, a lost race would leave them behind and silently
+    // overwrite the concurrent winner's stats/generated-column
+    // invariants. They are not needed by the v0 record itself, and no
+    // later commit at dst can precede clone() returning. Raw byte
+    // copies, not set* calls: setGeneratedColumns on an EXISTING table
+    // re-validates every committed row — O(data), which would break
+    // the metadata-only clone; the invariant provably held on exactly
+    // this source snapshot, so the property transfers verbatim.
+    Seq(StatsColsFile, GenColsFile).foreach { f =>
+      val sp = new Path(src, s"$LogDir/$f")
+      if (fs.exists(sp)) {
+        val in = fs.open(sp)
+        val bytes = try in.readAllBytes() finally in.close()
+        val out = dstFs.create(new Path(dst, s"$LogDir/$f"), true)
+        try out.write(bytes) finally out.close()
+      }
     }
     maybeCheckpoint(spark, dstFs, dst,
       Manifest(0L, rec.commitId, m.partCol, m.schemaDdl, rec.touched,
@@ -1932,21 +1994,55 @@ object TxnLake {
     // so a pin that misses this vacuum's pin read can never silently
     // lose its files. The lock is EXCLUSIVE (create without overwrite)
     // so two concurrent vacuums can't clobber each other's
-    // advertisement — the second aborts loudly; a stale lock (crashed
-    // vacuum, past the staleness window) is cleared first.
+    // advertisement — the second aborts loudly. Acquisition is
+    // race-proof in two steps: (1) only a VERIFIABLY stale lock
+    // (exists AND mtime past the staleness window — a crashed vacuum)
+    // is ever deleted, so a live vacuum's fresh lock can't be swept
+    // away by a concurrent acquirer's stale-clear; (2) an owner token
+    // is written into the lock and RE-READ after create — if two
+    // acquirers both cleared the same stale lock and raced the
+    // exclusive create (delete→create interleavings can let both
+    // creates "succeed"), exactly the one whose token survives
+    // proceeds; the other aborts loudly.
     if (vacuumBusy(fs, dir))
       throw new IllegalStateException(
         s"vacuum already in progress at $dir — retry once it completes")
-    fs.delete(vacuumLockPath(dir), false) // clear a stale lock, if any
+    val lockP = vacuumLockPath(dir)
+    val verifiablyStale =
+      try fs.exists(lockP) && fs.getFileStatus(lockP).getModificationTime <=
+        System.currentTimeMillis() - VacuumLockStaleMs
+      catch { case _: Exception => false }
+    if (verifiablyStale) fs.delete(lockP, false)
+    val token = newCommitId()
     val lockOut =
-      try fs.create(vacuumLockPath(dir), false)
+      try fs.create(lockP, false)
       catch {
         case e: Exception => throw new IllegalStateException(
           s"vacuum already in progress at $dir (lost the lock race)", e)
       }
-    lockOut.close()
+    try lockOut.write(token.getBytes("UTF-8")) finally lockOut.close()
+    val owned =
+      try {
+        val in = fs.open(lockP)
+        try new String(in.readAllBytes(), "UTF-8") == token finally in.close()
+      } catch { case _: Exception => false }
+    if (!owned)
+      throw new IllegalStateException(
+        s"vacuum already in progress at $dir (lost the lock race: " +
+          "another vacuum's token holds the lock)")
     try vacuumLocked(spark, fs, dir, versions, ckpts, keepVersions, graceMs)
-    finally { fs.delete(vacuumLockPath(dir), false); () }
+    finally {
+      // release only a lock we still own — never a successor's (ours
+      // can only have been swept if this vacuum outlived the staleness
+      // window and a new vacuum claimed the path)
+      val stillOurs =
+        try {
+          val in = fs.open(lockP)
+          try new String(in.readAllBytes(), "UTF-8") == token finally in.close()
+        } catch { case _: Exception => false }
+      if (stillOurs) fs.delete(lockP, false)
+      ()
+    }
   }
 
   private def vacuumLocked(spark: SparkSession, fs: FileSystem, dir: String,
@@ -1997,7 +2093,7 @@ object TxnLake {
         while (it.hasNext) {
           val f = it.next()
           val p = f.getPath.toUri.getPath
-          val rel = p.substring(p.indexOf(DataDir))
+          val rel = dataRel(p)
           if (!referenced.contains(rel) && f.getModificationTime < cutoff)
             fs.delete(f.getPath, false)
         }
@@ -2238,7 +2334,7 @@ object TxnLake {
         else schema), renames)
     val df = spark.read.schema(schema).parquet(entries.map(_.locate(dir)): _*)
       .withColumn("__txn_file",
-        expr(s"substring(_metadata.file_path, instr(_metadata.file_path, '$DataDir'))"))
+        expr(dataRelSql("_metadata.file_path")))
       .withColumn("__txn_pos", col("_metadata.row_index"))
     val out =
       if (dvDirs.isEmpty) df
@@ -2381,7 +2477,7 @@ object TxnLake {
     }
     meta.groupBy(_.getString(0))
       .map { case (p, rows) =>
-        val relPath = p.substring(p.indexOf(DataDir))
+        val relPath = dataRel(p)
         val (zmin, zmax) =
           if (zTracked) {
             val mns = rows.flatMap(r => Option(r.getAs[Any]("__mn")).map(_.asInstanceOf[Double]))

@@ -356,7 +356,7 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
           while (it.hasNext) {
             val st = it.next()
             val p = st.getPath.toUri.getPath
-            val rel = p.substring(p.indexOf("_graft_data"))
+            val rel = TxnLake.dataRel(p)
             if (wanted.contains(rel)) buf += rel -> st
           }
           buf.result()

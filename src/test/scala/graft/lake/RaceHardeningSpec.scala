@@ -1,0 +1,151 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Race hardenings around vacuum's advertisement lock, tag's
+  * post-write re-validation, clone's lost-race cleanup, and the
+  * end-anchored file-identity extraction ([[TxnLake.dataRel]]).
+  * Each test pins a concrete interleaving that used to corrupt state:
+  * a fresh lock swept by a concurrent acquirer's stale-clear, a ref
+  * pinning a version a running vacuum is dropping, clone property
+  * files surviving a lost create race, and a table ROOT containing
+  * `_graft_data` as a path substring mis-keying `__txn_file`. */
+class RaceHardeningSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def lockFile(dir: String) =
+    new java.io.File(dir, "_graft_log/_vacuum.lock")
+
+  private def mkTable(root: java.nio.file.Path): String = {
+    val dir = root.resolve("t").toString
+    TxnLake.create(spark, dir,
+      (1L to 10L).map(i => (i, s"p${i % 2}")).toDF("id", "v"), "v")
+    dir
+  }
+
+  test("a FRESH foreign vacuum lock is never deleted by a second vacuum's acquisition") {
+    val dir = mkTable(Files.createTempDirectory("graft_race"))
+    TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
+    val lock = lockFile(dir)
+    // another vacuum's live advertisement (fresh mtime, foreign token)
+    val out = new java.io.FileOutputStream(lock)
+    out.write("someone-else".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](TxnLake.vacuum(spark, dir, keepVersions = 1))
+    assert(e.getMessage.contains("already in progress"))
+    // the old code deleted the path before its exclusive create — the
+    // fix only clears VERIFIABLY stale locks, so the live one survives
+    assert(lock.exists(), "the live lock must survive a failed acquisition")
+    assert(new String(Files.readAllBytes(lock.toPath), "UTF-8") === "someone-else")
+  }
+
+  test("a verifiably stale lock (crashed vacuum) is cleared and vacuum proceeds") {
+    val dir = mkTable(Files.createTempDirectory("graft_race"))
+    TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
+    val lock = lockFile(dir)
+    val out = new java.io.FileOutputStream(lock)
+    out.write("crashed".getBytes("UTF-8")); out.close()
+    assert(lock.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(!lock.exists(), "vacuum must release its own lock when done")
+    assert(TxnLake.read(spark, dir).count() === 11L)
+  }
+
+  test("tag written while a vacuum advertises is rolled back and throws retryable") {
+    val dir = mkTable(Files.createTempDirectory("graft_race"))
+    TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
+    val lock = lockFile(dir)
+    val out = new java.io.FileOutputStream(lock)
+    out.write("live-vacuum".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](TxnLake.tag(spark, dir, "release"))
+    assert(e.getMessage.contains("raced a vacuum"))
+    assert(!TxnLake.refs(spark, dir).contains("release"),
+      "the dangling ref must be rolled back")
+    lock.delete()
+    // with no vacuum running the same tag lands fine
+    assert(TxnLake.tag(spark, dir, "release") === 1L)
+  }
+
+  test("an aborted RE-tag restores the previous pin instead of dropping it") {
+    val dir = mkTable(Files.createTempDirectory("graft_race"))
+    TxnLake.tag(spark, dir, "stable", 0L)
+    TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
+    val lock = lockFile(dir)
+    val out = new java.io.FileOutputStream(lock)
+    out.write("live-vacuum".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException](TxnLake.tag(spark, dir, "stable", 1L))
+    assert(TxnLake.refs(spark, dir)("stable") === 0L,
+      "the prior pin must survive an aborted re-tag")
+    lock.delete()
+  }
+
+  test("a clone aborted by a raced vacuum leaves nothing at dst (no property files)") {
+    val root = Files.createTempDirectory("graft_race")
+    val src = mkTable(root)
+    TxnLake.setStatsColumns(spark, src, Seq("id"))
+    val lock = lockFile(src)
+    val out = new java.io.FileOutputStream(lock)
+    out.write("live-vacuum".getBytes("UTF-8")); out.close()
+    val dst = root.resolve("fork").toString
+    intercept[IllegalStateException](TxnLake.clone(spark, src, dst))
+    assert(!new java.io.File(dst, "_graft_log").exists(),
+      "an aborted clone must leave no log dir — and so no property files — at dst")
+    assert(TxnLake.refs(spark, src).isEmpty, "clone pins must be rolled back")
+    lock.delete()
+  }
+
+  test("clone transfers stats + generated-column properties metadata-only") {
+    val root = Files.createTempDirectory("graft_race")
+    val src = root.resolve("src").toString
+    TxnLake.create(spark, src,
+      (1L to 6L).map(i => (i, i * 2L)).toDF("id", "twice"), "id")
+    TxnLake.setStatsColumns(spark, src, Seq("id"))
+    TxnLake.setGeneratedColumns(spark, src, Map("twice" -> "id * 2"))
+    val dst = root.resolve("fork").toString
+    TxnLake.clone(spark, src, dst)
+    assert(TxnLake.statsColumnsOf(spark, dst) === Seq("id"))
+    assert(TxnLake.generatedColumnsOf(spark, dst) === Map("twice" -> "id * 2"))
+    // the invariant transferred ACTIVE: a violating append at dst fails
+    intercept[Exception](
+      TxnLake.append(spark, dst, Seq((100L, 7L)).toDF("id", "twice")))
+    // and still metadata-only: no data bytes copied
+    assert(!new java.io.File(dst, "_graft_data").exists())
+  }
+
+  test("dataRel anchors on the LAST /_graft_data/ component") {
+    assert(TxnLake.dataRel("/x/t/_graft_data/c1/f.parquet") === "_graft_data/c1/f.parquet")
+    // root CONTAINS the marker as a substring — first-occurrence
+    // matching mis-keyed exactly this shape
+    assert(TxnLake.dataRel("/x/_graft_data_backup/t/_graft_data/c1/f.parquet") ===
+      "_graft_data/c1/f.parquet")
+    // root has a component literally named _graft_data
+    assert(TxnLake.dataRel("/x/_graft_data/t/_graft_data/c2/__part=a/f.parquet") ===
+      "_graft_data/c2/__part=a/f.parquet")
+    // a partition VALUE ending in the marker is not an anchor (no
+    // component is exactly _graft_data there)
+    assert(TxnLake.dataRel("/t/_graft_data/c3/__part=x_graft_data/f.parquet") ===
+      "_graft_data/c3/__part=x_graft_data/f.parquet")
+  }
+
+  test("DV reads and vacuum survive a table root containing _graft_data as a substring") {
+    val root = Files.createTempDirectory("graft_race")
+    val dir = root.resolve("_graft_data_backup").resolve("t").toString
+    TxnLake.create(spark, dir,
+      (1L to 10L).map(i => (i, s"p${i % 2}")).toDF("id", "v"), "v")
+    // merge-on-read delete: correctness depends on __txn_file keys
+    // matching the manifest's relative identities
+    assert(TxnLake.deleteWhere(spark, dir, col("id") <= 3L) === 3L)
+    assert(TxnLake.read(spark, dir).count() === 7L,
+      "mis-keyed __txn_file would resurface deleted rows")
+    assert(TxnLake.rowCount(spark, dir) === Some(7L))
+    TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(TxnLake.read(spark, dir).orderBy("id").select("id").as[Long].collect().toSeq ===
+      ((4L to 11L)),
+      "a mis-keyed vacuum reference set would have deleted live files")
+  }
+}
