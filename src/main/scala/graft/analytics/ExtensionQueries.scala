@@ -852,20 +852,29 @@ object ExtensionQueries {
         Multimodal.mediaCorpus(documents(s, d)), dim = 64)
       .select(col("media_id").as("qid"), col("features").as("qvec"))
       .cache()
-    Similarity.lshKnnAcross(feats, embeddings(s, d), k = 3, nBits = 32,
+    Similarity.lshKnnAcrossAuto(feats, embeddings(s, d), k = 3,
         center = true)
       .orderBy(col("qid"), col("rank"))
   }
 
-  // 8-bit bands for the cross join too (the ss14 rationale): 5045
-  // queries x 2000 corpus at 16 buckets/band collided into ~2.5M
-  // candidate pairs; 256 buckets cut that ~16x, exact-replayed.
+  // AUTO-SIZED geometry for the cross join (the ss05 rationale):
+  // candidates grow ~ |Q|·|C|/buckets, so bitsPerBand derives from the
+  // LARGER side's count — at sf0.01 (5045 docs × 2000 embeddings) that
+  // lands on the 8-bit bands the old fixed geometry hand-picked, and
+  // keeps growing with the corpus instead of going quadratic (fixed
+  // measured 7.7× wall on 10× data). The oracle re-derives the same
+  // width from the two counts over a prefix-stable 60-plane family.
   private val mm06Sql: String = {
-    val planeRows = Similarity.planes(32, Similarity.MaxPlaneDim)
+    val planeRows = Similarity.planes(60, Similarity.MaxPlaneDim)
       .zipWithIndex.map { case (pl, p) =>
         s"($p, [${pl.take(64).mkString(", ")}])"
       }.mkString(",\n  ")
-    s"""WITH planes(p, pl) AS (VALUES
+    s"""WITH geom AS (SELECT CAST(coalesce(MIN(b), 15) AS INT) AS bits
+       |  FROM range(4, 16) t(b)
+       |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * 32 >=
+       |    greatest((SELECT count(*) FROM documents),
+       |             (SELECT count(*) FROM embeddings))),
+       |planes(p, pl) AS (VALUES
        |  $planeRows),
        |m AS (SELECT doc_id AS media_id, text,
        |    octet_length(encode(text)) AS byte_len FROM documents),
@@ -886,15 +895,17 @@ object ExtensionQueries {
        |qdots AS (SELECT fc.media_id, pls.p,
        |    list_sum(list_transform(range(1, 65),
        |      i -> coalesce(fc.fdc[i] * pls.pl[i], 0.0))) AS dot
-       |  FROM fcen fc CROSS JOIN planes pls),
+       |  FROM fcen fc CROSS JOIN planes pls CROSS JOIN geom g
+       |  WHERE pls.p < 4 * g.bits),
        |qsigs AS (SELECT media_id,
        |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
        |        ELSE CAST(0 AS BIGINT) END) AS sig
        |  FROM qdots GROUP BY media_id),
        |qbands AS (SELECT media_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*8 AS INT)) & 255))})) AS u
-       |  FROM qsigs),
+       |      'bits': ((sig >> CAST(b * g.bits AS INT)) &
+       |               ((CAST(1 AS BIGINT) << g.bits) - 1))})) AS u
+       |  FROM qsigs CROSS JOIN geom g),
        |esum AS (SELECT j,
        |    sum(CAST(floor(CAST(e.embedding[j] AS DOUBLE)*1048576.0 + 0.5) AS BIGINT)) AS s,
        |    CAST(count(*) AS BIGINT) AS n
@@ -908,15 +919,17 @@ object ExtensionQueries {
        |cdots AS (SELECT ec.vec_id, pls.p,
        |    list_sum(list_transform(range(1, 65),
        |      i -> coalesce(ec.ec[i] * pls.pl[i], 0.0))) AS dot
-       |  FROM ecen ec CROSS JOIN planes pls),
+       |  FROM ecen ec CROSS JOIN planes pls CROSS JOIN geom g
+       |  WHERE pls.p < 4 * g.bits),
        |csigs AS (SELECT vec_id,
        |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
        |        ELSE CAST(0 AS BIGINT) END) AS sig
        |  FROM cdots GROUP BY vec_id),
        |cbands AS (SELECT vec_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*8 AS INT)) & 255))})) AS u
-       |  FROM csigs),
+       |      'bits': ((sig >> CAST(b * g.bits AS INT)) &
+       |               ((CAST(1 AS BIGINT) << g.bits) - 1))})) AS u
+       |  FROM csigs CROSS JOIN geom g),
        |cand AS (SELECT DISTINCT q.media_id AS qid, c.vec_id
        |  FROM qbands q JOIN cbands c
        |    ON q.u.band = c.u.band AND q.u.bits = c.u.bits),
@@ -1705,8 +1718,8 @@ object ExtensionQueries {
     * top-3 most-similar DIFFERENT-label vectors for every vector — the
     * contrastive-training negatives op, i.e. filtered ANN with the
     * label predicate pushed into the narrow candidate stage. Oracle:
-    * ss05's exact LSH replay (interpolated planes, integer banding,
-    * exact rescoring) plus the same label-inequality filter, so both
+    * an exact LSH replay in the ss05 style (interpolated planes, integer
+    * banding, exact rescoring) plus the same label-inequality filter, so both
     * the candidates AND the filtered ranking are pinned per vector. */
   private def ss14(s: SparkSession, d: String): DataFrame =
     Similarity.hardNegatives(embeddings(s, d), k = 3, nBits = 32)
@@ -1766,35 +1779,46 @@ object ExtensionQueries {
   private def ss02(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(embeddings(s, d), queryId = 0L, k = 10)
 
-  /** ss05 — batch kNN JOIN ([[Similarity.lshKnnJoin]]): top-3 LSH
+  /** ss05 — batch kNN JOIN ([[Similarity.lshKnnJoinAuto]]): top-3 LSH
     * neighbors for EVERY vector in one pass — the corpus-wide form
-    * (per-query probes don't amortize at 100 TB). Same interpolated
-    * planes and integer banding as ss02, generalized from one probe to
-    * a bucket self-join; the oracle replays candidates AND scores, so a
-    * ranking bug on any of the ~500 vectors flips the hash. */
+    * (per-query probes don't amortize at 100 TB), on AUTO-SIZED bucket
+    * geometry: bitsPerBand is derived from the corpus count so expected
+    * candidate pairs stay LINEAR in n (fixed 4-bit bands measured 13.7×
+    * wall on 10× data; auto held 2.3×). The oracle re-derives the SAME
+    * geometry from count(*) — [[Similarity.autoBitsPerBand]] is
+    * integer-exact precisely so SQL can replay it — over a 60-plane
+    * family (the 15-bit/band cap × 4 bands; [[Similarity.planes]] is
+    * prefix-stable, so unused tail planes change nothing). Candidates
+    * AND scores stay exact-replayed at every SF. */
   private def ss05(s: SparkSession, d: String): DataFrame =
-    Similarity.lshKnnJoin(embeddings(s, d), k = 3)
+    Similarity.lshKnnJoinAuto(embeddings(s, d), k = 3)
       .orderBy(col("vec_id"), col("rank"))
 
   private val ss05Sql: String = {
-    val planeRows = Similarity.planes(16, Similarity.MaxPlaneDim)
+    val planeRows = Similarity.planes(60, Similarity.MaxPlaneDim)
       .zipWithIndex.map { case (pl, p) =>
         s"($p, [${pl.take(64).mkString(", ")}])"
       }.mkString(",\n  ")
-    s"""WITH planes(p, pl) AS (VALUES
+    s"""WITH geom AS (SELECT CAST(coalesce(MIN(b), 15) AS INT) AS bits
+       |  FROM range(4, 16) t(b)
+       |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * 32 >=
+       |    (SELECT count(*) FROM embeddings)),
+       |planes(p, pl) AS (VALUES
        |  $planeRows),
        |dots AS (SELECT e.vec_id, pls.p,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
        |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
-       |  FROM embeddings e CROSS JOIN planes pls),
+       |  FROM embeddings e CROSS JOIN planes pls CROSS JOIN geom g
+       |  WHERE pls.p < 4 * g.bits),
        |sigs AS (SELECT vec_id,
        |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
        |        ELSE CAST(0 AS BIGINT) END) AS sig
        |  FROM dots GROUP BY vec_id),
        |bands AS (SELECT vec_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*4 AS INT)) & 15))})) AS u
-       |  FROM sigs),
+       |      'bits': ((sig >> CAST(b * g.bits AS INT)) &
+       |               ((CAST(1 AS BIGINT) << g.bits) - 1))})) AS u
+       |  FROM sigs CROSS JOIN geom g),
        |cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
        |  FROM bands x JOIN bands y
        |    ON x.u.band = y.u.band AND x.u.bits = y.u.bits

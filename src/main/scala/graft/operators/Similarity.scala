@@ -198,9 +198,16 @@ object Similarity {
 
   private[operators] def autoBitsPerBand(n: Long, targetBucket: Int,
                                          bands: Int): Int = {
-    val wanted = math.ceil(
-      math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
-    math.min(63 / bands, math.max(4, wanted))
+    // smallest b with 2^b · targetBucket >= n — the integer-exact form
+    // of ceil(log2(n / targetBucket)). Integer comparison, not floating
+    // log: the DuckDB oracles re-derive the SAME geometry from count(*)
+    // (`(1::BIGINT << b) * targetBucket >= n` over b in [4, 63/bands]),
+    // and ln/ln2 rounding could flip a power-of-two edge between
+    // engines where the integer predicate cannot.
+    val need = (n + targetBucket - 1) / targetBucket // = ceil(n/target)
+    var b = 0
+    while (b < 62 && (1L << b) < need) b += 1
+    math.min(63 / bands, math.max(4, b))
   }
 
   /** The LSH candidate stage shared by [[lshKnnJoin]] /
@@ -292,6 +299,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** [[lshKnnAcross]] with AUTO-SIZED bucket geometry — the corpus-scale
+    * form of cross-modal retrieval. Expected candidate pairs are
+    * ~ bands·|Q|·|C|/B, so any FIXED per-band bucket count B turns
+    * quadratic once the tables outgrow it (mm06's old fixed 8-bit bands
+    * measured 7.7× wall on 10× data for exactly this reason). Geometry
+    * is sized by the LARGER side's count — B must track whichever table
+    * grows, and per-band collision probability depends on the bit count
+    * only through occupancy, so recall at equal occupancy is preserved
+    * ([[lshKnnJoinAuto]]'s argument, pinned in `AutoLshSpec`). Costs
+    * one count() per side (id-column only). The derived bit width is
+    * [[autoBitsPerBand]] — integer-exact, so oracles re-derive it from
+    * the two counts. */
+  def lshKnnAcrossAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+                       bands: Int = 4, targetBucket: Int = 32,
+                       seed: Long = 42L, center: Boolean = false): DataFrame = {
+    require(bands >= 1 && targetBucket >= 1, "bands and targetBucket must be positive")
+    require(bands <= 15,
+      s"bands=$bands cannot give every band the >=4 bits a 64-bit signature allows")
+    val n = math.max(queries.select(col("qid")).count(),
+      corpus.select(col("vec_id")).count())
+    lshKnnAcross(queries, corpus, k,
+      nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
+      bands = bands, seed = seed, center = center)
   }
 
   /** RADIUS (ε-)join: every `corpus` row within cosine ≥ `threshold`

@@ -75,6 +75,26 @@ class AutoLshSpec extends AnyFunSuite with SparkTestSession {
     assert(got.count() === 3)
   }
 
+  test("lshKnnAcrossAuto sizes by the larger side and returns at most k per query") {
+    val corpus = synth(1000).cache(); corpus.count()
+    val q = synth(80).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    try {
+      // geometry must follow max(|Q|, |C|) = 1000 → 5-bit bands, the
+      // same derivation lshKnnJoinAuto pins above
+      assert(Similarity.autoBitsPerBand(1000L, 32, 4) === 5)
+      val out = Similarity.lshKnnAcrossAuto(q, corpus, k = 3).cache()
+      try {
+        val perQ = out.groupBy(col("qid")).agg(count(lit(1)).as("m"),
+          max(col("rank")).as("mr"))
+        assert(perQ.filter(col("m") > 3 || col("mr") > 3).isEmpty)
+        assert(out.count() > 0)
+        // exact-replay parity with the explicit-geometry form
+        val fixed = Similarity.lshKnnAcross(q, corpus, k = 3, nBits = 20)
+        assert(out.except(fixed).isEmpty && fixed.except(out).isEmpty)
+      } finally { out.unpersist(); () }
+    } finally { corpus.unpersist(); () }
+  }
+
   test("lshKnnJoinAuto returns at most k ranked neighbors per vector") {
     val out = Similarity.lshKnnJoinAuto(synth(500), k = 3).cache()
     try {
