@@ -1732,26 +1732,55 @@ object TxnLake {
       .foreach(commitStaged(spark, dir, _))
   }
 
-  /** Full MERGE with a delete clause, in ONE atomic commit:
+  /** A `WHEN NOT MATCHED BY SOURCE` clause of [[merge]] — the third
+    * Delta MERGE clause family, deciding TARGET rows whose merge key
+    * has NO match in the source. Clauses are evaluated in the order
+    * given; the FIRST clause whose condition holds decides the row
+    * (`condition = None` is unconditional, making later clauses
+    * unreachable — standard MERGE semantics); rows matching no clause
+    * ride along unchanged. This is how sync jobs retire rows: a
+    * full-snapshot source plus `BySourceDelete()` makes the target an
+    * exact mirror in one atomic commit. */
+  sealed trait BySourceAction { def condition: Option[Column] }
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE`. */
+  case class BySourceDelete(condition: Option[Column] = None)
+    extends BySourceAction
+  /** `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET ...`
+    * — soft-retire: flag source-absent rows instead of dropping them.
+    * `set` values are expressions over the target row's columns. */
+  case class BySourceUpdate(set: Map[String, Column],
+                            condition: Option[Column] = None)
+    extends BySourceAction
+
+  /** Full MERGE with all three Delta clause families, in ONE atomic
+    * commit:
     *
     *   MERGE INTO target USING source ON target.key = source.key
     *   WHEN MATCHED AND deleteWhen(target) THEN DELETE
     *   WHEN MATCHED THEN UPDATE SET * (source row replaces target row)
     *   WHEN NOT MATCHED THEN INSERT *
+    *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE SET …
     *
     * `deleteWhen` is a predicate over the TARGET row's columns (the
     * pre-image decides its own fate — "purge stale versions" /
     * "retention" clauses). Unmatched source rows never consult it.
     * Same partition-pruned read-modify-write as [[upsert]] — only
     * files holding touched partitions are rewritten — and the change
-    * feed carries all three classes: update post-images, insert rows,
-    * delete pre-images. A plain [[upsert]] is merge with
-    * `deleteWhen = lit(false)`. */
+    * feed carries every class: update post-images, insert rows,
+    * delete pre-images, and the by-source retire/update rows. A plain
+    * [[upsert]] is merge with `deleteWhen = lit(false)`.
+    *
+    * SCALE NOTE on `bySource`: finding rows ABSENT from the source is
+    * inherently a full-target anti-join (Delta pays the same full
+    * outer join) — but it rides in the ONE metadata job every merge
+    * already runs, and only partitions actually holding affected rows
+    * are rewritten, so a sync whose source mirrors the target still
+    * rewrites nothing. */
   def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
-            deleteWhen: Column): Unit = {
+            deleteWhen: Column, bySource: Seq[BySourceAction] = Nil): Unit = {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    stageMerge(spark, dir, base, source, key, Some(deleteWhen))
+    stageMerge(spark, dir, base, source, key, Some(deleteWhen), bySource)
       .foreach(commitStaged(spark, dir, _))
   }
 
@@ -1768,8 +1797,10 @@ object TxnLake {
     * nulling existing data is a bug, not evolution. */
   private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
                                updatesIn: DataFrame, key: String,
-                               deleteWhen: Option[Column] = None): Option[Staged] = {
-    val updates = fillGenerated(updatesIn, genColsOf(fsOf(spark, dir), dir))
+                               deleteWhen: Option[Column] = None,
+                               bySource: Seq[BySourceAction] = Nil): Option[Staged] = {
+    val genCols = genColsOf(fsOf(spark, dir), dir)
+    val updates = fillGenerated(updatesIn, genCols)
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))
@@ -1793,16 +1824,66 @@ object TxnLake {
     val cols = target.columns
     val aligned = castToTarget(updates, target)
       .select(cols.map(col).toIndexedSeq: _*)
+    // WHEN NOT MATCHED BY SOURCE plumbing: validate the clauses up
+    // front (deterministic conditions — the Delta UPDATE/DELETE rule,
+    // because each condition is evaluated twice: once planning the
+    // touched set, once rewriting — and no SET of a generated or
+    // unknown column), and build the first-matching-clause classifier
+    // the planning job and the rewrite share.
+    bySource.foreach { a =>
+      a.condition.foreach(c => requireDeterministic(target.filter(c),
+        "merge WHEN NOT MATCHED BY SOURCE"))
+      a match {
+        case BySourceUpdate(set, _) =>
+          require(set.nonEmpty, "BySourceUpdate needs at least one SET column")
+          set.keys.foreach { k =>
+            require(cols.contains(k), s"no column '$k' in ${cols.mkString(",")}")
+            require(!genCols.contains(k),
+              s"cannot SET generated column '$k' — it is GENERATED ALWAYS AS")
+          }
+        case _ => ()
+      }
+    }
+    val bsIdx = bySource.zipWithIndex.reverse.foldLeft(lit(-1)) {
+      case (els, (a, i)) => when(a.condition.getOrElse(lit(true)), lit(i)).otherwise(els)
+    }
+    // SET + generated-column recompute + cast back to the table's own
+    // types (the updateWhere discipline) for one by-source UPDATE clause
+    def applyBySourceSet(rows: DataFrame, u: BySourceUpdate): DataFrame = {
+      val postSet = u.set.foldLeft(rows.select(cols.map(col).toIndexedSeq: _*)) {
+        case (df, (k, v)) => df.withColumn(k, v)
+      }
+      val postGen =
+        if (genCols.isEmpty) postSet
+        else fillGenerated(postSet.drop(genCols.keys.toSeq: _*), genCols)
+      castToTarget(postGen, target).select(cols.map(col).toIndexedSeq: _*)
+    }
+    val srcKeys = aligned.select(col(key).as("__txn_ukey")).distinct()
     // ONE metadata job for the whole pre-commit picture: the
     // touched-partition set (partitions the updates land in UNION
-    // partitions currently holding matched keys) plus a null-merge-key
-    // flag rides along as a second column — a NULL key can neither
-    // match nor insert, so it aborts (NULL partitions are fine; they
-    // are ordinary manifest values)
+    // partitions currently holding matched keys UNION partitions
+    // holding — or receiving, when a SET moves the partition column —
+    // by-source-affected rows) plus a null-merge-key flag rides along
+    // as a second column — a NULL key can neither match nor insert, so
+    // it aborts (NULL partitions are fine; they are ordinary manifest
+    // values)
+    val bsAffected =
+      if (bySource.isEmpty) None
+      else Some(target.join(srcKeys, col(key) === col("__txn_ukey"), "left_anti")
+        .withColumn("__txn_bs", bsIdx).filter(col("__txn_bs") >= 0))
+    val bsParts = bsAffected.map { aff =>
+      val pre = aff.select(col(partCol).as("__txn_p"), lit(false).as("__txn_nk"))
+      bySource.zipWithIndex.collect { case (u: BySourceUpdate, i) =>
+        applyBySourceSet(aff.filter(col("__txn_bs") === i), u)
+          .select(col(partCol).as("__txn_p"), lit(false).as("__txn_nk"))
+      }.foldLeft(pre)(_ unionByName _)
+    }
     val meta = aligned.select(col(partCol).as("__txn_p"), col(key).isNull.as("__txn_nk"))
       .unionByName(target
         .join(aligned.select(col(key).as("__txn_ukey")), col(key) === col("__txn_ukey"), "left_semi")
         .select(col(partCol).as("__txn_p"), lit(false).as("__txn_nk")))
+      .unionByName(bsParts.getOrElse(
+        aligned.limit(0).select(col(partCol).as("__txn_p"), lit(false).as("__txn_nk"))))
       .distinct().collect()
     require(!meta.exists(_.getBoolean(1)),
       s"updates contain NULL values in merge key '$key'")
@@ -1821,7 +1902,6 @@ object TxnLake {
     // A MERGE delete clause drops matched TARGET rows satisfying the
     // predicate AND withholds their source rows — both sides of the
     // match vanish in the same commit (the retention/purge clause).
-    val srcKeys = aligned.select(col(key).as("__txn_ukey")).distinct()
     val delKeys = deleteWhen match {
       case Some(cond) => prunedDf
         .join(srcKeys, col(key) === col("__txn_ukey"), "left_semi")
@@ -1832,9 +1912,25 @@ object TxnLake {
       case Some(_) => aligned.join(delKeys, col(key) === col("__txn_dk"), "left_anti")
       case None => aligned
     }
-    val merged = prunedDf
-      .join(srcKeys, col(key) === col("__txn_ukey"), "left_anti")
-      .select(cols.map(col).toIndexedSeq: _*)
+    // target rows with no source match: with by-source clauses the
+    // first matching clause decides each row (DELETE drops it, UPDATE
+    // rewrites it); clauseless rows — and everything, without
+    // by-source clauses — ride along unchanged. Classification runs on
+    // the PRUNED files only: an affected row's pre-image partition is
+    // in `touched` by the planning job above, so every affected row is
+    // in a pruned file by construction.
+    val unmatchedT = prunedDf.join(srcKeys, col(key) === col("__txn_ukey"), "left_anti")
+    val unmatchedKept =
+      if (bySource.isEmpty) unmatchedT.select(cols.map(col).toIndexedSeq: _*)
+      else {
+        val classified = unmatchedT.withColumn("__txn_bs", bsIdx)
+        val untouched = classified.filter(col("__txn_bs") === -1)
+          .select(cols.map(col).toIndexedSeq: _*)
+        bySource.zipWithIndex.collect { case (u: BySourceUpdate, i) =>
+          applyBySourceSet(classified.filter(col("__txn_bs") === i), u)
+        }.foldLeft(untouched)(_ unionByName _)
+      }
+    val merged = unmatchedKept
       .unionByName(applied.select(cols.map(col).toIndexedSeq: _*))
     val newFiles = stageFiles(spark, dir, toPhysical(merged, renames),
       partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
@@ -1868,13 +1964,35 @@ object TxnLake {
           .join(appliedKeys, col(key) === col("__txn_ukey"), "left_semi")
           .select(cols.map(col).toIndexedSeq: _*)
           .withColumn(ChangeTypeCol, lit("update_preimage"))
-        Some(deleteWhen match {
+        val matchedCdc = deleteWhen match {
           case Some(_) => upsertCdc.unionByName(preImg).unionByName(prunedDf
             .join(delKeys, col(key) === col("__txn_dk"), "left_semi")
             .select(cols.map(col).toIndexedSeq: _*)
             .withColumn(ChangeTypeCol, lit("delete")))
           case None => upsertCdc.unionByName(preImg)
-        })
+        }
+        // by-source rows: DELETE clauses emit delete pre-images,
+        // UPDATE clauses the same preimage-dialect pre/post pair the
+        // matched-update path writes — consumers fold all five classes
+        // with one code path. Classification re-runs on the pruned
+        // files (deterministic conditions, enforced above, so the
+        // rewrite and the feed agree row-for-row).
+        val bsCdc = bsAffected.toSeq.flatMap { _ =>
+          val classified = unmatchedT.withColumn("__txn_bs", bsIdx)
+          bySource.zipWithIndex.flatMap {
+            case (_: BySourceDelete, i) => Seq(
+              classified.filter(col("__txn_bs") === i)
+                .select(cols.map(col).toIndexedSeq: _*)
+                .withColumn(ChangeTypeCol, lit("delete")))
+            case (u: BySourceUpdate, i) =>
+              val hit = classified.filter(col("__txn_bs") === i)
+              Seq(hit.select(cols.map(col).toIndexedSeq: _*)
+                    .withColumn(ChangeTypeCol, lit("update_preimage")),
+                  applyBySourceSet(hit, u)
+                    .withColumn(ChangeTypeCol, lit("update_postimage")))
+          }
+        }
+        Some(bsCdc.foldLeft(matchedCdc)(_ unionByName _))
       }
     // the staged manifest carries the EVOLVED schema: readers of this
     // version null-fill added columns for files that predate them
