@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // scale-safety rewrite: global row_number() → sorted distributed sequence
     ext.injectOptimizerRule(_ => new graft.plans.GlobalRankRewriteRule)
+    // SQL DML statements (UPDATE/DELETE/MERGE INTO) on graft-txn tables
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("wkt_normalize"),
       new ExpressionInfo(WktNormalizeExpr.getClass.getName, "wkt_normalize"),

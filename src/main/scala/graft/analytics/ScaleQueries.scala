@@ -918,6 +918,153 @@ object ScaleQueries {
       |FROM cdc GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** lk20 — the SQL DML STATEMENT surface ([[graft.plans.GraftSqlDml]],
+    * the `injectParser` path of `GraftExtensions`): the same
+    * transactional engines lk09/lk14 drive through the API, driven
+    * purely by SQL text — `UPDATE` (DV commit), `DELETE FROM` (DV
+    * commit), then a full three-clause `MERGE INTO` with Delta-style
+    * `graft_txn.`/path`` addressing. The result unions the post-DML
+    * snapshot per status with each statement's affected-row count, so
+    * one hash pins statement parsing, qualifier stripping, the
+    * clause-shape mapping AND the mutation arithmetic; `GraftSqlDmlSpec`
+    * separately pins `spark.sql(...)` in a parser-extension session to
+    * this exact code path. The oracle replays all three statements
+    * relationally. */
+  private def lk20(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk20")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 5 === 0), "o_orderstatus")
+    val nUpd = GraftSqlDml.exec(s,
+      s"UPDATE graft_txn.`$dir` SET price = price + 10.00 " +
+        "WHERE o_orderstatus = 'O'").collect()(0).getLong(0)
+    val nDel = GraftSqlDml.exec(s,
+      s"DELETE FROM graft_txn.`$dir` WHERE price > 200000").collect()(0).getLong(0)
+    val view = s"lk20_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    slice(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 5 === 2)
+      .withColumn("price", (col("price") * 2).cast("decimal(12,2)"))
+      .createOrReplaceTempView(view)
+    try GraftSqlDml.exec(s,
+      s"""MERGE INTO graft_txn.`$dir` AS t USING $view AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND t.price > 100000 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally s.catalog.dropTempView(view)
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("o_orderstatus")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(Seq(("stmt:update", nUpd), ("stmt:delete", nDel))
+        .toDF("channel", "n")
+        .withColumn("sum_price", lit(null).cast("double")))
+      .orderBy(col("channel"))
+  }
+
+  private val lk20Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |upd AS (SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'O'
+      |         THEN CAST(price + 10.00 AS DECIMAL(12,2)) ELSE price END AS price
+      |  FROM base),
+      |kept AS (SELECT * FROM upd WHERE price <= 200000),
+      |src AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 5 = 2),
+      |mupd AS (SELECT s.* FROM src s JOIN kept t ON s.o_orderkey = t.o_orderkey
+      |         WHERE t.price <= 100000),
+      |mins AS (SELECT s.* FROM src s LEFT JOIN kept t ON s.o_orderkey = t.o_orderkey
+      |         WHERE t.o_orderkey IS NULL),
+      |final AS (
+      |  SELECT * FROM kept WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      |  UNION ALL SELECT * FROM mupd
+      |  UNION ALL SELECT * FROM mins)
+      |SELECT 'table:' || o_orderstatus AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1
+      |UNION ALL
+      |SELECT 'stmt:update', (SELECT CAST(count(*) AS BIGINT) FROM base
+      |                       WHERE o_orderstatus = 'O'), CAST(NULL AS DOUBLE)
+      |UNION ALL
+      |SELECT 'stmt:delete', (SELECT CAST(count(*) AS BIGINT) FROM upd
+      |                       WHERE price > 200000), CAST(NULL AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
+  /** lk21 — MERGE `WHEN NOT MATCHED BY SOURCE`, the sync-job shape
+    * ([[graft.lake.TxnLake.BySourceDelete]]/[[graft.lake.TxnLake.BySourceUpdate]]):
+    * source-absent target rows are retired in the SAME atomic commit as
+    * the matched updates and unmatched inserts — expensive ones
+    * hard-deleted, the rest soft-flagged (price = -1), first matching
+    * clause winning. The result unions the post-merge snapshot per
+    * status with the commit's CDC rows per change type, so one hash
+    * pins the absent-key classification, the clause ordering, the
+    * partition-moving soft-retire AND all six change-feed classes. The
+    * oracle replays the clause cascade relationally. */
+  private def lk21(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.CdcFeed
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk21")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 5 === 0), "o_orderstatus",
+      changeFeed = true)
+    val src = slice(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 5 === 2)
+      .withColumn("price", (col("price") * 2).cast("decimal(12,2)"))
+    TxnLake.merge(s, dir, src, "o_orderkey", deleteWhen = lit(false),
+      bySource = Seq(
+        TxnLake.BySourceDelete(Some(col("price") > 50000)),
+        TxnLake.BySourceUpdate(Map("price" -> lit(-1)))))
+    val table = TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("o_orderstatus")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    val cdc = CdcFeed.batch(s, dir, fromVersion = 1L)
+      .groupBy(concat(lit("cdc:"), col(TxnLake.ChangeTypeCol)).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    table.unionByName(cdc).orderBy(col("channel"))
+  }
+
+  private val lk21Sql =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |src AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 5 = 2),
+      |absent AS (SELECT t.* FROM tgt t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      |           WHERE s.o_orderkey IS NULL),
+      |bsdel AS (SELECT * FROM absent WHERE price > 50000),
+      |bsupd AS (SELECT o_orderkey, o_orderstatus, CAST(-1 AS DECIMAL(12,2)) AS price
+      |          FROM absent WHERE price <= 50000),
+      |mupd AS (SELECT s.* FROM src s JOIN tgt t ON s.o_orderkey = t.o_orderkey),
+      |mins AS (SELECT s.* FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+      |         WHERE t.o_orderkey IS NULL),
+      |final AS (
+      |  SELECT * FROM mupd UNION ALL SELECT * FROM mins UNION ALL SELECT * FROM bsupd),
+      |cdc AS (
+      |  SELECT 'update_postimage' AS change, price FROM mupd
+      |  UNION ALL SELECT 'update_preimage', t.price FROM tgt t JOIN src s
+      |    ON t.o_orderkey = s.o_orderkey
+      |  UNION ALL SELECT 'insert', price FROM mins
+      |  UNION ALL SELECT 'delete', price FROM bsdel
+      |  UNION ALL SELECT 'update_preimage', price FROM absent WHERE price <= 50000
+      |  UNION ALL SELECT 'update_postimage', price FROM bsupd)
+      |SELECT 'table:' || o_orderstatus AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1
+      |UNION ALL
+      |SELECT 'cdc:' || change, CAST(count(*) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      |FROM cdc GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   /** zq04 — manifest BLOOM file index: equality skipping on a
     * high-cardinality UNSORTED string column, where zone maps (which
     * need min/max order) are useless. The table tracks a per-file
@@ -1600,6 +1747,8 @@ object ScaleQueries {
       |ORDER BY o_month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "lk20_sql_dml" -> (lk20 _),
+    "lk21_merge_retire" -> (lk21 _),
     "lk17_clone" -> (lk17 _),
     "lk18_metadata_count" -> (lk18 _),
     "lk19_generated_columns" -> (lk19 _),
@@ -1636,6 +1785,8 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk20_sql_dml" -> lk20Sql,
+    "lk21_merge_retire" -> lk21Sql,
     "lk17_clone" -> lk17Sql,
     "lk18_metadata_count" -> lk18Sql,
     "lk19_generated_columns" -> lk19Sql,

@@ -1,0 +1,317 @@
+package graft.plans
+
+import graft.lake.TxnLake
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types.LongType
+
+/** SQL DML statements (`UPDATE` / `DELETE FROM` / `MERGE INTO`) for
+  * `graft-txn` lake tables — the statement surface a lakehouse user
+  * expects (their first mutation is `MERGE INTO` as SQL, not an API
+  * call).
+  *
+  * Architecture: Spark's OWN parser already turns these statements into
+  * [[UpdateTable]] / [[DeleteFromTable]] / [[MergeIntoTable]] logical
+  * plans — it is ANALYSIS that rejects them for v1 tables (row-level
+  * operations need a DSv2 `SupportsRowLevelOperations` catalog).
+  * So this layer never re-parses SQL text: [[rewrite]] pattern-matches
+  * the stock parser's plan, resolves the target to a `graft-txn` table
+  * (catalog name or Delta-style `graft_txn.`/path``), and swaps the
+  * plan for a [[LeafRunnableCommand]] that drives the existing
+  * transactional engines ([[TxnLake.updateWhere]] /
+  * [[TxnLake.deleteWhere]] / [[TxnLake.merge]]) — deletion vectors,
+  * OCC, partition pruning, CDC and generated columns all come from the
+  * one engine code path the API uses, so SQL and API mutations cannot
+  * drift. Non-graft targets pass through untouched to stock Spark.
+  *
+  * Installed by `GraftExtensions` via `injectParser` (the session sees
+  * `spark.sql("MERGE INTO ...")` work directly); [[exec]] is the
+  * equivalent entry point for sessions built without extensions.
+  *
+  * Supported MERGE shapes (the engine's contract; anything else raises
+  * a descriptive error rather than silently deviating):
+  *   - WHEN MATCHED [AND cond] THEN DELETE — target-side condition
+  *   - WHEN MATCHED THEN UPDATE SET *      — source row replaces target
+  *   - WHEN NOT MATCHED THEN INSERT *
+  *   - WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE / UPDATE SET
+  *     c = expr, ... — requires the UPDATE SET * clause (see below)
+  * Omitted clauses narrow the source relationally BEFORE the engine
+  * runs (e.g. no INSERT -> source semi-joined to current target keys),
+  * which preserves NOT-MATCHED-BY-SOURCE classification only when the
+  * matched keys survive the narrowing — hence the UPDATE SET *
+  * requirement for by-source clauses.
+  */
+object GraftSqlDml {
+
+  /** Swap a parsed DML plan for a graft command when its target is a
+    * `graft-txn` table; None -> not ours, use the stock plan. */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case DeleteFromTable(rel, cond) =>
+      resolveTarget(spark, rel).map { case (dir, quals) =>
+        GraftDeleteCommand(dir, ExprBox(stripQuals(cond, quals)))
+      }
+    case UpdateTable(rel, assignments, cond) =>
+      resolveTarget(spark, rel).map { case (dir, quals) =>
+        GraftUpdateCommand(dir,
+          assignments.map(a =>
+            assignName(a.key, quals) -> ExprBox(stripQuals(a.value, quals))),
+          cond.map(c => ExprBox(stripQuals(c, quals))))
+      }
+    case m: MergeIntoTable =>
+      resolveTarget(spark, m.targetTable).map { case (dir, tQuals) =>
+        buildMerge(dir, m, tQuals)
+      }
+    case _ => None
+  }
+
+  /** Parse + dispatch one DML statement in a session built WITHOUT the
+    * parser extension. In an extension session the parser has already
+    * rewritten the plan; that case passes through. */
+  def exec(spark: SparkSession, sqlText: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    val cmd = parsed match {
+      case c: GraftDmlCommand => c
+      case p => rewrite(spark, p).getOrElse(throw new IllegalArgumentException(
+        s"not a graft-txn DML statement (UPDATE/DELETE/MERGE on a graft-txn table): $sqlText"))
+    }
+    CatalystBridge.ofRows(spark, cmd)
+  }
+
+  // ---- target resolution -------------------------------------------------
+
+  /** Resolve the DML target to a `graft-txn` table dir. Returns the dir
+    * plus the qualifier strings (lower-cased) that may prefix the
+    * target's columns in conditions ("t", "db.t", an alias). Accepts
+    *   - `graft_txn.`/path/to/table``   (Delta's path-addressing form)
+    *   - any catalog table created with USING graft-txn
+    */
+  private def resolveTarget(spark: SparkSession,
+                            rel: LogicalPlan): Option[(String, Set[String])] = rel match {
+    case SubqueryAlias(alias, child) =>
+      resolveTarget(spark, child).map { case (dir, quals) =>
+        (dir, quals + alias.name.toLowerCase)
+      }
+    case r: UnresolvedRelation =>
+      val parts = r.multipartIdentifier
+      val quals = Set(parts.last.toLowerCase, parts.mkString(".").toLowerCase)
+      parts match {
+        case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") =>
+          Some((path, Set(path.toLowerCase, s"${ns.toLowerCase}.${path.toLowerCase}")))
+        case _ => catalogDir(spark, parts).map(dir => (dir, quals))
+      }
+    case _ => None
+  }
+
+  /** A catalog table's `graft-txn` data dir, if the identifier names
+    * one (never throws — unknown tables fall through to stock Spark's
+    * own resolution errors). */
+  private def catalogDir(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    val ti = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    val catalog = spark.sessionState.catalog
+    if (!catalog.tableExists(ti)) None
+    else {
+      val meta = catalog.getTableMetadata(ti)
+      if (!meta.provider.exists(_.equalsIgnoreCase("graft-txn"))) None
+      else meta.storage.properties.get("path")
+        .orElse(meta.storage.locationUri.map(u =>
+          new org.apache.hadoop.fs.Path(u).toString))
+    }
+  }
+
+  // ---- expression plumbing ----------------------------------------------
+
+  /** Drop the target's qualifier from column references so the
+    * engines' single-frame evaluation resolves them (`t.price` ->
+    * `price`). References still qualified AFTERWARD (a source alias in
+    * a target-only clause) reject loudly at [[requireTargetOnly]]. */
+  private def stripQuals(e: Expression, quals: Set[String]): Expression = {
+    val out = e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+          quals.contains(a.nameParts.init.mkString(".").toLowerCase) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    require(!out.exists(_.isInstanceOf[SubqueryExpression]),
+      "graft-txn DML conditions cannot contain subqueries — rewrite the " +
+        "subquery as a MERGE source")
+    out
+  }
+
+  private def assignName(key: Expression, quals: Set[String]): String =
+    stripQuals(key, quals) match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => a.nameParts.head
+      case other => throw new IllegalArgumentException(
+        s"SET must assign a plain column of the target table, got: ${other.sql}")
+    }
+
+  private def requireTargetOnly(e: Expression, clause: String): Expression = {
+    val stray = e.collect {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 => a.name }
+    require(stray.isEmpty,
+      s"$clause may reference only the target row's columns; " +
+        s"qualified references remain: ${stray.mkString(", ")}")
+    e
+  }
+
+  // ---- MERGE shape mapping ----------------------------------------------
+
+  private def buildMerge(dir: String, m: MergeIntoTable,
+                         tQuals: Set[String]): GraftMergeCommand = {
+    // the merge key: ON t.k = s.k — one equi-column, same name both
+    // sides (the engine's keyed contract)
+    val key = m.mergeCondition match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+        l.nameParts.last
+      case other => throw new IllegalArgumentException(
+        "graft-txn MERGE requires ON target.k = source.k with the same " +
+          s"column name on both sides, got: ${other.sql}")
+    }
+    val (matchedDelete, updateStar) = m.matchedActions match {
+      case Seq() => (None, false)
+      case Seq(UpdateStarAction(None)) => (None, true)
+      case Seq(DeleteAction(c)) =>
+        (Some(ExprBox(c.map(x => requireTargetOnly(stripQuals(x, tQuals), "WHEN MATCHED AND ... THEN DELETE"))
+          .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))), false)
+      case Seq(DeleteAction(Some(c)), UpdateStarAction(None)) =>
+        (Some(ExprBox(requireTargetOnly(stripQuals(c, tQuals), "WHEN MATCHED AND ... THEN DELETE"))), true)
+      case other => throw new IllegalArgumentException(
+        "graft-txn MERGE supports WHEN MATCHED [AND cond] THEN DELETE " +
+          "and/or WHEN MATCHED THEN UPDATE SET * (delete clause first), got: " +
+          other.map(_.getClass.getSimpleName).mkString(", "))
+    }
+    val insert = m.notMatchedActions match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case other => throw new IllegalArgumentException(
+        "graft-txn MERGE supports WHEN NOT MATCHED THEN INSERT * " +
+          s"(unconditional), got: ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => BySourceSpec(delete = true,
+        c.map(x => ExprBox(requireTargetOnly(stripQuals(x, tQuals), "WHEN NOT MATCHED BY SOURCE"))), Nil)
+      case UpdateAction(c, assignments, _) => BySourceSpec(delete = false,
+        c.map(x => ExprBox(requireTargetOnly(stripQuals(x, tQuals), "WHEN NOT MATCHED BY SOURCE"))),
+        assignments.map(a => assignName(a.key, tQuals) ->
+          ExprBox(requireTargetOnly(stripQuals(a.value, tQuals), "WHEN NOT MATCHED BY SOURCE SET"))))
+      case other => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports THEN DELETE / THEN UPDATE SET " +
+          s"c = expr, got: ${other.getClass.getSimpleName}")
+    }
+    require(bySource.isEmpty || updateStar,
+      "WHEN NOT MATCHED BY SOURCE requires WHEN MATCHED THEN UPDATE SET * — " +
+        "without it the engine narrows the source to the clauses present, " +
+        "which would misclassify matched rows as source-absent")
+    GraftMergeCommand(dir, m.sourceTable, key, matchedDelete, updateStar,
+      insert, bySource)
+  }
+}
+
+/** Marker parent: lets [[GraftSqlDml.exec]] recognize an
+  * already-rewritten plan from a parser-extension session. */
+sealed trait GraftDmlCommand extends LeafRunnableCommand
+
+/** Opaque expression holder. The commands are LEAF nodes — they have
+  * no child output — but `QueryPlan.expressions` collects any
+  * Expression-typed (or Option/Seq-of-Expression) constructor arg, so
+  * the analyzer would try to resolve a raw condition field against an
+  * empty schema and fail with UNRESOLVED_COLUMN before `run` ever
+  * executes. Boxing keeps the parsed trees invisible to the analyzer;
+  * the lake engines resolve them at run time against the table frames
+  * they build. */
+case class ExprBox(e: Expression) {
+  def column: org.apache.spark.sql.Column = CatalystBridge.column(e)
+}
+
+/** `DELETE FROM <graft table> WHERE cond` -> [[TxnLake.deleteWhere]]
+  * (deletion-vector commit, no rewrite). Returns the deleted count. */
+case class GraftDeleteCommand(dir: String, condition: ExprBox)
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLake.deleteWhere(spark, dir, condition.column)))
+}
+
+/** `UPDATE <graft table> SET ... [WHERE cond]` ->
+  * [[TxnLake.updateWhere]]. Returns the updated count. */
+case class GraftUpdateCommand(dir: String, set: Seq[(String, ExprBox)],
+                              condition: Option[ExprBox])
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TxnLake.updateWhere(spark, dir,
+      condition.map(_.column).getOrElse(lit(true)),
+      set.map { case (k, v) => k -> v.column }.toMap)))
+}
+
+/** One WHEN NOT MATCHED BY SOURCE clause, parser-side. */
+case class BySourceSpec(delete: Boolean, condition: Option[ExprBox],
+                        set: Seq[(String, ExprBox)])
+
+/** `MERGE INTO <graft table> USING src ON ...` -> [[TxnLake.merge]].
+  *
+  * Clause subsets the engine does not model directly are expressed by
+  * narrowing the SOURCE relationally before the one atomic commit:
+  *   - no INSERT clause: source semi-joined to current target keys
+  *     (unmatched source rows must not insert)
+  *   - DELETE-only matched clause: source semi-joined to the keys of
+  *     target rows satisfying the delete condition, engine deleteWhen
+  *     becomes TRUE — matched-and-doomed rows delete, matched-but-kept
+  *     rows keep their target values because their source rows are
+  *     withheld; plus the anti-join part when INSERT is present
+  * The narrowing joins are keyed semi/anti joins on the merge key —
+  * the same scale class as the merge's own planning joins. */
+case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String,
+                             matchedDelete: Option[ExprBox],
+                             updateStar: Boolean, insert: Boolean,
+                             bySource: Seq[BySourceSpec])
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src0 = CatalystBridge.ofRows(spark, source)
+    val deleteWhen = matchedDelete.map(_.column)
+    val bs = bySource.map { s =>
+      if (s.delete) TxnLake.BySourceDelete(s.condition.map(_.column))
+      else TxnLake.BySourceUpdate(
+        s.set.map { case (k, v) => k -> v.column }.toMap,
+        s.condition.map(_.column))
+    }
+    def targetKeys = TxnLake.read(spark, dir).select(col(key)).distinct()
+    if (updateStar) {
+      val src = if (insert) src0
+        else src0.join(targetKeys, Seq(key), "left_semi")
+      TxnLake.merge(spark, dir, src, key, deleteWhen.getOrElse(lit(false)), bs)
+    } else if (matchedDelete.isDefined) {
+      val doomedKeys = TxnLake.read(spark, dir)
+        .filter(deleteWhen.get).select(col(key)).distinct()
+      val matchedDoomed = src0.join(doomedKeys, Seq(key), "left_semi")
+      val src = if (insert)
+        matchedDoomed.unionByName(src0.join(targetKeys, Seq(key), "left_anti"))
+      else matchedDoomed
+      TxnLake.merge(spark, dir, src, key, lit(true))
+    } else if (insert) {
+      TxnLake.merge(spark, dir, src0.join(targetKeys, Seq(key), "left_anti"),
+        key, lit(false))
+    } else {
+      throw new IllegalArgumentException(
+        "graft-txn MERGE needs at least one WHEN clause the engine can " +
+          "apply (UPDATE SET * / DELETE / INSERT *)")
+    }
+    Seq.empty
+  }
+}

@@ -1,0 +1,207 @@
+package graft.plans
+
+import graft.{GraftExtensions, SparkTestSession}
+import graft.lake.TxnLake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** SQL DML statements on `graft-txn` tables: `spark.sql("UPDATE ...")`
+  * in a parser-extension session (and [[GraftSqlDml.exec]] without
+  * one) must drive the SAME transactional engines the API uses — every
+  * test pins SQL-driven state against the API-driven twin table. */
+class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(extended)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def freshTable(s: SparkSession, cdc: Boolean = false): String = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_sqldml").resolve("t").toString
+    TxnLake.create(s, dir,
+      Seq((1L, 10L, "p1"), (2L, 200L, "p1"), (3L, 30L, "p2"), (4L, 400L, "p3"))
+        .toDF("id", "v", "part"),
+      "part", changeFeed = cdc)
+    dir
+  }
+
+  private def rows(s: SparkSession, dir: String): Seq[(Long, Long, String)] =
+    TxnLake.read(s, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"), r.getAs[String]("part"))).toSeq
+
+  test("UPDATE statement via path addressing updates through the DV engine") {
+    withExtendedSession { s =>
+      val dir = freshTable(s)
+      val n = s.sql(s"UPDATE graft_txn.`$dir` SET v = v + 1 WHERE id <= 2")
+        .collect()(0).getLong(0)
+      assert(n === 2L)
+      assert(rows(s, dir) === Seq((1L, 11L, "p1"), (2L, 201L, "p1"),
+        (3L, 30L, "p2"), (4L, 400L, "p3")))
+    }
+  }
+
+  test("DELETE statement on a catalog table (CREATE TABLE USING graft-txn)") {
+    withExtendedSession { s =>
+      val dir = freshTable(s)
+      val tbl = s"sqldml_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-txn` OPTIONS (path '$dir')")
+      try {
+        val n = s.sql(s"DELETE FROM $tbl WHERE v > 100").collect()(0).getLong(0)
+        assert(n === 2L)
+        assert(rows(s, dir) === Seq((1L, 10L, "p1"), (3L, 30L, "p2")))
+      } finally s.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("full three-clause MERGE statement equals the API merge, CDC included") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val sqlDir = freshTable(s, cdc = true)
+      val apiDir = freshTable(s, cdc = true)
+      val src = Seq((1L, 11L, "p1"), (2L, 999L, "p1"), (5L, 50L, "p2"))
+        .toDF("id", "v", "part")
+      src.createOrReplaceTempView("sqldml_src")
+      try {
+        s.sql(
+          s"""MERGE INTO graft_txn.`$sqlDir` AS t USING sqldml_src AS s
+             |ON t.id = s.id
+             |WHEN MATCHED AND t.v > 100 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        TxnLake.merge(s, apiDir, src, "id", deleteWhen = col("v") > 100)
+        assert(rows(s, sqlDir) === rows(s, apiDir))
+        def cdc(dir: String) = graft.streaming.CdcFeed.batch(s, dir, fromVersion = 1L)
+          .select(col("id"), col(TxnLake.ChangeTypeCol)).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(cdc(sqlDir) === cdc(apiDir))
+      } finally s.catalog.dropTempView("sqldml_src")
+    }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE retires absent keys (sync shape)") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      Seq((1L, 11L, "p1"), (3L, 33L, "p2"), (5L, 50L, "p2"))
+        .toDF("id", "v", "part").createOrReplaceTempView("sqldml_sync")
+      try {
+        s.sql(
+          s"""MERGE INTO graft_txn.`$dir` t USING sqldml_sync s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        assert(rows(s, dir) === Seq((1L, 11L, "p1"), (3L, 33L, "p2"), (5L, 50L, "p2")))
+      } finally s.catalog.dropTempView("sqldml_sync")
+    }
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE SET soft-retires with a condition") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      Seq((1L, 11L, "p1")).toDF("id", "v", "part")
+        .createOrReplaceTempView("sqldml_soft")
+      try {
+        s.sql(
+          s"""MERGE INTO graft_txn.`$dir` t USING sqldml_soft s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED BY SOURCE AND t.v > 300 THEN UPDATE SET v = -1""".stripMargin)
+        // matched 1 updated; absent 4 (v=400) flagged; absent 2,3 below
+        // threshold unchanged; source had no unmatched rows to insert
+        assert(rows(s, dir) === Seq((1L, 11L, "p1"), (2L, 200L, "p1"),
+          (3L, 30L, "p2"), (4L, -1L, "p3")))
+      } finally s.catalog.dropTempView("sqldml_soft")
+    }
+  }
+
+  test("MERGE without INSERT clause never inserts unmatched source rows") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      Seq((1L, 11L, "p1"), (9L, 90L, "p1")).toDF("id", "v", "part")
+        .createOrReplaceTempView("sqldml_noins")
+      try {
+        s.sql(
+          s"""MERGE INTO graft_txn.`$dir` t USING sqldml_noins s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+        assert(rows(s, dir) === Seq((1L, 11L, "p1"), (2L, 200L, "p1"),
+          (3L, 30L, "p2"), (4L, 400L, "p3")), "key 9 must not appear")
+      } finally s.catalog.dropTempView("sqldml_noins")
+    }
+  }
+
+  test("DELETE-only MERGE leaves non-doomed matched rows untouched") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      // source matches 1 (v=10, kept), 2 (v=200, doomed), and has 9 (unmatched)
+      Seq((1L, 0L, "p1"), (2L, 0L, "p1"), (9L, 0L, "p1")).toDF("id", "v", "part")
+        .createOrReplaceTempView("sqldml_delonly")
+      try {
+        s.sql(
+          s"""MERGE INTO graft_txn.`$dir` t USING sqldml_delonly s ON t.id = s.id
+             |WHEN MATCHED AND t.v > 100 THEN DELETE""".stripMargin)
+        assert(rows(s, dir) === Seq((1L, 10L, "p1"), (3L, 30L, "p2"), (4L, 400L, "p3")),
+          "2 deleted; 1 keeps its TARGET value; 9 not inserted")
+      } finally s.catalog.dropTempView("sqldml_delonly")
+    }
+  }
+
+  test("DML on non-graft targets passes through to stock Spark untouched") {
+    withExtendedSession { s =>
+      import s.implicits._
+      Seq((1, "a")).toDF("id", "x").createOrReplaceTempView("sqldml_plain")
+      try {
+        val e = intercept[Exception] {
+          s.sql("DELETE FROM sqldml_plain WHERE id = 1")
+        }
+        // stock Spark's own v1-table rejection, not a graft error
+        assert(!e.getMessage.contains("graft"))
+      } finally s.catalog.dropTempView("sqldml_plain")
+    }
+  }
+
+  test("GraftSqlDml.exec drives the engines without any parser extension") {
+    val dir = freshTable(spark)
+    val n = GraftSqlDml.exec(spark,
+      s"UPDATE graft_txn.`$dir` SET v = 0 WHERE part = 'p1'")
+      .collect()(0).getLong(0)
+    assert(n === 2L)
+    assert(rows(spark, dir) === Seq((1L, 0L, "p1"), (2L, 0L, "p1"),
+      (3L, 30L, "p2"), (4L, 400L, "p3")))
+  }
+
+  test("unsupported shapes and subqueries fail loudly, before any commit") {
+    val dir = freshTable(spark)
+    val v0 = TxnLake.history(spark, dir).count()
+    val bySourceNoUpdate = intercept[IllegalArgumentException] {
+      GraftSqlDml.exec(spark,
+        s"""MERGE INTO graft_txn.`$dir` t USING (SELECT 1L AS id) s ON t.id = s.id
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(bySourceNoUpdate.getMessage.contains("UPDATE SET *"))
+    val subquery = intercept[IllegalArgumentException] {
+      GraftSqlDml.exec(spark,
+        s"DELETE FROM graft_txn.`$dir` WHERE id IN (SELECT 1L)")
+    }
+    assert(subquery.getMessage.contains("subqueries"))
+    assert(TxnLake.history(spark, dir).count() === v0, "no commit published")
+  }
+}
