@@ -65,6 +65,17 @@ import org.apache.spark.sql.types.{DataType, NumericType, StructType, TimestampT
   */
 object TxnLake {
 
+  /** A committed log record or checkpoint whose bytes no longer match
+    * the integrity sidecar written at publish time — torn write, bit
+    * rot, or a manual edit. Typed (instead of whatever a JSON parse
+    * failure happens to throw) so callers can distinguish "the log is
+    * damaged, alert and restore from backup" from ordinary races. At
+    * 100 TB silent manifest corruption is a data-loss class: a flipped
+    * bit in a file list silently drops or resurrects whole files,
+    * which no downstream check would ever notice. */
+  final class TxnLogCorruptedException(message: String)
+    extends RuntimeException(message)
+
   /** One immutable data file and the (rendered) partition values it
     * contains. `None` = a NULL partition value. `zmin`/`zmax` are the
     * file's min/max of the table's stats column (when one is tracked) —
@@ -2201,8 +2212,14 @@ object TxnLake {
     // pin-vs-vacuum race even past the lock's staleness window. A
     // crash between here and the file sweep leaves orphan data files
     // only; the next vacuum's referenced-set sweep collects them.
-    dropV.foreach(v => fs.delete(manifestPath(dir, v), false))
-    ckpts.filter(_ < minKeep).foreach(v => fs.delete(checkpointPath(dir, v), false))
+    dropV.foreach { v =>
+      fs.delete(manifestPath(dir, v), false)
+      fs.delete(crcPath(manifestPath(dir, v)), false)
+    }
+    ckpts.filter(_ < minKeep).foreach { v =>
+      fs.delete(checkpointPath(dir, v), false)
+      fs.delete(crcPath(checkpointPath(dir, v)), false)
+    }
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
@@ -2821,6 +2838,89 @@ object TxnLake {
     mapper.readTree(bytes)
   }
 
+  // ---- commit integrity checksums (the Delta .crc discipline) ----------
+  //
+  // Detection guarantee: every record/checkpoint publish writes a
+  // `<name>.crc` sidecar holding the byte length and CRC32 of the
+  // exact bytes published; every record/checkpoint READ re-hashes and
+  // compares when the sidecar is present, raising the typed
+  // [[TxnLogCorruptedException]] on any drift — so a content change
+  // that still parses as valid JSON (the silent class: a flipped digit
+  // in a file path, row count, or zone bound) is caught before a
+  // single data file is read on its say-so. A missing sidecar is
+  // accepted (pre-checksum tables; crash in the instant between record
+  // and sidecar write) — there, torn bytes still fail JSON parse;
+  // only the publish winner writes the sidecar, so losers cannot
+  // overwrite a winner's checksum.
+
+  private def crcPath(p: Path): Path = new Path(p.getParent, p.getName + ".crc")
+
+  private def crc32Of(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes)
+    c.getValue
+  }
+
+  /** Best-effort sidecar write AFTER the record wins its slot — the
+    * record publish is the commit point; a crash here only downgrades
+    * this one version to legacy (parse-failure-only) detection. */
+  private def writeCrcSidecar(fs: FileSystem, dst: Path, bytes: Array[Byte]): Unit =
+    try {
+      val node = mapper.createObjectNode()
+      node.put("size", bytes.length)
+      node.put("crc32", crc32Of(bytes))
+      val sideBytes = mapper.writeValueAsBytes(node)
+      if (fs.getUri.getScheme == "file") {
+        // pure-nio on local filesystems (the publish() discipline):
+        // fs.create on ChecksumFileSystem would shadow every sidecar
+        // with its OWN hidden .<name>.crc.crc file. Written tmp-then-
+        // ATOMIC_MOVE: concurrent readers of the just-published record
+        // must see the whole sidecar or none — a torn sidecar would
+        // read as a parse failure on an intact record.
+        val target = java.nio.file.Paths.get(crcPath(dst).toUri.getPath)
+        val tmp = target.resolveSibling(s".tmp-${target.getFileName}")
+        java.nio.file.Files.write(tmp, sideBytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val tmp = new Path(dst.getParent, s".tmp-${crcPath(dst).getName}")
+        val out = fs.create(tmp, true)
+        try out.write(sideBytes) finally out.close()
+        fs.delete(crcPath(dst), false)
+        if (!fs.rename(tmp, crcPath(dst))) fs.delete(tmp, false)
+      }
+    } catch { case _: Exception => () }
+
+  /** Read + verify a log record/checkpoint against its sidecar. */
+  private def readVerifiedJson(fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode = {
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val cp = crcPath(p)
+    // a sidecar that is itself missing or unreadable downgrades this
+    // version to parse-only detection (same as a pre-checksum table) —
+    // the target class is damage to the RECORD's content, and an
+    // intact record must not be refused because its advisory sidecar
+    // was lost
+    val side =
+      try { if (fs.exists(cp)) Some(readJson(fs, cp)) else None }
+      catch { case _: Exception => None }
+    side.foreach { sd =>
+      val expSize = sd.get("size").asLong()
+      val expCrc = sd.get("crc32").asLong()
+      if (bytes.length.toLong != expSize || crc32Of(bytes) != expCrc)
+        throw new TxnLogCorruptedException(
+          s"$p failed its integrity check (expected size=$expSize " +
+            s"crc32=$expCrc, found size=${bytes.length} " +
+            s"crc32=${crc32Of(bytes)}): the committed record's bytes " +
+            "changed after publish — torn write, bit rot, or manual edit. " +
+            "Restore the log file from backup; refusing to resolve a " +
+            "snapshot from a damaged manifest.")
+    }
+    mapper.readTree(bytes)
+  }
+
+
   private def parseRenames(root: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     Option(root.get("renames")).fold(Map.empty[String, String]) { rn =>
@@ -2837,7 +2937,7 @@ object TxnLake {
 
   /** Full-snapshot file (checkpoint or legacy manifest). */
   private[lake] def readManifest(fs: FileSystem, p: Path): Manifest = {
-    val root = readJson(fs, p)
+    val root = readVerifiedJson(fs, p)
     import scala.jdk.CollectionConverters._
     def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
       if (n.isNull) None else Some(n.asText())
@@ -2860,7 +2960,7 @@ object TxnLake {
   /** Per-version log record; a legacy full manifest parses as a
     * `full = true` record (replay barrier). */
   private[lake] def readRecord(fs: FileSystem, p: Path): CommitRecord = {
-    val root = readJson(fs, p)
+    val root = readVerifiedJson(fs, p)
     import scala.jdk.CollectionConverters._
     def optStr(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
       if (n.isNull) None else Some(n.asText())
@@ -2931,16 +3031,19 @@ object TxnLake {
       val logNio = java.nio.file.Paths.get(new Path(dir, LogDir).toUri.getPath)
       val t = logNio.resolve(s".tmp-$commitId-${dst.getName}")
       java.nio.file.Files.write(t, bytes)
-      try { java.nio.file.Files.createLink(logNio.resolve(dst.getName), t); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      finally java.nio.file.Files.delete(t)
+      val won =
+        try { java.nio.file.Files.createLink(logNio.resolve(dst.getName), t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        finally java.nio.file.Files.delete(t)
+      if (won) writeCrcSidecar(fs, dst, bytes)
+      won
     } else {
       // HDFS-likes: rename refuses to overwrite an existing destination
       val tmp = new Path(dir, s"$LogDir/.tmp-$commitId-${dst.getName}")
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
       if (fs.exists(dst)) { fs.delete(tmp, false); false }
-      else if (fs.rename(tmp, dst)) true
+      else if (fs.rename(tmp, dst)) { writeCrcSidecar(fs, dst, bytes); true }
       else { fs.delete(tmp, false); false }
     }
   }

@@ -220,8 +220,9 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
       Seq(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d"))
     // only the latest version's log remains: its delta record plus the
     // checkpoint vacuum materializes so it resolves without the chain
+    // (each with its integrity sidecar)
     assert(Files.list(java.nio.file.Paths.get(dir, "_graft_log")).iterator().asScala
-      .map(_.getFileName.toString).toSet ===
+      .map(_.getFileName.toString).filterNot(_.endsWith(".crc")).toSet ===
       Set("v00000002.json", "v00000002.ckpt.json"))
   }
 

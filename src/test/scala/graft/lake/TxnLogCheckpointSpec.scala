@@ -16,7 +16,7 @@ class TxnLogCheckpointSpec extends AnyFunSuite with SparkTestSession {
 
   private def logFiles(dir: String): Set[String] =
     Files.list(Paths.get(dir, "_graft_log")).iterator().asScala
-      .map(_.getFileName.toString).toSet
+      .map(_.getFileName.toString).filterNot(_.endsWith(".crc")).toSet
 
   test("a 100+-commit table resolves from the newest checkpoint, not the whole chain") {
     import spark.implicits._
