@@ -1686,6 +1686,87 @@ object ExtensionQueries {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** st20 — END-TO-END CDC → INDEX pipeline
+    * ([[graft.streaming.IndexMaintenance]]): a transactional embeddings
+    * table's change feed, read as a CHECKPOINTED STREAM from the first
+    * post-snapshot commit, drives touched-cell-only updates of the
+    * persisted IVF index built on that snapshot — the composition a
+    * production vector store runs (ss12 pins the per-call API; this
+    * wires commits → `_graft_cdc` → stream → index). History: create
+    * (codebook frozen on that snapshot), append the missing fifth,
+    * predicate-delete %7==2, then upsert %11==0 with the NEGATED
+    * embedding — an update is remove-from-old-cell + add-to-new-cell,
+    * and re-inserts the deleted %77-family keys. One micro-batch per
+    * feed file (`maxFilesPerTrigger=1`), so the index passes through
+    * every intermediate state. The answer probes the maintained index
+    * for two query vectors; the oracle replays codebook-from-base +
+    * final-corpus assignment + probe relationally, so a hash match
+    * proves the streamed increments equal indexing the final corpus
+    * under the same codebook. `IndexMaintenanceSpec` additionally pins
+    * stream == one-shot-batch == fresh-assignment equality. */
+  private def st20(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.streaming.IndexMaintenance
+    val root = java.nio.file.Files.createTempDirectory("graft_st20")
+    val dir = root.resolve("emb_lake").toString
+    val ix = root.resolve("ivf").toString
+    val e = embeddings(s, d)
+    TxnLake.create(s, dir, e.filter(pmod(col("vec_id"), lit(5)) =!= 3),
+      "label", changeFeed = true)
+    Similarity.buildIvfIndex(
+      TxnLake.read(s, dir).select(col("vec_id"), col("embedding")),
+      ix, nCells = 16, kmeansIters = 1)
+    TxnLake.append(s, dir, e.filter(pmod(col("vec_id"), lit(5)) === 3))
+    TxnLake.deleteWhere(s, dir, pmod(col("vec_id"), lit(7)) === 2)
+    TxnLake.upsert(s, dir,
+      e.filter(pmod(col("vec_id"), lit(11)) === 0)
+        .withColumn("embedding", transform(col("embedding"), x => -x)),
+      "vec_id")
+    IndexMaintenance.maintain(s, dir, ix,
+        checkpointDir = root.resolve("ckpt").toString,
+        startingVersion = Some(1L), maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    Similarity.probeIvfIndex(s, ix,
+        e.filter(col("vec_id").isin(0L, 1L))
+          .select(col("vec_id").as("qid"), col("embedding")),
+        k = 10, nProbe = 4)
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
+  private val st20Sql: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 3),
+       |${ivfAsg1Cte("base")},
+       |fin AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 7 <> 2 AND vec_id % 11 <> 0
+       |  UNION ALL
+       |  SELECT vec_id, list_transform(embedding, x -> -x)
+       |  FROM embeddings WHERE vec_id % 11 = 0),
+       |af AS (
+       |  SELECT f.vec_id, f.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY f.vec_id
+       |      ORDER BY ${cosSqlOf("f.embedding", "c.centroid")} DESC, c.centroid_id) AS rk
+       |  FROM fin f CROSS JOIN cents c),
+       |asgf AS (SELECT vec_id, embedding, centroid_id FROM af WHERE rk = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id IN (0, 1)),
+       |qc AS (
+       |  SELECT q.qid, c.centroid_id,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY ${cosSqlOf("q.qe", "c.centroid")} DESC, c.centroid_id) AS rk
+       |  FROM q CROSS JOIN cents c),
+       |qprobe AS (SELECT qid, centroid_id FROM qc WHERE rk <= 4),
+       |scored AS (
+       |  SELECT q.qid, a.vec_id,
+       |    round(${cosSqlOf("a.embedding", "q.qe")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY q.qid
+       |      ORDER BY round(${cosSqlOf("a.embedding", "q.qe")}, 6) DESC, a.vec_id) AS rk
+       |  FROM qprobe p
+       |  JOIN asgf a ON a.centroid_id = p.centroid_id
+       |  JOIN q ON q.qid = p.qid)
+       |SELECT qid, vec_id, cos FROM scored WHERE rk <= 10
+       |ORDER BY qid, cos DESC, vec_id""".stripMargin
+
   /** ss13 — cosine RADIUS (ε-)join ([[Similarity.cosineRadiusJoin]]):
     * every augmented-corpus vector within cosine ≥ 0.99 of each probe
     * (every 10th vector), all matches rather than a fixed k — the
@@ -3106,6 +3187,7 @@ object ExtensionQueries {
     "ss10_hybrid_rrf" -> (ss10 _),
     "ss11_ivfpq" -> (ss11 _),
     "ss12_incremental_index" -> (ss12 _),
+    "st20_cdc_index_pipeline" -> (st20 _),
     "ss13_radius_join" -> (ss13 _),
     "ss14_hard_negatives" -> (ss14 _),
     "tx14_bm25" -> (tx14 _),
@@ -3177,6 +3259,7 @@ object ExtensionQueries {
     "ss10_hybrid_rrf" -> ss10Sql,
     "ss11_ivfpq" -> ss11Sql,
     "ss12_incremental_index" -> ss12Sql,
+    "st20_cdc_index_pipeline" -> st20Sql,
     "ss13_radius_join" -> ss13Sql,
     "ss14_hard_negatives" -> ss14Sql,
     "tx14_bm25" -> tx14Sql,

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.lake.TxnLake
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CDC → ANN-index maintenance: the change feed of a
+  * [[graft.lake.TxnLake]] embeddings table drives touched-cell-only
+  * updates of a persisted [[Similarity.buildIvfIndex]] index — the
+  * composition a production vector store runs (documents mutate in the
+  * lake; the serving index follows, never rebuilding). ss12 pins the
+  * per-call update API; this object wires the STREAM end to end:
+  *
+  *   commits → `_graft_cdc` feed → [[CdcFeed.stream]] (checkpointed)
+  *     → [[applyBatch]] → [[Similarity.updateIvfIndex]]
+  *
+  * Scale shape: each commit's work is O(its changed rows + their
+  * cells' postings) — the feed carries only changed rows, the probe
+  * side reads only probed cells, and the codebook never moves. At
+  * 100 TB the index tracks a mutating corpus at the WRITE rate, not
+  * the corpus size.
+  */
+object IndexMaintenance {
+
+  /** Fold one micro-batch of change-feed rows into the index at
+    * `indexDir`. Versions apply in ascending order (a batch may span
+    * commits); per version, inserts and update post-images become
+    * adds, deletes become removes. Add ids ride the remove set too —
+    * [[Similarity.updateIvfIndex]] anti-joins removes before unioning
+    * adds — which makes every add a REPLACE: an update lands as
+    * remove-old-copy + add-new-copy off the post-image ALONE.
+    * `update_preimage` rows are deliberately ignored (the
+    * [[CdcFeed.applyCdc]] discipline): a micro-batch boundary can
+    * split one commit's pre- and post-image FILES across batches, and
+    * a preimage-driven remove arriving after its postimage's batch
+    * would delete the row the update just placed — id-keyed replace
+    * needs no pairing, so application is order-independent below
+    * version granularity. Replays (foreachBatch is at-least-once)
+    * re-land the same posting instead of duplicating it: checkpoint +
+    * idempotent application give exactly-once index state. The
+    * per-version loop is driver-side metadata only (a handful of
+    * version longs, never rows). */
+  def applyBatch(batch: DataFrame, indexDir: String): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val versions = batch.select(col(TxnLake.VersionCol)).distinct()
+      .collect().map(_.getLong(0)).sorted
+    versions.foreach { v =>
+      val b = batch.filter(col(TxnLake.VersionCol) === v)
+      val adds = b
+        .filter(col(TxnLake.ChangeTypeCol).isin("insert", "update_postimage"))
+        .select(col("vec_id"), col("embedding"))
+      val removes = b
+        .filter(col(TxnLake.ChangeTypeCol) === "delete")
+        .select(col("vec_id"))
+        .union(adds.select(col("vec_id")))
+        .distinct()
+      Similarity.updateIvfIndex(spark, indexDir, adds, removes)
+    }
+  }
+
+  /** Tail `sourceDir`'s change feed and maintain the IVF index at
+    * `indexDir`. AvailableNow by default (drain pending commits and
+    * stop — the backfill/catch-up shape); `oneShot = false` tails
+    * continuously. `startingVersion` is the attach point — typically
+    * the first commit AFTER the snapshot the index was built from. */
+  def maintain(spark: SparkSession, sourceDir: String, indexDir: String,
+               checkpointDir: String, startingVersion: Option[Long] = None,
+               maxFilesPerTrigger: Option[Int] = None,
+               oneShot: Boolean = true): StreamingQuery = {
+    val writer = CdcFeed.stream(spark, sourceDir,
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        startingVersion = startingVersion)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, indexDir)
+      }
+    (if (oneShot) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}
