@@ -190,6 +190,94 @@ object ScaleBench {
     val gj = geom.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_spot","copies":$copies,"src":"$srcDir","load_avg":${fmt(load)},"passes":3,"knn_geometry_sec":$gj,"plan_flags":$lj,"queries":$qj}""")
+    if (sys.env.get("SPARK_GRAFT_SCALE_FULL").exists(_.nonEmpty))
+      fullSuiteLint(spark, srcDir, outDir)
     spark.stop()
+  }
+
+  /** FULL-SUITE sf1 lint (VERDICT r12 #7): every registered query is
+    * built against the scaled dir and — inside a wall-clock budget —
+    * executed once; past the budget the remainder get a plan-only
+    * lint (the lint matters more than the timing). Three signals per
+    * query:
+    *
+    *  - `cartesian_or_bnlj`: CartesianProduct / BroadcastNestedLoopJoin
+    *    nodes in the FINAL (post-AQE) sf1 plan — the runtime truth for
+    *    executed queries.
+    *  - `flips`: join-strategy counts of the INITIAL sf1 plan vs the
+    *    INITIAL sf0.1 plan (initial-vs-initial, so AQE's runtime
+    *    SMJ→broadcast upgrades don't read as false flips) — a
+    *    broadcast that silently degrades to sort-merge at 10x data
+    *    shows here as `BroadcastHashJoin:2->1,SortMergeJoin:0->1`.
+    *  - `sf1_sec`: single-pass wall time, informational only.
+    *
+    * Everything is also appended to SCALE.json on disk — the per-query
+    * maps are the largest lines and a bounded output tail must never
+    * truncate them (the BENCH.json discipline). */
+  private def fullSuiteLint(spark: SparkSession, srcDir: String,
+                            outDir: String): Unit = {
+    val budgetS = sys.env.get("SPARK_GRAFT_SCALE_BUDGET_S")
+      .flatMap(_.toIntOption).getOrElse(2700)
+    val deadline = System.nanoTime() + budgetS.toLong * 1000000000L
+    val joinNodes = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+      "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    def countOcc(s: String, n: String): Int = {
+      var c = 0; var i = s.indexOf(n)
+      while (i >= 0) { c += 1; i = s.indexOf(n, i + n.length) }
+      c
+    }
+    def prof(planStr: String): Map[String, Int] =
+      joinNodes.map(n => n -> countOcc(planStr, n)).filter(_._2 > 0).toMap
+    case class R(name: String, executed: Boolean, sec: Double,
+                 finalHits: Seq[String], flips: Map[String, (Int, Int)])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      // base-side INITIAL plan (plan assembly only — lake builders
+      // still pay their construction inside fn, unavoidable: the
+      // builder IS the query)
+      val baseProf =
+        try prof(fn(spark, srcDir).queryExecution.executedPlan.toString)
+        catch { case _: Throwable => Map.empty[String, Int] }
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      val execute = System.nanoTime() < deadline
+      val (sec, sf1Initial, sf1Final) =
+        try {
+          val df = fn(spark, outDir)
+          val initial = prof(df.queryExecution.executedPlan.toString)
+          if (execute) {
+            val t0 = System.nanoTime()
+            df.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            (dt, initial, prof(df.queryExecution.executedPlan.toString))
+          } else (-1.0, initial, initial)
+        } catch { case _: Throwable => (-1.0, Map.empty[String, Int], Map.empty[String, Int]) }
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      val flags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(sf1Final.contains)
+      val flips = joinNodes.flatMap { j =>
+        val (b, s1) = (baseProf.getOrElse(j, 0), sf1Initial.getOrElse(j, 0))
+        if (b != s1) Some(j -> ((b, s1))) else None
+      }.toMap
+      R(n, execute, sec, flags, flips)
+    }
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val flagJ = results.filter(_.finalHits.nonEmpty)
+      .map(r => s""""${r.name}":${r.finalHits.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+      .mkString("{", ",", "}")
+    val flipJ = results.filter(_.flips.nonEmpty)
+      .map { r =>
+        val inner = r.flips.toSeq.sortBy(_._1)
+          .map { case (j, (b, s1)) => s""""$j":"$b->$s1"""" }.mkString("{", ",", "}")
+        s""""${r.name}":$inner"""
+      }.mkString("{", ",", "}")
+    val timeJ = results.map(r => s""""${r.name}":${fmt(r.sec)}""")
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_full_lint","n_queries":${results.size},"executed":${results.count(_.executed)},"plan_only":${results.count(!_.executed)},"budget_s":$budgetS,"load_avg":${fmt(load)},"cartesian_or_bnlj":$flagJ,"flips":$flipJ,"sf1_sec":$timeJ}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.json"),
+      line + "\n", java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

@@ -564,8 +564,13 @@ object Similarity {
     val pool = bruteForceTopK(corpus, queryId, poolK)
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val poolEmb = pool.join(emb, "vec_id")
+    // the pool side is <= poolK rows BY CONSTRUCTION — broadcast it
+    // explicitly: size ESTIMATES on a join output can exceed the
+    // auto-broadcast threshold and flip this bounded pairwise stage to
+    // a partition-pair CartesianProduct (caught by ScaleBench's
+    // full-suite lint; the hint makes the always-right choice static)
     val pw = poolEmb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      .crossJoin(poolEmb.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .crossJoin(broadcast(poolEmb.select(col("vec_id").as("b"), col("embedding").as("eb"))))
       .select(col("a"), col("b"),
         round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("sim"))
     var selected = pool.orderBy(col("cos").desc, col("vec_id")).limit(1)
