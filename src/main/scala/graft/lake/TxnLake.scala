@@ -1654,32 +1654,59 @@ object TxnLake {
       base = Some(e.base.getOrElse(src)),
       dv = e.dv.map(locateDv(src, _))))
     dstFs.mkdirs(new Path(dst, LogDir))
+    // Property files stage under clone-unique TEMP names BEFORE the v0
+    // race (a lost race deletes only our own temps — never a winner's
+    // files) and RENAME into place immediately after winning, so the
+    // window in which dst is committable without the source's
+    // stats/generated-column invariants is two metadata renames, not a
+    // cross-table byte copy. Raw byte copies, not set* calls:
+    // setGeneratedColumns on an EXISTING table re-validates every
+    // committed row — O(data), which would break the metadata-only
+    // clone; the invariant provably held on exactly this source
+    // snapshot, so the property transfers verbatim.
+    val propTmp = Seq(StatsColsFile, GenColsFile).flatMap { f =>
+      val sp = new Path(src, s"$LogDir/$f")
+      if (!fs.exists(sp)) None
+      else {
+        val in = fs.open(sp)
+        val bytes = try in.readAllBytes() finally in.close()
+        val tp = new Path(dst, s"$LogDir/.tmp-clone-$f")
+        val out = dstFs.create(tp, true)
+        try out.write(bytes) finally out.close()
+        Some(tp -> new Path(dst, s"$LogDir/$f"))
+      }
+    }
+    def dropPropTmps(): Unit =
+      propTmp.foreach { case (tp, _) =>
+        try dstFs.delete(tp, false) catch { case _: Exception => () } }
     val rec = CommitRecord(0L, newCommitId(), m.partCol, m.schemaDdl,
       external.flatMap(_.parts).toSet, external, Set.empty, m.statsCol,
       full = false, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
       renames = m.renames, tombstones = m.tombstones,
       ts = nextCommitTs(dstFs, dst, 0L))
     if (!publishRecord(dstFs, dst, rec)) {
+      dropPropTmps()
       rollbackPins()
       throw new IllegalArgumentException(s"concurrent create of txn table at $dst")
     }
-    // property files only AFTER the v0 create race is won: written
-    // earlier, a lost race would leave them behind and silently
-    // overwrite the concurrent winner's stats/generated-column
-    // invariants. They are not needed by the v0 record itself, and no
-    // later commit at dst can precede clone() returning. Raw byte
-    // copies, not set* calls: setGeneratedColumns on an EXISTING table
-    // re-validates every committed row — O(data), which would break
-    // the metadata-only clone; the invariant provably held on exactly
-    // this source snapshot, so the property transfers verbatim.
-    Seq(StatsColsFile, GenColsFile).foreach { f =>
-      val sp = new Path(src, s"$LogDir/$f")
-      if (fs.exists(sp)) {
-        val in = fs.open(sp)
-        val bytes = try in.readAllBytes() finally in.close()
-        val out = dstFs.create(new Path(dst, s"$LogDir/$f"), true)
-        try out.write(bytes) finally out.close()
+    propTmp.foreach { case (tp, fp) =>
+      if (!dstFs.rename(tp, fp)) {
+        dstFs.delete(tp, false)
+        require(dstFs.exists(fp), s"clone property transfer failed: $fp")
       }
+    }
+    // loud-failure backstop for the residual window: if any commit
+    // slipped between the v0 publish and the property renames, its
+    // rows were validated against EMPTY properties — the clone cannot
+    // vouch for them, so it fails the clone instead of silently
+    // asserting an invariant v1 may already violate
+    if (propTmp.nonEmpty) {
+      val head = resolve(dstFs, dst).map(_.version).getOrElse(0L)
+      require(head == 0L,
+        s"clone raced a concurrent commit at $dst (head v$head landed " +
+          "before the source's stats/generated-column properties): the " +
+          "interleaved rows bypassed property enforcement — drop the " +
+          "destination and re-clone")
     }
     maybeCheckpoint(spark, dstFs, dst,
       Manifest(0L, rec.commitId, m.partCol, m.schemaDdl, rec.touched,
@@ -1847,10 +1874,28 @@ object TxnLake {
       a match {
         case BySourceUpdate(set, _) =>
           require(set.nonEmpty, "BySourceUpdate needs at least one SET column")
-          set.keys.foreach { k =>
+          set.foreach { case (k, v) =>
             require(cols.contains(k), s"no column '$k' in ${cols.mkString(",")}")
             require(!genCols.contains(k),
               s"cannot SET generated column '$k' — it is GENERATED ALWAYS AS")
+            // SET values are evaluated in THREE separate jobs (the
+            // planning collect, the rewrite write, the CDC write) — a
+            // nondeterministic value would plan partition X, write the
+            // row into partition Y, and feed the change log a third
+            // value; same rule the clause conditions get. Checked on
+            // the ANALYZED projection (the fillGenerated discipline —
+            // parse-time `deterministic` is unreliable on unresolved
+            // functions).
+            val projected = target.select(v.as("__txn_chk"))
+              .queryExecution.analyzed match {
+              case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+                p.projectList
+              case _ => Nil
+            }
+            require(projected.forall(_.deterministic),
+              s"merge WHEN NOT MATCHED BY SOURCE SET '$k' must be a " +
+                "deterministic expression (it is evaluated once to plan " +
+                "touched partitions and again to stage the rewrite)")
           }
         case _ => ()
       }
@@ -2212,13 +2257,26 @@ object TxnLake {
     // pin-vs-vacuum race even past the lock's staleness window. A
     // crash between here and the file sweep leaves orphan data files
     // only; the next vacuum's referenced-set sweep collects them.
+    // sidecar FIRST: a crash between the two deletes then leaves a
+    // record without a sidecar (legacy-tolerated read), never an
+    // orphan sidecar; the sweep below still collects orphans left by
+    // pre-fix crashes
     dropV.foreach { v =>
-      fs.delete(manifestPath(dir, v), false)
       fs.delete(crcPath(manifestPath(dir, v)), false)
+      fs.delete(manifestPath(dir, v), false)
     }
     ckpts.filter(_ < minKeep).foreach { v =>
-      fs.delete(checkpointPath(dir, v), false)
       fs.delete(crcPath(checkpointPath(dir, v)), false)
+      fs.delete(checkpointPath(dir, v), false)
+    }
+    // orphan-sidecar sweep: a .crc whose record is gone is never
+    // reachable again (dropV derives from EXISTING records, so no
+    // later vacuum would revisit the vanished version)
+    fs.listStatus(new Path(dir, LogDir)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".json.crc") &&
+          !fs.exists(new Path(st.getPath.getParent, n.stripSuffix(".crc"))))
+        fs.delete(st.getPath, false)
     }
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {

@@ -59,8 +59,8 @@ object GraftSqlDml {
     case UpdateTable(rel, assignments, cond) =>
       resolveTarget(spark, rel).map { case (dir, quals) =>
         GraftUpdateCommand(dir,
-          assignments.map(a =>
-            assignName(a.key, quals) -> ExprBox(stripQuals(a.value, quals))),
+          requireUniqueSet(assignments.map(a =>
+            assignName(a.key, quals) -> ExprBox(stripQuals(a.value, quals)))),
           cond.map(c => ExprBox(stripQuals(c, quals))))
       }
     case m: MergeIntoTable =>
@@ -101,7 +101,13 @@ object GraftSqlDml {
       val parts = r.multipartIdentifier
       val quals = Set(parts.last.toLowerCase, parts.mkString(".").toLowerCase)
       parts match {
-        case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") =>
+        // path addressing requires a path-SHAPED second part (it
+        // contains a '/'): a user's real catalog database named
+        // graft_txn ("UPDATE graft_txn.orders ...") must resolve
+        // through the catalog, not be hijacked as a relative
+        // filesystem directory
+        case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
+            path.contains("/") =>
           Some((path, Set(path.toLowerCase, s"${ns.toLowerCase}.${path.toLowerCase}")))
         case _ => catalogDir(spark, parts).map(dir => (dir, quals))
       }
@@ -146,6 +152,17 @@ object GraftSqlDml {
       "graft-txn DML conditions cannot contain subqueries — rewrite the " +
         "subquery as a MERGE source")
     out
+  }
+
+  /** The analyzer pass that rejects duplicate SET assignments never
+    * runs for these leaf commands, and `.toMap` at run time would
+    * silently keep the LAST duplicate — reject at rewrite time, the
+    * way analysis would have. */
+  private def requireUniqueSet(set: Seq[(String, ExprBox)]): Seq[(String, ExprBox)] = {
+    val dups = set.groupBy(_._1.toLowerCase).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty,
+      s"duplicate SET assignments for column(s): ${dups.mkString(", ")}")
+    set
   }
 
   private def assignName(key: Expression, quals: Set[String]): String =
@@ -204,8 +221,8 @@ object GraftSqlDml {
         c.map(x => ExprBox(requireTargetOnly(stripQuals(x, tQuals), "WHEN NOT MATCHED BY SOURCE"))), Nil)
       case UpdateAction(c, assignments, _) => BySourceSpec(delete = false,
         c.map(x => ExprBox(requireTargetOnly(stripQuals(x, tQuals), "WHEN NOT MATCHED BY SOURCE"))),
-        assignments.map(a => assignName(a.key, tQuals) ->
-          ExprBox(requireTargetOnly(stripQuals(a.value, tQuals), "WHEN NOT MATCHED BY SOURCE SET"))))
+        requireUniqueSet(assignments.map(a => assignName(a.key, tQuals) ->
+          ExprBox(requireTargetOnly(stripQuals(a.value, tQuals), "WHEN NOT MATCHED BY SOURCE SET")))))
       case other => throw new IllegalArgumentException(
         "WHEN NOT MATCHED BY SOURCE supports THEN DELETE / THEN UPDATE SET " +
           s"c = expr, got: ${other.getClass.getSimpleName}")

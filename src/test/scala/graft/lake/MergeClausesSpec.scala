@@ -166,6 +166,20 @@ class MergeClausesSpec extends AnyFunSuite with SparkTestSession {
       (4L, 400L, "p3")), "rejected merge must not mutate the table")
   }
 
+  test("nondeterministic by-source SET values are rejected") {
+    import spark.implicits._
+    val dir = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.merge(spark, dir, Seq((1L, 11L, "p1")).toDF("id", "v", "part"),
+        "id", deleteWhen = lit(false),
+        bySource = Seq(TxnLake.BySourceUpdate(
+          Map("v" -> (rand() * 100).cast("long")))))
+    }
+    assert(e.getMessage.contains("deterministic"))
+    assert(rows(dir) === Seq((1L, 10L, "p1"), (2L, 200L, "p1"), (3L, 30L, "p2"),
+      (4L, 400L, "p3")), "rejected merge must not mutate the table")
+  }
+
   test("by-source SET of an unknown or generated column is refused") {
     import spark.implicits._
     val dir = freshTable()

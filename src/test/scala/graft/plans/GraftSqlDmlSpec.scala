@@ -188,6 +188,28 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       (3L, 30L, "p2"), (4L, 400L, "p3")))
   }
 
+  test("duplicate SET assignments are rejected, not last-one-wins") {
+    val dir = freshTable(spark)
+    val e = intercept[IllegalArgumentException] {
+      GraftSqlDml.exec(spark,
+        s"UPDATE graft_txn.`$dir` SET v = 1, v = 2 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("duplicate SET"))
+    assert(rows(spark, dir).head === ((1L, 10L, "p1")), "no mutation")
+  }
+
+  test("a catalog database named graft_txn is not hijacked as a path") {
+    // path addressing requires a path-shaped (contains '/') second
+    // part; a bare table name under a graft_txn namespace falls
+    // through to catalog resolution and, absent such a table, to the
+    // stock resolver's own error — never a filesystem probe of "orders"
+    val e = intercept[Exception] {
+      GraftSqlDml.exec(spark, "DELETE FROM graft_txn.orders WHERE 1 = 1")
+    }
+    assert(!e.getMessage.contains("_graft_log"),
+      s"must not have probed a relative dir as a txn table: ${e.getMessage}")
+  }
+
   test("unsupported shapes and subqueries fail loudly, before any commit") {
     val dir = freshTable(spark)
     val v0 = TxnLake.history(spark, dir).count()
