@@ -921,8 +921,9 @@ object ScaleQueries {
   /** lk20 — the SQL DML STATEMENT surface ([[graft.plans.GraftSqlDml]],
     * the `injectParser` path of `GraftExtensions`): the same
     * transactional engines lk09/lk14 drive through the API, driven
-    * purely by SQL text — `UPDATE` (DV commit), `DELETE FROM` (DV
-    * commit), then a full three-clause `MERGE INTO` with Delta-style
+    * purely by SQL text — `INSERT INTO ... SELECT` (blind-append
+    * commit), `UPDATE` (DV commit), `DELETE FROM` (DV commit), then a
+    * full three-clause `MERGE INTO` with Delta-style
     * `graft_txn.`/path`` addressing. The result unions the post-DML
     * snapshot per status with each statement's affected-row count, so
     * one hash pins statement parsing, qualifier stripping, the
@@ -939,6 +940,11 @@ object ScaleQueries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(12,2)").as("price"))
     TxnLake.create(s, dir, slice(col("o_orderkey") % 5 === 0), "o_orderstatus")
+    val insView = s"lk20_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    slice(col("o_orderkey") % 5 === 1).createOrReplaceTempView(insView)
+    try GraftSqlDml.exec(s,
+      s"INSERT INTO graft_txn.`$dir` SELECT * FROM $insView")
+    finally s.catalog.dropTempView(insView)
     val nUpd = GraftSqlDml.exec(s,
       s"UPDATE graft_txn.`$dir` SET price = price + 10.00 " +
         "WHERE o_orderstatus = 'O'").collect()(0).getLong(0)
@@ -968,7 +974,7 @@ object ScaleQueries {
   private val lk20Sql =
     """WITH base AS (
       |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
-      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |  FROM orders WHERE o_orderkey % 5 = 0 OR o_orderkey % 5 = 1),
       |upd AS (SELECT o_orderkey, o_orderstatus,
       |    CASE WHEN o_orderstatus = 'O'
       |         THEN CAST(price + 10.00 AS DECIMAL(12,2)) ELSE price END AS price

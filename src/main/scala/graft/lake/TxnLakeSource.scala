@@ -145,9 +145,35 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
       // unchanged for readers) while serving its VALUE from the
       // partition row, so the parquet reader never decodes it.
       HadoopFsRelation(index, index.partitionSchema, schema, None,
-        new ParquetFileFormat, Map.empty[String, String])(spark)
+        new TxnReadOnlyParquetFormat, Map.empty[String, String])(spark)
     }
   }
+}
+
+/** The relation's file format: stock parquet on the READ path, loud
+  * refusal on the WRITE path. Without this, `INSERT INTO` on a
+  * `graft-txn` catalog table plans Spark's
+  * `InsertIntoHadoopFsRelationCommand`, which writes part files
+  * straight into the table directory — bytes the manifest never
+  * references, so the insert "succeeds" and the rows are invisible to
+  * every snapshot (silent data loss, observed before this guard:
+  * `part=.../_SUCCESS` littered the table root at version 0).
+  * Transactional writes go through the save-mode writer
+  * (`df.write.format("graft-txn")`), [[TxnLake.append]], or — for SQL
+  * statements — the `GraftExtensions` parser path, which rewrites
+  * INSERT INTO into a [[TxnLake.append]]/[[TxnLake.overwrite]] commit. */
+private[lake] class TxnReadOnlyParquetFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "direct file insertion into a graft-txn table would bypass the " +
+        "transaction log (the written rows would be invisible to every " +
+        "snapshot). Use df.write.format(\"graft-txn\").mode(\"append\"), " +
+        "TxnLake.append/overwrite, or install graft.GraftExtensions so " +
+        "SQL INSERT INTO commits transactionally.")
 }
 
 /** DV / rename fallback relation: `PrunedFilteredScan` over the

@@ -67,6 +67,16 @@ object GraftSqlDml {
       resolveTarget(spark, m.targetTable).map { case (dir, tQuals) =>
         buildMerge(dir, m, tQuals)
       }
+    case i: InsertIntoStatement =>
+      resolveTarget(spark, i.table).map { case (dir, _) =>
+        require(i.partitionSpec.isEmpty,
+          "graft-txn INSERT takes no PARTITION clause — partition values " +
+            "ride in the rows (the manifest indexes them per file)")
+        require(!i.ifPartitionNotExists,
+          "IF NOT EXISTS is not supported for graft-txn INSERT")
+        GraftInsertCommand(dir, i.query, i.userSpecifiedCols, i.overwrite,
+          i.byName)
+      }
     case _ => None
   }
 
@@ -278,6 +288,41 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, ExprBox)],
 /** One WHEN NOT MATCHED BY SOURCE clause, parser-side. */
 case class BySourceSpec(delete: Boolean, condition: Option[ExprBox],
                         set: Seq[(String, ExprBox)])
+
+/** `INSERT INTO / INSERT OVERWRITE <graft table> [(cols)] <query>` ->
+  * [[TxnLake.append]] / [[TxnLake.overwrite]] — one transactional
+  * commit, never Spark's direct-file insert (which the relation's
+  * write guard refuses because it would bypass the manifest). Without
+  * a column list, query output maps POSITIONALLY onto the table's
+  * logical columns (ANSI INSERT semantics); a column list (or BY
+  * NAME) maps by name, and the engine's all-columns contract reports
+  * anything missing. */
+case class GraftInsertCommand(dir: String, query: LogicalPlan,
+                              userCols: Seq[String], overwrite: Boolean,
+                              byName: Boolean)
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df0 = CatalystBridge.ofRows(spark, query)
+    val df =
+      if (userCols.nonEmpty) {
+        require(df0.columns.length == userCols.length,
+          s"INSERT column list has ${userCols.length} columns but the " +
+            s"query produces ${df0.columns.length}")
+        df0.toDF(userCols: _*)
+      } else if (byName) df0
+      else {
+        val tableCols = TxnLake.read(spark, dir).columns.toSeq
+        require(df0.columns.length == tableCols.length,
+          s"INSERT query produces ${df0.columns.length} columns but " +
+            s"table has ${tableCols.length} (${tableCols.mkString(",")})")
+        df0.toDF(tableCols: _*)
+      }
+    if (overwrite) TxnLake.overwrite(spark, dir, df)
+    else TxnLake.append(spark, dir, df)
+    Seq.empty
+  }
+}
 
 /** `MERGE INTO <graft table> USING src ON ...` -> [[TxnLake.merge]].
   *

@@ -188,6 +188,49 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       (3L, 30L, "p2"), (4L, 400L, "p3")))
   }
 
+  test("INSERT INTO commits transactionally; INSERT OVERWRITE replaces the snapshot") {
+    withExtendedSession { s =>
+      val dir = freshTable(s)
+      def head = TxnLake.history(s, dir).agg(max("version")).head().getLong(0)
+      val v0 = head
+      s.sql(s"INSERT INTO graft_txn.`$dir` VALUES (5L, 50L, 'p2')")
+      assert(head === v0 + 1,
+        "INSERT must publish exactly one commit")
+      assert(rows(s, dir) === Seq((1L, 10L, "p1"), (2L, 200L, "p1"),
+        (3L, 30L, "p2"), (4L, 400L, "p3"), (5L, 50L, "p2")))
+      // column-list form maps by NAME, any order
+      s.sql(s"INSERT INTO graft_txn.`$dir` (v, part, id) VALUES (60L, 'p1', 6L)")
+      assert(rows(s, dir).last === ((6L, 60L, "p1")))
+      s.sql(s"INSERT OVERWRITE graft_txn.`$dir` VALUES (9L, 90L, 'p9')")
+      assert(rows(s, dir) === Seq((9L, 90L, "p9")), "OVERWRITE replaces all")
+      // time travel still sees the pre-overwrite snapshot (one commit each)
+      assert(TxnLake.readVersion(s, dir, v0 + 2).count() === 6L)
+    }
+  }
+
+  test("stock-session INSERT INTO a graft-txn catalog table fails loudly, not silently") {
+    // without the parser extension, Spark plans a direct-file insert
+    // that would write bytes the manifest never references — the
+    // relation's write guard must refuse it (observed pre-guard: the
+    // insert 'succeeded', littered the table root, and the rows were
+    // invisible to every snapshot)
+    val dir = freshTable(spark)
+    val tbl = s"insguard_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-txn` OPTIONS (path '$dir')")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $tbl VALUES (2L, 99L, 'p1')")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("transaction log")),
+        s"expected the write-guard refusal, got: ${messages(e).mkString(" | ")}")
+      assert(rows(spark, dir) === Seq((1L, 10L, "p1"), (2L, 200L, "p1"),
+        (3L, 30L, "p2"), (4L, 400L, "p3")), "table must be untouched")
+      assert(TxnLake.history(spark, dir).agg(max("version")).head().getLong(0) === 0L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("duplicate SET assignments are rejected, not last-one-wins") {
     val dir = freshTable(spark)
     val e = intercept[IllegalArgumentException] {
