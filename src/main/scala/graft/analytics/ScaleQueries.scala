@@ -1071,6 +1071,63 @@ object ScaleQueries {
       |FROM cdc GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** zq09 — SQL TIME TRAVEL as a RELATION
+    * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
+    * path): `VERSION AS OF` snapshots of the same `graft-txn` table
+    * composed inside ONE statement — two pinned versions, the current
+    * head, and an anti-join of a past snapshot against the head that
+    * recovers exactly the deleted rows (the audit query time travel
+    * exists for). All four channels resolve through
+    * [[graft.lake.TxnLake.readVersion]], so version binding, DV
+    * subtraction and retention semantics are the engine's own. The
+    * oracle replays the three commits relationally. */
+  private def zq09(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq09")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 9 === 0), "o_orderstatus")
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 9 === 3))
+    TxnLake.deleteWhere(s, dir, col("price") > 150000)
+    GraftSqlDml.sql(s,
+      s"""WITH v0 AS (SELECT * FROM graft_txn.`$dir` VERSION AS OF 0),
+         |v1 AS (SELECT * FROM graft_txn.`$dir` VERSION AS OF 1),
+         |cur AS (SELECT * FROM graft_txn.`$dir`),
+         |gone AS (SELECT o.* FROM v1 o
+         |         LEFT ANTI JOIN cur c ON o.o_orderkey = c.o_orderkey)
+         |SELECT 'gone' AS snap, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(price) AS DOUBLE) AS sum_price FROM gone
+         |UNION ALL SELECT 'head', CAST(count(*) AS BIGINT),
+         |       CAST(sum(price) AS DOUBLE) FROM cur
+         |UNION ALL SELECT 'v0', CAST(count(*) AS BIGINT),
+         |       CAST(sum(price) AS DOUBLE) FROM v0
+         |UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+         |       CAST(sum(price) AS DOUBLE) FROM v1
+         |ORDER BY snap""".stripMargin)
+  }
+
+  private val zq09Sql =
+    """WITH v0 AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 0),
+      |v1 AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 0 OR o_orderkey % 9 = 3),
+      |cur AS (SELECT * FROM v1 WHERE price <= 150000),
+      |gone AS (SELECT * FROM v1 WHERE price > 150000)
+      |SELECT 'gone' AS snap, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(price) AS DOUBLE) AS sum_price FROM gone
+      |UNION ALL SELECT 'head', CAST(count(*) AS BIGINT),
+      |       CAST(sum(price) AS DOUBLE) FROM cur
+      |UNION ALL SELECT 'v0', CAST(count(*) AS BIGINT),
+      |       CAST(sum(price) AS DOUBLE) FROM v0
+      |UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+      |       CAST(sum(price) AS DOUBLE) FROM v1
+      |ORDER BY snap""".stripMargin
+
   /** zq04 — manifest BLOOM file index: equality skipping on a
     * high-cardinality UNSORTED string column, where zone maps (which
     * need min/max order) are useless. The table tracks a per-file
@@ -1754,6 +1811,7 @@ object ScaleQueries {
 
   val defs: Map[String, Q] = Map(
     "lk20_sql_dml" -> (lk20 _),
+    "zq09_sql_time_travel" -> (zq09 _),
     "lk21_merge_retire" -> (lk21 _),
     "lk17_clone" -> (lk17 _),
     "lk18_metadata_count" -> (lk18 _),
@@ -1792,6 +1850,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "lk20_sql_dml" -> lk20Sql,
+    "zq09_sql_time_travel" -> zq09Sql,
     "lk21_merge_retire" -> lk21Sql,
     "lk17_clone" -> lk17Sql,
     "lk18_metadata_count" -> lk18Sql,

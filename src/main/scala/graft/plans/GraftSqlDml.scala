@@ -88,12 +88,97 @@ object GraftSqlDml {
     val cmd = parsed match {
       case c: GraftDmlCommand => c
       case p => rewrite(spark, p).getOrElse(throw new IllegalArgumentException(
-        s"not a graft-txn DML statement (UPDATE/DELETE/MERGE on a graft-txn table): $sqlText"))
+        s"not a graft-txn DML statement (INSERT/UPDATE/DELETE/MERGE on a graft-txn table): $sqlText"))
     }
     CatalystBridge.ofRows(spark, cmd)
   }
 
+  /** Run ANY statement with the graft rewrites applied — the
+    * non-extension twin of `spark.sql` in an extension session
+    * (time-travel relations resolved, DML dispatched, everything else
+    * executed stock). */
+  def sql(spark: SparkSession, sqlText: String): DataFrame = {
+    val parsed = rewriteTimeTravel(spark,
+      spark.sessionState.sqlParser.parsePlan(sqlText))
+    CatalystBridge.ofRows(spark, rewrite(spark, parsed).getOrElse(parsed))
+  }
+
+  /** Path-addressed graft-txn RELATIONS anywhere in a statement:
+    * plain `graft_txn.`/path`` reads resolve to the current snapshot,
+    * and SQL TIME TRAVEL (`VERSION AS OF 3` / `TIMESTAMP AS OF '...'`)
+    * to [[TxnLake.readVersion]]/[[TxnLake.readAsOf]] — in joins, CTEs
+    * and subqueries alike (a snapshot read is a relation, not a
+    * statement kind; Spark parses the suffix into
+    * [[RelationTimeTravel]] but no v1 path resolves it). DML TARGETS
+    * are deliberately left unresolved — [[rewrite]] needs the raw
+    * relation to dispatch the statement — while a MERGE's source and
+    * an INSERT's query DO get relation rewriting (merging FROM an
+    * older snapshot is the restore-shaped merge). Non-graft relations
+    * keep their nodes (stock analysis owns their fate). */
+  private[graft] def rewriteTimeTravel(spark: SparkSession,
+                                       plan: LogicalPlan): LogicalPlan = plan match {
+    case d: DeleteFromTable => d
+    case u: UpdateTable => u
+    case m: MergeIntoTable =>
+      m.copy(sourceTable = rewriteTimeTravel(spark, m.sourceTable))
+    case i: InsertIntoStatement =>
+      i.copy(query = rewriteTimeTravel(spark, i.query))
+    case other => rewriteRelations(spark, other)
+  }
+
+  private def rewriteRelations(spark: SparkSession,
+                               plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      // CTE definitions are INNER children of UnresolvedWith (not plan
+      // children), so the tree walk alone never reaches a relation
+      // inside `WITH x AS (SELECT ... VERSION AS OF ...)` — recurse
+      // into each definition explicitly
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { cte =>
+          cte.copy(_2 = rewriteRelations(spark, cte._2)
+            .asInstanceOf[SubqueryAlias])
+        })
+      case r: UnresolvedRelation if pathDir(r).isDefined =>
+        TxnLake.read(spark, pathDir(r).get).queryExecution.analyzed
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(rel, ts, ver) =>
+        resolveTarget(spark, rel) match {
+          case None => tt
+          case Some((dir, _)) =>
+            val df = (ver, ts) match {
+              case (Some(v), None) =>
+                val vl = try v.toLong catch {
+                  case _: NumberFormatException => throw new IllegalArgumentException(
+                    s"VERSION AS OF on a graft-txn table takes an integer version, got '$v'")
+                }
+                TxnLake.readVersion(spark, dir, vl)
+              case (None, Some(t)) =>
+                // evaluate the (foldable) timestamp expression through a
+                // one-row projection — handles string literals, casts,
+                // and timestamp functions uniformly
+                val row = CatalystBridge.ofRows(spark,
+                  Project(Seq(org.apache.spark.sql.catalyst.expressions.Alias(t, "__tt")()),
+                    OneRowRelation()))
+                  .select(col("__tt").cast("timestamp")).head()
+                require(!row.isNullAt(0), s"TIMESTAMP AS OF evaluated to NULL: ${t.sql}")
+                TxnLake.readAsOf(spark, dir, row.getTimestamp(0).getTime)
+              case _ => throw new IllegalArgumentException(
+                "time travel needs exactly one of VERSION AS OF / TIMESTAMP AS OF")
+            }
+            df.queryExecution.analyzed
+        }
+    }
+
   // ---- target resolution -------------------------------------------------
+
+  /** The dir of a PATH-addressed relation (`graft_txn.`/path``), None
+    * for anything else — the relation-rewrite twin of
+    * [[resolveTarget]]'s first case. */
+  private def pathDir(r: UnresolvedRelation): Option[String] =
+    r.multipartIdentifier match {
+      case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
+          path.contains("/") => Some(path)
+      case _ => None
+    }
 
   /** Resolve the DML target to a `graft-txn` table dir. Returns the dir
     * plus the qualifier strings (lower-cased) that may prefix the

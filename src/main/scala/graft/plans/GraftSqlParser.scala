@@ -19,7 +19,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
+    val plan = GraftSqlDml.rewriteTimeTravel(session, delegate.parsePlan(sqlText))
     GraftSqlDml.rewrite(session, plan).getOrElse(plan)
   }
 

@@ -253,6 +253,36 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       s"must not have probed a relative dir as a txn table: ${e.getMessage}")
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve graft snapshots") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s) // v0: 4 rows
+      TxnLake.append(s, dir, Seq((5L, 50L, "p2")).toDF("id", "v", "part")) // v1
+      TxnLake.deleteWhere(s, dir, col("id") === 1L) // v2
+      assert(s.sql(s"SELECT count(*) AS n FROM graft_txn.`$dir` VERSION AS OF 0")
+        .head().getLong(0) === 4L)
+      assert(s.sql(s"SELECT count(*) AS n FROM graft_txn.`$dir` VERSION AS OF 1")
+        .head().getLong(0) === 5L)
+      assert(s.sql(s"SELECT count(*) AS n FROM graft_txn.`$dir`")
+        .head().getLong(0) === 4L, "current head: v2 dropped one row")
+      // time travel composes as a RELATION: old and new snapshots join
+      val gone = s.sql(
+        s"""SELECT o.id FROM graft_txn.`$dir` VERSION AS OF 1 o
+           |LEFT ANTI JOIN graft_txn.`$dir` c ON o.id = c.id""".stripMargin)
+        .collect().map(_.getLong(0)).toSeq
+      assert(gone === Seq(1L))
+      // TIMESTAMP AS OF now = the current snapshot
+      assert(s.sql(
+        s"SELECT count(*) AS n FROM graft_txn.`$dir` TIMESTAMP AS OF current_timestamp()")
+        .head().getLong(0) === 4L)
+      val bad = intercept[IllegalArgumentException] {
+        s.sql(s"SELECT * FROM graft_txn.`$dir` VERSION AS OF 99").collect()
+      }
+      assert(bad.getMessage.contains("not resolvable") ||
+        bad.getMessage.toLowerCase.contains("version"))
+    }
+  }
+
   test("unsupported shapes and subqueries fail loudly, before any commit") {
     val dir = freshTable(spark)
     val v0 = TxnLake.history(spark, dir).count()
