@@ -1071,6 +1071,55 @@ object ScaleQueries {
       |FROM cdc GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** lk22 — SQL COLUMN DDL statements end-to-end
+    * ([[graft.plans.GraftSqlDml]] ALTER TABLE rewrites): ADD COLUMN
+    * (metadata-only, null-filled for existing files), an INSERT that
+    * populates the new column, RENAME COLUMN (logical mapping over
+    * unchanged physical bytes), and ALTER COLUMN TYPE widening
+    * (bigint → DECIMAL(20,0), old files promoted at scan time) — four
+    * one-commit DDL statements whose combined effect one aggregate
+    * hash pins. The oracle replays the evolution relationally. */
+  private def lk22(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk22")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 7 === 0), "o_orderstatus")
+    GraftSqlDml.exec(s, s"ALTER TABLE graft_txn.`$dir` ADD COLUMN note STRING")
+    val view = s"lk22_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    slice(col("o_orderkey") % 7 === 1)
+      .withColumn("note", concat(lit("n"), pmod(col("o_orderkey"), lit(3)).cast("string")))
+      .createOrReplaceTempView(view)
+    try GraftSqlDml.exec(s, s"INSERT INTO graft_txn.`$dir` SELECT * FROM $view")
+    finally s.catalog.dropTempView(view)
+    GraftSqlDml.exec(s, s"ALTER TABLE graft_txn.`$dir` RENAME COLUMN note TO remark")
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN o_orderkey TYPE DECIMAL(20,0)")
+    TxnLake.read(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"),
+        count(col("remark")).as("n_remark"),
+        sum(col("o_orderkey")).cast("double").as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val lk22Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |    CASE WHEN o_orderkey % 7 = 1
+      |         THEN 'n' || CAST(o_orderkey % 3 AS VARCHAR) END AS remark
+      |  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 7 = 1)
+      |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price,
+      |  CAST(count(remark) AS BIGINT) AS n_remark,
+      |  CAST(sum(o_orderkey) AS DOUBLE) AS sum_key
+      |FROM base GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -1812,6 +1861,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "lk20_sql_dml" -> (lk20 _),
     "zq09_sql_time_travel" -> (zq09 _),
+    "lk22_sql_ddl" -> (lk22 _),
     "lk21_merge_retire" -> (lk21 _),
     "lk17_clone" -> (lk17 _),
     "lk18_metadata_count" -> (lk18 _),
@@ -1851,6 +1901,7 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "lk20_sql_dml" -> lk20Sql,
     "zq09_sql_time_travel" -> zq09Sql,
+    "lk22_sql_ddl" -> lk22Sql,
     "lk21_merge_retire" -> lk21Sql,
     "lk17_clone" -> lk17Sql,
     "lk18_metadata_count" -> lk18Sql,

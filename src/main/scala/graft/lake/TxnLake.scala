@@ -1310,6 +1310,46 @@ object TxnLake {
     }
   }
 
+  /** ALTER TABLE ADD COLUMN: append one nullable column in a
+    * metadata-only commit — no data file is read or written. Readers
+    * null-fill existing files because every snapshot read binds the
+    * manifest's schema explicitly over the file list (the same
+    * contract write-side additive evolution relies on). The physical
+    * name is minted fresh when the logical name was ever dropped or is
+    * physically taken ([[freshPhysical]]), so tombstoned bytes in old
+    * files can never resurrect into the reborn column. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"addColumn retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      val fields = StructType.fromDDL(head.schemaDdl)
+      val logicalNames = fields.fieldNames.map(p => head.renames.getOrElse(p, p))
+      require(!logicalNames.contains(name), s"column '$name' already exists")
+      val phys = freshPhysical(name, head, fields.fieldNames)
+      val schema = StructType(fields.fields :+
+        org.apache.spark.sql.types.StructField(phys, dataType, nullable = true))
+      val renames = head.renames ++
+        (if (phys != name) Map(phys -> name) else Map.empty[String, String])
+      val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
+        schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,
+        bloomCol = head.bloomCol, bloomBits = head.bloomBits,
+        renames = renames, tombstones = head.tombstones)
+      if (publishRecord(fs, dir, rec)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
+            Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
+            bloomBits = head.bloomBits, renames = renames,
+            tombstones = head.tombstones, txns = head.txns))
+        return
+      }
+    }
+  }
+
   def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
     val fs = fsOf(spark, dir)
     var attempts = 0

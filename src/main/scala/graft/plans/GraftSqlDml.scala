@@ -77,8 +77,72 @@ object GraftSqlDml {
         GraftInsertCommand(dir, i.query, i.userSpecifiedCols, i.overwrite,
           i.byName)
       }
+    // ALTER TABLE column DDL -> the engine's metadata-only commits
+    // (each is one atomic log record; no data file is touched)
+    case a: AddColumns =>
+      ddlTarget(spark, a.table).map { dir =>
+        val cols = a.columnsToAdd.map { c =>
+          require(c.path.isEmpty && c.name.length == 1,
+            "graft-txn ADD COLUMN supports top-level columns only")
+          require(c.default.isEmpty,
+            "graft-txn ADD COLUMN does not support DEFAULT values")
+          (c.name.head, c.dataType)
+        }
+        GraftDdlCommand(dir, s"ADD COLUMNS ${cols.map(_._1).mkString(",")}",
+          (s, d) => cols.foreach { case (n, t) => TxnLake.addColumn(s, d, n, t) })
+      }
+    case r: RenameColumn =>
+      ddlTarget(spark, r.table).map { dir =>
+        require(r.column.name.length == 1,
+          "graft-txn RENAME COLUMN supports top-level columns only")
+        val from = r.column.name.head
+        val to = r.newName
+        GraftDdlCommand(dir, s"RENAME COLUMN $from TO $to",
+          (s, d) => TxnLake.renameColumn(s, d, from, to))
+      }
+    case dc: DropColumns =>
+      ddlTarget(spark, dc.table).map { dir =>
+        val names = dc.columnsToDrop.map { c =>
+          require(c.name.length == 1,
+            "graft-txn DROP COLUMN supports top-level columns only")
+          c.name.head
+        }
+        require(!dc.ifExists,
+          "graft-txn DROP COLUMN IF EXISTS is not supported — drops are " +
+            "schema-authoritative and should fail on a missing column")
+        GraftDdlCommand(dir, s"DROP COLUMNS ${names.mkString(",")}",
+          (s, d) => names.foreach(TxnLake.dropColumn(s, d, _)))
+      }
+    case ac: AlterColumns =>
+      ddlTarget(spark, ac.table).map { dir =>
+        val widenings = ac.specs.map { sp =>
+          require(sp.column.name.length == 1,
+            "graft-txn ALTER COLUMN supports top-level columns only")
+          require(sp.newDataType.isDefined && sp.newNullability.isEmpty &&
+              sp.newComment.isEmpty && sp.newPosition.isEmpty &&
+              sp.newDefaultExpression.isEmpty && !sp.dropDefault,
+            "graft-txn ALTER COLUMN supports TYPE widening only")
+          (sp.column.name.head, sp.newDataType.get)
+        }
+        GraftDdlCommand(dir,
+          s"ALTER COLUMNS ${widenings.map(_._1).mkString(",")} TYPE",
+          (s, d) => widenings.foreach { case (n, t) => TxnLake.widenColumn(s, d, n, t) })
+      }
     case _ => None
   }
+
+  /** DDL targets arrive as [[UnresolvedTable]] (not a relation) —
+    * resolve the same two addressing forms [[resolveTarget]] takes. */
+  private def ddlTarget(spark: SparkSession, table: LogicalPlan): Option[String] =
+    table match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier match {
+          case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
+              path.contains("/") => Some(path)
+          case parts => catalogDir(spark, parts)
+        }
+      case _ => None
+    }
 
   /** Parse + dispatch one DML statement in a session built WITHOUT the
     * parser extension. In an extension session the parser has already
@@ -373,6 +437,20 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, ExprBox)],
 /** One WHEN NOT MATCHED BY SOURCE clause, parser-side. */
 case class BySourceSpec(delete: Boolean, condition: Option[ExprBox],
                         set: Seq[(String, ExprBox)])
+
+/** One ALTER TABLE column statement -> the matching metadata-only
+  * engine commit ([[TxnLake.addColumn]] / renameColumn / dropColumn /
+  * widenColumn). The action closure runs on the driver at execution
+  * time; `what` is the EXPLAIN-visible description. */
+case class GraftDdlCommand(dir: String, what: String,
+                           action: (SparkSession, String) => Unit)
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    action(spark, dir)
+    Seq.empty
+  }
+}
 
 /** `INSERT INTO / INSERT OVERWRITE <graft table> [(cols)] <query>` ->
   * [[TxnLake.append]] / [[TxnLake.overwrite]] — one transactional

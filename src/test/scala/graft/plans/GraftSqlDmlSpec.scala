@@ -283,6 +283,53 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ALTER TABLE column DDL statements drive the metadata-only engine commits") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      def head = TxnLake.history(s, dir).agg(max("version")).head().getLong(0)
+
+      s.sql(s"ALTER TABLE graft_txn.`$dir` ADD COLUMN note STRING")
+      assert(head === 1L, "ADD COLUMN is one metadata commit")
+      assert(TxnLake.read(s, dir).columns.toSeq === Seq("id", "v", "part", "note"))
+      assert(TxnLake.read(s, dir).filter(col("note").isNotNull).isEmpty,
+        "existing rows null-fill the added column")
+
+      s.sql(s"ALTER TABLE graft_txn.`$dir` RENAME COLUMN note TO remark")
+      assert(TxnLake.read(s, dir).columns.contains("remark"))
+
+      s.sql(s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN v TYPE DECIMAL(20,0)")
+      assert(TxnLake.read(s, dir).schema("v").dataType ===
+        org.apache.spark.sql.types.DecimalType(20, 0))
+      assert(TxnLake.read(s, dir).agg(sum(col("v"))).head().getDecimal(0)
+        .longValue === 640L, "widened column still reads every old file")
+
+      s.sql(s"ALTER TABLE graft_txn.`$dir` DROP COLUMN remark")
+      assert(TxnLake.read(s, dir).columns.toSeq === Seq("id", "v", "part"))
+
+      // appends after the DDL chain land with the evolved schema
+      TxnLake.append(s, dir, Seq((7L, java.math.BigDecimal.valueOf(70L), "p1"))
+        .toDF("id", "v", "part"))
+      assert(rows2(s, dir).last === ((7L, 70L, "p1")))
+
+      val bad = intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN part TYPE STRING")
+      }
+      assert(bad.getMessage.contains("partition column"),
+        s"engine's own refusal expected, got: ${bad.getMessage}")
+      // non-graft ALTERs pass through untouched
+      assert(intercept[Exception] {
+        s.sql("ALTER TABLE nonexistent_graft_tbl ADD COLUMN x INT")
+      }.getMessage.toLowerCase.contains("table"))
+    }
+  }
+
+  private def rows2(s: SparkSession, dir: String): Seq[(Long, Long, String)] =
+    TxnLake.read(s, dir).orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"),
+        r.getAs[java.math.BigDecimal]("v").longValue,
+        r.getAs[String]("part"))).toSeq
+
   test("unsupported shapes and subqueries fail loudly, before any commit") {
     val dir = freshTable(spark)
     val v0 = TxnLake.history(spark, dir).count()
