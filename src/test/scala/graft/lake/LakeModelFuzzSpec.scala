@@ -9,7 +9,8 @@ import java.nio.file.Files
 /** MODEL-BASED FUZZ of the transactional lake: a seeded random
   * sequence of mutations (append / upsert / keyed delete / predicate
   * delete via deletion vectors / row-level UPDATE / OPTIMIZE incl. DV
-  * purge / vacuum) runs against both [[TxnLake]] and a driver-side
+  * purge / vacuum / MERGE with WHEN NOT MATCHED BY SOURCE clauses /
+  * SQL UPDATE and DELETE statements) runs against both [[TxnLake]] and a driver-side
   * `Map[id, row]` reference model, and after EVERY operation the
   * table's full contents and [[TxnLake.rowCount]] must equal the
   * model. Single example-based specs pin each op's contract; this
@@ -59,7 +60,7 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
     var hist = Map(0L -> model)
     check(dir, model, "create")
     for (i <- 1 to steps) {
-      val step = rnd.nextInt(8) match {
+      val step = rnd.nextInt(10) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(4))
           TxnLake.append(spark, dir, toDf(rows))
@@ -106,6 +107,43 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
           TxnLake.restore(spark, dir, v)
           model = hist(v)
           s"restore(v$v)"
+        case 8 =>
+          // full merge with by-source clauses: matched keys replaced,
+          // one fresh insert, absent keys in one id-class retired and
+          // the next class soft-flagged — first matching clause wins
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(id => (id, s"m$id-$i", model(id)._2))
+          val rows = existing ++ freshRows(1)
+          val m0 = 3 + rnd.nextInt(4); val r0 = rnd.nextInt(m0)
+          val r1 = (r0 + 1) % m0
+          TxnLake.merge(spark, dir, toDf(rows), "id", deleteWhen = lit(false),
+            bySource = Seq(
+              TxnLake.BySourceDelete(Some(col("id") % m0 === r0)),
+              TxnLake.BySourceUpdate(Map("name" -> concat(col("name"), lit("~"))),
+                Some(col("id") % m0 === r1))))
+          val srcIds = rows.map(_._1).toSet
+          model = model.flatMap { case (id, (n, p)) =>
+            if (srcIds.contains(id)) Some(id -> ((n, p)))
+            else if (id % m0 == r0) None
+            else if (id % m0 == r1) Some(id -> ((n + "~", p)))
+            else Some(id -> ((n, p)))
+          } ++ rows.map(r => r._1 -> ((r._2, r._3)))
+          s"mergeBySource(%$m0 del=$r0 upd=$r1)"
+        case 9 =>
+          // the SQL statement surface mutates through the same engines
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          if (rnd.nextBoolean()) {
+            graft.plans.GraftSqlDml.exec(spark,
+              s"UPDATE graft_txn.`$dir` SET name = name || '!' WHERE id % $m = $r")
+            model = model.map { case (id, (n, p)) =>
+              id -> (if (id % m == r) (n + "!", p) else (n, p)) }
+            s"sqlUpdate(%$m==$r)"
+          } else {
+            graft.plans.GraftSqlDml.exec(spark,
+              s"DELETE FROM graft_txn.`$dir` WHERE id % $m = $r")
+            model = model.filter { case (id, _) => id % m != r }
+            s"sqlDelete(%$m==$r)"
+          }
       }
       hist += headVersion() -> model
       check(dir, model, s"step $i: $step (seed $seed)")
