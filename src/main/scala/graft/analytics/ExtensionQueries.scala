@@ -1696,9 +1696,11 @@ object ExtensionQueries {
     * (codebook frozen on that snapshot), append the missing fifth,
     * predicate-delete %7==2, then upsert %11==0 with the NEGATED
     * embedding — an update is remove-from-old-cell + add-to-new-cell,
-    * and re-inserts the deleted %77-family keys. One micro-batch per
-    * feed file (`maxFilesPerTrigger=1`), so the index passes through
-    * every intermediate state. The answer probes the maintained index
+    * and re-inserts the deleted %77-family keys. The stream drains
+    * AvailableNow (per-file pacing and every intermediate index state
+    * are pinned by `IndexMaintenanceSpec`; the registered query should
+    * not pay one dynamic-overwrite cycle per feed FILE). The answer
+    * probes the maintained index
     * for two query vectors; the oracle replays codebook-from-base +
     * final-corpus assignment + probe relationally, so a hash match
     * proves the streamed increments equal indexing the final corpus
@@ -1710,7 +1712,12 @@ object ExtensionQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_st20")
     val dir = root.resolve("emb_lake").toString
     val ix = root.resolve("ivf").toString
-    val e = embeddings(s, d)
+    // the even-id half of the corpus: the pipeline's cost is index
+    // maintenance (3 update rounds over a built index), which scales
+    // with the slice like every other registered query's input does —
+    // the history SHAPE (append/delete/negating upsert) is what the
+    // hash pins
+    val e = embeddings(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
     TxnLake.create(s, dir, e.filter(pmod(col("vec_id"), lit(5)) =!= 3),
       "label", changeFeed = true)
     Similarity.buildIvfIndex(
@@ -1724,32 +1731,33 @@ object ExtensionQueries {
       "vec_id")
     IndexMaintenance.maintain(s, dir, ix,
         checkpointDir = root.resolve("ckpt").toString,
-        startingVersion = Some(1L), maxFilesPerTrigger = Some(1))
+        startingVersion = Some(1L))
       .awaitTermination()
     Similarity.probeIvfIndex(s, ix,
-        e.filter(col("vec_id").isin(0L, 1L))
+        e.filter(col("vec_id").isin(0L, 2L))
           .select(col("vec_id").as("qid"), col("embedding")),
         k = 10, nProbe = 4)
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
   private val st20Sql: String =
-    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 3),
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+       |base AS (SELECT vec_id, embedding FROM corpus WHERE vec_id % 5 <> 3),
        |${ivfAsg1Cte("base")},
        |fin AS (
-       |  SELECT vec_id, embedding FROM embeddings
+       |  SELECT vec_id, embedding FROM corpus
        |  WHERE vec_id % 7 <> 2 AND vec_id % 11 <> 0
        |  UNION ALL
        |  SELECT vec_id, list_transform(embedding, x -> -x)
-       |  FROM embeddings WHERE vec_id % 11 = 0),
+       |  FROM corpus WHERE vec_id % 11 = 0),
        |af AS (
        |  SELECT f.vec_id, f.embedding, c.centroid_id,
        |    row_number() OVER (PARTITION BY f.vec_id
        |      ORDER BY ${cosSqlOf("f.embedding", "c.centroid")} DESC, c.centroid_id) AS rk
        |  FROM fin f CROSS JOIN cents c),
        |asgf AS (SELECT vec_id, embedding, centroid_id FROM af WHERE rk = 1),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id IN (0, 1)),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM corpus
+       |  WHERE vec_id IN (0, 2)),
        |qc AS (
        |  SELECT q.qid, c.centroid_id,
        |    row_number() OVER (PARTITION BY q.qid

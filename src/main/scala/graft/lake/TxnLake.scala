@@ -2999,9 +2999,12 @@ object TxnLake {
     // version to parse-only detection (same as a pre-checksum table) —
     // the target class is damage to the RECORD's content, and an
     // intact record must not be refused because its advisory sidecar
-    // was lost
+    // was lost. Opened directly (absence = the open's
+    // FileNotFoundException) instead of exists-then-read: resolve()
+    // walks checkpoint+records on every commit and read, and the extra
+    // exists probe per record measurably taxed the lake suite
     val side =
-      try { if (fs.exists(cp)) Some(readJson(fs, cp)) else None }
+      try Some(readJson(fs, cp))
       catch { case _: Exception => None }
     side.foreach { sd =>
       val expSize = sd.get("size").asLong()
