@@ -2990,33 +2990,60 @@ object TxnLake {
       }
     } catch { case _: Exception => () }
 
+  /** Expected (size, crc32) per record path, cached for the life of
+    * the process — SOUND because [[publish]] refuses an existing
+    * destination, so a given record/checkpoint path is written at most
+    * once in a table's lifetime and its expected checksum can never
+    * legitimately change. The RECORD's bytes are still re-read and
+    * re-hashed on every read (detection strength is unchanged); only
+    * the sidecar's own fs open is amortized — resolve() walks
+    * checkpoint+records on every commit and read, and the per-record
+    * sidecar open measurably taxed the lake suite. None = sidecar
+    * absent/unreadable (cached too: a pre-checksum table should not
+    * pay a FileNotFound exception per record per resolve). Bounded:
+    * cleared wholesale if it ever grows past ~64k paths. */
+  private val crcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+
   /** Read + verify a log record/checkpoint against its sidecar. */
   private def readVerifiedJson(fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode = {
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val cp = crcPath(p)
+    if (crcCache.size() > 65536) crcCache.clear()
     // a sidecar that is itself missing or unreadable downgrades this
     // version to parse-only detection (same as a pre-checksum table) —
     // the target class is damage to the RECORD's content, and an
     // intact record must not be refused because its advisory sidecar
-    // was lost. Opened directly (absence = the open's
-    // FileNotFoundException) instead of exists-then-read: resolve()
-    // walks checkpoint+records on every commit and read, and the extra
-    // exists probe per record measurably taxed the lake suite
-    val side =
-      try Some(readJson(fs, cp))
-      catch { case _: Exception => None }
-    side.foreach { sd =>
-      val expSize = sd.get("size").asLong()
-      val expCrc = sd.get("crc32").asLong()
-      if (bytes.length.toLong != expSize || crc32Of(bytes) != expCrc)
-        throw new TxnLogCorruptedException(
-          s"$p failed its integrity check (expected size=$expSize " +
-            s"crc32=$expCrc, found size=${bytes.length} " +
-            s"crc32=${crc32Of(bytes)}): the committed record's bytes " +
-            "changed after publish — torn write, bit rot, or manual edit. " +
-            "Restore the log file from backup; refusing to resolve a " +
-            "snapshot from a damaged manifest.")
+    // was lost
+    val side = crcCache.computeIfAbsent(p.toString, _ =>
+      try {
+        val n = readJson(fs, cp)
+        Some((n.get("size").asLong(), n.get("crc32").asLong()))
+      } catch { case _: Exception => None })
+    side.foreach { case (expSize, expCrc) =>
+      if (bytes.length.toLong != expSize || crc32Of(bytes) != expCrc) {
+        // before declaring corruption, re-read the sidecar FRESH: the
+        // cache is an optimization and must never manufacture a false
+        // positive (e.g. a table wiped and legitimately re-created at
+        // the same path outside the API invalidates cached entries)
+        val fresh =
+          try {
+            val n = readJson(fs, cp)
+            Some((n.get("size").asLong(), n.get("crc32").asLong()))
+          } catch { case _: Exception => None }
+        crcCache.put(p.toString, fresh)
+        val stillBad = fresh.exists { case (s2, c2) =>
+          bytes.length.toLong != s2 || crc32Of(bytes) != c2 }
+        if (stillBad)
+          throw new TxnLogCorruptedException(
+            s"$p failed its integrity check (expected size=$expSize " +
+              s"crc32=$expCrc, found size=${bytes.length} " +
+              s"crc32=${crc32Of(bytes)}): the committed record's bytes " +
+              "changed after publish — torn write, bit rot, or manual edit. " +
+              "Restore the log file from backup; refusing to resolve a " +
+              "snapshot from a damaged manifest.")
+      }
     }
     mapper.readTree(bytes)
   }

@@ -133,13 +133,21 @@ object GraftSqlDml {
 
   /** DDL targets arrive as [[UnresolvedTable]] (not a relation) —
     * resolve the same two addressing forms [[resolveTarget]] takes. */
-  private def ddlTarget(spark: SparkSession, table: LogicalPlan): Option[String] =
+  private def ddlTarget(spark: SparkSession,
+                        table: LogicalPlan): Option[(String, Option[TableIdentifier])] =
     table match {
       case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
-        t.multipartIdentifier match {
-          case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
-              path.contains("/") => Some(path)
-          case parts => catalogDir(spark, parts)
+        pathParts(t.multipartIdentifier) match {
+          case Some(path) => Some((path, None))
+          case None =>
+            val ti = t.multipartIdentifier match {
+              case Seq(n) => Some(TableIdentifier(n))
+              case Seq(db, n) => Some(TableIdentifier(n, Some(db)))
+              case Seq(cat, db, n) if cat.equalsIgnoreCase("spark_catalog") =>
+                Some(TableIdentifier(n, Some(db)))
+              case _ => None
+            }
+            catalogDir(spark, t.multipartIdentifier).map(dir => (dir, ti))
         }
       case _ => None
     }
@@ -148,7 +156,12 @@ object GraftSqlDml {
     * parser extension. In an extension session the parser has already
     * rewritten the plan; that case passes through. */
   def exec(spark: SparkSession, sqlText: String): DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(sqlText)
+    // time-travel/path relations rewrite first (DML targets are left
+    // untouched by construction), so an INSERT's query or a MERGE's
+    // source can read graft_txn.`...` snapshots through this entry
+    // point exactly as through an extension session
+    val parsed = rewriteTimeTravel(spark,
+      spark.sessionState.sqlParser.parsePlan(sqlText))
     val cmd = parsed match {
       case c: GraftDmlCommand => c
       case p => rewrite(spark, p).getOrElse(throw new IllegalArgumentException(
@@ -234,15 +247,20 @@ object GraftSqlDml {
 
   // ---- target resolution -------------------------------------------------
 
-  /** The dir of a PATH-addressed relation (`graft_txn.`/path``), None
-    * for anything else — the relation-rewrite twin of
-    * [[resolveTarget]]'s first case. */
+  /** The dir of a PATH-addressed identifier (`graft_txn.`/path``),
+    * None otherwise — THE single definition of the addressing rule
+    * (the namespace spelling and the path-shaped guard that keeps a
+    * real catalog database named graft_txn out of filesystem probes).
+    * Every resolver (relations, DML targets, DDL targets) goes
+    * through here. */
+  private def pathParts(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
+        path.contains("/") => Some(path)
+    case _ => None
+  }
+
   private def pathDir(r: UnresolvedRelation): Option[String] =
-    r.multipartIdentifier match {
-      case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
-          path.contains("/") => Some(path)
-      case _ => None
-    }
+    pathParts(r.multipartIdentifier)
 
   /** Resolve the DML target to a `graft-txn` table dir. Returns the dir
     * plus the qualifier strings (lower-cased) that may prefix the
@@ -259,16 +277,10 @@ object GraftSqlDml {
     case r: UnresolvedRelation =>
       val parts = r.multipartIdentifier
       val quals = Set(parts.last.toLowerCase, parts.mkString(".").toLowerCase)
-      parts match {
-        // path addressing requires a path-SHAPED second part (it
-        // contains a '/'): a user's real catalog database named
-        // graft_txn ("UPDATE graft_txn.orders ...") must resolve
-        // through the catalog, not be hijacked as a relative
-        // filesystem directory
-        case Seq(ns, path) if ns.equalsIgnoreCase("graft_txn") &&
-            path.contains("/") =>
-          Some((path, Set(path.toLowerCase, s"${ns.toLowerCase}.${path.toLowerCase}")))
-        case _ => catalogDir(spark, parts).map(dir => (dir, quals))
+      pathParts(parts) match {
+        case Some(path) =>
+          Some((path, Set(path.toLowerCase, s"graft_txn.${path.toLowerCase}")))
+        case None => catalogDir(spark, parts).map(dir => (dir, quals))
       }
     case _ => None
   }
