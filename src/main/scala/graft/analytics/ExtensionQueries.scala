@@ -1319,9 +1319,15 @@ object ExtensionQueries {
 
   /** dd06 — differential oracle, same structure as dd04: Spark runs
     * hyperplane-LSH bands + exact-cosine confirm; the oracle is DuckDB's
-    * exact all-pairs cosine at the same threshold. */
+    * exact all-pairs cosine at the same threshold. AUTO-SIZED geometry
+    * ([[Similarity.cosineNearDupsAuto]]): fixed 4-bit bands measured
+    * 11.8× wall at 10× data — candidate pairs grow ~n²/buckets under
+    * any fixed bucket count. The differential oracle never sees the
+    * geometry, so only the Spark side changes; recall at the 0.99
+    * threshold is argued (and exact copies collide under ANY geometry)
+    * in the operator's docstring. */
   private def dd06(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDups(augmentedEmbeddings(s, d))
+    Similarity.cosineNearDupsAuto(augmentedEmbeddings(s, d))
       .orderBy(col("vec_a"), col("vec_b"))
 
   private val dd06Sql =
@@ -1811,34 +1817,40 @@ object ExtensionQueries {
     * banding, exact rescoring) plus the same label-inequality filter, so both
     * the candidates AND the filtered ranking are pinned per vector. */
   private def ss14(s: SparkSession, d: String): DataFrame =
-    Similarity.hardNegatives(embeddings(s, d), k = 3, nBits = 32)
+    Similarity.hardNegativesAuto(embeddings(s, d), k = 3)
       .orderBy(col("vec_id"), col("rank"))
 
-  // 32 bits / 4 bands = 8-bit bands (256 buckets): at 4-bit bands every
-  // vector collided with ~1/16 of the corpus per band (~1M candidate
-  // pairs for 2000 vectors — measured 6.8 s, nearly brute force);
-  // 8-bit bands cut candidates ~16x while close pairs still collide at
-  // (1 - θ/π)^8 per band. The oracle interpolates the SAME 32-plane
-  // family and band math, so the trade stays exact-replayed.
+  // AUTO-SIZED geometry (the ss05 discipline): the old hand-tuned 32
+  // bits were right at sf0.1 and quadratic past it — measured 16.4×
+  // wall at 10× data, the suite's worst. The oracle re-derives the
+  // SAME bits-per-band from count(*) (integer-exact predicate, see
+  // [[Similarity.autoBitsPerBand]]) over the 60-plane family (15-bit
+  // cap × 4 bands; planes are prefix-stable so unused tails are inert).
   private val ss14Sql: String = {
-    val planeRows = Similarity.planes(32, Similarity.MaxPlaneDim)
+    val planeRows = Similarity.planes(60, Similarity.MaxPlaneDim)
       .zipWithIndex.map { case (pl, p) =>
         s"($p, [${pl.take(64).mkString(", ")}])"
       }.mkString(",\n  ")
-    s"""WITH planes(p, pl) AS (VALUES
+    s"""WITH geom AS (SELECT CAST(coalesce(MIN(b), 15) AS INT) AS bits
+       |  FROM range(4, 16) t(b)
+       |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * 32 >=
+       |    (SELECT count(*) FROM embeddings)),
+       |planes(p, pl) AS (VALUES
        |  $planeRows),
        |dots AS (SELECT e.vec_id, pls.p,
        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
        |      i -> coalesce(CAST(e.embedding[i] AS DOUBLE) * pls.pl[i], 0.0))) AS dot
-       |  FROM embeddings e CROSS JOIN planes pls),
+       |  FROM embeddings e CROSS JOIN planes pls CROSS JOIN geom g
+       |  WHERE pls.p < 4 * g.bits),
        |sigs AS (SELECT vec_id,
        |    sum(CASE WHEN dot >= 0.0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
        |        ELSE CAST(0 AS BIGINT) END) AS sig
        |  FROM dots GROUP BY vec_id),
        |bands AS (SELECT vec_id,
        |    unnest(list_transform(range(0, 4), b -> {'band': b,
-       |      'bits': (((sig >> CAST(b*8 AS INT)) & 255))})) AS u
-       |  FROM sigs),
+       |      'bits': ((sig >> CAST(b * g.bits AS INT)) &
+       |               ((CAST(1 AS BIGINT) << g.bits) - 1))})) AS u
+       |  FROM sigs CROSS JOIN geom g),
        |lab AS (SELECT vec_id, label FROM embeddings),
        |cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
        |  FROM bands x JOIN bands y
@@ -2056,9 +2068,13 @@ object ExtensionQueries {
     * planted id must be dropped and nothing else reaches 0.999 on the
     * uniform-random corpus. Output = kept (vec_id, centroid_id): the
     * cell column makes the check sensitive to the entire codebook, not
-    * just the drop set. */
+    * just the drop set. AUTO-SIZED cells ([[Similarity
+    * .semanticDedupAuto]]): fixed 16 cells measured 6.3× wall at 10×
+    * data (per-cell pairs are quadratic in cell size); sqrt(n) cells
+    * keep pair work linear, and the oracle re-derives the SAME count
+    * from count(*). */
   private def dd11(s: SparkSession, d: String): DataFrame =
-    Similarity.semanticDedup(augmentedEmbeddings(s, d), threshold = 0.999)
+    Similarity.semanticDedupAuto(augmentedEmbeddings(s, d), threshold = 0.999)
       .orderBy(col("vec_id"))
 
   private val dd11Sql: String =
@@ -2066,7 +2082,7 @@ object ExtensionQueries {
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50),
-       |${ivfAsg1Cte("aug")},
+       |${ivfAsg1Cte("aug", autoCells = true)},
        |dropped AS (SELECT DISTINCT y.vec_id
        |  FROM asg1 x JOIN asg1 y
        |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
@@ -2519,8 +2535,27 @@ object ExtensionQueries {
     * NOTE the doubled modulo: Spark's pmod is always non-negative while
     * DuckDB's % is sign-preserving, so the SQL mirrors pmod explicitly —
     * seed selection stays aligned even for a fixture with negative ids. */
-  private def ivfAsg1Cte(rel: String): String = {
+  private def ivfAsg1Cte(rel: String, autoCells: Boolean = false): String = {
     val (sa, sb, sc) = Similarity.SeedSelConsts
+    // autoCells replays [[Similarity.autoCells]]' sqrt(n) rule from
+    // count(*): round-half and IEEE sqrt agree across engines for
+    // integer n (sqrt(n) is never exactly a .5), so both sides derive
+    // the SAME cell count. Seeds then come from a row_number cutoff
+    // instead of a literal LIMIT.
+    val seeds =
+      if (autoCells)
+        s"""geo AS (SELECT CAST(least(65536, greatest(16,
+           |    CAST(round(sqrt(CAST((SELECT count(*) FROM $rel) AS DOUBLE))) AS BIGINT)))
+           |  AS BIGINT) AS cells),
+           |seeds AS (
+           |  SELECT vec_id AS centroid_id, embedding AS centroid
+           |  FROM (SELECT vec_id, embedding,
+           |          row_number() OVER (ORDER BY h, vec_id) AS srk FROM hp)
+           |  CROSS JOIN geo WHERE srk <= geo.cells),"""
+      else
+        s"""seeds AS (
+           |  SELECT vec_id AS centroid_id, embedding AS centroid
+           |  FROM hp ORDER BY h, vec_id LIMIT 16),"""
     s"""hp AS (
        |  SELECT vec_id, embedding,
        |    ((($sa * (((((vec_id % 1000000007) + 1000000007) % 1000000007)
@@ -2528,9 +2563,7 @@ object ExtensionQueries {
        |     + $sb * (((vec_id % 1000000007) + 1000000007) % 1000000007)
        |     + $sc) % 1000000007) + 1000000007) % 1000000007 AS h
        |  FROM $rel),
-       |seeds AS (
-       |  SELECT vec_id AS centroid_id, embedding AS centroid
-       |  FROM hp ORDER BY h, vec_id LIMIT 16),
+       |$seeds
        |a0 AS (
        |  SELECT e.vec_id, e.embedding, s.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id

@@ -515,6 +515,12 @@ object TxnLake {
       renames = m.renames)
   }
 
+  /** Head snapshot version — the version [[read]] serves right now. */
+  def currentVersion(spark: SparkSession, dir: String): Long =
+    resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      .version
+
   /** TIME TRAVEL BY TIMESTAMP: the newest version whose commit
     * published at-or-before `tsMillis`, resolved off each record's
     * IN-COMMIT TIMESTAMP — persisted inside the log record at publish
@@ -1862,6 +1868,24 @@ object TxnLake {
       .foreach(commitStaged(spark, dir, _))
   }
 
+  /** [[merge]] pinned to snapshot `baseVersion`. For callers that
+    * derived their SOURCE from a table read (SQL clause narrowing:
+    * semi/anti joins against the target's keys) — the narrowing and
+    * the staged base must come from the SAME snapshot, or a commit
+    * landing between the two reads yields a result matching no serial
+    * order. Stricter conflict rule than [[merge]]: ANY intervening
+    * commit aborts, because even a nothing-pruned outcome read the
+    * whole table at `baseVersion` and must not blind-rebase over a
+    * newer head (an insert-only narrowed merge would double-insert a
+    * concurrently upserted key). */
+  def mergeAt(spark: SparkSession, dir: String, baseVersion: Long,
+              source: DataFrame, key: String, deleteWhen: Column,
+              bySource: Seq[BySourceAction] = Nil): Unit = {
+    val base = resolveAt(fsOf(spark, dir), dir, baseVersion)
+    stageMerge(spark, dir, base, source, key, Some(deleteWhen), bySource)
+      .foreach(commitStaged(spark, dir, _, strictBase = true))
+  }
+
   /** Stage the merge against snapshot `base`: write the rewritten
     * partitions' files (no manifest yet — invisible). Returns None for
     * an empty update set (nothing to commit).
@@ -2105,7 +2129,8 @@ object TxnLake {
     * writer's commit is silently lost. */
   /** Returns true when this staged commit published; false when an
     * application transaction marker proved it a replay (silent no-op). */
-  private[lake] def commitStaged(spark: SparkSession, dir: String, staged: Staged): Boolean = {
+  private[lake] def commitStaged(spark: SparkSession, dir: String, staged: Staged,
+                                 strictBase: Boolean = false): Boolean = {
     val fs = fsOf(spark, dir)
     var attempts = 0
     while (true) {
@@ -2113,6 +2138,15 @@ object TxnLake {
       require(attempts <= 20, s"txn commit retry budget exhausted at $dir")
       val head = resolve(fs, dir)
         .getOrElse(throw new IllegalStateException(s"txn log vanished under $dir"))
+      // strict base ([[mergeAt]]): the staged plan read the FULL table
+      // at baseVersion (clause-narrowing joins), so any newer head
+      // invalidates it — no partition-overlap carve-out, no rebase
+      if (strictBase && head.version > staged.baseVersion) {
+        dropStagedFiles(fs, dir, staged)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit advanced $dir to v${head.version} past the " +
+            s"pinned base v${staged.baseVersion} — re-run the merge")
+      }
       // a blind append (nothing pruned) rebases over ANY intervening
       // commit: it invalidates no reader and read no base state that
       // could be stale — only read-modify-write commits can conflict
@@ -2208,25 +2242,44 @@ object TxnLake {
     // so a pin that misses this vacuum's pin read can never silently
     // lose its files. The lock is EXCLUSIVE (create without overwrite)
     // so two concurrent vacuums can't clobber each other's
-    // advertisement — the second aborts loudly. Acquisition is
-    // race-proof in two steps: (1) only a VERIFIABLY stale lock
-    // (exists AND mtime past the staleness window — a crashed vacuum)
-    // is ever deleted, so a live vacuum's fresh lock can't be swept
-    // away by a concurrent acquirer's stale-clear; (2) an owner token
-    // is written into the lock and RE-READ after create — if two
-    // acquirers both cleared the same stale lock and raced the
-    // exclusive create (delete→create interleavings can let both
-    // creates "succeed"), exactly the one whose token survives
-    // proceeds; the other aborts loudly.
+    // advertisement — the second aborts loudly. Acquisition guards:
+    // (1) a stale lock (a crashed vacuum — mtime past the staleness
+    // window) is cleared only if a RE-READ immediately before the
+    // delete still shows the SAME token and mtime — a concurrent
+    // acquirer that already replaced it with a fresh lock fails the
+    // re-read, so its fresh lock can't be swept by our stale-clear;
+    // (2) an owner token is written into the lock and RE-READ after
+    // create — if two acquirers raced the exclusive create, exactly
+    // the one whose token survives proceeds; (3) ownership is
+    // RE-VERIFIED before each destructive phase of the sweep
+    // ([[vacuumLocked]]'s assertOwned) — a takeover that slipped
+    // through the microsecond re-read→delete window aborts the loser
+    // mid-sweep before it deletes anything more, keeping at most one
+    // advertised vacuum running.
     if (vacuumBusy(fs, dir))
       throw new IllegalStateException(
         s"vacuum already in progress at $dir — retry once it completes")
     val lockP = vacuumLockPath(dir)
-    val verifiablyStale =
-      try fs.exists(lockP) && fs.getFileStatus(lockP).getModificationTime <=
-        System.currentTimeMillis() - VacuumLockStaleMs
-      catch { case _: Exception => false }
-    if (verifiablyStale) fs.delete(lockP, false)
+    val staleSnapshot: Option[(String, Long)] =
+      try {
+        val st = fs.getFileStatus(lockP)
+        if (st.getModificationTime <=
+            System.currentTimeMillis() - VacuumLockStaleMs) {
+          val in = fs.open(lockP)
+          val bytes = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          Some((bytes, st.getModificationTime))
+        } else None
+      } catch { case _: Exception => None }
+    staleSnapshot.foreach { case (staleToken, staleMtime) =>
+      val unchanged =
+        try {
+          val st = fs.getFileStatus(lockP)
+          val in = fs.open(lockP)
+          val cur = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          st.getModificationTime == staleMtime && cur == staleToken
+        } catch { case _: Exception => false }
+      if (unchanged) fs.delete(lockP, false)
+    }
     val token = newCommitId()
     val lockOut =
       try fs.create(lockP, false)
@@ -2235,16 +2288,19 @@ object TxnLake {
           s"vacuum already in progress at $dir (lost the lock race)", e)
       }
     try lockOut.write(token.getBytes("UTF-8")) finally lockOut.close()
-    val owned =
+    def ownsLock: Boolean =
       try {
         val in = fs.open(lockP)
         try new String(in.readAllBytes(), "UTF-8") == token finally in.close()
       } catch { case _: Exception => false }
-    if (!owned)
-      throw new IllegalStateException(
-        s"vacuum already in progress at $dir (lost the lock race: " +
-          "another vacuum's token holds the lock)")
-    try vacuumLocked(spark, fs, dir, versions, ckpts, keepVersions, graceMs)
+    def assertOwned(): Unit =
+      if (!ownsLock)
+        throw new IllegalStateException(
+          s"vacuum lock at $dir was taken over mid-run (another vacuum's " +
+            "token holds the lock) — aborting this sweep")
+    assertOwned()
+    try vacuumLocked(spark, fs, dir, versions, ckpts, keepVersions, graceMs,
+      () => assertOwned())
     finally {
       // release only a lock we still own — never a successor's (ours
       // can only have been swept if this vacuum outlived the staleness
@@ -2261,7 +2317,8 @@ object TxnLake {
 
   private def vacuumLocked(spark: SparkSession, fs: FileSystem, dir: String,
                            versions: Seq[Long], ckpts: Seq[Long],
-                           keepVersions: Int, graceMs: Long): Unit = {
+                           keepVersions: Int, graceMs: Long,
+                           assertOwned: () => Unit): Unit = {
     // named refs ([[tag]], clone pins) are a retention FLOOR: every
     // version >= the oldest pin keeps its records and files, whatever
     // `keepVersions` says — [[dropRef]] releases
@@ -2301,6 +2358,7 @@ object TxnLake {
     // record without a sidecar (legacy-tolerated read), never an
     // orphan sidecar; the sweep below still collects orphans left by
     // pre-fix crashes
+    assertOwned()
     dropV.foreach { v =>
       fs.delete(crcPath(manifestPath(dir, v)), false)
       fs.delete(manifestPath(dir, v), false)
@@ -2311,13 +2369,20 @@ object TxnLake {
     }
     // orphan-sidecar sweep: a .crc whose record is gone is never
     // reachable again (dropV derives from EXISTING records, so no
-    // later vacuum would revisit the vanished version)
+    // later vacuum would revisit the vanished version). Dot-names are
+    // NOT orphans and must be skipped: a concurrent publisher's
+    // in-flight `.tmp-<name>.json.crc` staging file (its base
+    // `.tmp-<name>.json` never exists — deleting it breaks that
+    // commit's sidecar rename, silently downgrading the version to
+    // parse-only detection), and Hadoop LocalFileSystem's hidden
+    // `.<name>.json.crc` client checksums
     fs.listStatus(new Path(dir, LogDir)).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".json.crc") &&
+      if (n.endsWith(".json.crc") && !n.startsWith(".") &&
           !fs.exists(new Path(st.getPath.getParent, n.stripSuffix(".crc"))))
         fs.delete(st.getPath, false)
     }
+    assertOwned()
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
@@ -2336,6 +2401,7 @@ object TxnLake {
     // deletion-vector sidecars referenced by no retained version go the
     // way of their data files (dir-granular — one sidecar dir per
     // delete commit)
+    assertOwned()
     val dvRoot = new Path(dir, DvDir)
     if (fs.exists(dvRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
@@ -2998,12 +3064,24 @@ object TxnLake {
     * re-hashed on every read (detection strength is unchanged); only
     * the sidecar's own fs open is amortized — resolve() walks
     * checkpoint+records on every commit and read, and the per-record
-    * sidecar open measurably taxed the lake suite. None = sidecar
-    * absent/unreadable (cached too: a pre-checksum table should not
-    * pay a FileNotFound exception per record per resolve). Bounded:
-    * cleared wholesale if it ever grows past ~64k paths. */
+    * sidecar open measurably taxed the lake suite. Right = verified
+    * sidecar, process-lived. Left(expiresAt) = sidecar absent/
+    * unreadable at read time, cached only for a short TTL: the sidecar
+    * is written AFTER the commit point, so a reader can open the
+    * record in the publish→sidecar instant — a permanent None would
+    * leave that version checksum-unverified for the process lifetime
+    * (and a pre-checksum table still amortizes its FileNotFound to
+    * once per TTL rather than per resolve). Bounded: cleared wholesale
+    * if it ever grows past ~64k paths. */
   private val crcCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Either[Long, (Long, Long)]]()
+  private[lake] var CrcAbsentTtlMs = 30000L // var: specs shrink the TTL
+
+  private def readSidecar(fs: FileSystem, cp: Path): Option[(Long, Long)] =
+    try {
+      val n = readJson(fs, cp)
+      Some((n.get("size").asLong(), n.get("crc32").asLong()))
+    } catch { case _: Exception => None }
 
   /** Read + verify a log record/checkpoint against its sidecar. */
   private def readVerifiedJson(fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode = {
@@ -3016,23 +3094,24 @@ object TxnLake {
     // the target class is damage to the RECORD's content, and an
     // intact record must not be refused because its advisory sidecar
     // was lost
-    val side = crcCache.computeIfAbsent(p.toString, _ =>
-      try {
-        val n = readJson(fs, cp)
-        Some((n.get("size").asLong(), n.get("crc32").asLong()))
-      } catch { case _: Exception => None })
+    val side = crcCache.get(p.toString) match {
+      case Right(v) => Some(v)
+      case Left(expiresAt) if System.currentTimeMillis() < expiresAt => None
+      case _ => // absent, or an expired negative entry — (re)read
+        val fresh = readSidecar(fs, cp)
+        crcCache.put(p.toString,
+          fresh.toRight(System.currentTimeMillis() + CrcAbsentTtlMs))
+        fresh
+    }
     side.foreach { case (expSize, expCrc) =>
       if (bytes.length.toLong != expSize || crc32Of(bytes) != expCrc) {
         // before declaring corruption, re-read the sidecar FRESH: the
         // cache is an optimization and must never manufacture a false
         // positive (e.g. a table wiped and legitimately re-created at
         // the same path outside the API invalidates cached entries)
-        val fresh =
-          try {
-            val n = readJson(fs, cp)
-            Some((n.get("size").asLong(), n.get("crc32").asLong()))
-          } catch { case _: Exception => None }
-        crcCache.put(p.toString, fresh)
+        val fresh = readSidecar(fs, cp)
+        crcCache.put(p.toString,
+          fresh.toRight(System.currentTimeMillis() + CrcAbsentTtlMs))
         val stillBad = fresh.exists { case (s2, c2) =>
           bytes.length.toLong != s2 || crc32Of(bytes) != c2 }
         if (stillBad)

@@ -396,6 +396,25 @@ object Similarity {
         col("nbr_label"), col("cos"))
   }
 
+  /** [[hardNegatives]] with AUTO-SIZED bucket geometry — the
+    * corpus-scale form. A fixed per-band bucket count B keeps expected
+    * candidate pairs ~ bands·n²/B: hand-tuned nBits was right at one SF
+    * and measured 16.4× wall at 10× data. Bits-per-band derive from
+    * count(*) via [[autoBitsPerBand]] (integer-exact, so the ss14
+    * oracle re-derives the SAME geometry from its own count), keeping
+    * expected bucket occupancy ~targetBucket and candidate growth
+    * LINEAR in n — [[lshKnnJoinAuto]]'s argument, pinned in
+    * AutoLshSpec. Costs one count() over ids. */
+  def hardNegativesAuto(corpus: DataFrame, k: Int, bands: Int = 4,
+                        targetBucket: Int = 32, seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && targetBucket >= 1, "bands and targetBucket must be positive")
+    require(bands <= 15,
+      s"bands=$bands cannot give every band the >=4 bits a 64-bit signature allows")
+    val n = corpus.select(col("vec_id")).count()
+    hardNegatives(corpus, k, nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
+      bands = bands, seed = seed)
+  }
+
   /** INT8 scalar quantization of an embedding column: per-vector
     * symmetric scale (max|x|/127), q_i = floor(x_i/scale + 0.5) ∈
     * [-127, 127] — the standard 4× memory cut that lets a 100 TB
@@ -605,6 +624,27 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 16,
                     kmeansIters: Int = 1): DataFrame = {
     val cent = kmeansCentroids(corpus, nCells, kmeansIters)
+    semanticDedupWith(corpus, threshold, cent)
+  }
+
+  /** [[semanticDedup]] with the cell count GROWN with the corpus — the
+    * form the docstring above prescribes for 100 TB (the paper uses
+    * ~100k clusters at web scale). Per-cell pair cost is Σ cell²; a
+    * fixed nCells turns that quadratic once n outgrows it (fixed 16
+    * cells measured 6.3× wall at 10× data). [[autoCells]]' sqrt(n)
+    * rule keeps expected cell size ~sqrt(n), so total pair work stays
+    * ~n·sqrt(n)/nCells·... ≈ n — linear; the dd11 oracle re-derives
+    * the SAME count from count(*) (round/sqrt agree across engines for
+    * integer n: sqrt is correctly rounded IEEE and sqrt(n) is never
+    * exactly a .5 for integer n). Costs one count() over ids. */
+  def semanticDedupAuto(corpus: DataFrame, threshold: Double,
+                        kmeansIters: Int = 1): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    semanticDedup(corpus, threshold, nCells = autoCells(n), kmeansIters = kmeansIters)
+  }
+
+  private def semanticDedupWith(corpus: DataFrame, threshold: Double,
+                                cent: DataFrame): DataFrame = {
     val assigned = nearestCells(corpus, cent, 1, "vec_id")
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
     val dropped = assigned.as("x").join(assigned.as("y"),
@@ -939,5 +979,28 @@ object Similarity {
         VectorFunctions.cosineFast(col("ea"), col("eb")).as("__raw"))
       .filter(col("__raw") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("__raw"), 6).as("cos"))
+  }
+
+  /** [[cosineNearDups]] with AUTO-SIZED bucket geometry — the 100 TB
+    * form. Fixed 4-bit bands keep expected candidate pairs ~ bands·n²/B
+    * (measured 11.8× wall at 10× data); deriving bits-per-band from
+    * count(*) ([[autoBitsPerBand]]) holds candidate growth LINEAR in n.
+    * Recall: a TRUE near-dup at the 0.99 threshold regime still
+    * collides in some band with probability ≥ 1-(1-(1-θ/π)^15)^bands
+    * even at the 15-bit/band cap (≈ 0.93 at θ=8°, and exact copies —
+    * the dedup target class — collide with probability 1 under ANY
+    * geometry: identical vectors hash identically). The dd06 oracle is
+    * DIFFERENTIAL (exact all-pairs cosine), so geometry never enters
+    * the oracle SQL. Costs one count() over ids. */
+  def cosineNearDupsAuto(corpus: DataFrame, threshold: Double = 0.99,
+                         bands: Int = 4, targetBucket: Int = 32,
+                         seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && targetBucket >= 1, "bands and targetBucket must be positive")
+    require(bands <= 15,
+      s"bands=$bands cannot give every band the >=4 bits a 64-bit signature allows")
+    val n = corpus.select(col("vec_id")).count()
+    cosineNearDups(corpus, threshold,
+      nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
+      bands = bands, seed = seed)
   }
 }

@@ -80,7 +80,7 @@ object GraftSqlDml {
     // ALTER TABLE column DDL -> the engine's metadata-only commits
     // (each is one atomic log record; no data file is touched)
     case a: AddColumns =>
-      ddlTarget(spark, a.table).map { dir =>
+      ddlTarget(spark, a.table).map { case (dir, ti) =>
         val cols = a.columnsToAdd.map { c =>
           require(c.path.isEmpty && c.name.length == 1,
             "graft-txn ADD COLUMN supports top-level columns only")
@@ -88,20 +88,20 @@ object GraftSqlDml {
             "graft-txn ADD COLUMN does not support DEFAULT values")
           (c.name.head, c.dataType)
         }
-        GraftDdlCommand(dir, s"ADD COLUMNS ${cols.map(_._1).mkString(",")}",
+        GraftDdlCommand(dir, ti, s"ADD COLUMNS ${cols.map(_._1).mkString(",")}",
           (s, d) => cols.foreach { case (n, t) => TxnLake.addColumn(s, d, n, t) })
       }
     case r: RenameColumn =>
-      ddlTarget(spark, r.table).map { dir =>
+      ddlTarget(spark, r.table).map { case (dir, ti) =>
         require(r.column.name.length == 1,
           "graft-txn RENAME COLUMN supports top-level columns only")
         val from = r.column.name.head
         val to = r.newName
-        GraftDdlCommand(dir, s"RENAME COLUMN $from TO $to",
+        GraftDdlCommand(dir, ti, s"RENAME COLUMN $from TO $to",
           (s, d) => TxnLake.renameColumn(s, d, from, to))
       }
     case dc: DropColumns =>
-      ddlTarget(spark, dc.table).map { dir =>
+      ddlTarget(spark, dc.table).map { case (dir, ti) =>
         val names = dc.columnsToDrop.map { c =>
           require(c.name.length == 1,
             "graft-txn DROP COLUMN supports top-level columns only")
@@ -110,11 +110,11 @@ object GraftSqlDml {
         require(!dc.ifExists,
           "graft-txn DROP COLUMN IF EXISTS is not supported — drops are " +
             "schema-authoritative and should fail on a missing column")
-        GraftDdlCommand(dir, s"DROP COLUMNS ${names.mkString(",")}",
+        GraftDdlCommand(dir, ti, s"DROP COLUMNS ${names.mkString(",")}",
           (s, d) => names.foreach(TxnLake.dropColumn(s, d, _)))
       }
     case ac: AlterColumns =>
-      ddlTarget(spark, ac.table).map { dir =>
+      ddlTarget(spark, ac.table).map { case (dir, ti) =>
         val widenings = ac.specs.map { sp =>
           require(sp.column.name.length == 1,
             "graft-txn ALTER COLUMN supports top-level columns only")
@@ -124,7 +124,7 @@ object GraftSqlDml {
             "graft-txn ALTER COLUMN supports TYPE widening only")
           (sp.column.name.head, sp.newDataType.get)
         }
-        GraftDdlCommand(dir,
+        GraftDdlCommand(dir, ti,
           s"ALTER COLUMNS ${widenings.map(_._1).mkString(",")} TYPE",
           (s, d) => widenings.foreach { case (n, t) => TxnLake.widenColumn(s, d, n, t) })
       }
@@ -453,13 +453,34 @@ case class BySourceSpec(delete: Boolean, condition: Option[ExprBox],
 /** One ALTER TABLE column statement -> the matching metadata-only
   * engine commit ([[TxnLake.addColumn]] / renameColumn / dropColumn /
   * widenColumn). The action closure runs on the driver at execution
-  * time; `what` is the EXPLAIN-visible description. */
-case class GraftDdlCommand(dir: String, what: String,
+  * time; `what` is the EXPLAIN-visible description. For CATALOG
+  * tables (`table` is defined) the session catalog's stored schema is
+  * re-synced from the committed manifest afterwards — otherwise
+  * `DESCRIBE t` and metastore-resolved reads would keep serving the
+  * pre-DDL schema while the lake has moved on. The sync goes through
+  * the external catalog directly: [[SessionCatalog.alterTableDataSchema]]
+  * validates add-only changes and would reject RENAME/DROP syncs. */
+case class GraftDdlCommand(dir: String, table: Option[TableIdentifier],
+                           what: String,
                            action: (SparkSession, String) => Unit)
     extends GraftDmlCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     action(spark, dir)
+    table.foreach { ti =>
+      val catalog = spark.sessionState.catalog
+      if (catalog.tableExists(ti)) {
+        val meta = catalog.getTableMetadata(ti)
+        val resolver = spark.sessionState.conf.resolver
+        val full = TxnLake.read(spark, dir).schema
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          full.filterNot(f =>
+            meta.partitionColumnNames.exists(p => resolver(p, f.name))))
+        spark.sharedState.externalCatalog.alterTableDataSchema(
+          meta.database, meta.identifier.table, dataSchema)
+        catalog.refreshTable(ti)
+      }
+    }
     Seq.empty
   }
 }
@@ -528,26 +549,38 @@ case class GraftMergeCommand(dir: String, source: LogicalPlan, key: String,
         s.set.map { case (k, v) => k -> v.column }.toMap,
         s.condition.map(_.column))
     }
-    def targetKeys = TxnLake.read(spark, dir).select(col(key)).distinct()
-    if (updateStar) {
-      val src = if (insert) src0
-        else src0.join(targetKeys, Seq(key), "left_semi")
-      TxnLake.merge(spark, dir, src, key, deleteWhen.getOrElse(lit(false)), bs)
-    } else if (matchedDelete.isDefined) {
-      val doomedKeys = TxnLake.read(spark, dir)
-        .filter(deleteWhen.get).select(col(key)).distinct()
-      val matchedDoomed = src0.join(doomedKeys, Seq(key), "left_semi")
-      val src = if (insert)
-        matchedDoomed.unionByName(src0.join(targetKeys, Seq(key), "left_anti"))
-      else matchedDoomed
-      TxnLake.merge(spark, dir, src, key, lit(true))
-    } else if (insert) {
-      TxnLake.merge(spark, dir, src0.join(targetKeys, Seq(key), "left_anti"),
-        key, lit(false))
+    if (updateStar && insert) {
+      // full clause set: the source is not narrowed against any table
+      // read, so the engine's own snapshot + OCC check suffice
+      TxnLake.merge(spark, dir, src0, key, deleteWhen.getOrElse(lit(false)), bs)
     } else {
-      throw new IllegalArgumentException(
-        "graft-txn MERGE needs at least one WHEN clause the engine can " +
-          "apply (UPDATE SET * / DELETE / INSERT *)")
+      // clause narrowing reads the target — pin ONE snapshot version
+      // for both the narrowing joins and the staged base ([[TxnLake
+      // .mergeAt]]), or a commit landing between the two reads would
+      // slip past OCC (staged base == new head) with narrowing from a
+      // stale version: a result matching no serial order
+      val v = TxnLake.currentVersion(spark, dir)
+      val snap = TxnLake.readVersion(spark, dir, v)
+      val targetKeys = snap.select(col(key)).distinct()
+      if (updateStar) {
+        val src = src0.join(targetKeys, Seq(key), "left_semi")
+        TxnLake.mergeAt(spark, dir, v, src, key,
+          deleteWhen.getOrElse(lit(false)), bs)
+      } else if (matchedDelete.isDefined) {
+        val doomedKeys = snap.filter(deleteWhen.get).select(col(key)).distinct()
+        val matchedDoomed = src0.join(doomedKeys, Seq(key), "left_semi")
+        val src = if (insert)
+          matchedDoomed.unionByName(src0.join(targetKeys, Seq(key), "left_anti"))
+        else matchedDoomed
+        TxnLake.mergeAt(spark, dir, v, src, key, lit(true))
+      } else if (insert) {
+        TxnLake.mergeAt(spark, dir, v,
+          src0.join(targetKeys, Seq(key), "left_anti"), key, lit(false))
+      } else {
+        throw new IllegalArgumentException(
+          "graft-txn MERGE needs at least one WHEN clause the engine can " +
+            "apply (UPDATE SET * / DELETE / INSERT *)")
+      }
     }
     Seq.empty
   }

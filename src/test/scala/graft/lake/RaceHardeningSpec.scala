@@ -116,6 +116,71 @@ class RaceHardeningSpec extends AnyFunSuite with SparkTestSession {
     assert(!new java.io.File(dst, "_graft_data").exists())
   }
 
+  test("vacuum's orphan-sidecar sweep skips dot-named files (in-flight .tmp staging)") {
+    val dir = mkTable(Files.createTempDirectory("graft_race"))
+    TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
+    val log = new java.io.File(dir, "_graft_log")
+    // a concurrent publisher's in-flight sidecar staging file — its
+    // base `.tmp-...json` never exists; sweeping it would break that
+    // commit's sidecar rename
+    val inflight = new java.io.File(log, ".tmp-00000009.json.crc")
+    Files.write(inflight.toPath, "{}".getBytes("UTF-8"))
+    // a genuine orphan: record long gone, sidecar left by an old crash
+    val orphan = new java.io.File(log, "v99999999.json.crc")
+    Files.write(orphan.toPath, "{}".getBytes("UTF-8"))
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(inflight.exists(), "in-flight .tmp staging sidecars must survive the sweep")
+    assert(!orphan.exists(), "true orphan sidecars are still collected")
+    inflight.delete()
+  }
+
+  test("mergeAt pinned to a stale base aborts on ANY intervening commit") {
+    val root = Files.createTempDirectory("graft_race")
+    val dir = root.resolve("t").toString
+    TxnLake.create(spark, dir,
+      Seq((1L, 10L, "p1"), (2L, 20L, "p2")).toDF("id", "v", "part"), "part")
+    val v = TxnLake.currentVersion(spark, dir)
+    // a commit lands between the caller's snapshot read and the merge —
+    // even an insert-only narrowed merge must NOT blind-rebase over it
+    TxnLake.append(spark, dir, Seq((3L, 30L, "p3")).toDF("id", "v", "part"))
+    val src = Seq((4L, 40L, "p3")).toDF("id", "v", "part")
+    val e = intercept[java.util.ConcurrentModificationException](
+      TxnLake.mergeAt(spark, dir, v, src, "id", lit(false)))
+    assert(e.getMessage.contains("pinned base"))
+    assert(TxnLake.read(spark, dir).count() === 3L, "the aborted merge committed nothing")
+    // pinned to the CURRENT head it commits exactly like merge
+    TxnLake.mergeAt(spark, dir, TxnLake.currentVersion(spark, dir), src, "id", lit(false))
+    assert(TxnLake.read(spark, dir).count() === 4L)
+  }
+
+  test("a sidecar that appears after a cached miss is picked up once the negative TTL lapses") {
+    val oldTtl = TxnLake.CrcAbsentTtlMs
+    TxnLake.CrcAbsentTtlMs = 0L
+    try {
+      val dir = mkTable(Files.createTempDirectory("graft_race"))
+      val log = new java.io.File(dir, "_graft_log")
+      // v0 is checkpointed at create (v % 10 == 0) and resolve reads
+      // the newest checkpoint, so the ckpt is the file whose sidecar
+      // verification matters here
+      val rec = new java.io.File(log, "v00000000.ckpt.json")
+      val side = new java.io.File(log, "v00000000.ckpt.json.crc")
+      assert(side.exists())
+      val sideBytes = Files.readAllBytes(side.toPath)
+      // simulate the publish→sidecar window: sidecar invisible on first
+      // read (caches a miss), then appears
+      side.delete()
+      TxnLake.read(spark, dir).count() // caches the miss
+      Files.write(side.toPath, sideBytes)
+      // corrupt the record by appending a byte: still VALID JSON with
+      // identical semantics, so ONLY the checksum can catch it — with a
+      // PERMANENT negative cache this would go unverified for the
+      // process lifetime
+      val recBytes = Files.readAllBytes(rec.toPath)
+      Files.write(rec.toPath, recBytes ++ "\n".getBytes("UTF-8"))
+      intercept[TxnLake.TxnLogCorruptedException](TxnLake.read(spark, dir).count())
+    } finally TxnLake.CrcAbsentTtlMs = oldTtl
+  }
+
   test("dataRel anchors on the LAST /_graft_data/ component") {
     assert(TxnLake.dataRel("/x/t/_graft_data/c1/f.parquet") === "_graft_data/c1/f.parquet")
     // root CONTAINS the marker as a substring — first-occurrence

@@ -324,6 +324,34 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("ALTER TABLE on a CATALOG table re-syncs the session catalog's stored schema") {
+    withExtendedSession { s =>
+      val dir = freshTable(s)
+      val tbl = s"sqlddl_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-txn` OPTIONS (path '$dir')")
+      try {
+        s.sql(s"ALTER TABLE $tbl ADD COLUMN note STRING")
+        // the manifest AND the catalog's stored schema both show the column —
+        // DESCRIBE/metastore-driven reads must not drift from the lake
+        assert(TxnLake.read(s, dir).columns.toSeq === Seq("id", "v", "part", "note"))
+        assert(s.table(tbl).columns.toSeq === Seq("id", "v", "part", "note"))
+        assert(s.sql(s"DESCRIBE $tbl").collect().map(_.getString(0)).contains("note"))
+
+        s.sql(s"ALTER TABLE $tbl RENAME COLUMN note TO remark")
+        assert(s.table(tbl).columns.toSeq === Seq("id", "v", "part", "remark"))
+
+        s.sql(s"ALTER TABLE $tbl DROP COLUMN remark")
+        assert(s.table(tbl).columns.toSeq === Seq("id", "v", "part"))
+
+        s.sql(s"ALTER TABLE $tbl ALTER COLUMN v TYPE DECIMAL(20,0)")
+        assert(s.table(tbl).schema("v").dataType ===
+          org.apache.spark.sql.types.DecimalType(20, 0))
+        assert(s.sql(s"SELECT sum(v) FROM $tbl").head().getDecimal(0)
+          .longValue === 640L, "catalog-resolved read serves the evolved schema")
+      } finally s.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   private def rows2(s: SparkSession, dir: String): Seq[(Long, Long, String)] =
     TxnLake.read(s, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"),
