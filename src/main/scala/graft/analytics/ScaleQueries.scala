@@ -1120,6 +1120,70 @@ object ScaleQueries {
       |FROM base GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** lk23 — SQL MAINTENANCE statements
+    * ([[graft.plans.GraftSqlDml.maintenance]]): `OPTIMIZE` (small-file
+    * compaction as one atomic commit), `VACUUM ... RETAIN n VERSIONS`
+    * (history retention) and `DESCRIBE HISTORY` (the log as a
+    * relation) — the three statements a Delta-habituated user types
+    * after MERGE/ALTER landed (lk20/lk22). The table is partitioned by
+    * `o_orderkey % 3` so every SF fragments all three partitions
+    * identically: create + three SQL INSERTs = 4 commits × 3
+    * partitions, so OPTIMIZE must report 12 files before and 3
+    * partitions rewritten at version 4, and after `VACUUM RETAIN 1
+    * VERSIONS` the history must collapse to exactly that one version —
+    * any surviving older version adds a `history:` row and breaks the
+    * hash. Physical file counts after compaction are split-hash
+    * dependent, so the SQL==API equivalence on those (and the ZORDER
+    * form) is pinned in `GraftSqlDmlSpec`, not here. The oracle
+    * replays the statement cascade relationally. */
+  private def lk23(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk23")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 5 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt")
+    for (k <- Seq(1L, 2L, 3L)) {
+      val view = s"lk23_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      slice(k).createOrReplaceTempView(view)
+      try GraftSqlDml.exec(s, s"INSERT INTO graft_txn.`$dir` SELECT * FROM $view")
+      finally s.catalog.dropTempView(view)
+    }
+    val opt = GraftSqlDml.exec(s, s"OPTIMIZE graft_txn.`$dir`").collect()(0)
+    GraftSqlDml.exec(s, s"VACUUM graft_txn.`$dir` RETAIN 1 VERSIONS")
+    val hist = GraftSqlDml.exec(s, s"DESCRIBE HISTORY graft_txn.`$dir`")
+      .select(concat(lit("history:v"), col("version")).as("channel"),
+        size(col("touched_partitions")).cast("long").as("n"),
+        col("version").cast("double").as("sum_price"))
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("pt")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(hist)
+      .unionByName(Seq(("optimize", opt.getLong(2))).toDF("channel", "n")
+        .withColumn("sum_price", lit(opt.getLong(0).toDouble)))
+      .orderBy(col("channel"))
+  }
+
+  private val lk23Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 3 AS VARCHAR) AS pt,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3)),
+      |parts AS (SELECT CAST(count(DISTINCT pt) AS BIGINT) AS np FROM base)
+      |SELECT 'table:' || pt AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY 1
+      |UNION ALL
+      |SELECT 'history:v4', (SELECT np FROM parts), 4.0
+      |UNION ALL
+      |SELECT 'optimize', (SELECT np FROM parts),
+      |  CAST(4 * (SELECT np FROM parts) AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -1859,6 +1923,7 @@ object ScaleQueries {
       |ORDER BY o_month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "lk23_sql_maintenance" -> (lk23 _),
     "lk20_sql_dml" -> (lk20 _),
     "zq09_sql_time_travel" -> (zq09 _),
     "lk22_sql_ddl" -> (lk22 _),
@@ -1899,6 +1964,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk23_sql_maintenance" -> lk23Sql,
     "lk20_sql_dml" -> lk20Sql,
     "zq09_sql_time_travel" -> zq09Sql,
     "lk22_sql_ddl" -> lk22Sql,

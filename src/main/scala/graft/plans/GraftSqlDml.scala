@@ -155,29 +155,77 @@ object GraftSqlDml {
   /** Parse + dispatch one DML statement in a session built WITHOUT the
     * parser extension. In an extension session the parser has already
     * rewritten the plan; that case passes through. */
-  def exec(spark: SparkSession, sqlText: String): DataFrame = {
-    // time-travel/path relations rewrite first (DML targets are left
-    // untouched by construction), so an INSERT's query or a MERGE's
-    // source can read graft_txn.`...` snapshots through this entry
-    // point exactly as through an extension session
-    val parsed = rewriteTimeTravel(spark,
-      spark.sessionState.sqlParser.parsePlan(sqlText))
-    val cmd = parsed match {
-      case c: GraftDmlCommand => c
-      case p => rewrite(spark, p).getOrElse(throw new IllegalArgumentException(
-        s"not a graft-txn DML statement (INSERT/UPDATE/DELETE/MERGE on a graft-txn table): $sqlText"))
+  def exec(spark: SparkSession, sqlText: String): DataFrame =
+    maintenance(spark, sqlText).map(CatalystBridge.ofRows(spark, _)).getOrElse {
+      // time-travel/path relations rewrite first (DML targets are left
+      // untouched by construction), so an INSERT's query or a MERGE's
+      // source can read graft_txn.`...` snapshots through this entry
+      // point exactly as through an extension session
+      val parsed = rewriteTimeTravel(spark,
+        spark.sessionState.sqlParser.parsePlan(sqlText))
+      val cmd = parsed match {
+        case c: GraftDmlCommand => c
+        case p => rewrite(spark, p).getOrElse(throw new IllegalArgumentException(
+          s"not a graft-txn DML statement (INSERT/UPDATE/DELETE/MERGE on a graft-txn table): $sqlText"))
+      }
+      CatalystBridge.ofRows(spark, cmd)
     }
-    CatalystBridge.ofRows(spark, cmd)
-  }
 
   /** Run ANY statement with the graft rewrites applied — the
     * non-extension twin of `spark.sql` in an extension session
     * (time-travel relations resolved, DML dispatched, everything else
     * executed stock). */
-  def sql(spark: SparkSession, sqlText: String): DataFrame = {
-    val parsed = rewriteTimeTravel(spark,
-      spark.sessionState.sqlParser.parsePlan(sqlText))
-    CatalystBridge.ofRows(spark, rewrite(spark, parsed).getOrElse(parsed))
+  def sql(spark: SparkSession, sqlText: String): DataFrame =
+    maintenance(spark, sqlText).map(CatalystBridge.ofRows(spark, _)).getOrElse {
+      val parsed = rewriteTimeTravel(spark,
+        spark.sessionState.sqlParser.parsePlan(sqlText))
+      CatalystBridge.ofRows(spark, rewrite(spark, parsed).getOrElse(parsed))
+    }
+
+  // ---- maintenance statements ---------------------------------------------
+
+  // Delta-style lakehouse maintenance SQL. These are NOT in Spark's
+  // grammar (the stock parser throws before any rewrite could see a
+  // plan), so they pre-match on the raw text — the ONLY place this
+  // layer parses SQL itself. The shapes are anchored whole-statement
+  // regexes; anything that fails the match or whose target is not a
+  // graft-txn table falls through to the delegate untouched, so stock
+  // statements (e.g. `DESCRIBE history_tbl col`) keep stock semantics.
+  private val OptimizeRe =
+    """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*\z""".r
+  private val VacuumRe =
+    """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*\z""".r
+  private val HistoryRe =
+    """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+
+  /** `OPTIMIZE t [ZORDER BY (a, b, ...)]` / `VACUUM t [RETAIN n
+    * VERSIONS]` / `DESCRIBE HISTORY t` on a graft-txn table — routed to
+    * the existing engines ([[TxnLake.optimize]] / optimizeZOrder /
+    * vacuum / history). Targets take the same two addressing forms as
+    * DML: a catalog table or Delta-style `graft_txn.`/path``. Returns
+    * None for anything else (the statement then parses stock). */
+  def maintenance(spark: SparkSession,
+                  sqlText: String): Option[GraftDmlCommand] = {
+    def dirOf(target: String): Option[String] = {
+      val parts =
+        try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseMultipartIdentifier(target.trim)
+        catch { case _: Exception => return None }
+      pathParts(parts).orElse(catalogDir(spark, parts))
+    }
+    sqlText match {
+      case OptimizeRe(target, zcols) =>
+        dirOf(target).map { dir =>
+          val z = Option(zcols).map(_.split(",").map(c =>
+            c.trim.stripPrefix("`").stripSuffix("`")).toSeq).getOrElse(Nil)
+          GraftOptimizeCommand(dir, z)
+        }
+      case VacuumRe(target, keep) =>
+        dirOf(target).map(dir =>
+          GraftVacuumCommand(dir, Option(keep).map(_.toInt).getOrElse(2)))
+      case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
+      case _ => None
+    }
   }
 
   /** Path-addressed graft-txn RELATIONS anywhere in a statement:
@@ -449,6 +497,62 @@ case class GraftUpdateCommand(dir: String, set: Seq[(String, ExprBox)],
 /** One WHEN NOT MATCHED BY SOURCE clause, parser-side. */
 case class BySourceSpec(delete: Boolean, condition: Option[ExprBox],
                         set: Seq[(String, ExprBox)])
+
+/** `OPTIMIZE <graft table> [ZORDER BY (cols)]` -> [[TxnLake.optimize]]
+  * (small-file compaction) or [[TxnLake.optimizeZOrder]] (curve
+  * clustering) — one atomic commit either way; the returned row
+  * surfaces the engine's [[TxnLake.OptimizeStats]] so SQL callers see
+  * the effect they'd get from the API. */
+case class GraftOptimizeCommand(dir: String, zCols: Seq[String])
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("partitions_rewritten", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st =
+      if (zCols.isEmpty) TxnLake.optimize(spark, dir)
+      else TxnLake.optimizeZOrder(spark, dir, zCols, rowsPerFile = 0L)
+    Seq(Row(st.filesBefore.toLong, st.filesAfter.toLong,
+      st.partitionsCompacted.toLong, st.version))
+  }
+}
+
+/** `VACUUM <graft table> [RETAIN n VERSIONS]` -> [[TxnLake.vacuum]].
+  * RETAIN counts VERSIONS (the engine's retention unit — every
+  * retained version stays fully reconstructable), not hours; the
+  * engine's grace window for in-flight files still applies. */
+case class GraftVacuumCommand(dir: String, keepVersions: Int)
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
+    Seq(Row(dir))
+  }
+}
+
+/** `DESCRIBE HISTORY <graft table>` -> [[TxnLake.history]] as rows:
+  * one per retained version (version, commit id, touched partitions,
+  * live-file count, in-commit timestamp) — metadata-only, no data
+  * files are opened. */
+case class GraftHistoryCommand(dir: String) extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_id", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("touched_partitions",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType), nullable = false)(),
+    AttributeReference("n_files",
+      org.apache.spark.sql.types.IntegerType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLake.history(spark, dir).collect().toSeq
+}
 
 /** One ALTER TABLE column statement -> the matching metadata-only
   * engine commit ([[TxnLake.addColumn]] / renameColumn / dropColumn /

@@ -18,10 +18,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = GraftSqlDml.rewriteTimeTravel(session, delegate.parsePlan(sqlText))
-    GraftSqlDml.rewrite(session, plan).getOrElse(plan)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    // maintenance statements (OPTIMIZE / VACUUM / DESCRIBE HISTORY) are
+    // not in the stock grammar — the delegate would throw before any
+    // plan rewrite could run, so they pre-match on the text; a target
+    // that is not a graft-txn table falls through to the delegate
+    GraftSqlDml.maintenance(session, sqlText).getOrElse {
+      val plan = GraftSqlDml.rewriteTimeTravel(session, delegate.parsePlan(sqlText))
+      GraftSqlDml.rewrite(session, plan).getOrElse(plan)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)

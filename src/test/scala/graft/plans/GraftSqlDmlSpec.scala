@@ -352,6 +352,55 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY statements drive the maintenance engines") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val sqlDir = freshTable(s)
+      val apiDir = freshTable(s)
+      // fragment both tables identically (two more commits per table)
+      for (d <- Seq(sqlDir, apiDir); k <- Seq(5L, 6L))
+        TxnLake.append(s, d, Seq((k * 10, k, "p1")).toDF("id", "v", "part"))
+
+      // OPTIMIZE == API optimize, commit for commit
+      val st = s.sql(s"OPTIMIZE graft_txn.`$sqlDir`").collect()(0)
+      val api = TxnLake.optimize(s, apiDir)
+      assert((st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)) ===
+        ((api.filesBefore.toLong, api.filesAfter.toLong,
+          api.partitionsCompacted.toLong, api.version)))
+      assert(st.getLong(0) > st.getLong(1), "compaction must shrink the file count")
+
+      // DESCRIBE HISTORY == API history (same rows, order by version)
+      val sqlHist = s.sql(s"DESCRIBE HISTORY graft_txn.`$sqlDir`")
+        .select("version", "touched_partitions", "n_files")
+        .orderBy("version").collect().toSeq
+      val apiHist = TxnLake.history(s, sqlDir)
+        .select("version", "touched_partitions", "n_files")
+        .orderBy("version").collect().toSeq
+      assert(sqlHist === apiHist)
+      assert(sqlHist.map(_.getLong(0)) === (0L to 3L))
+
+      // VACUUM RETAIN 1 VERSIONS drops all but the optimize version
+      assert(s.sql(s"VACUUM graft_txn.`$sqlDir` RETAIN 1 VERSIONS")
+        .collect()(0).getString(0) === sqlDir)
+      assert(s.sql(s"DESCRIBE HISTORY graft_txn.`$sqlDir`")
+        .select("version").as[Long].collect().toSeq === Seq(3L))
+      assert(rows(s, sqlDir) === rows(s, apiDir),
+        "maintenance must never change table contents")
+
+      // ZORDER form routes to the curve-clustering engine
+      s.sql(s"OPTIMIZE graft_txn.`$apiDir` ZORDER BY (id, v)")
+      assert(rows(s, apiDir).map(_._1).sorted === Seq(1L, 2L, 3L, 4L, 50L, 60L))
+
+      // a non-graft target falls through to the stock parser's error
+      intercept[Exception](s.sql("OPTIMIZE not_a_graft_table"))
+      // catalog addressing works for maintenance too
+      val tbl = s"sqlmnt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-txn` OPTIONS (path '$sqlDir')")
+      try assert(s.sql(s"DESCRIBE HISTORY $tbl").count() === 1L)
+      finally s.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   private def rows2(s: SparkSession, dir: String): Seq[(Long, Long, String)] =
     TxnLake.read(s, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"),
