@@ -1184,6 +1184,59 @@ object ScaleQueries {
       |  CAST(4 * (SELECT np FROM parts) AS DOUBLE)
       |ORDER BY channel""".stripMargin
 
+  /** lk24 — SQL RESTORE statement
+    * ([[graft.plans.GraftSqlDml.maintenance]] `RESTORE TABLE ... TO
+    * VERSION AS OF n` -> [[graft.lake.TxnLake.restore]]): the
+    * undo-a-bad-backfill statement. Two SQL INSERTs advance the table
+    * to v2, RESTORE rolls it to v1 AS A FORWARD COMMIT (v3) — history
+    * is never rewritten, so `DESCRIBE HISTORY` must still show all
+    * four versions while the table reads as v1. One hash pins the
+    * restored contents, the statement's (restored_to, new_version)
+    * result, and the preserved history length. The oracle replays the
+    * v1 state relationally; the version arithmetic is deterministic by
+    * construction (create=0, two inserts, restore=3). */
+  private def lk24(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk24")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 7 === k)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "o_orderstatus")
+    for (k <- Seq(1L, 2L)) {
+      val view = s"lk24_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      slice(k).createOrReplaceTempView(view)
+      try GraftSqlDml.exec(s, s"INSERT INTO graft_txn.`$dir` SELECT * FROM $view")
+      finally s.catalog.dropTempView(view)
+    }
+    val r = GraftSqlDml.exec(s,
+      s"RESTORE TABLE graft_txn.`$dir` TO VERSION AS OF 1").collect()(0)
+    val nHist = GraftSqlDml.exec(s,
+      s"DESCRIBE HISTORY graft_txn.`$dir`").count()
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("o_orderstatus")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(Seq(("restore", r.getLong(0), r.getLong(1).toDouble),
+          ("history", nHist, Double.NaN))
+        .toDF("channel", "n", "sum_price")
+        .withColumn("sum_price",
+          when(isnan(col("sum_price")), lit(null)).otherwise(col("sum_price"))))
+      .orderBy(col("channel"))
+  }
+
+  private val lk24Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 IN (0, 1))
+      |SELECT 'table:' || o_orderstatus AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY 1
+      |UNION ALL SELECT 'restore', 1, 3.0
+      |UNION ALL SELECT 'history', 4, CAST(NULL AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -1923,6 +1976,7 @@ object ScaleQueries {
       |ORDER BY o_month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "lk24_sql_restore" -> (lk24 _),
     "lk23_sql_maintenance" -> (lk23 _),
     "lk20_sql_dml" -> (lk20 _),
     "zq09_sql_time_travel" -> (zq09 _),
@@ -1964,6 +2018,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk24_sql_restore" -> lk24Sql,
     "lk23_sql_maintenance" -> lk23Sql,
     "lk20_sql_dml" -> lk20Sql,
     "zq09_sql_time_travel" -> zq09Sql,

@@ -197,11 +197,16 @@ object GraftSqlDml {
     """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*\z""".r
   private val HistoryRe =
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+  private val RestoreRe =
+    """(?is)\A\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*\z""".r
+  private val RestoreTsRe =
+    """(?is)\A\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*\z""".r
 
   /** `OPTIMIZE t [ZORDER BY (a, b, ...)]` / `VACUUM t [RETAIN n
-    * VERSIONS]` / `DESCRIBE HISTORY t` on a graft-txn table — routed to
-    * the existing engines ([[TxnLake.optimize]] / optimizeZOrder /
-    * vacuum / history). Targets take the same two addressing forms as
+    * VERSIONS]` / `DESCRIBE HISTORY t` / `RESTORE [TABLE] t TO
+    * VERSION|TIMESTAMP AS OF ...` on a graft-txn table — routed to the
+    * existing engines ([[TxnLake.optimize]] / optimizeZOrder / vacuum /
+    * history / restore). Targets take the same two addressing forms as
     * DML: a catalog table or Delta-style `graft_txn.`/path``. Returns
     * None for anything else (the statement then parses stock). */
   def maintenance(spark: SparkSession,
@@ -224,6 +229,10 @@ object GraftSqlDml {
         dirOf(target).map(dir =>
           GraftVacuumCommand(dir, Option(keep).map(_.toInt).getOrElse(2)))
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
+      case RestoreRe(target, v) =>
+        dirOf(target).map(dir => GraftRestoreCommand(dir, Left(v.toLong)))
+      case RestoreTsRe(target, ts) =>
+        dirOf(target).map(dir => GraftRestoreCommand(dir, Right(ts)))
       case _ => None
     }
   }
@@ -531,6 +540,29 @@ case class GraftVacuumCommand(dir: String, keepVersions: Int)
   override def run(spark: SparkSession): Seq[Row] = {
     TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
     Seq(Row(dir))
+  }
+}
+
+/** `RESTORE [TABLE] <graft table> TO VERSION AS OF n` (or `TO
+  * TIMESTAMP AS OF 'ts'`) -> [[TxnLake.restore]]: roll back as a NEW
+  * forward commit — metadata-only, history preserved, concurrent
+  * read-modify-writes conflict under standard OCC. The timestamp form
+  * resolves through [[TxnLake.versionAsOfTimestamp]] (in-commit
+  * timestamps), exactly like `TIMESTAMP AS OF` reads. Returns the
+  * version restored to and the new head version the restore minted. */
+case class GraftRestoreCommand(dir: String, target: Either[Long, String])
+    extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = target match {
+      case Left(ver) => ver
+      case Right(ts) => TxnLake.versionAsOfTimestamp(spark, dir,
+        java.sql.Timestamp.valueOf(ts).getTime)
+    }
+    TxnLake.restore(spark, dir, v)
+    Seq(Row(v, TxnLake.currentVersion(spark, dir)))
   }
 }
 
