@@ -515,11 +515,16 @@ object TxnLake {
       renames = m.renames)
   }
 
-  /** Head snapshot version — the version [[read]] serves right now. */
-  def currentVersion(spark: SparkSession, dir: String): Long =
-    resolve(fsOf(spark, dir), dir)
-      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-      .version
+  /** Head snapshot version — the version [[read]] serves right now.
+    * One directory listing, no record/checkpoint reads: this sits on
+    * the hot path of every narrowed SQL MERGE (which resolves the full
+    * manifest separately anyway), so building a whole Manifest just to
+    * return its number would be wasted I/O per statement. */
+  def currentVersion(spark: SparkSession, dir: String): Long = {
+    val vs = listVersions(fsOf(spark, dir), dir)
+    require(vs.nonEmpty, s"$dir is not a txn table (no $LogDir)")
+    vs.max
+  }
 
   /** TIME TRAVEL BY TIMESTAMP: the newest version whose commit
     * published at-or-before `tsMillis`, resolved off each record's
@@ -2305,12 +2310,7 @@ object TxnLake {
       // release only a lock we still own — never a successor's (ours
       // can only have been swept if this vacuum outlived the staleness
       // window and a new vacuum claimed the path)
-      val stillOurs =
-        try {
-          val in = fs.open(lockP)
-          try new String(in.readAllBytes(), "UTF-8") == token finally in.close()
-        } catch { case _: Exception => false }
-      if (stillOurs) fs.delete(lockP, false)
+      if (ownsLock) fs.delete(lockP, false)
       ()
     }
   }
@@ -2369,18 +2369,40 @@ object TxnLake {
     }
     // orphan-sidecar sweep: a .crc whose record is gone is never
     // reachable again (dropV derives from EXISTING records, so no
-    // later vacuum would revisit the vanished version). Dot-names are
-    // NOT orphans and must be skipped: a concurrent publisher's
-    // in-flight `.tmp-<name>.json.crc` staging file (its base
-    // `.tmp-<name>.json` never exists — deleting it breaks that
+    // later vacuum would revisit the vanished version). Dot-names get
+    // the data-file discipline instead of the plain orphan rule: a
+    // concurrent publisher's in-flight `.tmp-<name>.json.crc` staging
+    // file has no base by construction (deleting it would break that
     // commit's sidecar rename, silently downgrading the version to
     // parse-only detection), and Hadoop LocalFileSystem's hidden
-    // `.<name>.json.crc` client checksums
-    fs.listStatus(new Path(dir, LogDir)).foreach { st =>
+    // `.<name>.crc` client checksums shadow LIVE files — so a dot-name
+    // is collected only when its dot-stripped base is absent AND it is
+    // older than the grace window (an abandoned stage from a crashed
+    // publisher, or a hidden checksum whose record vacuum dropped),
+    // never while possibly in flight.
+    val sweepCutoff = System.currentTimeMillis() - graceMs
+    // list through the RAW filesystem: ChecksumFileSystem.listStatus
+    // hides every `.<name>.crc` path (its own checksum convention), so
+    // the dot-name branch would never see the abandoned staging files
+    // it exists to collect
+    val rawFs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    rawFs.listStatus(new Path(dir, LogDir)).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".json.crc") && !n.startsWith(".") &&
-          !fs.exists(new Path(st.getPath.getParent, n.stripSuffix(".crc"))))
-        fs.delete(st.getPath, false)
+      if (n.endsWith(".crc")) {
+        if (!n.startsWith(".")) {
+          if (n.endsWith(".json.crc") &&
+              !fs.exists(new Path(st.getPath.getParent, n.stripSuffix(".crc"))))
+            fs.delete(st.getPath, false)
+        } else {
+          val hiddenBase = new Path(st.getPath.getParent,
+            n.stripPrefix(".").stripSuffix(".crc"))
+          if (!rawFs.exists(hiddenBase) && st.getModificationTime < sweepCutoff)
+            rawFs.delete(st.getPath, false)
+        }
+      }
     }
     assertOwned()
     val dataRoot = new Path(dir, DataDir)

@@ -624,27 +624,6 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, threshold: Double, nCells: Int = 16,
                     kmeansIters: Int = 1): DataFrame = {
     val cent = kmeansCentroids(corpus, nCells, kmeansIters)
-    semanticDedupWith(corpus, threshold, cent)
-  }
-
-  /** [[semanticDedup]] with the cell count GROWN with the corpus — the
-    * form the docstring above prescribes for 100 TB (the paper uses
-    * ~100k clusters at web scale). Per-cell pair cost is Σ cell²; a
-    * fixed nCells turns that quadratic once n outgrows it (fixed 16
-    * cells measured 6.3× wall at 10× data). [[autoCells]]' sqrt(n)
-    * rule keeps expected cell size ~sqrt(n), so total pair work stays
-    * ~n·sqrt(n)/nCells·... ≈ n — linear; the dd11 oracle re-derives
-    * the SAME count from count(*) (round/sqrt agree across engines for
-    * integer n: sqrt is correctly rounded IEEE and sqrt(n) is never
-    * exactly a .5 for integer n). Costs one count() over ids. */
-  def semanticDedupAuto(corpus: DataFrame, threshold: Double,
-                        kmeansIters: Int = 1): DataFrame = {
-    val n = corpus.select(col("vec_id")).count()
-    semanticDedup(corpus, threshold, nCells = autoCells(n), kmeansIters = kmeansIters)
-  }
-
-  private def semanticDedupWith(corpus: DataFrame, threshold: Double,
-                                cent: DataFrame): DataFrame = {
     val assigned = nearestCells(corpus, cent, 1, "vec_id")
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
     val dropped = assigned.as("x").join(assigned.as("y"),
@@ -655,6 +634,22 @@ object Similarity {
       .select(col("y.vec_id").as("vec_id")).distinct()
     assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("centroid_id"))
+  }
+
+  /** [[semanticDedup]] with the cell count GROWN with the corpus — the
+    * form its docstring prescribes for 100 TB (the paper uses ~100k
+    * clusters at web scale). Per-cell pair cost is Σ cell²; a fixed
+    * nCells turns that quadratic once n outgrows it (fixed 16 cells
+    * measured 6.3× wall at 10× data). [[autoCells]]' sqrt(n) rule
+    * keeps expected cell size ~sqrt(n), so total pair work stays
+    * linear in n; the dd11 oracle re-derives the SAME count from
+    * count(*) (round/sqrt agree across engines for integer n: sqrt is
+    * correctly rounded IEEE and sqrt(n) is never exactly a .5 for an
+    * integer n). Costs one count() over ids. */
+  def semanticDedupAuto(corpus: DataFrame, threshold: Double,
+                        kmeansIters: Int = 1): DataFrame = {
+    val n = corpus.select(col("vec_id")).count()
+    semanticDedup(corpus, threshold, nCells = autoCells(n), kmeansIters = kmeansIters)
   }
 
   /** IVF ANN: partition the corpus into `nCells` inverted lists by

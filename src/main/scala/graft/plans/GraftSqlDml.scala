@@ -226,11 +226,25 @@ object GraftSqlDml {
           GraftOptimizeCommand(dir, z)
         }
       case VacuumRe(target, keep) =>
-        dirOf(target).map(dir =>
-          GraftVacuumCommand(dir, Option(keep).map(_.toInt).getOrElse(2)))
+        dirOf(target).map { dir =>
+          val k = Option(keep).map(s => s.toIntOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"VACUUM ... RETAIN $s VERSIONS: the version count must fit " +
+                "in a 32-bit integer"))).getOrElse(2)
+          GraftVacuumCommand(dir, k)
+        }
+      // PRECEDENCE NOTE: `DESCRIBE t c` (describe a COLUMN) is valid
+      // stock grammar, so `DESCRIBE HISTORY x` is inherently ambiguous
+      // with describing column x of a table named `history`. Like
+      // Delta's parser, the HISTORY reading wins — but ONLY when x
+      // resolves to a graft-txn table; otherwise the statement falls
+      // through and keeps its stock meaning.
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
       case RestoreRe(target, v) =>
-        dirOf(target).map(dir => GraftRestoreCommand(dir, Left(v.toLong)))
+        dirOf(target).map(dir => GraftRestoreCommand(dir,
+          Left(v.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"RESTORE ... TO VERSION AS OF $v: the version must fit in a " +
+              "64-bit integer")))))
       case RestoreTsRe(target, ts) =>
         dirOf(target).map(dir => GraftRestoreCommand(dir, Right(ts)))
       case _ => None
@@ -558,8 +572,15 @@ case class GraftRestoreCommand(dir: String, target: Either[Long, String])
   override def run(spark: SparkSession): Seq[Row] = {
     val v = target match {
       case Left(ver) => ver
-      case Right(ts) => TxnLake.versionAsOfTimestamp(spark, dir,
-        java.sql.Timestamp.valueOf(ts).getTime)
+      case Right(ts) =>
+        // the SAME parse the TIMESTAMP AS OF read path uses (Spark cast,
+        // session timezone, ISO forms accepted) — java.sql.Timestamp
+        // .valueOf would reject ISO 'T' literals and bind the JVM's
+        // default zone, silently resolving a different instant than the
+        // identically-written read
+        val row = spark.range(1).select(lit(ts).cast("timestamp").as("__tt")).head()
+        require(!row.isNullAt(0), s"RESTORE TO TIMESTAMP AS OF: cannot parse '$ts'")
+        TxnLake.versionAsOfTimestamp(spark, dir, row.getTimestamp(0).getTime)
     }
     TxnLake.restore(spark, dir, v)
     Seq(Row(v, TxnLake.currentVersion(spark, dir)))

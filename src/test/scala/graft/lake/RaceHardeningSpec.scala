@@ -116,22 +116,28 @@ class RaceHardeningSpec extends AnyFunSuite with SparkTestSession {
     assert(!new java.io.File(dst, "_graft_data").exists())
   }
 
-  test("vacuum's orphan-sidecar sweep skips dot-named files (in-flight .tmp staging)") {
+  test("vacuum's orphan-sidecar sweep: fresh .tmp staging survives, abandoned is collected") {
     val dir = mkTable(Files.createTempDirectory("graft_race"))
     TxnLake.append(spark, dir, Seq((11L, "x")).toDF("id", "v"))
     val log = new java.io.File(dir, "_graft_log")
     // a concurrent publisher's in-flight sidecar staging file — its
     // base `.tmp-...json` never exists; sweeping it would break that
     // commit's sidecar rename
-    val inflight = new java.io.File(log, ".tmp-00000009.json.crc")
+    val inflight = new java.io.File(log, ".tmp-v00000009.json.crc")
     Files.write(inflight.toPath, "{}".getBytes("UTF-8"))
     // a genuine orphan: record long gone, sidecar left by an old crash
     val orphan = new java.io.File(log, "v99999999.json.crc")
     Files.write(orphan.toPath, "{}".getBytes("UTF-8"))
-    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
-    assert(inflight.exists(), "in-flight .tmp staging sidecars must survive the sweep")
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 60000L)
+    assert(inflight.exists(),
+      "a within-grace .tmp staging sidecar must survive the sweep")
     assert(!orphan.exists(), "true orphan sidecars are still collected")
-    inflight.delete()
+    // the same staging file ABANDONED (crashed publisher, mtime past
+    // the grace window) must not accumulate forever
+    assert(inflight.setLastModified(System.currentTimeMillis() - 120000L))
+    TxnLake.append(spark, dir, Seq((12L, "x")).toDF("id", "v"))
+    TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 60000L)
+    assert(!inflight.exists(), "an abandoned .tmp staging sidecar is collected")
   }
 
   test("mergeAt pinned to a stale base aborts on ANY intervening commit") {
