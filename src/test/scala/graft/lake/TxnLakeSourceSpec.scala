@@ -182,6 +182,36 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.sql("DROP TABLE txnsrc_sql")
   }
 
+  test("SQL catalog: CTAS (CREATE TABLE ... AS SELECT) commits through the manifest") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "p1", 10.0), (2L, "p2", 20.0), (3L, "p1", 30.0))
+      .toDF("id", "part", "price").createOrReplaceTempView("txnsrc_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE txnsrc_ctas USING `graft-txn`
+         |OPTIONS (path '$dir', partCol 'part')
+         |AS SELECT * FROM txnsrc_ctas_src""".stripMargin)
+    try {
+      // the CTAS write went through the CreatableRelationProvider ->
+      // TxnLake.create: a transaction log exists and both addressing
+      // forms serve the same snapshot
+      assert(new java.io.File(dir, "_graft_log").exists(),
+        "CTAS must commit through the manifest, not write bare files")
+      assert(TxnLake.read(spark, dir).count() === 3L)
+      assert(spark.table("txnsrc_ctas").count() === 3L)
+      assert(TxnLake.history(spark, dir).count() === 1L, "CTAS is ONE commit")
+      // without partCol the source refuses CTAS up front (no partial state)
+      val e = intercept[Exception](spark.sql(
+        s"""CREATE TABLE txnsrc_ctas2 USING `graft-txn`
+           |OPTIONS (path '${freshDir()}')
+           |AS SELECT * FROM txnsrc_ctas_src""".stripMargin))
+      assert(e.getMessage.contains("partCol"))
+    } finally {
+      spark.sql("DROP TABLE txnsrc_ctas")
+      spark.catalog.dropTempView("txnsrc_ctas_src")
+    }
+  }
+
   test("schema evolution: old files null-fill manifest-added columns") {
     import spark.implicits._
     val dir = freshDir()
