@@ -1237,6 +1237,58 @@ object ScaleQueries {
       |UNION ALL SELECT 'history', 4, CAST(NULL AS DOUBLE)
       |ORDER BY channel""".stripMargin
 
+  /** lk25 — SQL TRUNCATE TABLE ([[graft.lake.TxnLake.truncate]] via
+    * the [[graft.plans.GraftSqlDml]] rewrite): ONE metadata-only
+    * commit prunes the whole file list — O(1) on a 100 TB table where
+    * a predicate delete would write deletion vectors over every file.
+    * History: create, SQL TRUNCATE, SQL INSERT a different slice —
+    * the final table must hold ONLY the post-truncate slice (any
+    * pre-truncate survivor breaks the hash), history must show all
+    * three commits, and the pre-truncate snapshot must still time-
+    * travel (version 0 count rides in its own channel). The oracle
+    * replays the surviving slice relationally; version arithmetic is
+    * deterministic by construction. */
+  private def lk25(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk25")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 7 === k)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "o_orderstatus")
+    GraftSqlDml.exec(s, s"TRUNCATE TABLE graft_txn.`$dir`")
+    val view = s"lk25_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    slice(1).createOrReplaceTempView(view)
+    try GraftSqlDml.exec(s, s"INSERT INTO graft_txn.`$dir` SELECT * FROM $view")
+    finally s.catalog.dropTempView(view)
+    val v0 = TxnLake.readVersion(s, dir, 0L).count()
+    val nHist = GraftSqlDml.exec(s, s"DESCRIBE HISTORY graft_txn.`$dir`").count()
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("o_orderstatus")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(Seq(("v0_snapshot", v0), ("history", nHist))
+        .toDF("channel", "n")
+        .withColumn("sum_price", lit(null).cast("double")))
+      .orderBy(col("channel"))
+  }
+
+  private val lk25Sql =
+    """WITH s0 AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |s1 AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 = 1)
+      |SELECT 'table:' || o_orderstatus AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM s1 GROUP BY 1
+      |UNION ALL SELECT 'v0_snapshot', (SELECT CAST(count(*) AS BIGINT) FROM s0),
+      |  CAST(NULL AS DOUBLE)
+      |UNION ALL SELECT 'history', 3, CAST(NULL AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -1976,6 +2028,7 @@ object ScaleQueries {
       |ORDER BY o_month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "lk25_sql_truncate" -> (lk25 _),
     "lk24_sql_restore" -> (lk24 _),
     "lk23_sql_maintenance" -> (lk23 _),
     "lk20_sql_dml" -> (lk20 _),
@@ -2018,6 +2071,7 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk25_sql_truncate" -> lk25Sql,
     "lk24_sql_restore" -> lk24Sql,
     "lk23_sql_maintenance" -> lk23Sql,
     "lk20_sql_dml" -> lk20Sql,

@@ -1494,6 +1494,43 @@ object TxnLake {
     }
   }
 
+  /** TRUNCATE: drop every live row in ONE metadata-only commit — the
+    * new record prunes the whole file list; no data file is read or
+    * written, which is what makes "empty this 100 TB staging table" an
+    * O(1) operation (a predicate delete would write deletion vectors
+    * over every file — O(data)). History is preserved: pre-truncate
+    * versions keep resolving, and a [[restore]] rolls the truncate
+    * back. Marks every live partition touched, so concurrent
+    * read-modify-write commits conflict under the standard OCC rule.
+    * Like [[restore]], the change feed gets NO entry (the per-row
+    * pre-images would cost the full scan the operation exists to
+    * avoid; the diff is derivable via [[changes]]). */
+  def truncate(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 20, s"truncate retry budget exhausted at $dir")
+      val head = resolve(fs, dir)
+        .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+      if (head.files.isEmpty) return // already empty
+      val touched = head.files.flatMap(_.parts).toSet
+      val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
+        head.schemaDdl, touched, Nil, head.files.map(_.path).toSet,
+        head.statsCol, full = false, bloomCol = head.bloomCol,
+        bloomBits = head.bloomBits, renames = head.renames,
+        tombstones = head.tombstones)
+      if (publishRecord(fs, dir, rec)) {
+        maybeCheckpoint(spark, fs, dir,
+          Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
+            touched, Nil, rec.statsCol, bloomCol = rec.bloomCol,
+            bloomBits = rec.bloomBits, renames = rec.renames,
+            tombstones = rec.tombstones, txns = head.txns))
+        return
+      }
+    }
+  }
+
   // ---- named refs (tags) + zero-copy clone ----
 
   private val RefsDir = s"$LogDir/refs"

@@ -128,6 +128,14 @@ object GraftSqlDml {
           s"ALTER COLUMNS ${widenings.map(_._1).mkString(",")} TYPE",
           (s, d) => widenings.foreach { case (n, t) => TxnLake.widenColumn(s, d, n, t) })
       }
+    // TRUNCATE TABLE -> one metadata-only whole-file-list prune commit
+    // (no partition form: graft partitions are manifest values, and a
+    // partial truncate is DELETE WHERE)
+    case tr: TruncateTable =>
+      ddlTarget(spark, tr.table).map { case (dir, ti) =>
+        GraftDdlCommand(dir, ti, "TRUNCATE",
+          (s, d) => TxnLake.truncate(s, d))
+      }
     case _ => None
   }
 

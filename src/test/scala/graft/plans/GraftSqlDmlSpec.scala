@@ -430,6 +430,34 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("TRUNCATE TABLE statement empties the table in one metadata commit") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      def head = TxnLake.history(s, dir).agg(max("version")).head().getLong(0)
+      s.sql(s"TRUNCATE TABLE graft_txn.`$dir`")
+      assert(TxnLake.read(s, dir).isEmpty)
+      assert(head === 1L, "TRUNCATE is ONE commit")
+      assert(TxnLake.readVersion(s, dir, 0L).count() === 4L,
+        "history preserved — the pre-truncate snapshot still reads")
+      // the table stays writable with the same schema, and a restore
+      // rolls the truncate back
+      TxnLake.append(s, dir, Seq((7L, 70L, "p1")).toDF("id", "v", "part"))
+      assert(rows(s, dir) === Seq((7L, 70L, "p1")))
+      s.sql(s"RESTORE TABLE graft_txn.`$dir` TO VERSION AS OF 0")
+      assert(rows(s, dir).map(_._1) === Seq(1L, 2L, 3L, 4L))
+      // truncating an already-empty table is a no-op, not a commit
+      s.sql(s"TRUNCATE TABLE graft_txn.`$dir`")
+      val v = head
+      s.sql(s"TRUNCATE TABLE graft_txn.`$dir`")
+      assert(head === v, "truncating an empty table must not mint a version")
+      // non-graft targets pass through to stock Spark's own error
+      assert(intercept[Exception](
+        s.sql("TRUNCATE TABLE nonexistent_graft_tbl")).getMessage
+        .toLowerCase.contains("table"))
+    }
+  }
+
   private def rows2(s: SparkSession, dir: String): Seq[(Long, Long, String)] =
     TxnLake.read(s, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"),
