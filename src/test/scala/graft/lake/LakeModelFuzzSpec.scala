@@ -10,7 +10,8 @@ import java.nio.file.Files
   * sequence of mutations (append / upsert / keyed delete / predicate
   * delete via deletion vectors / row-level UPDATE / OPTIMIZE incl. DV
   * purge / vacuum / MERGE with WHEN NOT MATCHED BY SOURCE clauses /
-  * SQL UPDATE and DELETE statements) runs against both [[TxnLake]] and a driver-side
+  * SQL UPDATE, DELETE, TRUNCATE, OPTIMIZE, VACUUM and RESTORE
+  * statements) runs against both [[TxnLake]] and a driver-side
   * `Map[id, row]` reference model, and after EVERY operation the
   * table's full contents and [[TxnLake.rowCount]] must equal the
   * model. Single example-based specs pin each op's contract; this
@@ -60,7 +61,7 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
     var hist = Map(0L -> model)
     check(dir, model, "create")
     for (i <- 1 to steps) {
-      val step = rnd.nextInt(10) match {
+      val step = rnd.nextInt(12) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(4))
           TxnLake.append(spark, dir, toDf(rows))
@@ -144,6 +145,34 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
             model = model.filter { case (id, _) => id % m != r }
             s"sqlDelete(%$m==$r)"
           }
+        case 10 =>
+          // SQL TRUNCATE: one metadata commit empties the table (a
+          // no-op on an already-empty table); later appends repopulate
+          graft.plans.GraftSqlDml.exec(spark, s"TRUNCATE TABLE graft_txn.`$dir`")
+          model = Map.empty
+          "sqlTruncate"
+        case 11 =>
+          // SQL maintenance: layout/retention statements must never
+          // change contents; SQL RESTORE rolls the model back with it
+          rnd.nextInt(3) match {
+            case 0 =>
+              graft.plans.GraftSqlDml.exec(spark, s"OPTIMIZE graft_txn.`$dir`")
+              "sqlOptimize"
+            case 1 =>
+              val keep = 1 + rnd.nextInt(3)
+              graft.plans.GraftSqlDml.exec(spark,
+                s"VACUUM graft_txn.`$dir` RETAIN $keep VERSIONS")
+              s"sqlVacuum($keep)"
+            case 2 =>
+              val retained = TxnLake.history(spark, dir)
+                .select("version").collect().map(_.getLong(0)).toSet
+              val targets = hist.keySet.intersect(retained).toSeq.sorted
+              val v = targets(rnd.nextInt(targets.size))
+              graft.plans.GraftSqlDml.exec(spark,
+                s"RESTORE TABLE graft_txn.`$dir` TO VERSION AS OF $v")
+              model = hist(v)
+              s"sqlRestore(v$v)"
+          }
       }
       hist += headVersion() -> model
       check(dir, model, s"step $i: $step (seed $seed)")
@@ -152,4 +181,5 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
 
   test("20 random mutations stay model-equal (seed 7)") { fuzz(7L, 20) }
   test("20 random mutations stay model-equal (seed 1234)") { fuzz(1234L, 20) }
+  test("20 random mutations stay model-equal (seed 4242)") { fuzz(4242L, 20) }
 }
