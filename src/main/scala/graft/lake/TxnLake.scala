@@ -1502,9 +1502,18 @@ object TxnLake {
     * versions keep resolving, and a [[restore]] rolls the truncate
     * back. Marks every live partition touched, so concurrent
     * read-modify-write commits conflict under the standard OCC rule.
-    * Like [[restore]], the change feed gets NO entry (the per-row
-    * pre-images would cost the full scan the operation exists to
-    * avoid; the diff is derivable via [[changes]]). */
+    *
+    * CHANGE FEED: unlike [[restore]], truncate DOES feed its delete
+    * pre-images — a CDC consumer (index maintenance, replication, an
+    * incremental MV) that silently kept serving truncated rows would
+    * be a divergence no error path ever surfaces. And it stays
+    * metadata-plane: DV-free files are byte-COPIED into the feed as
+    * `del_*.parquet` (the pure-insert copy mechanism in reverse —
+    * readers derive 'delete' from the prefix), so no data transits
+    * the engine; only files carrying deletion vectors (whose dead
+    * rows must NOT re-surface as pre-images) or renamed-schema tables
+    * (copied bytes carry physical names) pay an explicit rewrite, and
+    * only for those files. */
   def truncate(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     var attempts = 0
@@ -1526,6 +1535,21 @@ object TxnLake {
             touched, Nil, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
             tombstones = rec.tombstones, txns = head.txns))
+        if (cdcEnabled(spark, dir)) {
+          // explicit rewrite ONLY where the byte-copy would lie:
+          // DV-bearing files (dead rows must not re-surface) and
+          // renamed tables (copied bytes carry physical names)
+          val (explicit, copyable) =
+            if (head.renames.nonEmpty) (head.files, Seq.empty[FileEntry])
+            else head.files.partition(_.dv.nonEmpty)
+          if (explicit.nonEmpty) {
+            val schema = StructType.fromDDL(head.schemaDdl)
+            writeCdc(spark, dir, rec.version,
+              readEntries(spark, dir, schema, explicit, renames = head.renames)
+                .withColumn(ChangeTypeCol, lit("delete")))
+          }
+          copyCdcFiles(spark, dir, rec.version, copyable, prefix = "del_")
+        }
         return
       }
     }
@@ -2494,11 +2518,13 @@ object TxnLake {
       .write.mode(SaveMode.ErrorIfExists)
       .parquet(f"$dir/$CdcDir/v$version%08d")
 
-  /** Feed entry for a PURE-INSERT commit: the staged data files are
-    * byte-copied into `_graft_cdc/v<N>/ins_*.parquet` — no second
+  /** Feed entry for a PURE-INSERT commit (or, with `prefix = "del_"`,
+    * a whole-file delete like TRUNCATE): the data files are
+    * byte-copied into `_graft_cdc/v<N>/<prefix>*.parquet` — no second
     * encode, no shuffle, no Spark job; readers derive the missing
-    * `_change_type` ('insert') and `_commit_version` (from the v-dir
-    * name) columns by projection ([[graft.streaming.CdcFeed]]), the
+    * `_change_type` ('insert' or 'delete' by filename prefix) and
+    * `_commit_version` (from the v-dir name) columns by projection
+    * ([[graft.streaming.CdcFeed]]), the
     * schema-by-name null-fill making mixed explicit/copied feed dirs
     * read uniformly. Copies run from a small driver pool: on object
     * stores a FileSystem copy is a server-side COPY (metadata-plane —
@@ -2506,7 +2532,8 @@ object TxnLake {
     * distributed copy can slot in here; either way the feed costs
     * 0 engine writes where it used to cost a full second table write. */
   private def copyCdcFiles(spark: SparkSession, dir: String, version: Long,
-                           files: Seq[FileEntry]): Unit = {
+                           files: Seq[FileEntry],
+                           prefix: String = "ins_"): Unit = {
     if (files.isEmpty) return
     val fs = fsOf(spark, dir)
     val destDir = new Path(f"$dir/$CdcDir/v$version%08d")
@@ -2519,7 +2546,7 @@ object TxnLake {
         override def run(): Unit = {
           val src = new Path(fe.locate(dir))
           org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new Path(destDir, f"ins_$i%05d.parquet"), false, conf)
+            new Path(destDir, f"$prefix$i%05d.parquet"), false, conf)
           ()
         }
       })

@@ -54,20 +54,26 @@ object CdcFeed {
         "use TxnLake.changes for a snapshot diff")
   }
 
-  /** Pure-insert commits byte-copy their data files into the feed
-    * (zero write amplification — [[TxnLake]] `copyCdcFiles`), so those
+  /** Pure-insert commits (and TRUNCATE's whole-file deletes) byte-copy
+    * their data files into the feed (zero write amplification —
+    * [[TxnLake]] `copyCdcFiles`), so those
     * files carry neither `_change_type` nor `_commit_version`; the
     * schema-by-name read null-fills them and this projection derives
-    * both — 'insert' for the type, the `v<N>` dir name for the
-    * version. Explicitly-written change files keep their stored
-    * columns (coalesce no-op). */
+    * both — the type from the controlled basename prefix (`ins_*` =
+    * 'insert', `del_*` = 'delete'; anchored on the basename so a table
+    * PATH containing either substring cannot flip it), the version
+    * from the `v<N>` dir name. Explicitly-written change files keep
+    * their stored columns (coalesce no-op). */
   private def derive(df: DataFrame): DataFrame =
     df.withColumn("__cdc_file", col("_metadata.file_path"))
       .withColumn(TxnLake.VersionCol, coalesce(col(TxnLake.VersionCol),
         regexp_extract(col("__cdc_file"),
           "/" + TxnLake.CdcDir + "/v(\\d+)/", 1).cast("long")))
       .withColumn(TxnLake.ChangeTypeCol,
-        coalesce(col(TxnLake.ChangeTypeCol), lit("insert")))
+        coalesce(col(TxnLake.ChangeTypeCol),
+          when(regexp_extract(col("__cdc_file"),
+            "/del_\\d+\\.parquet$", 0) =!= "", lit("delete"))
+            .otherwise(lit("insert"))))
       .drop("__cdc_file")
 
   /** Batch read of the feed: every retained change at `fromVersion` or

@@ -32,9 +32,14 @@ object IndexMaintenance {
     * ([[Similarity.updateIvfIndex]] anti-joins removes before unioning
     * adds, so every add is a REPLACE). Sound because index state per id
     * is presence + embedding, nothing path-dependent: applying versions
-    * one by one reaches exactly the last-writer state, and one commit
-    * never carries two non-preimage rows for one id, so the per-id
-    * window is total. One cycle per TRIGGER instead of one per COMMIT
+    * one by one reaches exactly the last-writer state. One commit CAN
+    * carry both a delete and an insert for one id — an OVERWRITE emits
+    * delete pre-images for every old row plus copied insert files for
+    * every new row at one version — so within a version the non-delete
+    * row ranks first (the tie-break below), reproducing the old
+    * per-version removes-then-adds order: the surviving copy is the
+    * add, and the id still rides the remove set, so it replaces
+    * rather than disappears. One cycle per TRIGGER instead of one per COMMIT
     * is the scale point — a catch-up batch spanning 100 commits used to
     * pay 100 touched-cell overwrite rounds for state the last writes
     * fully determine.
@@ -52,7 +57,8 @@ object IndexMaintenance {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col(TxnLake.VersionCol).desc)
+      .orderBy(col(TxnLake.VersionCol).desc,
+        when(col(TxnLake.ChangeTypeCol) === "delete", 1).otherwise(0))
     val changes = batch
       .filter(col(TxnLake.ChangeTypeCol)
         .isin("insert", "update_postimage", "delete"))

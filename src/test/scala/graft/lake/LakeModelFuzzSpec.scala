@@ -43,6 +43,17 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
       s"metadata count diverged after $step")
   }
 
+  /** A restore target must be both model-snapshotted AND still
+    * vacuum-retained — the single definition both the API and SQL
+    * restore fuzz branches draw from. */
+  private def randomRestoreTarget(dir: String, hist: Map[Long, Model],
+                                  rnd: scala.util.Random): Long = {
+    val retained = TxnLake.history(spark, dir)
+      .select("version").collect().map(_.getLong(0)).toSet
+    val targets = hist.keySet.intersect(retained).toSeq.sorted
+    targets(rnd.nextInt(targets.size))
+  }
+
   private def fuzz(seed: Long, steps: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory(s"graft_fuzz_$seed").resolve("t").toString
@@ -101,10 +112,7 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
         case 7 =>
           // RESTORE to a random RETAINED version; the model rolls back
           // to its snapshot, and the restore commit itself snapshots
-          val retained = TxnLake.history(spark, dir)
-            .select("version").collect().map(_.getLong(0)).toSet
-          val targets = hist.keySet.intersect(retained).toSeq.sorted
-          val v = targets(rnd.nextInt(targets.size))
+          val v = randomRestoreTarget(dir, hist, rnd)
           TxnLake.restore(spark, dir, v)
           model = hist(v)
           s"restore(v$v)"
@@ -164,10 +172,7 @@ class LakeModelFuzzSpec extends AnyFunSuite with SparkTestSession {
                 s"VACUUM graft_txn.`$dir` RETAIN $keep VERSIONS")
               s"sqlVacuum($keep)"
             case 2 =>
-              val retained = TxnLake.history(spark, dir)
-                .select("version").collect().map(_.getLong(0)).toSet
-              val targets = hist.keySet.intersect(retained).toSeq.sorted
-              val v = targets(rnd.nextInt(targets.size))
+              val v = randomRestoreTarget(dir, hist, rnd)
               graft.plans.GraftSqlDml.exec(spark,
                 s"RESTORE TABLE graft_txn.`$dir` TO VERSION AS OF $v")
               model = hist(v)

@@ -458,6 +458,25 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("TRUNCATE feeds delete pre-images to CDC consumers (copied and DV paths)") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s, cdc = true)
+      // a DV-bearing file: id=3's file carries a deletion vector, so
+      // its pre-images must come from the explicit rewrite path (the
+      // byte-copy would resurface the dead row)
+      TxnLake.deleteWhere(s, dir, col("id") === 3L)
+      s.sql(s"TRUNCATE TABLE graft_txn.`$dir`")
+      val feed = graft.streaming.CdcFeed.batch(s, dir, fromVersion = 2L)
+        .select(col("id"), col(TxnLake.ChangeTypeCol)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(feed === Set((1L, "delete"), (2L, "delete"), (4L, "delete")),
+        "every LIVE row (and no DV-dead row) must feed as a delete pre-image")
+      // consumers applying the feed converge on the empty table
+      assert(TxnLake.read(s, dir).isEmpty)
+    }
+  }
+
   private def rows2(s: SparkSession, dir: String): Seq[(Long, Long, String)] =
     TxnLake.read(s, dir).orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"),
