@@ -1494,6 +1494,30 @@ object TxnLake {
     }
   }
 
+  /** DESCRIBE DETAIL: one metadata-only row describing the table —
+    * format, location, head version, live file count, live row count
+    * (from manifest row counts minus deletion vectors, None when a
+    * legacy file lacks counts), partition column, tracked stats
+    * columns, and retained version count. Everything comes from the
+    * resolved manifest + one log listing; no data file is opened —
+    * the Delta `DESCRIBE DETAIL` shape (sizeInBytes is deliberately
+    * absent: the manifest does not record file sizes, and stat-ing
+    * every file of a 100 TB table for a DESCRIBE would be the kind of
+    * hidden O(files) cost this engine refuses). The PER-FILE view is
+    * [[detail]]. */
+  def tableDetail(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    import spark.implicits._
+    Seq((
+      "graft-txn", dir, m.version, m.files.size.toLong,
+      rowCount(spark, dir), m.partCol, statsColumnsOf(spark, dir),
+      listVersions(fs, dir).size.toLong))
+      .toDF("format", "location", "version", "num_files", "num_rows",
+        "partition_column", "stats_columns", "retained_versions")
+  }
+
   /** TRUNCATE: drop every live row in ONE metadata-only commit — the
     * new record prunes the whole file list; no data file is read or
     * written, which is what makes "empty this 100 TB staging table" an

@@ -205,16 +205,20 @@ object GraftSqlDml {
     """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*\z""".r
   private val HistoryRe =
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
+  private val DetailRe =
+    """(?is)\A\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*\z""".r
   private val RestoreRe =
     """(?is)\A\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*\z""".r
   private val RestoreTsRe =
     """(?is)\A\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*\z""".r
 
   /** `OPTIMIZE t [ZORDER BY (a, b, ...)]` / `VACUUM t [RETAIN n
-    * VERSIONS]` / `DESCRIBE HISTORY t` / `RESTORE [TABLE] t TO
-    * VERSION|TIMESTAMP AS OF ...` on a graft-txn table — routed to the
+    * VERSIONS]` / `DESCRIBE HISTORY t` / `DESCRIBE DETAIL t` /
+    * `RESTORE [TABLE] t TO VERSION|TIMESTAMP AS OF ...` on a graft-txn
+    * table — routed to the
     * existing engines ([[TxnLake.optimize]] / optimizeZOrder / vacuum /
-    * history / restore). Targets take the same two addressing forms as
+    * history / detail / restore). Targets take the same two addressing
+    * forms as
     * DML: a catalog table or Delta-style `graft_txn.`/path``. Returns
     * None for anything else (the statement then parses stock). */
   def maintenance(spark: SparkSession,
@@ -248,6 +252,7 @@ object GraftSqlDml {
       // resolves to a graft-txn table; otherwise the statement falls
       // through and keeps its stock meaning.
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
+      case DetailRe(target) => dirOf(target).map(GraftDetailCommand)
       case RestoreRe(target, v) =>
         dirOf(target).map(dir => GraftRestoreCommand(dir,
           Left(v.toLongOption.getOrElse(throw new IllegalArgumentException(
@@ -593,6 +598,24 @@ case class GraftRestoreCommand(dir: String, target: Either[Long, String])
     TxnLake.restore(spark, dir, v)
     Seq(Row(v, TxnLake.currentVersion(spark, dir)))
   }
+}
+
+/** `DESCRIBE DETAIL <graft table>` -> [[TxnLake.tableDetail]]: one
+  * metadata-only row (format, location, version, file/row counts,
+  * partition column, stats columns, retained versions). */
+case class GraftDetailCommand(dir: String) extends GraftDmlCommand {
+  import org.apache.spark.sql.types._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = true)(),
+    AttributeReference("partition_column", StringType, nullable = false)(),
+    AttributeReference("stats_columns", ArrayType(StringType), nullable = false)(),
+    AttributeReference("retained_versions", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLake.tableDetail(spark, dir).collect().toSeq
 }
 
 /** `DESCRIBE HISTORY <graft table>` -> [[TxnLake.history]] as rows:

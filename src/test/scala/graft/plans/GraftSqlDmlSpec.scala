@@ -391,6 +391,14 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       s.sql(s"OPTIMIZE graft_txn.`$apiDir` ZORDER BY (id, v)")
       assert(rows(s, apiDir).map(_._1).sorted === Seq(1L, 2L, 3L, 4L, 50L, 60L))
 
+      // DESCRIBE DETAIL: one metadata row matching the engine's view
+      val det = s.sql(s"DESCRIBE DETAIL graft_txn.`$sqlDir`").collect()(0)
+      assert(det.getString(0) === "graft-txn")
+      assert(det.getLong(2) === 3L, "version reflects the post-vacuum head")
+      assert(det.getLong(3) > 0L, "live file count")
+      assert(det.getString(5) === "part")
+      assert(det.getLong(7) === 1L, "one retained version after VACUUM RETAIN 1")
+
       // a non-graft target falls through to the stock parser's error
       intercept[Exception](s.sql("OPTIMIZE not_a_graft_table"))
       // catalog addressing works for maintenance too
