@@ -702,10 +702,34 @@ object Similarity {
     kmeansCentroids(corpus, nCells, kmeansIters)
       .write.mode("overwrite").parquet(s"$indexDir/codebook")
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    nearestCells(corpus, codebook, 1, "vec_id")
+    val posts = nearestCells(corpus, codebook, 1, "vec_id")
+    posts
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$indexDir/postings")
+    // persist the postings schema: inference fails on an index whose
+    // EVERY cell was later emptied (a TRUNCATE flowing through CDC
+    // maintenance deletes all posting files), and probing an empty
+    // index must return zero rows, not crash on schema inference
+    val sp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sp, true)
+    try out.write(posts.schema.toDDL.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Postings read bound to the schema persisted at build time —
+    * schema-stable even when zero posting files remain. Legacy indexes
+    * without the sidecar fall back to inference. */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String): DataFrame = {
+    val sp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sp)) {
+      val in = fs.open(sp)
+      val ddl = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(s"$indexDir/postings")
+    } else spark.read.parquet(s"$indexDir/postings")
   }
 
   /** INCREMENTAL index maintenance: fold adds/removes into a persisted
@@ -721,7 +745,7 @@ object Similarity {
   def updateIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                      adds: DataFrame, removeIds: DataFrame): Unit = {
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = readPostings(spark, indexDir)
     val newPost = nearestCells(adds, codebook, 1, "vec_id")
     val rm = removeIds.select(col("vec_id").as("__rm_id"))
     val touchedCells = newPost.select(col("centroid_id"))
@@ -786,7 +810,7 @@ object Similarity {
                     where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val codebook = spark.read.parquet(s"$indexDir/codebook")
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postings = readPostings(spark, indexDir)
     val qCells = nearestCells(queries, codebook, nProbe, "qid")
       .select(col("qid"), col("centroid_id"), col("embedding").as("query_embedding"))
     val cellIds = qCells.select(col("centroid_id")).distinct()

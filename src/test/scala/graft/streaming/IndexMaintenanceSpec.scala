@@ -82,6 +82,22 @@ class IndexMaintenanceSpec extends AnyFunSuite with SparkTestSession {
     root.toFile.deleteOnExit()
   }
 
+  test("TRUNCATE flows through the feed: the maintained index empties with the table") {
+    val (dir, ix, root) = scriptedHistory()
+    TxnLake.truncate(spark, dir)
+    IndexMaintenance.maintain(spark, dir, ix,
+        checkpointDir = root.resolve("ckpt_tr").toString,
+        startingVersion = Some(1L))
+      .awaitTermination()
+    assert(TxnLake.read(spark, dir).isEmpty)
+    val cellDirs = Option(new java.io.File(s"$ix/postings").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("centroid_id="))
+    assert(cellDirs.isEmpty, "a CDC consumer must not keep serving truncated rows")
+    // probing the fully-emptied index returns zero rows, not a
+    // schema-inference crash (the postings schema sidecar)
+    assert(probe(ix).isEmpty)
+  }
+
   test("updated vectors move cells: the negated embedding leaves its old posting") {
     val (dir, ix, _) = scriptedHistory()
     IndexMaintenance.applyBatch(CdcFeed.batch(spark, dir, fromVersion = 1L), ix)
