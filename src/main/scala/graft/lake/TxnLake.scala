@@ -1510,9 +1510,15 @@ object TxnLake {
     val m = resolve(fs, dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     import spark.implicits._
+    // every field binds to the ONE resolved head `m` (rowCount pinned
+    // to m.version): a concurrent commit between independent reads
+    // would otherwise mix two snapshots in a single answer row.
+    // stats_columns = the primary stats column plus the additive
+    // setStatsColumns set — both drive zone-map pruning.
     Seq((
       "graft-txn", dir, m.version, m.files.size.toLong,
-      rowCount(spark, dir), m.partCol, statsColumnsOf(spark, dir),
+      rowCount(spark, dir, m.version), m.partCol,
+      (m.statsCol.toSeq ++ statsColumnsOf(spark, dir)).distinct,
       listVersions(fs, dir).size.toLong))
       .toDF("format", "location", "version", "num_files", "num_rows",
         "partition_column", "stats_columns", "retained_versions")

@@ -746,6 +746,16 @@ object Similarity {
                      adds: DataFrame, removeIds: DataFrame): Unit = {
     val codebook = spark.read.parquet(s"$indexDir/codebook")
     val postings = readPostings(spark, indexDir)
+    // opportunistic sidecar backfill for a pre-sidecar index: this is
+    // the last moment the schema is still inferable (this very update
+    // may empty the final cell, after which a sidecar-less index can
+    // never be read again)
+    val sidecarP = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
+    val sidecarFs = sidecarP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!sidecarFs.exists(sidecarP)) {
+      val out = sidecarFs.create(sidecarP, true)
+      try out.write(postings.schema.toDDL.getBytes("UTF-8")) finally out.close()
+    }
     val newPost = nearestCells(adds, codebook, 1, "vec_id")
     val rm = removeIds.select(col("vec_id").as("__rm_id"))
     val touchedCells = newPost.select(col("centroid_id"))

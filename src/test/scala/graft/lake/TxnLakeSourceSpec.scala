@@ -182,6 +182,24 @@ class TxnLakeSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.sql("DROP TABLE txnsrc_sql")
   }
 
+  test("tableDetail reports primary + additive stats columns from one snapshot") {
+    import spark.implicits._
+    val dir = freshDir()
+    TxnLake.create(spark, dir,
+      Seq((1L, "p1", 10.0), (2L, "p2", 20.0)).toDF("id", "part", "price"),
+      "part", statsCol = Some("price"))
+    TxnLake.setStatsColumns(spark, dir, Seq("id"))
+    TxnLake.append(spark, dir, Seq((3L, "p1", 30.0)).toDF("id", "part", "price"))
+    val d = TxnLake.tableDetail(spark, dir).collect()(0)
+    assert(d.getAs[String]("format") === "graft-txn")
+    assert(d.getAs[Long]("version") === 1L)
+    assert(d.getAs[Long]("num_rows") === 3L)
+    assert(d.getAs[String]("partition_column") === "part")
+    assert(d.getAs[Seq[String]]("stats_columns") === Seq("price", "id"),
+      "the PRIMARY zone-map column must be reported alongside the additive set")
+    assert(d.getAs[Long]("retained_versions") === 2L)
+  }
+
   test("SQL catalog: CTAS (CREATE TABLE ... AS SELECT) commits through the manifest") {
     import spark.implicits._
     val dir = freshDir()
