@@ -95,6 +95,30 @@ class AutoLshSpec extends AnyFunSuite with SparkTestSession {
     } finally { corpus.unpersist(); () }
   }
 
+  test("hardNegativesAuto / cosineNearDupsAuto / semanticDedupAuto equal their explicit forms") {
+    // the auto variants must be pure geometry derivations — bit-equal
+    // to the explicit form at the derived constants (the property that
+    // lets the oracles re-derive the same geometry from count(*))
+    val corpus = synth(1000).cache(); corpus.count()
+    val labeled = corpus.withColumn("label",
+      pmod(col("vec_id"), lit(4)).cast("string")).cache(); labeled.count()
+    try {
+      val bits = Similarity.autoBitsPerBand(1000L, 32, 4) * 4 // = 20
+      val hnAuto = Similarity.hardNegativesAuto(labeled, k = 3)
+      val hnFixed = Similarity.hardNegatives(labeled, k = 3, nBits = bits)
+      assert(hnAuto.except(hnFixed).isEmpty && hnFixed.except(hnAuto).isEmpty)
+      assert(hnAuto.filter(col("label") === col("nbr_label")).isEmpty,
+        "a hard negative must always carry a different label")
+      val ndAuto = Similarity.cosineNearDupsAuto(corpus, threshold = 0.9)
+      val ndFixed = Similarity.cosineNearDups(corpus, threshold = 0.9, nBits = bits)
+      assert(ndAuto.except(ndFixed).isEmpty && ndFixed.except(ndAuto).isEmpty)
+      val sdAuto = Similarity.semanticDedupAuto(corpus, threshold = 0.999)
+      val sdFixed = Similarity.semanticDedup(corpus, threshold = 0.999,
+        nCells = Similarity.autoCells(1000L))
+      assert(sdAuto.except(sdFixed).isEmpty && sdFixed.except(sdAuto).isEmpty)
+    } finally { corpus.unpersist(); labeled.unpersist(); () }
+  }
+
   test("lshKnnJoinAuto returns at most k ranked neighbors per vector") {
     val out = Similarity.lshKnnJoinAuto(synth(500), k = 3).cache()
     try {
