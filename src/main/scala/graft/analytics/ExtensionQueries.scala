@@ -1817,12 +1817,15 @@ object ExtensionQueries {
     * banding, exact rescoring) plus the same label-inequality filter, so both
     * the candidates AND the filtered ranking are pinned per vector. */
   private def ss14(s: SparkSession, d: String): DataFrame =
-    Similarity.hardNegativesAuto(embeddings(s, d), k = 3)
+    Similarity.hardNegativesAuto(embeddings(s, d), k = 3, targetBucket = 16)
       .orderBy(col("vec_id"), col("rank"))
 
   // AUTO-SIZED geometry (the ss05 discipline): the old hand-tuned 32
   // bits were right at sf0.1 and quadratic past it — measured 16.4×
-  // wall at 10× data, the suite's worst. The oracle re-derives the
+  // wall at 10× data, the suite's worst. targetBucket = 16 (vs the
+  // kNN ops' 32): mining wants the CLOSEST different-label vectors,
+  // so tighter buckets both halve the candidate bill and bias the
+  // pool toward nearer negatives. The oracle re-derives the
   // SAME bits-per-band from count(*) (integer-exact predicate, see
   // [[Similarity.autoBitsPerBand]]) over the 60-plane family (15-bit
   // cap × 4 bands; planes are prefix-stable so unused tails are inert).
@@ -1833,7 +1836,7 @@ object ExtensionQueries {
       }.mkString(",\n  ")
     s"""WITH geom AS (SELECT CAST(coalesce(MIN(b), 15) AS INT) AS bits
        |  FROM range(4, 16) t(b)
-       |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * 32 >=
+       |  WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) * 16 >=
        |    (SELECT count(*) FROM embeddings)),
        |planes(p, pl) AS (VALUES
        |  $planeRows),
