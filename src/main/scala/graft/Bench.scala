@@ -171,6 +171,13 @@ object Bench {
       java.nio.file.Paths.get("BENCH.json"), lines.mkString("", "\n", "\n"))
     catch { case _: Throwable => () } // stdout stays the contract
     lines.foreach(println)
+    // Re-print the compact total line as the FINAL line (VERDICT r14 #1):
+    // the driver keeps a bounded output TAIL, and the ~6 KB per-query map
+    // plus sbt's epilogue can push an earlier total line out of it (r14's
+    // artifact parsed null for exactly this reason — the mirror image of
+    // the r12 truncation). The duplicate is ~100 bytes and either copy
+    // parses, so the total survives truncation from BOTH directions.
+    println(totalLine)
     spark.stop()
   }
 }

@@ -204,6 +204,20 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
   override val schema: StructType = StructType(physSchema.fields.map(f =>
     f.copy(name = logicalName(f.name))))
 
+  /** Plan-time size = the snapshot's physical bytes (VERDICT r14 #5).
+    * `BaseRelation`'s default is `spark.sql.defaultSizeInBytes`
+    * (effectively +inf), so a small DV/renamed lake table could NEVER
+    * be broadcast at plan time — join-side choice waited for AQE's
+    * first shuffle. Summing manifest file lengths matches what the
+    * fast path already reports through [[TxnFileIndex.sizeInBytes]]
+    * and what Delta surfaces for DV tables: deletion vectors only
+    * remove rows, so the sum is a safe over-approximation (a table can
+    * only look BIGGER than it is — broadcasts stay conservative). Lazy:
+    * one bounded listing per commit dir, only when the planner asks. */
+  override lazy val sizeInBytes: Long =
+    TxnFileIndex.statusesFor(spark, new org.apache.hadoop.fs.Path(dir), manifest)
+      .values.map(_.getLen).sum
+
   /** Filter value → the double unit manifest bounds use. Pushed source
     * filters compare an attribute directly (casts block pushdown), so
     * the value's runtime type IS the column's type: numbers for numeric
@@ -356,17 +370,17 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
   * All metadata here is commit-manifest scale (file count × partition
   * values), resolved on the driver with zero data-file reads.
   */
-private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
-                                  manifest: TxnLake.Manifest) extends FileIndex {
-
-  private val root = new Path(dir)
-  // one listStatus per commit directory, not one RPC per file: commit
-  // dirs are few (one per commit) and each holds its files flat under
-  // __txn_pk=<token>/ subdirs — two bounded listings. Zero-copy cloned
-  // entries list under their SOURCE root (`FileEntry.base`); keys stay
-  // the relative identity, which UUID commit dirs keep collision-free
-  // across roots.
-  private val statusByRel: Map[String, FileStatus] = {
+private[graft] object TxnFileIndex {
+  /** FileStatus for every manifest entry, keyed by the entry's relative
+    * identity. One recursive listing per COMMIT DIRECTORY, not one RPC
+    * per file: commit dirs are few (one per commit) and each holds its
+    * files flat under `__txn_pk=<token>/` subdirs. Zero-copy cloned
+    * entries list under their SOURCE root (`FileEntry.base`); keys stay
+    * the relative identity, which UUID commit dirs keep collision-free
+    * across roots. Shared by the fast-path [[TxnFileIndex]] and the
+    * DV-fallback [[TxnDvRelation]] (its plan-time `sizeInBytes`). */
+  def statusesFor(spark: SparkSession, root: Path,
+                  manifest: TxnLake.Manifest): Map[String, FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
     manifest.files.groupBy(_.base).toSeq.flatMap { case (b, group) =>
       val groupRoot = b.map(new Path(_)).getOrElse(root)
@@ -390,6 +404,20 @@ private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
       }
     }.toMap
   }
+}
+
+private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
+                                  manifest: TxnLake.Manifest) extends FileIndex {
+
+  private val root = new Path(dir)
+  // one listStatus per commit directory, not one RPC per file: commit
+  // dirs are few (one per commit) and each holds its files flat under
+  // __txn_pk=<token>/ subdirs — two bounded listings. Zero-copy cloned
+  // entries list under their SOURCE root (`FileEntry.base`); keys stay
+  // the relative identity, which UUID commit dirs keep collision-free
+  // across roots.
+  private val statusByRel: Map[String, FileStatus] =
+    TxnFileIndex.statusesFor(spark, root, manifest)
 
   override def rootPaths: Seq[Path] = Seq(root)
 
