@@ -1188,15 +1188,21 @@ object TxnLake {
     optimizeZOrder(spark, dir, Seq(xCol, yCol), rowsPerFile)
 
   /** The N-column form (Delta's `ZORDER BY (a, b, c, …)`): identical
-    * commit shape; 2 columns take the 16-bit ladder fast path (the
-    * pinned zq07 layout), 3+ interleave via [[ZOrder.mortonCodeN]]
-    * with `63/n` quantization bits per dimension. */
+    * commit shape; 1 column degenerates to a SORT-based compaction
+    * (a 1-d z-order IS a linear order — Delta accepts single-column
+    * ZORDER the same way, and rejecting it surfaced as an
+    * engine-internal `require` to SQL callers), 2 columns take the
+    * 16-bit ladder fast path (the pinned zq07 layout), 3+ interleave
+    * via [[ZOrder.mortonCodeN]] with `63/n` quantization bits per
+    * dimension. The 1-column sort key is the RAW COLUMN (any orderable
+    * type), not its quantization — quantizing a linear order would
+    * only coarsen it for nothing. */
   def optimizeZOrder(spark: SparkSession, dir: String, zCols: Seq[String],
                      rowsPerFile: Long): OptimizeStats = {
     // the dimension cap is checked BEFORE the full-table min/max
     // aggregate — an argument error must not cost a table scan
-    require(zCols.size >= 2 && zCols.size <= 6,
-      s"ZORDER supports 2..6 columns, got ${zCols.size}")
+    require(zCols.nonEmpty && zCols.size <= 6,
+      s"ZORDER supports 1..6 columns, got ${zCols.size}")
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val schema = StructType.fromDDL(base.schemaDdl)
@@ -1223,7 +1229,8 @@ object TxnLake {
         / lit(mx - mn) * lv.toDouble).cast("bigint"))
     }
     val morton =
-      if (pCols.size == 2)
+      if (pCols.size == 1) col(pCols.head) // raw column: any orderable type sorts
+      else if (pCols.size == 2)
         ZOrder.mortonCode(quant(col(pCols(0)), 0, 1, 65535L),
           quant(col(pCols(1)), 2, 3, 65535L))
       else ZOrder.mortonCodeN(pCols.zipWithIndex.map { case (p, i) =>
@@ -1464,8 +1471,15 @@ object TxnLake {
     * commit conflicts under the standard OCC rule. Vacuumed versions
     * fail loudly in [[resolveAt]] — a partial restore is impossible.
     * The change feed intentionally gets no entry (the diff is derivable
-    * via [[changes]]; Delta's RESTORE makes the same call). */
-  def restore(spark: SparkSession, dir: String, version: Long): Unit = {
+    * via [[changes]]; Delta's RESTORE makes the same call).
+    *
+    * Returns the head version the table is at AFTER the restore: the
+    * version this call minted, or the unchanged current head when the
+    * table already matched the target state. Callers must surface THIS
+    * value, never a post-hoc `currentVersion` re-listing — a concurrent
+    * writer committing right after the restore would make the re-listed
+    * head someone else's version. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val fs = fsOf(spark, dir)
     var attempts = 0
     while (true) {
@@ -1476,7 +1490,7 @@ object TxnLake {
       val target = resolveAt(fs, dir, version)
       if (head.files == target.files && head.schemaDdl == target.schemaDdl &&
           head.partCol == target.partCol && head.renames == target.renames)
-        return // already that state
+        return head.version // already that state
       val touched = (head.files ++ target.files).flatMap(_.parts).toSet
       val rec = CommitRecord(head.version + 1, newCommitId(), target.partCol,
         target.schemaDdl, touched, target.files, head.files.map(_.path).toSet,
@@ -1489,9 +1503,10 @@ object TxnLake {
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
             tombstones = rec.tombstones, txns = head.txns))
-        return
+        return rec.version
       }
     }
+    -1L // unreachable: the loop exits only by return or require
   }
 
   /** DESCRIBE DETAIL: one metadata-only row describing the table —
@@ -1507,19 +1522,24 @@ object TxnLake {
     * [[detail]]. */
   def tableDetail(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
-    val m = resolve(fs, dir)
-      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    // ONE version listing feeds BOTH the head resolution and
+    // retained_versions: a commit or vacuum landing between two
+    // independent listings would yield a row mixing two snapshots
+    // (e.g. version=N with a retained count that excludes N's
+    // predecessor). Every other field binds to the manifest resolved
+    // at that same pinned head (rowCount pinned to m.version).
+    val vs = listVersions(fs, dir)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)")
+    val m = resolveAt(fs, dir, vs.max)
     import spark.implicits._
-    // every field binds to the ONE resolved head `m` (rowCount pinned
-    // to m.version): a concurrent commit between independent reads
-    // would otherwise mix two snapshots in a single answer row.
     // stats_columns = the primary stats column plus the additive
     // setStatsColumns set — both drive zone-map pruning.
     Seq((
       "graft-txn", dir, m.version, m.files.size.toLong,
       rowCount(spark, dir, m.version), m.partCol,
       (m.statsCol.toSeq ++ statsColumnsOf(spark, dir)).distinct,
-      listVersions(fs, dir).size.toLong))
+      vs.size.toLong))
       .toDF("format", "location", "version", "num_files", "num_rows",
         "partition_column", "stats_columns", "retained_versions")
   }
@@ -2340,10 +2360,16 @@ object TxnLake {
     // so two concurrent vacuums can't clobber each other's
     // advertisement — the second aborts loudly. Acquisition guards:
     // (1) a stale lock (a crashed vacuum — mtime past the staleness
-    // window) is cleared only if a RE-READ immediately before the
-    // delete still shows the SAME token and mtime — a concurrent
-    // acquirer that already replaced it with a fresh lock fails the
-    // re-read, so its fresh lock can't be swept by our stale-clear;
+    // window) is cleared by ATOMIC RENAME-CLAIM: of all acquirers that
+    // diagnosed the same stale lock, at most ONE wins the rename onto
+    // its private claim path, so the cleared path is owned — never
+    // multiply deleted (a plain re-read→delete pair left a window
+    // where the slower deleter could remove a successor's fresh
+    // lock). The winner verifies the claimed token matches its stale
+    // snapshot and renames a mistakenly-claimed FRESH lock straight
+    // back; if the path was re-created meanwhile, the claimed token is
+    // dropped and its owner's per-phase assertOwned aborts loudly —
+    // bounded, never silent;
     // (2) an owner token is written into the lock and RE-READ after
     // create — if two acquirers raced the exclusive create, exactly
     // the one whose token survives proceeds; (3) ownership is
@@ -2366,15 +2392,23 @@ object TxnLake {
           Some((bytes, st.getModificationTime))
         } else None
       } catch { case _: Exception => None }
-    staleSnapshot.foreach { case (staleToken, staleMtime) =>
-      val unchanged =
-        try {
-          val st = fs.getFileStatus(lockP)
-          val in = fs.open(lockP)
-          val cur = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-          st.getModificationTime == staleMtime && cur == staleToken
-        } catch { case _: Exception => false }
-      if (unchanged) fs.delete(lockP, false)
+    staleSnapshot.foreach { case (staleToken, _) =>
+      val claim = new Path(lockP.getParent,
+        s"${lockP.getName}.claim.${newCommitId()}")
+      val claimed = try fs.rename(lockP, claim)
+        catch { case _: Exception => false }
+      if (claimed) {
+        val claimedToken =
+          try {
+            val in = fs.open(claim)
+            try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+          } catch { case _: Exception => None }
+        if (claimedToken.contains(staleToken)) fs.delete(claim, false)
+        else if (!fs.rename(claim, lockP))
+          // lockP was re-created while we held the claim: drop the
+          // claimed (fresh) token — its owner aborts at assertOwned
+          fs.delete(claim, false)
+      }
     }
     val token = newCommitId()
     val lockOut =

@@ -202,7 +202,7 @@ object GraftSqlDml {
   private val OptimizeRe =
     """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*\z""".r
   private val VacuumRe =
-    """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*\z""".r
+    """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*\z""".r
   private val HistoryRe =
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
   private val DetailRe =
@@ -237,13 +237,21 @@ object GraftSqlDml {
             c.trim.stripPrefix("`").stripSuffix("`")).toSeq).getOrElse(Nil)
           GraftOptimizeCommand(dir, z)
         }
-      case VacuumRe(target, keep) =>
+      case VacuumRe(target, keep, unit) =>
         dirOf(target).map { dir =>
-          val k = Option(keep).map(s => s.toIntOption.getOrElse(
+          val n = Option(keep).map(s => s.toIntOption.getOrElse(
             throw new IllegalArgumentException(
-              s"VACUUM ... RETAIN $s VERSIONS: the version count must fit " +
-                "in a 32-bit integer"))).getOrElse(2)
-          GraftVacuumCommand(dir, k)
+              s"VACUUM ... RETAIN $s ${Option(unit).getOrElse("")}: the " +
+                "retention count must fit in a 32-bit integer")))
+          // Delta's habitual `RETAIN 168 HOURS` maps onto the engine's
+          // version-based retention via in-commit timestamps at run
+          // time; a bare VACUUM defaults to Delta's 7-day window rather
+          // than an aggressive fixed version count.
+          Option(unit).map(_.toUpperCase) match {
+            case Some("VERSIONS") => GraftVacuumCommand(dir, Left(n.get))
+            case Some("HOURS") => GraftVacuumCommand(dir, Right(n.get))
+            case _ => GraftVacuumCommand(dir, Right(168))
+          }
         }
       // PRECEDENCE NOTE: `DESCRIBE t c` (describe a COLUMN) is valid
       // stock grammar, so `DESCRIBE HISTORY x` is inherently ambiguous
@@ -555,16 +563,34 @@ case class GraftOptimizeCommand(dir: String, zCols: Seq[String])
   }
 }
 
-/** `VACUUM <graft table> [RETAIN n VERSIONS]` -> [[TxnLake.vacuum]].
-  * RETAIN counts VERSIONS (the engine's retention unit — every
-  * retained version stays fully reconstructable), not hours; the
-  * engine's grace window for in-flight files still applies. */
-case class GraftVacuumCommand(dir: String, keepVersions: Int)
+/** `VACUUM <graft table> [RETAIN n VERSIONS | RETAIN n HOURS]` ->
+  * [[TxnLake.vacuum]]. The engine's retention unit is VERSIONS (every
+  * retained version stays fully reconstructable); the HOURS form —
+  * Delta's habitual spelling — maps onto it via IN-COMMIT TIMESTAMPS:
+  * every version committed inside the window is retained, plus the
+  * snapshot that was current AT the window's edge (so a time-travel
+  * read anywhere inside the window keeps resolving). A bare `VACUUM t`
+  * defaults to 168 hours, Delta's 7-day default, NOT an aggressive
+  * fixed version count. The engine's grace window for in-flight files
+  * still applies. */
+case class GraftVacuumCommand(dir: String, keep: Either[Int, Int])
     extends GraftDmlCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", org.apache.spark.sql.types.StringType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    val keepVersions = keep match {
+      case Left(versions) => versions
+      case Right(hours) =>
+        val cutoff = System.currentTimeMillis() - hours.toLong * 3600000L
+        val head = TxnLake.currentVersion(spark, dir)
+        // the version serving reads AT the cutoff instant; when even the
+        // oldest retained version is younger than the window, keep all
+        val edge =
+          try TxnLake.versionAsOfTimestamp(spark, dir, cutoff)
+          catch { case _: IllegalArgumentException => 0L }
+        math.max(1L, head - edge + 1L).min(Int.MaxValue.toLong).toInt
+    }
     TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
     Seq(Row(dir))
   }
@@ -595,8 +621,12 @@ case class GraftRestoreCommand(dir: String, target: Either[Long, String])
         require(!row.isNullAt(0), s"RESTORE TO TIMESTAMP AS OF: cannot parse '$ts'")
         TxnLake.versionAsOfTimestamp(spark, dir, row.getTimestamp(0).getTime)
     }
-    TxnLake.restore(spark, dir, v)
-    Seq(Row(v, TxnLake.currentVersion(spark, dir)))
+    // new_version = the version restore() itself minted (or the
+    // unchanged head on a no-op) — NOT a post-commit currentVersion
+    // re-listing, which a concurrent writer could bump first, making
+    // the statement report someone else's commit as the restore's head
+    val newHead = TxnLake.restore(spark, dir, v)
+    Seq(Row(v, newHead))
   }
 }
 

@@ -399,6 +399,29 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       assert(det.getString(5) === "part")
       assert(det.getLong(7) === 1L, "one retained version after VACUUM RETAIN 1")
 
+      // VACUUM RETAIN n HOURS (Delta's habitual spelling) maps onto
+      // version retention via in-commit timestamps: everything
+      // committed inside the window is retained — on a seconds-old
+      // table that's the entire history. Bare VACUUM defaults to the
+      // same 168-hour window (Delta's 7 days), NOT keep-2-versions.
+      val hrsDir = freshTable(s)
+      val before = s.sql(s"DESCRIBE HISTORY graft_txn.`$hrsDir`").count()
+      s.sql(s"VACUUM graft_txn.`$hrsDir` RETAIN 168 HOURS")
+      assert(s.sql(s"DESCRIBE HISTORY graft_txn.`$hrsDir`").count() === before,
+        "hour-window vacuum must retain versions committed inside the window")
+      s.sql(s"VACUUM graft_txn.`$hrsDir`")
+      assert(s.sql(s"DESCRIBE HISTORY graft_txn.`$hrsDir`").count() === before,
+        "bare VACUUM defaults to a 7-day window, not an aggressive version count")
+      // an hour window entirely in the past retains only the head
+      s.sql(s"VACUUM graft_txn.`$hrsDir` RETAIN 0 HOURS")
+      assert(s.sql(s"DESCRIBE HISTORY graft_txn.`$hrsDir`").count() === 1L,
+        "a zero-hour window keeps only the current snapshot")
+
+      // single-column ZORDER = sort-based compaction (Delta accepts it)
+      val oneCol = s.sql(s"OPTIMIZE graft_txn.`$hrsDir` ZORDER BY (id)").collect()(0)
+      assert(oneCol.getLong(3) > 0L, "1-column ZORDER commits a rewrite")
+      assert(rows(s, hrsDir).nonEmpty, "contents survive the 1-d cluster")
+
       // a non-graft target falls through to the stock parser's error
       intercept[Exception](s.sql("OPTIMIZE not_a_graft_table"))
       // catalog addressing works for maintenance too
