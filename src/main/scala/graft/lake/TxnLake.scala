@@ -2845,9 +2845,27 @@ object TxnLake {
     // the writer clustered by (partition token, sort key), so each
     // file — and each maxRecordsPerFile split — holds a CONTIGUOUS
     // sort-key range, which is what makes its zone maps tight
+    //
+    // SMALL DRIVER-LOCAL INPUTS skip the shuffle entirely: a
+    // LocalRelation's row count is known on the driver for free, and a
+    // few thousand literal rows hash-shuffled across 32 partitions is
+    // pure scheduling tax (32 near-empty map tasks + a shuffle stage
+    // per commit — the dominant slice of multi-commit builds in the
+    // r14 bench's 120 s build phase). coalesce(1) writes them in ONE
+    // task; the dynamic-partition writer still splits the output by
+    // __txn_pk, so the one-value-per-file invariant and per-file zone
+    // maps are unchanged. Distributed inputs keep the repartition —
+    // at real scale the shuffle is what spreads writer load.
+    val smallLocal = df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.lengthCompare(100000) <= 0
+      case _ => false
+    }
     val arranged = {
-      val base = df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
-        .repartition(n, col(partCol))
+      val keyed = df.withColumn("__txn_pk", hex(xxhash64(col(partCol).cast("string"))))
+      val base =
+        if (smallLocal) keyed.coalesce(1)
+        else keyed.repartition(n, col(partCol))
       if (sortWithin.isEmpty) base
       else base.sortWithinPartitions(col("__txn_pk") +: sortWithin: _*)
     }
@@ -2864,11 +2882,6 @@ object TxnLake {
       fsStage.delete(new Path(dataDir), true)
       return Seq.empty
     }
-    // metadata-scale jobs cover partition values AND (when tracked) the
-    // per-file zone map and Bloom bits: min/max ignore NULLs, so
-    // all-NULL files carry no bounds and readRange keeps them
-    // conservatively.
-    val staged = spark.read.parquet(dataDir)
     // multi-column zone maps: the table's stats-columns property adds
     // per-file bounds for each named column present in this staging
     // (absent columns — post-drop appends — just record no bounds).
@@ -2889,6 +2902,36 @@ object TxnLake {
     // contributes no __mn/__mx agg columns, and reading them anyway
     // would throw on every commit of such a table
     val zTracked = statsCol.exists(sc => trackable(df.schema(sc).dataType))
+    // FOOTER FAST PATH: the files this commit just wrote already carry
+    // everything the manifest needs — block row counts, per-chunk typed
+    // min/max, null counts — so per-file rows, partition values and
+    // zone maps come from O(files) driver-side FOOTER reads, and the
+    // read-back aggregate below (a whole extra Spark job per commit,
+    // the dominant slice of the r14 bench's 120 s multi-commit build
+    // phase) never launches. The fallback job remains for every shape
+    // footers cannot serve EXACTLY: bloom filters (row-level hashing),
+    // INT96 timestamps (no stats written), NaN-poisoned float chunks,
+    // a token-collision file mixing partition values, exotic partition
+    // value types — [[entriesFromFooters]] returns None and the agg
+    // path answers, so the fast path can only ever skip work, never
+    // change an answer. Commits minting MANY files (a big OPTIMIZE)
+    // also fall back: one Spark job amortizes better than thousands of
+    // serial footer round-trips on an object store.
+    // `spark.graft.txnlake.footerStats=false` forces the aggregate path
+    // — the A/B seam the equivalence spec drives, and an escape hatch
+    // should a writer/footer mismatch ever surface in the field
+    val footerStatsOn = spark.conf
+      .getOption("spark.graft.txnlake.footerStats").forall(_.toBoolean)
+    val fromFooters: Option[Seq[FileEntry]] =
+      if (!footerStatsOn || bloomCol.isDefined || wrote.length > 64) None
+      else entriesFromFooters(spark, dir, wrote, df.schema, partCol,
+        statsCol.filter(_ => zTracked), extraStats)
+    if (fromFooters.isDefined) return fromFooters.get
+    // metadata-scale jobs cover partition values AND (when tracked) the
+    // per-file zone map and Bloom bits: min/max ignore NULLs, so
+    // all-NULL files carry no bounds and readRange keeps them
+    // conservatively.
+    val staged = spark.read.parquet(dataDir)
     val aggCols =
       statsCol.toSeq.filter(_ => zTracked).flatMap(sc => Seq(
         min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
@@ -2950,6 +2993,194 @@ object TxnLake {
           rows = Some(rows.map(_.getAs[Long]("__n")).sum))
       }
       .toSeq.sortBy(_.path)
+  }
+
+  /** Manifest entries straight from the staged files' PARQUET FOOTERS —
+    * the commit-metadata fast path (no Spark job). Returns None when
+    * ANY file/column shape cannot be reproduced EXACTLY as the read-back
+    * aggregate would have computed it; the caller then runs that
+    * aggregate, so this path can only skip work, never change a recorded
+    * value. Exactness rules, per shape:
+    *
+    *   - rows: block row counts — always exact.
+    *   - partition value: the partCol chunk must be single-valued
+    *     (min == max, zero nulls → that value) or all-null (→ NULL);
+    *     a mixed or multi-valued chunk (64-bit token collision) falls
+    *     back, because the value SET is not enumerable from bounds.
+    *     Rendering must byte-match [[render]]'s `String.valueOf` of the
+    *     row object, so only types whose footer value prints identically
+    *     qualify (string/int-family/long/boolean/float/double).
+    *   - zone maps: min/max in the cast-to-double unit. Monotone casts
+    *     commute with min/max, so typed footer bounds cast AFTER the
+    *     fact equal the aggregate of cast values: int family and long
+    *     via toDouble, float/double directly (parquet pads zero bounds
+    *     to -0.0/+0.0 — normalized back, numerically identical),
+    *     decimals via unscaled×10^-scale (Decimal.toDouble semantics),
+    *     INT64 timestamps via their annotation unit → epoch seconds.
+    *     INT96 timestamps write NO stats — fall back. A chunk with
+    *     missing stats that is not provably all-null (NaN-poisoned
+    *     floats, truncated binaries) — fall back.
+    */
+  private def entriesFromFooters(spark: SparkSession, dir: String,
+                                 wrote: Array[org.apache.hadoop.fs.FileStatus],
+                                 schema: StructType, partCol: String,
+                                 zCol: Option[String],
+                                 extraStats: Seq[String]): Option[Seq[FileEntry]] = {
+    import org.apache.parquet.column.statistics.Statistics
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // typed chunk bounds -> the cast-to-double unit, or None if this
+    // primitive/annotation pair cannot be converted exactly
+    def boundsOf(st: Statistics[_],
+                 tpe: org.apache.parquet.schema.PrimitiveType): Option[(Double, Double)] = {
+      def dec(scale: Int, unscaledMin: java.math.BigInteger,
+              unscaledMax: java.math.BigInteger): Option[(Double, Double)] =
+        Some((new java.math.BigDecimal(unscaledMin, scale).doubleValue(),
+          new java.math.BigDecimal(unscaledMax, scale).doubleValue()))
+      def noNegZero(v: Double): Double = if (v == 0.0) 0.0 else v
+      (tpe.getPrimitiveTypeName, tpe.getLogicalTypeAnnotation) match {
+        case (INT32, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          dec(d.getScale, java.math.BigInteger.valueOf(
+              st.genericGetMin.asInstanceOf[Integer].longValue()),
+            java.math.BigInteger.valueOf(
+              st.genericGetMax.asInstanceOf[Integer].longValue()))
+        case (INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          dec(d.getScale, java.math.BigInteger.valueOf(
+              st.genericGetMin.asInstanceOf[java.lang.Long].longValue()),
+            java.math.BigInteger.valueOf(
+              st.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+        case (FIXED_LEN_BYTE_ARRAY | BINARY,
+              d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+          dec(d.getScale,
+            new java.math.BigInteger(st.genericGetMin
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+            new java.math.BigInteger(st.genericGetMax
+              .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+        case (INT64, t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+          val div = t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => 1e3
+            case LogicalTypeAnnotation.TimeUnit.MICROS => 1e6
+            case LogicalTypeAnnotation.TimeUnit.NANOS => 1e9
+          }
+          Some((st.genericGetMin.asInstanceOf[java.lang.Long].toDouble / div,
+            st.genericGetMax.asInstanceOf[java.lang.Long].toDouble / div))
+        case (INT32, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+             (INT32, null) =>
+          Some((st.genericGetMin.asInstanceOf[Integer].toDouble,
+            st.genericGetMax.asInstanceOf[Integer].toDouble))
+        case (INT64, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+             (INT64, null) =>
+          Some((st.genericGetMin.asInstanceOf[java.lang.Long].toDouble,
+            st.genericGetMax.asInstanceOf[java.lang.Long].toDouble))
+        case (FLOAT, _) =>
+          Some((noNegZero(st.genericGetMin.asInstanceOf[java.lang.Float].toDouble),
+            noNegZero(st.genericGetMax.asInstanceOf[java.lang.Float].toDouble)))
+        case (DOUBLE, _) =>
+          Some((noNegZero(st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue()),
+            noNegZero(st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue())))
+        case _ => None
+      }
+    }
+
+    // footer value -> render()'s String.valueOf of the row object; None
+    // if this type's print form is not reproducible from the footer
+    def renderOf(v: AnyRef,
+                 tpe: org.apache.parquet.schema.PrimitiveType): Option[String] =
+      (tpe.getPrimitiveTypeName, tpe.getLogicalTypeAnnotation) match {
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        case (INT32, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+             (INT32, null) => Some(String.valueOf(v.asInstanceOf[Integer].intValue()))
+        case (INT64, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+             (INT64, null) => Some(String.valueOf(v.asInstanceOf[java.lang.Long].longValue()))
+        case (BOOLEAN, _) => Some(String.valueOf(v.asInstanceOf[java.lang.Boolean]))
+        case (FLOAT, _) => Some(String.valueOf(v.asInstanceOf[java.lang.Float].floatValue()))
+        case (DOUBLE, _) => Some(String.valueOf(v.asInstanceOf[java.lang.Double].doubleValue()))
+        case _ => None
+      }
+
+    val tracked: Seq[String] = zCol.toSeq ++ extraStats
+    val out = Seq.newBuilder[FileEntry]
+    for (fst <- wrote) {
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(fst, conf))
+        catch { case _: Exception => return None }
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // per needed column: (chunk stats, primitive type) per block;
+        // a chunk is usable if stats exist with null count set
+        def chunksFor(name: String) = blocks.map(b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name))
+        // ---- partition value ----
+        val partChunks = chunksFor(partCol)
+        if (partChunks.exists(_.isEmpty)) return None
+        val pcs = partChunks.map(_.get)
+        val pNulls = pcs.map { c =>
+          val st = c.getStatistics
+          if (st == null || !st.isNumNullsSet) -1L else st.getNumNulls
+        }
+        if (pNulls.contains(-1L)) return None
+        val parts: Set[Option[String]] =
+          if (pNulls.sum == rows) Set(None)
+          else if (pNulls.sum == 0L) {
+            val rendered = pcs.map { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else if (st.genericGetMin != st.genericGetMax) None
+              else renderOf(st.genericGetMin.asInstanceOf[AnyRef], c.getPrimitiveType)
+            }
+            if (rendered.exists(_.isEmpty)) return None
+            val distinct = rendered.flatten.distinct
+            if (distinct.size != 1) return None // multi-valued across blocks
+            Set(Some(distinct.head))
+          } else return None // mixed null + value: set not enumerable
+        // ---- zone maps ----
+        val boundsByCol = tracked.map { name =>
+          val chunks = chunksFor(name)
+          if (chunks.exists(_.isEmpty)) name -> Left(())
+          else {
+            // per block: Left = not exactly reproducible (fall back);
+            // Right(None) = provably all-null (contributes no bounds);
+            // Right(Some(b)) = typed bounds in the cast-to-double unit
+            val perBlock: Seq[Either[Unit, Option[(Double, Double)]]] =
+              blocks.zip(chunks.map(_.get)).map { case (b, c) =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet) Left(())
+                else if (st.hasNonNullValue)
+                  boundsOf(st, c.getPrimitiveType) match {
+                    case Some(bd) => Right(Some(bd))
+                    case None => Left(())
+                  }
+                else if (st.getNumNulls == b.getRowCount) Right(None)
+                else Left(()) // stats dropped (INT96 / NaN) — not provably all-null
+              }
+            if (perBlock.exists(_.isLeft)) name -> Left(())
+            else {
+              val bs = perBlock.flatMap(_.toOption.flatten)
+              name -> Right(
+                if (bs.isEmpty) None
+                else Some((bs.map(_._1).min, bs.map(_._2).max)))
+            }
+          }
+        }.toMap
+        if (boundsByCol.values.exists(_.isLeft)) return None
+        def colBounds(name: String): Option[(Double, Double)] =
+          boundsByCol(name).toOption.flatten
+        val (zmin, zmax) = zCol.flatMap(colBounds) match {
+          case Some((lo, hi)) => (Some(lo), Some(hi))
+          case None => (None, None)
+        }
+        val stats = extraStats.flatMap(c => colBounds(c).map(c -> _)).toMap
+        out += FileEntry(dataRel(fst.getPath.toUri.getPath), parts, zmin, zmax,
+          spec = Some(partCol), stats = stats, rows = Some(rows))
+      } finally reader.close()
+    }
+    Some(out.result().sortBy(_.path))
   }
 
   /** Bloom geometry: `bloomBits` bits (a per-table knob, default 1024
