@@ -110,7 +110,8 @@ object TxnLake {
                        spec: Option[String] = None,
                        stats: Map[String, (Double, Double)] = Map.empty,
                        base: Option[String] = None,
-                       rows: Option[Long] = None) {
+                       rows: Option[Long] = None,
+                       bytes: Option[Long] = None) {
     /** Whether this file's partition values index `partCol` (legacy
       * in-memory entries without a spec are treated as current). */
     def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
@@ -1513,13 +1514,12 @@ object TxnLake {
     * format, location, head version, live file count, live row count
     * (from manifest row counts minus deletion vectors, None when a
     * legacy file lacks counts), partition column, tracked stats
-    * columns, and retained version count. Everything comes from the
-    * resolved manifest + one log listing; no data file is opened —
-    * the Delta `DESCRIBE DETAIL` shape (sizeInBytes is deliberately
-    * absent: the manifest does not record file sizes, and stat-ing
-    * every file of a 100 TB table for a DESCRIBE would be the kind of
-    * hidden O(files) cost this engine refuses). The PER-FILE view is
-    * [[detail]]. */
+    * columns, retained version count, and total size in bytes (summed
+    * from the manifest's per-file `bytes`, recorded at staging time —
+    * Delta's per-file `size` field; NULL when any live entry predates
+    * byte tracking, never a hidden O(files) stat sweep). Everything
+    * comes from the resolved manifest + one log listing; no data file
+    * is opened. The PER-FILE view is [[detail]]. */
   def tableDetail(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     // ONE version listing feeds BOTH the head resolution and
@@ -1535,13 +1535,18 @@ object TxnLake {
     import spark.implicits._
     // stats_columns = the primary stats column plus the additive
     // setStatsColumns set — both drive zone-map pruning.
+    val sizeBytes: Option[Long] = {
+      val known = m.files.flatMap(_.bytes)
+      if (known.size == m.files.size) Some(known.sum) else None
+    }
     Seq((
       "graft-txn", dir, m.version, m.files.size.toLong,
       rowCount(spark, dir, m.version), m.partCol,
       (m.statsCol.toSeq ++ statsColumnsOf(spark, dir)).distinct,
-      vs.size.toLong))
+      vs.size.toLong, sizeBytes))
       .toDF("format", "location", "version", "num_files", "num_rows",
-        "partition_column", "stats_columns", "retained_versions")
+        "partition_column", "stats_columns", "retained_versions",
+        "size_bytes")
   }
 
   /** TRUNCATE: drop every live row in ONE metadata-only commit — the
@@ -2932,6 +2937,7 @@ object TxnLake {
     // all-NULL files carry no bounds and readRange keeps them
     // conservatively.
     val staged = spark.read.parquet(dataDir)
+    val lenByRel = wrote.map(s => dataRel(s.getPath.toUri.getPath) -> s.getLen).toMap
     val aggCols =
       statsCol.toSeq.filter(_ => zTracked).flatMap(sc => Seq(
         min(col(sc).cast("double")).as("__mn"), max(col(sc).cast("double")).as("__mx"))) ++
@@ -2990,7 +2996,12 @@ object TxnLake {
         }.toMap
         FileEntry(relPath, rows.map(r => render(r.get(1))).toSet, zmin, zmax,
           bloom = bloom, spec = Some(partCol), stats = stats,
-          rows = Some(rows.map(_.getAs[Long]("__n")).sum))
+          rows = Some(rows.map(_.getAs[Long]("__n")).sum),
+          // physical size from the staging glob — the same statuses
+          // the footer path reads; manifest-recorded bytes make
+          // DESCRIBE DETAIL / plan-time sizing log-only (Delta's
+          // per-file `size` field)
+          bytes = lenByRel.get(relPath))
       }
       .toSeq.sortBy(_.path)
   }
@@ -3177,7 +3188,8 @@ object TxnLake {
         }
         val stats = extraStats.flatMap(c => colBounds(c).map(c -> _)).toMap
         out += FileEntry(dataRel(fst.getPath.toUri.getPath), parts, zmin, zmax,
-          spec = Some(partCol), stats = stats, rows = Some(rows))
+          spec = Some(partCol), stats = stats, rows = Some(rows),
+          bytes = Some(fst.getLen))
       } finally reader.close()
     }
     Some(out.result().sortBy(_.path))
@@ -3303,6 +3315,7 @@ object TxnLake {
       val fn = fsArr.addObject()
       fn.put("path", f.path)
       f.rows.foreach { r => fn.put("rows", r); () }
+      f.bytes.foreach { b => fn.put("bytes", b); () }
       f.base.foreach(fn.put("base", _))
       f.zmin.foreach(fn.put("zmin", _))
       f.zmax.foreach(fn.put("zmax", _))
@@ -3373,7 +3386,8 @@ object TxnLake {
           }.toMap
         },
         base = Option(fn.get("base")).map(_.asText()),
-        rows = Option(fn.get("rows")).map(_.asLong()))
+        rows = Option(fn.get("rows")).map(_.asLong()),
+        bytes = Option(fn.get("bytes")).map(_.asLong()))
     }.toSeq
   }
 
@@ -3463,6 +3477,11 @@ object TxnLake {
       val n = readJson(fs, cp)
       Some((n.get("size").asLong(), n.get("crc32").asLong()))
     } catch { case _: Exception => None }
+
+  /** Test seam: drop cached sidecar expectations so a spec that edits a
+    * log record in place (simulating a legacy/damaged log) is re-read
+    * fresh instead of tripping the stale cached checksum. */
+  private[lake] def clearCrcCacheForTests(): Unit = crcCache.clear()
 
   /** Read + verify a log record/checkpoint against its sidecar. */
   private def readVerifiedJson(fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode = {

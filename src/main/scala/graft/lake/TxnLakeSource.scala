@@ -212,11 +212,17 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
     * fast path already reports through [[TxnFileIndex.sizeInBytes]]
     * and what Delta surfaces for DV tables: deletion vectors only
     * remove rows, so the sum is a safe over-approximation (a table can
-    * only look BIGGER than it is — broadcasts stay conservative). Lazy:
-    * one bounded listing per commit dir, only when the planner asks. */
-  override lazy val sizeInBytes: Long =
-    TxnFileIndex.statusesFor(spark, new org.apache.hadoop.fs.Path(dir), manifest)
+    * only look BIGGER than it is — broadcasts stay conservative).
+    * LOG-ONLY when every live entry carries its staged byte size (the
+    * manifest `bytes` field, recorded at commit time) — zero fs calls;
+    * legacy manifests fall back to one bounded listing per commit dir,
+    * lazily, only when the planner asks. */
+  override lazy val sizeInBytes: Long = {
+    val known = manifest.files.flatMap(_.bytes)
+    if (known.size == manifest.files.size) known.sum
+    else TxnFileIndex.statusesFor(spark, new org.apache.hadoop.fs.Path(dir), manifest)
       .values.map(_.getLen).sum
+  }
 
   /** Filter value → the double unit manifest bounds use. Pushed source
     * filters compare an attribute directly (casts block pushdown), so

@@ -643,7 +643,8 @@ case class GraftDetailCommand(dir: String) extends GraftDmlCommand {
     AttributeReference("num_rows", LongType, nullable = true)(),
     AttributeReference("partition_column", StringType, nullable = false)(),
     AttributeReference("stats_columns", ArrayType(StringType), nullable = false)(),
-    AttributeReference("retained_versions", LongType, nullable = false)())
+    AttributeReference("retained_versions", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
     TxnLake.tableDetail(spark, dir).collect().toSeq
 }
