@@ -800,6 +800,60 @@ object TxnLake {
     *
     * Returns the number of rows deleted (0 = nothing matched, no
     * commit published). */
+  /** Per-table-file doomed-row counts of a just-written DV sidecar —
+    * (file, n) pairs. FOOTER FAST PATH first (the stageFiles
+    * discipline): the sidecar was repartitioned by `file` and written
+    * without a row cap, so each part file usually holds exactly one
+    * `file` value — its footer then gives the value (string min==max,
+    * zero nulls) and the count (block row counts) with no Spark job.
+    * Any ambiguous part (several table files hashed into one
+    * partition, missing stats) falls back to the read-back aggregate,
+    * so this can only skip work, never change a count. */
+  private def dvMetaOf(spark: SparkSession, dvAbs: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dvAbs)
+    val fs = p.getFileSystem(conf)
+    val parts = Option(fs.globStatus(new Path(s"$dvAbs/*.parquet")))
+      .getOrElse(Array.empty)
+    val fast: Option[Seq[(String, Long)]] =
+      if (parts.length > 64) None
+      else {
+        val acc = Seq.newBuilder[(String, Long)]
+        val ok = parts.forall { st =>
+          val reader =
+            try org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+            catch { case _: Exception => return fallbackDvMeta(spark, dvAbs) }
+          try {
+            val blocks = reader.getFooter.getBlocks.asScala.toSeq
+            val vals = blocks.map { b =>
+              b.getColumns.asScala.find(_.getPath.toDotString == "file") match {
+                case Some(c) =>
+                  val s = c.getStatistics
+                  if (s == null || !s.isNumNullsSet || s.getNumNulls != 0L ||
+                      !s.hasNonNullValue || s.genericGetMin != s.genericGetMax) None
+                  else Some((s.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8, b.getRowCount))
+                case None => None
+              }
+            }
+            if (vals.exists(_.isEmpty)) false
+            else { acc ++= vals.flatten; true }
+          } finally reader.close()
+        }
+        if (ok) Some(acc.result()) else None
+      }
+    fast.map(_.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq)
+      .getOrElse(fallbackDvMeta(spark, dvAbs))
+  }
+
+  private def fallbackDvMeta(spark: SparkSession, dvAbs: String): Seq[(String, Long)] =
+    spark.read.parquet(dvAbs)
+      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   def deleteWhere(spark: SparkSession, dir: String, predicate: Column): Long = {
     val fs = fsOf(spark, dir)
     val base = resolve(fs, dir)
@@ -822,11 +876,10 @@ object TxnLake {
       .select(col("__txn_file").as("file"), col("__txn_pos").as("pos"))
       .repartition(col("file")).sortWithinPartitions(col("file"), col("pos"))
       .write.mode(SaveMode.ErrorIfExists).parquet(dvAbs)
-    val dvMeta = spark.read.parquet(dvAbs)
-      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
+    val dvMeta = dvMetaOf(spark, dvAbs)
     if (dvMeta.isEmpty) { fs.delete(new Path(dvAbs), true); return 0L }
-    val deleted = dvMeta.map(_.getLong(1)).sum
-    val touchedPaths = dvMeta.map(_.getString(0)).toSet
+    val deleted = dvMeta.map(_._2).sum
+    val touchedPaths = dvMeta.map(_._1).toSet
     val updated = base.files.filter(f => touchedPaths.contains(f.path))
       .map(f => f.copy(dv = f.dv :+ dvRel))
     val touched = updated.flatMap(_.parts).toSet
@@ -897,11 +950,10 @@ object TxnLake {
       .select(col("__txn_file").as("file"), col("__txn_pos").as("pos"))
       .repartition(col("file")).sortWithinPartitions(col("file"), col("pos"))
       .write.mode(SaveMode.ErrorIfExists).parquet(dvAbs)
-    val dvMeta = spark.read.parquet(dvAbs)
-      .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
+    val dvMeta = dvMetaOf(spark, dvAbs)
     if (dvMeta.isEmpty) { fs.delete(new Path(dvAbs), true); return 0L }
-    val updatedCount = dvMeta.map(_.getLong(1)).sum
-    val touchedPaths = dvMeta.map(_.getString(0)).toSet
+    val updatedCount = dvMeta.map(_._2).sum
+    val touchedPaths = dvMeta.map(_._1).toSet
     val withDv = base.files.filter(f => touchedPaths.contains(f.path))
       .map(f => f.copy(dv = f.dv :+ dvRel))
     // 2. matched rows derived from the MATERIALIZED DV itself (a narrow
