@@ -1289,6 +1289,63 @@ object ScaleQueries {
       |UNION ALL SELECT 'history', 3, CAST(NULL AS DOUBLE)
       |ORDER BY channel""".stripMargin
 
+  /** lk26 — SCOPED MAINTENANCE SQL: `OPTIMIZE ... WHERE <partition
+    * predicate>` ([[graft.lake.TxnLake.optimize]]'s partition-scoped
+    * form — Delta's shape: only matching partitions compact, decided
+    * from the MANIFEST's distinct values, no data file opened) and
+    * `VACUUM ... DRY RUN` ([[graft.lake.TxnLake.vacuumDryRun]] — the
+    * sweep preview, mutating nothing). History: create + two appends
+    * fragment all three `pt` partitions 3-deep; `OPTIMIZE WHERE
+    * pt >= '1'` must rewrite EXACTLY partitions 1 and 2 (the
+    * `optimize` channel pins partitions_rewritten = 2); the dry run
+    * at RETAIN 1 must preview exactly the 3 droppable log records
+    * while deleting nothing (the `history` channel still counts all
+    * 4 versions afterwards). Per-partition aggregates prove the
+    * scoped rewrite changed no data. All counts derive from the
+    * commit cascade, not file-split accidents, so the oracle replays
+    * them as constants. */
+  private def lk26(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk26")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 5 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt")
+    TxnLake.append(s, dir, slice(1))
+    TxnLake.append(s, dir, slice(2))
+    val opt = GraftSqlDml
+      .exec(s, s"OPTIMIZE graft_txn.`$dir` WHERE pt >= '1'").collect()(0)
+    val dryRecords = GraftSqlDml
+      .exec(s, s"VACUUM graft_txn.`$dir` RETAIN 1 VERSIONS DRY RUN")
+      .filter(col("kind") === "log_record").count()
+    val nHist = GraftSqlDml.exec(s, s"DESCRIBE HISTORY graft_txn.`$dir`").count()
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("pt")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(Seq(
+        ("optimize", opt.getLong(2)), ("dryrun_records", dryRecords),
+        ("history", nHist)).toDF("channel", "n")
+        .withColumn("sum_price", lit(null).cast("double")))
+      .orderBy(col("channel"))
+  }
+
+  private val lk26Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 3 AS VARCHAR) AS pt,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2))
+      |SELECT 'table:' || pt AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY 1
+      |UNION ALL SELECT 'optimize', 2, CAST(NULL AS DOUBLE)
+      |UNION ALL SELECT 'dryrun_records', 3, CAST(NULL AS DOUBLE)
+      |UNION ALL SELECT 'history', 4, CAST(NULL AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2029,6 +2086,7 @@ object ScaleQueries {
 
   val defs: Map[String, Q] = Map(
     "lk25_sql_truncate" -> (lk25 _),
+    "lk26_sql_scoped_maintenance" -> (lk26 _),
     "lk24_sql_restore" -> (lk24 _),
     "lk23_sql_maintenance" -> (lk23 _),
     "lk20_sql_dml" -> (lk20 _),
@@ -2072,6 +2130,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "lk25_sql_truncate" -> lk25Sql,
+    "lk26_sql_scoped_maintenance" -> lk26Sql,
     "lk24_sql_restore" -> lk24Sql,
     "lk23_sql_maintenance" -> lk23Sql,
     "lk20_sql_dml" -> lk20Sql,

@@ -1192,23 +1192,45 @@ object TxnLake {
     * vector-free files, restoring the zero-overhead scan path — the
     * merge-on-read debt repayment [[deleteWhere]] defers to here. */
   def optimize(spark: SparkSession, dir: String, minFiles: Int = 2,
-               purgeDv: Boolean = false): OptimizeStats = {
+               purgeDv: Boolean = false,
+               where: Option[Column] = None): OptimizeStats = {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(base.schemaDdl)
+    // PARTITION-SCOPED compaction (Delta's `OPTIMIZE t WHERE ...`):
+    // the predicate is evaluated over the manifest's DISTINCT partition
+    // values — typed back through the partition column's own type, so
+    // `pt >= '2'` / `day = DATE'...'` compare as the column would — and
+    // only matching partitions compact. Metadata-only: no data file is
+    // opened to decide scope. A reference to any non-partition column
+    // fails analysis loudly (the Delta rule: OPTIMIZE WHERE accepts
+    // partition predicates only).
+    val allowed: Option[Set[Option[String]]] = where.map { pred =>
+      val logicalPart = base.renames.getOrElse(base.partCol, base.partCol)
+      val dt = schema(base.partCol).dataType
+      import spark.implicits._
+      base.files.flatMap(_.parts).distinct.map(_.orNull).toDF("__pv")
+        .select(col("__pv").cast(dt).as(logicalPart))
+        .filter(pred).collect()
+        .map(r => Option(r.get(0)).map(String.valueOf)).toSet
+    }
+    def scoped(ps: Set[Option[String]]): Set[Option[String]] =
+      allowed.fold(ps)(ps.intersect)
     val fileCount = base.files.flatMap(f => f.parts.map(_ -> f.path))
       .groupBy(_._1).view.mapValues(_.size)
-    val fragmented = fileCount.filter(_._2 > minFiles).keys.toSet ++
+    val fragmented = scoped(fileCount.filter(_._2 > minFiles).keys.toSet ++
       (if (purgeDv) base.files.filter(_.dv.nonEmpty).flatMap(_.parts).toSet
-       else Set.empty[Option[String]])
+       else Set.empty[Option[String]]))
     // legacy-spec files always compact: OPTIMIZE is the deliberate
-    // migration path after evolvePartitioning
+    // migration path after evolvePartitioning (WHERE-scoped runs skip
+    // them unless a legacy file carries an in-scope value)
     val legacy = base.files.filterNot(_.onSpec(base.partCol))
+      .filter(f => allowed.forall(a => f.parts.exists(a.contains)))
     if (fragmented.isEmpty && legacy.isEmpty)
       return OptimizeStats(base.files.size, base.files.size, 0, base.version)
     val pruned = (base.files.filter(_.parts.exists(fragmented.contains)) ++ legacy)
       .distinct
     val touched = pruned.flatMap(_.parts).toSet
-    val schema = StructType.fromDDL(base.schemaDdl)
     val rewritten = readEntries(spark, dir, schema, pruned, renames = base.renames)
     val newFiles = stageFiles(spark, dir, toPhysical(rewritten, base.renames),
       base.partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
@@ -2497,10 +2519,13 @@ object TxnLake {
     }
   }
 
-  private def vacuumLocked(spark: SparkSession, fs: FileSystem, dir: String,
-                           versions: Seq[Long], ckpts: Seq[Long],
-                           keepVersions: Int, graceMs: Long,
-                           assertOwned: () => Unit): Unit = {
+  /** The retention decision both [[vacuumLocked]] and [[vacuumDryRun]]
+    * share: which versions drop, which stay, and which data files / DV
+    * sidecar dirs the retained chain still references. Pure selection —
+    * reads the log, mutates nothing. */
+  private def vacuumSelection(fs: FileSystem, dir: String,
+                              versions: Seq[Long], keepVersions: Int)
+      : (Seq[Long], Seq[Long], Long, Set[String], Set[String]) = {
     // named refs ([[tag]], clone pins) are a retention FLOOR: every
     // version >= the oldest pin keeps its records and files, whatever
     // `keepVersions` says — [[dropRef]] releases
@@ -2509,13 +2534,6 @@ object TxnLake {
     val keepFrom = pinnedVersions(fs, dir).minOption.fold(byCount)(math.min(_, byCount))
     val (dropV, keepV) = sorted.partition(_ < keepFrom)
     val minKeep = keepV.head
-    // retention-proof resolution: checkpoint the oldest retained
-    // version BEFORE any older record disappears (derived data —
-    // create-if-absent, a lost race is fine)
-    if (dropV.nonEmpty && !ckpts.contains(minKeep)) {
-      val m = resolveAt(fs, dir, minKeep)
-      publish(fs, dir, checkpointPath(dir, minKeep), writeManifestBytes(m), m.commitId)
-    }
     // ONE forward replay over the retained chain for the live-file set
     // (and the deletion-vector dirs those versions still reference)
     var cur = resolveAt(fs, dir, minKeep).files
@@ -2528,8 +2546,68 @@ object TxnLake {
       refBuilder ++= cur.map(_.path)
       dvRefBuilder ++= cur.flatMap(_.dv)
     }
-    val referenced = refBuilder.result()
-    val dvReferenced = dvRefBuilder.result()
+    (dropV, keepV, minKeep, refBuilder.result(), dvRefBuilder.result())
+  }
+
+  /** `VACUUM ... DRY RUN`: everything [[vacuum]] WOULD remove right
+    * now, one row per path with its kind (`log_record` / `checkpoint` /
+    * `data_file` / `dv_sidecar_dir` / `cdc_dir`) — no lock, no
+    * checkpoint write, no deletion. Advisory by nature: a commit or
+    * vacuum landing after the listing changes the real sweep, exactly
+    * as with Delta's dry run. The same grace window applies, so a
+    * file an in-flight commit just staged is not reported. */
+  def vacuumDryRun(spark: SparkSession, dir: String, keepVersions: Int = 2,
+                   graceMs: Long = 60000L): DataFrame = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val fs = fsOf(spark, dir)
+    val (versions, ckpts) = listLog(fs, dir)
+    import spark.implicits._
+    if (versions.isEmpty) return Seq.empty[(String, String)].toDF("path", "kind")
+    val (dropV, _, minKeep, referenced, dvReferenced) =
+      vacuumSelection(fs, dir, versions, keepVersions)
+    val out = Seq.newBuilder[(String, String)]
+    dropV.foreach(v => out += manifestPath(dir, v).toString -> "log_record")
+    ckpts.filter(_ < minKeep).foreach(v =>
+      out += checkpointPath(dir, v).toString -> "checkpoint")
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dataRoot = new Path(dir, DataDir)
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { cdir =>
+      val it = fs.listFiles(cdir.getPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = dataRel(f.getPath.toUri.getPath)
+        if (!referenced.contains(rel) && f.getModificationTime < cutoff)
+          out += f.getPath.toString -> "data_file"
+      }
+    }
+    val dvRoot = new Path(dir, DvDir)
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
+      val rel = s"$DvDir/${st.getPath.getName}"
+      if (!dvReferenced.contains(rel) && st.getModificationTime < cutoff)
+        out += st.getPath.toString -> "dv_sidecar_dir"
+    }
+    val cdcRoot = new Path(dir, CdcDir)
+    if (fs.exists(cdcRoot)) fs.listStatus(cdcRoot).foreach { st =>
+      val digits = st.getPath.getName.stripPrefix("v")
+      if (digits.nonEmpty && digits.forall(_.isDigit) && digits.toLong < minKeep)
+        out += st.getPath.toString -> "cdc_dir"
+    }
+    out.result().sorted.toDF("path", "kind")
+  }
+
+  private def vacuumLocked(spark: SparkSession, fs: FileSystem, dir: String,
+                           versions: Seq[Long], ckpts: Seq[Long],
+                           keepVersions: Int, graceMs: Long,
+                           assertOwned: () => Unit): Unit = {
+    val (dropV, _, minKeep, referenced, dvReferenced) =
+      vacuumSelection(fs, dir, versions, keepVersions)
+    // retention-proof resolution: checkpoint the oldest retained
+    // version BEFORE any older record disappears (derived data —
+    // create-if-absent, a lost race is fine)
+    if (dropV.nonEmpty && !ckpts.contains(minKeep)) {
+      val m = resolveAt(fs, dir, minKeep)
+      publish(fs, dir, checkpointPath(dir, minKeep), writeManifestBytes(m), m.commitId)
+    }
     // drop the RECORDS of vacuumed versions BEFORE their data files:
     // a pin creator's post-pin resolveAt re-check then fails as soon
     // as a version is being dropped — structurally closing the

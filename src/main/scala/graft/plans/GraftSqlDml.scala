@@ -200,9 +200,9 @@ object GraftSqlDml {
   // graft-txn table falls through to the delegate untouched, so stock
   // statements (e.g. `DESCRIBE history_tbl col`) keep stock semantics.
   private val OptimizeRe =
-    """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*\z""".r
+    """(?is)\A\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*\z""".r
   private val VacuumRe =
-    """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?\s*;?\s*\z""".r
+    """(?is)\A\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*\z""".r
   private val HistoryRe =
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
   private val DetailRe =
@@ -231,26 +231,27 @@ object GraftSqlDml {
       pathParts(parts).orElse(catalogDir(spark, parts))
     }
     sqlText match {
-      case OptimizeRe(target, zcols) =>
+      case OptimizeRe(target, whereTxt, zcols) =>
         dirOf(target).map { dir =>
           val z = Option(zcols).map(_.split(",").map(c =>
             c.trim.stripPrefix("`").stripSuffix("`")).toSeq).getOrElse(Nil)
-          GraftOptimizeCommand(dir, z)
+          GraftOptimizeCommand(dir, z, Option(whereTxt).map(_.trim))
         }
-      case VacuumRe(target, keep, unit) =>
+      case VacuumRe(target, keep, unit, dry) =>
         dirOf(target).map { dir =>
           val n = Option(keep).map(s => s.toIntOption.getOrElse(
             throw new IllegalArgumentException(
               s"VACUUM ... RETAIN $s ${Option(unit).getOrElse("")}: the " +
                 "retention count must fit in a 32-bit integer")))
+          val dryRun = dry != null
           // Delta's habitual `RETAIN 168 HOURS` maps onto the engine's
           // version-based retention via in-commit timestamps at run
           // time; a bare VACUUM defaults to Delta's 7-day window rather
           // than an aggressive fixed version count.
           Option(unit).map(_.toUpperCase) match {
-            case Some("VERSIONS") => GraftVacuumCommand(dir, Left(n.get))
-            case Some("HOURS") => GraftVacuumCommand(dir, Right(n.get))
-            case _ => GraftVacuumCommand(dir, Right(168))
+            case Some("VERSIONS") => GraftVacuumCommand(dir, Left(n.get), dryRun)
+            case Some("HOURS") => GraftVacuumCommand(dir, Right(n.get), dryRun)
+            case _ => GraftVacuumCommand(dir, Right(168), dryRun)
           }
         }
       // PRECEDENCE NOTE: `DESCRIBE t c` (describe a COLUMN) is valid
@@ -547,7 +548,8 @@ case class BySourceSpec(delete: Boolean, condition: Option[ExprBox],
   * clustering) — one atomic commit either way; the returned row
   * surfaces the engine's [[TxnLake.OptimizeStats]] so SQL callers see
   * the effect they'd get from the API. */
-case class GraftOptimizeCommand(dir: String, zCols: Seq[String])
+case class GraftOptimizeCommand(dir: String, zCols: Seq[String],
+                                where: Option[String] = None)
     extends GraftDmlCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
@@ -555,29 +557,40 @@ case class GraftOptimizeCommand(dir: String, zCols: Seq[String])
     AttributeReference("partitions_rewritten", LongType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    require(where.isEmpty || zCols.isEmpty,
+      "OPTIMIZE ... WHERE with ZORDER BY is not supported: scope the " +
+        "compaction with WHERE first, then ZORDER the table — two statements")
     val st =
-      if (zCols.isEmpty) TxnLake.optimize(spark, dir)
+      if (zCols.isEmpty)
+        TxnLake.optimize(spark, dir,
+          where = where.map(org.apache.spark.sql.functions.expr))
       else TxnLake.optimizeZOrder(spark, dir, zCols, rowsPerFile = 0L)
     Seq(Row(st.filesBefore.toLong, st.filesAfter.toLong,
       st.partitionsCompacted.toLong, st.version))
   }
 }
 
-/** `VACUUM <graft table> [RETAIN n VERSIONS | RETAIN n HOURS]` ->
-  * [[TxnLake.vacuum]]. The engine's retention unit is VERSIONS (every
-  * retained version stays fully reconstructable); the HOURS form —
-  * Delta's habitual spelling — maps onto it via IN-COMMIT TIMESTAMPS:
-  * every version committed inside the window is retained, plus the
-  * snapshot that was current AT the window's edge (so a time-travel
-  * read anywhere inside the window keeps resolving). A bare `VACUUM t`
-  * defaults to 168 hours, Delta's 7-day default, NOT an aggressive
-  * fixed version count. The engine's grace window for in-flight files
-  * still applies. */
-case class GraftVacuumCommand(dir: String, keep: Either[Int, Int])
+/** `VACUUM <graft table> [RETAIN n VERSIONS | RETAIN n HOURS] [DRY
+  * RUN]` -> [[TxnLake.vacuum]] / [[TxnLake.vacuumDryRun]]. The engine's
+  * retention unit is VERSIONS (every retained version stays fully
+  * reconstructable); the HOURS form — Delta's habitual spelling — maps
+  * onto it via IN-COMMIT TIMESTAMPS: every version committed inside the
+  * window is retained, plus the snapshot that was current AT the
+  * window's edge (so a time-travel read anywhere inside the window
+  * keeps resolving). A bare `VACUUM t` defaults to 168 hours, Delta's
+  * 7-day default, NOT an aggressive fixed version count. The engine's
+  * grace window for in-flight files still applies. DRY RUN previews —
+  * one row per path vacuum would remove, with its kind — and mutates
+  * nothing. */
+case class GraftVacuumCommand(dir: String, keep: Either[Int, Int],
+                              dryRun: Boolean = false)
     extends GraftDmlCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("path", org.apache.spark.sql.types.StringType,
-      nullable = false)())
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(
+      AttributeReference("path", StringType, nullable = false)(),
+      AttributeReference("kind", StringType, nullable = false)())
+    else Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val keepVersions = keep match {
       case Left(versions) => versions
@@ -591,8 +604,11 @@ case class GraftVacuumCommand(dir: String, keep: Either[Int, Int])
           catch { case _: IllegalArgumentException => 0L }
         math.max(1L, head - edge + 1L).min(Int.MaxValue.toLong).toInt
     }
-    TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
-    Seq(Row(dir))
+    if (dryRun) TxnLake.vacuumDryRun(spark, dir, keepVersions).collect().toSeq
+    else {
+      TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
+      Seq(Row(dir))
+    }
   }
 }
 

@@ -422,6 +422,43 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       assert(oneCol.getLong(3) > 0L, "1-column ZORDER commits a rewrite")
       assert(rows(s, hrsDir).nonEmpty, "contents survive the 1-d cluster")
 
+      // VACUUM ... DRY RUN: previews the sweep, removes nothing
+      val dryDir = freshTable(s)
+      TxnLake.append(s, dryDir, Seq((9L, 90L, "p1")).toDF("id", "v", "part"))
+      val preview = s.sql(s"VACUUM graft_txn.`$dryDir` RETAIN 1 VERSIONS DRY RUN")
+      assert(preview.columns.toSeq === Seq("path", "kind"))
+      val kinds = preview.collect().map(_.getString(1)).toSet
+      assert(kinds.contains("log_record"),
+        "retain-1 on a 2-commit table must preview dropped records")
+      assert(s.sql(s"DESCRIBE HISTORY graft_txn.`$dryDir`").count() === 2L,
+        "DRY RUN must not delete anything")
+      // the wet run removes exactly the previewed records
+      s.sql(s"VACUUM graft_txn.`$dryDir` RETAIN 1 VERSIONS")
+      assert(s.sql(s"DESCRIBE HISTORY graft_txn.`$dryDir`").count() === 1L)
+
+      // OPTIMIZE ... WHERE: partition-scoped compaction — fragment p1
+      // AND p2, scope the statement to p2, p1 must keep its fragments
+      val whDir = freshTable(s)
+      for (k <- Seq(7L, 8L)) TxnLake.append(s, whDir,
+        Seq((k * 10, k, "p2"), (k * 10 + 1, k, "p1")).toDF("id", "v", "part"))
+      def filesOf(part: String): Long = TxnLake.detail(s, whDir)
+        .filter(col("part_value") === part).count()
+      val p1Before = filesOf("p1")
+      assert(p1Before > 1, "setup: p1 fragmented")
+      val scopedOpt = s.sql(
+        s"OPTIMIZE graft_txn.`$whDir` WHERE part = 'p2'").collect()(0)
+      assert(scopedOpt.getLong(2) === 1L,
+        "only the matching partition may be rewritten")
+      assert(filesOf("p2") === 1L, "p2 compacted to one file")
+      assert(filesOf("p1") === p1Before,
+        "out-of-scope partition keeps its fragments")
+      // WHERE + ZORDER is refused loudly, not silently mis-scoped
+      intercept[Exception](
+        s.sql(s"OPTIMIZE graft_txn.`$whDir` WHERE part = 'p2' ZORDER BY (id, v)"))
+      // non-partition column references fail analysis loudly
+      intercept[Exception](
+        s.sql(s"OPTIMIZE graft_txn.`$whDir` WHERE id > 5"))
+
       // a non-graft target falls through to the stock parser's error
       intercept[Exception](s.sql("OPTIMIZE not_a_graft_table"))
       // catalog addressing works for maintenance too
