@@ -1232,8 +1232,22 @@ object TxnLake {
       .distinct
     val touched = pruned.flatMap(_.parts).toSet
     val rewritten = readEntries(spark, dir, schema, pruned, renames = base.renames)
+    // BYTE-TARGETED packing (Delta's optimize.targetFileSize), opt-in
+    // via `spark.graft.txnlake.targetFileBytes`: the rows-per-file cap
+    // derives from the PRUNED entries' own manifest rows/bytes ratio —
+    // metadata-only, and per-table-honest (wide rows pack fewer). Off
+    // (the default), layouts are unchanged.
+    val maxRecs = spark.conf.getOption("spark.graft.txnlake.targetFileBytes")
+      .flatMap(_.toLongOption).filter(_ > 0).flatMap { tb =>
+        val sized = pruned.filter(f => f.rows.isDefined && f.bytes.isDefined)
+        val rows = sized.flatMap(_.rows).sum
+        val bytes = sized.flatMap(_.bytes).sum
+        if (bytes <= 0L || rows <= 0L) None
+        else Some(math.max(1L, tb * rows / bytes))
+      }
     val newFiles = stageFiles(spark, dir, toPhysical(rewritten, base.renames),
-      base.partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits)
+      base.partCol, touched.size, base.statsCol, base.bloomCol, base.bloomBits,
+      maxRecsOverride = maxRecs)
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,

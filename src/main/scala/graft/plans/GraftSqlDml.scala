@@ -207,6 +207,8 @@ object GraftSqlDml {
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
   private val DetailRe =
     """(?is)\A\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*\z""".r
+  private val ReorgRe =
+    """(?is)\A\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*\z""".r
   private val RestoreRe =
     """(?is)\A\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*\z""".r
   private val RestoreTsRe =
@@ -260,6 +262,7 @@ object GraftSqlDml {
       // Delta's parser, the HISTORY reading wins — but ONLY when x
       // resolves to a graft-txn table; otherwise the statement falls
       // through and keeps its stock meaning.
+      case ReorgRe(target) => dirOf(target).map(GraftReorgCommand)
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
       case DetailRe(target) => dirOf(target).map(GraftDetailCommand)
       case RestoreRe(target, v) =>
@@ -609,6 +612,25 @@ case class GraftVacuumCommand(dir: String, keep: Either[Int, Int],
       TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
       Seq(Row(dir))
     }
+  }
+}
+
+/** `REORG TABLE <graft table> APPLY (PURGE)` — Delta's merge-on-read
+  * debt repayment statement: rewrite ONLY the files carrying
+  * outstanding deletion vectors (their partitions), folding the
+  * vectors away; plain fragmentation is deliberately NOT compacted
+  * (`minFiles = Int.MaxValue` — that is OPTIMIZE's job). Same stats
+  * row as OPTIMIZE. */
+case class GraftReorgCommand(dir: String) extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("partitions_rewritten", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = TxnLake.optimize(spark, dir, minFiles = Int.MaxValue, purgeDv = true)
+    Seq(Row(st.filesBefore.toLong, st.filesAfter.toLong,
+      st.partitionsCompacted.toLong, st.version))
   }
 }
 

@@ -84,6 +84,30 @@ class FileSizeStatsSpec extends AnyFunSuite with SparkTestSession {
       "with full byte coverage the estimate must be the manifest sum")
   }
 
+  test("byte-targeted OPTIMIZE packs to spark.graft.txnlake.targetFileBytes") {
+    import spark.implicits._
+    val dir = freshDir()
+    // one partition fragmented across 4 commits with fat string payloads
+    def batch(k: Int) = (0 until 2000)
+      .map(i => ("p0", k * 10000L + i, "x" * 64)).toDF("part", "id", "pad")
+    TxnLake.create(spark, dir, batch(0), "part", statsCol = Some("id"))
+    (1 to 3).foreach(k => TxnLake.append(spark, dir, batch(k)))
+    val totalBytes = TxnLake.resolve(spark, dir).get.files.flatMap(_.bytes).sum
+    val target = totalBytes / 6
+    spark.conf.set("spark.graft.txnlake.targetFileBytes", target.toString)
+    try {
+      val st = TxnLake.optimize(spark, dir)
+      assert(st.filesAfter > 1,
+        s"a target of total/6 must split the compaction output, got ${st.filesAfter}")
+      val m = TxnLake.resolve(spark, dir).get
+      // packed files land near the target (parquet framing gives slack)
+      m.files.flatMap(_.bytes).foreach(b =>
+        assert(b <= target * 3,
+          s"packed file $b bytes overshoots the $target target beyond framing slack"))
+      assert(TxnLake.read(spark, dir).count() === 8000L)
+    } finally spark.conf.unset("spark.graft.txnlake.targetFileBytes")
+  }
+
   test("a legacy entry without bytes yields NULL size_bytes, never a guess") {
     import spark.implicits._
     val dir = freshDir()

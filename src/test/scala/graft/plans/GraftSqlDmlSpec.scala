@@ -459,6 +459,20 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       intercept[Exception](
         s.sql(s"OPTIMIZE graft_txn.`$whDir` WHERE id > 5"))
 
+      // REORG TABLE ... APPLY (PURGE): rewrite ONLY DV-bearing files
+      val rgDir = freshTable(s)
+      for (k <- Seq(7L, 8L)) TxnLake.append(s, rgDir,
+        Seq((k * 10, k, "p1")).toDF("id", "v", "part"))
+      TxnLake.deleteWhere(s, rgDir, col("id") === 3L) // DV on p2's file
+      val beforeReorg = rows(s, rgDir)
+      val rg = s.sql(s"REORG TABLE graft_txn.`$rgDir` APPLY (PURGE)").collect()(0)
+      assert(rg.getLong(2) === 1L, "only the DV partition is rewritten")
+      assert(rows(s, rgDir) === beforeReorg, "REORG must not change contents")
+      // p1 stays fragmented: REORG is not OPTIMIZE
+      val p1Frags = TxnLake.detail(s, rgDir)
+        .filter(col("part_value") === "p1").count()
+      assert(p1Frags === 3L, s"p1 fragments must survive REORG, saw $p1Frags")
+
       // a non-graft target falls through to the stock parser's error
       intercept[Exception](s.sql("OPTIMIZE not_a_graft_table"))
       // catalog addressing works for maintenance too
