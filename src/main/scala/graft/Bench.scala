@@ -145,7 +145,7 @@ object Bench {
     val lakeBuilders = Seq("zq01", "zq02", "zq03", "zq04", "zq05", "zq06",
       "zq07", "zq08", "lk01", "lk02", "lk03", "lk04", "lk05", "lk06", "lk07", "lk08",
       "lk09", "lk10", "lk11", "lk12", "lk13", "lk14", "lk15", "lk16", "lk17", "lk18", "lk19",
-      "lk20", "lk21", "lk22", "lk23", "lk24", "lk25", "lk26", "zq09", "st15", "st17",
+      "lk20", "lk21", "lk22", "lk23", "lk24", "lk25", "lk26", "lk27", "zq09", "st15", "st17",
       "st18", "st19", "st20",
       "ss07", "ss12", "ss15", "iq04")
     val lakeList = lakeBuilders.map("\"" + _ + "\"").mkString("[", ",", "]")

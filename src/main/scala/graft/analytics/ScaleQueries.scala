@@ -1361,6 +1361,55 @@ object ScaleQueries {
       |UNION ALL SELECT 'history', 4, CAST(NULL AS DOUBLE)
       |ORDER BY channel""".stripMargin
 
+  /** lk27 — `table_changes` TVF ([[graft.plans.GraftSqlDml]]'s
+    * rewrite of Delta CDF's SQL entry): the retained change rows of a
+    * graft-txn table between two versions, as a RELATION. History:
+    * create with the change feed on (v0 inserts), SQL INSERT a second
+    * slice (v1 inserts), SQL DELETE a keyed stripe (v2 delete
+    * pre-images, which must carry the full deleted rows — their
+    * price sum is the channel payload). The query aggregates the feed
+    * per (change type, version) FROM VERSION 1, so the v0 bulk load
+    * stays out; the oracle replays the same slices relationally.
+    * Version numbers are deterministic by construction. */
+  private def lk27(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk27")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 6 === k)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "o_orderstatus", changeFeed = true)
+    val view = s"lk27_ins_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    slice(1).createOrReplaceTempView(view)
+    try GraftSqlDml.exec(s, s"INSERT INTO graft_txn.`$dir` SELECT * FROM $view")
+    finally s.catalog.dropTempView(view)
+    GraftSqlDml.exec(s,
+      s"DELETE FROM graft_txn.`$dir` WHERE o_orderkey % 5 = 2")
+    GraftSqlDml.sql(s,
+      s"""SELECT _change_type || ':v' || CAST(_commit_version AS STRING) AS channel,
+         |  count(*) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+         |FROM table_changes('$dir', 1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  private val lk27Sql =
+    """WITH s0 AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |s1 AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 6 = 1),
+      |deleted AS (
+      |  SELECT * FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+      |  WHERE o_orderkey % 5 = 2)
+      |SELECT 'insert:v1' AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price FROM s1
+      |UNION ALL
+      |SELECT 'delete:v2', CAST(count(*) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      |FROM deleted
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2102,6 +2151,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "lk25_sql_truncate" -> (lk25 _),
     "lk26_sql_scoped_maintenance" -> (lk26 _),
+    "lk27_sql_table_changes" -> (lk27 _),
     "lk24_sql_restore" -> (lk24 _),
     "lk23_sql_maintenance" -> (lk23 _),
     "lk20_sql_dml" -> (lk20 _),
@@ -2146,6 +2196,7 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "lk25_sql_truncate" -> lk25Sql,
     "lk26_sql_scoped_maintenance" -> lk26Sql,
+    "lk27_sql_table_changes" -> lk27Sql,
     "lk24_sql_restore" -> lk24Sql,
     "lk23_sql_maintenance" -> lk23Sql,
     "lk20_sql_dml" -> lk20Sql,

@@ -313,6 +313,39 @@ object GraftSqlDml {
         })
       case r: UnresolvedRelation if pathDir(r).isDefined =>
         TxnLake.read(spark, pathDir(r).get).queryExecution.analyzed
+      // Delta CDF's SQL entry: `SELECT ... FROM table_changes('t', 2
+      // [, 5])` — the retained change rows of a graft-txn table between
+      // two versions, as a RELATION (composes in joins/CTEs/subqueries
+      // like any other). Rides [[graft.streaming.CdcFeed.batch]], so
+      // the rows are the commit-time materialized feed (O(changed
+      // rows), never a snapshot diff) in the full preimage dialect with
+      // `_change_type` / `_commit_version` columns. Version bounds are
+      // INTEGER literals (inclusive); a table without a feed fails
+      // loudly with the CdcFeed message. Non-graft names fall through
+      // to whatever the session's own table_changes resolves to.
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("table_changes") &&
+            tableChangesDir(spark, tvf.functionArgs).isDefined =>
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val args = tvf.functionArgs
+        require(args.size == 2 || args.size == 3,
+          "table_changes(table, startVersion[, endVersion]) takes 2 or 3 arguments")
+        def ver(e: Expression, what: String): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"table_changes: $what must be an integer version literal, got " +
+              s"${other.sql} (timestamp bounds are not supported — resolve " +
+              "them to versions via DESCRIBE HISTORY first)")
+        }
+        val dir = tableChangesDir(spark, args).get
+        val from = ver(args(1), "startVersion")
+        val feed = graft.streaming.CdcFeed.batch(spark, dir, from)
+        val bounded =
+          if (args.size == 3)
+            feed.filter(col(TxnLake.VersionCol) <= ver(args(2), "endVersion"))
+          else feed
+        SubqueryAlias("table_changes", bounded.queryExecution.analyzed)
       case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(rel, ts, ver) =>
         resolveTarget(spark, rel) match {
           case None => tt
@@ -340,6 +373,35 @@ object GraftSqlDml {
             df.queryExecution.analyzed
         }
     }
+
+  /** The graft-txn dir a `table_changes(...)` first argument names, or
+    * None (non-graft → the reference falls through untouched): a string
+    * literal holding a catalog table name, Delta's `graft_txn.`/path``
+    * spelling, or a bare filesystem path. */
+  private def tableChangesDir(spark: SparkSession,
+                              args: Seq[Expression]): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    args.headOption.flatMap {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+        val name = v.toString
+        val parsed =
+          try Some(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseMultipartIdentifier(name))
+          catch { case _: Exception => None }
+        // a bare path is claimed only when it actually IS a graft table
+        // (has a change feed or at least a txn log) — a stranger's path
+        // must fall through to the session's own table_changes
+        def isGraft: Boolean =
+          try {
+            val p = new org.apache.hadoop.fs.Path(name, TxnLake.CdcDir)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.exists(p) || fs.exists(new org.apache.hadoop.fs.Path(name, "_graft_log"))
+          } catch { case _: Exception => false }
+        parsed.flatMap(p => pathParts(p).orElse(catalogDir(spark, p)))
+          .orElse(if (name.contains("/") && isGraft) Some(name) else None)
+      case _ => None
+    }
+  }
 
   // ---- target resolution -------------------------------------------------
 

@@ -483,6 +483,42 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("table_changes TVF serves the CDC feed as a relation") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s, cdc = true)                       // v0: 4 inserts
+      TxnLake.append(s, dir, Seq((9L, 90L, "p1")).toDF("id", "v", "part")) // v1
+      TxnLake.deleteWhere(s, dir, col("id") === 1L)             // v2: 1 delete
+      // path-literal addressing, start bound only
+      val byType = s.sql(
+        s"SELECT _change_type AS ct, count(*) AS n FROM table_changes('$dir', 1) " +
+          "GROUP BY 1 ORDER BY 1").collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(byType.toSeq === Seq(("delete", 1L), ("insert", 1L)))
+      // graft_txn.`path` spelling + inclusive end bound excludes the delete
+      val insOnly = s.sql(
+        s"SELECT count(*) FROM table_changes('graft_txn.`$dir`', 1, 1)").head().getLong(0)
+      assert(insOnly === 1L)
+      // composes like any relation (CTE + join back to the live table)
+      val joined = s.sql(
+        s"""WITH ch AS (SELECT id, _commit_version FROM table_changes('$dir', 0, 1))
+           |SELECT count(*) FROM ch JOIN graft_txn.`$dir` t ON ch.id = t.id""".stripMargin)
+        .head().getLong(0)
+      assert(joined === 4L, "v0-v1 inserts minus the deleted id=1 still joins 4")
+      // the full preimage dialect rides through (delete carries the row)
+      val del = s.sql(
+        s"SELECT id, v FROM table_changes('$dir', 2)").collect()
+      assert(del.toSeq.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 10L)))
+      // timestamp bounds are refused with a targeted message
+      val e = intercept[Exception](s.sql(
+        s"SELECT * FROM table_changes('$dir', '2026-01-01')").collect())
+      assert(e.getMessage.contains("integer version"),
+        s"expected the version-literal message, got: ${e.getMessage}")
+      // a non-graft name falls through to stock resolution (loud, not hijacked)
+      intercept[Exception](
+        s.sql("SELECT * FROM table_changes('no_such_table', 0)").collect())
+    }
+  }
+
   test("RESTORE TABLE statement rolls back as a forward commit, both addressing forms") {
     withExtendedSession { s =>
       import s.implicits._
