@@ -67,10 +67,16 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q52: decorrelated EXISTS/NOT EXISTS plan as semi/anti joins, no nested loops over data") {
+  test("q52: both Q21 quantifiers fold into two-level hash aggregates — no expand, no nested loops") {
     val p = plan("q52_sole_late_supplier")
-    assert(p.contains("LeftSemi"), p)
-    assert(p.contains("LeftAnti"), p)
+    // the EXISTS/NOT EXISTS pair is answered by per-(order,supplier)
+    // then per-order exact aggregation with map-side partials…
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p)
+    // …NOT by countDistinct's EXPAND (triples fact rows pre-shuffle)
+    // and NOT by fact-scale semi/anti joins or nested loops
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
