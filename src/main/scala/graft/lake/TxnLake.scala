@@ -2665,7 +2665,14 @@ object TxnLake {
     }
     rawFs.listStatus(new Path(dir, LogDir)).foreach { st =>
       val n = st.getPath.getName
-      if (n.endsWith(".crc")) {
+      // a stale-clear claimant that crashed between its rename-claim
+      // and the delete leaves `_vacuum.lock.claim.<uuid>` behind —
+      // harmless (nothing reads claim paths) but collected here once
+      // past the grace window, same discipline as abandoned stages
+      if (n.startsWith(s"$VacuumLockName.claim.") &&
+          st.getModificationTime < sweepCutoff)
+        fs.delete(st.getPath, false)
+      else if (n.endsWith(".crc")) {
         if (!n.startsWith(".")) {
           if (n.endsWith(".json.crc") &&
               !fs.exists(new Path(st.getPath.getParent, n.stripSuffix(".crc"))))
