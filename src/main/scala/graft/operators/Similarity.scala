@@ -369,7 +369,15 @@ object Similarity {
     * waste the whole candidate budget on same-label neighbors and
     * return fewer than k negatives. Same banded-hyperplane recall
     * trade as [[lshKnnJoin]], pinned by the exact-replay oracle
-    * (ss14). Corpus carries (vec_id, embedding, label). */
+    * (ss14). Corpus carries (vec_id, embedding, label).
+    *
+    * The per-anchor top-k stays a WINDOW deliberately: an r15 A/B
+    * replaced it with the bounded-heap `top_k_by` aggregate plus
+    * survivor re-joins (to recover nbr_label/cos) and measured SLOWER
+    * at sf1 (6.2 s vs 4.9 s, same window) — at ~bands×targetBucket
+    * candidates per anchor the window's group sort is cheap, and two
+    * extra corpus-wide joins cost more than it saves. Revisit only if
+    * candidate occupancy per anchor grows past ~10³. */
   def hardNegatives(corpus: DataFrame, k: Int, nBits: Int = 16,
                     bands: Int = 4, seed: Long = 42L): DataFrame = {
     val banded = bandedSignatures(corpus, nBits, bands, seed)
