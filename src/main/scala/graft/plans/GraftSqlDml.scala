@@ -207,6 +207,8 @@ object GraftSqlDml {
     """(?is)\A\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*\z""".r
   private val DetailRe =
     """(?is)\A\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*\z""".r
+  private val ShowPropsRe =
+    """(?is)\A\s*SHOW\s+TBLPROPERTIES\s+(.+?)\s*;?\s*\z""".r
   private val ReorgRe =
     """(?is)\A\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*\z""".r
   private val RestoreRe =
@@ -262,6 +264,9 @@ object GraftSqlDml {
       // Delta's parser, the HISTORY reading wins — but ONLY when x
       // resolves to a graft-txn table; otherwise the statement falls
       // through and keeps its stock meaning.
+      // like DESCRIBE HISTORY, the graft reading wins ONLY for graft
+      // tables; `SHOW TBLPROPERTIES catalog_tbl` keeps stock semantics
+      case ShowPropsRe(target) => dirOf(target).map(GraftShowPropertiesCommand)
       case ReorgRe(target) => dirOf(target).map(GraftReorgCommand)
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
       case DetailRe(target) => dirOf(target).map(GraftDetailCommand)
@@ -674,6 +679,30 @@ case class GraftVacuumCommand(dir: String, keep: Either[Int, Int],
       TxnLake.vacuum(spark, dir, keepVersions = keepVersions)
       Seq(Row(dir))
     }
+  }
+}
+
+/** `SHOW TBLPROPERTIES <graft table>` — the table's graft-level
+  * properties as (key, value) rows, Delta's `delta.*` discipline:
+  * partition column (logical name), the stats-tracked column set, the
+  * change-feed flag, and one `graft.generatedColumns.<col>` row per
+  * generated column with its expression. Metadata-only (manifest +
+  * marker files). Non-graft targets keep stock `SHOW TBLPROPERTIES`
+  * semantics — the pre-match claims only graft tables. */
+case class GraftShowPropertiesCommand(dir: String) extends GraftDmlCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val det = TxnLake.tableDetail(spark, dir).collect()(0)
+    val base = Seq(
+      "graft.partitionColumn" -> det.getAs[String]("partition_column"),
+      "graft.statsColumns" -> det.getAs[Seq[String]]("stats_columns").mkString(","),
+      "graft.changeFeed" -> TxnLake.cdcEnabled(spark, dir).toString)
+    val gen = TxnLake.generatedColumnsOf(spark, dir).toSeq
+      .map { case (c, e) => s"graft.generatedColumns.$c" -> e }
+    (base ++ gen).sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
 

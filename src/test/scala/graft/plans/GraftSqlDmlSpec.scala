@@ -473,6 +473,19 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
         .filter(col("part_value") === "p1").count()
       assert(p1Frags === 3L, s"p1 fragments must survive REORG, saw $p1Frags")
 
+      // SHOW TBLPROPERTIES surfaces the graft-level properties
+      val propDir = freshTable(s)
+      TxnLake.setStatsColumns(s, propDir, Seq("v"))
+      TxnLake.setGeneratedColumns(s, propDir, Map.empty)
+      val props = s.sql(s"SHOW TBLPROPERTIES graft_txn.`$propDir`")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props("graft.partitionColumn") === "part")
+      assert(props("graft.statsColumns").split(",").contains("v"))
+      assert(props("graft.changeFeed") === "false")
+      // stock SHOW TBLPROPERTIES keeps stock semantics for non-graft
+      intercept[Exception](
+        s.sql("SHOW TBLPROPERTIES no_such_tbl_xyz").collect())
+
       // a non-graft target falls through to the stock parser's error
       intercept[Exception](s.sql("OPTIMIZE not_a_graft_table"))
       // catalog addressing works for maintenance too
