@@ -1209,10 +1209,17 @@ object TxnLake {
       val logicalPart = base.renames.getOrElse(base.partCol, base.partCol)
       val dt = schema(base.partCol).dataType
       import spark.implicits._
-      base.files.flatMap(_.parts).distinct.map(_.orNull).toDF("__pv")
-        .select(col("__pv").cast(dt).as(logicalPart))
+      // The ORIGINAL manifest string rides alongside the typed value,
+      // so scope membership is decided on the typed cast but keyed back
+      // by the exact rendered string — no re-rendering round trip. A
+      // value whose rendering wouldn't survive String.valueOf(cast(x))
+      // (exotic decimal scales, session-zone timestamps) can therefore
+      // never be silently dropped from scope.
+      base.files.flatMap(_.parts).distinct.map(ov => Tuple1(ov.orNull))
+        .toDF("__graft_pv_raw")
+        .select(col("__graft_pv_raw"), col("__graft_pv_raw").cast(dt).as(logicalPart))
         .filter(pred).collect()
-        .map(r => Option(r.get(0)).map(String.valueOf)).toSet
+        .map(r => Option(r.getString(0))).toSet
     }
     def scoped(ps: Set[Option[String]]): Set[Option[String]] =
       allowed.fold(ps)(ps.intersect)
@@ -1301,11 +1308,18 @@ object TxnLake {
     val phys = toPhysical(live, base.renames)
     val physOf = base.renames.map(_.swap)
     val pCols = zCols.map(c => physOf.getOrElse(c, c))
-    // normalization constants: one metadata-scale aggregate
-    val aggs = pCols.flatMap(p =>
-      Seq(min(col(p).cast("double")), max(col(p).cast("double")))) :+ count(lit(1))
+    // normalization constants: one metadata-scale aggregate. The
+    // 1-column sort path needs NO bounds (it sorts the raw column), so
+    // it aggregates only count(1) — running min/max(cast double) there
+    // would throw under ANSI for string/date columns, contradicting the
+    // "any orderable type" contract, and pay a full-column aggregate
+    // whose bounds are never used.
+    val aggs =
+      if (pCols.size == 1) Seq(count(lit(1)))
+      else pCols.flatMap(p =>
+        Seq(min(col(p).cast("double")), max(col(p).cast("double")))) :+ count(lit(1))
     val b = phys.agg(aggs.head, aggs.tail: _*).collect().head
-    val cntI = 2 * pCols.size
+    val cntI = if (pCols.size == 1) 0 else 2 * pCols.size
     if (b.isNullAt(cntI) || b.getLong(cntI) == 0L)
       return OptimizeStats(base.files.size, base.files.size, 0, base.version)
     val nRows = b.getLong(cntI)
@@ -2497,10 +2511,30 @@ object TxnLake {
             try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
           } catch { case _: Exception => None }
         if (claimedToken.contains(staleToken)) fs.delete(claim, false)
-        else if (!fs.rename(claim, lockP))
-          // lockP was re-created while we held the claim: drop the
-          // claimed (fresh) token — its owner aborts at assertOwned
-          fs.delete(claim, false)
+        else {
+          // mistakenly claimed a FRESH lock: restore it. A transient
+          // rename failure retries by exclusive-creating lockP with the
+          // claimed token (same bytes, same owner — ownsLock still
+          // matches). Only when lockP was genuinely RE-CREATED by a
+          // successor is restoring impossible (the path is taken): then
+          // the claimed token drops and its owner aborts at its next
+          // per-phase assertOwned — a bounded ONE-PHASE overlap window
+          // in which each sweep's deletions remain independently safe
+          // (grace-window + retained-reference checked), at worst a
+          // retention-floor violation, never corruption.
+          var restored = fs.rename(claim, lockP)
+          if (!restored && claimedToken.isDefined && !fs.exists(lockP)) {
+            restored =
+              try {
+                val out = fs.create(lockP, false)
+                try out.write(claimedToken.get.getBytes("UTF-8"))
+                finally out.close()
+                true
+              } catch { case _: Exception => false }
+            if (restored) fs.delete(claim, false)
+          }
+          if (!restored) fs.delete(claim, false)
+        }
       }
     }
     val token = newCommitId()

@@ -220,8 +220,15 @@ private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
   override lazy val sizeInBytes: Long = {
     val known = manifest.files.flatMap(_.bytes)
     if (known.size == manifest.files.size) known.sum
-    else TxnFileIndex.statusesFor(spark, new org.apache.hadoop.fs.Path(dir), manifest)
-      .values.map(_.getLen).sum
+    else {
+      // sum ONLY the snapshot's own manifest entries — statusesFor
+      // already filters its commit-dir listings to manifest paths, and
+      // keying the sum by entry makes that contract self-evident: a
+      // half-pruned file awaiting vacuum can never inflate the estimate
+      val statuses = TxnFileIndex.statusesFor(
+        spark, new org.apache.hadoop.fs.Path(dir), manifest)
+      manifest.files.flatMap(f => statuses.get(f.path)).map(_.getLen).sum
+    }
   }
 
   /** Filter value → the double unit manifest bounds use. Pushed source

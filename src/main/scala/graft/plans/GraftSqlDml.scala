@@ -397,11 +397,8 @@ object GraftSqlDml {
         // (has a change feed or at least a txn log) — a stranger's path
         // must fall through to the session's own table_changes
         def isGraft: Boolean =
-          try {
-            val p = new org.apache.hadoop.fs.Path(name, TxnLake.CdcDir)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            fs.exists(p) || fs.exists(new org.apache.hadoop.fs.Path(name, "_graft_log"))
-          } catch { case _: Exception => false }
+          try TxnLake.cdcEnabled(spark, name) || TxnLake.isTxnTable(spark, name)
+          catch { case _: Exception => false }
         parsed.flatMap(p => pathParts(p).orElse(catalogDir(spark, p)))
           .orElse(if (name.contains("/") && isGraft) Some(name) else None)
       case _ => None

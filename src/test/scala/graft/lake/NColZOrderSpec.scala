@@ -85,4 +85,22 @@ class NColZOrderSpec extends AnyFunSuite with SparkTestSession {
       rows.count(_._5 < 100.0).toLong)
     assert(stats.version === 1L)
   }
+
+  test("1-column ZORDER sorts a STRING column under ANSI (no cast aggregate)") {
+    // the advertised 1-column shape: "any orderable type". Under
+    // Spark 4's default ANSI mode the old min/max(cast double)
+    // normalization aggregate threw for string columns even though the
+    // 1-d path never uses bounds — it must aggregate only count(1)
+    val dir = Files.createTempDirectory("graft_z1s").resolve("t").toString
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 500).map(i =>
+      (i.toLong, "p", rnd.alphanumeric.take(8).mkString))
+    TxnLake.create(spark, dir, rows.toDF("id", "part", "s"), "part")
+    val stats = TxnLake.optimizeZOrder(spark, dir, Seq("s"), rowsPerFile = 100L)
+    assert(stats.version === 1L)
+    val lake = spark.read.format("graft-txn").load(dir)
+    assert(lake.count() === 500L)
+    assert(lake.select("s").as[String].collect().sorted ===
+      rows.map(_._3).sorted)
+  }
 }
