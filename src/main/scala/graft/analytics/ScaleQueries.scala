@@ -1410,6 +1410,121 @@ object ScaleQueries {
       |FROM deleted
       |ORDER BY channel""".stripMargin
 
+  /** lk28 — `SHOW TBLPROPERTIES` as a driver-checked relation
+    * ([[graft.plans.GraftSqlDmlSpec]] pinned it; this registers it for
+    * the oracle): the table's graft-level properties as (key, value)
+    * rows, Delta's `delta.*` discipline — partition column, the
+    * zone-map stats set (primary statsCol + the additive
+    * setStatsColumns set), the change-feed flag, and one
+    * `graft.generatedColumns.<col>` row per generated column with its
+    * expression. Metadata-only: manifest + marker files, zero data
+    * reads. The table is created with EVERY property populated so each
+    * row is exercised; a `data.rowCount` channel (the metadata-only
+    * [[graft.lake.TxnLake.rowCount]]) ties the result to the table's
+    * real SF-dependent cardinality, so the hash comparison is not
+    * vacuously constant. */
+  private def lk28(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk28")
+      .resolve("orders_lake").toString
+    val slice = orders(s, d).filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(4)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice, "pt", statsCol = Some("price"),
+      changeFeed = true, statsCols = Seq("o_orderkey"),
+      generatedCols = Map("okey_mod" -> "pmod(o_orderkey, 7)"))
+    import s.implicits._
+    val n = TxnLake.rowCount(s, dir)
+      .getOrElse(sys.error("fresh table must track row counts"))
+    GraftSqlDml.exec(s, s"SHOW TBLPROPERTIES graft_txn.`$dir`")
+      .unionByName(Seq(("data.rowCount", n.toString)).toDF("key", "value"))
+      .orderBy(col("key"))
+  }
+
+  private val lk28Sql =
+    """WITH base AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT 'data.rowCount' AS "key", CAST(count(*) AS VARCHAR) AS "value"
+      |FROM base
+      |UNION ALL SELECT 'graft.changeFeed', 'true'
+      |UNION ALL SELECT 'graft.generatedColumns.okey_mod', 'pmod(o_orderkey, 7)'
+      |UNION ALL SELECT 'graft.partitionColumn', 'pt'
+      |UNION ALL SELECT 'graft.statsColumns', 'price,o_orderkey'
+      |ORDER BY "key"""".stripMargin
+
+  /** lk29 — OPTIMISTIC-CONCURRENCY CONTENTION end-to-end: interleaved
+    * read-modify-write writers driven through
+    * [[graft.lake.TxnLake.deleteWhere]]'s contention seam, so the
+    * schedule is DETERMINISTIC instead of thread-timing luck. Writer A
+    * stages a DV delete on partition 0; inside its commit window
+    * writer B deletes on partition 1 and commits first — A's OCC check
+    * proves B touched disjoint partitions and left A's files intact,
+    * and REBASES (both deletes land, no re-run). Writer C stages on
+    * partition 2; the interleaved writer D also hits partition 2 and
+    * commits first — C must ABORT with
+    * `ConcurrentModificationException`, its staged sidecar dropped:
+    * neither writer's intent is silently lost or doubly applied. The
+    * oracle replays the serialized schedule (A, B, D applied; C not)
+    * relationally; channels pin the rebased delete count, the abort,
+    * and the 4-version history (create, B, rebased A, D). */
+  private def lk29(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk29")
+      .resolve("orders_lake").toString
+    val slice = orders(s, d).filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice, "pt") // v0
+    val delA = TxnLake.deleteWhere(s, dir,
+      col("pt") === "0" && col("o_orderkey") % 2 === 0,
+      () => { // B commits v1 inside A's window; A rebases to v2
+        TxnLake.deleteWhere(s, dir,
+          col("pt") === "1" && col("o_orderkey") % 2 === 0); ()
+      })
+    val aborted =
+      try {
+        TxnLake.deleteWhere(s, dir,
+          col("pt") === "2" && col("o_orderkey") % 2 === 1,
+          () => { // D commits v3 on the SAME partition; C must abort
+            TxnLake.deleteWhere(s, dir,
+              col("pt") === "2" && col("o_orderkey") % 2 === 0); ()
+          })
+        0L
+      } catch { case _: java.util.ConcurrentModificationException => 1L }
+    val nHist = TxnLake.history(s, dir).count()
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(concat(lit("table:"), col("pt")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(Seq(
+        ("rebased_deleted", delA), ("aborted", aborted), ("history", nHist))
+        .toDF("channel", "n")
+        .withColumn("sum_price", lit(null).cast("double")))
+      .orderBy(col("channel"))
+  }
+
+  private val lk29Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 3 AS VARCHAR) AS pt,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |live AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (pt = '0' AND o_orderkey % 2 = 0)
+      |    AND NOT (pt = '1' AND o_orderkey % 2 = 0)
+      |    AND NOT (pt = '2' AND o_orderkey % 2 = 0))
+      |SELECT 'table:' || pt AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM live GROUP BY 1
+      |UNION ALL SELECT 'rebased_deleted',
+      |  (SELECT count(*) FROM base WHERE pt = '0' AND o_orderkey % 2 = 0),
+      |  CAST(NULL AS DOUBLE)
+      |UNION ALL SELECT 'aborted', 1, CAST(NULL AS DOUBLE)
+      |UNION ALL SELECT 'history', 4, CAST(NULL AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2149,6 +2264,8 @@ object ScaleQueries {
       |ORDER BY o_month""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "lk28_sql_tblproperties" -> (lk28 _),
+    "lk29_occ_contention" -> (lk29 _),
     "lk25_sql_truncate" -> (lk25 _),
     "lk26_sql_scoped_maintenance" -> (lk26 _),
     "lk27_sql_table_changes" -> (lk27 _),
@@ -2194,6 +2311,8 @@ object ScaleQueries {
     "q50_event_funnel" -> (q50 _))
 
   val oracle: Map[String, String] = Map(
+    "lk28_sql_tblproperties" -> lk28Sql,
+    "lk29_occ_contention" -> lk29Sql,
     "lk25_sql_truncate" -> lk25Sql,
     "lk26_sql_scoped_maintenance" -> lk26Sql,
     "lk27_sql_table_changes" -> lk27Sql,

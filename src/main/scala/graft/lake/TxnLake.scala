@@ -854,7 +854,21 @@ object TxnLake {
       .groupBy(col("file")).agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
 
-  def deleteWhere(spark: SparkSession, dir: String, predicate: Column): Long = {
+  def deleteWhere(spark: SparkSession, dir: String, predicate: Column): Long =
+    deleteWhere(spark, dir, predicate, () => ())
+
+  /** CONTENTION SEAM: identical to the public form, but runs
+    * `beforeCommit` after the base snapshot is resolved and the DV
+    * sidecar staged, immediately before the commit attempt — the
+    * window a concurrent writer occupies. Lets tests and the lk29
+    * registered query build DETERMINISTIC interleaved schedules
+    * (disjoint-partition writer → rebase; overlapping writer →
+    * ConcurrentModificationException with the staged sidecar dropped)
+    * through the exact production staging + OCC path, instead of
+    * relying on thread-timing luck. */
+  private[graft] def deleteWhere(spark: SparkSession, dir: String,
+                                 predicate: Column,
+                                 beforeCommit: () => Unit): Long = {
     val fs = fsOf(spark, dir)
     val base = resolve(fs, dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
@@ -896,6 +910,7 @@ object TxnLake {
           .drop("__txn_file", "__txn_pos")
           .withColumn(ChangeTypeCol, lit("delete")))
       else None
+    beforeCommit()
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, touchedPaths, updated, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,

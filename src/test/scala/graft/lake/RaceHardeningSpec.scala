@@ -140,6 +140,42 @@ class RaceHardeningSpec extends AnyFunSuite with SparkTestSession {
     assert(!inflight.exists(), "an abandoned .tmp staging sidecar is collected")
   }
 
+  test("deleteWhere contention seam: disjoint writer rebases, overlapping writer aborts dropping its sidecar") {
+    val root = Files.createTempDirectory("graft_occ")
+    val dir = root.resolve("t").toString
+    TxnLake.create(spark, dir,
+      (1L to 40L).map(i => (i, s"p${i % 2}")).toDF("id", "v"), "v")
+    def dvDirs: Set[String] = {
+      val f = new java.io.File(dir, "_graft_dv")
+      if (!f.exists()) Set.empty else f.list().toSet
+    }
+    // disjoint partitions: the interleaved writer commits first, the
+    // staged writer's OCC check proves disjointness and REBASES
+    val del = TxnLake.deleteWhere(spark, dir,
+      col("v") === "p0" && col("id") <= 10L,
+      () => { TxnLake.deleteWhere(spark, dir,
+        col("v") === "p1" && col("id") <= 10L); () })
+    assert(del === 5L) // ids 2,4,6,8,10
+    assert(TxnLake.currentVersion(spark, dir) === 2L)
+    val sidecarsAfterRebase = dvDirs
+    assert(sidecarsAfterRebase.size === 2)
+    // overlapping partition: the staged writer must abort and its
+    // staged sidecar must be dropped (no orphan DV dir)
+    intercept[java.util.ConcurrentModificationException] {
+      TxnLake.deleteWhere(spark, dir,
+        col("v") === "p0" && col("id") > 30L,
+        () => { TxnLake.deleteWhere(spark, dir,
+          col("v") === "p0" && col("id") > 20L && col("id") <= 30L); () })
+    }
+    assert(TxnLake.currentVersion(spark, dir) === 3L) // only the inner commit
+    assert(dvDirs.size === 3, "the aborted writer's sidecar must be dropped")
+    // final state = the serialized schedule: inner deletes applied, outer aborted
+    assert(TxnLake.read(spark, dir).count() ===
+      (40L - 5 - 5 - 5)) // the three applied deletes, 5 rows each
+    assert(TxnLake.read(spark, dir).filter(col("id") > 30L).count() === 10L,
+      "the aborted delete must leave its target rows live")
+  }
+
   test("mergeAt pinned to a stale base aborts on ANY intervening commit") {
     val root = Files.createTempDirectory("graft_race")
     val dir = root.resolve("t").toString
