@@ -20,9 +20,12 @@ object Bench {
       // pre-AQE output partitioning — the one config the dd07 dev
       // timings had that graded runs lacked (VERDICT r7 #1)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // lake manifest rowCount → plan stats (graft.lake.TxnCboStats)
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.lake.TxnCboStats.install(spark)
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query isn't charged ~4s of JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()

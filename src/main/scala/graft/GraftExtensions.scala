@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // scale-safety rewrite: global row_number() → sorted distributed sequence
     ext.injectOptimizerRule(_ => new graft.plans.GlobalRankRewriteRule)
+    // lake CBO bridge: manifest rowCount + zone-map column stats onto
+    // every graft-txn LogicalRelation (plan-time build-side choice);
+    // pre-CBO = after operator optimization, before join reorder /
+    // physical planning — the hook Delta's stats preparation uses
+    ext.injectPreCBORule(_ => graft.lake.TxnCboStats)
     // SQL DML statements (UPDATE/DELETE/MERGE INTO) on graft-txn tables
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))

@@ -105,9 +105,12 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // lake manifest rowCount → plan stats (graft.lake.TxnCboStats)
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.lake.TxnCboStats.install(spark)
     val marker = new java.io.File(s"$outDir/_SCALE_READY")
     if (!marker.exists()) {
       synthesize(spark, srcDir, outDir, copies)

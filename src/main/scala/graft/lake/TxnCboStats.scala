@@ -1,0 +1,164 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType}
+
+/** PLAN-TIME ROW-COUNT AND COLUMN STATISTICS for lake relations — the
+  * missing half of the cost picture (VERDICT r15 #1).
+  *
+  * A V1 `BaseRelation` can only report `sizeInBytes`, so until now a
+  * graft-txn scan entered Catalyst with bytes alone: join-side choice
+  * compared PHYSICAL file sizes, which parquet encoding makes a poor
+  * proxy for in-memory width — a dictionary-compressed 600k-row fact
+  * looks "smaller" than a 4k-row dimension of random strings, and the
+  * initial plan broadcasts the fact. The manifest has carried exact
+  * per-file ROW COUNTS (`FileEntry.rows`, footer-derived at commit
+  * time) and per-column (min,max) zone maps all along; this rule is
+  * the bridge that hands them to the planner.
+  *
+  * Mechanism: `LogicalRelation.computeStats` consults
+  * `catalogTable.stats` before falling back to `relation.sizeInBytes`,
+  * and `CatalogStatistics.toPlanStats` — under
+  * `spark.sql.cbo.planStats.enabled` (or full CBO) — re-derives the
+  * estimate as rowCount × schema row width and attaches per-column
+  * min/max. So the rule simply attaches a `CatalogTable` carrying
+  * `CatalogStatistics(sizeInBytes, rowCount, colStats)` to every lake
+  * `LogicalRelation` that lacks stats, exactly how Delta surfaces its
+  * log-derived rowCount. Both read paths are covered: the
+  * fast-path `HadoopFsRelation` over [[TxnFileIndex]] and the
+  * merge-on-read [[TxnDvRelation]] fallback.
+  *
+  * All inputs are MANIFEST-SCALE, resolved on the driver with zero
+  * data-file reads — the manifest was already resolved to build the
+  * relation; this reuses that snapshot:
+  *  - rowCount = Σ per-file rows. Outstanding deletion vectors are NOT
+  *    subtracted (their cardinality lives in sidecar files — reading
+  *    them at plan time would cost I/O per query): a DV table can only
+  *    look BIGGER than it is, the same safe over-approximation the
+  *    byte-size estimate already makes. Legacy manifests with any
+  *    row-less entry attach nothing — never guess.
+  *  - column min/max = the fold of every live file's zone map, emitted
+  *    only when EVERY live file carries bounds for the column (a
+  *    partial fold could under-state the range and make CBO prune a
+  *    live value). Bounds are stored as cast-to-double, so only
+  *    columns whose external-string form round-trips exactly are
+  *    emitted: integral types (whole-number check) and float/double.
+  *
+  * Registration: [[graft.GraftExtensions]] injects it as a pre-CBO
+  * rule (the deployment path, the same hook Delta's stats preparation
+  * uses); sessions built without extensions call [[install]], which
+  * appends it to `experimental.extraOptimizations`. Idempotent by
+  * construction — a relation whose catalogTable already has stats is
+  * left untouched, so fixed-point batches stabilize after one pass.
+  *
+  * At 100 TB the payoff is the INITIAL plan: broadcast-vs-shuffle and
+  * build-side choice are decided before any stage runs, where AQE's
+  * runtime rescue only arrives after the first (possibly
+  * catastrophically mis-sided) shuffle has been scheduled.
+  */
+object TxnCboStats extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case lr: LogicalRelation if lr.catalogTable.forall(_.stats.isEmpty) =>
+      statsFor(lr).fold(lr: LogicalPlan) { stats =>
+        val ct = lr.catalogTable.getOrElse(syntheticTable(lr))
+        lr.copy(catalogTable = Some(ct.copy(stats = Some(stats))))
+      }
+  }
+
+  /** Append to the session's user-provided optimizer rules (runs for
+    * every query, before physical planning) — for sessions built
+    * without `spark.sql.extensions=graft.GraftExtensions`. */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  private def statsFor(lr: LogicalRelation): Option[CatalogStatistics] = {
+    val src: Option[(String, TxnLake.Manifest, Long)] = lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: TxnFileIndex => Some((idx.dir, idx.manifest, idx.sizeInBytes))
+        case _ => None
+      }
+      case dv: TxnDvRelation => Some((dv.dir, dv.manifest, dv.sizeInBytes))
+      case _ => None
+    }
+    src.flatMap { case (_, m, size) =>
+      // no guessing: a legacy manifest with any row-less entry gets no
+      // rowCount, and without rowCount toPlanStats is size-only — skip
+      // the attach entirely so the plan is byte-identical to before
+      if (m.files.exists(_.rows.isEmpty)) None
+      else Some(CatalogStatistics(
+        sizeInBytes = BigInt(size),
+        rowCount = Some(BigInt(m.files.flatMap(_.rows).sum)),
+        colStats = colStatsOf(m)))
+    }
+  }
+
+  /** Table-level (min,max) per LOGICAL column name, folded from the
+    * manifest zone maps; a column is emitted only when every live file
+    * has bounds for it and the double-stored bound renders back into
+    * the column type's external-string form exactly. */
+  private def colStatsOf(m: TxnLake.Manifest): Map[String, CatalogColumnStat] = {
+    if (m.files.isEmpty) return Map.empty
+    val schema = StructType.fromDDL(m.schemaDdl)
+    schema.fields.iterator.flatMap { f =>
+      val logical = m.renames.getOrElse(f.name, f.name)
+      val perFile = m.files.map(e => e.stats.get(f.name).orElse(
+        if (m.statsCol.contains(f.name)) e.zmin.zip(e.zmax) else None))
+      if (perFile.exists(_.isEmpty)) Iterator.empty
+      else {
+        val bounds = perFile.flatten
+        render(f, bounds.map(_._1).min, bounds.map(_._2).max).iterator.map {
+          case (lo, hi) => logical -> CatalogColumnStat(
+            min = Some(lo), max = Some(hi))
+        }
+      }
+    }.toMap
+  }
+
+  /** External-string rendering of double-stored bounds, when exact:
+    * integral columns demand whole values (they always are — bounds
+    * were cast FROM the column — but a corrupt manifest must not turn
+    * into a parse error at plan time), float/double render verbatim.
+    * Decimal, date, timestamp and string columns abstain: their
+    * external forms don't share the stored double's unit. */
+  private def render(f: StructField, lo: Double, hi: Double): Option[(String, String)] =
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType
+        if lo.isWhole && hi.isWhole &&
+          lo >= Long.MinValue.toDouble && hi <= Long.MaxValue.toDouble =>
+        Some((lo.toLong.toString, hi.toLong.toString))
+      case FloatType | DoubleType
+        if !lo.isNaN && !hi.isNaN && !lo.isInfinite && !hi.isInfinite =>
+        Some((lo.toString, hi.toString))
+      case _ => None
+    }
+
+  /** Minimal read-only CatalogTable to carry the stats when the
+    * relation is path-addressed (no real catalog entry): identifier in
+    * the `graft_txn` namespace, external type, location = the table
+    * dir. Nothing downstream writes through it — it exists so
+    * `computeStats` finds `stats`. */
+  private def syntheticTable(lr: LogicalRelation): CatalogTable = {
+    val dir = lr.relation match {
+      case h: HadoopFsRelation => h.location.asInstanceOf[TxnFileIndex].dir
+      case dv: TxnDvRelation => dv.dir
+    }
+    CatalogTable(
+      identifier = TableIdentifier(
+        new org.apache.hadoop.fs.Path(dir).getName, Some("graft_txn")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri)),
+      schema = StructType(lr.output.map(a =>
+        StructField(a.name, a.dataType, a.nullable))),
+      provider = Some("graft-txn"))
+  }
+}

@@ -183,9 +183,10 @@ private[lake] class TxnReadOnlyParquetFormat extends ParquetFileFormat {
   * [[TxnLake.readEntries]] (deletion-vector anti-join + physical→
   * logical projection) with the translatable filters re-applied inside
   * that plan so parquet pushdown still reaches the scan. */
-private[lake] class TxnDvRelation(spark: SparkSession, dir: String,
+private[lake] class TxnDvRelation(spark: SparkSession,
+                                  private[lake] val dir: String,
                                   physSchema: StructType,
-                                  manifest: TxnLake.Manifest)
+                                  private[lake] val manifest: TxnLake.Manifest)
     extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
   import org.apache.spark.sql.sources.{And => FAnd, EqualNullSafe => FEqNs,
     EqualTo => FEq, Filter, GreaterThan => FGt, GreaterThanOrEqual => FGe,
@@ -419,8 +420,10 @@ private[graft] object TxnFileIndex {
   }
 }
 
-private[graft] class TxnFileIndex(spark: SparkSession, dir: String,
-                                  manifest: TxnLake.Manifest) extends FileIndex {
+private[graft] class TxnFileIndex(spark: SparkSession,
+                                  private[lake] val dir: String,
+                                  private[lake] val manifest: TxnLake.Manifest)
+    extends FileIndex {
 
   private val root = new Path(dir)
   // one listStatus per commit directory, not one RPC per file: commit

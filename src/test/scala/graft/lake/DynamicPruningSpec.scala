@@ -76,7 +76,15 @@ class DynamicPruningSpec extends AnyFunSuite with SparkTestSession {
 
   test("star join: a selective dim filter dynamically prunes fact files at runtime") {
     import spark.implicits._
-    val dir = factTable()
+    // a star-sized fact: with manifest rowCount surfaced to plan stats
+    // ([[TxnCboStats]]), a 120-row toy fact estimates SMALLER than the
+    // dim's parquet bytes and (correctly!) becomes the broadcast side
+    // itself, which drops DPP as pointless — the scenario DPP exists
+    // for needs the fact to dwarf the dim, so build one that does
+    val dir = Files.createTempDirectory("graft_dpp").resolve("bigfact").toString
+    TxnLake.create(spark, dir,
+      (1L to 12000L).map(i => (i, i % 6, i * 1.5)).toDF("id", "bucket", "v"),
+      "bucket")
     val dimPath = Files.createTempDirectory("graft_dpp").resolve("dim").toString
     (0L to 5L).map(b => (b, if (b < 2) "keep" else "drop"))
       .toDF("bucket", "grp").write.parquet(dimPath)
@@ -90,7 +98,7 @@ class DynamicPruningSpec extends AnyFunSuite with SparkTestSession {
     assert(scan.metrics("numFiles").value < all,
       "runtime pruning must skip the files of unjoined partitions")
     assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
-      Seq(("keep", 40L)))
+      Seq(("keep", 4000L)))
   }
 
   test("a multi-value-per-file manifest falls back to the flat index, results intact") {
