@@ -624,7 +624,71 @@ object StreamingQueries {
       |FROM feed
       |ORDER BY v, o_orderkey, change""".stripMargin
 
+  /** st21 — DIRECT TABLE STREAMING ([[graft.lake.TxnTableStream]],
+    * Delta's `readStream` on the table, VERDICT r15 #2): a graft-txn
+    * table WITHOUT a change feed tailed straight off its commit log.
+    * Two drained streams over the same four-version history (create,
+    * append, OPTIMIZE, append):
+    *  - `snapshot:*` channels — the default stream: initial snapshot
+    *    at attach time, which must equal the batch read (all three
+    *    slices, compaction invisible);
+    *  - `tail:*` channels — `startingVersion 1`: only the adds of
+    *    v1 and v3; the OPTIMIZE commit (the new `dataChange=false`
+    *    log flag) is SKIPPED, not failed, not duplicated — the
+    *    row-preserving-rewrite contract every streaming consumer of a
+    *    compacted 100 TB table depends on.
+    * Both drains are checkpointed AvailableNow runs into the
+    * exactly-once parquet file sink; replay-safety is pinned in
+    * `TxnTableStreamSpec` (restart mirror of st19). */
+  private def st21(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val root = java.nio.file.Files.createTempDirectory("graft_st21")
+    val dir = root.resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 8 === k)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "o_orderstatus") // v0
+    TxnLake.append(s, dir, slice(1))                  // v1
+    TxnLake.optimize(s, dir, minFiles = 1)            // v2: row-preserving
+    TxnLake.append(s, dir, slice(2))                  // v3
+    def drain(reader: org.apache.spark.sql.streaming.DataStreamReader,
+              tag: String): DataFrame = {
+      val out = root.resolve(s"out_$tag").toString
+      val q = reader.load(dir).writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root.resolve(s"ckpt_$tag").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2)")
+        .parquet(out)
+    }
+    val snap = drain(s.readStream.format("graft-txn"), "snap")
+    val tail = drain(
+      s.readStream.format("graft-txn").option("startingVersion", "1"), "tail")
+    def agg(df: DataFrame, tag: String) = df
+      .groupBy(concat(lit(tag + ":"), col("o_orderstatus")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    agg(snap, "snapshot").unionByName(agg(tail, "tail")).orderBy(col("channel"))
+  }
+
+  private val st21Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders),
+      |snap AS (SELECT * FROM base WHERE o_orderkey % 8 IN (0, 1, 2)),
+      |tail AS (SELECT * FROM base WHERE o_orderkey % 8 IN (1, 2))
+      |SELECT 'snapshot:' || o_orderstatus AS channel,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM snap GROUP BY 1
+      |UNION ALL
+      |SELECT 'tail:' || o_orderstatus, CAST(count(*) AS BIGINT),
+      |  CAST(sum(price) AS DOUBLE)
+      |FROM tail GROUP BY 1
+      |ORDER BY channel""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st21_table_stream" -> (st21 _),
     "st19_cdc_startversion" -> (st19 _),
     "st18_exactly_once_sink" -> (st18 _),
     "st17_cdc_replication" -> (st17 _),
@@ -646,6 +710,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st21_table_stream" -> st21Sql,
     "st19_cdc_startversion" -> st19Sql,
     "st18_exactly_once_sink" -> st18Sql,
     "st17_cdc_replication" -> st17Sql,

@@ -161,7 +161,8 @@ object TxnLake {
                                         tombstones: Set[String] = Set.empty,
                                         ts: Long = 0L,
                                         txnApp: Option[String] = None,
-                                        txnVer: Option[Long] = None)
+                                        txnVer: Option[Long] = None,
+                                        dataChange: Boolean = true)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -180,7 +181,8 @@ object TxnLake {
                                   abortDirs: Seq[String] = Nil,
                                   renames: Map[String, String] = Map.empty,
                                   tombstones: Set[String] = Set.empty,
-                                  txn: Option[(String, Long)] = None)
+                                  txn: Option[(String, Long)] = None,
+                                  dataChange: Boolean = true)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -1273,7 +1275,11 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames, tombstones = base.tombstones))
+      renames = base.renames, tombstones = base.tombstones,
+      // row-preserving rewrite (Delta's dataChange=false): the live
+      // rowset is unchanged (DV purges drop only already-doomed rows),
+      // so streaming consumers skip this commit instead of aborting
+      dataChange = false))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -1363,7 +1369,8 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, base.files.map(_.path).toSet, newFiles, base.statsCol,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames, tombstones = base.tombstones))
+      renames = base.renames, tombstones = base.tombstones,
+      dataChange = false)) // re-cluster: rows unchanged, layout only
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -2437,7 +2444,7 @@ object TxnLake {
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
         bloomBits = staged.bloomBits, renames = recRenames,
         tombstones = recTombstones, txnApp = staged.txn.map(_._1),
-        txnVer = staged.txn.map(_._2))
+        txnVer = staged.txn.map(_._2), dataChange = staged.dataChange)
       if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
@@ -2823,7 +2830,7 @@ object TxnLake {
     finally pool.shutdown()
   }
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[lake] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Reject nondeterministic mutation predicates (the rule Delta
@@ -2848,7 +2855,7 @@ object TxnLake {
     * the index is self-consistent whatever the column type. */
   private def render(v: Any): Option[String] = Option(v).map(String.valueOf)
 
-  private def manifestPath(dir: String, version: Long): Path =
+  private[lake] def manifestPath(dir: String, version: Long): Path =
     new Path(dir, f"$LogDir/v$version%08d.json")
 
   private def checkpointPath(dir: String, version: Long): Path =
@@ -3558,6 +3565,10 @@ object TxnLake {
     val root = headerNode(r.version, r.commitId, r.partCol, r.schemaDdl,
       r.touched, r.statsCol, r.bloomCol, r.bloomBits, r.renames, r.tombstones)
     if (r.ts > 0) root.put("ts", r.ts)
+    // serialized only when FALSE — absent means true, so every legacy
+    // record (and every record written by older code) reads as a data
+    // change, the conservative default for streaming consumers
+    if (!r.dataChange) root.put("dataChange", false)
     r.txnApp.foreach(root.put("txnApp", _))
     r.txnVer.foreach { v => root.put("txnVer", v); () }
     addFileArray(root, "add", r.add, r.partCol)
@@ -3789,7 +3800,8 @@ object TxnLake {
       renames = parseRenames(root), tombstones = parseTombstones(root),
       ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L),
       txnApp = Option(root.get("txnApp")).map(_.asText()),
-      txnVer = Option(root.get("txnVer")).map(_.asLong()))
+      txnVer = Option(root.get("txnVer")).map(_.asLong()),
+      dataChange = Option(root.get("dataChange")).forall(_.asBoolean()))
   }
 
   /** IN-COMMIT TIMESTAMP (Delta's ICT discipline): strictly monotonic

@@ -50,9 +50,40 @@ import org.apache.spark.unsafe.types.UTF8String
   * snapshot isolation and the change feed records the write.
   */
 class TxnLakeSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-txn"
+
+  /** `spark.readStream.format("graft-txn").load(dir)` — the TABLE as a
+    * streaming source ([[TxnTableStream]]): initial snapshot + version
+    * tailing, `startingVersion` / `maxFilesPerTrigger` /
+    * `ignoreDeletes` / `ignoreChanges` / `skipChangeCommits` options,
+    * Delta's readStream surface. No change feed required. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-txn requires a path"))
+    val m = TxnLake.resolve(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
+    val phys = StructType.fromDDL(m.schemaDdl)
+    (shortName(), StructType(phys.fields.map(f =>
+      f.copy(name = m.renames.getOrElse(f.name, f.name)))))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-txn requires a path"))
+    new TxnTableStream(sqlContext.sparkSession, dir, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
