@@ -52,12 +52,19 @@ object CommitTaxProbe {
     TxnLake.create(spark, dir, batch(0), "part", statsCol = Some("v"))
     println(f"[tax-probe] create:                    ${ms(t0)}%7.1f ms")
     val perCommit = new scala.collection.mutable.ArrayBuffer[Double]
+    val ops0 = TxnLake.Metrics.snapshot
     (1 until n).foreach { k =>
       val t = System.nanoTime()
       TxnLake.append(spark, dir, batch(k))
       perCommit += ms(t)
     }
+    val ops1 = TxnLake.Metrics.snapshot
     println(f"[tax-probe] TxnLake.append x${n - 1}:      total ${perCommit.sum / 1000}%7.2f s  (${perCommit.sum / (n - 1)}%6.1f ms/commit)")
+    val deltas = ops1.map { case (k, v) => k -> (v - ops0(k)) }
+    val logOps = deltas("recordOpens") + deltas("manifestOpens") + deltas("logListings")
+    println(f"[tax-probe]   log fs-ops: ${logOps / (n - 1).toDouble}%5.2f /commit " +
+      s"(recordOpens=${deltas("recordOpens")} manifestOpens=${deltas("manifestOpens")} " +
+      s"listings=${deltas("logListings")} cacheHits=${deltas("recordCacheHits")})")
     println(f"[tax-probe]   first 5: ${perCommit.take(5).map(x => f"$x%.0f").mkString(",")} ms   last 5: ${perCommit.takeRight(5).map(x => f"$x%.0f").mkString(",")} ms")
 
     // resolve cost as the chain lengthens (what a snapshot cache removes)
