@@ -1829,6 +1829,10 @@ object ExtensionQueries {
   // SAME bits-per-band from count(*) (integer-exact predicate, see
   // [[Similarity.autoBitsPerBand]]) over the 60-plane family (15-bit
   // cap × 4 bands; planes are prefix-stable so unused tails are inert).
+  // r16: the per-(anchor, band) hamming cap (default 4·k = 12) is
+  // replayed too — bit_count(xor(sig, sig)) with the same
+  // (ham, nbr_id) tie order, so the capped candidate pool is
+  // bit-identical across engines at every SF.
   private val ss14Sql: String = {
     val planeRows = Similarity.planes(60, Similarity.MaxPlaneDim)
       .zipWithIndex.map { case (pl, p) =>
@@ -1855,12 +1859,22 @@ object ExtensionQueries {
        |               ((CAST(1 AS BIGINT) << g.bits) - 1))})) AS u
        |  FROM sigs CROSS JOIN geom g),
        |lab AS (SELECT vec_id, label FROM embeddings),
-       |cand AS (SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nbr_id
+       |met AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, x.u.band AS band,
+       |    bit_count(xor(sx.sig, sy.sig)) AS ham
        |  FROM bands x JOIN bands y
        |    ON x.u.band = y.u.band AND x.u.bits = y.u.bits
+       |  JOIN sigs sx ON sx.vec_id = x.vec_id
+       |  JOIN sigs sy ON sy.vec_id = y.vec_id
        |  JOIN lab lx ON lx.vec_id = x.vec_id
        |  JOIN lab ly ON ly.vec_id = y.vec_id
        |  WHERE lx.label <> ly.label),
+       |capped AS (SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |      row_number() OVER (PARTITION BY vec_id, band
+       |        ORDER BY ham, nbr_id) AS hr
+       |    FROM met)
+       |  WHERE hr <= 12),
+       |cand AS (SELECT DISTINCT vec_id, nbr_id FROM capped),
        |scored AS (SELECT c.vec_id, la.label, c.nbr_id, lb.label AS nbr_label,
        |    round(
        |      list_sum(list_transform(list_zip(a.embedding, b.embedding),

@@ -112,9 +112,11 @@ object Similarity {
         .otherwise(raise_error(concat(
           lit(s"embedding dim "), size(col("embedding")),
           lit(s" exceeds MaxPlaneDim=$MaxPlaneDim — truncate or project before LSH")))))
+    // the FULL signature rides along: a popcount over sig xor sig is
+    // the cheap angle proxy the hard-negative candidate cap ranks by
     guarded.select(col("vec_id"), col("embedding"),
         signature(col("embedding"), ps).as("sig"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("embedding"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
             .bitwiseAND(lit(mask)))).as(Seq("band", "band_bits")))
@@ -377,18 +379,48 @@ object Similarity {
     * at sf1 (6.2 s vs 4.9 s, same window) — at ~bands×targetBucket
     * candidates per anchor the window's group sort is cheap, and two
     * extra corpus-wide joins cost more than it saves. Revisit only if
-    * candidate occupancy per anchor grows past ~10³. */
+    * candidate occupancy per anchor grows past ~10³.
+    *
+    * PER-(anchor, band) CANDIDATE CAP (r16, VERDICT r15 #5): before
+    * the exact rescore, each anchor keeps only its `capPerBand`
+    * hamming-closest collisions PER BAND — popcount(sig xor sig) is
+    * the cheap SimHash angle proxy, already codegen'd integers, vs a
+    * dim-wide cosine after two embedding joins per surviving pair.
+    * Auto geometry keeps EXPECTED occupancy flat, but real corpora
+    * cluster: a dense bucket (near-duplicate families — exactly what
+    * sf1's synthesized copies produce) goes quadratic inside the
+    * bucket, which is why ss14's verify-rescore dominated at 10×
+    * data. The cap bounds every anchor's rescore bill at
+    * bands × capPerBand whatever the bucket density, per-bucket (not
+    * global), so sparse anchors keep their full pool. Default
+    * 4·k per band (≤ 4·bands·k pool for a top-k answer); ties and
+    * order are deterministic ((hamming, nbr_id)), so the ss14 oracle
+    * replays the capped pool exactly. */
   def hardNegatives(corpus: DataFrame, k: Int, nBits: Int = 16,
-                    bands: Int = 4, seed: Long = 42L): DataFrame = {
+                    bands: Int = 4, seed: Long = 42L,
+                    capPerBand: Int = -1): DataFrame = {
+    val cap = if (capPerBand < 0) 4 * k else capPerBand
     val banded = bandedSignatures(corpus, nBits, bands, seed)
       .join(corpus.select(col("vec_id"), col("label")), "vec_id")
-      .select(col("vec_id"), col("label"), col("band"), col("band_bits"))
-    val pairs = banded.as("x").join(banded.as("y"),
+      .select(col("vec_id"), col("label"), col("sig"), col("band"), col("band_bits"))
+    val met = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_bits") === col("y.band_bits") &&
           col("x.label") =!= col("y.label"))
       .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
-        col("y.vec_id").as("nbr_id"), col("y.label").as("nbr_label"))
+        col("y.vec_id").as("nbr_id"), col("y.label").as("nbr_label"),
+        col("x.band").as("band"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("__ham"))
+    val kept =
+      if (cap <= 0) met
+      else {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("band"))
+          .orderBy(col("__ham"), col("nbr_id"))
+        met.withColumn("__hr", row_number().over(wb)).filter(col("__hr") <= cap)
+      }
+    val pairs = kept
+      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"))
       .dropDuplicates("vec_id", "nbr_id")
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val scored = pairs
@@ -414,13 +446,14 @@ object Similarity {
     * LINEAR in n — [[lshKnnJoinAuto]]'s argument, pinned in
     * AutoLshSpec. Costs one count() over ids. */
   def hardNegativesAuto(corpus: DataFrame, k: Int, bands: Int = 4,
-                        targetBucket: Int = 32, seed: Long = 42L): DataFrame = {
+                        targetBucket: Int = 32, seed: Long = 42L,
+                        capPerBand: Int = -1): DataFrame = {
     require(bands >= 1 && targetBucket >= 1, "bands and targetBucket must be positive")
     require(bands <= 15,
       s"bands=$bands cannot give every band the >=4 bits a 64-bit signature allows")
     val n = corpus.select(col("vec_id")).count()
     hardNegatives(corpus, k, nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
-      bands = bands, seed = seed)
+      bands = bands, seed = seed, capPerBand = capPerBand)
   }
 
   /** INT8 scalar quantization of an embedding column: per-vector
