@@ -774,7 +774,8 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, pruned.map(_.path).toSet, newFiles, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames, tombstones = base.tombstones))
+      renames = base.renames, tombstones = base.tombstones),
+      headHint = Some(base))
   }
 
   /** MERGE-ON-READ predicate delete via DELETION VECTORS: mark every
@@ -916,7 +917,8 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, touchedPaths, updated, base.statsCol, cdc = doomed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      abortDirs = Seq(dvRel), renames = base.renames, tombstones = base.tombstones))
+      abortDirs = Seq(dvRel), renames = base.renames,
+      tombstones = base.tombstones), headHint = Some(base))
     deleted
   }
 
@@ -1025,7 +1027,8 @@ object TxnLake {
     commitStaged(spark, dir, Staged(base.version, base.partCol, base.schemaDdl,
       touched, touchedPaths, withDv ++ newFiles, base.statsCol, cdc = feed,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      abortDirs = Seq(dvRel), renames = base.renames, tombstones = base.tombstones))
+      abortDirs = Seq(dvRel), renames = base.renames,
+      tombstones = base.tombstones), headHint = Some(base))
     updatedCount
   }
 
@@ -1042,7 +1045,8 @@ object TxnLake {
   def append(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    stageAppend(spark, dir, base, rows).foreach(commitStaged(spark, dir, _))
+    stageAppend(spark, dir, base, rows)
+      .foreach(commitStaged(spark, dir, _, headHint = Some(base)))
   }
 
   /** IDEMPOTENT APPEND (Delta's `txnAppId`/`txnVersion` discipline):
@@ -1072,7 +1076,8 @@ object TxnLake {
     stageAppend(spark, dir, base, rows) match {
       case None => false
       case Some(staged) =>
-        commitStaged(spark, dir, staged.copy(txn = Some((appId, version))))
+        commitStaged(spark, dir, staged.copy(txn = Some((appId, version))),
+          headHint = Some(base))
     }
   }
 
@@ -1279,7 +1284,7 @@ object TxnLake {
       // row-preserving rewrite (Delta's dataChange=false): the live
       // rowset is unchanged (DV purges drop only already-doomed rows),
       // so streaming consumers skip this commit instead of aborting
-      dataChange = false))
+      dataChange = false), headHint = Some(base))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -1370,7 +1375,8 @@ object TxnLake {
       touched, base.files.map(_.path).toSet, newFiles, base.statsCol,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
       renames = base.renames, tombstones = base.tombstones,
-      dataChange = false)) // re-cluster: rows unchanged, layout only
+      dataChange = false), // re-cluster: rows unchanged, layout only
+      headHint = Some(base))
     val head = resolve(fsOf(spark, dir), dir).get
     OptimizeStats(base.files.size, head.files.size, touched.size, head.version)
   }
@@ -2058,7 +2064,7 @@ object TxnLake {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     stageMerge(spark, dir, base, updates, key)
-      .foreach(commitStaged(spark, dir, _))
+      .foreach(commitStaged(spark, dir, _, headHint = Some(base)))
   }
 
   /** A `WHEN NOT MATCHED BY SOURCE` clause of [[merge]] — the third
@@ -2110,7 +2116,7 @@ object TxnLake {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     stageMerge(spark, dir, base, source, key, Some(deleteWhen), bySource)
-      .foreach(commitStaged(spark, dir, _))
+      .foreach(commitStaged(spark, dir, _, headHint = Some(base)))
   }
 
   /** [[merge]] pinned to snapshot `baseVersion`. For callers that
@@ -2375,13 +2381,22 @@ object TxnLake {
   /** Returns true when this staged commit published; false when an
     * application transaction marker proved it a replay (silent no-op). */
   private[lake] def commitStaged(spark: SparkSession, dir: String, staged: Staged,
-                                 strictBase: Boolean = false): Boolean = {
+                                 strictBase: Boolean = false,
+                                 headHint: Option[Manifest] = None): Boolean = {
     val fs = fsOf(spark, dir)
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 20, s"txn commit retry budget exhausted at $dir")
-      val head = resolve(fs, dir)
+      // FIRST-ATTEMPT HEAD HINT (build-tax): callers that just resolved
+      // their base pass it, skipping this attempt's log listing +
+      // replay. Safe even when stale: version slots publish by
+      // exclusive-create, so a hint that missed an intervening commit
+      // loses the slot race and the next attempt re-resolves fresh —
+      // one wasted publish attempt under contention buys one less
+      // resolve per commit in the uncontended common case.
+      val head = (if (attempts == 1) headHint else None)
+        .orElse(resolve(fs, dir))
         .getOrElse(throw new IllegalStateException(s"txn log vanished under $dir"))
       // strict base ([[mergeAt]]): the staged plan read the FULL table
       // at baseVersion (clause-narrowing joins), so any newer head
