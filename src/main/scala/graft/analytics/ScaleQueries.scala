@@ -1525,6 +1525,40 @@ object ScaleQueries {
       |UNION ALL SELECT 'history', 4, CAST(NULL AS DOUBLE)
       |ORDER BY channel""".stripMargin
 
+  /** lk30 — `SHOW PARTITIONS` as a driver-checked relation
+    * ([[graft.lake.TxnLake.partitions]]): the manifest's live
+    * partition values with per-partition file and row counts —
+    * metadata the manifest already holds as a partition index, served
+    * with one log resolve and zero data files (Delta refuses SHOW
+    * PARTITIONS; a 100 TB table's layout question should not need a
+    * scan). History: create + one append fragment each of the three
+    * `pt` partitions 2-deep, so n_files pins the commit cascade
+    * (deterministic — staging writes one file per partition per
+    * commit) and n_rows is the SF-dependent exact footer sum. */
+  private def lk30(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk30")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 10 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt")
+    TxnLake.append(s, dir, slice(1))
+    GraftSqlDml.exec(s, s"SHOW PARTITIONS graft_txn.`$dir`")
+      .orderBy(col("partition"))
+  }
+
+  private val lk30Sql =
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey % 3 AS VARCHAR) AS pt
+      |  FROM orders WHERE o_orderkey % 10 IN (0, 1))
+      |SELECT pt AS partition, CAST(2 AS BIGINT) AS n_files,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM base GROUP BY pt
+      |ORDER BY partition""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2266,6 +2300,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "lk28_sql_tblproperties" -> (lk28 _),
     "lk29_occ_contention" -> (lk29 _),
+    "lk30_show_partitions" -> (lk30 _),
     "lk25_sql_truncate" -> (lk25 _),
     "lk26_sql_scoped_maintenance" -> (lk26 _),
     "lk27_sql_table_changes" -> (lk27 _),
@@ -2313,6 +2348,7 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "lk28_sql_tblproperties" -> lk28Sql,
     "lk29_occ_contention" -> lk29Sql,
+    "lk30_show_partitions" -> lk30Sql,
     "lk25_sql_truncate" -> lk25Sql,
     "lk26_sql_scoped_maintenance" -> lk26Sql,
     "lk27_sql_table_changes" -> lk27Sql,

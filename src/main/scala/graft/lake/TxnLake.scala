@@ -603,6 +603,36 @@ object TxnLake {
       .toDF("path", "part_value", "zmin", "zmax")
   }
 
+  /** `SHOW PARTITIONS` surface: one row per LIVE partition value with
+    * its file count and row count — pure manifest metadata, zero data
+    * files opened (the manifest IS a partition index; Delta refuses
+    * SHOW PARTITIONS outright because its log would have to be
+    * replayed file-by-file — graft already holds the fold). `n_rows`
+    * is EXACT-OR-NULL: the per-file footer row counts summed when
+    * every file in the partition tracks rows and carries no
+    * outstanding deletion vector; any DV'd or legacy row-less file
+    * nulls the partition's count rather than over-reporting (the
+    * [[rowCount]] honesty rule — OPTIMIZE purgeDv / REORG restore
+    * exactness). Legacy multi-value files count under EACH of their
+    * values, like [[detail]]. */
+  def partitions(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val m = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    import spark.implicits._
+    m.files.flatMap(f => f.parts.toSeq.map(p => (p, f)))
+      .groupBy(_._1).toSeq
+      .map { case (p, grouped) =>
+        val entries = grouped.map(_._2)
+        val exact = entries.forall(e => e.rows.isDefined && e.dv.isEmpty)
+        (p.getOrElse("NULL"), entries.size.toLong,
+          (if (exact) java.lang.Long.valueOf(entries.flatMap(_.rows).sum)
+           else null): java.lang.Long)
+      }
+      .sortBy(_._1)
+      .toDF("partition", "n_files", "n_rows")
+  }
+
   /** METADATA-ONLY COUNT(*) at a version (latest when negative): the
     * manifest's per-file row counts summed, minus the cardinality of
     * each live file's outstanding deletion vectors. With no DVs this

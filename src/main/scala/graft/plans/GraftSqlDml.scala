@@ -209,6 +209,8 @@ object GraftSqlDml {
     """(?is)\A\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*\z""".r
   private val ShowPropsRe =
     """(?is)\A\s*SHOW\s+TBLPROPERTIES\s+(.+?)\s*;?\s*\z""".r
+  private val ShowPartsRe =
+    """(?is)\A\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*\z""".r
   private val ReorgRe =
     """(?is)\A\s*REORG\s+TABLE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*\z""".r
   private val RestoreRe =
@@ -267,6 +269,9 @@ object GraftSqlDml {
       // like DESCRIBE HISTORY, the graft reading wins ONLY for graft
       // tables; `SHOW TBLPROPERTIES catalog_tbl` keeps stock semantics
       case ShowPropsRe(target) => dirOf(target).map(GraftShowPropertiesCommand)
+      // stock grammar has SHOW PARTITIONS too (hive-style tables); the
+      // graft reading wins ONLY for graft targets, like DESCRIBE DETAIL
+      case ShowPartsRe(target) => dirOf(target).map(GraftShowPartitionsCommand)
       case ReorgRe(target) => dirOf(target).map(GraftReorgCommand)
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
       case DetailRe(target) => dirOf(target).map(GraftDetailCommand)
@@ -701,6 +706,22 @@ case class GraftShowPropertiesCommand(dir: String) extends GraftDmlCommand {
       .map { case (c, e) => s"graft.generatedColumns.$c" -> e }
     (base ++ gen).sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
+}
+
+/** `SHOW PARTITIONS <graft table>` — the manifest's live partition
+  * values with file and row counts ([[TxnLake.partitions]]):
+  * metadata-only, one log resolve, zero data files. `n_rows` is
+  * exact-or-NULL (a DV'd or legacy row-less file nulls its
+  * partition's count rather than over-reporting). Non-graft targets
+  * keep stock `SHOW PARTITIONS` semantics. */
+case class GraftShowPartitionsCommand(dir: String) extends GraftDmlCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] =
+    TxnLake.partitions(spark, dir).collect().toSeq
 }
 
 /** `REORG TABLE <graft table> APPLY (PURGE)` — Delta's merge-on-read
