@@ -687,7 +687,65 @@ object StreamingQueries {
       |FROM tail GROUP BY 1
       |ORDER BY channel""".stripMargin
 
+  /** st22 — CHANGE FEED through the `readChangeFeed` OPTION
+    * ([[graft.lake.TxnCdcStream]], Delta CDF's streaming front door on
+    * the graft-txn format): COMMIT-GRANULAR offsets, so every
+    * micro-batch carries whole commits (`maxVersionsPerTrigger 1`
+    * forces one commit per batch — the raw file stream can split a
+    * commit's change files across triggers). History: create with the
+    * feed on, append (v1 inserts), predicate DELETE (v2 delete
+    * pre-images carrying full rows); the stream attaches at
+    * `startingVersion 1` so the v0 bulk load stays out, drains
+    * AvailableNow into the exactly-once parquet sink, and the query
+    * aggregates per (change type, version). The oracle replays the
+    * slices relationally — version numbers are deterministic by
+    * construction. */
+  private def st22(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val root = java.nio.file.Files.createTempDirectory("graft_st22")
+    val dir = root.resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 9 === k)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "o_orderstatus", changeFeed = true) // v0
+    TxnLake.append(s, dir, slice(1))                                     // v1
+    TxnLake.deleteWhere(s, dir, col("o_orderkey") % 4 === 2)             // v2
+    val out = root.resolve("out").toString
+    val q = s.readStream.format("graft-txn")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+        "price DECIMAL(12,2), _change_type STRING, _commit_version BIGINT")
+      .parquet(out)
+      .groupBy(concat(col("_change_type"), lit(":v"),
+        col("_commit_version")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("channel"))
+  }
+
+  private val st22Sql =
+    """WITH s0 AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 0),
+      |s1 AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 9 = 1),
+      |del AS (
+      |  SELECT * FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+      |  WHERE o_orderkey % 4 = 2)
+      |SELECT 'delete:v2' AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS sum_price FROM del
+      |UNION ALL
+      |SELECT 'insert:v1', CAST(count(*) AS BIGINT), CAST(sum(price) AS DOUBLE)
+      |FROM s1
+      |ORDER BY channel""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st22_cdc_option_stream" -> (st22 _),
     "st21_table_stream" -> (st21 _),
     "st19_cdc_startversion" -> (st19 _),
     "st18_exactly_once_sink" -> (st18 _),
@@ -710,6 +768,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st22_cdc_option_stream" -> st22Sql,
     "st21_table_stream" -> st21Sql,
     "st19_cdc_startversion" -> st19Sql,
     "st18_exactly_once_sink" -> st18Sql,

@@ -60,6 +60,11 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
     * tailing, `startingVersion` / `maxFilesPerTrigger` /
     * `ignoreDeletes` / `ignoreChanges` / `skipChangeCommits` options,
     * Delta's readStream surface. No change feed required. */
+  private def wantsChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("readChangeFeed") => v.toBoolean
+    }.getOrElse(false)
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -67,11 +72,16 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
     val spark = sqlContext.sparkSession
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-txn requires a path"))
-    val m = TxnLake.resolve(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
-    val phys = StructType.fromDDL(m.schemaDdl)
-    (shortName(), StructType(phys.fields.map(f =>
-      f.copy(name = m.renames.getOrElse(f.name, f.name)))))
+    if (wantsChangeFeed(parameters))
+      // Delta CDF's option: rows + _change_type + _commit_version
+      (shortName(), graft.streaming.CdcFeed.schemaOf(spark, dir))
+    else {
+      val m = TxnLake.resolve(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"$dir is not a txn table (no _graft_log)"))
+      val phys = StructType.fromDDL(m.schemaDdl)
+      (shortName(), StructType(phys.fields.map(f =>
+        f.copy(name = m.renames.getOrElse(f.name, f.name)))))
+    }
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -82,7 +92,9 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val dir = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-txn requires a path"))
-    new TxnTableStream(sqlContext.sparkSession, dir, parameters)
+    if (wantsChangeFeed(parameters))
+      new TxnCdcStream(sqlContext.sparkSession, dir, parameters)
+    else new TxnTableStream(sqlContext.sparkSession, dir, parameters)
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -64,7 +64,7 @@ object CdcFeed {
     * PATH containing either substring cannot flip it), the version
     * from the `v<N>` dir name. Explicitly-written change files keep
     * their stored columns (coalesce no-op). */
-  private def derive(df: DataFrame): DataFrame =
+  private[graft] def derive(df: DataFrame): DataFrame =
     df.withColumn("__cdc_file", col("_metadata.file_path"))
       .withColumn(TxnLake.VersionCol, coalesce(col(TxnLake.VersionCol),
         regexp_extract(col("__cdc_file"),
@@ -120,7 +120,7 @@ object CdcFeed {
   /** Earliest commit whose in-commit timestamp is >= `tsMillis`
     * (Delta's `startingTimestamp` contract). Log-scale driver work —
     * one history replay, no data files touched. */
-  private def firstVersionAtOrAfter(spark: SparkSession, dir: String,
+  private[graft] def firstVersionAtOrAfter(spark: SparkSession, dir: String,
                                     tsMillis: Long): Long = {
     val r = TxnLake.history(spark, dir)
       .filter(col("committed_at") >= new java.sql.Timestamp(tsMillis))
