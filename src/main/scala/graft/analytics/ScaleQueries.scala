@@ -1559,6 +1559,55 @@ object ScaleQueries {
       |FROM base GROUP BY pt
       |ORDER BY partition""".stripMargin
 
+  /** lk31 — `ALTER TABLE ... SET TBLPROPERTIES` end-to-end: the
+    * property round-trip lk28's SHOW reads back. A table born with no
+    * feed and no stats tracking gains BOTH mid-life through one SQL
+    * statement — `graft.changeFeed` enables commit-time change capture
+    * from the NEXT commit (Delta's enableChangeDataFeed contract) and
+    * `graft.statsColumns` re-points zone-map tracking — then a third
+    * slice lands and the query proves the flip took: the
+    * `data.changesSinceEnable` channel counts exactly that commit's
+    * feed rows through the `table_changes` TVF, the property rows
+    * read back through SHOW TBLPROPERTIES, and the metadata-only
+    * rowCount ties the result to the table's real cardinality. */
+  private def lk31(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk31")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 12 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt") // v0: no feed, no stats
+    TxnLake.append(s, dir, slice(1))       // v1: pre-property
+    GraftSqlDml.exec(s, s"ALTER TABLE graft_txn.`$dir` SET TBLPROPERTIES (" +
+      "'graft.statsColumns' = 'price', 'graft.changeFeed' = 'true')")
+    TxnLake.append(s, dir, slice(2))       // v2: feed + price bounds ON
+    val n = TxnLake.rowCount(s, dir)
+      .getOrElse(sys.error("fresh table must track row counts"))
+    val changes = GraftSqlDml.sql(s,
+      s"SELECT count(*) AS n FROM table_changes('$dir', 2)").head().getLong(0)
+    import s.implicits._
+    GraftSqlDml.exec(s, s"SHOW TBLPROPERTIES graft_txn.`$dir`")
+      .unionByName(Seq(
+        ("data.changesSinceEnable", changes.toString),
+        ("data.rowCount", n.toString)).toDF("key", "value"))
+      .orderBy(col("key"))
+  }
+
+  private val lk31Sql =
+    """WITH s2 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 12 = 2),
+      |base AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 12 IN (0, 1, 2))
+      |SELECT 'data.changesSinceEnable' AS "key",
+      |  CAST(count(*) AS VARCHAR) AS "value" FROM s2
+      |UNION ALL SELECT 'data.rowCount',
+      |  (SELECT CAST(count(*) AS VARCHAR) FROM base)
+      |UNION ALL SELECT 'graft.changeFeed', 'true'
+      |UNION ALL SELECT 'graft.partitionColumn', 'pt'
+      |UNION ALL SELECT 'graft.statsColumns', 'price'
+      |ORDER BY "key"""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2301,6 +2350,7 @@ object ScaleQueries {
     "lk28_sql_tblproperties" -> (lk28 _),
     "lk29_occ_contention" -> (lk29 _),
     "lk30_show_partitions" -> (lk30 _),
+    "lk31_set_tblproperties" -> (lk31 _),
     "lk25_sql_truncate" -> (lk25 _),
     "lk26_sql_scoped_maintenance" -> (lk26 _),
     "lk27_sql_table_changes" -> (lk27 _),
@@ -2349,6 +2399,7 @@ object ScaleQueries {
     "lk28_sql_tblproperties" -> lk28Sql,
     "lk29_occ_contention" -> lk29Sql,
     "lk30_show_partitions" -> lk30Sql,
+    "lk31_set_tblproperties" -> lk31Sql,
     "lk25_sql_truncate" -> lk25Sql,
     "lk26_sql_scoped_maintenance" -> lk26Sql,
     "lk27_sql_table_changes" -> lk27Sql,

@@ -128,6 +128,25 @@ object GraftSqlDml {
           s"ALTER COLUMNS ${widenings.map(_._1).mkString(",")} TYPE",
           (s, d) => widenings.foreach { case (n, t) => TxnLake.widenColumn(s, d, n, t) })
       }
+    // ALTER TABLE ... SET/UNSET TBLPROPERTIES -> the graft marker-file
+    // properties (the same set SHOW TBLPROPERTIES serves): statsColumns
+    // re-point zone-map tracking, changeFeed enables CDC mid-life
+    // (Delta's delta.enableChangeDataFeed contract — enable-only),
+    // generatedColumns merge per-column expressions. Unknown keys fail
+    // loudly — there is no generic property store, and silently
+    // accepting a typo'd key would read back as "property ignored".
+    case sp: SetTableProperties =>
+      ddlTarget(spark, sp.table).map { case (dir, ti) =>
+        GraftDdlCommand(dir, ti,
+          s"SET TBLPROPERTIES (${sp.properties.keys.toSeq.sorted.mkString(",")})",
+          (s, d) => applyTableProperties(s, d, sp.properties))
+      }
+    case up: UnsetTableProperties =>
+      ddlTarget(spark, up.table).map { case (dir, ti) =>
+        GraftDdlCommand(dir, ti,
+          s"UNSET TBLPROPERTIES (${up.propertyKeys.mkString(",")})",
+          (s, d) => unsetTableProperties(s, d, up.propertyKeys, up.ifExists))
+      }
     // TRUNCATE TABLE -> one metadata-only whole-file-list prune commit
     // (no partition form: graft partitions are manifest values, and a
     // partial truncate is DELETE WHERE)
@@ -409,6 +428,54 @@ object GraftSqlDml {
       case _ => None
     }
   }
+
+  private val GenColPrefix = "graft.generatedColumns."
+
+  /** SET TBLPROPERTIES semantics per key (all metadata-only):
+    * `graft.statsColumns` replaces the additive zone-map set,
+    * `graft.changeFeed` enables the CDC feed (enable-only — disabling
+    * would orphan the feed's retention; vacuum prunes old feed dirs),
+    * `graft.generatedColumns.<col>` MERGES the column's expression
+    * into the validated generated set. */
+  private def applyTableProperties(spark: SparkSession, dir: String,
+                                   props: Map[String, String]): Unit = {
+    props.keys.foreach {
+      case "graft.statsColumns" | "graft.changeFeed" => ()
+      case k if k.startsWith(GenColPrefix) && k.length > GenColPrefix.length => ()
+      case k => throw new IllegalArgumentException(
+        s"unknown graft table property '$k' — supported: graft.statsColumns, " +
+          "graft.changeFeed (enable-only), graft.generatedColumns.<col>")
+    }
+    props.get("graft.statsColumns").foreach(v => TxnLake.setStatsColumns(
+      spark, dir, v.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    props.get("graft.changeFeed").foreach { v =>
+      require(v.toBoolean,
+        "graft.changeFeed can only be enabled ('true') — disabling would " +
+          "orphan the feed's retained change dirs; vacuum prunes old versions")
+      TxnLake.enableChangeFeed(spark, dir)
+    }
+    val gen = props.collect { case (k, v) if k.startsWith(GenColPrefix) =>
+      k.stripPrefix(GenColPrefix) -> v }
+    if (gen.nonEmpty) TxnLake.setGeneratedColumns(spark, dir,
+      TxnLake.generatedColumnsOf(spark, dir) ++ gen)
+  }
+
+  private def unsetTableProperties(spark: SparkSession, dir: String,
+                                   keys: Seq[String], ifExists: Boolean): Unit =
+    keys.foreach {
+      case "graft.statsColumns" => TxnLake.setStatsColumns(spark, dir, Nil)
+      case k if k.startsWith(GenColPrefix) && k.length > GenColPrefix.length =>
+        val c = k.stripPrefix(GenColPrefix)
+        val cur = TxnLake.generatedColumnsOf(spark, dir)
+        if (cur.contains(c)) TxnLake.setGeneratedColumns(spark, dir, cur - c)
+        else if (!ifExists) throw new IllegalArgumentException(
+          s"no generated column '$c' to unset at $dir (use IF EXISTS)")
+      case k =>
+        if (!ifExists) throw new IllegalArgumentException(
+          s"cannot unset graft table property '$k' — unsettable: " +
+            "graft.statsColumns, graft.generatedColumns.<col> " +
+            "(graft.changeFeed and graft.partitionColumn are structural)")
+    }
 
   // ---- target resolution -------------------------------------------------
 

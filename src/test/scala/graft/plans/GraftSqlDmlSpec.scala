@@ -510,6 +510,55 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("SET/UNSET TBLPROPERTIES drive the graft marker-file properties") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s) // no feed, no stats columns
+      // SET: stats tracking + mid-life change-feed enable + a
+      // generated column, one statement each or combined
+      s.sql(s"ALTER TABLE graft_txn.`$dir` SET TBLPROPERTIES (" +
+        "'graft.statsColumns' = 'v', 'graft.changeFeed' = 'true')")
+      assert(TxnLake.statsColumnsOf(s, dir) === Seq("v"))
+      assert(TxnLake.cdcEnabled(s, dir))
+      // feed starts at the NEXT commit (Delta's mid-life CDF contract)
+      TxnLake.append(s, dir, Seq((9L, 90L, "p1")).toDF("id", "v", "part"))
+      assert(s.sql(s"SELECT count(*) FROM table_changes('$dir', 0)")
+        .head().getLong(0) === 1L)
+      // stats recorded from the property onward: the appended file now
+      // carries v-bounds, so a disjoint range prunes it at planning
+      // time while the three pre-property (bound-less) files stay
+      val lake = s.read.format("graft-txn").load(dir)
+      val total = scannedFiles(lake)
+      assert(total === 4L)
+      assert(scannedFiles(lake.filter(col("v") > 1000L)) === 3L,
+        "the post-property file's zone map must prune")
+      // generated column via property: validated retroactively, so use
+      // a table whose rows already satisfy the expression
+      val gdir = java.nio.file.Files.createTempDirectory("graft_sqlprops")
+        .resolve("g").toString
+      TxnLake.create(s, gdir,
+        Seq((1L, 10L, "p1"), (2L, 20L, "p2")).toDF("id", "v", "part"), "part")
+      s.sql(s"ALTER TABLE graft_txn.`$gdir` SET TBLPROPERTIES (" +
+        "'graft.generatedColumns.v' = 'id * 10')")
+      assert(TxnLake.generatedColumnsOf(s, gdir) === Map("v" -> "id * 10"))
+      // UNSET: generated column off again; unknown keys refuse loudly
+      s.sql(s"ALTER TABLE graft_txn.`$gdir` UNSET TBLPROPERTIES " +
+        "('graft.generatedColumns.v')")
+      assert(TxnLake.generatedColumnsOf(s, gdir) === Map.empty)
+      val bad = intercept[Exception](s.sql(
+        s"ALTER TABLE graft_txn.`$dir` SET TBLPROPERTIES ('graft.typo' = 'x')"))
+      assert(bad.getMessage.contains("unknown graft table property"))
+      val noDisable = intercept[Exception](s.sql(
+        s"ALTER TABLE graft_txn.`$dir` SET TBLPROPERTIES ('graft.changeFeed' = 'false')"))
+      assert(noDisable.getMessage.contains("only be enabled"))
+      // IF EXISTS tolerates a missing generated column; bare UNSET refuses
+      s.sql(s"ALTER TABLE graft_txn.`$dir` UNSET TBLPROPERTIES IF EXISTS " +
+        "('graft.generatedColumns.nope')")
+      intercept[Exception](s.sql(
+        s"ALTER TABLE graft_txn.`$dir` UNSET TBLPROPERTIES ('graft.generatedColumns.nope')"))
+    }
+  }
+
   test("table_changes TVF serves the CDC feed as a relation") {
     withExtendedSession { s =>
       import s.implicits._
