@@ -358,21 +358,44 @@ object GraftSqlDml {
         import org.apache.spark.sql.catalyst.expressions.Literal
         val args = tvf.functionArgs
         require(args.size == 2 || args.size == 3,
-          "table_changes(table, startVersion[, endVersion]) takes 2 or 3 arguments")
-        def ver(e: Expression, what: String): Long = e match {
+          "table_changes(table, start[, end]) takes 2 or 3 arguments")
+        val dir = tableChangesDir(spark, args).get
+        // Delta's table_changes accepts versions OR timestamps for both
+        // bounds. A string literal is a timestamp (parsed through the
+        // same Spark cast the TIMESTAMP AS OF read path uses — session
+        // zone, ISO forms) and resolves through IN-COMMIT TIMESTAMPS:
+        // a start bound to the FIRST commit at-or-after it, an end
+        // bound to the NEWEST commit at-or-before it — so the window
+        // [start_ts, end_ts] captures exactly the commits that
+        // published inside it.
+        def tsMillis(s: String, what: String): Long = {
+          // try_cast, not cast: under ANSI a malformed string THROWS a
+          // generic cast error before the typed message below could fire
+          val row = spark.range(1).select(lit(s).as("__raw"))
+            .select(org.apache.spark.sql.functions
+              .expr("try_cast(__raw AS TIMESTAMP)").as("__tc")).head()
+          require(!row.isNullAt(0),
+            s"table_changes: cannot parse '$s' as a timestamp for $what")
+          row.getTimestamp(0).getTime
+        }
+        def bound(e: Expression, what: String, start: Boolean): Long = e match {
           case Literal(v: Int, _) => v.toLong
           case Literal(v: Long, _) => v
+          case Literal(s, org.apache.spark.sql.types.StringType) if s != null =>
+            val millis = tsMillis(s.toString, what)
+            if (start) graft.streaming.CdcFeed
+              .firstVersionAtOrAfter(spark, dir, millis)
+            else TxnLake.versionAsOfTimestamp(spark, dir, millis)
           case other => throw new IllegalArgumentException(
-            s"table_changes: $what must be an integer version literal, got " +
-              s"${other.sql} (timestamp bounds are not supported — resolve " +
-              "them to versions via DESCRIBE HISTORY first)")
+            s"table_changes: $what must be an integer version or a " +
+              s"timestamp string literal, got ${other.sql}")
         }
-        val dir = tableChangesDir(spark, args).get
-        val from = ver(args(1), "startVersion")
+        val from = bound(args(1), "start", start = true)
         val feed = graft.streaming.CdcFeed.batch(spark, dir, from)
         val bounded =
           if (args.size == 3)
-            feed.filter(col(TxnLake.VersionCol) <= ver(args(2), "endVersion"))
+            feed.filter(col(TxnLake.VersionCol) <=
+              bound(args(2), "end", start = false))
           else feed
         SubqueryAlias("table_changes", bounded.queryExecution.analyzed)
       case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(rel, ts, ver) =>

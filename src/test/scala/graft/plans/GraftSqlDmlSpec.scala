@@ -574,6 +574,22 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       val insOnly = s.sql(
         s"SELECT count(*) FROM table_changes('graft_txn.`$dir`', 1, 1)").head().getLong(0)
       assert(insOnly === 1L)
+      // TIMESTAMP bounds (Delta parity): string literals resolve
+      // through IN-COMMIT timestamps — a start bound to the first
+      // commit at-or-after it, an end bound to the newest at-or-before
+      val hist = s.sql(s"DESCRIBE HISTORY graft_txn.`$dir`")
+        .select("version", "committed_at").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC")) // session zone
+      val t1 = fmt.format(hist(1L))
+      assert(s.sql(s"SELECT count(*) FROM table_changes('$dir', '$t1')")
+        .head().getLong(0) === 2L) // v1 insert + v2 delete
+      assert(s.sql(s"SELECT count(*) FROM table_changes('$dir', '$t1', '$t1')")
+        .head().getLong(0) === 1L) // window [t1, t1] = exactly v1
+      val badTs = intercept[Exception](s.sql(
+        s"SELECT count(*) FROM table_changes('$dir', 'not a time')").collect())
+      assert(badTs.getMessage.contains("cannot parse"))
       // composes like any relation (CTE + join back to the live table)
       val joined = s.sql(
         s"""WITH ch AS (SELECT id, _commit_version FROM table_changes('$dir', 0, 1))
@@ -584,11 +600,15 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
       val del = s.sql(
         s"SELECT id, v FROM table_changes('$dir', 2)").collect()
       assert(del.toSeq.map(r => (r.getLong(0), r.getLong(1))) === Seq((1L, 10L)))
-      // timestamp bounds are refused with a targeted message
+      // a timestamp predating every commit starts the feed at v0
+      assert(s.sql(s"SELECT count(*) FROM table_changes('$dir', '2001-01-01')")
+        .head().getLong(0) === s.sql(
+          s"SELECT count(*) FROM table_changes('$dir', 0)").head().getLong(0))
+      // a non-literal bound still gets the targeted message
       val e = intercept[Exception](s.sql(
-        s"SELECT * FROM table_changes('$dir', '2026-01-01')").collect())
-      assert(e.getMessage.contains("integer version"),
-        s"expected the version-literal message, got: ${e.getMessage}")
+        s"SELECT * FROM table_changes('$dir', array(1))").collect())
+      assert(e.getMessage.contains("integer version or a timestamp"),
+        s"expected the bound-literal message, got: ${e.getMessage}")
       // a non-graft name falls through to stock resolution (loud, not hijacked)
       intercept[Exception](
         s.sql("SELECT * FROM table_changes('no_such_table', 0)").collect())
