@@ -744,7 +744,66 @@ object StreamingQueries {
       |FROM s1
       |ORDER BY channel""".stripMargin
 
+  /** st23 — DIRECT TABLE SINK ([[graft.lake.TxnSink]], Delta's
+    * `writeStream.format(...)` on the table): plain `writeStream`
+    * pipelines landing on the lake with no user `foreachBatch`.
+    * Both output modes over the same multi-batch file stream
+    * (`maxFilesPerTrigger 1` forces several micro-batches, so the
+    * marker discipline is exercised across batch ids, not just once):
+    *  - `append:*` — raw rows streamed into a table one
+    *    [[graft.lake.TxnLake.appendOnce]] commit per batch
+    *    (`partitionBy` supplies the partition column);
+    *  - `complete:*` — a streaming aggregate in Complete mode, each
+    *    batch atomically REPLACING the table via `overwriteOnce`; the
+    *    drained final state must equal the full-input aggregate.
+    * Replay-safety (restart no-duplicates, same-batch replay no-op,
+    * Update-mode refusal) is pinned in `TxnSinkSpec`. */
+  private def st23(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val root = java.nio.file.Files.createTempDirectory("graft_st23")
+    val in = root.resolve("in").toString
+    events(s, d).filter(col("user_id") % 6 === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .repartition(3).write.parquet(in)
+    val sch = s.read.parquet(in).schema
+    val rowsT = root.resolve("rows_lake").toString
+    s.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.format("graft-txn").partitionBy("event_type")
+      .option("checkpointLocation", root.resolve("ckpt_rows").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(rowsT).awaitTermination()
+    val aggT = root.resolve("agg_lake").toString
+    s.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(in)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+      .writeStream.format("graft-txn").option("partCol", "event_type")
+      .outputMode("complete")
+      .option("checkpointLocation", root.resolve("ckpt_agg").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(aggT).awaitTermination()
+    TxnLake.read(s, rowsT)
+      .groupBy(concat(lit("append:"), col("event_type")).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+      .unionByName(TxnLake.read(s, aggT)
+        .select(concat(lit("complete:"), col("event_type")).as("channel"),
+          col("n"), col("sum_users")))
+      .orderBy(col("channel"))
+  }
+
+  private val st23Sql =
+    """WITH base AS (
+      |  SELECT event_id, user_id, event_type FROM events WHERE user_id % 6 = 1)
+      |SELECT 'append:' || event_type AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS sum_users
+      |FROM base GROUP BY event_type
+      |UNION ALL
+      |SELECT 'complete:' || event_type, CAST(count(*) AS BIGINT),
+      |  CAST(sum(user_id) AS BIGINT)
+      |FROM base GROUP BY event_type
+      |ORDER BY channel""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "st23_table_sink" -> (st23 _),
     "st22_cdc_option_stream" -> (st22 _),
     "st21_table_stream" -> (st21 _),
     "st19_cdc_startversion" -> (st19 _),
@@ -768,6 +827,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st23_table_sink" -> st23Sql,
     "st22_cdc_option_stream" -> st22Sql,
     "st21_table_stream" -> st21Sql,
     "st19_cdc_startversion" -> st19Sql,

@@ -1175,6 +1175,23 @@ object TxnLake {
     * one — O(table), which is what an overwrite IS; use [[upsert]] /
     * [[delete]] when only a delta changed. */
   def overwrite(spark: SparkSession, dir: String, rowsIn: DataFrame): Unit = {
+    overwriteImpl(spark, dir, rowsIn, txn = None); ()
+  }
+
+  /** Idempotent full replace — [[overwrite]] carrying an application
+    * transaction marker, the Complete-output-mode sibling of
+    * [[appendOnce]]: a replayed micro-batch whose `(appId, version)`
+    * already committed drops its staged files and no-ops (checked both
+    * up front and inside the commit's OCC retry loop). Returns true
+    * when this call committed the overwrite. */
+  def overwriteOnce(spark: SparkSession, dir: String, rows: DataFrame,
+                    appId: String, version: Long): Boolean = {
+    if (lastTxnVersion(fsOf(spark, dir), dir, appId).exists(_ >= version)) return false
+    overwriteImpl(spark, dir, rows, txn = Some((appId, version)))
+  }
+
+  private def overwriteImpl(spark: SparkSession, dir: String, rowsIn: DataFrame,
+                            txn: Option[(String, Long)]): Boolean = {
     val rows = fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir))
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
@@ -1219,7 +1236,7 @@ object TxnLake {
       base.files.map(_.path).toSet, newFiles, base.statsCol,
       cdc = oldRows, cdcCopy = if (cdcOn && renames.isEmpty) newFiles else Nil,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = renames, tombstones = base.tombstones))
+      renames = renames, tombstones = base.tombstones, txn = txn))
   }
 
   final case class OptimizeStats(filesBefore: Int, filesAfter: Int,

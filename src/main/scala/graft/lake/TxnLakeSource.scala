@@ -51,9 +51,32 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class TxnLakeSource extends RelationProvider with CreatableRelationProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-txn"
+
+  /** `df.writeStream.format("graft-txn").start(dir)` — the table as a
+    * streaming SINK ([[TxnSink]]): exactly-once marker-checked commits
+    * per micro-batch, Append (appendOnce) and Complete (overwriteOnce)
+    * output modes, first-batch table create. Update mode is refused
+    * here, analysis-time (the Delta rule — keyed deltas belong to
+    * `UpsertSink`/MERGE, not a blind table write). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-txn requires a path"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append() ||
+        outputMode == org.apache.spark.sql.streaming.OutputMode.Complete(),
+      s"graft-txn sink supports Append and Complete output modes, got $outputMode")
+    require(partitionColumns.size <= 1,
+      s"graft-txn tables have a single partition column, " +
+        s"got partitionBy(${partitionColumns.mkString(", ")})")
+    new TxnSink(sqlContext.sparkSession, dir, parameters, partitionColumns, outputMode)
+  }
 
   /** `spark.readStream.format("graft-txn").load(dir)` — the TABLE as a
     * streaming source ([[TxnTableStream]]): initial snapshot + version

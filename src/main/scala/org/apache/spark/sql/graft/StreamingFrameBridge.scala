@@ -17,4 +17,17 @@ object StreamingFrameBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The sink-side mirror: `Sink.addBatch` receives a DataFrame riding
+    * the micro-batch's IncrementalExecution — re-planning it (any new
+    * Dataset op that re-analyzes the streaming plan) would re-execute
+    * sources and lose stateful operators' batch-pinned state reads.
+    * Pinning the already-planned RDD under a fresh batch plan is the
+    * standard sink recipe (Delta's `DeltaSink` wraps
+    * `data.queryExecution.toRdd` in a `LogicalRDD` the same way). */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
