@@ -1608,6 +1608,74 @@ object ScaleQueries {
       |UNION ALL SELECT 'graft.statsColumns', 'price'
       |ORDER BY "key"""".stripMargin
 
+  /** lk32 — CHECK CONSTRAINTS end-to-end ([[graft.lake.TxnLake
+    * .addCheckConstraint]] + the `ALTER TABLE ... ADD CONSTRAINT ...
+    * CHECK` statement, Delta parity): declare `price > 0` over a clean
+    * table, append a clean slice under it, then attempt a batch whose
+    * every price is negated — the write job ABORTS on the first
+    * violating row and NOTHING commits (the `post_reject` channel must
+    * equal `clean`); DROP CONSTRAINT lifts the gate and the same batch
+    * lands (`final`). The constraint surfaces through SHOW
+    * TBLPROPERTIES mid-life (asserted in-query). Enforcement is
+    * embedded in the staged projection itself (no extra validation
+    * pass — raise_error inside the write), so the gate costs zero
+    * additional jobs at any scale. */
+  private def lk32(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk32")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 10 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt")
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ADD CONSTRAINT price_pos CHECK (price > 0)")
+    TxnLake.append(s, dir, slice(1)) // clean: every price positive
+    val shown = GraftSqlDml.exec(s, s"SHOW TBLPROPERTIES graft_txn.`$dir`")
+      .filter(col("key") === "graft.constraints.price_pos")
+      .head().getString(1)
+    require(shown == "price > 0", s"SHOW must surface the constraint, got '$shown'")
+    val bad = slice(2).withColumn("price", -col("price"))
+    val rejected =
+      try { TxnLake.append(s, dir, bad); 0L }
+      catch { case _: Throwable => 1L }
+    def agg(tag: String) = TxnLake.read(s, dir)
+      .groupBy(lit(tag).as("channel"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+    val postReject = agg("post_reject")
+    GraftSqlDml.exec(s, s"ALTER TABLE graft_txn.`$dir` DROP CONSTRAINT price_pos")
+    TxnLake.append(s, dir, bad) // gate lifted: the same batch lands
+    import s.implicits._
+    postReject
+      .unionByName(agg("final"))
+      .unionByName(Seq(("rejected", rejected, 0.0d))
+        .toDF("channel", "n", "sum_price"))
+      .orderBy(col("channel"))
+  }
+
+  private val lk32Sql =
+    """WITH clean AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 10 IN (0, 1)),
+      |bad AS (
+      |  SELECT o_orderkey, -CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 10 = 2)
+      |SELECT 'final' AS channel,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clean) +
+      |    (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n,
+      |  CAST((SELECT coalesce(sum(price), 0) FROM clean) +
+      |    (SELECT coalesce(sum(price), 0) FROM bad) AS DOUBLE) AS sum_price
+      |UNION ALL
+      |SELECT 'post_reject', (SELECT CAST(count(*) AS BIGINT) FROM clean),
+      |  CAST((SELECT sum(price) FROM clean) AS DOUBLE)
+      |UNION ALL
+      |SELECT 'rejected',
+      |  CASE WHEN (SELECT count(*) FROM bad) > 0 THEN 1 ELSE 0 END,
+      |  CAST(0 AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2348,6 +2416,7 @@ object ScaleQueries {
 
   val defs: Map[String, Q] = Map(
     "lk28_sql_tblproperties" -> (lk28 _),
+    "lk32_check_constraints" -> (lk32 _),
     "lk29_occ_contention" -> (lk29 _),
     "lk30_show_partitions" -> (lk30 _),
     "lk31_set_tblproperties" -> (lk31 _),
@@ -2397,6 +2466,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "lk28_sql_tblproperties" -> lk28Sql,
+    "lk32_check_constraints" -> lk32Sql,
     "lk29_occ_contention" -> lk29Sql,
     "lk30_show_partitions" -> lk30Sql,
     "lk31_set_tblproperties" -> lk31Sql,

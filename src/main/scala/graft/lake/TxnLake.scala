@@ -210,6 +210,7 @@ object TxnLake {
     s"concat('$DataDir/', element_at(split($pathCol, '/$DataDir/'), -1))"
   private val StatsColsFile = "_stats_cols.json"
   private val GenColsFile = "_generated_cols.json"
+  private val CheckConsFile = "_check_constraints.json"
 
   /** Root of DELETION-VECTOR sidecars (merge-on-read row deletes): one
     * `c<commit>` parquet directory per [[deleteWhere]] commit, rows
@@ -313,6 +314,143 @@ object TxnLake {
   /** The table's generated-column property (empty when unset). */
   def generatedColumnsOf(spark: SparkSession, dir: String): Map[String, String] =
     genColsOf(fsOf(spark, dir), dir)
+
+  /** CHECK CONSTRAINTS (Delta's `ALTER TABLE ... ADD CONSTRAINT name
+    * CHECK (expr)`): persist `name -> SQL predicate` as a table
+    * property and enforce it on every write path that stages NEW row
+    * images (create / append / appendOnce / overwrite / INSERT /
+    * updateWhere post-images / merge source rows and by-source
+    * post-images / the streaming sink). Enforcement is embedded in the
+    * staged projection itself — the first violating row aborts the
+    * write JOB (one atomic failure, nothing committed), costing zero
+    * extra passes; row-preserving rewrites (OPTIMIZE / ZORDER / REORG /
+    * RESTORE / clone) skip it, since their rows already passed at
+    * original write time.
+    *
+    * NULL handling is FAIL-CLOSED (a predicate evaluating to NULL
+    * rejects the row) — Delta's CHECK semantics ("must evaluate to
+    * true"), and the same posture as [[Constraints.violationOf]]'s
+    * quarantine channel.
+    *
+    * Adding a constraint to a table with data validates EXISTING rows
+    * first (one scan) and refuses if any violate — the invariant is
+    * true retroactively or not at all. Names are case-insensitive
+    * (stored lower, the Delta rule). */
+  def addCheckConstraint(spark: SparkSession, dir: String,
+                         name: String, exprSql: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val key = name.toLowerCase
+    require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint name must be an identifier ([A-Za-z0-9_]+), got '$name'")
+    val cur = checkConsOf(fs, dir)
+    require(!cur.contains(key),
+      s"constraint '$key' already exists on $dir (${cur(key)}) — drop it first")
+    // the same expression discipline as generated columns: parse,
+    // deterministic, not evaluation-time-dependent, and — when the
+    // table exists — referencing only live logical columns
+    val refs = generatedRefs(spark, exprSql)
+    resolve(fs, dir).foreach { m =>
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val logical = schema.fieldNames.map(n => m.renames.getOrElse(n, n))
+        .map(_.toLowerCase).toSet
+      val unknown = refs -- logical
+      require(unknown.isEmpty,
+        s"CHECK constraint '$key' references non-existent column(s) " +
+          s"${unknown.mkString(",")} in: $exprSql")
+      val cond = coalesce(expr(exprSql).cast("boolean"), lit(false))
+      val analyzed = read(spark, dir).select(cond.as("__chk"))
+        .queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
+        case _ => Nil
+      }
+      require(analyzed.forall(_.deterministic),
+        s"CHECK constraint '$key' needs a deterministic expression: $exprSql")
+      val timey = analyzed.flatMap(_.collect {
+        case x if TimeDependentExprs.contains(x.getClass.getSimpleName) => x })
+      require(timey.isEmpty,
+        s"CHECK constraint '$key' must not depend on evaluation time: $exprSql")
+      // retroactive validation: one short-circuit scan (first violating
+      // row ends it); predicate pushdown applies where the expression
+      // allows
+      require(read(spark, dir).filter(!cond).isEmpty,
+        s"existing rows violate CHECK constraint '$key' ($exprSql) — " +
+          "fix the data before declaring the invariant")
+    }
+    writeCheckCons(fs, dir, cur + (key -> exprSql))
+  }
+
+  /** Drop a CHECK constraint by (case-insensitive) name. */
+  def dropCheckConstraint(spark: SparkSession, dir: String,
+                          name: String, ifExists: Boolean = false): Unit = {
+    val fs = fsOf(spark, dir)
+    val key = name.toLowerCase
+    val cur = checkConsOf(fs, dir)
+    if (cur.contains(key)) writeCheckCons(fs, dir, cur - key)
+    else require(ifExists,
+      s"no CHECK constraint '$key' on $dir (use IF EXISTS) — " +
+        s"declared: ${if (cur.isEmpty) "none" else cur.keys.toSeq.sorted.mkString(",")}")
+  }
+
+  /** The table's CHECK constraints (empty when none declared). */
+  def checkConstraintsOf(spark: SparkSession, dir: String): Map[String, String] =
+    checkConsOf(fsOf(spark, dir), dir)
+
+  private[lake] def checkConsOf(fs: FileSystem, dir: String): Map[String, String] = {
+    val p = new Path(dir, s"$LogDir/$CheckConsFile")
+    if (!fs.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      readJson(fs, p).properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  private def writeCheckCons(fs: FileSystem, dir: String,
+                             cons: Map[String, String]): Unit = {
+    fs.mkdirs(new Path(dir, LogDir))
+    val node = JsonNodeFactory.instance.objectNode()
+    cons.toSeq.sortBy(_._1).foreach { case (n, e) => node.put(n, e); () }
+    val out = fs.create(new Path(dir, s"$LogDir/$CheckConsFile"), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Embed every declared CHECK constraint in the staged projection:
+    * the first column is wrapped `when(pred, col).otherwise(
+    * raise_error(...))` — when the predicate holds the value is
+    * unchanged (hash partitioning on a wrapped partition column is
+    * unaffected), and the first violating row aborts the write job
+    * with the constraint's name and the row rendered as JSON. A
+    * separate pre-pass filter would evaluate a nondeterministic
+    * upstream frame twice and could validate DIFFERENT rows than are
+    * written (the [[fillGenerated]] rationale). */
+  private def enforceChecks(spark: SparkSession, dir: String,
+                            df: DataFrame): DataFrame = {
+    val cons = checkConsOf(fsOf(spark, dir), dir)
+    if (cons.isEmpty) df
+    else {
+      val cols = df.columns.toIndexedSeq
+      val head = cols.head
+      cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (nm, e)) =>
+        d.withColumn(head,
+          when(coalesce(expr(e).cast("boolean"), lit(false)), col(head))
+            .otherwise(raise_error(concat(
+              lit(s"CHECK constraint $nm ($e) violated by row: "),
+              to_json(struct(cols.map(col): _*))))))
+      }
+    }
+  }
+
+  /** Rename/drop guard, the [[requireNotGenerated]] sibling: a column
+    * a CHECK constraint reads is structural — renaming or dropping it
+    * would leave the stored predicate unresolvable and brick every
+    * later write. */
+  private def requireNotConstrained(spark: SparkSession, dir: String,
+                                    name: String, op: String): Unit =
+    checkConsOf(fsOf(spark, dir), dir).foreach { case (n, e) =>
+      require(!generatedRefs(spark, e).contains(name.toLowerCase),
+        s"cannot $op '$name' — CHECK constraint '$n' reads it ($e); " +
+          "drop the constraint first")
+    }
 
   /** One fs.exists probe per staging — deliberate: the property is
     * mutable ([[setGeneratedColumns]] on a live table), so caching
@@ -427,7 +565,7 @@ object TxnLake {
     // generated columns materialize BEFORE every check below — the
     // whole point is a derived partition key the writer never supplies
     // (fillGenerated also enforces expression determinism)
-    val df = fillGenerated(dfIn, generatedCols)
+    val df = enforceChecks(spark, dir, fillGenerated(dfIn, generatedCols))
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column '$c' not in ${df.columns.mkString(",")}"))
     require(df.columns.contains(partCol), s"partition column '$partCol' not in ${df.columns.mkString(",")}")
@@ -1035,7 +1173,7 @@ object TxnLake {
     val postGen =
       if (genCols.isEmpty) postSet
       else fillGenerated(postSet.drop(genCols.keys.toSeq: _*), genCols)
-    val post = castToTarget(postGen, target)
+    val post = castToTarget(enforceChecks(spark, dir, postGen), target)
     val postPhys = base.renames.foldLeft(post) {
       case (df, (phys, logical)) => df.withColumnRenamed(logical, phys)
     }
@@ -1135,7 +1273,8 @@ object TxnLake {
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
                                 rowsIn: DataFrame): Option[Staged] = {
-    val rows = fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir))
+    val rows = enforceChecks(spark, dir,
+      fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir)))
     val schema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = schema.fieldNames.map(n => base.renames.getOrElse(n, n))
     val missing = logicalNames.toSet -- rows.columns.toSet
@@ -1192,7 +1331,8 @@ object TxnLake {
 
   private def overwriteImpl(spark: SparkSession, dir: String, rowsIn: DataFrame,
                             txn: Option[(String, Long)]): Boolean = {
-    val rows = fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir))
+    val rows = enforceChecks(spark, dir,
+      fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir)))
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val baseSchema = StructType.fromDDL(base.schemaDdl)
@@ -1563,6 +1703,7 @@ object TxnLake {
         !head.bloomCol.contains(phys),
         s"cannot rename '$from' — partition/stats/bloom columns keep physical names")
       requireNotGenerated(spark, dir, from, "rename")
+      requireNotConstrained(spark, dir, from, "rename")
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -1606,6 +1747,7 @@ object TxnLake {
         !head.bloomCol.contains(phys),
         s"cannot drop '$name' — partition/stats/bloom columns are structural")
       requireNotGenerated(spark, dir, name, "drop")
+      requireNotConstrained(spark, dir, name, "drop")
       require(fields.size > 1, "cannot drop the last column")
       val schema = StructType(fields.filterNot(_.name == phys))
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
@@ -2200,7 +2342,7 @@ object TxnLake {
                                deleteWhen: Option[Column] = None,
                                bySource: Seq[BySourceAction] = Nil): Option[Staged] = {
     val genCols = genColsOf(fsOf(spark, dir), dir)
-    val updates = fillGenerated(updatesIn, genCols)
+    val updates = enforceChecks(spark, dir, fillGenerated(updatesIn, genCols))
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))
@@ -2274,7 +2416,8 @@ object TxnLake {
       val postGen =
         if (genCols.isEmpty) postSet
         else fillGenerated(postSet.drop(genCols.keys.toSeq: _*), genCols)
-      castToTarget(postGen, target).select(cols.map(col).toIndexedSeq: _*)
+      castToTarget(enforceChecks(spark, dir, postGen), target)
+        .select(cols.map(col).toIndexedSeq: _*)
     }
     val srcKeys = aligned.select(col(key).as("__txn_ukey")).distinct()
     // ONE metadata job for the whole pre-commit picture: the

@@ -155,6 +155,37 @@ object GraftSqlDml {
         GraftDdlCommand(dir, ti, "TRUNCATE",
           (s, d) => TxnLake.truncate(s, d))
       }
+    // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) / DROP
+    // CONSTRAINT name -> the engine's persisted write-time invariants
+    // ([[TxnLake.addCheckConstraint]]: validates existing rows, then
+    // every later write enforces in the staged projection). Spark 4.1
+    // parses the ANSI syntax natively; only CHECK lands here — PRIMARY
+    // KEY / UNIQUE / FOREIGN KEY surface as other plan shapes and pass
+    // through to stock analysis (which rejects them for v1 tables,
+    // correctly: the engine cannot enforce them).
+    case acc: AddCheckConstraint =>
+      // the parser wraps the target as a validation query
+      // (Filter(NOT cond, relation)) — the relation inside is the table
+      acc.child.collectFirst { case r: UnresolvedRelation => r }
+        .flatMap(r => ddlTargetParts(spark, r.multipartIdentifier))
+        .map { case (dir, ti) =>
+        val c = acc.checkConstraint
+        require(!c.userProvidedCharacteristic.enforced.contains(false),
+          "graft-txn CHECK constraints are always ENFORCED — " +
+            "NOT ENFORCED is not supported")
+        val nm = c.userProvidedName
+        val cond = c.condition
+        GraftDdlCommand(dir, ti, s"ADD CONSTRAINT $nm CHECK ($cond)",
+          (s, d) => TxnLake.addCheckConstraint(s, d, nm, cond))
+      }
+    case dcn: DropConstraint =>
+      ddlTarget(spark, dcn.table).map { case (dir, ti) =>
+        require(!dcn.cascade,
+          "graft-txn DROP CONSTRAINT does not support CASCADE — " +
+            "CHECK constraints have no dependents")
+        GraftDdlCommand(dir, ti, s"DROP CONSTRAINT ${dcn.name}",
+          (s, d) => TxnLake.dropCheckConstraint(s, d, dcn.name, dcn.ifExists))
+      }
     case _ => None
   }
 
@@ -164,19 +195,23 @@ object GraftSqlDml {
                         table: LogicalPlan): Option[(String, Option[TableIdentifier])] =
     table match {
       case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
-        pathParts(t.multipartIdentifier) match {
-          case Some(path) => Some((path, None))
-          case None =>
-            val ti = t.multipartIdentifier match {
-              case Seq(n) => Some(TableIdentifier(n))
-              case Seq(db, n) => Some(TableIdentifier(n, Some(db)))
-              case Seq(cat, db, n) if cat.equalsIgnoreCase("spark_catalog") =>
-                Some(TableIdentifier(n, Some(db)))
-              case _ => None
-            }
-            catalogDir(spark, t.multipartIdentifier).map(dir => (dir, ti))
-        }
+        ddlTargetParts(spark, t.multipartIdentifier)
       case _ => None
+    }
+
+  private def ddlTargetParts(spark: SparkSession, parts: Seq[String])
+      : Option[(String, Option[TableIdentifier])] =
+    pathParts(parts) match {
+      case Some(path) => Some((path, None))
+      case None =>
+        val ti = parts match {
+          case Seq(n) => Some(TableIdentifier(n))
+          case Seq(db, n) => Some(TableIdentifier(n, Some(db)))
+          case Seq(cat, db, n) if cat.equalsIgnoreCase("spark_catalog") =>
+            Some(TableIdentifier(n, Some(db)))
+          case _ => None
+        }
+        catalogDir(spark, parts).map(dir => (dir, ti))
     }
 
   /** Parse + dispatch one DML statement in a session built WITHOUT the
@@ -325,6 +360,12 @@ object GraftSqlDml {
       m.copy(sourceTable = rewriteTimeTravel(spark, m.sourceTable))
     case i: InsertIntoStatement =>
       i.copy(query = rewriteTimeTravel(spark, i.query))
+    // ADD CONSTRAINT's child is a parser-built validation query over
+    // the TARGET (Filter(NOT cond, relation)) — it must stay
+    // unresolved so [[rewrite]] can claim the graft table (the engine
+    // runs its own retroactive validation); rewriting it here would
+    // swap in the analyzed relation and lose the addressing
+    case a: AddCheckConstraint => a
     case other => rewriteRelations(spark, other)
   }
 
@@ -794,7 +835,9 @@ case class GraftShowPropertiesCommand(dir: String) extends GraftDmlCommand {
       "graft.changeFeed" -> TxnLake.cdcEnabled(spark, dir).toString)
     val gen = TxnLake.generatedColumnsOf(spark, dir).toSeq
       .map { case (c, e) => s"graft.generatedColumns.$c" -> e }
-    (base ++ gen).sortBy(_._1).map { case (k, v) => Row(k, v) }
+    val cons = TxnLake.checkConstraintsOf(spark, dir).toSeq
+      .map { case (n, e) => s"graft.constraints.$n" -> e }
+    (base ++ gen ++ cons).sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
 
