@@ -1676,6 +1676,78 @@ object ScaleQueries {
       |  CAST(0 AS DOUBLE)
       |ORDER BY channel""".stripMargin
 
+  /** lk33 — COPY INTO end-to-end ([[graft.lake.TxnLake.copyInto]] +
+    * the SQL statement, Delta parity): three source parquet files land
+    * over three loads — the first loads two, a verbatim re-run loads
+    * ZERO (the per-file ledger rides the commit record and folds
+    * through checkpoints), and after a third file arrives only IT
+    * loads. Channels carry (files_loaded, files_skipped) from the
+    * statement's own stats row plus the table count after each load;
+    * `final` checks the table's contents relationally. At 100 TB the
+    * cost of a re-run is one source LISTING — no data read, no table
+    * scan (the ledger lives in the O(1)-resolved manifest). */
+  private def lk33(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.GraftSqlDml
+    val root = java.nio.file.Files.createTempDirectory("graft_lk33")
+    val dir = root.resolve("orders_lake").toString
+    val src = root.resolve("src").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 11 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    graft.lake.TxnLake.create(s, dir, slice(0), "pt")
+    slice(1).coalesce(1).write.parquet(s"$src/f1")
+    slice(2).coalesce(1).write.parquet(s"$src/f2")
+    def copy(): org.apache.spark.sql.Row = GraftSqlDml.exec(s,
+      s"COPY INTO graft_txn.`$dir` FROM '$src' FILEFORMAT = PARQUET " +
+        "PATTERN = '*/*.parquet'").head()
+    def channel(tag: String, st: org.apache.spark.sql.Row): DataFrame = {
+      import s.implicits._
+      Seq((tag, st.getLong(0), st.getLong(2),
+        graft.lake.TxnLake.read(s, dir).count()))
+        .toDF("channel", "files_loaded", "files_skipped", "n")
+    }
+    val c1 = channel("load1", copy())
+    val c2 = channel("load2", copy()) // verbatim re-run: loads nothing
+    slice(3).coalesce(1).write.parquet(s"$src/f3")
+    val c3 = channel("load3", copy()) // only the new file
+    val fin = graft.lake.TxnLake.read(s, dir)
+      .groupBy(lit("final").as("channel"))
+      // files_skipped is overloaded to carry the exact cent total (an
+      // integral value — no decimal->long truncation ambiguity)
+      .agg((sum(col("price")) * 100).cast("long").as("files_skipped"),
+        count(lit(1)).as("n"))
+    c1.unionByName(c2).unionByName(c3)
+      .unionByName(fin.select(col("channel"),
+        lit(-1L).as("files_loaded"), col("files_skipped"), col("n")))
+      .orderBy(col("channel"))
+  }
+
+  private val lk33Sql =
+    """WITH s0 AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 11 = 0),
+      |s1 AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 11 = 1),
+      |s2 AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 11 = 2),
+      |s3 AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 11 = 3),
+      |cnt AS (SELECT
+      |  (SELECT count(*) FROM s0) AS n0, (SELECT count(*) FROM s1) AS n1,
+      |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+      |SELECT 'final' AS channel, CAST(-1 AS BIGINT) AS files_loaded,
+      |  CAST((SELECT sum(price) * 100 FROM (SELECT price FROM s0 UNION ALL
+      |    SELECT price FROM s1 UNION ALL SELECT price FROM s2
+      |    UNION ALL SELECT price FROM s3)) AS BIGINT) AS files_skipped,
+      |  CAST(n0 + n1 + n2 + n3 AS BIGINT) AS n FROM cnt
+      |UNION ALL
+      |SELECT 'load1', 2, 0, CAST(n0 + n1 + n2 AS BIGINT) FROM cnt
+      |UNION ALL
+      |SELECT 'load2', 0, 2, CAST(n0 + n1 + n2 AS BIGINT) FROM cnt
+      |UNION ALL
+      |SELECT 'load3', 1, 2, CAST(n0 + n1 + n2 + n3 AS BIGINT) FROM cnt
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2417,6 +2489,7 @@ object ScaleQueries {
   val defs: Map[String, Q] = Map(
     "lk28_sql_tblproperties" -> (lk28 _),
     "lk32_check_constraints" -> (lk32 _),
+    "lk33_copy_into" -> (lk33 _),
     "lk29_occ_contention" -> (lk29 _),
     "lk30_show_partitions" -> (lk30 _),
     "lk31_set_tblproperties" -> (lk31 _),
@@ -2467,6 +2540,7 @@ object ScaleQueries {
   val oracle: Map[String, String] = Map(
     "lk28_sql_tblproperties" -> lk28Sql,
     "lk32_check_constraints" -> lk32Sql,
+    "lk33_copy_into" -> lk33Sql,
     "lk29_occ_contention" -> lk29Sql,
     "lk30_show_partitions" -> lk30Sql,
     "lk31_set_tblproperties" -> lk31Sql,

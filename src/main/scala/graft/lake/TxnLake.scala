@@ -143,7 +143,8 @@ object TxnLake {
                       bloomBits: Int = DefaultBloomBits,
                       renames: Map[String, String] = Map.empty,
                       tombstones: Set[String] = Set.empty,
-                      txns: Map[String, Long] = Map.empty)
+                      txns: Map[String, Long] = Map.empty,
+                      copied: Set[String] = Set.empty)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -162,7 +163,8 @@ object TxnLake {
                                         ts: Long = 0L,
                                         txnApp: Option[String] = None,
                                         txnVer: Option[Long] = None,
-                                        dataChange: Boolean = true)
+                                        dataChange: Boolean = true,
+                                        copied: Set[String] = Set.empty)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -182,7 +184,8 @@ object TxnLake {
                                   renames: Map[String, String] = Map.empty,
                                   tombstones: Set[String] = Set.empty,
                                   txn: Option[(String, Long)] = None,
-                                  dataChange: Boolean = true)
+                                  dataChange: Boolean = true,
+                                  copied: Set[String] = Set.empty)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -1254,6 +1257,76 @@ object TxnLake {
   def lastCommittedTxn(spark: SparkSession, dir: String, appId: String): Option[Long] =
     lastTxnVersion(fsOf(spark, dir), dir, appId)
 
+  final case class CopyStats(filesLoaded: Long, rowsLoaded: Long,
+                             filesSkipped: Long, version: Long)
+
+  /** COPY INTO (Delta's idempotent bulk loader): load the files
+    * matching `src` (+ optional `pattern` glob) into the table,
+    * SKIPPING every file a previous COPY INTO already loaded — re-run
+    * the same statement after new files land and only the new ones
+    * load, in one atomic commit. File identity is the qualified source
+    * PATH (Delta's rule: a modified file is NOT reloaded); the loaded
+    * set rides in the commit record, folds forward through snapshot
+    * resolution, and persists through checkpoints exactly like
+    * exactly-once txn markers — so the idempotence horizon survives
+    * [[vacuum]]. Concurrent or replayed loads of the same files are
+    * resolved INSIDE the commit's OCC retry loop (first wins; the
+    * loser drops its staged files and reports skipped). Zero-row
+    * matches still commit a metadata-only record so the files never
+    * re-read.
+    *
+    * Scale shape: one source-listing glob + O(new files) read — table
+    * size never enters; the ledger lives in the O(1)-resolved
+    * manifest, not a side scan. */
+  def copyInto(spark: SparkSession, dir: String, src: String,
+               format: String = "parquet",
+               pattern: Option[String] = None,
+               options: Map[String, String] = Map.empty): CopyStats = {
+    require(Seq("parquet", "csv", "json").contains(format.toLowerCase),
+      s"COPY INTO supports FILEFORMAT parquet|csv|json, got '$format'")
+    val fs = fsOf(spark, dir)
+    val base = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val srcPath = new Path(src)
+    val srcFs = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // a bare directory lists its children; an explicit glob (or
+    // PATTERN) is taken as-is. Hidden files (_ / .) never load — the
+    // Spark reader would skip them anyway, and listing must agree with
+    // what a load actually reads or idempotence drifts.
+    val glob = pattern match {
+      case Some(pt) => new Path(srcPath, pt)
+      case None =>
+        val isDir = try srcFs.getFileStatus(srcPath).isDirectory
+                    catch { case _: Exception => false }
+        if (isDir) new Path(srcPath, "*") else srcPath
+    }
+    val listed = Option(srcFs.globStatus(glob)).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .filterNot(st => { val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".") })
+      .map(st => srcFs.makeQualified(st.getPath).toString)
+      .toSeq.sorted
+    val fresh = listed.filterNot(base.copied.contains)
+    if (fresh.isEmpty)
+      return CopyStats(0L, 0L, listed.size.toLong, base.version)
+    val rows = spark.read.options(options).format(format.toLowerCase)
+      .load(fresh: _*)
+    val staged = stageAppend(spark, dir, base, rows) match {
+      case Some(st) => st.copy(copied = fresh.toSet)
+      case None => // zero rows: metadata-only ledger commit
+        Staged(base.version, base.partCol, base.schemaDdl, Set.empty,
+          Set.empty, Nil, base.statsCol, bloomCol = base.bloomCol,
+          bloomBits = base.bloomBits, renames = base.renames,
+          tombstones = base.tombstones, dataChange = false,
+          copied = fresh.toSet)
+    }
+    if (commitStaged(spark, dir, staged, headHint = Some(base)))
+      CopyStats(fresh.size.toLong, staged.newFiles.flatMap(_.rows).sum,
+        (listed.size - fresh.size).toLong, currentVersion(spark, dir))
+    else // lost a concurrent-load race: nothing loaded this call
+      CopyStats(0L, 0L, listed.size.toLong, currentVersion(spark, dir))
+  }
+
   private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] = {
     // newest-first: streaming markers cluster at the head, so steady-
     // state cost is O(1) record reads per micro-batch
@@ -1640,7 +1713,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = head.renames,
-            tombstones = head.tombstones, txns = head.txns))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
         return
       }
     }
@@ -1680,7 +1753,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = renames,
-            tombstones = head.tombstones, txns = head.txns))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
         return
       }
     }
@@ -1714,7 +1787,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = renames,
-            tombstones = head.tombstones, txns = head.txns))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
         return
       }
     }
@@ -1759,7 +1832,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             Set.empty, head.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones, txns = head.txns))
+            tombstones = rec.tombstones, txns = head.txns, copied = head.copied))
         return
       }
     }
@@ -1822,7 +1895,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones, txns = head.txns))
+            tombstones = rec.tombstones, txns = head.txns, copied = head.copied))
         return rec.version
       }
     }
@@ -1908,7 +1981,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, Nil, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones, txns = head.txns))
+            tombstones = rec.tombstones, txns = head.txns, copied = head.copied))
         if (cdcEnabled(spark, dir)) {
           // explicit rewrite ONLY where the byte-copy would lie:
           // DV-bearing files (dead rows must not re-surface) and
@@ -2239,7 +2312,7 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = head.renames,
-            tombstones = head.tombstones, txns = head.txns))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
         return
       }
     }
@@ -2644,19 +2717,30 @@ object TxnLake {
           return false
         }
       }
+      // COPY INTO idempotence re-checked inside the retry loop, like
+      // txn markers: if ANY of this load's source files is already in
+      // the head's cumulative copied set (a concurrent or replayed
+      // COPY INTO won the race), the whole staged load drops and the
+      // call reports already-loaded — re-running loads the remainder
+      if (staged.copied.nonEmpty && staged.copied.exists(head.copied.contains)) {
+        dropStagedFiles(fs, dir, staged)
+        return false
+      }
       val rec = CommitRecord(head.version + 1, newCommitId(), recPartCol,
         recSchema, staged.touched, staged.newFiles, staged.prunedPaths,
         staged.statsCol, full = false, bloomCol = staged.bloomCol,
         bloomBits = staged.bloomBits, renames = recRenames,
         tombstones = recTombstones, txnApp = staged.txn.map(_._1),
-        txnVer = staged.txn.map(_._2), dataChange = staged.dataChange)
+        txnVer = staged.txn.map(_._2), dataChange = staged.dataChange,
+        copied = staged.copied)
       if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
             head.files.filterNot(f => staged.prunedPaths.contains(f.path)) ++ staged.newFiles,
             rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits,
             renames = rec.renames, tombstones = rec.tombstones,
-            txns = head.txns ++ staged.txn.toMap))
+            txns = head.txns ++ staged.txn.toMap,
+            copied = head.copied ++ staged.copied))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -3137,7 +3221,7 @@ object TxnLake {
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
         applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol,
         bloomBits = r.bloomBits, renames = r.renames, tombstones = r.tombstones,
-        txns = txns)
+        txns = txns, copied = m.copied ++ r.copied)
     }
     m
   }
@@ -3781,6 +3865,10 @@ object TxnLake {
       val tn = root.putObject("txns")
       m.txns.toSeq.sortBy(_._1).foreach { case (app, v) => tn.put(app, v); () }
     }
+    if (m.copied.nonEmpty) {
+      val cn = root.putArray("copied")
+      m.copied.toSeq.sorted.foreach(cn.add)
+    }
     addFileArray(root, "files", m.files, m.partCol)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -3796,6 +3884,10 @@ object TxnLake {
     if (!r.dataChange) root.put("dataChange", false)
     r.txnApp.foreach(root.put("txnApp", _))
     r.txnVer.foreach { v => root.put("txnVer", v); () }
+    if (r.copied.nonEmpty) {
+      val cn = root.putArray("copied")
+      r.copied.toSeq.sorted.foreach(cn.add)
+    }
     addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
     r.remove.toSeq.sorted.foreach(rm.add)
@@ -4058,6 +4150,9 @@ object TxnLake {
       renames = parseRenames(root), tombstones = parseTombstones(root),
       txns = Option(root.get("txns")).fold(Map.empty[String, Long]) { tn =>
         tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+      },
+      copied = Option(root.get("copied")).fold(Set.empty[String]) { cn =>
+        cn.elements().asScala.map(_.asText()).toSet
       })
   }
 
@@ -4095,7 +4190,10 @@ object TxnLake {
       ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L),
       txnApp = Option(root.get("txnApp")).map(_.asText()),
       txnVer = Option(root.get("txnVer")).map(_.asLong()),
-      dataChange = Option(root.get("dataChange")).forall(_.asBoolean()))
+      dataChange = Option(root.get("dataChange")).forall(_.asBoolean()),
+      copied = Option(root.get("copied")).fold(Set.empty[String]) { cn =>
+        cn.elements().asScala.map(_.asText()).toSet
+      })
   }
 
   /** IN-COMMIT TIMESTAMP (Delta's ICT discipline): strictly monotonic

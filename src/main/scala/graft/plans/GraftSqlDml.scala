@@ -263,6 +263,8 @@ object GraftSqlDml {
     """(?is)\A\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*\z""".r
   private val ShowPropsRe =
     """(?is)\A\s*SHOW\s+TBLPROPERTIES\s+(.+?)\s*;?\s*\z""".r
+  private val CopyIntoRe =
+    """(?is)\A\s*COPY\s+INTO\s+(.+?)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*\z""".r
   private val ShowPartsRe =
     """(?is)\A\s*SHOW\s+PARTITIONS\s+(.+?)\s*;?\s*\z""".r
   private val ReorgRe =
@@ -326,6 +328,9 @@ object GraftSqlDml {
       // stock grammar has SHOW PARTITIONS too (hive-style tables); the
       // graft reading wins ONLY for graft targets, like DESCRIBE DETAIL
       case ShowPartsRe(target) => dirOf(target).map(GraftShowPartitionsCommand)
+      case CopyIntoRe(target, src, fmt, pat) =>
+        dirOf(target).map(dir =>
+          GraftCopyIntoCommand(dir, src, fmt.toLowerCase, Option(pat)))
       case ReorgRe(target) => dirOf(target).map(GraftReorgCommand)
       case HistoryRe(target) => dirOf(target).map(GraftHistoryCommand)
       case DetailRe(target) => dirOf(target).map(GraftDetailCommand)
@@ -855,6 +860,24 @@ case class GraftShowPartitionsCommand(dir: String) extends GraftDmlCommand {
     AttributeReference("n_rows", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] =
     TxnLake.partitions(spark, dir).collect().toSeq
+}
+
+/** `COPY INTO <graft table> FROM '<src>' FILEFORMAT = parquet|csv|json
+  * [PATTERN = '<glob>']` — Delta's idempotent bulk loader
+  * ([[TxnLake.copyInto]]): only files no previous COPY INTO loaded are
+  * read, one atomic commit, ledger folded through checkpoints. Returns
+  * the per-call load stats. */
+case class GraftCopyIntoCommand(dir: String, src: String, format: String,
+                                pattern: Option[String]) extends GraftDmlCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_loaded", LongType, nullable = false)(),
+    AttributeReference("rows_loaded", LongType, nullable = false)(),
+    AttributeReference("files_skipped", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = TxnLake.copyInto(spark, dir, src, format, pattern)
+    Seq(Row(st.filesLoaded, st.rowsLoaded, st.filesSkipped, st.version))
+  }
 }
 
 /** `REORG TABLE <graft table> APPLY (PURGE)` — Delta's merge-on-read
