@@ -1748,6 +1748,52 @@ object ScaleQueries {
       |SELECT 'load3', 1, 2, CAST(n0 + n1 + n2 + n3 AS BIGINT) FROM cnt
       |ORDER BY channel""".stripMargin
 
+  /** lk34 — COLUMN DEFAULT VALUES end-to-end ([[graft.lake.TxnLake
+    * .setColumnDefault]] + `ADD COLUMN ... DEFAULT` / `ALTER COLUMN
+    * SET DEFAULT`, ANSI/Delta parity): a table grows a `source` column
+    * whose DEFAULT fills every later write that omits it — an append
+    * from an older pipeline lands as 'bulk', a supplied value wins
+    * ('api'), re-pointing the default flips later fills to 'stream',
+    * and rows written BEFORE the column existed stay NULL (the ANSI
+    * rule — no retroactive rewrite, no data file touched). Write-time
+    * fill is one projection column: zero extra jobs at any scale. */
+  private def lk34(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk34")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 13 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt") // pre-default rows: source NULL
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ADD COLUMN source STRING DEFAULT 'bulk'")
+    TxnLake.append(s, dir, slice(1)) // omits source -> 'bulk'
+    TxnLake.append(s, dir, slice(2).withColumn("source", lit("api")))
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN source SET DEFAULT 'stream'")
+    TxnLake.append(s, dir, slice(3)) // omits source -> 'stream'
+    TxnLake.read(s, dir)
+      .groupBy(coalesce(col("source"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("price")) * 100).cast("long").as("cents"))
+      .orderBy(col("channel"))
+  }
+
+  private val lk34Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey % 13 AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 13 IN (0, 1, 2, 3)),
+      |tagged AS (
+      |  SELECT CASE k WHEN 0 THEN 'legacy' WHEN 1 THEN 'bulk'
+      |    WHEN 2 THEN 'api' ELSE 'stream' END AS channel, price
+      |  FROM base)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) * 100 AS BIGINT) AS cents
+      |FROM tagged GROUP BY channel
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2490,6 +2536,7 @@ object ScaleQueries {
     "lk28_sql_tblproperties" -> (lk28 _),
     "lk32_check_constraints" -> (lk32 _),
     "lk33_copy_into" -> (lk33 _),
+    "lk34_column_defaults" -> (lk34 _),
     "lk29_occ_contention" -> (lk29 _),
     "lk30_show_partitions" -> (lk30 _),
     "lk31_set_tblproperties" -> (lk31 _),
@@ -2541,6 +2588,7 @@ object ScaleQueries {
     "lk28_sql_tblproperties" -> lk28Sql,
     "lk32_check_constraints" -> lk32Sql,
     "lk33_copy_into" -> lk33Sql,
+    "lk34_column_defaults" -> lk34Sql,
     "lk29_occ_contention" -> lk29Sql,
     "lk30_show_partitions" -> lk30Sql,
     "lk31_set_tblproperties" -> lk31Sql,

@@ -214,6 +214,7 @@ object TxnLake {
   private val StatsColsFile = "_stats_cols.json"
   private val GenColsFile = "_generated_cols.json"
   private val CheckConsFile = "_check_constraints.json"
+  private val DefaultsFile = "_column_defaults.json"
 
   /** Root of DELETION-VECTOR sidecars (merge-on-read row deletes): one
     * `c<commit>` parquet directory per [[deleteWhere]] commit, rows
@@ -454,6 +455,93 @@ object TxnLake {
         s"cannot $op '$name' — CHECK constraint '$n' reads it ($e); " +
           "drop the constraint first")
     }
+
+  /** COLUMN DEFAULT VALUES (ANSI `DEFAULT expr`, Delta's
+    * `allowColumnDefaults`): persist `column -> SQL expression` as a
+    * table property; every write path that stages new row images fills
+    * an ABSENT defaulted column from its expression (write-time fill —
+    * rows already in the table are untouched, the ANSI/Delta rule), so
+    * `INSERT INTO t (a, b)` works on a wider table and appends from
+    * older pipelines keep flowing after schema growth. Defaults must
+    * be CONSTANT (no column references — the Delta rule), deterministic
+    * and not evaluation-time-dependent, and cast-compatible with the
+    * column's type. Unlike generated columns, a SUPPLIED value always
+    * wins — a default is a fallback, not an invariant. */
+  def setColumnDefault(spark: SparkSession, dir: String,
+                       name: String, exprSql: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val m = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val logical = schema.fields.map(f =>
+      m.renames.getOrElse(f.name, f.name) -> f.dataType).toMap
+    require(logical.contains(name),
+      s"no column '$name' to set a default on (columns: ${logical.keys.mkString(",")})")
+    require(generatedRefs(spark, exprSql).isEmpty,
+      s"DEFAULT for '$name' must be a constant expression " +
+        s"(no column references), got: $exprSql")
+    // analyze once: deterministic, time-independent, type-compatible
+    val probe = spark.range(1)
+      .select(expr(exprSql).cast(logical(name)).as("__dflt"))
+    val analyzed = probe.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
+      case _ => Nil
+    }
+    require(analyzed.forall(_.deterministic),
+      s"DEFAULT for '$name' needs a deterministic expression: $exprSql")
+    val timey = analyzed.flatMap(_.collect {
+      case x if TimeDependentExprs.contains(x.getClass.getSimpleName) => x })
+    require(timey.isEmpty,
+      s"DEFAULT for '$name' must not depend on evaluation time: $exprSql")
+    writeDefaults(fs, dir, defaultsOf(fs, dir) + (name -> exprSql))
+  }
+
+  /** Drop a column's DEFAULT (the column keeps its data; absent
+    * writes null-fill again). */
+  def dropColumnDefault(spark: SparkSession, dir: String,
+                        name: String, ifExists: Boolean = false): Unit = {
+    val fs = fsOf(spark, dir)
+    val cur = defaultsOf(fs, dir)
+    if (cur.contains(name)) writeDefaults(fs, dir, cur - name)
+    else require(ifExists,
+      s"no DEFAULT on column '$name' at $dir (use IF EXISTS) — " +
+        s"declared: ${if (cur.isEmpty) "none" else cur.keys.toSeq.sorted.mkString(",")}")
+  }
+
+  /** The table's column defaults (empty when none declared). */
+  def columnDefaultsOf(spark: SparkSession, dir: String): Map[String, String] =
+    defaultsOf(fsOf(spark, dir), dir)
+
+  private[lake] def defaultsOf(fs: FileSystem, dir: String): Map[String, String] = {
+    val p = new Path(dir, s"$LogDir/$DefaultsFile")
+    if (!fs.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      readJson(fs, p).properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  private def writeDefaults(fs: FileSystem, dir: String,
+                            defs: Map[String, String]): Unit = {
+    fs.mkdirs(new Path(dir, LogDir))
+    val node = JsonNodeFactory.instance.objectNode()
+    defs.toSeq.sortBy(_._1).foreach { case (c, e) => node.put(c, e); () }
+    val out = fs.create(new Path(dir, s"$LogDir/$DefaultsFile"), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Fill ABSENT defaulted columns on an incoming frame (runs BEFORE
+    * generated-column fill, so a generated expression may read a
+    * defaulted column). Supplied columns pass through untouched. */
+  private def fillDefaults(spark: SparkSession, dir: String,
+                           df: DataFrame): DataFrame = {
+    val defs = defaultsOf(fsOf(spark, dir), dir)
+    if (defs.isEmpty) df
+    else defs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
+    }
+  }
 
   /** One fs.exists probe per staging — deliberate: the property is
     * mutable ([[setGeneratedColumns]] on a live table), so caching
@@ -1346,8 +1434,8 @@ object TxnLake {
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
                                 rowsIn: DataFrame): Option[Staged] = {
-    val rows = enforceChecks(spark, dir,
-      fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir)))
+    val rows = enforceChecks(spark, dir, fillGenerated(
+      fillDefaults(spark, dir, rowsIn), genColsOf(fsOf(spark, dir), dir)))
     val schema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = schema.fieldNames.map(n => base.renames.getOrElse(n, n))
     val missing = logicalNames.toSet -- rows.columns.toSet
@@ -1404,8 +1492,8 @@ object TxnLake {
 
   private def overwriteImpl(spark: SparkSession, dir: String, rowsIn: DataFrame,
                             txn: Option[(String, Long)]): Boolean = {
-    val rows = enforceChecks(spark, dir,
-      fillGenerated(rowsIn, genColsOf(fsOf(spark, dir), dir)))
+    val rows = enforceChecks(spark, dir, fillGenerated(
+      fillDefaults(spark, dir, rowsIn), genColsOf(fsOf(spark, dir), dir)))
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     val baseSchema = StructType.fromDDL(base.schemaDdl)
@@ -1777,6 +1865,11 @@ object TxnLake {
         s"cannot rename '$from' — partition/stats/bloom columns keep physical names")
       requireNotGenerated(spark, dir, from, "rename")
       requireNotConstrained(spark, dir, from, "rename")
+      // a DEFAULT follows its column (constant expressions reference
+      // no other columns, so only the key moves)
+      val defs = defaultsOf(fs, dir)
+      if (defs.contains(from))
+        writeDefaults(fs, dir, defs - from + (to -> defs(from)))
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -1822,6 +1915,9 @@ object TxnLake {
       requireNotGenerated(spark, dir, name, "drop")
       requireNotConstrained(spark, dir, name, "drop")
       require(fields.size > 1, "cannot drop the last column")
+      // the column's DEFAULT dies with it (ANSI drop semantics)
+      val defs = defaultsOf(fs, dir)
+      if (defs.contains(name)) writeDefaults(fs, dir, defs - name)
       val schema = StructType(fields.filterNot(_.name == phys))
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -2415,7 +2511,8 @@ object TxnLake {
                                deleteWhen: Option[Column] = None,
                                bySource: Seq[BySourceAction] = Nil): Option[Staged] = {
     val genCols = genColsOf(fsOf(spark, dir), dir)
-    val updates = enforceChecks(spark, dir, fillGenerated(updatesIn, genCols))
+    val updates = enforceChecks(spark, dir,
+      fillGenerated(fillDefaults(spark, dir, updatesIn), genCols))
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))

@@ -84,12 +84,15 @@ object GraftSqlDml {
         val cols = a.columnsToAdd.map { c =>
           require(c.path.isEmpty && c.name.length == 1,
             "graft-txn ADD COLUMN supports top-level columns only")
-          require(c.default.isEmpty,
-            "graft-txn ADD COLUMN does not support DEFAULT values")
-          (c.name.head, c.dataType)
+          // DEFAULT expr -> write-time fill for later writes that omit
+          // the column (existing rows stay null — the ANSI/Delta rule)
+          (c.name.head, c.dataType, c.default.map(_.originalSQL))
         }
         GraftDdlCommand(dir, ti, s"ADD COLUMNS ${cols.map(_._1).mkString(",")}",
-          (s, d) => cols.foreach { case (n, t) => TxnLake.addColumn(s, d, n, t) })
+          (s, d) => cols.foreach { case (n, t, dflt) =>
+            TxnLake.addColumn(s, d, n, t)
+            dflt.foreach(TxnLake.setColumnDefault(s, d, n, _))
+          })
       }
     case r: RenameColumn =>
       ddlTarget(spark, r.table).map { case (dir, ti) =>
@@ -115,18 +118,30 @@ object GraftSqlDml {
       }
     case ac: AlterColumns =>
       ddlTarget(spark, ac.table).map { case (dir, ti) =>
-        val widenings = ac.specs.map { sp =>
+        val actions: Seq[(SparkSession, String) => Unit] = ac.specs.map { sp =>
           require(sp.column.name.length == 1,
             "graft-txn ALTER COLUMN supports top-level columns only")
-          require(sp.newDataType.isDefined && sp.newNullability.isEmpty &&
-              sp.newComment.isEmpty && sp.newPosition.isEmpty &&
-              sp.newDefaultExpression.isEmpty && !sp.dropDefault,
-            "graft-txn ALTER COLUMN supports TYPE widening only")
-          (sp.column.name.head, sp.newDataType.get)
+          val n = sp.column.name.head
+          require(sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+              sp.newPosition.isEmpty,
+            "graft-txn ALTER COLUMN supports TYPE widening and " +
+              "SET/DROP DEFAULT only")
+          (sp.newDataType, sp.newDefaultExpression, sp.dropDefault) match {
+            case (Some(t), None, false) =>
+              (s: SparkSession, d: String) => TxnLake.widenColumn(s, d, n, t)
+            case (None, Some(dflt), false) =>
+              (s: SparkSession, d: String) =>
+                TxnLake.setColumnDefault(s, d, n, dflt.originalSQL)
+            case (None, None, true) =>
+              (s: SparkSession, d: String) => TxnLake.dropColumnDefault(s, d, n)
+            case _ => throw new IllegalArgumentException(
+              "graft-txn ALTER COLUMN takes exactly one of TYPE <t> / " +
+                "SET DEFAULT <expr> / DROP DEFAULT per column")
+          }
         }
         GraftDdlCommand(dir, ti,
-          s"ALTER COLUMNS ${widenings.map(_._1).mkString(",")} TYPE",
-          (s, d) => widenings.foreach { case (n, t) => TxnLake.widenColumn(s, d, n, t) })
+          s"ALTER COLUMNS ${ac.specs.map(_.column.name.head).mkString(",")}",
+          (s, d) => actions.foreach(_(s, d)))
       }
     // ALTER TABLE ... SET/UNSET TBLPROPERTIES -> the graft marker-file
     // properties (the same set SHOW TBLPROPERTIES serves): statsColumns
@@ -842,7 +857,9 @@ case class GraftShowPropertiesCommand(dir: String) extends GraftDmlCommand {
       .map { case (c, e) => s"graft.generatedColumns.$c" -> e }
     val cons = TxnLake.checkConstraintsOf(spark, dir).toSeq
       .map { case (n, e) => s"graft.constraints.$n" -> e }
-    (base ++ gen ++ cons).sortBy(_._1).map { case (k, v) => Row(k, v) }
+    val dflt = TxnLake.columnDefaultsOf(spark, dir).toSeq
+      .map { case (c, e) => s"graft.defaults.$c" -> e }
+    (base ++ gen ++ cons ++ dflt).sortBy(_._1).map { case (k, v) => Row(k, v) }
   }
 }
 
