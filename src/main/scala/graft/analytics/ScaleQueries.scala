@@ -1794,6 +1794,57 @@ object ScaleQueries {
       |FROM tagged GROUP BY channel
       |ORDER BY channel""".stripMargin
 
+  /** lk35 — IDENTITY COLUMNS end-to-end ([[graft.lake.TxnLake
+    * .setIdentityColumn]], Delta's GENERATED ALWAYS AS IDENTITY): two
+    * appends that never supply `uid` get engine-assigned BIGINTs —
+    * unique across both commits, at-or-above START, and the second
+    * commit's ids all above the first's max (the watermark advanced
+    * through the commit record). Values themselves are allocation-
+    * dependent (gaps are the contract), so the oracle checks the
+    * INVARIANTS as flags plus exact row counts. Allocation is one
+    * map-side projection per append — no extra job, no shuffle, no
+    * sequence bottleneck at any scale; concurrent allocations are
+    * OCC-arbitrated (spec-pinned). */
+  private def lk35(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk35")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 14 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"))
+    import s.implicits._
+    TxnLake.create(s, dir,
+      Seq.empty[(Long, Long, String)].toDF("uid", "o_orderkey", "pt"), "pt")
+    TxnLake.setIdentityColumn(s, dir, "uid", start = 1000L, step = 2L)
+    TxnLake.append(s, dir, slice(0))
+    val b1 = TxnLake.read(s, dir).select("uid").as[Long].collect().toSeq
+    TxnLake.append(s, dir, slice(1))
+    val all = TxnLake.read(s, dir).select("uid").as[Long].collect().toSeq
+    val b2 = all.filterNot(b1.toSet)
+    def flag(b: Boolean) = if (b) 1L else 0L
+    Seq(
+      ("batch1", b1.size.toLong, flag(b1.distinct.size == b1.size),
+        flag(b1.forall(_ >= 1000L))),
+      ("batch2", b2.size.toLong, flag(all.distinct.size == all.size),
+        flag(b1.isEmpty || b2.forall(_ > b1.max))),
+      ("step", all.size.toLong, flag(all.forall(u => (u - 1000L) % 2L == 0L)),
+        1L))
+      .toDF("channel", "n", "unique_ok", "order_ok")
+      .orderBy(col("channel"))
+  }
+
+  private val lk35Sql =
+    """WITH s0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 14 = 0),
+      |s1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 14 = 1)
+      |SELECT 'batch1' AS channel, CAST((SELECT n FROM s0) AS BIGINT) AS n,
+      |  CAST(1 AS BIGINT) AS unique_ok, CAST(1 AS BIGINT) AS order_ok
+      |UNION ALL
+      |SELECT 'batch2', CAST((SELECT n FROM s1) AS BIGINT), 1, 1
+      |UNION ALL
+      |SELECT 'step',
+      |  CAST((SELECT n FROM s0) + (SELECT n FROM s1) AS BIGINT), 1, 1
+      |ORDER BY channel""".stripMargin
+
   /** zq09 — SQL TIME TRAVEL as a RELATION
     * ([[graft.plans.GraftSqlDml.rewriteTimeTravel]], the injectParser
     * path): `VERSION AS OF` snapshots of the same `graft-txn` table
@@ -2537,6 +2588,7 @@ object ScaleQueries {
     "lk32_check_constraints" -> (lk32 _),
     "lk33_copy_into" -> (lk33 _),
     "lk34_column_defaults" -> (lk34 _),
+    "lk35_identity_columns" -> (lk35 _),
     "lk29_occ_contention" -> (lk29 _),
     "lk30_show_partitions" -> (lk30 _),
     "lk31_set_tblproperties" -> (lk31 _),
@@ -2589,6 +2641,7 @@ object ScaleQueries {
     "lk32_check_constraints" -> lk32Sql,
     "lk33_copy_into" -> lk33Sql,
     "lk34_column_defaults" -> lk34Sql,
+    "lk35_identity_columns" -> lk35Sql,
     "lk29_occ_contention" -> lk29Sql,
     "lk30_show_partitions" -> lk30Sql,
     "lk31_set_tblproperties" -> lk31Sql,

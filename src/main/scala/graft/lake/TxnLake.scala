@@ -144,7 +144,8 @@ object TxnLake {
                       renames: Map[String, String] = Map.empty,
                       tombstones: Set[String] = Set.empty,
                       txns: Map[String, Long] = Map.empty,
-                      copied: Set[String] = Set.empty)
+                      copied: Set[String] = Set.empty,
+                      identity: Map[String, Long] = Map.empty)
 
   /** One committed version's LOG record: the delta this commit applied
     * (`add`/`remove`) plus the commit-scoped metadata OCC needs
@@ -164,7 +165,8 @@ object TxnLake {
                                         txnApp: Option[String] = None,
                                         txnVer: Option[Long] = None,
                                         dataChange: Boolean = true,
-                                        copied: Set[String] = Set.empty)
+                                        copied: Set[String] = Set.empty,
+                                        identity: Map[String, Long] = Map.empty)
 
   /** A staged-but-uncommitted merge: data files already written under
     * `_graft_data`, invisible until [[commitStaged]] publishes a
@@ -185,7 +187,9 @@ object TxnLake {
                                   tombstones: Set[String] = Set.empty,
                                   txn: Option[(String, Long)] = None,
                                   dataChange: Boolean = true,
-                                  copied: Set[String] = Set.empty)
+                                  copied: Set[String] = Set.empty,
+                                  identityBase: Map[String, Long] = Map.empty,
+                                  identityNew: Map[String, Long] = Map.empty)
 
   private val DataDir = "_graft_data"
   private val LogDir = "_graft_log"
@@ -215,6 +219,7 @@ object TxnLake {
   private val GenColsFile = "_generated_cols.json"
   private val CheckConsFile = "_check_constraints.json"
   private val DefaultsFile = "_column_defaults.json"
+  private val IdentityFile = "_identity_cols.json"
 
   /** Root of DELETION-VECTOR sidecars (merge-on-read row deletes): one
     * `c<commit>` parquet directory per [[deleteWhere]] commit, rows
@@ -480,6 +485,8 @@ object TxnLake {
     require(generatedRefs(spark, exprSql).isEmpty,
       s"DEFAULT for '$name' must be a constant expression " +
         s"(no column references), got: $exprSql")
+    require(!identityColsOf(fs, dir).contains(name),
+      s"'$name' is GENERATED ALWAYS AS IDENTITY — it cannot take a DEFAULT")
     // analyze once: deterministic, time-independent, type-compatible
     val probe = spark.range(1)
       .select(expr(exprSql).cast(logical(name)).as("__dflt"))
@@ -541,6 +548,127 @@ object TxnLake {
     else defs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
       if (d.columns.contains(c)) d else d.withColumn(c, expr(e))
     }
+  }
+
+  /** IDENTITY COLUMNS (Delta's `GENERATED ALWAYS AS IDENTITY (START
+    * WITH s INCREMENT BY p)`): declare a BIGINT column whose values
+    * the ENGINE assigns on append-style writes — unique and strictly
+    * increasing across commits, with gaps (the Delta/ANSI contract;
+    * dense sequences would serialize every writer).
+    *
+    * Allocation is ONE narrow projection, no extra job and no shuffle:
+    * each append reads the table's identity HIGH-WATER MARK from the
+    * resolved manifest (the mark rides in commit records and folds max
+    * through checkpoints, like txn markers), assigns
+    * `high + step * (monotonically_increasing_id() + 1)` map-side, and
+    * reserves `numPartitions << 33` steps — m_i_i's per-partition
+    * capacity — so two batches can never overlap. Uniqueness under
+    * concurrency is OCC's job: a commit whose identity base is stale
+    * (another append advanced the mark) aborts inside the commit loop
+    * and the caller restages from the fresh head — the same conflict
+    * class as a read-modify-write.
+    *
+    * GENERATED ALWAYS: supplying the column in an append is refused
+    * (the invariant is engine ownership). Merge/upsert post-images
+    * carry existing ids through unchanged (the column is present in
+    * their frames, so allocation never fires there); an overwrite must
+    * supply the column explicitly (it is a full replace — the caller
+    * owns the rows). Declaring on a table with existing non-null
+    * values publishes one metadata-only commit advancing the mark past
+    * max(existing), so old ids are never re-issued. */
+  def setIdentityColumn(spark: SparkSession, dir: String, name: String,
+                        start: Long = 1L, step: Long = 1L): Unit = {
+    require(step >= 1, s"identity step must be >= 1, got $step")
+    val fs = fsOf(spark, dir)
+    val m = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val logical = schema.fields.map(f =>
+      m.renames.getOrElse(f.name, f.name) -> f).toMap
+    require(logical.contains(name),
+      s"no column '$name' to make an identity (columns: ${logical.keys.mkString(",")})")
+    require(logical(name).dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '$name' must be BIGINT, is ${logical(name).dataType.sql}")
+    require(logical(name).name != m.partCol,
+      s"'$name' is the partition column — an identity partition key " +
+        "puts every row in its own partition")
+    require(!defaultsOf(fs, dir).contains(name) &&
+        !genColsOf(fs, dir).contains(name),
+      s"'$name' already has a DEFAULT or generated expression")
+    // existing values: advance the watermark past their max in one
+    // metadata-only commit, so re-issued ids are impossible
+    val mx = read(spark, dir).agg(max(col(name))).head()
+    if (!mx.isNullAt(0)) {
+      val high = math.max(mx.getLong(0), start - step)
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 20, s"identity declare retry budget exhausted at $dir")
+        val head = resolve(fs, dir).get
+        val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
+          head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol,
+          full = false, bloomCol = head.bloomCol, bloomBits = head.bloomBits,
+          renames = head.renames, tombstones = head.tombstones,
+          dataChange = false, identity = Map(name -> high))
+        done = publishRecord(fs, dir, rec)
+      }
+    }
+    val node = JsonNodeFactory.instance.objectNode()
+    (identityColsOf(fs, dir) + (name -> (start, step))).toSeq.sortBy(_._1)
+      .foreach { case (c, (st, sp)) =>
+        val o = node.putObject(c); o.put("start", st); o.put("step", sp); ()
+      }
+    val out = fs.create(new Path(dir, s"$LogDir/$IdentityFile"), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Declared identity columns: name -> (start, step). */
+  def identityColumnsOf(spark: SparkSession, dir: String): Map[String, (Long, Long)] =
+    identityColsOf(fsOf(spark, dir), dir)
+
+  /** The column's current high-water mark (None = never allocated). */
+  def identityHighWaterMark(spark: SparkSession, dir: String,
+                            name: String): Option[Long] =
+    resolve(fsOf(spark, dir), dir).flatMap(_.identity.get(name))
+
+  private[lake] def identityColsOf(fs: FileSystem, dir: String): Map[String, (Long, Long)] = {
+    val p = new Path(dir, s"$LogDir/$IdentityFile")
+    if (!fs.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      readJson(fs, p).properties().asScala.map { e =>
+        e.getKey -> (e.getValue.get("start").asLong(),
+          e.getValue.get("step").asLong())
+      }.toMap
+    }
+  }
+
+  /** Assign identity values to an appended frame: one map-side
+    * projection per identity column (see [[setIdentityColumn]]).
+    * Returns the frame plus (base read, new high) maps for the
+    * Staged's OCC conflict check and commit record. */
+  private def fillIdentity(spark: SparkSession, base: Manifest, df: DataFrame,
+                           idCols: Map[String, (Long, Long)])
+      : (DataFrame, Map[String, Long], Map[String, Long]) = {
+    if (idCols.isEmpty) return (df, Map.empty, Map.empty)
+    var out = df
+    var bases = Map.empty[String, Long]
+    var news = Map.empty[String, Long]
+    idCols.toSeq.sortBy(_._1).foreach { case (c, (start, step)) =>
+      require(!out.columns.contains(c),
+        s"column '$c' is GENERATED ALWAYS AS IDENTITY — values cannot be supplied")
+      val sentinel = base.identity.getOrElse(c, Long.MinValue)
+      val lastUsed = if (sentinel == Long.MinValue) start - step else sentinel
+      val nParts = math.max(1, out.rdd.getNumPartitions).toLong
+      val newHigh = lastUsed + step * (nParts << 33)
+      require(newHigh > lastUsed, s"identity watermark overflow on '$c'")
+      out = out.withColumn(c,
+        lit(lastUsed) + lit(step) * (monotonically_increasing_id() + lit(1L)))
+      bases += c -> sentinel
+      news += c -> newHigh
+    }
+    (out, bases, news)
   }
 
   /** One fs.exists probe per staging — deliberate: the property is
@@ -1434,8 +1562,10 @@ object TxnLake {
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
                                 rowsIn: DataFrame): Option[Staged] = {
+    val (rowsId, idBase, idNew) = fillIdentity(spark, base, rowsIn,
+      identityColsOf(fsOf(spark, dir), dir))
     val rows = enforceChecks(spark, dir, fillGenerated(
-      fillDefaults(spark, dir, rowsIn), genColsOf(fsOf(spark, dir), dir)))
+      fillDefaults(spark, dir, rowsId), genColsOf(fsOf(spark, dir), dir)))
     val schema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = schema.fieldNames.map(n => base.renames.getOrElse(n, n))
     val missing = logicalNames.toSet -- rows.columns.toSet
@@ -1458,7 +1588,8 @@ object TxnLake {
         Some(aligned.withColumn(ChangeTypeCol, lit("insert"))) else None,
       cdcCopy = if (cdcEnabled(spark, dir) && base.renames.isEmpty) newFiles else Nil,
       bloomCol = base.bloomCol, bloomBits = base.bloomBits,
-      renames = base.renames, tombstones = base.tombstones))
+      renames = base.renames, tombstones = base.tombstones,
+      identityBase = idBase, identityNew = idNew))
   }
 
   /** Transactional full-snapshot OVERWRITE: replace the table's entire
@@ -1801,7 +1932,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = head.renames,
-            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         return
       }
     }
@@ -1841,7 +1973,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, rec.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = renames,
-            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         return
       }
     }
@@ -1865,6 +1998,8 @@ object TxnLake {
         s"cannot rename '$from' — partition/stats/bloom columns keep physical names")
       requireNotGenerated(spark, dir, from, "rename")
       requireNotConstrained(spark, dir, from, "rename")
+      require(!identityColsOf(fs, dir).contains(from),
+        s"cannot rename '$from' — it is GENERATED ALWAYS AS IDENTITY")
       // a DEFAULT follows its column (constant expressions reference
       // no other columns, so only the key moves)
       val defs = defaultsOf(fs, dir)
@@ -1880,7 +2015,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, head.partCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = renames,
-            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         return
       }
     }
@@ -1914,6 +2050,8 @@ object TxnLake {
         s"cannot drop '$name' — partition/stats/bloom columns are structural")
       requireNotGenerated(spark, dir, name, "drop")
       requireNotConstrained(spark, dir, name, "drop")
+      require(!identityColsOf(fs, dir).contains(name),
+        s"cannot drop '$name' — it is GENERATED ALWAYS AS IDENTITY")
       require(fields.size > 1, "cannot drop the last column")
       // the column's DEFAULT dies with it (ANSI drop semantics)
       val defs = defaultsOf(fs, dir)
@@ -1928,7 +2066,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             Set.empty, head.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = rec.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         return
       }
     }
@@ -1991,7 +2130,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, target.files, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = rec.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         return rec.version
       }
     }
@@ -2077,7 +2217,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl,
             touched, Nil, rec.statsCol, bloomCol = rec.bloomCol,
             bloomBits = rec.bloomBits, renames = rec.renames,
-            tombstones = rec.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = rec.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         if (cdcEnabled(spark, dir)) {
           // explicit rewrite ONLY where the byte-copy would lie:
           // DV-bearing files (dead rows must not re-surface) and
@@ -2408,7 +2549,8 @@ object TxnLake {
           Manifest(rec.version, rec.commitId, newPartCol, head.schemaDdl,
             Set.empty, head.files, head.statsCol, bloomCol = head.bloomCol,
             bloomBits = head.bloomBits, renames = head.renames,
-            tombstones = head.tombstones, txns = head.txns, copied = head.copied))
+            tombstones = head.tombstones, txns = head.txns, copied = head.copied,
+            identity = head.identity))
         return
       }
     }
@@ -2814,6 +2956,21 @@ object TxnLake {
           return false
         }
       }
+      // IDENTITY allocation conflict: this staging assigned ids from
+      // the base high-water it read; if any intervening commit advanced
+      // that watermark, the assigned ids may collide — abort (the
+      // caller restages from the fresh head). Same class as a
+      // read-modify-write conflict; blind non-identity appends are
+      // unaffected.
+      staged.identityBase.foreach { case (c, b) =>
+        if (head.version > staged.baseVersion &&
+            head.identity.getOrElse(c, Long.MinValue) != b) {
+          dropStagedFiles(fs, dir, staged)
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent commit advanced identity column '$c' at $dir — " +
+              "re-run the append")
+        }
+      }
       // COPY INTO idempotence re-checked inside the retry loop, like
       // txn markers: if ANY of this load's source files is already in
       // the head's cumulative copied set (a concurrent or replayed
@@ -2829,7 +2986,7 @@ object TxnLake {
         bloomBits = staged.bloomBits, renames = recRenames,
         tombstones = recTombstones, txnApp = staged.txn.map(_._1),
         txnVer = staged.txn.map(_._2), dataChange = staged.dataChange,
-        copied = staged.copied)
+        copied = staged.copied, identity = staged.identityNew)
       if (publishRecord(fs, dir, rec)) {
         maybeCheckpoint(spark, fs, dir,
           Manifest(rec.version, rec.commitId, rec.partCol, rec.schemaDdl, rec.touched,
@@ -2837,7 +2994,10 @@ object TxnLake {
             rec.statsCol, bloomCol = rec.bloomCol, bloomBits = rec.bloomBits,
             renames = rec.renames, tombstones = rec.tombstones,
             txns = head.txns ++ staged.txn.toMap,
-            copied = head.copied ++ staged.copied))
+            copied = head.copied ++ staged.copied,
+            identity = staged.identityNew.foldLeft(head.identity) {
+              case (acc, (c, v)) =>
+                acc + (c -> math.max(v, acc.getOrElse(c, Long.MinValue))) }))
         // the change feed needs the WON version number, so it writes
         // after publish; its lazy plan re-reads only base files, which
         // commits never delete (vacuum-only), so replay is safe. A
@@ -3318,7 +3478,9 @@ object TxnLake {
       m = Manifest(v, r.commitId, r.partCol, r.schemaDdl, r.touched,
         applyRecord(m.files, r), r.statsCol, bloomCol = r.bloomCol,
         bloomBits = r.bloomBits, renames = r.renames, tombstones = r.tombstones,
-        txns = txns, copied = m.copied ++ r.copied)
+        txns = txns, copied = m.copied ++ r.copied,
+        identity = r.identity.foldLeft(m.identity) { case (acc, (c, v)) =>
+          acc + (c -> math.max(v, acc.getOrElse(c, Long.MinValue))) })
     }
     m
   }
@@ -3966,6 +4128,10 @@ object TxnLake {
       val cn = root.putArray("copied")
       m.copied.toSeq.sorted.foreach(cn.add)
     }
+    if (m.identity.nonEmpty) {
+      val idn = root.putObject("identity")
+      m.identity.toSeq.sortBy(_._1).foreach { case (c, v) => idn.put(c, v); () }
+    }
     addFileArray(root, "files", m.files, m.partCol)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
   }
@@ -3984,6 +4150,10 @@ object TxnLake {
     if (r.copied.nonEmpty) {
       val cn = root.putArray("copied")
       r.copied.toSeq.sorted.foreach(cn.add)
+    }
+    if (r.identity.nonEmpty) {
+      val idn = root.putObject("identity")
+      r.identity.toSeq.sortBy(_._1).foreach { case (c, v) => idn.put(c, v); () }
     }
     addFileArray(root, "add", r.add, r.partCol)
     val rm = root.putArray("remove")
@@ -4250,6 +4420,9 @@ object TxnLake {
       },
       copied = Option(root.get("copied")).fold(Set.empty[String]) { cn =>
         cn.elements().asScala.map(_.asText()).toSet
+      },
+      identity = Option(root.get("identity")).fold(Map.empty[String, Long]) { idn =>
+        idn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       })
   }
 
@@ -4290,6 +4463,9 @@ object TxnLake {
       dataChange = Option(root.get("dataChange")).forall(_.asBoolean()),
       copied = Option(root.get("copied")).fold(Set.empty[String]) { cn =>
         cn.elements().asScala.map(_.asText()).toSet
+      },
+      identity = Option(root.get("identity")).fold(Map.empty[String, Long]) { idn =>
+        idn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
       })
   }
 

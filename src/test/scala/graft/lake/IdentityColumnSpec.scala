@@ -1,0 +1,114 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** IDENTITY COLUMNS ([[TxnLake.setIdentityColumn]]): engine-assigned
+  * unique increasing BIGINTs across commits, GENERATED ALWAYS
+  * semantics, watermark persistence, OCC conflict on concurrent
+  * allocation, structural guards. */
+class IdentityColumnSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def fresh(): String = {
+    val dir = Files.createTempDirectory("graft_ident").resolve("t").toString
+    TxnLake.create(spark, dir,
+      Seq.empty[(Long, Long, String)].toDF("uid", "v", "part"), "part")
+    TxnLake.setIdentityColumn(spark, dir, "uid", start = 100L, step = 1L)
+    dir
+  }
+
+  private def uids(dir: String): Seq[Long] =
+    TxnLake.read(spark, dir).select("uid").as[Long].collect().toSeq
+
+  test("appends get unique increasing ids across commits; gaps allowed") {
+    val dir = fresh()
+    TxnLake.append(spark, dir,
+      (1 to 10).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part"))
+    val first = uids(dir)
+    assert(first.size === 10 && first.distinct.size === 10)
+    assert(first.forall(_ >= 100L), s"ids start at 100: $first")
+    TxnLake.append(spark, dir,
+      (11 to 15).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part"))
+    val all = uids(dir)
+    assert(all.size === 15 && all.distinct.size === 15)
+    val second = all.filterNot(first.contains)
+    assert(second.forall(_ > first.max),
+      "second commit's ids all above the first commit's watermark")
+  }
+
+  test("GENERATED ALWAYS: supplying the column is refused") {
+    val dir = fresh()
+    val e = intercept[Exception] {
+      TxnLake.append(spark, dir,
+        Seq((999L, 1L, "p0")).toDF("uid", "v", "part"))
+    }
+    assert(e.getMessage.contains("IDENTITY"))
+  }
+
+  test("declaring on existing values advances the mark past their max") {
+    val dir = Files.createTempDirectory("graft_ident2").resolve("t").toString
+    TxnLake.create(spark, dir,
+      Seq((5000L, 1L, "p0"), (7000L, 2L, "p1")).toDF("uid", "v", "part"), "part")
+    TxnLake.setIdentityColumn(spark, dir, "uid", start = 1L)
+    assert(TxnLake.identityHighWaterMark(spark, dir, "uid") === Some(7000L))
+    TxnLake.append(spark, dir, Seq((3L, "p0")).toDF("v", "part"))
+    val fresh = uids(dir).filterNot(Seq(5000L, 7000L).contains)
+    assert(fresh.size === 1 && fresh.head > 7000L,
+      s"new id must exceed existing max: $fresh")
+  }
+
+  test("a stale identity base aborts under OCC; restaging succeeds") {
+    val dir = fresh()
+    val base = TxnLake.resolve(spark, dir).get
+    TxnLake.append(spark, dir, Seq((1L, "p0")).toDF("v", "part")) // advances mark
+    // stage against the STALE base (simulating the losing concurrent writer)
+    val staged = TxnLake.stageAppend(spark, dir, base,
+      Seq((2L, "p1")).toDF("v", "part")).get
+    intercept[java.util.ConcurrentModificationException] {
+      TxnLake.commitStaged(spark, dir, staged)
+    }
+    // the engine entry restages from the fresh head and lands
+    TxnLake.append(spark, dir, Seq((3L, "p1")).toDF("v", "part"))
+    val ids = uids(dir)
+    assert(ids.size === 2 && ids.distinct.size === 2,
+      s"two committed rows, unique ids: $ids")
+  }
+
+  test("guards: BIGINT only, no partition/default/generated overlap, no rename/drop") {
+    val dir = Files.createTempDirectory("graft_ident3").resolve("t").toString
+    TxnLake.create(spark, dir,
+      Seq((1, 1L, "p0")).toDF("small", "uid", "part"), "part")
+    intercept[IllegalArgumentException] {
+      TxnLake.setIdentityColumn(spark, dir, "small") // INT, not BIGINT
+    }
+    intercept[IllegalArgumentException] {
+      TxnLake.setIdentityColumn(spark, dir, "part")
+    }
+    TxnLake.setIdentityColumn(spark, dir, "uid")
+    intercept[IllegalArgumentException] {
+      TxnLake.renameColumn(spark, dir, "uid", "uid2")
+    }
+    intercept[IllegalArgumentException] { TxnLake.dropColumn(spark, dir, "uid") }
+    intercept[IllegalArgumentException] {
+      TxnLake.setColumnDefault(spark, dir, "uid", "0")
+    }
+  }
+
+  test("the watermark folds through checkpoints and survives vacuum") {
+    val dir = fresh()
+    TxnLake.append(spark, dir, Seq((1L, "p0")).toDF("v", "part"))
+    val mark = TxnLake.identityHighWaterMark(spark, dir, "uid").get
+    (1 to 12).foreach(i => TxnLake.append(spark, dir,
+      Seq((i.toLong, "p0")).toDF("v", "part")))
+    TxnLake.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
+    val after = TxnLake.identityHighWaterMark(spark, dir, "uid").get
+    assert(after >= mark, "vacuum must not regress the identity watermark")
+    TxnLake.append(spark, dir, Seq((99L, "p1")).toDF("v", "part"))
+    assert(uids(dir).distinct.size === uids(dir).size, "still no collisions")
+  }
+}
