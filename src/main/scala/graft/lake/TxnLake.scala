@@ -2460,7 +2460,8 @@ object TxnLake {
     // committed row — O(data), which would break the metadata-only
     // clone; the invariant provably held on exactly this source
     // snapshot, so the property transfers verbatim.
-    val propTmp = Seq(StatsColsFile, GenColsFile).flatMap { f =>
+    val propTmp = Seq(StatsColsFile, GenColsFile, CheckConsFile,
+        DefaultsFile, IdentityFile).flatMap { f =>
       val sp = new Path(src, s"$LogDir/$f")
       if (!fs.exists(sp)) None
       else {
@@ -2475,11 +2476,16 @@ object TxnLake {
     def dropPropTmps(): Unit =
       propTmp.foreach { case (tp, _) =>
         try dstFs.delete(tp, false) catch { case _: Exception => () } }
+    // the identity watermark and COPY INTO ledger transfer with the
+    // snapshot: a clone allocating ids from `start` would collide with
+    // its own cloned rows, and a clone re-running a COPY INTO would
+    // double-load files its rows already carry
     val rec = CommitRecord(0L, newCommitId(), m.partCol, m.schemaDdl,
       external.flatMap(_.parts).toSet, external, Set.empty, m.statsCol,
       full = false, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
       renames = m.renames, tombstones = m.tombstones,
-      ts = nextCommitTs(dstFs, dst, 0L))
+      ts = nextCommitTs(dstFs, dst, 0L),
+      copied = m.copied, identity = m.identity)
     if (!publishRecord(dstFs, dst, rec)) {
       dropPropTmps()
       rollbackPins()
@@ -2507,7 +2513,8 @@ object TxnLake {
     maybeCheckpoint(spark, dstFs, dst,
       Manifest(0L, rec.commitId, m.partCol, m.schemaDdl, rec.touched,
         external, m.statsCol, bloomCol = m.bloomCol, bloomBits = m.bloomBits,
-        renames = m.renames, tombstones = m.tombstones))
+        renames = m.renames, tombstones = m.tombstones,
+        copied = m.copied, identity = m.identity))
     pin
   }
 

@@ -99,6 +99,20 @@ class IdentityColumnSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a clone carries the identity declaration and watermark") {
+    val dir = fresh()
+    TxnLake.append(spark, dir,
+      (1 to 5).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part"))
+    val mark = TxnLake.identityHighWaterMark(spark, dir, "uid").get
+    val dst = Files.createTempDirectory("graft_ident_clone").resolve("c").toString
+    TxnLake.clone(spark, dir, dst)
+    assert(TxnLake.identityColumnsOf(spark, dst) === Map("uid" -> (100L, 1L)))
+    assert(TxnLake.identityHighWaterMark(spark, dst, "uid") === Some(mark))
+    TxnLake.append(spark, dst, Seq((9L, "p0")).toDF("v", "part"))
+    val cloneIds = TxnLake.read(spark, dst).select("uid").as[Long].collect().toSeq
+    assert(cloneIds.distinct.size === 6, s"no collision in the clone: $cloneIds")
+  }
+
   test("the watermark folds through checkpoints and survives vacuum") {
     val dir = fresh()
     TxnLake.append(spark, dir, Seq((1L, "p0")).toDF("v", "part"))
