@@ -1429,11 +1429,35 @@ object TxnLake {
     * and other appends commit freely — two appends never conflict
     * because neither prunes base files. Repeated small appends fragment
     * partitions into many files; [[optimize]] is the repair. */
-  def append(spark: SparkSession, dir: String, rows: DataFrame): Unit = {
+  def append(spark: SparkSession, dir: String, rows: DataFrame): Unit =
+    append(spark, dir, rows, mergeSchema = false)
+
+  /** [[append]] with Delta's `mergeSchema` option: columns of `rows`
+    * the table does not have are ADDED first (one metadata-only
+    * [[addColumn]] commit each — additive evolution, the only kind any
+    * lake format does without rewrites), then the rows land. Without
+    * the flag, unknown columns are dropped (the established default
+    * here; callers wanting an error should diff columns first).
+    * Readers null-fill the new columns for pre-evolution files. */
+  def append(spark: SparkSession, dir: String, rows: DataFrame,
+             mergeSchema: Boolean): Unit = {
+    if (mergeSchema) mergeSchemaFor(spark, dir, rows)
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
     stageAppend(spark, dir, base, rows)
       .foreach(commitStaged(spark, dir, _, headHint = Some(base)))
+  }
+
+  /** Add every column of `df` the table lacks (additive schema
+    * evolution for append-style writers — the `mergeSchema` seam shared
+    * by [[append]], the DataSource write path and the streaming sink). */
+  def mergeSchemaFor(spark: SparkSession, dir: String, df: DataFrame): Unit = {
+    val m = resolve(fsOf(spark, dir), dir)
+      .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    val logical = StructType.fromDDL(m.schemaDdl).fieldNames
+      .map(n => m.renames.getOrElse(n, n)).toSet
+    df.schema.fields.filterNot(f => logical.contains(f.name))
+      .foreach(f => addColumn(spark, dir, f.name, f.dataType))
   }
 
   /** IDEMPOTENT APPEND (Delta's `txnAppId`/`txnVersion` discipline):

@@ -134,7 +134,10 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
         throw new IllegalArgumentException(
           s"$dir is already a txn table (mode ErrorIfExists)")
       case SaveMode.Ignore if exists => ()
-      case SaveMode.Append if exists => TxnLake.append(spark, dir, data)
+      case SaveMode.Append if exists => TxnLake.append(spark, dir, data,
+        mergeSchema = parameters.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("mergeSchema") => v.toBoolean
+        }.getOrElse(false))
       case SaveMode.Overwrite if exists => TxnLake.overwrite(spark, dir, data)
       case _ =>
         val partCol = parameters.getOrElse("partCol",

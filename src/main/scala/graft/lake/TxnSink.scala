@@ -76,6 +76,11 @@ private[graft] class TxnSink(spark: SparkSession, dir: String,
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       catch { case _: IllegalArgumentException => () }
     }
+    // Delta's writeStream mergeSchema: grow the table additively
+    // before the marker-checked commit (idempotent — a replay finds
+    // the columns already present and adds nothing)
+    if (opt("mergeSchema").exists(_.toBoolean))
+      TxnLake.mergeSchemaFor(spark, dir, batch)
     if (outputMode == OutputMode.Complete())
       TxnLake.overwriteOnce(spark, dir, batch, appId, batchId)
     else TxnLake.appendOnce(spark, dir, batch, appId, batchId)

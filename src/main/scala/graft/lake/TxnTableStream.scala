@@ -53,6 +53,20 @@ private[graft] class TxnTableStream(spark: SparkSession, dir: String,
   private val startingVersion: Option[Long] = opts.get("startingversion").map(_.toLong)
   private val maxFilesPerTrigger: Int =
     opts.get("maxfilespertrigger").map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
+  /** Delta's soft byte cap: a batch stops ADDING files once its
+    * accumulated manifest bytes pass the cap, but always takes at
+    * least one file (a single oversized file must still flow). Files
+    * without recorded bytes (legacy entries) count as one
+    * maxPartitionBytes so unknown sizes throttle conservatively. */
+  private val maxBytesPerTrigger: Long =
+    opts.get("maxbytespertrigger").map(_.toLong).filter(_ > 0).getOrElse(Long.MaxValue)
+  private val unknownFileBytes: Long =
+    spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .flatMap(v => scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+      .getOrElse(128L * 1024 * 1024)
+  private def fileBytes(f: TxnLake.FileEntry): Long =
+    f.bytes.getOrElse(unknownFileBytes)
   private val ignoreDeletes = opts.get("ignoredeletes").exists(_.toBoolean)
   private val ignoreChanges = opts.get("ignorechanges").exists(_.toBoolean)
   private val skipChangeCommits = opts.get("skipchangecommits").exists(_.toBoolean)
@@ -128,24 +142,42 @@ private[graft] class TxnTableStream(spark: SparkSession, dir: String,
     * nothing new. */
   private def tailAdvance(lastV: Long, lastI: Long,
                           head: Long): Option[TxnTableStreamOffset] = {
-    var budget = maxFilesPerTrigger.toLong
+    var fileBudget = maxFilesPerTrigger.toLong
+    var byteBudget = maxBytesPerTrigger
     var posV = lastV
     var posI = lastI
     var moved = false
     var v = lastV
-    while (budget > 0 && v <= head) {
-      val startIdx = if (v == lastV) lastI else -1L
-      val avail = addsOf(v).size.toLong - 1L - startIdx
-      if (avail > 0L) {
-        val take = math.min(avail, budget)
+    while (v <= head && fileBudget > 0 && (byteBudget > 0 || !moved)) {
+      val files = addsOf(v)
+      var i = (if (v == lastV) lastI else -1L) + 1L
+      while (i < files.size && fileBudget > 0 && (byteBudget > 0 || !moved)) {
+        byteBudget -= fileBytes(files(i.toInt))
+        fileBudget -= 1
         posV = v
-        posI = startIdx + take
-        budget -= take
+        posI = i
         moved = true
+        i += 1
       }
       v += 1
     }
     if (moved) Some(TxnTableStreamOffset(posV, posI, snapshot = false)) else None
+  }
+
+  /** Files to take from `files` after index `fromIdx` under both caps
+    * (snapshot-phase pacing; ≥1 when any remain — the soft-max rule). */
+  private def takeUnderCaps(files: Seq[TxnLake.FileEntry], fromIdx: Long): Long = {
+    var fileBudget = maxFilesPerTrigger.toLong
+    var byteBudget = maxBytesPerTrigger
+    var i = fromIdx + 1L
+    var taken = 0L
+    while (i < files.size && fileBudget > 0 && (byteBudget > 0 || taken == 0L)) {
+      byteBudget -= fileBytes(files(i.toInt))
+      fileBudget -= 1
+      taken += 1
+      i += 1
+    }
+    taken
   }
 
   /** Walk forward from `from` along the indexed-file sequence, taking
@@ -160,16 +192,15 @@ private[graft] class TxnTableStream(spark: SparkSession, dir: String,
           case Some(sv) => if (sv > head) None else tailAdvance(sv, -1L, head)
           case None =>
             val snapV = sourceManifest.version
-            val n = snapshotFiles(snapV).size
-            val take = math.min(n.toLong, maxFilesPerTrigger.toLong)
-            // n == 0 → index -1: "snapshot consumed, zero files" — the
+            val take = takeUnderCaps(snapshotFiles(snapV), -1L)
+            // 0 files → index -1: "snapshot consumed, zero files" — the
             // offset still pins snapV into the checkpoint
             Some(TxnTableStreamOffset(snapV, take - 1, snapshot = true))
         }
       case Some(o) if o.snapshot =>
         val files = snapshotFiles(o.version)
         if (o.index < files.size - 1) {
-          val take = math.min(files.size - 1 - o.index, maxFilesPerTrigger.toLong)
+          val take = takeUnderCaps(files, o.index)
           Some(TxnTableStreamOffset(o.version, o.index + take, snapshot = true))
         } else tailAdvance(o.version + 1, -1L, head).orElse(from)
       case Some(o) => tailAdvance(o.version, o.index, head).orElse(from)

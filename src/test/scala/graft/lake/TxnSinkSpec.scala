@@ -134,6 +134,24 @@ class TxnSinkSpec extends AnyFunSuite with SparkTestSession {
       Option(e.getCause).exists(_.getMessage.contains("partCol")))
   }
 
+  test("mergeSchema option grows the table additively from the stream") {
+    val tbl = fresh("tbl")
+    TxnLake.create(spark, tbl,
+      (1 to 3).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part"), "part")
+    val in = fresh("in3") + "/data"
+    (4 to 6).map(i => (i.toLong, s"p${i % 3}", i * 2L)).toDF("id", "part", "v")
+      .coalesce(1).write.parquet(in)
+    spark.readStream.schema("id BIGINT, part STRING, v BIGINT").parquet(in)
+      .writeStream.format("graft-txn").option("mergeSchema", "true")
+      .option("checkpointLocation", fresh("ck"))
+      .trigger(Trigger.AvailableNow()).start(tbl).awaitTermination()
+    val got = TxnLake.read(spark, tbl)
+    assert(got.columns.toSet === Set("id", "part", "v"))
+    assert(got.count() === 6L)
+    // pre-evolution rows null-fill; streamed rows carry values
+    assert(got.filter(col("v").isNull).count() === 3L)
+  }
+
   test("sink onto a pre-existing table appends under its schema and feed") {
     val tbl = fresh("tbl")
     TxnLake.create(spark, tbl,

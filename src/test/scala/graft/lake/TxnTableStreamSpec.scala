@@ -152,4 +152,27 @@ class TxnTableStreamSpec extends AnyFunSuite with SparkTestSession {
     drain(spark.readStream.format("graft-txn").load(dir), out, ckpt)
     assert(readOut(out).count() === 1L)
   }
+
+  test("maxBytesPerTrigger paces the drain across micro-batches") {
+    val dir = mkTable(1 to 40) // several files across 3 partitions
+    val ckpt = fresh("ckb")
+    val out = fresh("outb")
+    drain(spark.readStream.format("graft-txn")
+      .option("maxBytesPerTrigger", "1").load(dir), out, ckpt) // 1 byte: one file per batch
+    assert(readOut(out).count() === 40L, "pacing never drops rows")
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => !f.getName.startsWith("."))
+    assert(batches > 1, s"a 1-byte cap must take several micro-batches, got $batches")
+  }
+
+  test("mergeSchema append grows the table additively") {
+    val dir = mkTable(1 to 5)
+    TxnLake.append(spark, dir,
+      (6 to 8).map(i => (i.toLong, s"p${i % 3}", i * 2L, s"x$i"))
+        .toDF("id", "part", "v", "extra"), mergeSchema = true)
+    val got = TxnLake.read(spark, dir)
+    assert(got.columns.toSet === Set("id", "part", "v", "extra"))
+    assert(got.filter(col("extra").isNull).count() === 5L)
+    assert(got.filter(col("extra").isNotNull).count() === 3L)
+  }
 }
