@@ -81,6 +81,7 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
   /** `spark.readStream.format("graft-txn").load(dir)` — the TABLE as a
     * streaming source ([[TxnTableStream]]): initial snapshot + version
     * tailing, `startingVersion` / `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` /
     * `ignoreDeletes` / `ignoreChanges` / `skipChangeCommits` options,
     * Delta's readStream surface. No change feed required. */
   private def wantsChangeFeed(parameters: Map[String, String]): Boolean =
