@@ -198,7 +198,15 @@ object ScaleBench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val gj = geom.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_spot","copies":$copies,"src":"$srcDir","ambient_load_avg":${fmt(ambientLoad)},"load_avg_end":${fmt(load)},"passes":3,"knn_geometry_sec":$gj,"plan_flags":$lj,"queries":$qj}""")
+    val spotLine =
+      s"""{"metric":"scale_spot","copies":$copies,"src":"$srcDir","ambient_load_avg":${fmt(ambientLoad)},"load_avg_end":${fmt(load)},"passes":3,"knn_geometry_sec":$gj,"plan_flags":$lj,"queries":$qj}"""
+    // append to SCALE.json like the full lint does — a stdout-only
+    // record vanishes when the caller tails a bounded output
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.json"),
+      spotLine + "\n", java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+    println(spotLine)
     if (sys.env.get("SPARK_GRAFT_SCALE_FULL").exists(_.nonEmpty))
       fullSuiteLint(spark, srcDir, outDir, ambientLoad)
     spark.stop()
