@@ -790,6 +790,57 @@ object StreamingQueries {
       .orderBy(col("channel"))
   }
 
+  /** st24 — BYTE-PACED table stream into the MERGE-SCHEMA sink: a
+    * three-commit graft table is tailed with `maxBytesPerTrigger = 1`
+    * (the soft cap: one FILE per micro-batch — pacing must only slow
+    * delivery, never change it) and lands through
+    * `writeStream.format("graft-txn")` with `mergeSchema` onto a
+    * TARGET table born without the `price` column — the sink grows it
+    * additively (one metadata commit), the target's pre-existing rows
+    * null-fill, and every streamed row arrives exactly once across the
+    * many paced batches. The oracle replays both populations
+    * relationally. */
+  private def st24(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val root = java.nio.file.Files.createTempDirectory("graft_st24")
+    val src = root.resolve("src_lake").toString
+    val dst = root.resolve("dst_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 15 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("double").as("price"))
+    TxnLake.create(s, src, slice(0), "pt") // v0
+    TxnLake.append(s, src, slice(1))       // v1
+    TxnLake.append(s, src, slice(2))       // v2
+    // target exists WITHOUT price: the sink's mergeSchema adds it
+    TxnLake.create(s, dst, slice(3).drop("price"), "pt")
+    s.readStream.format("graft-txn").option("maxBytesPerTrigger", "1")
+      .load(src)
+      .writeStream.format("graft-txn").option("mergeSchema", "true")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst).awaitTermination()
+    TxnLake.read(s, dst)
+      .groupBy(when(col("price").isNull, lit("legacy"))
+        .otherwise(lit("streamed")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        round(coalesce(sum(col("price")), lit(0.0)), 4).as("sum_price"))
+      .orderBy(col("channel"))
+  }
+
+  private val st24Sql =
+    """WITH streamed AS (
+      |  SELECT CAST(o_totalprice AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 15 IN (0, 1, 2)),
+      |legacy AS (
+      |  SELECT 1 FROM orders WHERE o_orderkey % 15 = 3)
+      |SELECT 'legacy' AS channel, CAST(count(*) AS BIGINT) AS n,
+      |  0.0 AS sum_price FROM legacy
+      |UNION ALL
+      |SELECT 'streamed', CAST(count(*) AS BIGINT),
+      |  round(sum(price), 4) FROM streamed
+      |ORDER BY channel""".stripMargin
+
   private val st23Sql =
     """WITH base AS (
       |  SELECT event_id, user_id, event_type FROM events WHERE user_id % 6 = 1)
@@ -803,6 +854,7 @@ object StreamingQueries {
       |ORDER BY channel""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "st24_paced_merge_sink" -> (st24 _),
     "st23_table_sink" -> (st23 _),
     "st22_cdc_option_stream" -> (st22 _),
     "st21_table_stream" -> (st21 _),
@@ -827,6 +879,7 @@ object StreamingQueries {
     "st05_session_window_batch" -> (st05 _))
 
   val oracle: Map[String, String] = Map(
+    "st24_paced_merge_sink" -> st24Sql,
     "st23_table_sink" -> st23Sql,
     "st22_cdc_option_stream" -> st22Sql,
     "st21_table_stream" -> st21Sql,
