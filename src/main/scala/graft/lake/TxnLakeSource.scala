@@ -144,13 +144,31 @@ class TxnLakeSource extends RelationProvider with CreatableRelationProvider
         val partCol = parameters.getOrElse("partCol",
           throw new IllegalArgumentException(
             "graft-txn initial create requires option partCol"))
-        TxnLake.create(spark, dir, data, partCol, parameters.get("statsCol"),
+        // identityCol: the engine owns the column — create the table
+        // EMPTY with it declared, then land the initial rows through
+        // the allocating append, so batch 0's rows get ids too
+        val identityCol = parameters.get("identityCol")
+        val seed = identityCol match {
+          case Some(c) =>
+            require(!data.columns.contains(c),
+              s"identityCol '$c' is GENERATED ALWAYS — the initial rows must not carry it")
+            data.limit(0).withColumn(c,
+              org.apache.spark.sql.functions.lit(null).cast("long"))
+          case None => data
+        }
+        TxnLake.create(spark, dir, seed, partCol, parameters.get("statsCol"),
           changeFeed = parameters.get("changeFeed").exists(_.toBoolean),
           bloomCol = parameters.get("bloomCol"),
           bloomBits = parameters.get("bloomBits").map(_.toInt)
             .getOrElse(TxnLake.DefaultBloomBits),
           statsCols = parameters.get("statsCols").toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        identityCol.foreach { c =>
+          TxnLake.setIdentityColumn(spark, dir, c,
+            start = parameters.get("identityStart").map(_.toLong).getOrElse(1L),
+            step = parameters.get("identityStep").map(_.toLong).getOrElse(1L))
+          TxnLake.append(spark, dir, data)
+        }
     }
     createRelation(sqlContext, parameters)
   }

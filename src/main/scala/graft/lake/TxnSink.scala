@@ -66,15 +66,26 @@ private[graft] class TxnSink(spark: SparkSession, dir: String,
         .getOrElse(throw new IllegalArgumentException(
           "graft-txn sink initial create requires option partCol or partitionBy(col)"))
       // concurrent/replayed creates collide on v0's atomic publish —
-      // losing that race just means the table exists
-      try TxnLake.create(spark, dir, batch.limit(0), partCol,
-        statsCol = opt("statsCol"),
-        changeFeed = opt("changeFeed").exists(_.toBoolean),
-        bloomCol = opt("bloomCol"),
-        bloomBits = opt("bloomBits").map(_.toInt).getOrElse(TxnLake.DefaultBloomBits),
-        statsCols = opt("statsCols").toSeq
-          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
-      catch { case _: IllegalArgumentException => () }
+      // losing that race just means the table exists. identityCol adds
+      // the engine-owned column to the empty schema; every data row
+      // (batch 0's included) then lands through the allocating append.
+      val seed = opt("identityCol") match {
+        case Some(c) => batch.limit(0).withColumn(c,
+          org.apache.spark.sql.functions.lit(null).cast("long"))
+        case None => batch.limit(0)
+      }
+      try {
+        TxnLake.create(spark, dir, seed, partCol,
+          statsCol = opt("statsCol"),
+          changeFeed = opt("changeFeed").exists(_.toBoolean),
+          bloomCol = opt("bloomCol"),
+          bloomBits = opt("bloomBits").map(_.toInt).getOrElse(TxnLake.DefaultBloomBits),
+          statsCols = opt("statsCols").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        opt("identityCol").foreach(c => TxnLake.setIdentityColumn(spark, dir, c,
+          start = opt("identityStart").map(_.toLong).getOrElse(1L),
+          step = opt("identityStep").map(_.toLong).getOrElse(1L)))
+      } catch { case _: IllegalArgumentException => () }
     }
     // Delta's writeStream mergeSchema: grow the table additively
     // before the marker-checked commit (idempotent — a replay finds

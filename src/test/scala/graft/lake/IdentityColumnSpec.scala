@@ -113,6 +113,31 @@ class IdentityColumnSpec extends AnyFunSuite with SparkTestSession {
     assert(cloneIds.distinct.size === 6, s"no collision in the clone: $cloneIds")
   }
 
+  test("identityCol option on the write and sink create paths") {
+    // df.write.format: batch 0's rows get ids through the allocating append
+    val dir = Files.createTempDirectory("graft_ident_ds").resolve("t").toString
+    (1 to 6).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part")
+      .write.format("graft-txn")
+      .option("partCol", "part").option("identityCol", "uid")
+      .option("identityStart", "50").save(dir)
+    val ids = TxnLake.read(spark, dir).select("uid").as[Long].collect().toSeq
+    assert(ids.size === 6 && ids.distinct.size === 6 && ids.forall(_ >= 50L))
+    // streaming sink first-batch create declares the column too
+    val in = Files.createTempDirectory("graft_ident_in").toString + "/d"
+    (1 to 4).map(i => (i.toLong, s"p${i % 2}")).toDF("v", "part")
+      .coalesce(1).write.parquet(in)
+    val tbl = Files.createTempDirectory("graft_ident_sink").resolve("t").toString
+    spark.readStream.schema("v BIGINT, part STRING").parquet(in)
+      .writeStream.format("graft-txn")
+      .option("partCol", "part").option("identityCol", "uid")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ident_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(tbl).awaitTermination()
+    val sunk = TxnLake.read(spark, tbl).select("uid").as[Long].collect().toSeq
+    assert(sunk.size === 4 && sunk.distinct.size === 4 && sunk.forall(_ >= 1L))
+  }
+
   test("the watermark folds through checkpoints and survives vacuum") {
     val dir = fresh()
     TxnLake.append(spark, dir, Seq((1L, "p0")).toDF("v", "part"))
