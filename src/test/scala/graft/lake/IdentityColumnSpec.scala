@@ -138,6 +138,39 @@ class IdentityColumnSpec extends AnyFunSuite with SparkTestSession {
     assert(sunk.size === 4 && sunk.distinct.size === 4 && sunk.forall(_ >= 1L))
   }
 
+  test("two real writer threads never collide ids (retry on OCC abort)") {
+    val dir = fresh()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def appendWithRetry(rows: Seq[(Long, String)]): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 25, "retry budget exhausted")
+        try { TxnLake.append(spark, dir,
+          rows.toDF("v", "part")); done = true }
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
+    }
+    val futures = (0 until 2).map { t =>
+      scala.concurrent.Future {
+        (0 until 5).foreach { b =>
+          appendWithRetry((0 until 7).map(i =>
+            ((t * 100 + b * 10 + i).toLong, s"p${i % 2}")))
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(300, "s"))
+    pool.shutdown()
+    val ids = uids(dir)
+    assert(ids.size === 70, s"all 10 batches landed: ${ids.size}")
+    assert(ids.distinct.size === 70, "no id collisions under real contention")
+  }
+
   test("the watermark folds through checkpoints and survives vacuum") {
     val dir = fresh()
     TxnLake.append(spark, dir, Seq((1L, "p0")).toDF("v", "part"))
