@@ -859,7 +859,11 @@ case class GraftShowPropertiesCommand(dir: String) extends GraftDmlCommand {
       .map { case (n, e) => s"graft.constraints.$n" -> e }
     val dflt = TxnLake.columnDefaultsOf(spark, dir).toSeq
       .map { case (c, e) => s"graft.defaults.$c" -> e }
-    (base ++ gen ++ cons ++ dflt).sortBy(_._1).map { case (k, v) => Row(k, v) }
+    val ident = TxnLake.identityColumnsOf(spark, dir).toSeq
+      .map { case (c, (st, sp)) =>
+        s"graft.identity.$c" -> s"START WITH $st STEP $sp" }
+    (base ++ gen ++ cons ++ dflt ++ ident).sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
   }
 }
 

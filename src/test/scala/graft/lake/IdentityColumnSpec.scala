@@ -136,6 +136,11 @@ class IdentityColumnSpec extends AnyFunSuite with SparkTestSession {
       .start(tbl).awaitTermination()
     val sunk = TxnLake.read(spark, tbl).select("uid").as[Long].collect().toSeq
     assert(sunk.size === 4 && sunk.distinct.size === 4 && sunk.forall(_ >= 1L))
+    // SHOW TBLPROPERTIES surfaces the declaration
+    val props = graft.plans.GraftSqlDml
+      .exec(spark, s"SHOW TBLPROPERTIES graft_txn.`$dir`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.identity.uid") === Some("START WITH 50 STEP 1"))
   }
 
   test("two real writer threads never collide ids (retry on OCC abort)") {
