@@ -434,14 +434,24 @@ object TxnLake {
     * written (the [[fillGenerated]] rationale). */
   private def enforceChecks(spark: SparkSession, dir: String,
                             df: DataFrame): DataFrame = {
-    val cons = checkConsOf(fsOf(spark, dir), dir)
+    val fs = fsOf(spark, dir)
+    val cons = checkConsOf(fs, dir)
     if (cons.isEmpty) df
     else {
       val cols = df.columns.toIndexedSeq
-      val head = cols.head
+      // the guard must ride a column that SURVIVES schema alignment:
+      // stageAppend's select(logicalNames) drops non-table columns, and
+      // a guard wrapped onto a dropped column is pruned with it —
+      // silently bypassing the constraint. Wrap the first column that
+      // IS a table column (every staging frame carries them all).
+      val tableCols: Set[String] = resolve(fs, dir).map { m =>
+        StructType.fromDDL(m.schemaDdl).fieldNames
+          .map(n => m.renames.getOrElse(n, n)).toSet
+      }.getOrElse(cols.toSet)
+      val host = cols.find(tableCols.contains).getOrElse(cols.head)
       cons.toSeq.sortBy(_._1).foldLeft(df) { case (d, (nm, e)) =>
-        d.withColumn(head,
-          when(coalesce(expr(e).cast("boolean"), lit(false)), col(head))
+        d.withColumn(host,
+          when(coalesce(expr(e).cast("boolean"), lit(false)), col(host))
             .otherwise(raise_error(concat(
               lit(s"CHECK constraint $nm ($e) violated by row: "),
               to_json(struct(cols.map(col): _*))))))
@@ -660,11 +670,27 @@ object TxnLake {
         s"column '$c' is GENERATED ALWAYS AS IDENTITY — values cannot be supplied")
       val sentinel = base.identity.getOrElse(c, Long.MinValue)
       val lastUsed = if (sentinel == Long.MinValue) start - step else sentinel
-      val nParts = math.max(1, out.rdd.getNumPartitions).toLong
-      val newHigh = lastUsed + step * (nParts << 33)
+      // reservation margin 8x the planned partition count: AQE can
+      // re-plan the staged write (skew-split partitions get ids past
+      // the planning-time count), so the span is generous AND the
+      // projection aborts loudly if execution ever exceeds it —
+      // a silent overlap with the next append's range is the one
+      // unacceptable outcome
+      val nParts = 8L * math.max(1, out.rdd.getNumPartitions).toLong
+      val span = nParts << 33
+      val newHigh = lastUsed + step * span
       require(newHigh > lastUsed, s"identity watermark overflow on '$c'")
-      out = out.withColumn(c,
-        lit(lastUsed) + lit(step) * (monotonically_increasing_id() + lit(1L)))
+      // ONE stateful m_i_i instance, materialized once per row — two
+      // instances keep independent counters and a short-circuiting
+      // when() would let them drift
+      out = out.withColumn("__graft_mii", monotonically_increasing_id())
+        .withColumn(c,
+          when(col("__graft_mii") < lit(span),
+            lit(lastUsed) + lit(step) * (col("__graft_mii") + lit(1L)))
+            .otherwise(raise_error(lit(
+              s"identity reservation exceeded on '$c' — the write ran over " +
+                s"$nParts partitions; repartition the input and retry"))))
+        .drop("__graft_mii")
       bases += c -> sentinel
       news += c -> newHigh
     }
@@ -1454,9 +1480,16 @@ object TxnLake {
   def mergeSchemaFor(spark: SparkSession, dir: String, df: DataFrame): Unit = {
     val m = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
+    // name matching honors the session's resolver (default
+    // case-INsensitive): a frame carrying 'V' against a table with 'v'
+    // must not mint a duplicate column the analyzer then calls
+    // ambiguous — Delta's mergeSchema resolves the same way
+    val caseSensitive = spark.conf
+      .getOption("spark.sql.caseSensitive").exists(_.toBoolean)
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase
     val logical = StructType.fromDDL(m.schemaDdl).fieldNames
-      .map(n => m.renames.getOrElse(n, n)).toSet
-    df.schema.fields.filterNot(f => logical.contains(f.name))
+      .map(n => key(m.renames.getOrElse(n, n))).toSet
+    df.schema.fields.filterNot(f => logical.contains(key(f.name)))
       .foreach(f => addColumn(spark, dir, f.name, f.dataType))
   }
 
@@ -1546,25 +1579,41 @@ object TxnLake {
         n.startsWith("_") || n.startsWith(".") })
       .map(st => srcFs.makeQualified(st.getPath).toString)
       .toSeq.sorted
-    val fresh = listed.filterNot(base.copied.contains)
-    if (fresh.isEmpty)
-      return CopyStats(0L, 0L, listed.size.toLong, base.version)
-    val rows = spark.read.options(options).format(format.toLowerCase)
-      .load(fresh: _*)
-    val staged = stageAppend(spark, dir, base, rows) match {
-      case Some(st) => st.copy(copied = fresh.toSet)
-      case None => // zero rows: metadata-only ledger commit
-        Staged(base.version, base.partCol, base.schemaDdl, Set.empty,
-          Set.empty, Nil, base.statsCol, bloomCol = base.bloomCol,
-          bloomBits = base.bloomBits, renames = base.renames,
-          tombstones = base.tombstones, dataChange = false,
-          copied = fresh.toSet)
+    // losing a concurrent-load race drops the WHOLE staged load (the
+    // overlap guard cannot un-stage partially), so retry the REMAINDER
+    // against the fresh head — a loser with genuinely new files must
+    // not report them skipped and leave them unloaded
+    var attempts = 0
+    var loaded = 0L
+    var loadedRows = 0L
+    while (attempts < 5) {
+      attempts += 1
+      val head = if (attempts == 1) base else resolve(fs, dir).get
+      val fresh = listed.filterNot(head.copied.contains)
+      if (fresh.isEmpty)
+        return CopyStats(loaded, loadedRows,
+          (listed.size - loaded).toLong, head.version)
+      val rows = spark.read.options(options).format(format.toLowerCase)
+        .load(fresh: _*)
+      val staged = stageAppend(spark, dir, head, rows) match {
+        case Some(st) => st.copy(copied = fresh.toSet)
+        case None => // zero rows: metadata-only ledger commit
+          Staged(head.version, head.partCol, head.schemaDdl, Set.empty,
+            Set.empty, Nil, head.statsCol, bloomCol = head.bloomCol,
+            bloomBits = head.bloomBits, renames = head.renames,
+            tombstones = head.tombstones, dataChange = false,
+            copied = fresh.toSet)
+      }
+      if (commitStaged(spark, dir, staged, headHint = Some(head))) {
+        loaded += fresh.size.toLong
+        loadedRows += staged.newFiles.flatMap(_.rows).sum
+        return CopyStats(loaded, loadedRows,
+          (listed.size - loaded).toLong, currentVersion(spark, dir))
+      }
+      // raced: loop re-resolves and loads only what is still fresh
     }
-    if (commitStaged(spark, dir, staged, headHint = Some(base)))
-      CopyStats(fresh.size.toLong, staged.newFiles.flatMap(_.rows).sum,
-        (listed.size - fresh.size).toLong, currentVersion(spark, dir))
-    else // lost a concurrent-load race: nothing loaded this call
-      CopyStats(0L, 0L, listed.size.toLong, currentVersion(spark, dir))
+    CopyStats(loaded, loadedRows, (listed.size - loaded).toLong,
+      currentVersion(spark, dir))
   }
 
   private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] = {

@@ -74,18 +74,28 @@ private[graft] class TxnSink(spark: SparkSession, dir: String,
           org.apache.spark.sql.functions.lit(null).cast("long"))
         case None => batch.limit(0)
       }
-      try {
-        TxnLake.create(spark, dir, seed, partCol,
-          statsCol = opt("statsCol"),
-          changeFeed = opt("changeFeed").exists(_.toBoolean),
-          bloomCol = opt("bloomCol"),
-          bloomBits = opt("bloomBits").map(_.toInt).getOrElse(TxnLake.DefaultBloomBits),
-          statsCols = opt("statsCols").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
-        opt("identityCol").foreach(c => TxnLake.setIdentityColumn(spark, dir, c,
-          start = opt("identityStart").map(_.toLong).getOrElse(1L),
-          step = opt("identityStep").map(_.toLong).getOrElse(1L)))
-      } catch { case _: IllegalArgumentException => () }
+      try TxnLake.create(spark, dir, seed, partCol,
+        statsCol = opt("statsCol"),
+        changeFeed = opt("changeFeed").exists(_.toBoolean),
+        bloomCol = opt("bloomCol"),
+        bloomBits = opt("bloomBits").map(_.toInt).getOrElse(TxnLake.DefaultBloomBits),
+        statsCols = opt("statsCols").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+      catch {
+        // only the concurrent/replayed-create race is benign (the
+        // winner's table exists); a real misconfiguration — bad
+        // statsCol, identityCol == partCol — must surface here, not
+        // fail batches later with an unrelated missing-column error
+        case e: IllegalArgumentException =>
+          if (!TxnLake.isTxnTable(spark, dir)) throw e
+      }
+      // identity declaration errors ALWAYS surface (never race-benign);
+      // re-declaring after a lost race is safe — the winner's table
+      // either carries the column (re-declare is a no-op rewrite) or
+      // lacks it (loud, correct failure)
+      opt("identityCol").foreach(c => TxnLake.setIdentityColumn(spark, dir, c,
+        start = opt("identityStart").map(_.toLong).getOrElse(1L),
+        step = opt("identityStep").map(_.toLong).getOrElse(1L)))
     }
     // Delta's writeStream mergeSchema: grow the table additively
     // before the marker-checked commit (idempotent — a replay finds

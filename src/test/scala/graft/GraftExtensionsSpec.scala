@@ -10,23 +10,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * active/default singletons around it). */
 class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
 
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    val base = spark // force shared session (and its SparkContext) alive
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val extended = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(extended)
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
-  }
 
   test("extension-built session has the custom functions as permanent SQL functions") {
     withExtendedSession { s =>

@@ -27,6 +27,27 @@ trait SparkTestSession {
   lazy val spark: SparkSession = SparkTestSession.get
   lazy val sf: String = "/root/testdata/sf0.001"
 
+  /** Run `f` against a session built WITH GraftExtensions (the
+    * injectParser path), restoring the shared session afterwards —
+    * the one helper the SQL-surface specs share. */
+  def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(extended)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   /** Execute `df` and sum `numFiles` over its file scans — the shared
     * planning-time file-skipping assertion (the lake specs' common
     * helper; was six private copies). Fails loudly when the plan has

@@ -41,6 +41,23 @@ class CheckConstraintSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.read(spark, dir).count() === 4L)
   }
 
+  test("enforcement survives a leading non-table column (guard not prunable)") {
+    // regression: the raise_error guard rides a column that survives
+    // schema alignment — wrapped onto a dropped extra column it would
+    // be pruned away with it, silently bypassing the constraint
+    val dir = fresh()
+    TxnLake.addCheckConstraint(spark, dir, "v_pos", "v > 0")
+    intercept[Exception] {
+      TxnLake.append(spark, dir,
+        Seq(("junk", 4L, -5L, "p1")).toDF("zz_extra", "id", "v", "part"))
+    }
+    assert(TxnLake.read(spark, dir).count() === 3L, "nothing committed")
+    // and a CLEAN batch with the extra column still flows (column dropped)
+    TxnLake.append(spark, dir,
+      Seq(("junk", 5L, 50L, "p2")).toDF("zz_extra", "id", "v", "part"))
+    assert(TxnLake.read(spark, dir).count() === 4L)
+  }
+
   test("NULL is fail-closed: a predicate evaluating to NULL rejects the row") {
     val dir = fresh()
     TxnLake.addCheckConstraint(spark, dir, "v_pos", "v > 0")
@@ -121,23 +138,6 @@ class CheckConstraintSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.read(spark, dir).columns.contains("key"))
   }
 
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    val base = spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val extended = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(extended)
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
-  }
 
   test("SQL statement surface: ADD/DROP CONSTRAINT, SHOW TBLPROPERTIES") {
     withExtendedSession { s =>

@@ -76,23 +76,6 @@ class ColumnDefaultSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.columnDefaultsOf(spark, dir).isEmpty)
   }
 
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    val base = spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val extended = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(extended)
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
-  }
 
   test("SQL: ADD COLUMN DEFAULT, ALTER COLUMN SET/DROP DEFAULT, INSERT column list") {
     withExtendedSession { s =>

@@ -152,6 +152,33 @@ class TxnSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(got.filter(col("v").isNull).count() === 3L)
   }
 
+  test("a case-variant column does not duplicate under mergeSchema") {
+    val tbl = fresh("tbl")
+    TxnLake.create(spark, tbl,
+      (1 to 3).map(i => (i.toLong, s"p${i % 3}", i * 2L)).toDF("id", "part", "v"),
+      "part")
+    // frame carries 'V' — the default case-insensitive resolver must
+    // NOT mint a duplicate column next to 'v'
+    TxnLake.mergeSchemaFor(spark, tbl,
+      Seq((9L, "p0", 9L)).toDF("id", "part", "V"))
+    assert(TxnLake.read(spark, tbl).columns.count(_.equalsIgnoreCase("v")) === 1)
+  }
+
+  test("a misconfigured sink create surfaces instead of being race-swallowed") {
+    val in = mkInput(1 to 6)
+    val q = stream(in).writeStream.format("graft-txn")
+      .option("partCol", "part").option("identityCol", "part") // = partCol: invalid
+      .option("checkpointLocation", fresh("ck"))
+      .trigger(Trigger.AvailableNow()).start(fresh("tbl") + "/t")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("partition") || m.contains("BIGINT")),
+      s"the configuration error must surface: ${msgs(e)}")
+  }
+
   test("sink onto a pre-existing table appends under its schema and feed") {
     val tbl = fresh("tbl")
     TxnLake.create(spark, tbl,

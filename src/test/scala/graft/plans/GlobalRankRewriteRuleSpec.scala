@@ -10,23 +10,6 @@ import org.scalatest.funsuite.AnyFunSuite
   * the sorted distributed-sequence shape. */
 class GlobalRankRewriteRuleSpec extends AnyFunSuite with SparkTestSession {
 
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    val base = spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val extended = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(extended)
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
-  }
 
   private val sql =
     s"""SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn

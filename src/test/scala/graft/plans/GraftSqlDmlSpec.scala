@@ -14,23 +14,6 @@ import java.nio.file.Files
   * test pins SQL-driven state against the API-driven twin table. */
 class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
 
-  private def withExtendedSession[A](f: SparkSession => A): A = {
-    val base = spark
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    try {
-      val extended = SparkSession.builder()
-        .master("local[4]")
-        .withExtensions(new GraftExtensions)
-        .getOrCreate()
-      f(extended)
-    } finally {
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      SparkSession.setDefaultSession(base)
-      SparkSession.setActiveSession(base)
-    }
-  }
 
   private def freshTable(s: SparkSession, cdc: Boolean = false): String = {
     import s.implicits._
