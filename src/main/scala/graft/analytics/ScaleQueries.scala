@@ -1749,14 +1749,16 @@ object ScaleQueries {
       |ORDER BY channel""".stripMargin
 
   /** lk34 — COLUMN DEFAULT VALUES end-to-end ([[graft.lake.TxnLake
-    * .setColumnDefault]] + `ADD COLUMN ... DEFAULT` / `ALTER COLUMN
-    * SET DEFAULT`, ANSI/Delta parity): a table grows a `source` column
-    * whose DEFAULT fills every later write that omits it — an append
-    * from an older pipeline lands as 'bulk', a supplied value wins
-    * ('api'), re-pointing the default flips later fills to 'stream',
-    * and rows written BEFORE the column existed stay NULL (the ANSI
-    * rule — no retroactive rewrite, no data file touched). Write-time
-    * fill is one projection column: zero extra jobs at any scale. */
+    * .setColumnDefault]] + `ALTER COLUMN SET DEFAULT`, Delta parity):
+    * a table grows a `source` column whose DEFAULT fills every later
+    * write that omits it — an append from an older pipeline lands as
+    * 'bulk', a supplied value wins ('api'), re-pointing the default
+    * flips later fills to 'stream', and rows written BEFORE the column
+    * existed stay NULL (column adds are metadata-only; `ADD COLUMN ...
+    * DEFAULT` is refused outright, Delta's rule, because those NULLs
+    * would diverge from the ANSI existing-rows-take-the-default
+    * promise). Write-time fill is one projection column: zero extra
+    * jobs at any scale. */
   private def lk34(s: SparkSession, d: String): DataFrame = {
     import graft.lake.TxnLake
     import graft.plans.GraftSqlDml
@@ -1768,7 +1770,9 @@ object ScaleQueries {
         col("o_totalprice").cast("decimal(12,2)").as("price"))
     TxnLake.create(s, dir, slice(0), "pt") // pre-default rows: source NULL
     GraftSqlDml.exec(s,
-      s"ALTER TABLE graft_txn.`$dir` ADD COLUMN source STRING DEFAULT 'bulk'")
+      s"ALTER TABLE graft_txn.`$dir` ADD COLUMN source STRING")
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN source SET DEFAULT 'bulk'")
     TxnLake.append(s, dir, slice(1)) // omits source -> 'bulk'
     TxnLake.append(s, dir, slice(2).withColumn("source", lit("api")))
     GraftSqlDml.exec(s,
@@ -1816,20 +1820,38 @@ object ScaleQueries {
     TxnLake.create(s, dir,
       Seq.empty[(Long, Long, String)].toDF("uid", "o_orderkey", "pt"), "pt")
     TxnLake.setIdentityColumn(s, dir, "uid", start = 1000L, step = 2L)
-    TxnLake.append(s, dir, slice(0))
-    val b1 = TxnLake.read(s, dir).select("uid").as[Long].collect().toSeq
-    TxnLake.append(s, dir, slice(1))
-    val all = TxnLake.read(s, dir).select("uid").as[Long].collect().toSeq
-    val b2 = all.filterNot(b1.toSet)
-    def flag(b: Boolean) = if (b) 1L else 0L
-    Seq(
-      ("batch1", b1.size.toLong, flag(b1.distinct.size == b1.size),
-        flag(b1.forall(_ >= 1000L))),
-      ("batch2", b2.size.toLong, flag(all.distinct.size == all.size),
-        flag(b1.isEmpty || b2.forall(_ > b1.max))),
-      ("step", all.size.toLong, flag(all.forall(u => (u - 1000L) % 2L == 0L)),
-        1L))
-      .toDF("channel", "n", "unique_ok", "order_ok")
+    TxnLake.append(s, dir, slice(0)) // -> version 1
+    TxnLake.append(s, dir, slice(1)) // -> version 2
+    // every invariant is RELATIONAL — batch membership via time travel
+    // (version 1 = batch 1; head minus v1 counts = batch 2), uniqueness
+    // as count vs distinct-count, batch separation as "rows above
+    // batch-1's max", step alignment as a modular aggregate. No uid
+    // ever reaches the driver: at 100 TB this is two aggregate jobs
+    // over one BIGINT column, not a 2-billion-long collect.
+    val v1u = TxnLake.readVersion(s, dir, 1).select(col("uid"))
+    val a1 = v1u.agg(
+      count(lit(1)).as("n1"), count_distinct(col("uid")).as("d1"),
+      max(col("uid")).as("max1"), min(col("uid")).as("min1"))
+    val agg = TxnLake.read(s, dir).select(col("uid"))
+      .crossJoin(broadcast(a1)) // 1-row build side
+      .agg(
+        count(lit(1)).as("n_all"),
+        count_distinct(col("uid")).as("d_all"),
+        sum(when((col("uid") - 1000L) % 2L === 0L, 0L).otherwise(1L)).as("mis"),
+        sum(when(col("uid") > col("max1"), 1L).otherwise(0L)).as("above"),
+        first(col("n1")).as("n1"), first(col("d1")).as("d1"),
+        first(col("min1")).as("min1"))
+    def f(b: Column) = when(b, 1L).otherwise(0L)
+    agg.select(lit("batch1").as("channel"), col("n1").as("n"),
+        f(col("d1") === col("n1")).as("unique_ok"),
+        f(col("n1") === 0L || col("min1") >= 1000L).as("order_ok"))
+      .unionByName(agg.select(lit("batch2").as("channel"),
+        (col("n_all") - col("n1")).as("n"),
+        f(col("d_all") === col("n_all")).as("unique_ok"),
+        f(col("n1") === 0L ||
+          col("above") === col("n_all") - col("n1")).as("order_ok")))
+      .unionByName(agg.select(lit("step").as("channel"), col("n_all").as("n"),
+        f(col("mis") === 0L).as("unique_ok"), lit(1L).as("order_ok")))
       .orderBy(col("channel"))
   }
 

@@ -355,36 +355,40 @@ object TxnLake {
     require(!cur.contains(key),
       s"constraint '$key' already exists on $dir (${cur(key)}) — drop it first")
     // the same expression discipline as generated columns: parse,
-    // deterministic, not evaluation-time-dependent, and — when the
-    // table exists — referencing only live logical columns
+    // deterministic, not evaluation-time-dependent, referencing only
+    // live logical columns. The target must BE a txn table (the
+    // setColumnDefault rule) — silently persisting a constraint file
+    // under an arbitrary directory validated nothing and would spring
+    // to life if a table were ever created there.
     val refs = generatedRefs(spark, exprSql)
-    resolve(fs, dir).foreach { m =>
-      val schema = StructType.fromDDL(m.schemaDdl)
-      val logical = schema.fieldNames.map(n => m.renames.getOrElse(n, n))
-        .map(_.toLowerCase).toSet
-      val unknown = refs -- logical
-      require(unknown.isEmpty,
-        s"CHECK constraint '$key' references non-existent column(s) " +
-          s"${unknown.mkString(",")} in: $exprSql")
-      val cond = coalesce(expr(exprSql).cast("boolean"), lit(false))
-      val analyzed = read(spark, dir).select(cond.as("__chk"))
-        .queryExecution.analyzed match {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
-        case _ => Nil
-      }
-      require(analyzed.forall(_.deterministic),
-        s"CHECK constraint '$key' needs a deterministic expression: $exprSql")
-      val timey = analyzed.flatMap(_.collect {
-        case x if TimeDependentExprs.contains(x.getClass.getSimpleName) => x })
-      require(timey.isEmpty,
-        s"CHECK constraint '$key' must not depend on evaluation time: $exprSql")
-      // retroactive validation: one short-circuit scan (first violating
-      // row ends it); predicate pushdown applies where the expression
-      // allows
-      require(read(spark, dir).filter(!cond).isEmpty,
-        s"existing rows violate CHECK constraint '$key' ($exprSql) — " +
-          "fix the data before declaring the invariant")
+    val m = resolve(fs, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$dir is not a txn table (no $LogDir)"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val logical = schema.fieldNames.map(n => m.renames.getOrElse(n, n))
+      .map(_.toLowerCase).toSet
+    val unknown = refs -- logical
+    require(unknown.isEmpty,
+      s"CHECK constraint '$key' references non-existent column(s) " +
+        s"${unknown.mkString(",")} in: $exprSql")
+    val cond = coalesce(expr(exprSql).cast("boolean"), lit(false))
+    val analyzed = read(spark, dir).select(cond.as("__chk"))
+      .queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p.projectList
+      case _ => Nil
     }
+    require(analyzed.forall(_.deterministic),
+      s"CHECK constraint '$key' needs a deterministic expression: $exprSql")
+    val timey = analyzed.flatMap(_.collect {
+      case x if TimeDependentExprs.contains(x.getClass.getSimpleName) => x })
+    require(timey.isEmpty,
+      s"CHECK constraint '$key' must not depend on evaluation time: $exprSql")
+    // retroactive validation: one short-circuit scan (first violating
+    // row ends it); predicate pushdown applies where the expression
+    // allows
+    require(read(spark, dir).filter(!cond).isEmpty,
+      s"existing rows violate CHECK constraint '$key' ($exprSql) — " +
+        "fix the data before declaring the invariant")
     writeCheckCons(fs, dir, cur + (key -> exprSql))
   }
 
@@ -678,7 +682,19 @@ object TxnLake {
       // unacceptable outcome
       val nParts = 8L * math.max(1, out.rdd.getNumPartitions).toLong
       val span = nParts << 33
-      val newHigh = lastUsed + step * span
+      // exact arithmetic: step * span itself can wrap to a positive
+      // value (span >= 2^36 with step >= ~2^27) that would pass a
+      // plain `newHigh > lastUsed` check while actually-assigned ids
+      // exceed the recorded watermark — a later append would then
+      // allocate OVERLAPPING ids. Any overflow fails loudly before a
+      // single id is assigned.
+      val newHigh =
+        try Math.addExact(lastUsed, Math.multiplyExact(step, span))
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"identity watermark overflow on '$c' (last=$lastUsed, " +
+              s"step=$step, span=$span) — the 64-bit id space is exhausted")
+        }
       require(newHigh > lastUsed, s"identity watermark overflow on '$c'")
       // ONE stateful m_i_i instance, materialized once per row — two
       // instances keep independent counters and a short-circuiting
@@ -1544,7 +1560,10 @@ object TxnLake {
     * exactly-once txn markers — so the idempotence horizon survives
     * [[vacuum]]. Concurrent or replayed loads of the same files are
     * resolved INSIDE the commit's OCC retry loop (first wins; the
-    * loser drops its staged files and reports skipped). Zero-row
+    * loser drops its staged files, reports the overlap skipped, and
+    * retries any genuinely-new remainder). If the retry budget runs
+    * out with new files still unloaded the call THROWS — `filesSkipped`
+    * always means "already loaded", never "gave up". Zero-row
     * matches still commit a metadata-only record so the files never
     * re-read.
     *
@@ -1586,6 +1605,7 @@ object TxnLake {
     var attempts = 0
     var loaded = 0L
     var loadedRows = 0L
+    var lastFresh = 0
     while (attempts < 5) {
       attempts += 1
       val head = if (attempts == 1) base else resolve(fs, dir).get
@@ -1593,6 +1613,7 @@ object TxnLake {
       if (fresh.isEmpty)
         return CopyStats(loaded, loadedRows,
           (listed.size - loaded).toLong, head.version)
+      lastFresh = fresh.size
       val rows = spark.read.options(options).format(format.toLowerCase)
         .load(fresh: _*)
       val staged = stageAppend(spark, dir, head, rows) match {
@@ -1604,7 +1625,15 @@ object TxnLake {
             tombstones = head.tombstones, dataChange = false,
             copied = fresh.toSet)
       }
-      if (commitStaged(spark, dir, staged, headHint = Some(head))) {
+      // an identity-watermark conflict (another append advanced the
+      // mark while we staged) throws from commitStaged after dropping
+      // the staged files — for COPY INTO it is the same recoverable
+      // class as a lost copied-ledger race: restage the remainder
+      // against the fresh head instead of letting it escape the loop
+      val committed =
+        try commitStaged(spark, dir, staged, headHint = Some(head))
+        catch { case _: java.util.ConcurrentModificationException => false }
+      if (committed) {
         loaded += fresh.size.toLong
         loadedRows += staged.newFiles.flatMap(_.rows).sum
         return CopyStats(loaded, loadedRows,
@@ -1612,8 +1641,15 @@ object TxnLake {
       }
       // raced: loop re-resolves and loads only what is still fresh
     }
-    CopyStats(loaded, loadedRows, (listed.size - loaded).toLong,
-      currentVersion(spark, dir))
+    // retry budget exhausted with genuinely-new files still unloaded:
+    // folding them into `filesSkipped` would tell the caller "already
+    // loaded, idempotence working" (skipped's meaning everywhere else)
+    // when the files were never loaded at all — fail loudly; a re-run
+    // is idempotent and loads only the remainder.
+    throw new java.util.ConcurrentModificationException(
+      s"COPY INTO $dir lost $attempts concurrent-commit races; " +
+        s"$lastFresh of ${listed.size} matched file(s) remain unloaded — " +
+        "re-run the statement to load the remainder")
   }
 
   private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] = {
@@ -2727,14 +2763,28 @@ object TxnLake {
     * rewritten; readers null-fill the new columns for them because
     * every read binds the manifest's schema explicitly over the file
     * list. Updates MISSING a table column still abort — silently
-    * nulling existing data is a bug, not evolution. */
+    * nulling existing data is a bug, not evolution. The one exception
+    * is a column with a declared DEFAULT: the source may omit it, and
+    * then NEW keys take the default while MATCHED keys carry the
+    * target's stored value through unchanged (the Delta rule —
+    * defaults apply to insert paths, never to update post-images). */
   private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
                                updatesIn: DataFrame, key: String,
                                deleteWhen: Option[Column] = None,
                                bySource: Seq[BySourceAction] = Nil): Option[Staged] = {
     val genCols = genColsOf(fsOf(spark, dir), dir)
-    val updates = enforceChecks(spark, dir,
-      fillGenerated(fillDefaults(spark, dir, updatesIn), genCols))
+    // DEFAULTs are an INSERT-path fallback, never a merge post-image
+    // overwrite (the Delta rule — defaults fill absent columns for NEW
+    // rows only): a source omitting a defaulted column gets the
+    // constant here as a PLACEHOLDER so schema alignment sees the
+    // column; matched keys then get the TARGET's stored value
+    // substituted below, and generated-column recompute plus CHECK
+    // enforcement run on the FINAL per-row values, not the placeholder.
+    val absentDefaulted = defaultsOf(fsOf(spark, dir), dir)
+      .filter { case (c, _) => !updatesIn.columns.contains(c) }
+    val prelim = fillGenerated(fillDefaults(spark, dir, updatesIn), genCols)
+    val updates =
+      if (absentDefaulted.isEmpty) enforceChecks(spark, dir, prelim) else prelim
     val partCol = base.partCol
     val baseSchema = StructType.fromDDL(base.schemaDdl)
     val logicalNames = baseSchema.fieldNames.map(n => base.renames.getOrElse(n, n))
@@ -2756,8 +2806,42 @@ object TxnLake {
     val renames = base.renames ++ added.collect { case (l, p) if l != p => p -> l }
     val target = readEntries(spark, dir, schema, base.files, renames = renames)
     val cols = target.columns
-    val aligned = castToTarget(updates, target)
+    val aligned0 = castToTarget(updates, target)
       .select(cols.map(col).toIndexedSeq: _*)
+    val aligned =
+      if (absentDefaulted.isEmpty) aligned0
+      else {
+        require(!absentDefaulted.contains(key),
+          s"merge key '$key' cannot be an absent DEFAULTed column — " +
+            "supply it in the source")
+        // matched keys carry the target's STORED value (possibly NULL —
+        // coalesce would wrongly resurrect the default), so an upsert
+        // whose source omits a defaulted column no longer stomps
+        // existing data with the constant. One aggregate over the
+        // semi-narrowed target — O(matched keys), not O(table); max()
+        // is the deterministic pick when duplicate target keys disagree
+        // (the merge collapses them to one post-image anyway).
+        val dcols = absentDefaulted.keys.toSeq.sorted
+        val srcK = aligned0.select(col(key).as("__txn_ukey")).distinct()
+        val aggs = dcols.map(c => max(col(c)).as(s"__txn_d_$c"))
+        val tvals = target.join(srcK, col(key) === col("__txn_ukey"), "left_semi")
+          .groupBy(col(key).as("__txn_dkey")).agg(aggs.head, aggs.tail: _*)
+        val substituted = dcols.foldLeft(
+            aligned0.join(tvals, col(key) === col("__txn_dkey"), "left")) {
+          case (d, c) => d.withColumn(c,
+            when(col("__txn_dkey").isNotNull, col(s"__txn_d_$c"))
+              .otherwise(col(c)))
+        }.select(cols.map(col).toIndexedSeq: _*)
+        // generated columns that READ a substituted column recompute on
+        // the real value; CHECKs run once, on the final frame
+        val genDep = genCols.filter { case (_, e) =>
+          generatedRefs(spark, e).exists(r => dcols.exists(_.toLowerCase == r)) }
+        val regen =
+          if (genDep.isEmpty) substituted
+          else fillGenerated(substituted.drop(genDep.keys.toSeq: _*), genDep)
+        castToTarget(enforceChecks(spark, dir, regen), target)
+          .select(cols.map(col).toIndexedSeq: _*)
+      }
     // WHEN NOT MATCHED BY SOURCE plumbing: validate the clauses up
     // front (deterministic conditions — the Delta UPDATE/DELETE rule,
     // because each condition is evaluated twice: once planning the

@@ -84,15 +84,23 @@ object GraftSqlDml {
         val cols = a.columnsToAdd.map { c =>
           require(c.path.isEmpty && c.name.length == 1,
             "graft-txn ADD COLUMN supports top-level columns only")
-          // DEFAULT expr -> write-time fill for later writes that omit
-          // the column (existing rows stay null — the ANSI/Delta rule)
-          (c.name.head, c.dataType, c.default.map(_.originalSQL))
+          // DEFAULT on ADD COLUMN is REFUSED (Delta's rule, for Delta's
+          // reason): ANSI gives EXISTING rows the default, but a lake
+          // column add is metadata-only — existing rows read NULL — so
+          // accepting the clause would silently diverge from what the
+          // user asked for. The two-statement form states the
+          // unambiguous intent: later writes fill, history stays NULL.
+          require(c.default.isEmpty,
+            s"ADD COLUMN ${c.name.head} ... DEFAULT is not supported: a " +
+              "column add is metadata-only, so existing rows would read " +
+              "NULL — not the default ANSI promises them. Run ADD COLUMN, " +
+              "then ALTER TABLE ... ALTER COLUMN ... SET DEFAULT to fill " +
+              "later writes")
+          (c.name.head, c.dataType)
         }
         GraftDdlCommand(dir, ti, s"ADD COLUMNS ${cols.map(_._1).mkString(",")}",
-          (s, d) => cols.foreach { case (n, t, dflt) =>
-            TxnLake.addColumn(s, d, n, t)
-            dflt.foreach(TxnLake.setColumnDefault(s, d, n, _))
-          })
+          (s, d) => cols.foreach { case (n, t) =>
+            TxnLake.addColumn(s, d, n, t) })
       }
     case r: RenameColumn =>
       ddlTarget(spark, r.table).map { case (dir, ti) =>

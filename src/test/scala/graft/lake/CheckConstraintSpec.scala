@@ -23,6 +23,16 @@ class CheckConstraintSpec extends AnyFunSuite with SparkTestSession {
     dir
   }
 
+  test("a non-table directory refuses constraints (nothing persisted)") {
+    val dir = Files.createTempDirectory("graft_chk_notbl").resolve("nope").toString
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.addCheckConstraint(spark, dir, "c", "v > 0")
+    }
+    assert(e.getMessage.contains("not a txn table"))
+    // no _graft_log debris written under the non-table path
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
   test("append enforcement: first violating row aborts, nothing commits") {
     val dir = fresh()
     TxnLake.addCheckConstraint(spark, dir, "v_pos", "v > 0")

@@ -41,6 +41,31 @@ class ColumnDefaultSpec extends AnyFunSuite with SparkTestSession {
       (3L, Some("bulk")), (4L, Some("api")), (5L, Some("bulk"))))
   }
 
+  test("merge never stomps matched rows with the default (insert-only fill)") {
+    val dir = fresh()
+    TxnLake.addColumn(spark, dir, "source", org.apache.spark.sql.types.StringType)
+    TxnLake.setColumnDefault(spark, dir, "source", "'bulk'")
+    // row 3 lands with an explicit, non-default value
+    TxnLake.append(spark, dir,
+      Seq((3L, 30L, "p1", "api")).toDF("id", "v", "part", "source"))
+    // upsert OMITTING the defaulted column: touches 3 (matched) and
+    // inserts 6 (new). Delta rule: defaults fill INSERT paths only —
+    // row 3 must keep 'api', row 6 takes 'bulk'.
+    TxnLake.upsert(spark, dir,
+      Seq((3L, 33L, "p1"), (6L, 60L, "p2")).toDF("id", "v", "part"), "id")
+    val got = TxnLake.read(spark, dir).filter(col("id").isin(3L, 6L))
+      .orderBy("id").select("id", "v", "source")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(got === Seq((3L, 33L, Some("api")), (6L, 60L, Some("bulk"))))
+    // matched rows whose stored value is NULL stay NULL (coalesce-style
+    // substitution would wrongly resurrect the default): rows 1/2
+    // predate the column, so their post-images must carry NULL through
+    TxnLake.upsert(spark, dir,
+      Seq((1L, 11L, "p1")).toDF("id", "v", "part"), "id")
+    assert(TxnLake.read(spark, dir).filter(col("id") === 1L)
+      .select("v", "source").as[(Long, Option[String])].head() === ((11L, None)))
+  }
+
   test("discipline: unknown column, column references, nondeterminism refused") {
     val dir = fresh()
     intercept[IllegalArgumentException] {
@@ -83,7 +108,14 @@ class ColumnDefaultSpec extends AnyFunSuite with SparkTestSession {
       val dir = Files.createTempDirectory("graft_dflt_sql").resolve("t").toString
       TxnLake.create(s, dir,
         Seq((1L, 10L, "p1")).toDF("id", "v", "part"), "part")
-      s.sql(s"ALTER TABLE graft_txn.`$dir` ADD COLUMN source STRING DEFAULT 'bulk'")
+      // ADD COLUMN ... DEFAULT is refused (Delta's rule): existing rows
+      // would read NULL, not the default ANSI promises them
+      val ref = intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_txn.`$dir` ADD COLUMN source STRING DEFAULT 'x'")
+      }
+      assert(ref.getMessage.contains("not supported"))
+      s.sql(s"ALTER TABLE graft_txn.`$dir` ADD COLUMN source STRING")
+      s.sql(s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN source SET DEFAULT 'bulk'")
       assert(TxnLake.columnDefaultsOf(s, dir) === Map("source" -> "'bulk'"))
       // INSERT with a column list omitting the defaulted column
       s.sql(s"INSERT INTO graft_txn.`$dir` (id, v, part) VALUES (2L, 20L, 'p2')")

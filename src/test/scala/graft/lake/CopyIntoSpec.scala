@@ -92,6 +92,30 @@ class CopyIntoSpec extends AnyFunSuite with SparkTestSession {
     assert(qualified.nonEmpty)
   }
 
+  test("identity tables: ids allocated per load; concurrent appends retried inside") {
+    val dir = fresh("ident") + "/t"
+    TxnLake.create(spark, dir,
+      Seq((10L, 0L, "p0", 0L)).toDF("uid", "id", "part", "v"), "part")
+    TxnLake.setIdentityColumn(spark, dir, "uid") // mark advances past 10
+    val src = fresh("identsrc")
+    srcFile(src, "a", 1, 40)
+    // a concurrent appender advances the identity watermark while the
+    // copy stages: the resulting ConcurrentModificationException from
+    // commitStaged is RECOVERABLE for COPY INTO — it must be retried
+    // inside the loop (restage against the fresh head), never escape
+    val t = new Thread(() => (1 to 5).foreach { i =>
+      TxnLake.append(spark, dir,
+        Seq((1000L + i, s"p${i % 3}", 1L)).toDF("id", "part", "v"))
+    })
+    t.start()
+    val stats = TxnLake.copyInto(spark, dir, s"$src/a")
+    t.join()
+    assert(stats.filesLoaded === 1 && stats.rowsLoaded === 40)
+    val ids = TxnLake.read(spark, dir).select("uid").as[Long].collect()
+    assert(ids.length === 46 && ids.distinct.length === 46,
+      s"every row keeps a unique engine id: ${ids.length}/${ids.distinct.length}")
+  }
+
   test("SQL statement: COPY INTO ... FROM ... FILEFORMAT ... PATTERN") {
     val tbl = mkTable()
     val src = fresh("src")

@@ -79,6 +79,22 @@ class IdentityColumnSpec extends AnyFunSuite with SparkTestSession {
       s"two committed rows, unique ids: $ids")
   }
 
+  test("reservation overflow fails loudly before any id is assigned") {
+    val dir = Files.createTempDirectory("graft_ident_of").resolve("t").toString
+    TxnLake.create(spark, dir,
+      Seq((1L, 1L, "p0")).toDF("uid", "v", "part"), "part")
+    // step * span (span >= 2^36) wraps 64-bit arithmetic: a wrapped-but-
+    // positive watermark would pass a naive `newHigh > lastUsed` check
+    // while actually-assigned ids exceed it — later appends would then
+    // hand out OVERLAPPING ids. The exact-arithmetic guard must throw.
+    TxnLake.setIdentityColumn(spark, dir, "uid", start = 1L, step = 1L << 40)
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.append(spark, dir, Seq((2L, "p0")).toDF("v", "part"))
+    }
+    assert(e.getMessage.contains("overflow"))
+    assert(TxnLake.read(spark, dir).count() === 1) // nothing committed
+  }
+
   test("guards: BIGINT only, no partition/default/generated overlap, no rename/drop") {
     val dir = Files.createTempDirectory("graft_ident3").resolve("t").toString
     TxnLake.create(spark, dir,
