@@ -1855,6 +1855,82 @@ object ScaleQueries {
       .orderBy(col("channel"))
   }
 
+  /** lk36 — NOT NULL COLUMN CONSTRAINTS end-to-end
+    * ([[graft.lake.TxnLake.setNotNull]] + `ALTER TABLE ... ALTER
+    * COLUMN ... SET/DROP NOT NULL`, Delta's second constraint family):
+    * declare NOT NULL on a clean column (retroactive validation
+    * passes), append a clean slice under the gate, then attempt a
+    * batch holding NULLs — the write job ABORTS on the first NULL row
+    * and NOTHING commits (`post_reject` equals the clean prefix);
+    * DROP NOT NULL lifts the gate and the same batch lands (`final`,
+    * whose `n_price` counts only non-NULL values). The constraint
+    * surfaces through SHOW TBLPROPERTIES as a reserved-name CHECK
+    * (`graft_not_null_price`), which is exactly how it is enforced —
+    * raise_error inside the staged projection, zero extra jobs or
+    * passes at any scale. */
+  private def lk36(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    import graft.plans.GraftSqlDml
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk36")
+      .resolve("orders_lake").toString
+    def slice(k: Long) = orders(s, d).filter(col("o_orderkey") % 12 === k)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    TxnLake.create(s, dir, slice(0), "pt")
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN price SET NOT NULL")
+    TxnLake.append(s, dir, slice(1)) // clean: no NULLs
+    val shown = GraftSqlDml.exec(s, s"SHOW TBLPROPERTIES graft_txn.`$dir`")
+      .filter(col("key") === "graft.constraints.graft_not_null_price")
+      .head().getString(1)
+    require(shown == "`price` IS NOT NULL",
+      s"SHOW must surface the NOT NULL constraint, got '$shown'")
+    val bad = slice(2).withColumn("price",
+      when(col("o_orderkey") % 24 === 2, lit(null))
+        .otherwise(col("price")).cast("decimal(12,2)"))
+    val rejected =
+      try { TxnLake.append(s, dir, bad); 0L }
+      catch { case _: Throwable => 1L }
+    def agg(tag: String) = TxnLake.read(s, dir)
+      .groupBy(lit(tag).as("channel"))
+      .agg(count(lit(1)).as("n"), count(col("price")).as("n_price"))
+    val postReject = agg("post_reject")
+    GraftSqlDml.exec(s,
+      s"ALTER TABLE graft_txn.`$dir` ALTER COLUMN price DROP NOT NULL")
+    TxnLake.append(s, dir, bad) // gate lifted: NULLs land
+    import s.implicits._
+    postReject
+      .unionByName(agg("final"))
+      .unionByName(Seq(("rejected", rejected, 0L))
+        .toDF("channel", "n", "n_price"))
+      .orderBy(col("channel"))
+  }
+
+  private val lk36Sql =
+    """WITH clean AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders WHERE o_orderkey % 12 IN (0, 1)),
+      |bad AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 24 = 2 THEN NULL
+      |         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 12 = 2)
+      |SELECT 'final' AS channel,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clean) +
+      |    (SELECT CAST(count(*) AS BIGINT) FROM bad) AS n,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clean) +
+      |    (SELECT CAST(count(price) AS BIGINT) FROM bad) AS n_price
+      |UNION ALL
+      |SELECT 'post_reject', (SELECT CAST(count(*) AS BIGINT) FROM clean),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM clean)
+      |UNION ALL
+      |SELECT 'rejected',
+      |  CASE WHEN (SELECT count(*) FROM bad WHERE price IS NULL) > 0
+      |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+      |  CAST(0 AS BIGINT)
+      |ORDER BY channel""".stripMargin
+
   private val lk35Sql =
     """WITH s0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 14 = 0),
       |s1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 14 = 1)
@@ -2611,6 +2687,7 @@ object ScaleQueries {
     "lk33_copy_into" -> (lk33 _),
     "lk34_column_defaults" -> (lk34 _),
     "lk35_identity_columns" -> (lk35 _),
+    "lk36_not_null" -> (lk36 _),
     "lk29_occ_contention" -> (lk29 _),
     "lk30_show_partitions" -> (lk30 _),
     "lk31_set_tblproperties" -> (lk31 _),
@@ -2664,6 +2741,7 @@ object ScaleQueries {
     "lk33_copy_into" -> lk33Sql,
     "lk34_column_defaults" -> lk34Sql,
     "lk35_identity_columns" -> lk35Sql,
+    "lk36_not_null" -> lk36Sql,
     "lk29_occ_contention" -> lk29Sql,
     "lk30_show_partitions" -> lk30Sql,
     "lk31_set_tblproperties" -> lk31Sql,

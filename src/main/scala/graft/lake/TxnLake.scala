@@ -404,6 +404,69 @@ object TxnLake {
         s"declared: ${if (cur.isEmpty) "none" else cur.keys.toSeq.sorted.mkString(",")}")
   }
 
+  /** NOT NULL COLUMN CONSTRAINTS (Delta's second constraint family,
+    * `ALTER TABLE ... ALTER COLUMN c SET NOT NULL`): implemented AS a
+    * reserved-name CHECK constraint (`graft_not_null_<col>` with the
+    * canonical predicate `` `c` IS NOT NULL ``), so enforcement
+    * (raise_error inside every staged projection — appends, INSERT,
+    * merge post-images, the streaming sink), retroactive validation on
+    * declare, SHOW TBLPROPERTIES surfacing, checkpoint/vacuum survival
+    * and clone carry-over all ride the CHECK machinery with zero new
+    * enforcement paths. Declaring over existing NULLs refuses — the
+    * invariant is true retroactively or not at all (Delta refuses
+    * these too). Unlike a user CHECK, the constraint FOLLOWS its
+    * column: rename migrates it, drop removes it (ANSI column-
+    * constraint semantics — it is part of the column, not the table).
+    * NULL-rejection is fail-closed either way, so semantics equal
+    * `CHECK (c IS NOT NULL)` exactly. */
+  def setNotNull(spark: SparkSession, dir: String, name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val m = resolve(fs, dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir is not a txn table (no $LogDir)"))
+    val logical = StructType.fromDDL(m.schemaDdl).fieldNames
+      .map(n => m.renames.getOrElse(n, n))
+    val actual = logical.find(_.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' to set NOT NULL on (columns: ${logical.mkString(",")})"))
+    require(!checkConsOf(fs, dir).contains(notNullConstraintName(actual)),
+      s"column '$actual' is already NOT NULL at $dir")
+    addCheckConstraint(spark, dir, notNullConstraintName(actual),
+      s"`$actual` IS NOT NULL")
+  }
+
+  /** Lift a column's NOT NULL (later writes may carry NULL again). */
+  def dropNotNull(spark: SparkSession, dir: String, name: String,
+                  ifExists: Boolean = false): Unit = {
+    val fs = fsOf(spark, dir)
+    val key = notNullConstraintName(name)
+    val cur = checkConsOf(fs, dir)
+    if (cur.contains(key)) writeCheckCons(fs, dir, cur - key)
+    else {
+      val declared = notNullColumnsOf(spark, dir)
+      require(ifExists,
+        s"column '$name' is not declared NOT NULL at $dir (use IF EXISTS) — " +
+          s"declared: ${if (declared.isEmpty) "none"
+            else declared.toSeq.sorted.mkString(",")}")
+    }
+  }
+
+  /** Columns currently declared NOT NULL (stored lower-case, the
+    * constraint-name rule). */
+  def notNullColumnsOf(spark: SparkSession, dir: String): Set[String] =
+    checkConsOf(fsOf(spark, dir), dir).keySet
+      .collect { case k if k.startsWith(NotNullPrefix) =>
+        k.stripPrefix(NotNullPrefix) }
+
+  private val NotNullPrefix = "graft_not_null_"
+  private[lake] def notNullConstraintName(c: String): String =
+    s"$NotNullPrefix${c.toLowerCase}"
+  /** Is (key, expr) the engine-written NOT NULL constraint for column
+    * `c`? Guards the follow-the-column paths against a USER constraint
+    * that merely reuses the reserved name with a different predicate. */
+  private def isCanonicalNotNull(key: String, e: String, c: String): Boolean =
+    key == notNullConstraintName(c) &&
+      e.trim.equalsIgnoreCase(s"`$c` IS NOT NULL")
+
   /** The table's CHECK constraints (empty when none declared). */
   def checkConstraintsOf(spark: SparkSession, dir: String): Map[String, String] =
     checkConsOf(fsOf(spark, dir), dir)
@@ -469,11 +532,16 @@ object TxnLake {
     * later write. */
   private def requireNotConstrained(spark: SparkSession, dir: String,
                                     name: String, op: String): Unit =
-    checkConsOf(fsOf(spark, dir), dir).foreach { case (n, e) =>
-      require(!generatedRefs(spark, e).contains(name.toLowerCase),
-        s"cannot $op '$name' — CHECK constraint '$n' reads it ($e); " +
-          "drop the constraint first")
-    }
+    checkConsOf(fsOf(spark, dir), dir)
+      // the column's own NOT NULL follows it (migrated on rename,
+      // removed on drop — ANSI column-constraint semantics), so it
+      // never blocks; every USER constraint reading the column does
+      .filterNot { case (k, e) => isCanonicalNotNull(k, e, name) }
+      .foreach { case (n, e) =>
+        require(!generatedRefs(spark, e).contains(name.toLowerCase),
+          s"cannot $op '$name' — CHECK constraint '$n' reads it ($e); " +
+            "drop the constraint first")
+      }
 
   /** COLUMN DEFAULT VALUES (ANSI `DEFAULT expr`, Delta's
     * `allowColumnDefaults`): persist `column -> SQL expression` as a
@@ -2114,6 +2182,13 @@ object TxnLake {
       val defs = defaultsOf(fs, dir)
       if (defs.contains(from))
         writeDefaults(fs, dir, defs - from + (to -> defs(from)))
+      // so does a NOT NULL (it is part of the column, not the table):
+      // re-key the reserved constraint and rewrite its predicate
+      val cons = checkConsOf(fs, dir)
+      val nnFrom = notNullConstraintName(from)
+      if (cons.get(nnFrom).exists(isCanonicalNotNull(nnFrom, _, from)))
+        writeCheckCons(fs, dir, cons - nnFrom +
+          (notNullConstraintName(to) -> s"`$to` IS NOT NULL"))
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -2162,9 +2237,14 @@ object TxnLake {
       require(!identityColsOf(fs, dir).contains(name),
         s"cannot drop '$name' — it is GENERATED ALWAYS AS IDENTITY")
       require(fields.size > 1, "cannot drop the last column")
-      // the column's DEFAULT dies with it (ANSI drop semantics)
+      // the column's DEFAULT and NOT NULL die with it (ANSI drop
+      // semantics — column constraints are part of the column)
       val defs = defaultsOf(fs, dir)
       if (defs.contains(name)) writeDefaults(fs, dir, defs - name)
+      val cons = checkConsOf(fs, dir)
+      val nnKey = notNullConstraintName(name)
+      if (cons.get(nnKey).exists(isCanonicalNotNull(nnKey, _, name)))
+        writeCheckCons(fs, dir, cons - nnKey)
       val schema = StructType(fields.filterNot(_.name == phys))
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,

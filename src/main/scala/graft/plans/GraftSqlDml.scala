@@ -130,21 +130,28 @@ object GraftSqlDml {
           require(sp.column.name.length == 1,
             "graft-txn ALTER COLUMN supports top-level columns only")
           val n = sp.column.name.head
-          require(sp.newNullability.isEmpty && sp.newComment.isEmpty &&
-              sp.newPosition.isEmpty,
-            "graft-txn ALTER COLUMN supports TYPE widening and " +
-              "SET/DROP DEFAULT only")
-          (sp.newDataType, sp.newDefaultExpression, sp.dropDefault) match {
-            case (Some(t), None, false) =>
+          require(sp.newComment.isEmpty && sp.newPosition.isEmpty,
+            "graft-txn ALTER COLUMN supports TYPE widening, " +
+              "SET/DROP DEFAULT and SET/DROP NOT NULL only")
+          (sp.newDataType, sp.newDefaultExpression, sp.dropDefault,
+              sp.newNullability) match {
+            case (Some(t), None, false, None) =>
               (s: SparkSession, d: String) => TxnLake.widenColumn(s, d, n, t)
-            case (None, Some(dflt), false) =>
+            case (None, Some(dflt), false, None) =>
               (s: SparkSession, d: String) =>
                 TxnLake.setColumnDefault(s, d, n, dflt.originalSQL)
-            case (None, None, true) =>
+            case (None, None, true, None) =>
               (s: SparkSession, d: String) => TxnLake.dropColumnDefault(s, d, n)
+            // SET NOT NULL parses as newNullability=false (the column
+            // becomes non-nullable); DROP NOT NULL as true
+            case (None, None, false, Some(false)) =>
+              (s: SparkSession, d: String) => TxnLake.setNotNull(s, d, n)
+            case (None, None, false, Some(true)) =>
+              (s: SparkSession, d: String) => TxnLake.dropNotNull(s, d, n)
             case _ => throw new IllegalArgumentException(
               "graft-txn ALTER COLUMN takes exactly one of TYPE <t> / " +
-                "SET DEFAULT <expr> / DROP DEFAULT per column")
+                "SET DEFAULT <expr> / DROP DEFAULT / SET NOT NULL / " +
+                "DROP NOT NULL per column")
           }
         }
         GraftDdlCommand(dir, ti,
