@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.StructType
   * downstream layer — vectorized parquet reader, DV anti-join,
   * name-mapping projection — is the lake's existing batch machinery):
   *
-  *  - INITIAL SNAPSHOT: with no checkpoint and no `startingVersion`,
-  *    the stream first serves the table's live rows as of stream start
-  *    (the snapshot's file list, deletion vectors applied), then tails
-  *    commits after that version — Delta's default.
+  *  - INITIAL SNAPSHOT: with no checkpoint and no `startingVersion` /
+  *    `startingTimestamp`, the stream first serves the table's live
+  *    rows as of stream start (the snapshot's file list, deletion
+  *    vectors applied), then tails commits after that version —
+  *    Delta's default. Either starting option (mutually exclusive;
+  *    the timestamp resolves through in-commit timestamps to the
+  *    earliest commit at-or-after it) skips the snapshot and tails
+  *    from there.
   *  - TAIL: each later version contributes exactly its committed ADD
   *    entries, in deterministic (version, path-sorted index) order.
   *    Offsets are `(version, index, snapshot)` — the position of the
@@ -50,7 +54,17 @@ private[graft] class TxnTableStream(spark: SparkSession, dir: String,
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
+  require(!(opts.contains("startingversion") && opts.contains("startingtimestamp")),
+    "startingVersion and startingTimestamp are mutually exclusive")
+  /** Tail start: an explicit version, or a timestamp resolved to the
+    * earliest commit whose IN-COMMIT timestamp is at or after it
+    * (epoch millis — the same [[graft.streaming.CdcFeed
+    * .firstVersionAtOrAfter]] resolution the CDF stream uses, one
+    * history replay, no data files touched). Either form skips the
+    * initial snapshot, Delta's table-stream contract for both. */
   private val startingVersion: Option[Long] = opts.get("startingversion").map(_.toLong)
+    .orElse(opts.get("startingtimestamp").map(ts =>
+      graft.streaming.CdcFeed.firstVersionAtOrAfter(spark, dir, ts.toLong)))
   private val maxFilesPerTrigger: Int =
     opts.get("maxfilespertrigger").map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
   /** Delta's soft byte cap: a batch stops ADDING files once its

@@ -87,6 +87,28 @@ class TxnTableStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(readOut(out).select("id").as[Long].collect().toSeq === Seq(12L))
   }
 
+  test("startingTimestamp attaches late through in-commit timestamps") {
+    val dir = mkTable(1 to 10)                                                  // v0
+    TxnLake.append(spark, dir, Seq((11L, "p1", 22L)).toDF("id", "part", "v"))   // v1
+    Thread.sleep(10) // distinct in-commit timestamps for v1 vs v2
+    TxnLake.append(spark, dir, Seq((12L, "p2", 24L)).toDF("id", "part", "v"))   // v2
+    val ts2 = TxnLake.history(spark, dir).filter(col("version") === 2L)
+      .select(col("committed_at")).head().getTimestamp(0).getTime
+    val out = fresh("out_ts")
+    drain(spark.readStream.format("graft-txn")
+      .option("startingTimestamp", ts2.toString).load(dir), out, fresh("ck_ts"))
+    assert(readOut(out).select("id").as[Long].collect().toSeq === Seq(12L))
+    // the two starting options are mutually exclusive
+    val ex = intercept[Exception] {
+      drain(spark.readStream.format("graft-txn").option("startingVersion", "1")
+        .option("startingTimestamp", ts2.toString).load(dir),
+        fresh("out_tsx"), fresh("ck_tsx"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("mutually exclusive")))
+  }
+
   test("maxFilesPerTrigger paces the backfill at file granularity") {
     val dir = mkTable(1 to 30) // 3 partitions → >= 3 files at v0
     val files = TxnLake.resolve(spark, dir).get.files.size
