@@ -36,18 +36,26 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType,
   * All inputs are MANIFEST-SCALE, resolved on the driver with zero
   * data-file reads — the manifest was already resolved to build the
   * relation; this reuses that snapshot:
-  *  - rowCount = Σ per-file rows. Outstanding deletion vectors are NOT
-  *    subtracted (their cardinality lives in sidecar files — reading
-  *    them at plan time would cost I/O per query): a DV table can only
-  *    look BIGGER than it is, the same safe over-approximation the
-  *    byte-size estimate already makes. Legacy manifests with any
-  *    row-less entry attach nothing — never guess.
+  *  - rowCount = Σ per-file rows − Σ per-entry DOOMED counts: each DV
+  *    commit records its entry's cumulative deleted-row count in the
+  *    manifest, so the subtraction is log-only and the count is EXACT
+  *    under deletion vectors. Entries whose DVs predate the field
+  *    contribute no subtraction — the old safe over-approximation.
+  *    Legacy manifests with any row-less entry attach nothing — never
+  *    guess.
   *  - column min/max = the fold of every live file's zone map, emitted
   *    only when EVERY live file carries bounds for the column (a
   *    partial fold could under-state the range and make CBO prune a
   *    live value). Bounds are stored as cast-to-double, so only
   *    columns whose external-string form round-trips exactly are
   *    emitted: integral types (whole-number check) and float/double.
+  *  - column (distinctCount, nullCount) = the table's ANALYZE artifact
+  *    ([[TxnLake.analyzeTable]], `ANALYZE TABLE ... COMPUTE STATISTICS
+  *    FOR ALL COLUMNS`) — the inputs join-cardinality estimation and
+  *    CBO join REORDER key on, maintained the way Spark/Delta maintain
+  *    them: an explicit metadata-scale statement, consumed from the
+  *    log at plan time with zero data I/O, capped at current rowCount
+  *    so staleness can never yield an impossible stat.
   *
   * Registration: [[graft.GraftExtensions]] injects it as a pre-CBO
   * rule (the deployment path, the same hook Delta's stats preparation
@@ -89,37 +97,60 @@ object TxnCboStats extends Rule[LogicalPlan] {
       case dv: TxnDvRelation => Some((dv.dir, dv.manifest, dv.sizeInBytes))
       case _ => None
     }
-    src.flatMap { case (_, m, size) =>
+    src.flatMap { case (dir, m, size) =>
       // no guessing: a legacy manifest with any row-less entry gets no
       // rowCount, and without rowCount toPlanStats is size-only — skip
       // the attach entirely so the plan is byte-identical to before
       if (m.files.exists(_.rows.isEmpty)) None
-      else Some(CatalogStatistics(
-        sizeInBytes = BigInt(size),
-        rowCount = Some(BigInt(m.files.flatMap(_.rows).sum)),
-        colStats = colStatsOf(m)))
+      else {
+        // rowCount is EXACT under deletion vectors: each DV commit
+        // writes the entry's cumulative doomed-row count into the
+        // manifest, so the subtraction is a pure log read. Entries
+        // whose DVs predate the field contribute no subtraction — the
+        // old safe over-approximation, never an under-count.
+        val doomed = m.files.filter(_.dv.nonEmpty).flatMap(_.doomed).sum
+        val rows = m.files.flatMap(_.rows).sum - doomed
+        Some(CatalogStatistics(
+          sizeInBytes = BigInt(size),
+          rowCount = Some(BigInt(rows)),
+          colStats = colStatsOf(dir, m, rows)))
+      }
     }
   }
 
-  /** Table-level (min,max) per LOGICAL column name, folded from the
-    * manifest zone maps; a column is emitted only when every live file
-    * has bounds for it and the double-stored bound renders back into
-    * the column type's external-string form exactly. */
-  private def colStatsOf(m: TxnLake.Manifest): Map[String, CatalogColumnStat] = {
+  /** Table-level column statistics per LOGICAL column name:
+    *  - (min,max) folded from the manifest zone maps — emitted only
+    *    when every live file has bounds for the column and the
+    *    double-stored bound renders back into the column type's
+    *    external-string form exactly;
+    *  - (distinctCount, nullCount) from the table's ANALYZE artifact
+    *    ([[TxnLake.analyzeTable]]) when one exists — the join-
+    *    cardinality inputs CBO's reorder actually keys on, refreshed
+    *    explicitly like Spark/Delta's own ANALYZE TABLE. Both are
+    *    capped at the CURRENT rowCount, so a stale artifact can shrink
+    *    estimate quality but never produce an impossible stat. */
+  private def colStatsOf(dir: String, m: TxnLake.Manifest,
+                         rows: Long): Map[String, CatalogColumnStat] = {
     if (m.files.isEmpty) return Map.empty
+    val analyzed: Map[String, (Long, Long)] =
+      TxnLake.tableStatsOf(dir).map(_.cols).getOrElse(Map.empty)
     val schema = StructType.fromDDL(m.schemaDdl)
     schema.fields.iterator.flatMap { f =>
       val logical = m.renames.getOrElse(f.name, f.name)
       val perFile = m.files.map(e => e.stats.get(f.name).orElse(
         if (m.statsCol.contains(f.name)) e.zmin.zip(e.zmax) else None))
-      if (perFile.exists(_.isEmpty)) Iterator.empty
-      else {
-        val bounds = perFile.flatten
-        render(f, bounds.map(_._1).min, bounds.map(_._2).max).iterator.map {
-          case (lo, hi) => logical -> CatalogColumnStat(
-            min = Some(lo), max = Some(hi))
+      val bounds0 =
+        if (perFile.exists(_.isEmpty)) None
+        else {
+          val bounds = perFile.flatten
+          render(f, bounds.map(_._1).min, bounds.map(_._2).max)
         }
-      }
+      val nd = analyzed.get(logical)
+      if (bounds0.isEmpty && nd.isEmpty) Iterator.empty
+      else Iterator.single(logical -> CatalogColumnStat(
+        min = bounds0.map(_._1), max = bounds0.map(_._2),
+        distinctCount = nd.map(v => BigInt(math.min(v._1, math.max(rows, 1L)))),
+        nullCount = nd.map(v => BigInt(math.min(v._2, rows)))))
     }.toMap
   }
 

@@ -111,7 +111,8 @@ object TxnLake {
                        stats: Map[String, (Double, Double)] = Map.empty,
                        base: Option[String] = None,
                        rows: Option[Long] = None,
-                       bytes: Option[Long] = None) {
+                       bytes: Option[Long] = None,
+                       doomed: Option[Long] = None) {
     /** Whether this file's partition values index `partCol` (legacy
       * in-memory entries without a spec are treated as current). */
     def onSpec(partCol: String): Boolean = spec.forall(_ == partCol)
@@ -216,6 +217,7 @@ object TxnLake {
   private[lake] def dataRelSql(pathCol: String): String =
     s"concat('$DataDir/', element_at(split($pathCol, '/$DataDir/'), -1))"
   private val StatsColsFile = "_stats_cols.json"
+  private val ColStatsFile = "_col_stats.json"
   private val GenColsFile = "_generated_cols.json"
   private val CheckConsFile = "_check_constraints.json"
   private val DefaultsFile = "_column_defaults.json"
@@ -466,6 +468,93 @@ object TxnLake {
   private def isCanonicalNotNull(key: String, e: String, c: String): Boolean =
     key == notNullConstraintName(c) &&
       e.trim.equalsIgnoreCase(s"`$c` IS NOT NULL")
+
+  /** Table-level column statistics from the last ANALYZE run: `cols`
+    * maps LOGICAL column name -> (approx distinct count, null count),
+    * `version`/`rows` record the snapshot measured. */
+  final case class TableStats(version: Long, rows: Long,
+                              cols: Map[String, (Long, Long)])
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS` — the
+    * explicit stats-refresh statement every CBO-bearing engine ships
+    * (Spark's ANALYZE, Delta's ANALYZE): ONE pass over the live table
+    * computes per-column approximate distinct counts (HyperLogLog++,
+    * the join-cardinality input CBO's join REORDER keys on) and exact
+    * null counts, persisted as a versioned artifact in the log and
+    * served to the planner by [[TxnCboStats]] with zero data I/O per
+    * query. Deliberately NOT per-commit work: folding sketches through
+    * every commit would re-tax the write path the footer fast path
+    * just got off the job queue — stats refresh is a maintenance
+    * action, like OPTIMIZE, and the artifact records the snapshot
+    * version it measured so staleness is inspectable
+    * (SHOW TBLPROPERTIES `graft.stats.*`). */
+  def analyzeTable(spark: SparkSession, dir: String): TableStats = {
+    val fs = fsOf(spark, dir)
+    val m = resolve(fs, dir).getOrElse(throw new IllegalArgumentException(
+      s"$dir is not a txn table (no $LogDir)"))
+    val df = read(spark, dir)
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(approx_count_distinct(col(c)).as(s"__ndv$i"),
+        count(col(c)).as(s"__nn$i")) }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getAs[Long]("__n")
+    val stats = cols.zipWithIndex.map { case (c, i) =>
+      c -> ((r.getAs[Long](s"__ndv$i"), rows - r.getAs[Long](s"__nn$i")))
+    }.toMap
+    val ts = TableStats(m.version, rows, stats)
+    writeTableStats(fs, dir, ts)
+    ts
+  }
+
+  /** The last ANALYZE artifact (None = never analyzed). */
+  def tableStatsOf(spark: SparkSession, dir: String): Option[TableStats] =
+    tableStatsOf(fsOf(spark, dir), dir)
+
+  /** Plan-time entry ([[TxnCboStats]] consults it per query): resolves
+    * the filesystem through the active session. */
+  private[lake] def tableStatsOf(dir: String): Option[TableStats] =
+    tableStatsOf(fsOf(org.apache.spark.sql.SparkSession.active, dir), dir)
+
+  private val tableStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, TableStats)]()
+
+  /** Parses are cached keyed by (mtime, length) — the plan-time cost is
+    * one getFileStatus round-trip per query, same class as the
+    * manifest resolution the relation already performed. */
+  private[lake] def tableStatsOf(fs: FileSystem, dir: String): Option[TableStats] = {
+    val p = new Path(dir, s"$LogDir/$ColStatsFile")
+    val key = p.toString
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        tableStatsCache.remove(key); return None }
+    val cached = tableStatsCache.get(key)
+    if (cached != null && cached._1 == st.getModificationTime &&
+        cached._2 == st.getLen) return Some(cached._3)
+    val n = readJson(fs, p)
+    import scala.jdk.CollectionConverters._
+    val cols = Option(n.get("cols")).fold(Map.empty[String, (Long, Long)]) { cn =>
+      cn.properties().asScala.map(e => e.getKey ->
+        ((e.getValue.get("ndv").asLong(), e.getValue.get("nulls").asLong()))).toMap
+    }
+    val ts = TableStats(n.get("version").asLong(), n.get("rows").asLong(), cols)
+    tableStatsCache.put(key, (st.getModificationTime, st.getLen, ts))
+    Some(ts)
+  }
+
+  private def writeTableStats(fs: FileSystem, dir: String, ts: TableStats): Unit = {
+    fs.mkdirs(new Path(dir, LogDir))
+    val root = JsonNodeFactory.instance.objectNode()
+    root.put("version", ts.version)
+    root.put("rows", ts.rows)
+    val cn = root.putObject("cols")
+    ts.cols.toSeq.sortBy(_._1).foreach { case (c, (ndv, nulls)) =>
+      val o = cn.putObject(c); o.put("ndv", ndv); o.put("nulls", nulls); ()
+    }
+    val out = fs.create(new Path(dir, s"$LogDir/$ColStatsFile"), true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
 
   /** The table's CHECK constraints (empty when none declared). */
   def checkConstraintsOf(spark: SparkSession, dir: String): Map[String, String] =
@@ -1101,16 +1190,17 @@ object TxnLake {
   }
 
   /** METADATA-ONLY COUNT(*) at a version (latest when negative): the
-    * manifest's per-file row counts summed, minus the cardinality of
-    * each live file's outstanding deletion vectors. With no DVs this
-    * is a pure log read — zero data files opened, O(manifest) — which
-    * is what makes `SELECT count(*)` on a 100 TB table instant (the
-    * Delta/Iceberg stats-only count). DV cardinalities come from the
-    * narrow (file, pos) sidecars, O(deleted rows) and ONLY the sidecars
-    * live files actually reference, so a heavily-deleted table pays for
-    * its deletes, not its size. Returns None when any live entry
-    * predates row-count tracking (legacy manifest without `rows`) —
-    * callers fall back to a scan; never guesses. */
+    * manifest's per-file row counts summed, minus each live file's
+    * cumulative DOOMED-ROW count (written into its entry at DV-commit
+    * time) — a pure log read even under heavy deletes, zero data or
+    * sidecar files opened, O(manifest) — which is what makes
+    * `SELECT count(*)` on a 100 TB table instant (the Delta/Iceberg
+    * stats-only count). Entries whose DVs predate doomed-count
+    * tracking fall back to counting the narrow (file, pos) sidecars —
+    * O(deleted rows), only the sidecars live files reference. Returns
+    * None when any live entry predates row-count tracking (legacy
+    * manifest without `rows`) — callers fall back to a scan; never
+    * guesses. */
   def rowCount(spark: SparkSession, dir: String, version: Long = -1L): Option[Long] = {
     val fs = fsOf(spark, dir)
     val m =
@@ -1119,6 +1209,15 @@ object TxnLake {
       else resolveAt(fs, dir, version)
     if (m.files.exists(_.rows.isEmpty)) return None
     val base = m.files.flatMap(_.rows).sum
+    // FAST PATH: every DV'd entry carries its cumulative doomed-row
+    // count in the manifest (written at DV-commit time, exact because
+    // deletes only evaluate on live rows so sidecar positions are
+    // disjoint) — the count is then a pure log read even under heavy
+    // deletes, zero sidecar I/O. Entries written before the field
+    // existed fall through to the sidecar job below.
+    val dvEntries = m.files.filter(_.dv.nonEmpty)
+    if (dvEntries.forall(_.doomed.isDefined))
+      return Some(base - dvEntries.flatMap(_.doomed).sum)
     // a sidecar can doom rows of files that were since rewritten (and
     // re-added without the DV), so each sidecar's count is restricted
     // to the live paths that still REFERENCE it — deleteWhere evaluates
@@ -1394,8 +1493,14 @@ object TxnLake {
     if (dvMeta.isEmpty) { fs.delete(new Path(dvAbs), true); return 0L }
     val deleted = dvMeta.map(_._2).sum
     val touchedPaths = dvMeta.map(_._1).toSet
+    // each entry's cumulative DOOMED-ROW COUNT rides the manifest
+    // (sidecar positions are disjoint — deletes evaluate on live rows —
+    // so counts add exactly): metadata COUNT(*) and plan-time rowCount
+    // become exact under DVs with ZERO sidecar reads
+    val perFile = dvMeta.toMap
     val updated = base.files.filter(f => touchedPaths.contains(f.path))
-      .map(f => f.copy(dv = f.dv :+ dvRel))
+      .map(f => f.copy(dv = f.dv :+ dvRel,
+        doomed = Some(f.doomed.getOrElse(0L) + perFile(f.path))))
     val touched = updated.flatMap(_.parts).toSet
     // change feed: the doomed rows are delete PRE-images, re-derived
     // from the MATERIALIZED sidecar itself (narrow (file, pos)
@@ -1470,8 +1575,10 @@ object TxnLake {
     if (dvMeta.isEmpty) { fs.delete(new Path(dvAbs), true); return 0L }
     val updatedCount = dvMeta.map(_._2).sum
     val touchedPaths = dvMeta.map(_._1).toSet
+    val perFile = dvMeta.toMap
     val withDv = base.files.filter(f => touchedPaths.contains(f.path))
-      .map(f => f.copy(dv = f.dv :+ dvRel))
+      .map(f => f.copy(dv = f.dv :+ dvRel,
+        doomed = Some(f.doomed.getOrElse(0L) + perFile(f.path))))
     // 2. matched rows derived from the MATERIALIZED DV itself (a narrow
     // (file, pos) semi-join, broadcast at DV scale), never a second
     // predicate evaluation — the doomed set and the post-image set are
@@ -2189,6 +2296,11 @@ object TxnLake {
       if (cons.get(nnFrom).exists(isCanonicalNotNull(nnFrom, _, from)))
         writeCheckCons(fs, dir, cons - nnFrom +
           (notNullConstraintName(to) -> s"`$to` IS NOT NULL"))
+      // ...and the ANALYZE artifact's per-column entry re-keys
+      tableStatsOf(fs, dir).filter(_.cols.contains(from)).foreach { ts =>
+        writeTableStats(fs, dir,
+          ts.copy(cols = ts.cols - from + (to -> ts.cols(from))))
+      }
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -2245,6 +2357,9 @@ object TxnLake {
       val nnKey = notNullConstraintName(name)
       if (cons.get(nnKey).exists(isCanonicalNotNull(nnKey, _, name)))
         writeCheckCons(fs, dir, cons - nnKey)
+      tableStatsOf(fs, dir).filter(_.cols.contains(name)).foreach { ts =>
+        writeTableStats(fs, dir, ts.copy(cols = ts.cols - name))
+      }
       val schema = StructType(fields.filterNot(_.name == phys))
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -2650,7 +2765,7 @@ object TxnLake {
     // clone; the invariant provably held on exactly this source
     // snapshot, so the property transfers verbatim.
     val propTmp = Seq(StatsColsFile, GenColsFile, CheckConsFile,
-        DefaultsFile, IdentityFile).flatMap { f =>
+        DefaultsFile, IdentityFile, ColStatsFile).flatMap { f =>
       val sp = new Path(src, s"$LogDir/$f")
       if (!fs.exists(sp)) None
       else {
@@ -4335,6 +4450,7 @@ object TxnLake {
       fn.put("path", f.path)
       f.rows.foreach { r => fn.put("rows", r); () }
       f.bytes.foreach { b => fn.put("bytes", b); () }
+      f.doomed.foreach { d => fn.put("doomed", d); () }
       f.base.foreach(fn.put("base", _))
       f.zmin.foreach(fn.put("zmin", _))
       f.zmax.foreach(fn.put("zmax", _))
@@ -4426,7 +4542,8 @@ object TxnLake {
         },
         base = Option(fn.get("base")).map(_.asText()),
         rows = Option(fn.get("rows")).map(_.asLong()),
-        bytes = Option(fn.get("bytes")).map(_.asLong()))
+        bytes = Option(fn.get("bytes")).map(_.asLong()),
+        doomed = Option(fn.get("doomed")).map(_.asLong()))
     }.toSeq
   }
 

@@ -124,6 +124,26 @@ object GraftSqlDml {
         GraftDdlCommand(dir, ti, s"DROP COLUMNS ${names.mkString(",")}",
           (s, d) => names.foreach(TxnLake.dropColumn(s, d, _)))
       }
+    // ANALYZE TABLE ... COMPUTE STATISTICS [FOR {ALL COLUMNS|COLUMNS ...}]
+    // -> one-pass NDV/null-count refresh persisted in the log
+    // ([[TxnLake.analyzeTable]]); the planner reads the artifact per
+    // query with zero data I/O ([[graft.lake.TxnCboStats]]). A column
+    // list still computes all columns — the scan is one pass either way
+    // and partial artifacts would silently hide the missing columns
+    // from CBO.
+    case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
+      ddlTarget(spark, a.child).map { case (dir, ti) =>
+        require(!a.noScan,
+          "graft-txn ANALYZE ... NOSCAN computes nothing here — rowCount " +
+            "is already log-derived; drop NOSCAN to refresh column stats")
+        GraftDdlCommand(dir, ti, "ANALYZE TABLE",
+          (s, d) => { TxnLake.analyzeTable(s, d); () })
+      }
+    case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeColumn =>
+      ddlTarget(spark, a.child).map { case (dir, ti) =>
+        GraftDdlCommand(dir, ti, "ANALYZE COLUMNS",
+          (s, d) => { TxnLake.analyzeTable(s, d); () })
+      }
     case ac: AlterColumns =>
       ddlTarget(spark, ac.table).map { case (dir, ti) =>
         val actions: Seq[(SparkSession, String) => Unit] = ac.specs.map { sp =>
@@ -225,6 +245,10 @@ object GraftSqlDml {
                         table: LogicalPlan): Option[(String, Option[TableIdentifier])] =
     table match {
       case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ddlTargetParts(spark, t.multipartIdentifier)
+      // ANALYZE wraps its target as table-OR-view; a graft dir is
+      // always a table, so the parts resolve the same way
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
         ddlTargetParts(spark, t.multipartIdentifier)
       case _ => None
     }
@@ -877,7 +901,10 @@ case class GraftShowPropertiesCommand(dir: String) extends GraftDmlCommand {
     val ident = TxnLake.identityColumnsOf(spark, dir).toSeq
       .map { case (c, (st, sp)) =>
         s"graft.identity.$c" -> s"START WITH $st STEP $sp" }
-    (base ++ gen ++ cons ++ dflt ++ ident).sortBy(_._1)
+    val stats = TxnLake.tableStatsOf(spark, dir).toSeq.flatMap(ts => Seq(
+      "graft.stats.analyzedVersion" -> ts.version.toString,
+      "graft.stats.analyzedRows" -> ts.rows.toString))
+    (base ++ gen ++ cons ++ dflt ++ ident ++ stats).sortBy(_._1)
       .map { case (k, v) => Row(k, v) }
   }
 }

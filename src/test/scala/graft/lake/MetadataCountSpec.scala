@@ -53,6 +53,29 @@ class MetadataCountSpec extends AnyFunSuite with SparkTestSession {
     assert(TxnLake.rowCount(spark, dir).get === 6L)
   }
 
+  test("DV counting is log-only: exact even with every sidecar byte gone") {
+    import spark.implicits._
+    val dir = freshDir("graft_metacount_nosc")
+    TxnLake.create(spark, dir,
+      (1L to 20L).map(i => (i, s"n$i", s"p${i % 2}")).toDF("id", "name", "part"),
+      "part")
+    TxnLake.deleteWhere(spark, dir, col("id") <= 4)
+    TxnLake.deleteWhere(spark, dir, col("id") >= 19) // second DV accrues
+    // each entry's cumulative doomed count rides the manifest, so the
+    // count must not open a single sidecar — proven by DESTROYING the
+    // sidecar directory (reads would now fail; rowCount must not care)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_dv"), true),
+      "precondition: the table had DV sidecars to delete")
+    assert(TxnLake.rowCount(spark, dir).get === 14L)
+    // the doomed field survives the entry (de)serializer round-trip:
+    // resolve re-reads the log from disk
+    val m = TxnLake.resolve(spark, dir).get
+    val dvd = m.files.filter(_.dv.nonEmpty)
+    assert(dvd.nonEmpty && dvd.forall(_.doomed.exists(_ > 0L)))
+  }
+
   test("counts survive checkpoint + vacuum") {
     import spark.implicits._
     val dir = freshDir("graft_metacount_vac")
