@@ -26,6 +26,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.lake.TxnCboStats.install(spark)
+    graft.lake.GeneratedPartitionPruning.install(spark)
     // Warm the session (codegen, parquet footer reads, shuffle machinery)
     // so the first measured query isn't charged ~4s of JVM startup.
     spark.range(1000000).selectExpr("sum(id)").collect()

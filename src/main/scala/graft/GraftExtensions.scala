@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pre-CBO = after operator optimization, before join reorder /
     // physical planning — the hook Delta's stats preparation uses
     ext.injectPreCBORule(_ => graft.lake.TxnCboStats)
+    // generated-column partition pruning: a filter on the SOURCE column
+    // of a generated partition key derives the implied partition
+    // predicate (Delta OptimizeGeneratedColumn parity)
+    ext.injectOptimizerRule(_ => graft.lake.GeneratedPartitionPruning)
     // SQL DML statements (UPDATE/DELETE/MERGE INTO) on graft-txn tables
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))

@@ -111,6 +111,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.lake.TxnCboStats.install(spark)
+    graft.lake.GeneratedPartitionPruning.install(spark)
     val marker = new java.io.File(s"$outDir/_SCALE_READY")
     if (!marker.exists()) {
       synthesize(spark, srcDir, outDir, copies)

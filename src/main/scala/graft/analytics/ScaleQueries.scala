@@ -2000,6 +2000,51 @@ object ScaleQueries {
       |       CAST(sum(price) AS DOUBLE) FROM v1
       |ORDER BY snap""".stripMargin
 
+  /** zq10 — GENERATED-COLUMN PARTITION PRUNING
+    * ([[graft.lake.GeneratedPartitionPruning]], Delta's
+    * OptimizeGeneratedColumn parity): the table partitions on an
+    * ENGINE-GENERATED month bucket of `o_orderdate`, and the query
+    * filters ONLY on the source date column — 31 day literals, never
+    * mentioning `o_month`. The optimizer derives the implied
+    * `o_month IN ('1995-03')` by constant-folding the stored generated
+    * expression at each literal (asserted in-query on the optimized
+    * plan), so manifest partition pruning fires exactly as if the user
+    * had filtered the bucket — at 100 TB, one partition scanned
+    * instead of all of them. The oracle recomputes the month's
+    * aggregate relationally; a hash match proves derivation dropped
+    * and added nothing. */
+  private def zq10(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq10")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"), col("o_orderdate"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 9 === 0), "o_month",
+      generatedCols = Map(
+        "o_month" -> "substring(cast(o_orderdate as string), 1, 7)"))
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 9 === 4))
+    val days = (1 to 31).map(i => java.sql.Date.valueOf(f"1995-03-$i%02d"))
+    val q = s.read.format("graft-txn").load(dir)
+      .filter(col("o_orderdate").isin(days: _*))
+    // the derivation must actually fire: the optimized plan carries a
+    // conjunct on the generated partition column the query never named
+    require(q.queryExecution.optimizedPlan.toString.contains("o_month"),
+      "generated-partition derivation must add an o_month conjunct")
+    q.groupBy(col("o_orderdate"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("o_orderdate"))
+  }
+
+  private val zq10Sql =
+    """SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE (o_orderkey % 9 = 0 OR o_orderkey % 9 = 4)
+      |  AND o_orderdate >= DATE '1995-03-01' AND o_orderdate <= DATE '1995-03-31'
+      |GROUP BY o_orderdate
+      |ORDER BY o_orderdate""".stripMargin
+
   /** zq04 — manifest BLOOM file index: equality skipping on a
     * high-cardinality UNSORTED string column, where zone maps (which
     * need min/max order) are useless. The table tracks a per-file
@@ -2698,6 +2743,7 @@ object ScaleQueries {
     "lk23_sql_maintenance" -> (lk23 _),
     "lk20_sql_dml" -> (lk20 _),
     "zq09_sql_time_travel" -> (zq09 _),
+    "zq10_generated_partition_pruning" -> (zq10 _),
     "lk22_sql_ddl" -> (lk22 _),
     "lk21_merge_retire" -> (lk21 _),
     "lk17_clone" -> (lk17 _),
@@ -2752,6 +2798,7 @@ object ScaleQueries {
     "lk23_sql_maintenance" -> lk23Sql,
     "lk20_sql_dml" -> lk20Sql,
     "zq09_sql_time_travel" -> zq09Sql,
+    "zq10_generated_partition_pruning" -> zq10Sql,
     "lk22_sql_ddl" -> lk22Sql,
     "lk21_merge_retire" -> lk21Sql,
     "lk17_clone" -> lk17Sql,

@@ -1,0 +1,157 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, In, InSet, IsNull, Literal, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** PARTITION-FILTER DERIVATION FROM GENERATED COLUMNS — Delta's
+  * `OptimizeGeneratedColumn` parity (VERDICT r16 #2).
+  *
+  * A table whose PARTITION column is GENERATED from a source column
+  * (`pt = expr(src)`, [[TxnLake.setGeneratedColumns]]) is usually
+  * queried by the SOURCE column — the user filters `src = v`, not the
+  * engine-owned bucket. Without this rule such a query scans EVERY
+  * partition: nothing in the filter mentions `pt`, so manifest
+  * partition pruning never fires. At 100 TB that is the difference
+  * between one partition and all of them.
+  *
+  * The rule finds `Filter(..., lake relation)` where the partition
+  * column is generated from exactly ONE source column, extracts
+  * equality/IN literals bound to that source column, EVALUATES the
+  * stored generated expression at each literal (driver-side constant
+  * fold — parse, substitute, analyze over OneRowRelation, eval; no
+  * jobs, no I/O), and conjoins the implied predicate
+  * `pt IN (expr(v1), expr(v2), ...)` — which the existing manifest
+  * pruning ([[TxnFileIndex.listFiles]] / [[TxnDvRelation]]) then turns
+  * into file skips. Soundness leans on the declare-time discipline:
+  * generated expressions are deterministic and evaluation-time-
+  * independent (enforced in [[TxnLake.setGeneratedColumns]]), and
+  * every committed row satisfies `pt <=> expr(src)` (validated
+  * retroactively on declare, recomputed on every write path) — so for
+  * any row with `src = v`, `pt` EQUALS `expr(v)` and the added
+  * conjunct filters out nothing the original predicate kept.
+  *
+  * Scope: equality (`=`, `<=>`) and `IN` over literals — the shapes a
+  * value substitution proves for ANY deterministic expression. Range
+  * predicates would additionally need monotonicity of the expression
+  * (Delta special-cases a function whitelist); ranges abstain here.
+  * A NULL-valued derivation (expr(v) IS NULL) contributes
+  * `pt IS NULL`, never a null literal inside IN (which would filter
+  * the very partition it names). Derivation fires only when the
+  * filter references NOTHING about the partition column yet — the
+  * user's own partition predicate needs no help, and since the
+  * derived conjunct references it, fixed-point optimizer batches
+  * stabilize after one pass. */
+object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, lr: LogicalRelation) =>
+      derived(cond, lr).map(d => Filter(And(cond, d), lr)).getOrElse(f)
+  }
+
+  /** Append to the session's user-provided optimizer rules — for
+    * sessions built without `GraftExtensions` (the [[TxnCboStats
+    * .install]] twin). Late-batch placement is fine: partition pruning
+    * happens at PHYSICAL planning (`listFiles`), after every logical
+    * batch. */
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+
+  private def relInfo(lr: LogicalRelation): Option[(String, TxnLake.Manifest)] =
+    lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: TxnFileIndex => Some((idx.dir, idx.manifest))
+        case _ => None
+      }
+      case dv: TxnDvRelation => Some((dv.dir, dv.manifest))
+      case _ => None
+    }
+
+  private def derived(cond: Expression, lr: LogicalRelation): Option[Expression] =
+    try deriveUnsafe(cond, lr)
+    catch { case scala.util.control.NonFatal(_) => None } // abstain, never break a plan
+
+  private def deriveUnsafe(cond: Expression, lr: LogicalRelation): Option[Expression] = {
+    val spark = SparkSession.active
+    val (dir, m) = relInfo(lr).getOrElse(return None)
+    val logicalPart = m.renames.getOrElse(m.partCol, m.partCol)
+    val gen = TxnLake.genColsOf(TxnLake.fsOf(spark, dir), dir)
+    val genExpr = gen.collectFirst {
+      case (c, e) if c.equalsIgnoreCase(logicalPart) => e
+    }.getOrElse(return None)
+    val parsed = spark.sessionState.sqlParser.parseExpression(genExpr)
+    val srcNames = parsed.collect {
+      case a: UnresolvedAttribute => a.name.toLowerCase
+    }.distinct
+    if (srcNames.size != 1) return None // multi-column derivation unproven
+    val srcAttr = lr.output.collectFirst {
+      case a if a.name.equalsIgnoreCase(srcNames.head) => a
+    }.getOrElse(return None)
+    val partAttr = lr.output.collectFirst {
+      case a if a.name.equalsIgnoreCase(logicalPart) => a
+    }.getOrElse(return None)
+    if (partAttr.exprId == srcAttr.exprId) return None
+    val conjuncts = splitConjunctivePredicates(cond)
+    // derive only when the filter says NOTHING about the partition
+    // column yet — the user's own partition predicate needs no help,
+    // and the derived conjunct references partAttr, so this check is
+    // also what makes the fixed-point batch converge after one pass
+    // (even when OptimizeIn later rewrites the added In to an InSet)
+    if (conjuncts.exists(_.references.exists(_.exprId == partAttr.exprId)))
+      return None
+
+    // literals one conjunct binds the source column to (null literal
+    // under = matches no row — skip it; under <=> it selects the
+    // src-IS-NULL rows, whose pt is expr(null) — derivable)
+    def litsOf(c: Expression): Option[Seq[Literal]] = c match {
+      case EqualTo(a: AttributeReference, l: Literal)
+        if a.exprId == srcAttr.exprId && l.value != null => Some(Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference)
+        if a.exprId == srcAttr.exprId && l.value != null => Some(Seq(l))
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+        if a.exprId == srcAttr.exprId => Some(Seq(l))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+        if a.exprId == srcAttr.exprId => Some(Seq(l))
+      case In(a: AttributeReference, ls)
+        if a.exprId == srcAttr.exprId && ls.nonEmpty &&
+          ls.forall(_.isInstanceOf[Literal]) =>
+        Some(ls.map(_.asInstanceOf[Literal]).filter(_.value != null))
+      // OptimizeIn rewrites long IN lists to InSet (internal values)
+      case InSet(a: AttributeReference, hset)
+        if a.exprId == srcAttr.exprId && hset.nonEmpty =>
+        Some(hset.toSeq.filter(_ != null)
+          .map(v => Literal(v, srcAttr.dataType)))
+      case _ => None
+    }
+    val lits = conjuncts.flatMap(litsOf).headOption.getOrElse(return None)
+    if (lits.isEmpty) return None
+
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    // constant-fold expr(v) for each bound literal: substitute, analyze
+    // over OneRowRelation (resolves function names), eval — pure driver
+    // work, no job, no file touched
+    def evalAt(l: Literal): Any = {
+      val substituted = parsed.transformUp {
+        case _: UnresolvedAttribute => Cast(l, srcAttr.dataType, tz)
+      }
+      val p = Project(Seq(Alias(substituted, "__gp")()), OneRowRelation())
+      val e = spark.sessionState.analyzer.execute(p)
+        .asInstanceOf[Project].projectList.head
+      Cast(e, partAttr.dataType, tz).eval(InternalRow.empty)
+    }
+    val values = lits.map(evalAt).distinct
+    val (nulls, nonNull) = values.partition(_ == null)
+    val preds =
+      (if (nonNull.nonEmpty)
+        Seq(In(partAttr, nonNull.map(Literal(_, partAttr.dataType)))) else Nil) ++
+      (if (nulls.nonEmpty) Seq(IsNull(partAttr)) else Nil)
+    Some(preds.reduce(Or))
+  }
+}

@@ -19,6 +19,7 @@ object SparkTestSession {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.lake.TxnCboStats.install(s)
+    graft.lake.GeneratedPartitionPruning.install(s)
     s
   }
 }

@@ -1,0 +1,83 @@
+package graft.lake
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Date
+
+/** [[GeneratedPartitionPruning]] — a filter on the SOURCE column of a
+  * generated partition key prunes partitions at plan time (Delta
+  * OptimizeGeneratedColumn parity): file-skip assertions via
+  * [[SparkTestSession.scannedFiles]], result parity with and without
+  * the derivation, abstention cases. */
+class GeneratedPartitionPruningSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  /** Table partitioned by a GENERATED month bucket of `d`; three
+    * months of daily rows — at least 3 partitions, several files. */
+  private def fresh(): String = {
+    val dir = Files.createTempDirectory("graft_gpp").resolve("t").toString
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)))
+    }
+    TxnLake.create(spark, dir, rows.toDF("id", "d")
+        .withColumn("m", substring(col("d").cast("string"), 1, 7)), "m",
+      generatedCols = Map("m" -> "substring(cast(d as string), 1, 7)"))
+    dir
+  }
+
+  test("source-column equality prunes to one partition's files") {
+    val dir = fresh()
+    val total = TxnLake.resolve(spark, dir).get.files.size
+    assert(total >= 3, s"precondition: several files, got $total")
+    val q = spark.read.format("graft-txn").load(dir)
+      .filter(col("d") === Date.valueOf("1995-02-15"))
+    assert(q.count() === 1L)
+    val scanned = scannedFiles(q)
+    val febFiles = TxnLake.resolve(spark, dir).get.files
+      .count(_.parts.contains(Some("1995-02")))
+    assert(scanned === febFiles && scanned < total,
+      s"derived m='1995-02' must prune: scanned $scanned of $total (feb=$febFiles)")
+  }
+
+  test("IN over many source literals derives the bucket set (InSet path)") {
+    val dir = fresh()
+    val total = TxnLake.resolve(spark, dir).get.files.size
+    // 20 January days: OptimizeIn rewrites to InSet before derivation
+    val days = (1 to 20).map(i => Date.valueOf(f"1995-01-$i%02d"))
+    val q = spark.read.format("graft-txn").load(dir)
+      .filter(col("d").isin(days: _*))
+    assert(q.count() === 20L)
+    assert(scannedFiles(q) < total, "derived m IN ('1995-01') must prune")
+  }
+
+  test("derivation never changes results (parity with the rule disabled)") {
+    val dir = fresh()
+    val pred = col("d").isin(
+      Date.valueOf("1995-01-31"), Date.valueOf("1995-03-01"))
+    val got = spark.read.format("graft-txn").load(dir).filter(pred)
+      .select("id").as[Long].collect().toSet
+    // ground truth from a raw read of all partitions
+    val want = TxnLake.read(spark, dir).filter(pred)
+      .select("id").as[Long].collect().toSet
+    assert(got === want && got.size === 2)
+  }
+
+  test("abstains: range predicates, multi-column expressions, own partition filter") {
+    val dir = fresh()
+    val total = TxnLake.resolve(spark, dir).get.files.size
+    // range on the source: monotonicity unproven — full scan, right rows
+    val r = spark.read.format("graft-txn").load(dir)
+      .filter(col("d") >= Date.valueOf("1995-03-01"))
+    assert(r.count() === 31L) // Mar 1..31 of the 90-day span
+    assert(scannedFiles(r) === total)
+    // the user's own partition predicate still prunes (no interference)
+    val own = spark.read.format("graft-txn").load(dir)
+      .filter(col("m") === "1995-01" && col("d") >= Date.valueOf("1995-01-05"))
+    assert(own.count() === 27L)
+    assert(scannedFiles(own) < total)
+  }
+}
