@@ -63,11 +63,28 @@ object Bench {
     val loadCap = sys.env.get("SPARK_GRAFT_LOAD_CAP").flatMap(_.toDoubleOption)
       .getOrElse(cpus.toDouble / 8.0)
     val maxPasses = passes + 2
+    // ambient-contamination self-rescue (VERDICT r16 #8): the r16
+    // artifact was graded from a window whose QUIETEST pass started at
+    // load 2.8 under a cap of 4.0 — "under cap" passes that were all
+    // materially contaminated. When NO pass has started under cap/2,
+    // keep retrying past maxPasses up to a WALL BUDGET (default 2.5×
+    // the first `passes` walls, clamped [600 s, 3600 s]; override with
+    // SPARK_GRAFT_BENCH_BUDGET_S) — one genuinely quiet pass rescues
+    // the artifact, and the env line records the decision either way.
+    val hardMax = passes + 5
+    val budgetOverride =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").flatMap(_.toDoubleOption)
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     // (per-query (total, build, query) times, wall, load_avg at pass start)
     var samples = Vector.empty[(Map[String, (Double, Double, Double)], Double, Double)]
     var quiet = 0
+    var tightN = 0
+    def budgetS: Double = budgetOverride.getOrElse(
+      math.min(3600.0, math.max(600.0, 2.5 * samples.take(passes).map(_._2).sum)))
     while (samples.size < passes ||
-           (samples.size < maxPasses && quiet < passes)) {
+           (samples.size < maxPasses && quiet < passes) ||
+           (samples.size < hardMax && tightN == 0 && elapsedS < budgetS)) {
       val l0 = loadNow()
       val p0 = System.nanoTime()
       val r = selected.map { case (name, fn) =>
@@ -103,6 +120,7 @@ object Bench {
       }
       samples :+= ((r, (System.nanoTime() - p0) / 1e9, l0))
       quiet = samples.count(_._3 <= loadCap)
+      tightN = samples.count(_._3 <= loadCap / 2)
     }
     // grade on the quiet passes when there are enough; otherwise use all
     // (an always-loaded machine should not silently grade on 1 pass).
@@ -110,10 +128,11 @@ object Bench {
     // if enough passes started under half the cap, grade only on those
     // (VERDICT r11 #1 — prefer load ~2 passes over load ~4 ones).
     val tight = samples.filter(_._3 <= loadCap / 2)
-    val graded =
-      if (tight.size >= passes) tight
-      else if (quiet >= passes) samples.filter(_._3 <= loadCap)
-      else samples
+    val (graded, gradedOn) =
+      if (tight.size >= passes) (tight, "tight")
+      else if (tight.nonEmpty) (tight, "tight_partial")
+      else if (quiet >= passes) (samples.filter(_._3 <= loadCap), "quiet")
+      else (samples, "all_contaminated")
     def medianOf(pick: ((Double, Double, Double)) => Double): Map[String, Double] =
       selected.keys.map { name =>
         val ts = graded.map(s => pick(s._1(name)))
@@ -149,8 +168,9 @@ object Bench {
     val lakeBuilders = Seq("zq01", "zq02", "zq03", "zq04", "zq05", "zq06",
       "zq07", "zq08", "lk01", "lk02", "lk03", "lk04", "lk05", "lk06", "lk07", "lk08",
       "lk09", "lk10", "lk11", "lk12", "lk13", "lk14", "lk15", "lk16", "lk17", "lk18", "lk19",
-      "lk20", "lk21", "lk22", "lk23", "lk24", "lk25", "lk26", "lk27", "zq09", "st15", "st17",
-      "st18", "st19", "st20",
+      "lk20", "lk21", "lk22", "lk23", "lk24", "lk25", "lk26", "lk27", "lk28", "lk29",
+      "lk30", "lk31", "lk32", "lk33", "lk34", "lk35", "lk36", "zq09", "zq10",
+      "st15", "st17", "st18", "st19", "st20", "st21", "st22", "st23", "st24",
       "ss07", "ss12", "ss15", "iq04")
     val lakeList = lakeBuilders.map("\"" + _ + "\"").mkString("[", ",", "]")
     // build/query split (VERDICT r11 #1): totals over ALL queries plus
@@ -167,7 +187,7 @@ object Bench {
     val totalLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     val envLine =
-      s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"load_cap":${fmt(loadCap)},"cache_cleared_per_query":true,"lake_queries_include_table_build":$lakeList,"pass_wall_sec":$walls,"pass_load_avg":$loads}"""
+      s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"graded_on":"$gradedOn","load_cap":${fmt(loadCap)},"tight_cap":${fmt(loadCap / 2)},"tight_passes":$tightN,"retry_budget_s":${fmt(budgetS)},"bench_elapsed_s":${fmt(elapsedS)},"cache_cleared_per_query":true,"lake_queries_include_table_build":$lakeList,"pass_wall_sec":$walls,"pass_load_avg":$loads}"""
     val phaseLine =
       s"""{"metric":"phase","unit":"sec","build_total":${fmt(bTotal)},"query_total":${fmt(qTotal)},"note":"build = queries() invocation (eager table construction / stream drain); query = count() of the returned frame; per-query maps cover the construction-heavy family","build":$bMap,"query":$qMap}"""
     val lines = Seq(totalLine, envLine, phaseLine, perQueryLine)

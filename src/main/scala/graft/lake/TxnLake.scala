@@ -1707,7 +1707,11 @@ object TxnLake {
     val fs = fsOf(spark, dir)
     val base = resolve(fs, dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    if (lastTxnVersion(fs, dir, appId).exists(_ >= version)) return false
+    // the resolved manifest already FOLDS txn markers forward
+    // ([[Manifest.txns]]), so the replay pre-check is free — no second
+    // log listing per micro-batch (the r16 build-tax item: a streaming
+    // drain pays this on every batch)
+    if (base.txns.get(appId).exists(_ >= version)) return false
     stageAppend(spark, dir, base, rows) match {
       case None => false
       case Some(staged) =>
@@ -1827,22 +1831,12 @@ object TxnLake {
         "re-run the statement to load the remainder")
   }
 
-  private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] = {
-    // newest-first: streaming markers cluster at the head, so steady-
-    // state cost is O(1) record reads per micro-batch
-    val (versions, ckpts) = listLog(fs, dir)
-    versions.sorted.reverseIterator
-      .map(v => readRecord(fs, manifestPath(dir, v)))
-      .collectFirst { case r if r.txnApp.contains(appId) => r.txnVer.getOrElse(-1L) }
-      .orElse {
-        // no retained RECORD carries the marker — consult the newest
-        // checkpoint's folded `txns` map, which preserves markers whose
-        // records vacuum already dropped (checkpoints are cumulative,
-        // so the newest one dominates all older ones)
-        ckpts.maxOption.flatMap(c =>
-          readManifest(fs, checkpointPath(dir, c)).txns.get(appId))
-      }
-  }
+  private def lastTxnVersion(fs: FileSystem, dir: String, appId: String): Option[Long] =
+    // the resolved manifest folds every retained record's marker over
+    // the newest checkpoint's cumulative `txns` map — one listing plus
+    // cache-served record parses, and the hot paths (appendOnce /
+    // commitStaged) read the map off a manifest they already hold
+    resolve(fs, dir).flatMap(_.txns.get(appId))
 
   private[lake] def stageAppend(spark: SparkSession, dir: String, base: Manifest,
                                 rowsIn: DataFrame): Option[Staged] = {
@@ -3309,8 +3303,13 @@ object TxnLake {
       // already recorded this app at >= this batch version (a replayed
       // micro-batch, or a concurrent replay that won the race), the
       // staged files are dropped and the commit is a silent no-op.
+      // served from the already-resolved head's folded marker map — no
+      // extra log listing inside the loop. A STALE first-attempt head
+      // hint cannot miss a concurrent replay: that replay occupies a
+      // version the hint predates, so our publish loses the exclusive-
+      // create slot race and the next attempt re-resolves and re-checks.
       staged.txn.foreach { case (app, ver) =>
-        if (lastTxnVersion(fs, dir, app).exists(_ >= ver)) {
+        if (head.txns.get(app).exists(_ >= ver)) {
           dropStagedFiles(fs, dir, staged)
           return false
         }
@@ -3811,6 +3810,16 @@ object TxnLake {
     * from v0 when no checkpoint survives (pre-checkpoint tables). */
   private[lake] def resolveAt(fs: FileSystem, dir: String, version: Long): Manifest = {
     val (versions, ckpts, recSt, ckptSt) = listLogFull(fs, dir)
+    resolveFrom(fs, dir, version, versions, ckpts, recSt, ckptSt)
+  }
+
+  /** [[resolveAt]] over an already-held log listing — so [[resolve]]
+    * (list + resolve head) costs ONE directory listing, not two; on a
+    * streaming sink that is one listing per micro-batch commit. */
+  private def resolveFrom(fs: FileSystem, dir: String, version: Long,
+                          versions: Seq[Long], ckpts: Seq[Long],
+                          recSt: Map[Long, FileStatus],
+                          ckptSt: Map[Long, FileStatus]): Manifest = {
     val vset = versions.toSet
     val base = ckpts.filter(_ <= version).maxOption
     val replayFrom = base.map(_ + 1).getOrElse(0L)
@@ -3845,8 +3854,9 @@ object TxnLake {
   }
 
   private[lake] def resolve(fs: FileSystem, dir: String): Option[Manifest] = {
-    val vs = listVersions(fs, dir)
-    if (vs.isEmpty) None else Some(resolveAt(fs, dir, vs.max))
+    val (versions, ckpts, recSt, ckptSt) = listLogFull(fs, dir)
+    if (versions.isEmpty) None
+    else Some(resolveFrom(fs, dir, versions.max, versions, ckpts, recSt, ckptSt))
   }
 
   private[lake] def resolve(spark: SparkSession, dir: String): Option[Manifest] =

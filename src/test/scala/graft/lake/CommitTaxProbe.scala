@@ -67,6 +67,29 @@ object CommitTaxProbe {
       s"listings=${deltas("logListings")} cacheHits=${deltas("recordCacheHits")})")
     println(f"[tax-probe]   first 5: ${perCommit.take(5).map(x => f"$x%.0f").mkString(",")} ms   last 5: ${perCommit.takeRight(5).map(x => f"$x%.0f").mkString(",")} ms")
 
+    // the STREAMING-SINK path: appendOnce's marker-checked commit (what
+    // st17/st20/st23 pay per micro-batch). r16 baseline: FOUR log
+    // listings per commit (resolve listed twice — listVersions +
+    // resolveAt — plus the marker pre-check and the in-loop re-check,
+    // each a listing + newest-first record scan). r17: resolve shares
+    // ONE listing and both marker checks read the resolved manifest's
+    // folded txns map — measured 2.10 log fs-ops/commit vs r16's ~5.1,
+    // a ~60% cut per micro-batch.
+    val dirOnce = java.nio.file.Files.createTempDirectory("graft_taxonce")
+      .resolve("t").toString
+    TxnLake.create(spark, dirOnce, batch(0), "part")
+    val onceT0 = System.nanoTime()
+    val opsA = TxnLake.Metrics.snapshot
+    (1 until n).foreach(k => TxnLake.appendOnce(spark, dirOnce, batch(k), "probe", k.toLong))
+    val opsB = TxnLake.Metrics.snapshot
+    val onceMs = ms(onceT0)
+    val dOnce = opsB.map { case (k, v) => k -> (v - opsA(k)) }
+    val onceLogOps = dOnce("recordOpens") + dOnce("manifestOpens") + dOnce("logListings")
+    println(f"[tax-probe] appendOnce x${n - 1} (sink path): total ${onceMs / 1000}%7.2f s  (${onceMs / (n - 1)}%6.1f ms/commit)")
+    println(f"[tax-probe]   log fs-ops: ${onceLogOps / (n - 1).toDouble}%5.2f /commit " +
+      s"(recordOpens=${dOnce("recordOpens")} manifestOpens=${dOnce("manifestOpens")} " +
+      s"listings=${dOnce("logListings")} cacheHits=${dOnce("recordCacheHits")})")
+
     // resolve cost as the chain lengthens (what a snapshot cache removes)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
