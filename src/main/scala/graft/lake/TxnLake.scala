@@ -1752,7 +1752,18 @@ object TxnLake {
   def copyInto(spark: SparkSession, dir: String, src: String,
                format: String = "parquet",
                pattern: Option[String] = None,
-               options: Map[String, String] = Map.empty): CopyStats = {
+               options: Map[String, String] = Map.empty): CopyStats =
+    copyInto(spark, dir, src, format, pattern, options, () => ())
+
+  /** CONTENTION SEAM (the [[deleteWhere]] discipline): `beforeCommit`
+    * runs after each attempt's staging, immediately before its commit —
+    * the window a concurrent loader occupies. Lets specs build
+    * DETERMINISTIC lost-race schedules (including retry-budget
+    * exhaustion) through the exact production path. */
+  private[graft] def copyInto(spark: SparkSession, dir: String, src: String,
+                              format: String, pattern: Option[String],
+                              options: Map[String, String],
+                              beforeCommit: () => Unit): CopyStats = {
     require(Seq("parquet", "csv", "json").contains(format.toLowerCase),
       s"COPY INTO supports FILEFORMAT parquet|csv|json, got '$format'")
     val fs = fsOf(spark, dir)
@@ -1804,6 +1815,7 @@ object TxnLake {
             tombstones = head.tombstones, dataChange = false,
             copied = fresh.toSet)
       }
+      beforeCommit()
       // an identity-watermark conflict (another append advanced the
       // mark while we staged) throws from commitStaged after dropping
       // the staged files — for COPY INTO it is the same recoverable

@@ -116,6 +116,31 @@ class CopyIntoSpec extends AnyFunSuite with SparkTestSession {
       s"every row keeps a unique engine id: ${ids.length}/${ids.distinct.length}")
   }
 
+  test("retry-budget exhaustion THROWS instead of reporting unloaded files skipped") {
+    val dir = mkTable()
+    val src = fresh("race")
+    (1 to 6).foreach(i => srcFile(src, s"f$i", i * 100, i * 100 + 4))
+    val files = (1 to 6).map(i => s"$src/f$i")
+    // a deterministic competitor: before every commit attempt, a rival
+    // COPY INTO lands exactly ONE still-fresh file — our staged load
+    // overlaps the head's ledger and drops, the remainder restages, and
+    // after 5 lost races genuinely-new files remain. Folding them into
+    // `skipped` would tell the caller "already loaded"; the call must
+    // throw instead (a re-run is idempotent and loads the remainder).
+    var i = 0
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxnLake.copyInto(spark, dir, src, "parquet", Some("*/*.parquet"),
+        Map.empty, () => {
+          if (i < 6) { TxnLake.copyInto(spark, dir, files(i)); i += 1 }
+        })
+    }
+    assert(e.getMessage.contains("remain unloaded"))
+    // the rival's 5 single-file loads are in; one re-run loads the rest
+    val again = TxnLake.copyInto(spark, dir, src, pattern = Some("*/*.parquet"))
+    assert(again.filesLoaded === 1 && again.filesSkipped === 5)
+    assert(TxnLake.read(spark, dir).count() === 31L) // seed + 6x5 rows
+  }
+
   test("SQL statement: COPY INTO ... FROM ... FILEFORMAT ... PATTERN") {
     val tbl = mkTable()
     val src = fresh("src")
