@@ -82,7 +82,8 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
     val spark = SparkSession.active
     val (dir, m) = relInfo(lr).getOrElse(return None)
     val logicalPart = m.renames.getOrElse(m.partCol, m.partCol)
-    val gen = TxnLake.genColsOf(TxnLake.fsOf(spark, dir), dir)
+    val gen = TxnLake.genColsCached(TxnLake.fsOf(spark, dir), dir)
+    if (gen.isEmpty) return None
     val genExpr = gen.collectFirst {
       case (c, e) if c.equalsIgnoreCase(logicalPart) => e
     }.getOrElse(return None)
@@ -98,6 +99,15 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
       case a if a.name.equalsIgnoreCase(logicalPart) => a
     }.getOrElse(return None)
     if (partAttr.exprId == srcAttr.exprId) return None
+    // SESSION-TIMEZONE SOUNDNESS: a TIMESTAMP (LTZ) source makes any
+    // string/date-shaped derivation session-tz-dependent — deterministic
+    // per session, but the WRITER's session computed the stored pt and
+    // THIS session would fold expr(v); differing timezones would derive
+    // a partition value that was never stored and prune live data
+    // (Delta whitelists expressions for exactly this reason). Abstain.
+    // TimestampNTZ / Date / numerics / strings carry no session tz.
+    if (srcAttr.dataType == org.apache.spark.sql.types.TimestampType)
+      return None
     val conjuncts = splitConjunctivePredicates(cond)
     // derive only when the filter says NOTHING about the partition
     // column yet — the user's own partition predicate needs no help,

@@ -40,7 +40,8 @@ private[graft] class TxnCdcStream(spark: SparkSession, dir: String,
     "startingVersion and startingTimestamp are mutually exclusive")
   private val startFrom: Long = opts.get("startingversion").map(_.toLong)
     .orElse(opts.get("startingtimestamp").map(ts =>
-      CdcFeed.firstVersionAtOrAfter(spark, dir, ts.toLong)))
+      CdcFeed.firstVersionAtOrAfter(spark, dir,
+        CdcFeed.parseStartingTimestamp(ts))))
     .getOrElse(0L)
   private val maxVersionsPerTrigger: Long =
     opts.get("maxversionspertrigger").map(_.toLong).filter(_ > 0)

@@ -353,6 +353,14 @@ object TxnLake {
     val key = name.toLowerCase
     require(key.nonEmpty && key.forall(c => c.isLetterOrDigit || c == '_'),
       s"constraint name must be an identifier ([A-Za-z0-9_]+), got '$name'")
+    // the graft_not_null_ namespace is RESERVED for engine-written
+    // column constraints ([[setNotNull]]): a user CHECK reusing the
+    // name with a different predicate would be silently dropped by
+    // DROP NOT NULL and misreported by notNullColumnsOf
+    require(!key.startsWith(NotNullPrefix) ||
+        isCanonicalNotNull(key, exprSql, key.stripPrefix(NotNullPrefix)),
+      s"constraint names starting with '$NotNullPrefix' are reserved for " +
+        s"NOT NULL column constraints (use setNotNull) — got '$key'")
     val cur = checkConsOf(fs, dir)
     require(!cur.contains(key),
       s"constraint '$key' already exists on $dir (${cur(key)}) — drop it first")
@@ -442,7 +450,11 @@ object TxnLake {
     val fs = fsOf(spark, dir)
     val key = notNullConstraintName(name)
     val cur = checkConsOf(fs, dir)
-    if (cur.contains(key)) writeCheckCons(fs, dir, cur - key)
+    // canonical-predicate gate (same as rename/drop-column): a legacy
+    // user CHECK squatting on the reserved name is NOT a NOT NULL
+    // column constraint and must not be dropped by this path
+    if (cur.get(key).exists(isCanonicalNotNull(key, _, name.toLowerCase)))
+      writeCheckCons(fs, dir, cur - key)
     else {
       val declared = notNullColumnsOf(spark, dir)
       require(ifExists,
@@ -455,9 +467,10 @@ object TxnLake {
   /** Columns currently declared NOT NULL (stored lower-case, the
     * constraint-name rule). */
   def notNullColumnsOf(spark: SparkSession, dir: String): Set[String] =
-    checkConsOf(fsOf(spark, dir), dir).keySet
-      .collect { case k if k.startsWith(NotNullPrefix) =>
-        k.stripPrefix(NotNullPrefix) }
+    checkConsOf(fsOf(spark, dir), dir)
+      .collect { case (k, e) if k.startsWith(NotNullPrefix) &&
+          isCanonicalNotNull(k, e, k.stripPrefix(NotNullPrefix)) =>
+        k.stripPrefix(NotNullPrefix) }.toSet
 
   private val NotNullPrefix = "graft_not_null_"
   private[lake] def notNullConstraintName(c: String): String =
@@ -882,6 +895,32 @@ object TxnLake {
       readJson(fs, p).properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap
     }
+  }
+
+  private val genColsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Map[String, String])]()
+
+  /** PLAN-TIME variant of [[genColsOf]], cached keyed by (mtime, length)
+    * exactly like [[tableStatsOf]] — the optimizer rule
+    * [[GeneratedPartitionPruning]] runs in a fixed-point batch and would
+    * otherwise pay an fs.exists + JSON read per Filter node per pass
+    * (costly on object stores). One getFileStatus round-trip per query;
+    * freshness rides the mtime key, so [[setGeneratedColumns]] on a live
+    * table is picked up on the next plan. Write paths keep the uncached
+    * [[genColsOf]] (their probe is one call among a commit's dozens). */
+  private[lake] def genColsCached(fs: FileSystem, dir: String): Map[String, String] = {
+    val p = new Path(dir, s"$LogDir/$GenColsFile")
+    val key = p.toString
+    val st =
+      try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        genColsCache.remove(key); return Map.empty }
+    val cached = genColsCache.get(key)
+    if (cached != null && cached._1 == st.getModificationTime &&
+        cached._2 == st.getLen) return cached._3
+    val m = genColsOf(fs, dir)
+    genColsCache.put(key, (st.getModificationTime, st.getLen, m))
+    m
   }
 
   /** Rename/drop guard: a column that IS generated, or that a
@@ -1500,7 +1539,12 @@ object TxnLake {
     val perFile = dvMeta.toMap
     val updated = base.files.filter(f => touchedPaths.contains(f.path))
       .map(f => f.copy(dv = f.dv :+ dvRel,
-        doomed = Some(f.doomed.getOrElse(0L) + perFile(f.path))))
+        // only CONTINUE a complete count: an entry whose existing DVs
+        // predate doomed tracking (dv nonEmpty, doomed None) must stay
+        // on the sidecar-count fallback, or the fast path would subtract
+        // only the new sidecar and metadata COUNT(*) would over-count
+        doomed = if (f.dv.isEmpty || f.doomed.isDefined)
+          Some(f.doomed.getOrElse(0L) + perFile(f.path)) else None))
     val touched = updated.flatMap(_.parts).toSet
     // change feed: the doomed rows are delete PRE-images, re-derived
     // from the MATERIALIZED sidecar itself (narrow (file, pos)
@@ -1578,7 +1622,9 @@ object TxnLake {
     val perFile = dvMeta.toMap
     val withDv = base.files.filter(f => touchedPaths.contains(f.path))
       .map(f => f.copy(dv = f.dv :+ dvRel,
-        doomed = Some(f.doomed.getOrElse(0L) + perFile(f.path))))
+        // same legacy-DV guard as deleteWhere: never start a partial count
+        doomed = if (f.dv.isEmpty || f.doomed.isDefined)
+          Some(f.doomed.getOrElse(0L) + perFile(f.path)) else None))
     // 2. matched rows derived from the MATERIALIZED DV itself (a narrow
     // (file, pos) semi-join, broadcast at DV scale), never a second
     // predicate evaluation — the doomed set and the post-image set are
@@ -3776,6 +3822,7 @@ object TxnLake {
 
   private def checkpointPath(dir: String, version: Long): Path =
     new Path(dir, f"$LogDir/v$version%08d.ckpt.json")
+
 
   /** (committed versions, checkpoint versions, record statuses,
     * checkpoint statuses) — ONE directory listing; the statuses feed

@@ -754,8 +754,20 @@ object Similarity {
     // index must return zero rows, not crash on schema inference
     val sp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(sp, true)
-    try out.write(posts.schema.toDDL.getBytes("UTF-8")) finally out.close()
+    writeSidecarAtomic(fs, indexDir, sp, posts.schema.toDDL)
+  }
+
+  /** Stage-and-rename sidecar publish (the commit log's discipline):
+    * a crash mid-write leaves no partial DDL, only an invisible tmp. */
+  private def writeSidecarAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                                 indexDir: String,
+                                 dst: org.apache.hadoop.fs.Path,
+                                 ddl: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/.postings_schema.ddl.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(ddl.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
   /** Postings read bound to the schema persisted at build time —
@@ -793,10 +805,8 @@ object Similarity {
     // never be read again)
     val sidecarP = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
     val sidecarFs = sidecarP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!sidecarFs.exists(sidecarP)) {
-      val out = sidecarFs.create(sidecarP, true)
-      try out.write(postings.schema.toDDL.getBytes("UTF-8")) finally out.close()
-    }
+    if (!sidecarFs.exists(sidecarP))
+      writeSidecarAtomic(sidecarFs, indexDir, sidecarP, postings.schema.toDDL)
     val newPost = nearestCells(adds, codebook, 1, "vec_id")
     val rm = removeIds.select(col("vec_id").as("__rm_id"))
     val touchedCells = newPost.select(col("centroid_id"))

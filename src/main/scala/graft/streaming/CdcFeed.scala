@@ -117,6 +117,23 @@ object CdcFeed {
     from.fold(df)(v => df.filter(col(TxnLake.VersionCol) >= v))
   }
 
+  /** Parse a `startingTimestamp` OPTION value — Delta accepts both a
+    * timestamp string (`yyyy-MM-dd HH:mm:ss[.f]`) and a date
+    * (`yyyy-MM-dd`); epoch millis are kept as a convenience form.
+    * Anything else raises a descriptive error naming the accepted
+    * formats rather than an opaque NumberFormatException. The string
+    * forms bind in the SESSION's timezone via java.sql (local-time
+    * semantics, Delta's behavior for this option). */
+  private[graft] def parseStartingTimestamp(s: String): Long = {
+    val t = s.trim
+    scala.util.Try(t.toLong)
+      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(t).getTime))
+      .orElse(scala.util.Try(java.sql.Date.valueOf(t).getTime))
+      .getOrElse(throw new IllegalArgumentException(
+        s"startingTimestamp '$s' is not a timestamp — expected " +
+          "'yyyy-MM-dd HH:mm:ss[.f]', 'yyyy-MM-dd', or epoch millis"))
+  }
+
   /** Earliest commit whose in-commit timestamp is >= `tsMillis`
     * (Delta's `startingTimestamp` contract). Log-scale driver work —
     * one history replay, no data files touched. */

@@ -66,6 +66,47 @@ class GeneratedPartitionPruningSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want && got.size === 2)
   }
 
+  test("abstains on a TIMESTAMP (LTZ) source: session-tz-dependent " +
+      "derivation must not prune, and results survive a tz flip") {
+    val tzConf = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzConf)
+    val dir = Files.createTempDirectory("graft_gpp_ts").resolve("t").toString
+    try {
+      // WRITER session in LA: pt = substring(cast(ts as string),1,7)
+      // binds the LA wall clock
+      spark.conf.set(tzConf, "America/Los_Angeles")
+      val rows = (0 until 60).map { i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(1995, 1, 1, 23, 30).plusDays(i)))
+      }
+      TxnLake.create(spark, dir, rows.toDF("id", "ts")
+          .withColumn("m", substring(col("ts").cast("string"), 1, 7)), "m",
+        generatedCols = Map("m" -> "substring(cast(ts as string), 1, 7)"))
+      val total = TxnLake.resolve(spark, dir).get.files.size
+      // READER session in Tokyo: 23:30 LA on Jan 31 is Feb 1 in Tokyo —
+      // a tz-naive fold would derive m='1995-02' and prune the LIVE
+      // '1995-01' partition. The rule must abstain for LTZ sources.
+      spark.conf.set(tzConf, "Asia/Tokyo")
+      // probe = the SAME instant as row id=30 (stored under a Jan
+      // partition), rendered as Tokyo wall time — to_timestamp binds
+      // the READER session tz and ConstantFolding turns it into the
+      // literal the rule would (wrongly) fold under Tokyo
+      val probeStr = TxnLake.read(spark, dir).filter(col("id") === 30L)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("s"))
+        .as[String].head()
+      val storedPart = TxnLake.read(spark, dir).filter(col("id") === 30L)
+        .select("m").as[String].head()
+      // the hazard is real here: Tokyo renders the instant into a
+      // DIFFERENT month than the stored partition value
+      assert(!probeStr.startsWith(storedPart), s"$probeStr vs $storedPart")
+      val q = spark.read.format("graft-txn").load(dir)
+        .filter(col("ts") === to_timestamp(lit(probeStr)))
+      assert(q.count() === 1L, "tz-flipped equality must still find the row")
+      assert(scannedFiles(q) === total,
+        "LTZ source: derivation must abstain (no partition conjunct)")
+    } finally spark.conf.set(tzConf, saved)
+  }
+
   test("abstains: range predicates, multi-column expressions, own partition filter") {
     val dir = fresh()
     val total = TxnLake.resolve(spark, dir).get.files.size

@@ -102,6 +102,36 @@ class NotNullSpec extends AnyFunSuite with SparkTestSession {
       .select("v").as[Long].head() === 11L)
   }
 
+  test("the graft_not_null_ namespace is reserved: a user CHECK cannot squat it") {
+    val dir = fresh()
+    // a user constraint reusing the reserved name with a DIFFERENT
+    // predicate would be silently dropped by DROP NOT NULL and
+    // misreported by notNullColumnsOf — refused at declare time
+    val e = intercept[IllegalArgumentException] {
+      TxnLake.addCheckConstraint(spark, dir, "graft_not_null_v", "v > 0")
+    }
+    assert(e.getMessage.contains("reserved"))
+    // a LEGACY squatter (pre-reservation table): neither reported as a
+    // NOT NULL column nor droppable via dropNotNull
+    val fs = TxnLake.fsOf(spark, dir)
+    TxnLake.setNotNull(spark, dir, "v")
+    TxnLake.dropNotNull(spark, dir, "v")
+    // plant the squatter directly in the constraints file, as old code
+    // would have allowed
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_log/_check_constraints.json")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = m.createObjectNode()
+    n.put("graft_not_null_id", "id > 0")
+    val out = fs.create(p, true)
+    try out.write(m.writeValueAsBytes(n)) finally out.close()
+    assert(TxnLake.notNullColumnsOf(spark, dir).isEmpty,
+      "a squatting user CHECK must not read as a NOT NULL column")
+    intercept[IllegalArgumentException] {
+      TxnLake.dropNotNull(spark, dir, "id") // must NOT drop the user CHECK
+    }
+    assert(TxnLake.checkConstraintsOf(spark, dir).contains("graft_not_null_id"))
+  }
+
   test("SQL: ALTER COLUMN SET/DROP NOT NULL + SHOW TBLPROPERTIES surface") {
     withExtendedSession { s =>
       import s.implicits._

@@ -109,6 +109,29 @@ class TxnTableStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(msgs(ex).exists(_.contains("mutually exclusive")))
   }
 
+  test("startingTimestamp accepts timestamp strings (Delta's option forms)") {
+    val dir = mkTable(1 to 10)                                                  // v0
+    TxnLake.append(spark, dir, Seq((11L, "p1", 22L)).toDF("id", "part", "v"))   // v1
+    Thread.sleep(10)
+    TxnLake.append(spark, dir, Seq((12L, "p2", 24L)).toDF("id", "part", "v"))   // v2
+    val ts2 = TxnLake.history(spark, dir).filter(col("version") === 2L)
+      .select(col("committed_at")).head().getTimestamp(0)
+    val out = fresh("out_tss")
+    // 'yyyy-MM-dd HH:mm:ss.f' string, not epoch millis
+    drain(spark.readStream.format("graft-txn")
+      .option("startingTimestamp", ts2.toString).load(dir), out, fresh("ck_tss"))
+    assert(readOut(out).select("id").as[Long].collect().toSeq === Seq(12L))
+    // garbage raises a DESCRIPTIVE error, not a NumberFormatException
+    val ex = intercept[Exception] {
+      drain(spark.readStream.format("graft-txn")
+        .option("startingTimestamp", "next tuesday").load(dir),
+        fresh("out_tsg"), fresh("ck_tsg"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains("yyyy-MM-dd")))
+  }
+
   test("maxFilesPerTrigger paces the backfill at file granularity") {
     val dir = mkTable(1 to 30) // 3 partitions → >= 3 files at v0
     val files = TxnLake.resolve(spark, dir).get.files.size
