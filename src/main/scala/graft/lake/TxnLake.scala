@@ -3599,8 +3599,11 @@ object TxnLake {
       vacuumSelection(fs, dir, versions, keepVersions)
     val out = Seq.newBuilder[(String, String)]
     dropV.foreach(v => out += manifestPath(dir, v).toString -> "log_record")
-    ckpts.filter(_ < minKeep).foreach(v =>
-      out += checkpointPath(dir, v).toString -> "checkpoint")
+    ckpts.filter(_ < minKeep).foreach { v =>
+      out += checkpointPath(dir, v).toString -> "checkpoint"
+      if (fs.exists(ckptFilesPath(dir, v)))
+        out += ckptFilesPath(dir, v).toString -> "checkpoint_files"
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot).foreach { cdir =>
@@ -3638,7 +3641,7 @@ object TxnLake {
     // create-if-absent, a lost race is fine)
     if (dropV.nonEmpty && !ckpts.contains(minKeep)) {
       val m = resolveAt(fs, dir, minKeep)
-      publish(fs, dir, checkpointPath(dir, minKeep), writeManifestBytes(m), m.commitId)
+      publishCheckpoint(spark, fs, dir, m)
     }
     // drop the RECORDS of vacuumed versions BEFORE their data files:
     // a pin creator's post-pin resolveAt re-check then fails as soon
@@ -3658,6 +3661,8 @@ object TxnLake {
     ckpts.filter(_ < minKeep).foreach { v =>
       fs.delete(crcPath(checkpointPath(dir, v)), false)
       fs.delete(checkpointPath(dir, v), false)
+      // a parquet checkpoint's payload dir dies with its header
+      fs.delete(ckptFilesPath(dir, v), true)
     }
     // orphan-sidecar sweep: a .crc whose record is gone is never
     // reachable again (dropV derives from EXISTING records, so no
@@ -3690,6 +3695,11 @@ object TxnLake {
       if (n.startsWith(s"$VacuumLockName.claim.") &&
           st.getModificationTime < sweepCutoff)
         fs.delete(st.getPath, false)
+      // a crashed publisher's abandoned stage: a `.tmp-` record file or
+      // parquet-checkpoint payload dir that never renamed into place
+      // (winners delete their stage in-line; grace covers in-flight)
+      else if (n.startsWith(".tmp-") && st.getModificationTime < sweepCutoff)
+        rawFs.delete(st.getPath, true)
       else if (n.endsWith(".crc")) {
         if (!n.startsWith(".")) {
           if (n.endsWith(".json.crc") &&
@@ -3820,9 +3830,216 @@ object TxnLake {
   private[lake] def manifestPath(dir: String, version: Long): Path =
     new Path(dir, f"$LogDir/v$version%08d.json")
 
-  private def checkpointPath(dir: String, version: Long): Path =
+  private[lake] def checkpointPath(dir: String, version: Long): Path =
     new Path(dir, f"$LogDir/v$version%08d.ckpt.json")
 
+  private def ckptFilesName(version: Long): String = f"v$version%08d.ckpt.files"
+  private def ckptFilesPath(dir: String, version: Long): Path =
+    new Path(dir, s"$LogDir/${ckptFilesName(version)}")
+
+  // ---- PARQUET MULTI-PART CHECKPOINTS ---------------------------------
+  //
+  // A single-JSON checkpoint is the log's 100-TB ceiling: its write is
+  // a driver-side serialize of EVERY file entry and its read a driver-
+  // side JSON parse of the same — both O(table files) on one machine,
+  // both growing with the table no matter how many executors exist.
+  // Past `spark.graft.txnlake.parquetCheckpointThreshold` entries
+  // (default 8192 — ManifestScaleProbe: below that a driver-side JSON
+  // round-trip is cheaper than a Spark job's fixed cost, above it JSON
+  // bytes/heap grow linearly while parquet stays ~8x smaller and the
+  // lazy planning path flat) a checkpoint is instead published as
+  //
+  //   _graft_log/vNNNNNNNN.ckpt.files/part-*.parquet   file entries,
+  //       columnar, chunked at `checkpointPartRows` rows per part and
+  //       written by a SPARK JOB (executor-parallel, compressed) — the
+  //       Delta/Iceberg parquet-checkpoint discipline
+  //   _graft_log/vNNNNNNNN.ckpt.json                   protocol HEADER:
+  //       every Manifest field except `files`, plus `filesRef` (the
+  //       payload dir name) and `numFiles` (part-loss detection) —
+  //       stays driver-side JSON, tiny forever
+  //
+  // Publish order makes the header the COMMIT POINT: payload dir is
+  // staged under a `.tmp-` name and atomically renamed into place
+  // FIRST, the header (create-if-absent, crc-sidecarred like every
+  // log file) only after the payload exists — so a reader that sees a
+  // header always finds a complete payload, and a crash between the
+  // two leaves an orphan dir the vacuum sweep collects. Races: payload
+  // content for a given version is identical no matter who writes it
+  // (same snapshot), so any winner's dir serves any winner's header.
+  //
+  // Read side: the header parses driver-side; the payload is read
+  // through the parquet reader (predicate/column machinery, internal
+  // page checksums, magic-byte torn-file detection) and validated
+  // against `numFiles`. Reads land in the same (mtime,len)-keyed
+  // checkpoint cache as JSON manifests — one payload read per process
+  // per checkpoint generation. [[fileEntriesDf]] exposes the same
+  // payload LAZILY as a DataFrame for consumers that should not
+  // materialize the list on the driver at all.
+
+  /** One file entry as a flat parquet row — stats flattened to parallel
+    * arrays (schema-stable regardless of which columns carry bounds),
+    * partition values as an array whose null elements are NULL
+    * partition values. */
+  private[lake] case class CkptFileRow(path: String, parts: Seq[String],
+                                       zmin: Option[Double], zmax: Option[Double],
+                                       bloom: Option[String], dv: Seq[String],
+                                       spec: Option[String],
+                                       statsCols: Seq[String],
+                                       statsMin: Seq[Double], statsMax: Seq[Double],
+                                       base: Option[String], rows: Option[Long],
+                                       bytes: Option[Long], doomed: Option[Long])
+
+  private[lake] def toCkptRow(f: FileEntry): CkptFileRow = {
+    val st = f.stats.toSeq.sortBy(_._1)
+    CkptFileRow(f.path, f.parts.toSeq.map(_.orNull), f.zmin, f.zmax, f.bloom,
+      f.dv, f.spec, st.map(_._1), st.map(_._2._1), st.map(_._2._2),
+      f.base, f.rows, f.bytes, f.doomed)
+  }
+
+  private[lake] def fromCkptRow(r: CkptFileRow, defaultSpec: String): FileEntry =
+    FileEntry(r.path, r.parts.map(Option(_)).toSet, r.zmin, r.zmax,
+      bloom = r.bloom, dv = r.dv,
+      spec = r.spec.orElse(Some(defaultSpec)),
+      stats = r.statsCols.zip(r.statsMin.zip(r.statsMax)).toMap,
+      base = r.base, rows = r.rows, bytes = r.bytes, doomed = r.doomed)
+
+  private[lake] val ckptRowEncoder = org.apache.spark.sql.Encoders.product[CkptFileRow]
+
+  private def parquetCheckpointThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.txnlake.parquetCheckpointThreshold")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(8192)
+
+  /** Publish the checkpoint for `m` in whichever format its size
+    * warrants — single JSON below the parquet threshold (one driver
+    * write, no job: the small-table / frequent-commit fast path the
+    * streaming sink's commit tax is measured on), multi-part parquet
+    * at or above it. Derived data either way: losers of any race do
+    * nothing and a crash leaves only sweepable garbage. */
+  private[lake] def publishCheckpoint(spark: SparkSession, fs: FileSystem,
+                                dir: String, m: Manifest): Unit = {
+    val dst = checkpointPath(dir, m.version)
+    if (fs.exists(dst)) return
+    if (m.files.size < parquetCheckpointThreshold(spark)) {
+      publish(fs, dir, dst, writeManifestBytes(m), m.commitId); ()
+    } else {
+      val filesDir = ckptFilesPath(dir, m.version)
+      if (!fs.exists(filesDir)) {
+        val partRows = spark.conf
+          .getOption("spark.graft.txnlake.checkpointPartRows")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(100000)
+        val nParts = math.max(1,
+          math.ceil(m.files.size.toDouble / partRows).toInt)
+        val tmp = new Path(dir,
+          s"$LogDir/.tmp-${m.commitId}-${ckptFilesName(m.version)}")
+        spark.createDataset(m.files.map(toCkptRow))(ckptRowEncoder)
+          .repartition(nParts)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // payload dir presence == complete payload (atomic rename);
+        // losing the rename race means a complete twin already exists
+        if (fs.exists(filesDir) || !fs.rename(tmp, filesDir))
+          fs.delete(tmp, true)
+      }
+      if (fs.exists(filesDir))
+        publish(fs, dir, dst, writeCheckpointHeaderBytes(m), m.commitId)
+      ()
+    }
+  }
+
+  /** Header bytes for a parquet checkpoint: [[writeManifestBytes]]
+    * minus the file array, plus the payload reference. Carries EVERY
+    * horizon field (`txns`/`copied`/`identity`) — a checkpoint written
+    * without one would permanently erase that horizon once vacuum
+    * drops the delta records that carried it. */
+  private def writeCheckpointHeaderBytes(m: Manifest): Array[Byte] = {
+    val root = headerNode(m.version, m.commitId, m.partCol, m.schemaDdl,
+      m.touched, m.statsCol, m.bloomCol, m.bloomBits, m.renames, m.tombstones)
+    if (m.txns.nonEmpty) {
+      val tn = root.putObject("txns")
+      m.txns.toSeq.sortBy(_._1).foreach { case (app, v) => tn.put(app, v); () }
+    }
+    if (m.copied.nonEmpty) {
+      val cn = root.putArray("copied")
+      m.copied.toSeq.sorted.foreach(cn.add)
+    }
+    if (m.identity.nonEmpty) {
+      val idn = root.putObject("identity")
+      m.identity.toSeq.sortBy(_._1).foreach { case (c, v) => idn.put(c, v); () }
+    }
+    root.put("filesRef", ckptFilesName(m.version))
+    root.put("numFiles", m.files.size.toLong)
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+  }
+
+  /** Materialize a parquet checkpoint's payload: executor-parallel
+    * parquet read, driver-side only the compact decoded entries.
+    * `numFiles` guards part loss — a payload dir missing a part (or
+    * grown a stray file) fails typed instead of silently dropping
+    * table files. */
+  private def readCkptFiles(filesDir: Path, expect: Option[Long],
+                            defaultSpec: String): Seq[FileEntry] = {
+    val spark = SparkSession.active
+    val rows = spark.read.schema(ckptRowEncoder.schema)
+      .parquet(filesDir.toString).as[CkptFileRow](ckptRowEncoder).collect()
+    expect.filter(_ != rows.length).foreach { n =>
+      throw new TxnLogCorruptedException(
+        s"checkpoint payload $filesDir holds ${rows.length} entries, " +
+          s"header says $n — parquet part lost or foreign file added")
+    }
+    rows.toSeq.map(fromCkptRow(_, defaultSpec))
+  }
+
+  /** The snapshot's file list as a LAZY DataFrame (schema =
+    * [[CkptFileRow]]) — the planning-scale view: a parquet-checkpointed
+    * base never materializes on the driver; only the delta tail (O(N
+    * commits × touched partitions)) and the remove-set ride the plan
+    * as local relations. Consumers that today iterate
+    * `Manifest.files` driver-side (file-level maintenance jobs,
+    * FSCK-style audits, the vacuum sweep's reference diff) can instead
+    * filter/join this distributively. For a JSON-checkpointed or
+    * checkpoint-less table the list is already driver-resident —
+    * served as a local Dataset with the same schema. */
+  def fileEntriesDf(spark: SparkSession, dir: String,
+                    version: Option[Long] = None): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val (versions, ckpts, recSt, ckptSt) = listLogFull(fs, dir)
+    require(versions.nonEmpty || ckpts.nonEmpty, s"$dir is not a txn table")
+    val v = version.getOrElse(math.max(versions.maxOption.getOrElse(-1L),
+      ckpts.maxOption.getOrElse(-1L)))
+    val base = ckpts.filter(_ <= v).maxOption
+    // the lazy path needs a parquet-backed base whose tail has no
+    // full-manifest barrier; anything else falls back to the resolved
+    // (driver-side) manifest served as a local Dataset
+    val lazyBase = base.flatMap { c =>
+      val root = readVerifiedJson(fs, checkpointPath(dir, c))
+      Option(root.get("filesRef")).map { ref =>
+        (c, new Path(new Path(dir, LogDir), ref.asText()).toString)
+      }
+    }
+    lazyBase match {
+      case Some((c, payload)) =>
+        val tail = ((c + 1) to v)
+          .map(i => readRecord(fs, manifestPath(dir, i), recSt.get(i)))
+        if (tail.exists(_.full))
+          return spark.createDataset(
+            resolveFrom(fs, dir, v, versions, ckpts, recSt, ckptSt)
+              .files.map(toCkptRow))(ckptRowEncoder).toDF()
+        val removed = tail.flatMap(_.remove).toSet ++
+          tail.flatMap(_.add.map(_.path)) // re-adds supersede base entries
+        val adds = tail.foldLeft(Seq.empty[FileEntry]) { (acc, r) =>
+          acc.filterNot(f => r.remove.contains(f.path)) ++ r.add
+        }
+        val baseDf = spark.read.schema(ckptRowEncoder.schema).parquet(payload)
+        val survivors =
+          if (removed.isEmpty) baseDf
+          else baseDf.filter(!col("path").isin(removed.toSeq: _*))
+        survivors.unionByName(
+          spark.createDataset(adds.map(toCkptRow))(ckptRowEncoder).toDF())
+      case None =>
+        spark.createDataset(
+          resolveFrom(fs, dir, v, versions, ckpts, recSt, ckptSt)
+            .files.map(toCkptRow))(ckptRowEncoder).toDF()
+    }
+  }
 
   /** (committed versions, checkpoint versions, record statuses,
     * checkpoint statuses) — ONE directory listing; the statuses feed
@@ -3931,7 +4148,7 @@ object TxnLake {
     val interval = spark.conf.getOption("spark.graft.txnlake.checkpointInterval")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
     if (m.version % interval == 0L)
-      publish(fs, dir, checkpointPath(dir, m.version), writeManifestBytes(m), m.commitId)
+      publishCheckpoint(spark, fs, dir, m)
   }
 
   private def readFiles(spark: SparkSession, dir: String, schema: StructType,
@@ -4840,7 +5057,13 @@ object TxnLake {
       root.get("partCol").asText(),
       root.get("schemaDdl").asText(),
       root.get("touched").elements().asScala.map(optStr).toSet,
-      parseFiles(root.get("files"), root.get("partCol").asText()),
+      Option(root.get("filesRef")) match {
+        case Some(ref) => readCkptFiles(
+          new Path(p.getParent, ref.asText()),
+          Option(root.get("numFiles")).map(_.asLong()),
+          root.get("partCol").asText())
+        case None => parseFiles(root.get("files"), root.get("partCol").asText())
+      },
       Option(root.get("statsCol")).map(_.asText()),
       bloomCol = Option(root.get("bloomCol")).map(_.asText()),
       bloomBits = Option(root.get("bloomBits")).map(_.asInt()).getOrElse(DefaultBloomBits),
