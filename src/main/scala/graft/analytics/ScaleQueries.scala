@@ -2036,6 +2036,49 @@ object ScaleQueries {
       .orderBy(col("o_orderdate"))
   }
 
+  /** zq11 — MONOTONIC RANGE DERIVATION through a generated partition
+    * (zq10's sibling; [[graft.lake.GeneratedPartitionPruning]] range
+    * path, Delta OptimizeGeneratedColumn full parity): the table
+    * partitions on the engine-generated month bucket and the query is
+    * a plain `o_orderdate BETWEEN` straddling a month boundary — no
+    * day-literal enumeration, no mention of `o_month`. Because the
+    * stored expression (`substring(cast(date as string),1,7)`) is in
+    * the non-decreasing whitelist, the optimizer derives
+    * `o_month BETWEEN '1995-02' AND '1995-03'` and manifest pruning
+    * skips every other month's files (asserted in-query on the
+    * optimized plan). At 100 TB this is the dominant query shape on a
+    * time-partitioned table — ranges, not day lists. */
+  private def zq11(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_zq11")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"), col("o_orderdate"))
+    TxnLake.create(s, dir, slice(col("o_orderkey") % 9 === 0), "o_month",
+      generatedCols = Map(
+        "o_month" -> "substring(cast(o_orderdate as string), 1, 7)"))
+    TxnLake.append(s, dir, slice(col("o_orderkey") % 9 === 4))
+    val q = s.read.format("graft-txn").load(dir)
+      .filter(col("o_orderdate").between(
+        java.sql.Date.valueOf("1995-02-10"), java.sql.Date.valueOf("1995-03-20")))
+    require(q.queryExecution.optimizedPlan.toString.contains("o_month"),
+      "monotonic range derivation must add o_month bounds the query never named")
+    q.groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
+      .orderBy(col("month"))
+  }
+
+  private val zq11Sql =
+    """SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE (o_orderkey % 9 = 0 OR o_orderkey % 9 = 4)
+      |  AND o_orderdate >= DATE '1995-02-10' AND o_orderdate <= DATE '1995-03-20'
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+
   private val zq10Sql =
     """SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
@@ -2744,6 +2787,7 @@ object ScaleQueries {
     "lk20_sql_dml" -> (lk20 _),
     "zq09_sql_time_travel" -> (zq09 _),
     "zq10_generated_partition_pruning" -> (zq10 _),
+    "zq11_generated_range_pruning" -> (zq11 _),
     "lk22_sql_ddl" -> (lk22 _),
     "lk21_merge_retire" -> (lk21 _),
     "lk17_clone" -> (lk17 _),
@@ -2799,6 +2843,7 @@ object ScaleQueries {
     "lk20_sql_dml" -> lk20Sql,
     "zq09_sql_time_travel" -> zq09Sql,
     "zq10_generated_partition_pruning" -> zq10Sql,
+    "zq11_generated_range_pruning" -> zq11Sql,
     "lk22_sql_ddl" -> lk22Sql,
     "lk21_merge_retire" -> lk21Sql,
     "lk17_clone" -> lk17Sql,

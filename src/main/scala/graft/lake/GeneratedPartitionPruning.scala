@@ -3,7 +3,9 @@ package graft.lake
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, In, InSet, IsNull, Literal, Or, PredicateHelper}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNull, LessThan, LessThanOrEqual, Literal, Or, PredicateHelper}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, TimestampNTZType}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -36,9 +38,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * conjunct filters out nothing the original predicate kept.
   *
   * Scope: equality (`=`, `<=>`) and `IN` over literals — the shapes a
-  * value substitution proves for ANY deterministic expression. Range
-  * predicates would additionally need monotonicity of the expression
-  * (Delta special-cases a function whitelist); ranges abstain here.
+  * value substitution proves for ANY deterministic expression — plus
+  * RANGE predicates (`>=`, `>`, `<=`, `<`, BETWEEN) when the stored
+  * expression matches a NON-DECREASING whitelist (Delta's
+  * OptimizeGeneratedColumn function list): `year`, `to_date`,
+  * `date_trunc`, `trunc`, prefix `substring`, order-preserving casts.
+  * For those, `src >= a` implies `pt = expr(src) >= expr(a)` (strict
+  * bounds relax to inclusive — the expression need not be injective),
+  * so `src BETWEEN a AND b` derives `pt BETWEEN expr(a) AND expr(b)`.
   * A NULL-valued derivation (expr(v) IS NULL) contributes
   * `pt IS NULL`, never a null literal inside IN (which would filter
   * the very partition it names). Derivation fires only when the
@@ -140,9 +147,6 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
           .map(v => Literal(v, srcAttr.dataType)))
       case _ => None
     }
-    val lits = conjuncts.flatMap(litsOf).headOption.getOrElse(return None)
-    if (lits.isEmpty) return None
-
     val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
     // constant-fold expr(v) for each bound literal: substitute, analyze
     // over OneRowRelation (resolves function names), eval — pure driver
@@ -156,12 +160,106 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
         .asInstanceOf[Project].projectList.head
       Cast(e, partAttr.dataType, tz).eval(InternalRow.empty)
     }
-    val values = lits.map(evalAt).distinct
-    val (nulls, nonNull) = values.partition(_ == null)
-    val preds =
-      (if (nonNull.nonEmpty)
-        Seq(In(partAttr, nonNull.map(Literal(_, partAttr.dataType)))) else Nil) ++
-      (if (nulls.nonEmpty) Seq(IsNull(partAttr)) else Nil)
-    Some(preds.reduce(Or))
+    // 1. equality/IN shapes — sound for ANY deterministic expression
+    val eqDerived = conjuncts.flatMap(litsOf).headOption
+      .filter(_.nonEmpty).map { lits =>
+        val values = lits.map(evalAt).distinct
+        val (nulls, nonNull) = values.partition(_ == null)
+        val preds =
+          (if (nonNull.nonEmpty)
+            Seq(In(partAttr, nonNull.map(Literal(_, partAttr.dataType)))) else Nil) ++
+          (if (nulls.nonEmpty) Seq(IsNull(partAttr)) else Nil)
+        preds.reduce(Or)
+      }
+    if (eqDerived.isDefined) return eqDerived
+
+    // 2. range shapes — need the expression NON-DECREASING. Each bound
+    // conjunct folds independently; a bound folding to NULL abstains
+    // (a null comparison would prune everything). Strict bounds relax
+    // to inclusive: expr need not be injective, only monotone.
+    if (monoOutType(parsed, srcAttr.dataType).isEmpty) return None
+    def boundOf(c: Expression): Option[(Boolean, Literal)] = c match {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((true, l))
+      case GreaterThan(a: AttributeReference, l: Literal)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((true, l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((false, l))
+      case LessThan(a: AttributeReference, l: Literal)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((false, l))
+      // literal-first forms flip the direction: l >= src  ⇔  src <= l
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((false, l))
+      case GreaterThan(l: Literal, a: AttributeReference)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((false, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((true, l))
+      case LessThan(l: Literal, a: AttributeReference)
+        if a.exprId == srcAttr.exprId && l.value != null => Some((true, l))
+      case _ => None
+    }
+    val rangePreds = conjuncts.flatMap(boundOf).flatMap { case (lower, l) =>
+      Option(evalAt(l)).map { v =>
+        if (lower) GreaterThanOrEqual(partAttr, Literal(v, partAttr.dataType))
+        else LessThanOrEqual(partAttr, Literal(v, partAttr.dataType))
+      }
+    }
+    rangePreds.reduceOption(And)
   }
+
+  /** `Some(outType)` when `e` (the PARSED, unresolved stored
+    * expression) is a proven NON-DECREASING function of the single
+    * source column under the natural Spark ordering of its output —
+    * the property that lets a source bound transfer to a partition
+    * bound. The whitelist mirrors Delta's OptimizeGeneratedColumn:
+    * each case preserves order, compositionally. LTZ timestamps never
+    * reach here (the session-tz abstain above). */
+  private def monoOutType(e: Expression, srcType: DataType): Option[DataType] =
+    e match {
+      case _: UnresolvedAttribute => Some(srcType)
+      case c: Cast => monoOutType(c.child, srcType).flatMap { in =>
+        (in, c.dataType) match {
+          case (a, b) if a == b => Some(b)
+          case (DateType, StringType) => Some(StringType) // ISO render: lexical == chronological
+          case (DateType, TimestampNTZType) => Some(TimestampNTZType)
+          // widening integral casts only (narrowing truncates, not monotone)
+          case (ByteType, ShortType | IntegerType | LongType) => Some(c.dataType)
+          case (ShortType, IntegerType | LongType) => Some(c.dataType)
+          case (IntegerType, LongType) => Some(LongType)
+          case _ => None
+        }
+      }
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase
+        val as = f.arguments
+        def strLit(x: Expression): Boolean =
+          x.isInstanceOf[Literal] && x.dataType == StringType
+        def intLit(x: Expression, ok: Long => Boolean): Boolean = x match {
+          case Literal(v: Int, _) => ok(v.toLong)
+          case Literal(v: Long, _) => ok(v)
+          case _ => false
+        }
+        name match {
+          // year only: month/day/quarter wrap within a year — not monotone
+          case "year" if as.size == 1 =>
+            monoOutType(as.head, srcType).collect { case DateType => IntegerType }
+          case "to_date" if as.size == 1 =>
+            // single-arg only: to_date over a DATE/NTZ value truncates
+            // chronologically; string parsing (2-arg) is format-dependent
+            monoOutType(as.head, srcType)
+              .collect { case DateType | TimestampNTZType => DateType }
+          case "date_trunc" if as.size == 2 && strLit(as.head) =>
+            monoOutType(as(1), srcType)
+              .collect { case TimestampNTZType => TimestampNTZType }
+          case "trunc" if as.size == 2 && strLit(as(1)) =>
+            monoOutType(as.head, srcType).collect { case DateType => DateType }
+          case "substring" | "substr"
+            if as.size == 3 && intLit(as(1), v => v == 0L || v == 1L) &&
+              intLit(as(2), _ >= 1L) =>
+            // a common PREFIX of lexically ordered strings preserves <=
+            monoOutType(as.head, srcType).collect { case StringType => StringType }
+          case _ => None
+        }
+      case _ => None
+    }
 }

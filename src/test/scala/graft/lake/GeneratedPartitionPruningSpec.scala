@@ -107,18 +107,61 @@ class GeneratedPartitionPruningSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set(tzConf, saved)
   }
 
-  test("abstains: range predicates, multi-column expressions, own partition filter") {
-    val dir = fresh()
+  test("monotonic whitelist: range/BETWEEN on the source derives partition " +
+      "bounds (Delta OptimizeGeneratedColumn parity)") {
+    val dir = fresh() // m = substring(cast(d as string),1,7): non-decreasing
     val total = TxnLake.resolve(spark, dir).get.files.size
-    // range on the source: monotonicity unproven — full scan, right rows
+    // src >= bound: derived m >= '1995-03' skips Jan+Feb files
     val r = spark.read.format("graft-txn").load(dir)
       .filter(col("d") >= Date.valueOf("1995-03-01"))
     assert(r.count() === 31L) // Mar 1..31 of the 90-day span
-    assert(scannedFiles(r) === total)
+    val marFiles = TxnLake.resolve(spark, dir).get.files
+      .count(_.parts.contains(Some("1995-03")))
+    assert(scannedFiles(r) === marFiles && marFiles < total,
+      s"derived m >= '1995-03' must prune: ${scannedFiles(r)} of $total")
+    // BETWEEN straddling a month boundary: exactly two partitions' files
+    val bt = spark.read.format("graft-txn").load(dir)
+      .filter(col("d").between(
+        Date.valueOf("1995-01-20"), Date.valueOf("1995-02-10")))
+    assert(bt.count() === 22L) // Jan 20..31 (12) + Feb 1..10 (10)
+    val janFeb = TxnLake.resolve(spark, dir).get.files.count(f =>
+      f.parts.contains(Some("1995-01")) || f.parts.contains(Some("1995-02")))
+    assert(scannedFiles(bt) === janFeb && janFeb < total,
+      s"derived m BETWEEN must prune to Jan+Feb: ${scannedFiles(bt)} of $total")
+    // result parity: derivation dropped and added nothing
+    val want = TxnLake.read(spark, dir).filter(col("d").between(
+      Date.valueOf("1995-01-20"), Date.valueOf("1995-02-10")))
+      .select("id").as[Long].collect().toSet
+    assert(bt.select("id").as[Long].collect().toSet === want)
+  }
+
+  test("abstains: non-monotonic expressions on ranges, own partition filter") {
+    // partition = DAY-OF-MONTH bucket: deterministic (equality still
+    // derives) but NOT monotone — ranges must not derive
+    val dir = Files.createTempDirectory("graft_gpp_nm").resolve("t").toString
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)))
+    }
+    TxnLake.create(spark, dir, rows.toDF("id", "d")
+        .withColumn("dd", substring(col("d").cast("string"), 9, 2)), "dd",
+      generatedCols = Map("dd" -> "substring(cast(d as string), 9, 2)"))
+    val total = TxnLake.resolve(spark, dir).get.files.size
+    val r = spark.read.format("graft-txn").load(dir)
+      .filter(col("d") >= Date.valueOf("1995-03-01"))
+    assert(r.count() === 31L)
+    assert(scannedFiles(r) === total,
+      "substring at offset 9 is not a prefix — range derivation must abstain")
+    // equality still derives through the non-monotone expression
+    val eq = spark.read.format("graft-txn").load(dir)
+      .filter(col("d") === Date.valueOf("1995-02-15"))
+    assert(eq.count() === 1L)
+    assert(scannedFiles(eq) < total)
     // the user's own partition predicate still prunes (no interference)
-    val own = spark.read.format("graft-txn").load(dir)
+    val m = fresh()
+    val mTotal = TxnLake.resolve(spark, m).get.files.size
+    val own = spark.read.format("graft-txn").load(m)
       .filter(col("m") === "1995-01" && col("d") >= Date.valueOf("1995-01-05"))
     assert(own.count() === 27L)
-    assert(scannedFiles(own) < total)
+    assert(scannedFiles(own) < mTotal)
   }
 }
