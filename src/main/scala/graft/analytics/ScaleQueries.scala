@@ -1907,6 +1907,74 @@ object ScaleQueries {
       .orderBy(col("channel"))
   }
 
+  /** lk37 — MERGE SCHEMA EVOLUTION mid-stream ([[graft.lake.TxnLake
+    * .upsert]]/[[graft.lake.TxnLake.stageMerge]] evolution seam +
+    * Delta's `withSchemaEvolution` gate): a CDC upsert feed grows a
+    * column upstream. Batch 1 arrives with the table's 3 columns;
+    * batch 2 carries a NEW `channel` column plus updates (price bump
+    * on matched keys) and inserts in the same frame — the merge ADDS
+    * the column (one metadata commit, no rewrite of untouched files),
+    * old rows read back NULL-filled, and post-images/inserts carry the
+    * value. A second source growing yet another column under
+    * `schemaEvolution = false` is REFUSED loudly (the strict Delta
+    * default — `rejected` pins the gate), never silently dropped. At
+    * 100 TB this is the difference between a metadata commit and a
+    * full-table rewrite when an upstream producer adds a field. */
+  private def lk37(s: SparkSession, d: String): DataFrame = {
+    import graft.lake.TxnLake
+    val dir = java.nio.file.Files.createTempDirectory("graft_lk37")
+      .resolve("orders_lake").toString
+    def slice(pred: Column) = orders(s, d).filter(pred)
+      .select(col("o_orderkey"),
+        pmod(col("o_orderkey"), lit(3)).cast("string").as("pt"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"))
+    val k = col("o_orderkey")
+    TxnLake.create(s, dir, slice(k % 10 === 0), "pt")               // v0
+    TxnLake.upsert(s, dir, slice(k % 10 === 5), "o_orderkey")       // batch 1
+    // batch 2: the feed grew `channel` — updates (matched keys, price
+    // +10) and inserts ride ONE frame with the new column
+    val batch2 = slice(k % 20 === 0)
+      .withColumn("price", (col("price") + 10).cast("decimal(12,2)"))
+      .unionByName(slice(k % 10 === 7))
+      .withColumn("channel", lit("cdc"))
+    TxnLake.upsert(s, dir, batch2, "o_orderkey")
+    require(TxnLake.read(s, dir).columns.contains("channel"),
+      "merge must have evolved the schema with the grown column")
+    // strict mode: another grown column is refused, not dropped
+    val rejected =
+      try {
+        TxnLake.upsert(s, dir,
+          batch2.limit(1).withColumn("extra", lit(1)), "o_orderkey",
+          schemaEvolution = false)
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    import s.implicits._
+    TxnLake.read(s, dir)
+      .groupBy(coalesce(col("channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .unionByName(Seq(("rejected", rejected, 0.0))
+        .toDF("channel", "n", "sum_price"))
+      .orderBy(col("channel"))
+  }
+
+  private val lk37Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |  FROM orders),
+      |rows AS (
+      |  SELECT k, price, NULL AS channel FROM base
+      |  WHERE k % 10 = 0 AND k % 20 <> 0
+      |  UNION ALL SELECT k, CAST(price + 10 AS DECIMAL(12,2)), 'cdc'
+      |  FROM base WHERE k % 20 = 0
+      |  UNION ALL SELECT k, price, NULL FROM base WHERE k % 10 = 5
+      |  UNION ALL SELECT k, price, 'cdc' FROM base WHERE k % 10 = 7)
+      |SELECT coalesce(channel, 'none') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(price) AS DOUBLE) AS sum_price
+      |FROM rows GROUP BY 1
+      |UNION ALL SELECT 'rejected', CAST(1 AS BIGINT), CAST(0 AS DOUBLE)
+      |ORDER BY channel""".stripMargin
+
   private val lk36Sql =
     """WITH clean AS (
       |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
@@ -2788,6 +2856,7 @@ object ScaleQueries {
     "zq09_sql_time_travel" -> (zq09 _),
     "zq10_generated_partition_pruning" -> (zq10 _),
     "zq11_generated_range_pruning" -> (zq11 _),
+    "lk37_merge_schema_evolution" -> (lk37 _),
     "lk22_sql_ddl" -> (lk22 _),
     "lk21_merge_retire" -> (lk21 _),
     "lk17_clone" -> (lk17 _),
@@ -2844,6 +2913,7 @@ object ScaleQueries {
     "zq09_sql_time_travel" -> zq09Sql,
     "zq10_generated_partition_pruning" -> zq10Sql,
     "zq11_generated_range_pruning" -> zq11Sql,
+    "lk37_merge_schema_evolution" -> lk37Sql,
     "lk22_sql_ddl" -> lk22Sql,
     "lk21_merge_retire" -> lk21Sql,
     "lk17_clone" -> lk17Sql,

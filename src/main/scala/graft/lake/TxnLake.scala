@@ -2923,10 +2923,19 @@ object TxnLake {
     * target rows with the same `key`, unmatched rows insert; only files
     * holding touched partitions are read and rewritten. The partition
     * column comes from the table's manifest. */
-  def upsert(spark: SparkSession, dir: String, updates: DataFrame, key: String): Unit = {
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+             key: String): Unit =
+    upsert(spark, dir, updates, key, schemaEvolution = true)
+
+  /** [[upsert]] with the evolution gate explicit: `schemaEvolution =
+    * false` refuses a source carrying columns the table lacks (Delta's
+    * default-strict MERGE; this engine defaults to evolve). */
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+             key: String, schemaEvolution: Boolean): Unit = {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    stageMerge(spark, dir, base, updates, key)
+    stageMerge(spark, dir, base, updates, key,
+      schemaEvolution = schemaEvolution)
       .foreach(commitStaged(spark, dir, _, headHint = Some(base)))
   }
 
@@ -2975,10 +2984,12 @@ object TxnLake {
     * are rewritten, so a sync whose source mirrors the target still
     * rewrites nothing. */
   def merge(spark: SparkSession, dir: String, source: DataFrame, key: String,
-            deleteWhen: Column, bySource: Seq[BySourceAction] = Nil): Unit = {
+            deleteWhen: Column, bySource: Seq[BySourceAction] = Nil,
+            schemaEvolution: Boolean = true): Unit = {
     val base = resolve(fsOf(spark, dir), dir)
       .getOrElse(throw new IllegalArgumentException(s"$dir is not a txn table (no $LogDir)"))
-    stageMerge(spark, dir, base, source, key, Some(deleteWhen), bySource)
+    stageMerge(spark, dir, base, source, key, Some(deleteWhen), bySource,
+      schemaEvolution = schemaEvolution)
       .foreach(commitStaged(spark, dir, _, headHint = Some(base)))
   }
 
@@ -3018,7 +3029,8 @@ object TxnLake {
   private[lake] def stageMerge(spark: SparkSession, dir: String, base: Manifest,
                                updatesIn: DataFrame, key: String,
                                deleteWhen: Option[Column] = None,
-                               bySource: Seq[BySourceAction] = Nil): Option[Staged] = {
+                               bySource: Seq[BySourceAction] = Nil,
+                               schemaEvolution: Boolean = true): Option[Staged] = {
     val genCols = genColsOf(fsOf(spark, dir), dir)
     // DEFAULTs are an INSERT-path fallback, never a merge post-image
     // overwrite (the Delta rule — defaults fill absent columns for NEW
@@ -3040,6 +3052,15 @@ object TxnLake {
       s"updates missing table columns ${missing.mkString(",")} — " +
         "evolution is additive-only")
     val addedCols = updates.columns.filterNot(logicalNames.contains)
+    // the Delta withSchemaEvolution gate: with evolution OFF, a source
+    // carrying columns the table lacks is refused loudly (never
+    // silently dropped — a CDC feed that grew a column upstream should
+    // fail fast, not lose data). The engine's established default is
+    // evolve = true (additive-only either way); Delta defaults strict.
+    require(schemaEvolution || addedCols.isEmpty,
+      s"merge source carries new column(s) ${addedCols.mkString(",")} and " +
+        "schema evolution is disabled — pass schemaEvolution = true " +
+        "(withSchemaEvolution) to add them to the table")
     // each added column gets a physical name — fresh when its logical
     // name is tombstoned or physically taken ([[freshPhysical]])
     val (added, _) = addedCols.foldLeft(

@@ -78,6 +78,41 @@ class GraftSqlDmlSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("MERGE schema evolution: UPDATE SET * / INSERT * with a source " +
+      "that grew a column widens the table; strict API mode refuses") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val dir = freshTable(s)
+      // the CDC feed grew `score` upstream: matched key 1 updates,
+      // unmatched key 5 inserts, both carrying the new column
+      Seq((1L, 11L, "p1", 0.9), (5L, 50L, "p2", 0.5))
+        .toDF("id", "v", "part", "score").createOrReplaceTempView("sqldml_evo")
+      try {
+        s.sql(
+          s"""MERGE INTO graft_txn.`$dir` t USING sqldml_evo s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val got = TxnLake.read(s, dir).orderBy("id")
+          .select(col("id"), col("v"), col("score")).collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.getAs[Any]("score")))).toSeq
+        assert(got === Seq((1L, 11L, Some(0.9)), (2L, 200L, None),
+          (3L, 30L, None), (4L, 400L, None), (5L, 50L, Some(0.5))),
+          "post-images/inserts carry the grown column; old rows null-fill")
+        // pre-evolution snapshot keeps 3 columns (metadata commit only)
+        assert(!TxnLake.readVersion(s, dir, 0L).columns.contains("score"))
+        // the strict Delta-default gate: evolution off refuses loudly
+        val ex = intercept[IllegalArgumentException] {
+          TxnLake.upsert(s, dir,
+            Seq((1L, 11L, "p1", 0.9, "x")).toDF("id", "v", "part", "score", "note"),
+            "id", schemaEvolution = false)
+        }
+        assert(ex.getMessage.contains("schema evolution is disabled"))
+        assert(!TxnLake.read(s, dir).columns.contains("note"))
+      } finally s.catalog.dropTempView("sqldml_evo")
+    }
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE retires absent keys (sync shape)") {
     withExtendedSession { s =>
       import s.implicits._
