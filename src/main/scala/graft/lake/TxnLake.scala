@@ -3738,16 +3738,36 @@ object TxnLake {
     val dataRoot = new Path(dir, DataDir)
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - graceMs
-      fs.listStatus(dataRoot).foreach { cdir =>
-        val it = fs.listFiles(cdir.getPath, true)
-        while (it.hasNext) {
-          val f = it.next()
-          val p = f.getPath.toUri.getPath
-          val rel = dataRel(p)
-          if (!referenced.contains(rel) && f.getModificationTime < cutoff)
-            fs.delete(f.getPath, false)
+      val commitDirs = fs.listStatus(dataRoot).map(_.getPath).toSeq
+      val parMin = spark.conf
+        .getOption("spark.graft.txnlake.vacuumParallelMinDirs")
+        .flatMap(_.toIntOption).filter(_ > 0).getOrElse(64)
+      if (commitDirs.size >= parMin) {
+        // DISTRIBUTED SWEEP (Delta's parallel vacuum): list + match +
+        // delete as a Spark job over the commit dirs, so the sweep
+        // scales with executors while the driver holds only the
+        // referenced set (broadcast) — at 100 TB a table has thousands
+        // of commit dirs and the one-RPC-at-a-time driver loop is the
+        // bottleneck, not the deletes themselves
+        sweepDataDirsDistributed(spark, commitDirs.map(_.toString),
+          referenced, cutoff)
+      } else {
+        commitDirs.foreach { cpath =>
+          val it = fs.listFiles(cpath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            val p = f.getPath.toUri.getPath
+            val rel = dataRel(p)
+            if (!referenced.contains(rel) && f.getModificationTime < cutoff)
+              fs.delete(f.getPath, false)
+          }
         }
-        if (!fs.listFiles(cdir.getPath, true).hasNext) fs.delete(cdir.getPath, true)
+      }
+      // empty-dir cleanup stays driver-side either way: one probe per
+      // commit dir, O(dirs) metadata calls
+      commitDirs.foreach { cpath =>
+        if (fs.exists(cpath) && !fs.listFiles(cpath, true).hasNext)
+          fs.delete(cpath, true)
       }
     }
     // deletion-vector sidecars referenced by no retained version go the
@@ -4066,6 +4086,46 @@ object TxnLake {
     * checkpoint statuses) — ONE directory listing; the statuses feed
     * the validated-record cache so resolution pays no per-record
     * existence probe on top of the listing it already made. */
+  /** The data-file sweep as a Spark job: each task lists ONE commit
+    * directory, matches against the broadcast referenced set, and
+    * deletes its own unreferenced files — executor-parallel listing
+    * AND deletion (object-store delete RPCs dominate large vacuums).
+    * The hadoop conf's entries ride a broadcast so executor-side
+    * FileSystems resolve exactly like the driver's. Grace-window and reference
+    * semantics are byte-identical to the sequential path. */
+  private[lake] def sweepDataDirsDistributed(spark: SparkSession,
+                                       commitDirs: Seq[String],
+                                       referenced: Set[String],
+                                       cutoff: Long): Unit = {
+    val sc = spark.sparkContext
+    val refB = sc.broadcast(referenced)
+    // hadoop Configuration is not Serializable; ship its entries as a
+    // plain array and rebuild once per task partition
+    import scala.jdk.CollectionConverters._
+    val confEntries = sc.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+    val confB = sc.broadcast(confEntries)
+    val slices = math.min(commitDirs.size, sc.defaultParallelism * 2)
+    sc.parallelize(commitDirs, slices).foreachPartition { dirs =>
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      confB.value.foreach { case (k, v) => c.set(k, v) }
+      dirs.foreach { d =>
+        val p = new Path(d)
+        val fsl = p.getFileSystem(c)
+        val it = fsl.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next()
+          val rel = dataRel(f.getPath.toUri.getPath)
+          if (!refB.value.contains(rel) && f.getModificationTime < cutoff) {
+            fsl.delete(f.getPath, false); ()
+          }
+        }
+      }
+    }
+    refB.destroy()
+    confB.destroy()
+  }
+
   private def listLogFull(fs: FileSystem, dir: String)
       : (Seq[Long], Seq[Long], Map[Long, FileStatus], Map[Long, FileStatus]) = {
     val logDir = new Path(dir, LogDir)

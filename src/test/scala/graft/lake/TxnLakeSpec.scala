@@ -226,6 +226,26 @@ class TxnLakeSpec extends AnyFunSuite with SparkTestSession {
       Set("v00000002.json", "v00000002.ckpt.json"))
   }
 
+  test("vacuum's DISTRIBUTED sweep (Spark-job deletes) equals the sequential path") {
+    import spark.implicits._
+    val dir = freshTxnTable()
+    TxnLake.upsert(spark, dir, Seq((2L, "b2", "p1")).toDF("id", "name", "part"), "id")
+    TxnLake.upsert(spark, dir, Seq((2L, "b3", "p1")).toDF("id", "name", "part"), "id")
+    val live = TxnLake.resolve(spark, dir).get.files.map(_.path).toSet
+    // force the Spark-job sweep regardless of commit-dir count
+    spark.conf.set("spark.graft.txnlake.vacuumParallelMinDirs", "1")
+    try TxnLake.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    finally spark.conf.unset("spark.graft.txnlake.vacuumParallelMinDirs")
+    import scala.jdk.CollectionConverters._
+    val onDisk = Files.walk(java.nio.file.Paths.get(dir, "_graft_data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Paths.get(dir).relativize(p).toString).toSet
+    assert(onDisk === live,
+      s"distributed sweep must keep exactly the live files: $onDisk vs $live")
+    assert(rows(dir).map(t => (t._1, t._2)) ===
+      Seq(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d"))
+  }
+
   test("empty updates commit nothing (version unchanged)") {
     import spark.implicits._
     val dir = freshTxnTable()
