@@ -403,29 +403,45 @@ object Similarity {
     val banded = bandedSignatures(corpus, nBits, bands, seed)
       .join(corpus.select(col("vec_id"), col("label")), "vec_id")
       .select(col("vec_id"), col("label"), col("sig"), col("band"), col("band_bits"))
+    // labels ride only the JOIN CONDITION: the candidate stream carries
+    // just (vec_id, nbr_id, ham) — anchor/neighbor labels are recovered
+    // on the CAPPED set by the same joins that fetch embeddings
     val met = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_bits") === col("y.band_bits") &&
           col("x.label") =!= col("y.label"))
-      .select(col("x.vec_id").as("vec_id"), col("x.label").as("label"),
-        col("y.vec_id").as("nbr_id"), col("y.label").as("nbr_label"),
-        col("x.band").as("band"),
+      .select(col("x.vec_id").as("vec_id"),
+        col("y.vec_id").as("nbr_id"), col("x.band").as("band"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("__ham"))
     val kept =
-      if (cap <= 0) met
+      if (cap <= 0) met.select(col("vec_id"), col("nbr_id"))
       else {
-        val wb = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"), col("band"))
-          .orderBy(col("__ham"), col("nbr_id"))
-        met.withColumn("__hr", row_number().over(wb)).filter(col("__hr") <= cap)
+        // bounded-heap per (anchor, band) instead of a window (r17
+        // VERDICT #6): collisions of a dense bucket are all produced
+        // inside ONE join task, so the PARTIAL hash aggregate caps them
+        // to `cap` rows before they ever shuffle — the window idiom
+        // shuffled and SORTED the full quadratic candidate stream. Heap
+        // order = (ham asc, nbr_id asc) via (-ham desc, payload asc),
+        // identical to the window's ORDER BY, so the oracle replays it.
+        val heap = org.apache.spark.sql.graft.CatalystBridge.column(
+          graft.functions.TopKOrderedAgg(
+            org.apache.spark.sql.graft.CatalystBridge.expression(
+              -col("__ham").cast("double")),
+            org.apache.spark.sql.graft.CatalystBridge.expression(col("nbr_id")),
+            cap).toAggregateExpression())
+        met.groupBy(col("vec_id"), col("band"))
+          .agg(heap.as("__nbrs"))
+          .select(col("vec_id"), explode(col("__nbrs")).as("nbr_id"))
       }
-    val pairs = kept
-      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"))
-      .dropDuplicates("vec_id", "nbr_id")
-    val emb = corpus.select(col("vec_id"), col("embedding"))
+    // band-level dedup BEFORE the exact rescore: a pair colliding in
+    // several bands is rescored once
+    val pairs = kept.dropDuplicates("vec_id", "nbr_id")
+    val embLab = corpus.select(col("vec_id"), col("embedding"), col("label"))
     val scored = pairs
-      .join(emb.select(col("vec_id"), col("embedding").as("ea")), "vec_id")
-      .join(emb.select(col("vec_id").as("nbr_id"), col("embedding").as("eb")), "nbr_id")
+      .join(embLab.select(col("vec_id"), col("embedding").as("ea"),
+        col("label")), "vec_id")
+      .join(embLab.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"),
+        col("label").as("nbr_label")), "nbr_id")
       .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
         round(VectorFunctions.cosineFast(col("ea"), col("eb")), 6).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
