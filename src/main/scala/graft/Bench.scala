@@ -64,8 +64,31 @@ object Bench {
     // self-load-free, unlike loadavg, which the bench itself drives.
     val osBean = java.lang.management.ManagementFactory.getPlatformMXBean(
       classOf[com.sun.management.OperatingSystemMXBean])
-    def sampledPass[A](body: => A): (A, Double) = {
+    // /proc/stat cumulative jiffies: (..., idle, iowait, irq, softirq,
+    // steal, ...) — iowait/steal fractions over a pass attribute an
+    // outlier wall the external-CPU gate can't see (r17 pass 3: 2.8x
+    // wall at 0.3% external CPU — I/O or hypervisor pressure, not CPU)
+    def procCpu(): Option[Array[Long]] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+").drop(1).map(_.toLong))
+        finally src.close()
+      } catch { case _: Throwable => None }
+    def ioStealFrac(a: Option[Array[Long]], b: Option[Array[Long]]): (Double, Double) =
+      (a, b) match {
+        case (Some(x), Some(y)) if math.min(x.length, y.length) >= 5 =>
+          val n = math.min(x.length, y.length)
+          val d = (0 until n).map(i => (y(i) - x(i)).toDouble)
+          val tot = d.sum
+          if (tot <= 0) (-1.0, -1.0)
+          else (d(4) / tot, if (n > 7) d(7) / tot else -1.0)
+        case _ => (-1.0, -1.0)
+      }
+
+    def sampledPass[A](body: => A): (A, Double, Double, Double) = {
       val acc = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+      val stat0 = procCpu()
       @volatile var on = true
       val t = new Thread(() => while (on) {
         val sys = osBean.getCpuLoad
@@ -84,7 +107,8 @@ object Bench {
       // back to the start-load gate
       val ext = if (acc.isEmpty) -1.0
         else acc.asScala.map(_.doubleValue).sum / acc.size
-      (r, ext)
+      val (iow, steal) = ioStealFrac(stat0, procCpu())
+      (r, ext, iow, steal)
     }
     // load-robust grading (VERDICT r8 #8): a pass that STARTS under
     // ambient load (this sandbox is shared — r7's suite inflated ~40%
@@ -108,8 +132,8 @@ object Bench {
     val benchT0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     // (per-query (total, build, query) times, wall, load_avg at pass
-    // start, external-cpu fraction over the pass)
-    var samples = Vector.empty[(Map[String, (Double, Double, Double)], Double, Double, Double)]
+    // start, external-cpu fraction, iowait fraction, steal fraction)
+    var samples = Vector.empty[(Map[String, (Double, Double, Double)], Double, Double, Double, Double, Double)]
     // classification is PRIMARILY by measured external CPU — the pass
     // is tight if other processes burned ≤10% of the machine THROUGHOUT
     // (quiet: ≤25%). Start loadavg is only the gate when sampling
@@ -119,9 +143,9 @@ object Bench {
     // (external CPU 0.3%) on start loads 2.5 that were pure self-decay.
     val extTight = 0.10
     val extQuiet = 0.25
-    def isTight(s: (Map[String, (Double, Double, Double)], Double, Double, Double)) =
+    def isTight(s: (Map[String, (Double, Double, Double)], Double, Double, Double, Double, Double)) =
       if (s._4 >= 0) s._4 <= extTight else s._3 <= loadCap / 2
-    def isQuiet(s: (Map[String, (Double, Double, Double)], Double, Double, Double)) =
+    def isQuiet(s: (Map[String, (Double, Double, Double)], Double, Double, Double, Double, Double)) =
       if (s._4 >= 0) s._4 <= extQuiet else s._3 <= loadCap
     var quiet = 0
     var tightN = 0
@@ -132,7 +156,7 @@ object Bench {
            (samples.size < hardMax && tightN == 0 && elapsedS < budgetS)) {
       val l0 = loadNow()
       val p0 = System.nanoTime()
-      val (r, extCpu) = sampledPass { selected.map { case (name, fn) =>
+      val (r, extCpu, iowF, stealF) = sampledPass { selected.map { case (name, fn) =>
         // two timed phases (VERDICT r11 #1): BUILD = the queries()
         // invocation itself — for the 30 lake/stream queries that's the
         // eager multi-commit table construction or stream drain; for
@@ -163,7 +187,7 @@ object Bench {
         try spark.catalog.clearCache() catch { case _: Throwable => }
         name -> ((dt, tBuild, tQuery))
       } }
-      samples :+= ((r, (System.nanoTime() - p0) / 1e9, l0, extCpu))
+      samples :+= ((r, (System.nanoTime() - p0) / 1e9, l0, extCpu, iowF, stealF))
       quiet = samples.count(isQuiet)
       tightN = samples.count(isTight)
     }
@@ -217,13 +241,17 @@ object Bench {
     val walls = passWalls.map(fmt).mkString("[", ",", "]")
     val loads = passLoads.map(fmt).mkString("[", ",", "]")
     val exts = passExt.map(fmt).mkString("[", ",", "]")
+    // iowait/steal fractions per pass (VERDICT r17 "missing" #1): an
+    // outlier wall at ~0% external CPU is machine-attributed here
+    val iows = samples.map(s => fmt(s._5)).mkString("[", ",", "]")
+    val steals = samples.map(s => fmt(s._6)).mkString("[", ",", "]")
     // the queries whose bench number INCLUDES eager table/stream
     // construction — exactly the ones the phase line disaggregates
     val lakeBuilders = Seq("zq01", "zq02", "zq03", "zq04", "zq05", "zq06",
       "zq07", "zq08", "lk01", "lk02", "lk03", "lk04", "lk05", "lk06", "lk07", "lk08",
       "lk09", "lk10", "lk11", "lk12", "lk13", "lk14", "lk15", "lk16", "lk17", "lk18", "lk19",
       "lk20", "lk21", "lk22", "lk23", "lk24", "lk25", "lk26", "lk27", "lk28", "lk29",
-      "lk30", "lk31", "lk32", "lk33", "lk34", "lk35", "lk36", "zq09", "zq10",
+      "lk30", "lk31", "lk32", "lk33", "lk34", "lk35", "lk36", "lk37", "zq09", "zq10", "zq11",
       "st15", "st17", "st18", "st19", "st20", "st21", "st22", "st23", "st24",
       "ss07", "ss12", "ss15", "iq04")
     val lakeList = lakeBuilders.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -241,7 +269,7 @@ object Bench {
     val totalLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
     val envLine =
-      s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"graded_on":"$gradedOn","load_cap":${fmt(loadCap)},"tight_cap":${fmt(loadCap / 2)},"tight_passes":$tightN,"ext_cpu_tight_cap":${fmt(extTight)},"ext_cpu_quiet_cap":${fmt(extQuiet)},"pass_external_cpu":$exts,"retry_budget_s":${fmt(budgetS)},"bench_elapsed_s":${fmt(elapsedS)},"cache_cleared_per_query":true,"lake_queries_include_table_build":$lakeList,"pass_wall_sec":$walls,"pass_load_avg":$loads}"""
+      s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"graded_on":"$gradedOn","load_cap":${fmt(loadCap)},"tight_cap":${fmt(loadCap / 2)},"tight_passes":$tightN,"ext_cpu_tight_cap":${fmt(extTight)},"ext_cpu_quiet_cap":${fmt(extQuiet)},"pass_external_cpu":$exts,"retry_budget_s":${fmt(budgetS)},"bench_elapsed_s":${fmt(elapsedS)},"cache_cleared_per_query":true,"lake_queries_include_table_build":$lakeList,"pass_wall_sec":$walls,"pass_load_avg":$loads,"pass_iowait":$iows,"pass_steal":$steals}"""
     val phaseLine =
       s"""{"metric":"phase","unit":"sec","build_total":${fmt(bTotal)},"query_total":${fmt(qTotal)},"note":"build = queries() invocation (eager table construction / stream drain); query = count() of the returned frame; per-query maps cover the construction-heavy family","build":$bMap,"query":$qMap}"""
     val lines = Seq(totalLine, envLine, phaseLine, perQueryLine)
