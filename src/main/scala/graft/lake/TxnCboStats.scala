@@ -132,8 +132,11 @@ object TxnCboStats extends Rule[LogicalPlan] {
   private def colStatsOf(dir: String, m: TxnLake.Manifest,
                          rows: Long): Map[String, CatalogColumnStat] = {
     if (m.files.isEmpty) return Map.empty
+    val artifact = TxnLake.tableStatsOf(dir)
     val analyzed: Map[String, (Long, Long)] =
-      TxnLake.tableStatsOf(dir).map(_.cols).getOrElse(Map.empty)
+      artifact.map(_.cols).getOrElse(Map.empty)
+    val hists: Map[String, (Double, Seq[(Double, Double, Long)])] =
+      artifact.map(_.hist).getOrElse(Map.empty)
     val schema = StructType.fromDDL(m.schemaDdl)
     schema.fields.iterator.flatMap { f =>
       val logical = m.renames.getOrElse(f.name, f.name)
@@ -146,11 +149,21 @@ object TxnCboStats extends Rule[LogicalPlan] {
           render(f, bounds.map(_._1).min, bounds.map(_._2).max)
         }
       val nd = analyzed.get(logical)
-      if (bounds0.isEmpty && nd.isEmpty) Iterator.empty
+      // equi-height histogram from the ANALYZE artifact — the range-
+      // selectivity input FilterEstimation uses directly, where skewed
+      // data makes min/max interpolation arbitrarily wrong
+      val hist = hists.get(logical).map { case (height, bins) =>
+        org.apache.spark.sql.catalyst.plans.logical.Histogram(height,
+          bins.map { case (lo, hi, binNdv) =>
+            org.apache.spark.sql.catalyst.plans.logical.HistogramBin(lo, hi, binNdv)
+          }.toArray)
+      }
+      if (bounds0.isEmpty && nd.isEmpty && hist.isEmpty) Iterator.empty
       else Iterator.single(logical -> CatalogColumnStat(
         min = bounds0.map(_._1), max = bounds0.map(_._2),
         distinctCount = nd.map(v => BigInt(math.min(v._1, math.max(rows, 1L)))),
-        nullCount = nd.map(v => BigInt(math.min(v._2, rows)))))
+        nullCount = nd.map(v => BigInt(math.min(v._2, rows))),
+        histogram = hist))
     }.toMap
   }
 

@@ -485,8 +485,15 @@ object TxnLake {
   /** Table-level column statistics from the last ANALYZE run: `cols`
     * maps LOGICAL column name -> (approx distinct count, null count),
     * `version`/`rows` record the snapshot measured. */
+  /** `hist` = EQUI-HEIGHT HISTOGRAMS per logical numeric column:
+    * (height = rowsPerBin, bins of (lo, hi, ndv)). The range-
+    * selectivity input min/max interpolation cannot provide on skewed
+    * data — Catalyst's FilterEstimation consumes them directly
+    * ([[TxnCboStats]] attaches them as `CatalogColumnStat.histogram`). */
   final case class TableStats(version: Long, rows: Long,
-                              cols: Map[String, (Long, Long)])
+                              cols: Map[String, (Long, Long)],
+                              hist: Map[String, (Double, Seq[(Double, Double, Long)])] =
+                                Map.empty)
 
   /** `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS` — the
     * explicit stats-refresh statement every CBO-bearing engine ships
@@ -515,9 +522,71 @@ object TxnLake {
     val stats = cols.zipWithIndex.map { case (c, i) =>
       c -> ((r.getAs[Long](s"__ndv$i"), rows - r.getAs[Long](s"__nn$i")))
     }.toMap
-    val ts = TableStats(m.version, rows, stats)
+    val ts = TableStats(m.version, rows, stats,
+      hist = analyzeHistograms(spark, df, rows))
     writeTableStats(fs, dir, ts)
     ts
+  }
+
+  /** Equi-height histograms for every NUMERIC column, two jobs total
+    * regardless of column count (Spark's own ANALYZE ... FOR COLUMNS
+    * histogram discipline):
+    *  1. one aggregate of `percentile_approx` per column → bin EDGES
+    *     at i/numBins quantiles;
+    *  2. one unpivot + groupBy(column, bin) with approx NDV per bin —
+    *     the per-bin distinct count equality estimates divide by.
+    * Bin count rides `spark.graft.txnlake.analyze.histogramBins`
+    * (default 64). Heavy duplicates collapse edges into zero-width
+    * bins — FilterEstimation handles those. Height = nonNullRows /
+    * numBins, the equi-height invariant the estimator assumes. */
+  private def analyzeHistograms(spark: SparkSession, df: DataFrame,
+                                rows: Long): Map[String, (Double, Seq[(Double, Double, Long)])] = {
+    if (rows <= 0) return Map.empty
+    val numBins = spark.conf
+      .getOption("spark.graft.txnlake.analyze.histogramBins")
+      .flatMap(_.toIntOption).filter(_ > 1).getOrElse(64)
+    val numCols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+    if (numCols.isEmpty) return Map.empty
+    val probs = (0 to numBins).map(_.toDouble / numBins)
+    val edgeAggs = numCols.zipWithIndex.map { case (c, i) =>
+      percentile_approx(col(c).cast("double"),
+        lit(probs.toArray), lit(10000)).as(s"__e$i") }
+    val er = df.agg(edgeAggs.head, edgeAggs.tail: _*).head()
+    val edgesByCol: Map[String, IndexedSeq[Double]] = numCols.zipWithIndex
+      .flatMap { case (c, i) =>
+        // collected arrays come back as scala.collection.Seq
+        Option(er.getAs[scala.collection.Seq[Double]](s"__e$i"))
+          .filter(_.size == numBins + 1)
+          .map(e => c -> e.toIndexedSeq)
+      }.toMap
+    if (edgesByCol.isEmpty) return Map.empty
+    // one pass for every column's per-bin NDV: unpivot to (name, value)
+    // and assign each value its equi-height bin by edge rank
+    val stacked = numCols.filter(edgesByCol.contains).map { c =>
+      val edges = edgesByCol(c)
+      val edgeArr = array(edges.map(lit): _*)
+      df.select(lit(c).as("__hc"), col(c).cast("double").as("__hv"))
+        .filter(col("__hv").isNotNull)
+        .withColumn("__hb", least(greatest(
+          size(filter(edgeArr, e => e < col("__hv"))) - 1, lit(0)),
+          lit(numBins - 1)))
+    }.reduce(_.union(_))
+    val perBin = stacked.groupBy(col("__hc"), col("__hb"))
+      .agg(approx_count_distinct(col("__hv")).as("__hn"),
+        count(lit(1)).as("__hcnt"))
+      .collect()
+      .groupBy(_.getString(0))
+    edgesByCol.flatMap { case (c, edges) =>
+      perBin.get(c).map { rs =>
+        val nd = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        val nonNull = rs.map(_.getLong(3)).sum
+        val bins = (0 until numBins).map { b =>
+          (edges(b), edges(b + 1), math.max(nd.getOrElse(b, 0L), 0L))
+        }
+        c -> ((nonNull.toDouble / numBins, bins))
+      }
+    }
   }
 
   /** The last ANALYZE artifact (None = never analyzed). */
@@ -551,7 +620,17 @@ object TxnLake {
       cn.properties().asScala.map(e => e.getKey ->
         ((e.getValue.get("ndv").asLong(), e.getValue.get("nulls").asLong()))).toMap
     }
-    val ts = TableStats(n.get("version").asLong(), n.get("rows").asLong(), cols)
+    val hist = Option(n.get("hist"))
+      .fold(Map.empty[String, (Double, Seq[(Double, Double, Long)])]) { hn =>
+        hn.properties().asScala.map { e =>
+          val bins = e.getValue.get("bins").elements().asScala.map { b =>
+            (b.get(0).asDouble(), b.get(1).asDouble(), b.get(2).asLong())
+          }.toSeq
+          e.getKey -> ((e.getValue.get("height").asDouble(), bins))
+        }.toMap
+      }
+    val ts = TableStats(n.get("version").asLong(), n.get("rows").asLong(),
+      cols, hist)
     tableStatsCache.put(key, (st.getModificationTime, st.getLen, ts))
     Some(ts)
   }
@@ -564,6 +643,17 @@ object TxnLake {
     val cn = root.putObject("cols")
     ts.cols.toSeq.sortBy(_._1).foreach { case (c, (ndv, nulls)) =>
       val o = cn.putObject(c); o.put("ndv", ndv); o.put("nulls", nulls); ()
+    }
+    if (ts.hist.nonEmpty) {
+      val hn = root.putObject("hist")
+      ts.hist.toSeq.sortBy(_._1).foreach { case (c, (height, bins)) =>
+        val o = hn.putObject(c)
+        o.put("height", height)
+        val ba = o.putArray("bins")
+        bins.foreach { case (lo, hi, nd) =>
+          val b = ba.addArray(); b.add(lo); b.add(hi); b.add(nd); ()
+        }
+      }
     }
     val out = fs.create(new Path(dir, s"$LogDir/$ColStatsFile"), true)
     try out.write(mapper.writeValueAsBytes(root)) finally out.close()
@@ -2349,10 +2439,15 @@ object TxnLake {
         writeCheckCons(fs, dir, cons - nnFrom +
           (notNullConstraintName(to) -> s"`$to` IS NOT NULL"))
       // ...and the ANALYZE artifact's per-column entry re-keys
-      tableStatsOf(fs, dir).filter(_.cols.contains(from)).foreach { ts =>
-        writeTableStats(fs, dir,
-          ts.copy(cols = ts.cols - from + (to -> ts.cols(from))))
-      }
+      tableStatsOf(fs, dir)
+        .filter(ts => ts.cols.contains(from) || ts.hist.contains(from))
+        .foreach { ts =>
+          writeTableStats(fs, dir, ts.copy(
+            cols = ts.cols.get(from)
+              .fold(ts.cols)(v => ts.cols - from + (to -> v)),
+            hist = ts.hist.get(from)
+              .fold(ts.hist)(v => ts.hist - from + (to -> v))))
+        }
       val renames = head.renames + (phys -> to)
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         head.schemaDdl, Set.empty, Nil, Set.empty, head.statsCol, full = false,
@@ -2409,9 +2504,12 @@ object TxnLake {
       val nnKey = notNullConstraintName(name)
       if (cons.get(nnKey).exists(isCanonicalNotNull(nnKey, _, name)))
         writeCheckCons(fs, dir, cons - nnKey)
-      tableStatsOf(fs, dir).filter(_.cols.contains(name)).foreach { ts =>
-        writeTableStats(fs, dir, ts.copy(cols = ts.cols - name))
-      }
+      tableStatsOf(fs, dir)
+        .filter(ts => ts.cols.contains(name) || ts.hist.contains(name))
+        .foreach { ts =>
+          writeTableStats(fs, dir,
+            ts.copy(cols = ts.cols - name, hist = ts.hist - name))
+        }
       val schema = StructType(fields.filterNot(_.name == phys))
       val rec = CommitRecord(head.version + 1, newCommitId(), head.partCol,
         schema.toDDL, Set.empty, Nil, Set.empty, head.statsCol, full = false,

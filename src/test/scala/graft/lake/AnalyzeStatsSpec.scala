@@ -74,8 +74,11 @@ class AnalyzeStatsSpec extends AnyFunSuite with SparkTestSession {
     val ts = TxnLake.tableStatsOf(spark, dir).get
     assert(ts.cols.contains("bkt") && !ts.cols.contains("bucket"))
     assert(ts.cols("bkt")._2 === 250L)
+    // the equi-height histogram follows too (numeric column)
+    assert(ts.hist.contains("bkt") && !ts.hist.contains("bucket"))
     TxnLake.dropColumn(spark, dir, "bkt")
-    assert(!TxnLake.tableStatsOf(spark, dir).get.cols.contains("bkt"))
+    val after = TxnLake.tableStatsOf(spark, dir).get
+    assert(!after.cols.contains("bkt") && !after.hist.contains("bkt"))
   }
 
   test("clone carries the artifact; planner stats cap at current rowCount") {
