@@ -2095,9 +2095,12 @@ object ScaleQueries {
     val days = (1 to 31).map(i => java.sql.Date.valueOf(f"1995-03-$i%02d"))
     val q = s.read.format("graft-txn").load(dir)
       .filter(col("o_orderdate").isin(days: _*))
-    // the derivation must actually fire: the optimized plan carries a
-    // conjunct on the generated partition column the query never named
-    require(q.queryExecution.optimizedPlan.toString.contains("o_month"),
+    // the derivation must actually fire: a FILTER CONDITION (not merely
+    // the relation's output, which always lists the column) must
+    // reference the generated partition column the query never named
+    require(q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.exists(_.references.exists(_.name.equalsIgnoreCase("o_month"))),
       "generated-partition derivation must add an o_month conjunct")
     q.groupBy(col("o_orderdate"))
       .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))
@@ -2130,7 +2133,9 @@ object ScaleQueries {
     val q = s.read.format("graft-txn").load(dir)
       .filter(col("o_orderdate").between(
         java.sql.Date.valueOf("1995-02-10"), java.sql.Date.valueOf("1995-03-20")))
-    require(q.queryExecution.optimizedPlan.toString.contains("o_month"),
+    require(q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.exists(_.references.exists(_.name.equalsIgnoreCase("o_month"))),
       "monotonic range derivation must add o_month bounds the query never named")
     q.groupBy(substring(col("o_orderdate").cast("string"), 1, 7).as("month"))
       .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("sum_price"))

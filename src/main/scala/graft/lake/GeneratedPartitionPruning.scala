@@ -177,7 +177,7 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
     // conjunct folds independently; a bound folding to NULL abstains
     // (a null comparison would prune everything). Strict bounds relax
     // to inclusive: expr need not be injective, only monotone.
-    if (monoOutType(parsed, srcAttr.dataType).isEmpty) return None
+    val mono = monoOutType(parsed, srcAttr.dataType).getOrElse(return None)
     def boundOf(c: Expression): Option[(Boolean, Literal)] = c match {
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
         if a.exprId == srcAttr.exprId && l.value != null => Some((true, l))
@@ -199,13 +199,37 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
       case _ => None
     }
     val rangePreds = conjuncts.flatMap(boundOf).flatMap { case (lower, l) =>
-      Option(evalAt(l)).map { v =>
-        if (lower) GreaterThanOrEqual(partAttr, Literal(v, partAttr.dataType))
-        else LessThanOrEqual(partAttr, Literal(v, partAttr.dataType))
+      Option(evalAt(l)).flatMap { v =>
+        if (!mono.dateString)
+          Some(if (lower) GreaterThanOrEqual(partAttr, Literal(v, partAttr.dataType))
+               else LessThanOrEqual(partAttr, Literal(v, partAttr.dataType)))
+        else {
+          // ISO date renders are lexically ordered ONLY for years
+          // 0001-9999: year >= 10000 renders '+10000-...' ('+' sorts
+          // below every digit — lexically smallest, chronologically
+          // largest) and BCE years reverse among themselves. Bounds
+          // outside the 4-digit window abstain; a LOWER bound keeps
+          // the '+'-prefixed partitions it would otherwise wrongly
+          // prune (upper bounds only over-keep them — already sound).
+          val str = String.valueOf(v)
+          if (v == null || !str.take(4).forall(_.isDigit)) None
+          else if (lower)
+            Some(Or(GreaterThanOrEqual(partAttr, Literal(v, partAttr.dataType)),
+              org.apache.spark.sql.catalyst.expressions.StartsWith(partAttr,
+                Literal(org.apache.spark.unsafe.types.UTF8String.fromString("+"),
+                  partAttr.dataType))))
+          else Some(LessThanOrEqual(partAttr, Literal(v, partAttr.dataType)))
+        }
       }
     }
     rangePreds.reduceOption(And)
   }
+
+  /** Output of a proven-monotone expression: its type, plus whether the
+    * chain passed through a date→string render (whose lexical order
+    * only matches chronology for years 0001-9999 — the range path
+    * compensates). */
+  private case class Mono(outType: DataType, dateString: Boolean)
 
   /** `Some(outType)` when `e` (the PARSED, unresolved stored
     * expression) is a proven NON-DECREASING function of the single
@@ -214,18 +238,24 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
     * bound. The whitelist mirrors Delta's OptimizeGeneratedColumn:
     * each case preserves order, compositionally. LTZ timestamps never
     * reach here (the session-tz abstain above). */
-  private def monoOutType(e: Expression, srcType: DataType): Option[DataType] =
+  private def monoOutType(e: Expression, srcType: DataType): Option[Mono] =
     e match {
-      case _: UnresolvedAttribute => Some(srcType)
+      case _: UnresolvedAttribute => Some(Mono(srcType, dateString = false))
       case c: Cast => monoOutType(c.child, srcType).flatMap { in =>
-        (in, c.dataType) match {
-          case (a, b) if a == b => Some(b)
-          case (DateType, StringType) => Some(StringType) // ISO render: lexical == chronological
-          case (DateType, TimestampNTZType) => Some(TimestampNTZType)
+        (in.outType, c.dataType) match {
+          case (a, b) if a == b => Some(in)
+          case (DateType | TimestampNTZType, StringType) =>
+            // ISO render ('yyyy-MM-dd[ HH:mm:ss]'): lexical ==
+            // chronological for years 0001-9999 (the range path
+            // compensates outside that window)
+            Some(Mono(StringType, dateString = true))
+          case (DateType, TimestampNTZType) => Some(Mono(TimestampNTZType, in.dateString))
+          case (TimestampNTZType, DateType) => // chronological floor
+            Some(Mono(DateType, in.dateString))
           // widening integral casts only (narrowing truncates, not monotone)
-          case (ByteType, ShortType | IntegerType | LongType) => Some(c.dataType)
-          case (ShortType, IntegerType | LongType) => Some(c.dataType)
-          case (IntegerType, LongType) => Some(LongType)
+          case (ByteType, ShortType | IntegerType | LongType) => Some(Mono(c.dataType, in.dateString))
+          case (ShortType, IntegerType | LongType) => Some(Mono(c.dataType, in.dateString))
+          case (IntegerType, LongType) => Some(Mono(LongType, in.dateString))
           case _ => None
         }
       }
@@ -242,22 +272,25 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
         name match {
           // year only: month/day/quarter wrap within a year — not monotone
           case "year" if as.size == 1 =>
-            monoOutType(as.head, srcType).collect { case DateType => IntegerType }
+            monoOutType(as.head, srcType)
+              .collect { case Mono(DateType, _) => Mono(IntegerType, false) }
           case "to_date" if as.size == 1 =>
             // single-arg only: to_date over a DATE/NTZ value truncates
             // chronologically; string parsing (2-arg) is format-dependent
             monoOutType(as.head, srcType)
-              .collect { case DateType | TimestampNTZType => DateType }
+              .collect { case Mono(DateType | TimestampNTZType, d) => Mono(DateType, d) }
           case "date_trunc" if as.size == 2 && strLit(as.head) =>
             monoOutType(as(1), srcType)
-              .collect { case TimestampNTZType => TimestampNTZType }
+              .collect { case Mono(TimestampNTZType, d) => Mono(TimestampNTZType, d) }
           case "trunc" if as.size == 2 && strLit(as(1)) =>
-            monoOutType(as.head, srcType).collect { case DateType => DateType }
+            monoOutType(as.head, srcType)
+              .collect { case Mono(DateType, d) => Mono(DateType, d) }
           case "substring" | "substr"
             if as.size == 3 && intLit(as(1), v => v == 0L || v == 1L) &&
               intLit(as(2), _ >= 1L) =>
             // a common PREFIX of lexically ordered strings preserves <=
-            monoOutType(as.head, srcType).collect { case StringType => StringType }
+            monoOutType(as.head, srcType)
+              .collect { case Mono(StringType, d) => Mono(StringType, d) }
           case _ => None
         }
       case _ => None

@@ -41,7 +41,7 @@ private[graft] class TxnCdcStream(spark: SparkSession, dir: String,
   private val startFrom: Long = opts.get("startingversion").map(_.toLong)
     .orElse(opts.get("startingtimestamp").map(ts =>
       CdcFeed.firstVersionAtOrAfter(spark, dir,
-        CdcFeed.parseStartingTimestamp(ts))))
+        CdcFeed.parseStartingTimestamp(spark, ts))))
     .getOrElse(0L)
   private val maxVersionsPerTrigger: Long =
     opts.get("maxversionspertrigger").map(_.toLong).filter(_ > 0)

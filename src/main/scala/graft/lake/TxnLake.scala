@@ -320,6 +320,11 @@ object TxnLake {
     gen.toSeq.sortBy(_._1).foreach { case (c, e) => node.put(c, e); () }
     val out = fs.create(new Path(dir, s"$LogDir/$GenColsFile"), true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // same-JVM cache invalidation: a same-length rewrite inside the
+    // filesystem's mtime granularity would otherwise serve the OLD
+    // expression to the correctness-bearing pruning rule
+    genColsCache.remove(new Path(dir, s"$LogDir/$GenColsFile").toString)
+    ()
   }
 
   /** The table's generated-column property (empty when unset). */
@@ -561,17 +566,23 @@ object TxnLake {
           .map(e => c -> e.toIndexedSeq)
       }.toMap
     if (edgesByCol.isEmpty) return Map.empty
-    // one pass for every column's per-bin NDV: unpivot to (name, value)
-    // and assign each value its equi-height bin by edge rank
-    val stacked = numCols.filter(edgesByCol.contains).map { c =>
-      val edges = edgesByCol(c)
-      val edgeArr = array(edges.map(lit): _*)
-      df.select(lit(c).as("__hc"), col(c).cast("double").as("__hv"))
-        .filter(col("__hv").isNotNull)
-        .withColumn("__hb", least(greatest(
-          size(filter(edgeArr, e => e < col("__hv"))) - 1, lit(0)),
-          lit(numBins - 1)))
-    }.reduce(_.union(_))
+    // ONE pass for every column's per-bin NDV: a single scan explodes
+    // each row into (column, value) pairs (no per-column re-reads),
+    // each value's equi-height bin derived from its own column's edge
+    // array by rank
+    val histCols = numCols.filter(edgesByCol.contains)
+    val edgeMap = map(histCols.flatMap(c =>
+      Seq(lit(c), array(edgesByCol(c).map(lit): _*))): _*)
+    val stacked = df
+      .select(explode(array(histCols.map(c =>
+        struct(lit(c).as("__hc"), col(c).cast("double").as("__hv"))): _*))
+        .as("__hp"))
+      .select(col("__hp.__hc").as("__hc"), col("__hp.__hv").as("__hv"))
+      .filter(col("__hv").isNotNull)
+      .withColumn("__hb", least(greatest(
+        size(filter(element_at(edgeMap, col("__hc")),
+          e => e < col("__hv"))) - 1, lit(0)),
+        lit(numBins - 1)))
     val perBin = stacked.groupBy(col("__hc"), col("__hb"))
       .agg(approx_count_distinct(col("__hv")).as("__hn"),
         count(lit(1)).as("__hcnt"))
@@ -3819,6 +3830,14 @@ object TxnLake {
       // (winners delete their stage in-line; grace covers in-flight)
       else if (n.startsWith(".tmp-") && st.getModificationTime < sweepCutoff)
         rawFs.delete(st.getPath, true)
+      // a payload dir whose HEADER never published (crash between the
+      // rename and the header's create-if-absent): no header means no
+      // reader can ever reference it — collect once past grace
+      else if (n.matches("v\\d{8}\\.ckpt\\.files") &&
+          st.getModificationTime < sweepCutoff &&
+          !fs.exists(new Path(st.getPath.getParent,
+            n.stripSuffix(".files") + ".json")))
+        fs.delete(st.getPath, true)
       else if (n.endsWith(".crc")) {
         if (!n.startsWith(".")) {
           if (n.endsWith(".json.crc") &&
@@ -4074,9 +4093,14 @@ object TxnLake {
           .repartition(nParts)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         // payload dir presence == complete payload (atomic rename);
-        // losing the rename race means a complete twin already exists
+        // losing the rename race means a complete twin already exists.
+        // POSIX/HDFS rename(src, existingDir) MOVES src INSIDE the
+        // winner's dir instead of failing — sweep that nested stage so
+        // a lost race can't leak a duplicate payload copy.
         if (fs.exists(filesDir) || !fs.rename(tmp, filesDir))
           fs.delete(tmp, true)
+        val nested = new Path(filesDir, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
       if (fs.exists(filesDir))
         publish(fs, dir, dst, writeCheckpointHeaderBytes(m), m.commitId)
@@ -4156,6 +4180,18 @@ object TxnLake {
     }
     lazyBase match {
       case Some((c, payload)) =>
+        // part-loss check, same contract as the eager readCkptFiles: a
+        // maintenance consumer (reference diffs, FSCK) fed a silently
+        // truncated base would classify live files as garbage. One
+        // footer-count job over the payload — metadata-scale.
+        val hdr = readVerifiedJson(fs, checkpointPath(dir, c))
+        Option(hdr.get("numFiles")).map(_.asLong()).foreach { want =>
+          val got = SparkSession.active.read
+            .schema(ckptRowEncoder.schema).parquet(payload).count()
+          if (got != want) throw new TxnLogCorruptedException(
+            s"checkpoint payload $payload holds $got entries, header says " +
+              s"$want — parquet part lost or foreign file added")
+        }
         val tail = ((c + 1) to v)
           .map(i => readRecord(fs, manifestPath(dir, i), recSt.get(i)))
         if (tail.exists(_.full))

@@ -65,7 +65,7 @@ private[graft] class TxnTableStream(spark: SparkSession, dir: String,
   private val startingVersion: Option[Long] = opts.get("startingversion").map(_.toLong)
     .orElse(opts.get("startingtimestamp").map(ts =>
       graft.streaming.CdcFeed.firstVersionAtOrAfter(spark, dir,
-        graft.streaming.CdcFeed.parseStartingTimestamp(ts))))
+        graft.streaming.CdcFeed.parseStartingTimestamp(spark, ts))))
   private val maxFilesPerTrigger: Int =
     opts.get("maxfilespertrigger").map(_.toInt).filter(_ > 0).getOrElse(Int.MaxValue)
   /** Delta's soft byte cap: a batch stops ADDING files once its

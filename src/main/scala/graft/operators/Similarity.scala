@@ -413,9 +413,24 @@ object Similarity {
       .select(col("x.vec_id").as("vec_id"),
         col("y.vec_id").as("nbr_id"), col("x.band").as("band"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("__ham"))
+    val idIntegral = corpus.schema("vec_id").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val kept =
       if (cap <= 0) met.select(col("vec_id"), col("nbr_id"))
-      else {
+      else if (!idIntegral) {
+        // non-integral ids can't ride the long-payload heap: keep the
+        // window cap (any orderable type), same (ham, nbr_id) order
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("band"))
+          .orderBy(col("__ham"), col("nbr_id"))
+        met.withColumn("__hr", row_number().over(wb))
+          .filter(col("__hr") <= cap).select(col("vec_id"), col("nbr_id"))
+      } else {
         // bounded-heap per (anchor, band) instead of a window (r17
         // VERDICT #6): collisions of a dense bucket are all produced
         // inside ONE join task, so the PARTIAL hash aggregate caps them
@@ -427,11 +442,14 @@ object Similarity {
           graft.functions.TopKOrderedAgg(
             org.apache.spark.sql.graft.CatalystBridge.expression(
               -col("__ham").cast("double")),
-            org.apache.spark.sql.graft.CatalystBridge.expression(col("nbr_id")),
+            org.apache.spark.sql.graft.CatalystBridge.expression(
+              col("nbr_id").cast("long")),
             cap).toAggregateExpression())
         met.groupBy(col("vec_id"), col("band"))
           .agg(heap.as("__nbrs"))
-          .select(col("vec_id"), explode(col("__nbrs")).as("nbr_id"))
+          .select(col("vec_id"), explode(col("__nbrs")).as("__nbr_long"))
+          .select(col("vec_id"), col("__nbr_long")
+            .cast(corpus.schema("vec_id").dataType).as("nbr_id"))
       }
     // band-level dedup BEFORE the exact rescore: a pair colliding in
     // several bands is rescored once

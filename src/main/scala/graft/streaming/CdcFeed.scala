@@ -121,14 +121,24 @@ object CdcFeed {
     * timestamp string (`yyyy-MM-dd HH:mm:ss[.f]`) and a date
     * (`yyyy-MM-dd`); epoch millis are kept as a convenience form.
     * Anything else raises a descriptive error naming the accepted
-    * formats rather than an opaque NumberFormatException. The string
-    * forms bind in the SESSION's timezone via java.sql (local-time
-    * semantics, Delta's behavior for this option). */
-  private[graft] def parseStartingTimestamp(s: String): Long = {
+    * formats rather than an opaque NumberFormatException. String forms
+    * bind wall time in the SPARK SESSION's timezone (Delta's
+    * behavior) — java.sql.Timestamp.valueOf would silently use the JVM
+    * default zone, starting the stream hours off when the two
+    * differ. */
+  private[graft] def parseStartingTimestamp(spark: org.apache.spark.sql.SparkSession,
+                                            s: String): Long = {
     val t = s.trim
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    def local(ldt: java.time.LocalDateTime): Long =
+      ldt.atZone(zone).toInstant.toEpochMilli
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(
+      "yyyy-MM-dd HH:mm:ss[.SSS][.SS][.S]")
     scala.util.Try(t.toLong)
-      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(t).getTime))
-      .orElse(scala.util.Try(java.sql.Date.valueOf(t).getTime))
+      .orElse(scala.util.Try(local(java.time.LocalDateTime.parse(t, fmt))))
+      .orElse(scala.util.Try(local(
+        java.time.LocalDate.parse(t).atStartOfDay())))
       .getOrElse(throw new IllegalArgumentException(
         s"startingTimestamp '$s' is not a timestamp — expected " +
           "'yyyy-MM-dd HH:mm:ss[.f]', 'yyyy-MM-dd', or epoch millis"))

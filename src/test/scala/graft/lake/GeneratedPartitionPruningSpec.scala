@@ -135,6 +135,29 @@ class GeneratedPartitionPruningSpec extends AnyFunSuite with SparkTestSession {
     assert(bt.select("id").as[Long].collect().toSet === want)
   }
 
+  test("year-10000 partitions survive a lower bound: ISO renders sort " +
+      "'+10000-...' below every digit, the derived conjunct keeps them") {
+    val dir = Files.createTempDirectory("graft_gpp_y10k").resolve("t").toString
+    val rows = ((0 until 60).map { i =>
+      (i.toLong, Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)))
+    } :+ ((999L, Date.valueOf(java.time.LocalDate.of(10000, 6, 1)))))
+    TxnLake.create(spark, dir, rows.toDF("id", "d")
+        .withColumn("m", substring(col("d").cast("string"), 1, 7)), "m",
+      generatedCols = Map("m" -> "substring(cast(d as string), 1, 7)"))
+    val total = TxnLake.resolve(spark, dir).get.files.size
+    val r = spark.read.format("graft-txn").load(dir)
+      .filter(col("d") >= Date.valueOf("1995-02-01"))
+    // Feb(28) + Mar 1 (60-day span ends Mar 1) + the year-10000 row
+    assert(r.count() === 29L + 1L,
+      "the '+10000-06' partition is chronologically in range and must survive")
+    assert(scannedFiles(r) < total, "Jan files still prune")
+    // upper bound: the year-10000 partition may be over-kept (sound),
+    // but the ROWS are filtered exactly
+    val up = spark.read.format("graft-txn").load(dir)
+      .filter(col("d") <= Date.valueOf("1995-01-15"))
+    assert(up.count() === 15L)
+  }
+
   test("abstains: non-monotonic expressions on ranges, own partition filter") {
     // partition = DAY-OF-MONTH bucket: deterministic (equality still
     // derives) but NOT monotone — ranges must not derive

@@ -144,6 +144,11 @@ class ParquetCheckpointSpec extends AnyFunSuite with SparkTestSession {
     intercept[TxnLake.TxnLogCorruptedException] {
       TxnLake.resolveVersion(spark, dir, 10L)
     }
+    // the LAZY view must fail the same way, not silently truncate — a
+    // maintenance consumer fed a short list would garbage-collect live files
+    intercept[TxnLake.TxnLogCorruptedException] {
+      TxnLake.fileEntriesDf(spark, dir, Some(10L)).count()
+    }
   }
 
   test("time travel across a parquet checkpoint; lazy fileEntriesDf parity") {
@@ -175,6 +180,11 @@ class ParquetCheckpointSpec extends AnyFunSuite with SparkTestSession {
       val orphan = Paths.get(dir, "_graft_log", ".tmp-dead-v00000030.ckpt.files")
       Files.createDirectory(orphan)
       Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+      // ...and a HEADERLESS payload (crash between rename and header
+      // publish) — unreferenced forever, must be collected too
+      val headerless = Paths.get(dir, "_graft_log", "v00000031.ckpt.files")
+      Files.createDirectory(headerless)
+      Files.write(headerless.resolve("part-0.parquet"), Array[Byte](4, 5, 6))
       Thread.sleep(5) // orphan mtime strictly before the sweep cutoff
       TxnLake.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
       val after = logNames(dir)
@@ -184,6 +194,8 @@ class ParquetCheckpointSpec extends AnyFunSuite with SparkTestSession {
       assert(after.contains("v00000020.ckpt.files"), "live checkpoint kept")
       assert(!after.contains(".tmp-dead-v00000030.ckpt.files"),
         "crash-orphaned payload stage must be swept")
+      assert(!after.contains("v00000031.ckpt.files"),
+        "headerless payload dir must be swept (no reader can reference it)")
       assert(TxnLake.read(spark, dir).count() === 9 + 21 * 3)
     }
   }

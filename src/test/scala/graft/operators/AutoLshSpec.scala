@@ -119,6 +119,25 @@ class AutoLshSpec extends AnyFunSuite with SparkTestSession {
     } finally { corpus.unpersist(); labeled.unpersist(); () }
   }
 
+  test("hardNegatives: int ids ride the heap via cast, string ids take the window fallback") {
+    // the bounded-heap cap carries Long payloads: integral ids cast
+    // through it (and back), non-integral ids route through the window
+    // cap — both with results identical to the long-id path
+    val corpus = synth(600)
+    val labeled = corpus.withColumn("label",
+      pmod(col("vec_id"), lit(3)).cast("string"))
+    val asLong = Similarity.hardNegatives(labeled, k = 2, nBits = 12)
+    val asInt = Similarity.hardNegatives(
+      labeled.withColumn("vec_id", col("vec_id").cast("int")), k = 2, nBits = 12)
+      .withColumn("vec_id", col("vec_id").cast("long"))
+      .withColumn("nbr_id", col("nbr_id").cast("long"))
+    assert(asLong.except(asInt).isEmpty && asInt.except(asLong).isEmpty,
+      "int-typed ids must produce the same negatives through the heap cast")
+    val asStr = Similarity.hardNegatives(
+      labeled.withColumn("vec_id", col("vec_id").cast("string")), k = 2, nBits = 12)
+    assert(asStr.count() > 0, "string ids must not crash (window fallback)")
+  }
+
   test("lshKnnJoinAuto returns at most k ranked neighbors per vector") {
     val out = Similarity.lshKnnJoinAuto(synth(500), k = 3).cache()
     try {
