@@ -266,8 +266,14 @@ object Bench {
         .mkString("{", ",", "}")
     val bMap = phaseMap(buildSec)
     val qMap = phaseMap(querySec)
+    // steal/iowait maxima ride the TOTAL line (VERDICT r18 missing #4):
+    // the env line prints before the ~6 KB per-query map and falls out
+    // of the driver's bounded tail, so the attribution fields that
+    // adjudicate a regression must live on the one line re-printed last
+    val maxIow = samples.map(_._5).maxOption.getOrElse(0.0)
+    val maxSteal = samples.map(_._6).maxOption.getOrElse(0.0)
     val totalLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"max_pass_steal":${fmt(maxSteal)},"max_pass_iowait":${fmt(maxIow)},"sf":"$sfDir"}"""
     val envLine =
       s"""{"metric":"env","load_avg":${fmt(loadNow())},"passes":${samples.size},"graded_passes":${graded.size},"graded_on":"$gradedOn","load_cap":${fmt(loadCap)},"tight_cap":${fmt(loadCap / 2)},"tight_passes":$tightN,"ext_cpu_tight_cap":${fmt(extTight)},"ext_cpu_quiet_cap":${fmt(extQuiet)},"pass_external_cpu":$exts,"retry_budget_s":${fmt(budgetS)},"bench_elapsed_s":${fmt(elapsedS)},"cache_cleared_per_query":true,"lake_queries_include_table_build":$lakeList,"pass_wall_sec":$walls,"pass_load_avg":$loads,"pass_iowait":$iows,"pass_steal":$steals}"""
     val phaseLine =

@@ -203,6 +203,15 @@ object GeneratedPartitionPruning extends Rule[LogicalPlan] with PredicateHelper 
         if (!mono.dateString)
           Some(if (lower) GreaterThanOrEqual(partAttr, Literal(v, partAttr.dataType))
                else LessThanOrEqual(partAttr, Literal(v, partAttr.dataType)))
+        else if (partAttr.dataType != StringType)
+          // the lexical-order compensation below assumes a STRING
+          // partition column: v is already cast to partAttr.dataType
+          // (an Int for DateType, whose digits would pass the 4-digit
+          // check) and StartsWith over a non-string attr is malformed —
+          // a declared non-string partition type over a date→string
+          // render abstains rather than building a predicate that
+          // fails at eval
+          None
         else {
           // ISO date renders are lexically ordered ONLY for years
           // 0001-9999: year >= 10000 renders '+10000-...' ('+' sorts

@@ -100,14 +100,19 @@ object TxnCboStats extends Rule[LogicalPlan] {
     src.flatMap { case (dir, m, size) =>
       // no guessing: a legacy manifest with any row-less entry gets no
       // rowCount, and without rowCount toPlanStats is size-only — skip
-      // the attach entirely so the plan is byte-identical to before
-      if (m.files.exists(_.rows.isEmpty)) None
+      // the attach entirely so the plan is byte-identical to before.
+      // Same discipline for a DV'd entry WITHOUT a doomed count (legacy
+      // or sidecar-fallback commits): its deleted rows are knowable
+      // only by opening the sidecar — a Spark job, too heavy inside an
+      // optimizer rule — and attaching the undiminished sum would feed
+      // CBO an over-stated row count on mixed tables, so abstain and
+      // let size-based estimation stand.
+      if (m.files.exists(_.rows.isEmpty) ||
+          m.files.exists(f => f.dv.nonEmpty && f.doomed.isEmpty)) None
       else {
         // rowCount is EXACT under deletion vectors: each DV commit
         // writes the entry's cumulative doomed-row count into the
-        // manifest, so the subtraction is a pure log read. Entries
-        // whose DVs predate the field contribute no subtraction — the
-        // old safe over-approximation, never an under-count.
+        // manifest, so the subtraction is a pure log read.
         val doomed = m.files.filter(_.dv.nonEmpty).flatMap(_.doomed).sum
         val rows = m.files.flatMap(_.rows).sum - doomed
         Some(CatalogStatistics(

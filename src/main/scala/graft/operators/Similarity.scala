@@ -788,19 +788,27 @@ object Similarity {
     // index must return zero rows, not crash on schema inference
     val sp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    writeSidecarAtomic(fs, indexDir, sp, posts.schema.toDDL)
+    writeSidecarAtomic(fs, indexDir, sp, posts.schema.toDDL, overwrite = true)
   }
 
   /** Stage-and-rename sidecar publish (the commit log's discipline):
-    * a crash mid-write leaves no partial DDL, only an invisible tmp. */
+    * a crash mid-write leaves no partial DDL, only an invisible tmp.
+    * `overwrite` deletes an existing destination first — on filesystems
+    * whose rename refuses an existing target (HDFS), a rebuild into an
+    * existing index dir would otherwise silently keep the STALE schema
+    * (rename fails, tmp deleted, reads bind to the old DDL). The
+    * backfill/repair path passes false: create-if-absent is the point
+    * there, and a racer's just-published sidecar must survive. */
   private def writeSidecarAtomic(fs: org.apache.hadoop.fs.FileSystem,
                                  indexDir: String,
                                  dst: org.apache.hadoop.fs.Path,
-                                 ddl: String): Unit = {
+                                 ddl: String,
+                                 overwrite: Boolean): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$indexDir/.postings_schema.ddl.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(ddl.getBytes("UTF-8")) finally out.close()
+    if (overwrite && fs.exists(dst)) fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
@@ -840,7 +848,8 @@ object Similarity {
     val sidecarP = new org.apache.hadoop.fs.Path(s"$indexDir/postings_schema.ddl")
     val sidecarFs = sidecarP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!sidecarFs.exists(sidecarP))
-      writeSidecarAtomic(sidecarFs, indexDir, sidecarP, postings.schema.toDDL)
+      writeSidecarAtomic(sidecarFs, indexDir, sidecarP, postings.schema.toDDL,
+        overwrite = false)
     val newPost = nearestCells(adds, codebook, 1, "vec_id")
     val rm = removeIds.select(col("vec_id").as("__rm_id"))
     val touchedCells = newPost.select(col("centroid_id"))

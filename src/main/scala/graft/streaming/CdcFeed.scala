@@ -81,7 +81,20 @@ object CdcFeed {
     * `_change_type` in the preimage dialect and `_commit_version`. */
   def batch(spark: SparkSession, dir: String, fromVersion: Long = 0L): DataFrame = {
     requireFeed(spark, dir)
-    derive(spark.read.schema(schemaOf(spark, dir)).parquet(feedGlob(dir)))
+    val schema = schemaOf(spark, dir)
+    // empty-feed early return: a fresh feed dir with no v* commits yet
+    // makes Spark's FileStreamSink metadata probe log a full
+    // FileNotFoundException stack trace per read (harmless but reads
+    // like a failure in every log) and the glob resolution itself
+    // throws — one driver listing decides instead
+    val root = new Path(dir, TxnLake.CdcDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCommits = fs.listStatus(root)
+      .exists(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+    if (!hasCommits)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    derive(spark.read.schema(schema).parquet(feedGlob(dir)))
       .filter(col(TxnLake.VersionCol) >= fromVersion)
   }
 
@@ -135,13 +148,21 @@ object CdcFeed {
       ldt.atZone(zone).toInstant.toEpochMilli
     val fmt = java.time.format.DateTimeFormatter.ofPattern(
       "yyyy-MM-dd HH:mm:ss[.SSS][.SS][.S]")
-    scala.util.Try(t.toLong)
-      .orElse(scala.util.Try(local(java.time.LocalDateTime.parse(t, fmt))))
+    // string forms FIRST: a compact date like '20240101' parses as a
+    // bare long too (~20M ms past epoch — Jan 1 1970), and epoch-first
+    // ordering would silently start the stream from version 0 instead
+    // of raising the descriptive format error. The epoch convenience
+    // form additionally requires a sanity floor (1e11 ms ≈ 1973) — no
+    // in-commit timestamp predates the log format, so a smaller value
+    // is a mistyped date, not a replay point.
+    scala.util.Try(local(java.time.LocalDateTime.parse(t, fmt)))
       .orElse(scala.util.Try(local(
         java.time.LocalDate.parse(t).atStartOfDay())))
+      .orElse(scala.util.Try(t.toLong).filter(_ >= 100000000000L))
       .getOrElse(throw new IllegalArgumentException(
         s"startingTimestamp '$s' is not a timestamp — expected " +
-          "'yyyy-MM-dd HH:mm:ss[.f]', 'yyyy-MM-dd', or epoch millis"))
+          "'yyyy-MM-dd HH:mm:ss[.f]', 'yyyy-MM-dd', or epoch millis " +
+          "(>= 100000000000, i.e. after 1973)"))
   }
 
   /** Earliest commit whose in-commit timestamp is >= `tsMillis`

@@ -226,6 +226,33 @@ class CdcFeedSpec extends AnyFunSuite with SparkTestSession {
     assert(feed.count() === 3L) // the three appended rows, nothing rewritten
   }
 
+  test("a fresh feed (enabled, no commit yet) reads as empty — no glob error, " +
+      "no FileStreamSink probe stack trace") {
+    import spark.implicits._
+    val dir = freshDir("graft_cdc_fresh")
+    TxnLake.create(spark, dir, Seq((1L, "a", "p1")).toDF("id", "name", "part"), "part")
+    TxnLake.enableChangeFeed(spark, dir)
+    val df = CdcFeed.batch(spark, dir)
+    assert(df.count() === 0L)
+    assert(df.columns.toSeq === CdcFeed.schemaOf(spark, dir).fieldNames.toSeq)
+  }
+
+  test("startingTimestamp rejects compact dates / tiny epochs instead of " +
+      "silently replaying from 1970") {
+    // '20240101' parses as a bare long (~Jan 1970) — must error, not
+    // start the stream from version 0
+    intercept[IllegalArgumentException](
+      CdcFeed.parseStartingTimestamp(spark, "20240101"))
+    intercept[IllegalArgumentException](
+      CdcFeed.parseStartingTimestamp(spark, "12345"))
+    // real epoch millis and Delta's string forms still parse
+    assert(CdcFeed.parseStartingTimestamp(spark, "1700000000000") === 1700000000000L)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val want = java.time.LocalDate.of(2024, 1, 1).atStartOfDay(zone)
+      .toInstant.toEpochMilli
+    assert(CdcFeed.parseStartingTimestamp(spark, "2024-01-01") === want)
+  }
+
   test("vacuum drops feed entries of dropped versions; later reads survive") {
     val dir = mutatedTable()
     TxnLake.vacuum(spark, dir, keepVersions = 2, graceMs = 0L)
