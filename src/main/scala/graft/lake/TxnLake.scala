@@ -4415,6 +4415,45 @@ object TxnLake {
         col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
     }
 
+  /** Snapshot scan over an explicit entry list, planned through
+    * [[ExplicitEntriesIndex]]: file statuses come from manifest bytes
+    * (zero fs calls — the `spark.read.parquet(paths)` form listed every
+    * path on the driver per call, ~2 ms/file, on EVERY internal
+    * snapshot read of every commit op). Filter/column pushdown is
+    * unchanged: the relation is stock parquet behind a FileIndex.
+    * `spark.graft.txnlake.manifestStatuses=false` forces the listing
+    * path — the A/B seam, and the escape hatch if a manifest's
+    * recorded size ever disagreed with the bytes. */
+  private def scanEntries(spark: SparkSession, dir: String, schema: StructType,
+                          entries: Seq[FileEntry]): DataFrame = {
+    val listingOff = spark.conf
+      .getOption("spark.graft.txnlake.manifestStatuses").exists(!_.toBoolean)
+    if (listingOff || entries.exists(_.bytes.isEmpty))
+      return spark.read.schema(schema).parquet(entries.map(_.locate(dir)): _*)
+    val index = new ExplicitEntriesIndex(spark, new Path(dir), entries)
+    // deep-nullable = DataFrameReader's own discipline for user schemas
+    // (its private StructType.asNullable): an evolved column may be
+    // declared non-null, but files staged BEFORE the evolution lack it
+    // and must null-fill — the vectorized reader refuses a missing
+    // non-nullable column outright
+    def deepNullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = deepNullable(m.keyType),
+          valueType = deepNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, index.partitionSchema,
+      deepNullable(schema).asInstanceOf[StructType], None,
+      new TxnReadOnlyParquetFormat, Map.empty[String, String])(spark)
+    org.apache.spark.sql.graft.CatalystBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+  }
+
   private[lake] def readEntries(spark: SparkSession, dir: String, schema: StructType,
                                 entries: Seq[FileEntry],
                                 keepMeta: Boolean = false,
@@ -4424,7 +4463,7 @@ object TxnLake {
       return toLogical(
         if (entries.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else spark.read.schema(schema).parquet(entries.map(_.locate(dir)): _*),
+        else scanEntries(spark, dir, schema, entries),
         renames)
     if (entries.isEmpty)
       return toLogical(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -4432,7 +4471,7 @@ object TxnLake {
           org.apache.spark.sql.types.StructField("__txn_file", org.apache.spark.sql.types.StringType) :+
           org.apache.spark.sql.types.StructField("__txn_pos", org.apache.spark.sql.types.LongType))
         else schema), renames)
-    val df = spark.read.schema(schema).parquet(entries.map(_.locate(dir)): _*)
+    val df = scanEntries(spark, dir, schema, entries)
       .withColumn("__txn_file",
         expr(dataRelSql("_metadata.file_path")))
       .withColumn("__txn_pos", col("_metadata.row_index"))

@@ -482,9 +482,34 @@ private[graft] object TxnFileIndex {
     * across roots. Shared by the fast-path [[TxnFileIndex]] and the
     * DV-fallback [[TxnDvRelation]] (its plan-time `sizeInBytes`). */
   def statusesFor(spark: SparkSession, root: Path,
-                  manifest: TxnLake.Manifest): Map[String, FileStatus] = {
+                  manifest: TxnLake.Manifest): Map[String, FileStatus] =
+    statusesFor(spark, root, manifest.files)
+
+  /** The Seq[FileEntry] form, shared with [[TxnLake.readEntries]]'s
+    * manifest-backed relation: entries that all carry their staged byte
+    * size resolve with ZERO fs calls. */
+  def statusesFor(spark: SparkSession, root: Path,
+                  files: Seq[TxnLake.FileEntry]): Map[String, FileStatus] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    manifest.files.groupBy(_.base).toSeq.flatMap { case (b, group) =>
+    // LOG-ONLY fast path: every entry records the byte size captured
+    // from the staging glob at commit time, and committed files are
+    // immutable — so the statuses the scan planner needs (path + exact
+    // length; FilePartition splitting and the parquet footer read use
+    // nothing else) synthesize straight from the manifest, zero fs
+    // calls. Measured: planning a 120-commit snapshot spent 1.3 s in
+    // per-commit-dir listings (~11 ms each on Hadoop's LocalFileSystem)
+    // — the dominant cost of every graft-txn read — and at 100 TB this
+    // is the difference between O(commits) driver listings and none.
+    // Any entry without bytes (legacy manifest) falls back to listing.
+    // mtime is synthesized as 0: immutable files make it meaningless,
+    // and nothing on the read path consumes it (no registered query
+    // reads `_metadata.file_modification_time`).
+    if (files.nonEmpty && files.forall(_.bytes.isDefined))
+      return files.map { f =>
+        val p = new Path(f.locate(root.toString))
+        f.path -> new FileStatus(f.bytes.get, false, 1, 134217728L, 0L, p)
+      }.toMap
+    files.groupBy(_.base).toSeq.flatMap { case (b, group) =>
       val groupRoot = b.map(new Path(_)).getOrElse(root)
       val fs = groupRoot.getFileSystem(conf)
       val wanted = group.map(_.path).toSet
@@ -506,6 +531,34 @@ private[graft] object TxnFileIndex {
       }
     }.toMap
   }
+}
+
+/** Minimal [[FileIndex]] over an EXPLICIT entry list — the relation
+  * [[TxnLake.readEntries]] plans its snapshot reads through. No
+  * pruning logic of its own (Catalyst's FileSourceStrategy still
+  * pushes filters/column pruning into the parquet scan); its whole
+  * point is that [[TxnFileIndex.statusesFor]] resolves the statuses
+  * from manifest-recorded byte sizes with zero fs calls, where the
+  * previous `spark.read.parquet(paths: _*)` form paid one driver
+  * listing per file per snapshot read (~2 ms each — several hundred
+  * ms per commit op on a 100-file table, unbounded at 100 TB). */
+private[lake] class ExplicitEntriesIndex(spark: SparkSession, root: Path,
+                                         entries: Seq[TxnLake.FileEntry])
+    extends FileIndex {
+  private val statusByRel: Map[String, FileStatus] =
+    TxnFileIndex.statusesFor(spark, root, entries)
+  // entry order preserved: deterministic scan order (same as the
+  // explicit-path read's path order)
+  private val ordered: Array[FileStatus] =
+    entries.flatMap(e => statusByRel.get(e.path)).toArray
+  override def rootPaths: Seq[Path] = Seq(root)
+  override def partitionSchema: StructType = new StructType()
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(InternalRow.empty, ordered))
+  override def inputFiles: Array[String] = ordered.map(_.getPath.toString)
+  override def sizeInBytes: Long = ordered.map(_.getLen).sum
+  override def refresh(): Unit = () // snapshot-bound by design
 }
 
 private[graft] class TxnFileIndex(spark: SparkSession,

@@ -575,17 +575,36 @@ object Similarity {
       .limit(nCells)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
-  /** Nearest `n` centroids per row of `df` under the given codebook. */
+  /** Nearest `n` centroids per row of `df` under the given codebook.
+    * The `n == 1` form — the FULL-CORPUS assignment pass every IVF
+    * build/update/dedup runs — is an argmax by (cos desc, centroid_id
+    * asc), computed as one `max_by` aggregation: partial (map-side)
+    * aggregation caps the shuffle at one row per id, where the window
+    * form shuffled AND sorted all |df|×|centroids| candidate rows
+    * (measured: st20's buildIvfIndex 1.75 s → 1.1 s warm from this).
+    * Tie-break identical to the window's ORDER BY: max of the ordering
+    * struct (cos, -centroid_id) is the highest cosine, then the
+    * smallest centroid id — so ss03's exact-replay oracle still
+    * re-derives the same assignment. */
   private def nearestCells(df: DataFrame, centroids: DataFrame, n: Int,
                            idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__ccos").desc, col("centroid_id"))
-    df.join(broadcast(centroids))
+    val joined = df.join(broadcast(centroids))
       .withColumn("__ccos", VectorFunctions.cosineFast(col("embedding"), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__ccos", "__rk", "centroid")
+    if (n == 1) {
+      val outCols = df.columns :+ "centroid_id"
+      joined.groupBy(col(idCol).as("__nc_id"))
+        .agg(max_by(struct(outCols.map(col).toIndexedSeq: _*),
+          struct(col("__ccos"), (-col("centroid_id")).as("__nc_ord"))).as("__nc"))
+        .select(outCols.map(c => col(s"__nc.$c")).toIndexedSeq: _*)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__ccos").desc, col("centroid_id"))
+      joined
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("__ccos", "__rk", "centroid")
+    }
   }
 
   /** Spherical k-means codebook: start from the hash sample, then

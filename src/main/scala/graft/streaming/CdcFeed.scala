@@ -82,19 +82,23 @@ object CdcFeed {
   def batch(spark: SparkSession, dir: String, fromVersion: Long = 0L): DataFrame = {
     requireFeed(spark, dir)
     val schema = schemaOf(spark, dir)
-    // empty-feed early return: a fresh feed dir with no v* commits yet
-    // makes Spark's FileStreamSink metadata probe log a full
-    // FileNotFoundException stack trace per read (harmless but reads
-    // like a failure in every log) and the glob resolution itself
-    // throws — one driver listing decides instead
+    // ONE driver listing resolves the v-dirs, and the read takes the
+    // CONCRETE dir list instead of the glob: an empty feed early-returns
+    // (the glob would throw), version pruning drops pre-cutoff dirs
+    // before the scan ever lists their files, and a multi-path read
+    // skips Spark's FileStreamSink metadata probe — which, fed the
+    // glob, logged a FileNotFoundException stack trace per read
     val root = new Path(dir, TxnLake.CdcDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCommits = fs.listStatus(root)
-      .exists(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
-    if (!hasCommits)
+    val vDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
+      .filter(_._1 >= fromVersion)
+      .sortBy(_._1)
+    if (vDirs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    derive(spark.read.schema(schema).parquet(feedGlob(dir)))
+    derive(spark.read.schema(schema).parquet(vDirs.map(_._2).toIndexedSeq: _*))
       .filter(col(TxnLake.VersionCol) >= fromVersion)
   }
 

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Dev driver: A/B the n=1 nearest-cell assignment — row_number window
+  * vs max_by partial aggregation — on the sf0.1 embeddings corpus.
+  * Run: sbt "Test/runMain graft.operators.NearestCellsAb <sfDir>"
+  */
+object NearestCellsAb {
+  def main(args: Array[String]): Unit = {
+    val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def ms(t0: Long): Double = (System.nanoTime() - t0) / 1e6
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val corpus = spark.read.parquet(s"$d/embeddings.parquet")
+    corpus.count()
+    val cents = corpus.orderBy(xxhash64(col("vec_id"))).limit(16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      .cache()
+    cents.count()
+    val joined = corpus.join(broadcast(cents))
+      .withColumn("__ccos", VectorFunctions.cosineFast(col("embedding"), col("centroid")))
+    val outCols = corpus.columns :+ "centroid_id"
+    def viaWindow() = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__ccos").desc, col("centroid_id"))
+      joined.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 1).drop("__ccos", "__rk", "centroid")
+    }
+    def viaMaxBy() =
+      joined.groupBy(col("vec_id").as("__nc_id"))
+        .agg(max_by(struct(outCols.map(col).toIndexedSeq: _*),
+          struct(col("__ccos"), (-col("centroid_id")).as("__nc_ord"))).as("__nc"))
+        .select(outCols.map(c => col(s"__nc.$c")).toIndexedSeq: _*)
+    def viaNarrowMax() = {
+      val m = joined.groupBy(col("vec_id").as("__nc_id"))
+        .agg(max(struct(col("__ccos"), (-col("centroid_id")).as("__nc_neg"))).as("__m"))
+        .select(col("__nc_id"), (-col("__m.__nc_neg")).cast("long").as("centroid_id"))
+      corpus.join(m, corpus("vec_id") === col("__nc_id")).drop("__nc_id")
+        .select(outCols.map(col).toIndexedSeq: _*)
+    }
+    (1 to 3).foreach { r =>
+      var t0 = System.nanoTime()
+      viaWindow().write.format("noop").mode("overwrite").save()
+      val tw = ms(t0)
+      t0 = System.nanoTime()
+      viaMaxBy().write.format("noop").mode("overwrite").save()
+      val tm = ms(t0)
+      t0 = System.nanoTime()
+      viaNarrowMax().write.format("noop").mode("overwrite").save()
+      val tn = ms(t0)
+      println(f"[nc-ab] run$r window=$tw%7.1f ms  max_by=$tm%7.1f ms  narrow-max+join=$tn%7.1f ms")
+    }
+    // equality check window vs max_by
+    val a = viaWindow().selectExpr("vec_id", "centroid_id").orderBy("vec_id")
+    val b = viaMaxBy().selectExpr("vec_id", "centroid_id").orderBy("vec_id")
+    println("[nc-ab] results equal: " + (a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0))
+    spark.stop()
+  }
+}
