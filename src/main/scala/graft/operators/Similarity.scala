@@ -398,17 +398,36 @@ object Similarity {
     * replays the capped pool exactly. */
   def hardNegatives(corpus: DataFrame, k: Int, nBits: Int = 16,
                     bands: Int = 4, seed: Long = 42L,
-                    capPerBand: Int = -1): DataFrame = {
+                    capPerBand: Int = -1,
+                    selfJoinHint: Option[String] = None): DataFrame = {
     val cap = if (capPerBand < 0) 4 * k else capPerBand
+    // (band, band_bits) packed into ONE long join key: a single-column
+    // long equi-join hashes and probes cheaper than the two-column key
+    // in the hot self-join below — band < 16 rides the low bits, the
+    // ≤60-bit band value the high ones (r19; the ss14 sf1 spot's
+    // dominant job is exactly this join's probe side)
     val banded = bandedSignatures(corpus, nBits, bands, seed)
       .join(corpus.select(col("vec_id"), col("label")), "vec_id")
-      .select(col("vec_id"), col("label"), col("sig"), col("band"), col("band_bits"))
+      .select(col("vec_id"), col("label"), col("sig"),
+        col("band"), (col("band_bits") * 16 + col("band")).as("__bk"))
     // labels ride only the JOIN CONDITION: the candidate stream carries
     // just (vec_id, nbr_id, ham) — anchor/neighbor labels are recovered
     // on the CAPPED set by the same joins that fetch embeddings
-    val met = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_bits") === col("y.band_bits") &&
+    // Join strategy, decided from the TRUE banded size rather than the
+    // planner's estimate (which inflates through the posexplode + label
+    // join and flipped this self-join to sort-merge at 10× while the
+    // actual build side was 4.5 MB): under the session's broadcast
+    // threshold the build side is broadcast outright; past it,
+    // shuffled-hash — nothing downstream needs sort order (the
+    // per-(anchor,band) heap aggregation is order-free), so the hash
+    // join drops SMJ's two full sorts (ss14 10× spot: 6.5 s SMJ vs
+    // 4.8 s SHUFFLE_HASH). [[hardNegativesAuto]] derives the choice
+    // from the corpus count it already paid for; the bare entry point
+    // keeps the planner's default.
+    val y0 = banded.as("y")
+    val met = banded.as("x").join(
+        selfJoinHint.fold(y0)(y0.hint(_)),
+        col("x.__bk") === col("y.__bk") &&
           col("x.label") =!= col("y.label"))
       .select(col("x.vec_id").as("vec_id"),
         col("y.vec_id").as("nbr_id"), col("x.band").as("band"),
@@ -486,8 +505,19 @@ object Similarity {
     require(bands <= 15,
       s"bands=$bands cannot give every band the >=4 bits a 64-bit signature allows")
     val n = corpus.select(col("vec_id")).count()
+    // join-strategy choice for the banded self-join, decided from the
+    // count this auto-sizing already paid for: under the session's
+    // broadcast threshold the planner's broadcast pick wins; above it,
+    // force shuffled-hash over sort-merge (~56 B per banded row:
+    // UnsafeRow header + vec_id/sig/__bk/band + a short label)
+    val bcThreshold = corpus.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold
+    val hint =
+      if (bcThreshold >= 0 && n * bands * 56L <= bcThreshold) Some("BROADCAST")
+      else Some("SHUFFLE_HASH")
     hardNegatives(corpus, k, nBits = autoBitsPerBand(n, targetBucket, bands) * bands,
-      bands = bands, seed = seed, capPerBand = capPerBand)
+      bands = bands, seed = seed, capPerBand = capPerBand,
+      selfJoinHint = hint)
   }
 
   /** INT8 scalar quantization of an embedding column: per-vector

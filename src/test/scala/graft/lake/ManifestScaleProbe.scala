@@ -43,7 +43,7 @@ object ManifestScaleProbe {
       finally s.close()
     }
 
-    Seq(1000, 10000, 100000).filter(_ <= maxN).foreach { n =>
+    Seq(1000, 10000, 100000, 1000000).filter(_ <= maxN).foreach { n =>
       val files = (0 until n).map { i =>
         TxnLake.FileEntry(
           path = f"_graft_data/c$i%08d-0000-4000-8000-000000000000/__txn_pk=p${i % 1024}/part-00000.parquet",
@@ -106,6 +106,17 @@ object ManifestScaleProbe {
       val expect = n / 1024 + (if (n % 1024 > 7) 1 else 0)
       require(pruned == expect, s"pruned=$pruned expected=$expect")
 
+      // ---- PLANNING path (r19): TxnFileIndex over the manifest — the
+      // statuses synthesize from FileEntry.bytes with ZERO fs calls
+      // (the entries here point at files that never existed, so a
+      // nonzero listFiles count PROVES no listing ran), and a pruned
+      // listFiles evaluates the partition predicate manifest-only
+      t0 = System.nanoTime()
+      val idx = new TxnFileIndex(spark, pd, m)
+      val planned = idx.listFiles(Nil, Nil).map(_.files.length).sum
+      val idxMs = ms(t0)
+      require(planned == n, s"planned=$planned expected=$n")
+
       // ---- retained heap of the decoded list (both formats identical)
       val h0 = heapNow()
       val held = mp.files.toArray // force retention
@@ -117,6 +128,7 @@ object ManifestScaleProbe {
         f"read $jsonReadMs%8.1f ms ${jsonBytes / 1024.0 / 1024}%7.2f MB | " +
         f"parquet: write $pqWriteMs%8.1f ms read $pqReadMs%8.1f ms " +
         f"${pqBytes / 1024.0 / 1024}%7.2f MB | lazy-pruned-count $lazyMs%8.1f ms " +
+        f"| plan(index+listFiles) $idxMs%8.1f ms " +
         f"| decoded-heap ~${entryHeap / 1024.0 / 1024}%6.1f MB")
     }
     spark.stop()
