@@ -63,6 +63,25 @@ object NearestCellsAb {
     val a = viaWindow().selectExpr("vec_id", "centroid_id").orderBy("vec_id")
     val b = viaMaxBy().selectExpr("vec_id", "centroid_id").orderBy("vec_id")
     println("[nc-ab] results equal: " + (a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0))
+    // plan evidence for plans/r19 when an outDir is given
+    args.lift(1).foreach { out =>
+      def fmt(df: org.apache.spark.sql.DataFrame) = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/ivf_assign_before.txt"),
+        "IVF cell assignment (Similarity.nearestCells n=1 — the full-corpus pass in\n" +
+        "every index build/update and semantic dedup) BEFORE r19: row_number window\n" +
+        "over the |corpus|x|centroids| candidate join — ALL candidate rows (each\n" +
+        "carrying the embedding) cross the Exchange and a Sort before rank-filtering.\n\n" +
+        fmt(viaWindow()))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$out/ivf_assign_after.txt"),
+        "IVF cell assignment AFTER r19: one max_by aggregation — the partial (map-side)\n" +
+        "HashAggregate below the Exchange caps the shuffle at ONE row per vec_id;\n" +
+        "no Sort, no Window. Tie-break identical: max of (cos, -centroid_id).\n\n" +
+        fmt(viaMaxBy()))
+      println("[nc-ab] plans written to " + out)
+    }
     spark.stop()
   }
 }
