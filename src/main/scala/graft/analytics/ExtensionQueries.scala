@@ -2837,7 +2837,14 @@ object ExtensionQueries {
     val mx = docs.agg(max(col("doc_id")).as("mx"))
     val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
     // bucket = doc_id·20 div (mx+1) ∈ [0,19]; the max broadcasts as a
-    // one-row scalar, so bucketing is a narrow map
+    // one-row scalar, so bucketing is a narrow map.
+    // Deliberately TWO independent aggregates over the exploded tokens
+    // (r19 A/B, Tx19Ab): a shared (term, bucket) first-level aggregate
+    // would tokenize once, but its |vocab|×buckets shuffle costs more
+    // than the second tokenize pass (warm 0.39-0.42 s two-pass vs
+    // 0.50-0.56 s shared vs 0.64-0.75 s shared+cached) — both partial
+    // aggregations here collapse map-side to ≤|vocab| rows, so the
+    // extra scan is the cheaper half.
     val tb = toks.crossJoin(broadcast(mx))
       .groupBy(expr("(doc_id * 20) div (mx + 1)").as("bucket"))
       .agg(count(lit(1)).as("toks"))
